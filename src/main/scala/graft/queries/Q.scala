@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for oracle-exact query pipelines.
+  *
+  * Cross-engine float determinism (SURVEY.md §7.4): SUM/AVG over doubles is
+  * summation-order-dependent, and Spark's partial aggregation order differs
+  * from DuckDB's. We therefore aggregate money through `decimal(18,2)` —
+  * decimal addition is exact and associative, so any aggregation order gives
+  * the same result — and cast the final value back to `double` (correctly
+  * rounded, identical in both engines). AVG is computed as decimal-sum /
+  * count in IEEE double, again order-independent.
+  */
+object Q {
+  /** Exact, order-independent SUM of a monetary double column. */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact, order-independent AVG of a monetary double column. */
+  def moneyAvg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))
+
+  /** Order-independent running/windowed SUM for window specs. */
+  def moneySumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast("decimal(18,2)")).over(w).cast("double")
+
+  type QueryFn = (SparkSession, String) => DataFrame
+}

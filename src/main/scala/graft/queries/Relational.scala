@@ -1,0 +1,464 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Q._
+
+/** Relational operator coverage beyond the reference's own surface
+  * (SURVEY.md §2.D): join variants, window functions, sorts/top-K, set
+  * operations, rollup/cube/grouping sets, pivot, and the scalar function
+  * library. All are Spark built-ins — zero custom rules — so Catalyst's
+  * pushdown/pruning/codegen apply end-to-end.
+  */
+object Relational {
+
+  /** Left outer join + aggregate: customers with zero orders survive with
+    * NULL totals. At scale: orders shuffles on o_custkey; customer side is
+    * the smaller input and AQE picks broadcast when it fits.
+    */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").as("user_id"))
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        moneySum(col("o_totalprice")).as("total_spent"))
+  }
+
+  val joinLeftOracle: String =
+    """SELECT c_custkey AS user_id, COUNT(o_orderkey) AS order_cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Left-semi join: customers having at least one big order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  val joinSemiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+
+  /** Left-anti join: customers with no orders at all. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  val joinAntiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Full outer join between customer and per-customer order counts. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    val oa = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"))
+    c.join(oa, c("c_custkey") === oa("o_custkey"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), oa("o_custkey")).as("key"),
+        c("c_name").as("name"),
+        col("order_cnt"))
+  }
+
+  val joinFullOracle: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS key, c_name AS name, order_cnt
+      |FROM customer
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS order_cnt FROM orders GROUP BY 1) oa
+      |  ON c_custkey = o_custkey""".stripMargin
+
+  /** Cross join (tiny × tiny only — a cross join of facts is a plan bug). */
+  def joinCross(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.region(s, d).select(col("r_name").as("r1"))
+    val b = Tables.region(s, d).select(col("r_name").as("r2"))
+    a.crossJoin(b)
+  }
+
+  val joinCrossOracle: String =
+    "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b"
+
+  /** Range (band) join: quantity bucketed by an inline bounds dimension.
+    * The bounds side is broadcast → a BroadcastNestedLoopJoin over 3 rows,
+    * effectively a map-side bucket assignment.
+    */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_quantity")
+    val buckets = s.createDataFrame(
+      java.util.Arrays.asList(Row(0.0, 10.0, "low"), Row(10.0, 30.0, "mid"), Row(30.0, 100.0, "high")),
+      StructType(Seq(
+        StructField("lo", DoubleType), StructField("hi", DoubleType),
+        StructField("label", StringType))))
+    li.join(broadcast(buckets), li("l_quantity") >= col("lo") && li("l_quantity") < col("hi"))
+      .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+  }
+
+  val joinRangeOracle: String =
+    """SELECT label, COUNT(*) AS cnt
+      |FROM lineitem
+      |JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 30.0, 'mid'), (30.0, 100.0, 'high')) b(lo, hi, label)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY 1""".stripMargin
+
+  /** As-of join: for each purchase event, the latest click by the same user
+    * at or before the purchase. Spark lacks a native as-of join; the classic
+    * scalable construction is union-tag + running `last(..., ignoreNulls)`
+    * window — ONE shuffle on user_id, no per-row subqueries, no skew
+    * amplification (vs. the naive inequality join which is O(n·m) per key).
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), lit(0).as("side"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), lit(1).as("side"))
+    val tagged = clicks.withColumn("purchase_id", lit(null).cast("long"))
+      .unionByName(purchases.withColumn("click_id", lit(null).cast("long")))
+    // Order: ts, then side (click sorts before a same-ts purchase → `<=`
+    // semantics), then click_id (latest same-ts click wins).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("asof_click").as("click_id"))
+  }
+
+  val joinAsofOracle: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
+
+  /** Ranking window functions + QUALIFY-style top-3 per group. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  val windowRankOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |       row_number() OVER w AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |QUALIFY rn <= 3""".stripMargin
+
+  /** Running (cumulative) sum + lag, explicit ROWS frame. Decimal inside the
+    * window keeps the running sum order-exact across engines.
+    */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      moneySumOver(col("value"), w).as("running_value"),
+      lag(col("event_id"), 1).over(ord).as("prev_event"))
+  }
+
+  val windowRunningOracle: String =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+      |       lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Sliding frame: 7-row moving sum (decimal-exact). */
+  def windowMoving(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    e.select(
+      col("event_id"), col("user_id"),
+      moneySumOver(col("value"), w).as("moving_sum"))
+  }
+
+  val windowMovingOracle: String =
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |         (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+      |FROM events""".stripMargin
+
+  /** Global top-K with a total (tie-broken) order — Spark executes as
+    * TakeOrderedAndProject: per-partition top-K then driver merge, no full
+    * sort even at 100 TB.
+    */
+  def sortTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  val sortTopKOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** UNION (distinct) of two key sets. */
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey")))
+      .distinct()
+
+  val setUnionOracle: String =
+    "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier"
+
+  /** INTERSECT: customers that actually ordered. */
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("key"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey")))
+
+  val setIntersectOracle: String =
+    "SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey FROM orders"
+
+  /** EXCEPT: customer keys never ordering. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("key"))
+      .except(Tables.orders(s, d).select(col("o_custkey")))
+
+  val setExceptOracle: String =
+    "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders"
+
+  /** DISTINCT projection. */
+  def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+
+  val distinctPairsOracle: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** ROLLUP over the region→nation hierarchy with GROUPING markers. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val c = Tables.customer(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"),
+        count(lit(1)).as("cnt"),
+        moneySum(col("c_acctbal")).as("balance"))
+  }
+
+  val rollupAggOracle: String =
+    """SELECT r_name, n_name,
+      |       CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** CUBE over two independent dimensions. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        count(lit(1)).as("cnt"))
+
+  val cubeAggOracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+      |       COUNT(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** GROUPING SETS via SQL (the DataFrame API spells this rollup/cube). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Pivot (conditional aggregation) — count by status per priority. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("payment_method"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(
+        col("payment_method"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+
+  val pivotStatusOracle: String =
+    """SELECT o_orderpriority AS payment_method,
+      |       COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+      |       COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+      |       COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Scalar string-function library sampler. */
+  def scalarStrings(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      substring(col("p_name"), 1, 5).as("pre"),
+      length(col("p_name")).as("len"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("tagged"),
+      regexp_replace(col("p_name"), " ", "_").as("snake"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+      trim(lit("  x  ")).as("trimmed"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+
+  val scalarStringsOracle: String =
+    """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+      |       substr(p_name, 1, 5) AS pre, length(p_name) AS len,
+      |       p_brand || ':' || p_type AS tagged,
+      |       regexp_replace(p_name, ' ', '_', 'g') AS snake,
+      |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      |       trim('  x  ') AS trimmed,
+      |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+      |FROM part""".stripMargin
+
+  /** Scalar date/time function sampler. */
+  def scalarDates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dy"),
+      quarter(col("o_orderdate")).as("qtr"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+      // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
+      // to TIMESTAMP preserves the wall-clock instant DuckDB's epoch_us sees.
+      unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+
+  val scalarDatesOracle: String =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |       day(o_orderdate) AS dy, quarter(o_orderdate) AS qtr,
+      |       date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+      |       epoch_us(o_orderdate) AS epoch_us
+      |FROM orders""".stripMargin
+
+  /** Scalar math + conditional sampler (IEEE-exact operations only). */
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - col("l_tax")).as("adiff"),
+      floor(col("l_quantity")).as("fl"),
+      ceil(col("l_quantity")).as("ce"),
+      (col("l_partkey") % 97).as("m"),
+      sqrt(col("l_extendedprice")).as("rt"),
+      least(col("l_tax"), col("l_discount")).as("lo_rate"),
+      greatest(col("l_tax"), col("l_discount")).as("hi_rate"),
+      coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or"))
+
+  val scalarMathOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       abs(l_discount - l_tax) AS adiff,
+      |       CAST(floor(l_quantity) AS BIGINT) AS fl, CAST(ceil(l_quantity) AS BIGINT) AS ce,
+      |       l_partkey % 97 AS m, sqrt(l_extendedprice) AS rt,
+      |       least(l_tax, l_discount) AS lo_rate,
+      |       greatest(l_tax, l_discount) AS hi_rate,
+      |       COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or
+      |FROM lineitem""".stripMargin
+
+  /** JSON extraction from the events.props payload column. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  val jsonExtractOracle: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG equivalent, deterministic order). */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("cnt"))
+
+  val stringAggOracle: String =
+    """SELECT c_nationkey AS nk, string_agg(c_name, ',' ORDER BY c_name) AS names,
+      |       COUNT(*) AS cnt
+      |FROM customer GROUP BY 1""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    "d_join_left" -> (joinLeft _),
+    "d_join_semi" -> (joinSemi _),
+    "d_join_anti" -> (joinAnti _),
+    "d_join_full" -> (joinFull _),
+    "d_join_cross" -> (joinCross _),
+    "d_join_range" -> (joinRange _),
+    "d_join_asof" -> (joinAsof _),
+    "d_window_rank" -> (windowRank _),
+    "d_window_running" -> (windowRunning _),
+    "d_window_moving" -> (windowMoving _),
+    "d_sort_topk" -> (sortTopK _),
+    "d_set_union" -> (setUnion _),
+    "d_set_intersect" -> (setIntersect _),
+    "d_set_except" -> (setExcept _),
+    "d_distinct" -> (distinctPairs _),
+    "d_rollup" -> (rollupAgg _),
+    "d_cube" -> (cubeAgg _),
+    "d_grouping_sets" -> (groupingSets _),
+    "d_pivot" -> (pivotStatus _),
+    "d_scalar_strings" -> (scalarStrings _),
+    "d_scalar_dates" -> (scalarDates _),
+    "d_scalar_math" -> (scalarMath _),
+    "d_json_extract" -> (jsonExtract _),
+    "d_string_agg" -> (stringAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "d_join_left" -> joinLeftOracle,
+    "d_join_semi" -> joinSemiOracle,
+    "d_join_anti" -> joinAntiOracle,
+    "d_join_full" -> joinFullOracle,
+    "d_join_cross" -> joinCrossOracle,
+    "d_join_range" -> joinRangeOracle,
+    "d_join_asof" -> joinAsofOracle,
+    "d_window_rank" -> windowRankOracle,
+    "d_window_running" -> windowRunningOracle,
+    "d_window_moving" -> windowMovingOracle,
+    "d_sort_topk" -> sortTopKOracle,
+    "d_set_union" -> setUnionOracle,
+    "d_set_intersect" -> setIntersectOracle,
+    "d_set_except" -> setExceptOracle,
+    "d_distinct" -> distinctPairsOracle,
+    "d_rollup" -> rollupAggOracle,
+    "d_cube" -> cubeAggOracle,
+    "d_grouping_sets" -> groupingSetsOracle,
+    "d_pivot" -> pivotStatusOracle,
+    "d_scalar_strings" -> scalarStringsOracle,
+    "d_scalar_dates" -> scalarDatesOracle,
+    "d_scalar_math" -> scalarMathOracle,
+    "d_json_extract" -> jsonExtractOracle,
+    "d_string_agg" -> stringAggOracle)
+}
