@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Reference, Relational}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +18,10 @@ object SparkEntry {
     Reference.b4UserSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Reference.defs ++ Relational.defs
+    Reference.defs ++ Relational.defs ++
+      TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
-    Reference.oracles ++ Relational.oracles
+    Reference.oracles ++ Relational.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q.QueryFn
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions after an
+  * element-wise cast to double — a strict left-to-right IEEE fold, which is
+  * bit-identical to DuckDB's `list_dot_product` over `DOUBLE[]`, so cosine
+  * scores (and hence threshold membership and rank order) oracle-match
+  * exactly.
+  *
+  * Scale design: brute-force top-k is O(Q×N) — the correctness baseline,
+  * fine when Q is small. The IVF variant is the 100-TB path: vectors are
+  * assigned to their nearest centroid once (O(N×K)), queries probe only
+  * their own cell (O(Q×N/K) expected); both stages are broadcast joins on
+  * the centroid table, so the big side never shuffles.
+  */
+object Similarity {
+
+  /** Strict sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** embeddings with a double-cast vector and its L2 norm. */
+  def withNorm(df: DataFrame): DataFrame =
+    df.select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
+    dot(va, vb) / (na * nb)
+
+  /** Brute-force cosine top-k neighbors for a deterministic query subset
+    * (vec_id % 100 == 0), ties broken by neighbor id.
+    */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  val annTopKOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings)
+      |SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |       list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos,
+      |       row_number() OVER (PARTITION BY q.vec_id
+      |                          ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC,
+      |                                   e.vec_id) AS rk
+      |FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q
+      |JOIN e ON e.vec_id <> q.vec_id
+      |QUALIFY rk <= 5""".stripMargin
+
+  /** All near-duplicate pairs above a cosine threshold (embedding-cosine
+    * near-dup detection). Bounded all-pairs — the verification path; LSH /
+    * IVF bucketing is the scale path.
+    */
+  def cosineNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  val cosineNearDupOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  /** IVF-style ANN: deterministic centroids (vec_id % 64 == 0), each vector
+    * assigned to its max-cosine centroid; queries search only their cell.
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.filter(col("vec_id") % 64 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("q_cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cent_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  val annIvfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |assigned AS (
+      |  SELECT e.vec_id, e.v, e.nrm, c.vec_id AS cent_id
+      |  FROM e JOIN (SELECT * FROM e WHERE vec_id % 64 = 0) c ON TRUE
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_dot_product(c.v, e.v) / (c.nrm * e.nrm) DESC, c.vec_id) = 1)
+      |SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+      |       list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,
+      |       row_number() OVER (PARTITION BY q.vec_id
+      |         ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, a.vec_id) AS rk
+      |FROM (SELECT * FROM assigned WHERE vec_id % 100 = 0) q
+      |JOIN assigned a ON a.cent_id = q.cent_id AND a.vec_id <> q.vec_id
+      |QUALIFY rk <= 3""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    "x_ann_topk" -> (annTopK _),
+    "x_embed_neardup" -> (cosineNearDup _),
+    "x_ann_ivf" -> (annIvf _))
+
+  val oracles: Map[String, String] = Map(
+    "x_ann_topk" -> annTopKOracle,
+    "x_embed_neardup" -> cosineNearDupOracle,
+    "x_ann_ivf" -> annIvfOracle)
+}

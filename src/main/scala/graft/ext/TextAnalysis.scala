@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q.QueryFn
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, n-gram language ID, and document
+  * fingerprinting.
+  *
+  * All are narrow per-row projections — no shuffle, fully codegen'd — so at
+  * 100 TB they stream through executors at parquet-scan speed with column
+  * pruning down to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Word tokens (lowercase alnum runs). */
+  private def wordCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
+
+  /** BPE-ish sub-token pattern: letter runs, single digits, single
+    * punctuation — a crude stand-in for a byte-pair vocab segmentation.
+    */
+  private def bpeCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+
+  /** Per-document token statistics. */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(t).as("len_chars"),
+      wordCount(t).as("word_cnt"),
+      bpeCount(t).as("bpe_cnt"),
+      regexp_count(t, lit("\\b(the|a)\\b")).as("stopword_cnt"))
+  }
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id, length(text) AS len_chars,
+      |       len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_cnt,
+      |       len(regexp_extract_all(text, '\b(the|a)\b')) AS stopword_cnt
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length/punctuation/stopword ratios → composite score.
+    * Ratios are IEEE double divisions of exact integer counts, so the score
+    * is bit-identical across engines.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        length(t).as("len_chars"),
+        wordCount(t).as("word_cnt"),
+        regexp_count(t, lit("[^a-z0-9 ]")).as("punct_cnt"),
+        regexp_count(t, lit("\\b(the|a)\\b")).as("stopword_cnt"))
+      .select(
+        col("doc_id"), col("lang"), col("word_cnt"),
+        (col("len_chars").cast("double") / col("word_cnt")).as("avg_token_len"),
+        (col("punct_cnt").cast("double") / col("len_chars")).as("punct_ratio"),
+        (col("stopword_cnt").cast("double") / col("word_cnt")).as("stopword_ratio"))
+      .withColumn("quality_score",
+        when(col("word_cnt") < 5, 0.0)
+          .otherwise(col("stopword_ratio") * 0.5
+            + (lit(1.0) - col("punct_ratio")) * 0.5))
+  }
+
+  val qualityScoreOracle: String =
+    """SELECT doc_id, lang, word_cnt,
+      |       CAST(len_chars AS DOUBLE) / word_cnt AS avg_token_len,
+      |       CAST(punct_cnt AS DOUBLE) / len_chars AS punct_ratio,
+      |       CAST(stopword_cnt AS DOUBLE) / word_cnt AS stopword_ratio,
+      |       CASE WHEN word_cnt < 5 THEN 0.0
+      |            ELSE (CAST(stopword_cnt AS DOUBLE) / word_cnt) * 0.5
+      |                 + (1.0 - CAST(punct_cnt AS DOUBLE) / len_chars) * 0.5 END AS quality_score
+      |FROM (SELECT doc_id, lang, length(text) AS len_chars,
+      |             len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+      |             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_cnt,
+      |             len(regexp_extract_all(text, '\b(the|a)\b')) AS stopword_cnt
+      |      FROM documents)""".stripMargin
+
+  /** N-gram-heuristic language ID: stopword-lexicon hit counts per language,
+    * argmax with a fixed priority order for ties.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    def hits(pat: String): Column = regexp_count(t, lit(pat))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        hits("\\b(the|a|and|of|is)\\b").as("s_en"),
+        hits("\\b(le|la|et|les|des)\\b").as("s_fr"),
+        hits("\\b(el|los|las|y|de)\\b").as("s_es"),
+        hits("\\b(der|die|das|und|ist)\\b").as("s_de"))
+      .withColumn("detected_lang",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+  }
+
+  val langIdOracle: String =
+    """SELECT doc_id, lang AS labeled_lang, s_en, s_fr, s_es, s_de,
+      |       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+      |            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |            WHEN s_es >= s_de THEN 'es'
+      |            ELSE 'de' END AS detected_lang
+      |FROM (SELECT doc_id, lang,
+      |             len(regexp_extract_all(text, '\b(the|a|and|of|is)\b')) AS s_en,
+      |             len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS s_fr,
+      |             len(regexp_extract_all(text, '\b(el|los|las|y|de)\b')) AS s_es,
+      |             len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de
+      |      FROM documents)""".stripMargin
+
+  /** Document fingerprint: SHA-256 over canonicalized text (lowercase,
+    * punctuation collapsed, trimmed) — the exact-dedup key that is robust to
+    * formatting noise.
+    */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      sha2(canonical(col("text")), 256).as("fingerprint"))
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |       sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Corpus profile: per (lang, source) aggregate — the first thing a data
+    * pipeline computes over a new crawl.
+    */
+  def corpusProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val corpusProfileOracle: String =
+    """SELECT lang, source, COUNT(*) AS docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    "x_text_tokens" -> (tokenStats _),
+    "x_text_quality" -> (qualityScore _),
+    "x_text_langid" -> (langId _),
+    "x_text_fingerprint" -> (fingerprint _),
+    "x_text_profile" -> (corpusProfile _))
+
+  val oracles: Map[String, String] = Map(
+    "x_text_tokens" -> tokenStatsOracle,
+    "x_text_quality" -> qualityScoreOracle,
+    "x_text_langid" -> langIdOracle,
+    "x_text_fingerprint" -> fingerprintOracle,
+    "x_text_profile" -> corpusProfileOracle)
+}
