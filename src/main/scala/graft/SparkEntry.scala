@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Reference, Relational}
+import graft.queries.{Lifecycle, Reference, Relational}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +19,10 @@ object SparkEntry {
     Reference.b4UserSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Reference.defs ++ Relational.defs ++
+    Reference.defs ++ Relational.defs ++ Lifecycle.defs ++ Streams.defs ++
       TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
-    Reference.oracles ++ Relational.oracles ++
+    Reference.oracles ++ Relational.oracles ++ Lifecycle.oracles ++ Streams.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,79 @@
+package graft.governance
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Permission
+
+/** Permission management (SURVEY.md §2.C4, permissions_manager.py).
+  *
+  * The reference keeps a MySQL table with a unique key on
+  * (user_email, folder_path, permission_type) and upsert-grant semantics;
+  * here it is a plain DataFrame (persistable through the lake's versioned
+  * table mechanism) with the same unique-key MERGE, and `check` implements
+  * the path-prefix read guard the reference documents but never enforces
+  * (SURVEY.md §7.4 — kept a checked wrapper, not a Catalyst rule).
+  */
+object Permissions {
+
+  import Permission.Types
+
+  def empty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[Permission].toDF()
+  }
+
+  /** Upsert a grant on the unique key (permissions_manager.py:48-59). */
+  def grant(
+      perms: DataFrame, userEmail: String, folderPath: String,
+      permissionType: String, grantedBy: String, grantedAt: Timestamp,
+      expiresAt: Option[Date] = None): DataFrame = {
+    require(Types.contains(permissionType), s"invalid permission type: $permissionType")
+    val spark = perms.sparkSession
+    import spark.implicits._
+    val update = Seq(Permission(userEmail, folderPath, permissionType,
+      grantedBy, grantedAt, expiresAt, is_active = true)).toDF()
+    mergeOnUniqueKey(perms, update)
+  }
+
+  /** Deactivate (the reference models revocation as is_active=false). */
+  def revoke(perms: DataFrame, userEmail: String, folderPath: String,
+      permissionType: String): DataFrame =
+    perms.withColumn("is_active",
+      when(col("user_email") === userEmail
+        && col("folder_path") === folderPath
+        && col("permission_type") === permissionType, lit(false))
+        .otherwise(col("is_active")))
+
+  private def mergeOnUniqueKey(base: DataFrame, update: DataFrame): DataFrame = {
+    val tagged = base.withColumn("_src", lit(0)).unionByName(update.withColumn("_src", lit(1)))
+    val w = Window
+      .partitionBy(col("user_email"), col("folder_path"), col("permission_type"))
+      .orderBy(col("_src").desc, col("granted_at").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_src", "_rn")
+  }
+
+  /** Path-prefix access check: active, unexpired (as of `asOf`), and the
+    * requested path is under the granted folder. `admin` implies read+write
+    * (standard semantics; the reference's ENUM carries no hierarchy, so
+    * exact-type match is also honored).
+    */
+  def check(perms: DataFrame, userEmail: String, path: String,
+      permissionType: String, asOf: Date): Boolean = {
+    val typeOk = col("permission_type") === permissionType ||
+      col("permission_type") === "admin"
+    !perms
+      .filter(col("user_email") === userEmail && col("is_active") && typeOk)
+      .filter(col("expires_at").isNull || col("expires_at") >= lit(asOf))
+      .filter(lit(path) === col("folder_path")
+        || lit(path).startsWith(concat(col("folder_path"), lit("/"))))
+      .isEmpty
+  }
+
+  /** Listing ordered by (email, folder) (permissions_manager.py:61-63). */
+  def list(perms: DataFrame): DataFrame =
+    perms.orderBy(col("user_email"), col("folder_path"), col("permission_type"))
+}

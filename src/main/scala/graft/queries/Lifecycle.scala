@@ -1,0 +1,233 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.governance.{FeedCatalog, Permissions}
+import graft.lake.{Lake, Retention}
+import graft.warehouse.Warehouse
+import Q.QueryFn
+
+/** End-to-end lifecycle operators (SURVEY.md §3.2): each query runs a real
+  * write→maintain→read-back cycle in a scratch lake and returns the
+  * read-back result, so the DuckDB oracle checks the whole loop — write
+  * fidelity, partition pruning, version retention, merge semantics — not
+  * just a projection.
+  */
+object Lifecycle {
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** A6/A8 round-trip: events → event-date partitions → read back → per-day
+    * counts. Oracle recomputes the same from the raw table, so partition
+    * values must survive the write exactly.
+    */
+  def lakeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_lake_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    Lake.appendStream(ev, root, "events", eventTimeCol = Some("ts"))
+    Lake.readStreamFeed(s, root, "events")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
+  }
+
+  val lakeRoundtripOracle: String =
+    """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** A6 + partition pruning + C1 retention: append by event date, prune
+    * days before 2024-01-15 (dry-run first — must delete nothing), then
+    * read back the surviving days. Events span Jan 2024 (TESTDATA.md).
+    */
+  def retentionPrune(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_ret_")
+    val cutoff = LocalDate.of(2024, 1, 15)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
+    Lake.appendStream(ev, root, "events", eventTimeCol = Some("ts"))
+    val preview = Retention.pruneStreamPartitions(s, root, "events", cutoff, dryRun = true)
+    require(preview.forall(!_.deleted), "dry-run must not delete")
+    Retention.pruneStreamPartitions(s, root, "events", cutoff, dryRun = false)
+    Lake.readStreamFeed(s, root, "events")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val retentionPruneOracle: String =
+    """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day, COUNT(*) AS cnt
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** A7 + C2: three snapshot writes with retention keep=2 → v1 pruned; the
+    * surviving version list is deterministic, so a VALUES oracle checks it.
+    */
+  def tableVersions(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_ver_")
+    val agg = Reference.b6PaymentTotals(s, d)
+    (1 to 3).foreach(_ => Lake.writeTableSnapshot(agg, root, "payment_method_totals", retentionVersions = 2))
+    import s.implicits._
+    Lake.versions(s, root, "payment_method_totals")
+      .map(v => ("v" + v, Lake.readTableFeed(s, root, "payment_method_totals", Some(v)).count()))
+      .toDF("version", "n_rows")
+  }
+
+  val tableVersionsOracle: String =
+    """SELECT 'v2' AS version, COUNT(DISTINCT o_orderpriority) AS n_rows FROM orders
+      |UNION ALL
+      |SELECT 'v3', COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin
+
+  /** A7 read-back: the latest snapshot of B6 must equal the live query —
+    * proves overwrite-versioned storage preserves aggregate values exactly.
+    */
+  def snapshotReadback(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_snap_")
+    Lake.writeTableSnapshot(Reference.b6PaymentTotals(s, d), root, "payment_method_totals")
+    Lake.readTableFeed(s, root, "payment_method_totals")
+  }
+
+  /** A10/B9 warehouse MERGE: load dim_users, apply an update batch twice
+    * (idempotence), read back. Updated rows carry the second stamp; the
+    * oracle reproduces the merge in SQL.
+    */
+  def dimUpsert(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_wh_")
+    val day1 = Date.valueOf("2024-06-01")
+    val day2 = Date.valueOf("2024-06-02")
+    val base = Warehouse.dimUsers(Tables.customer(s, d), day1)
+    Warehouse.mergeIntoTable(s, root, "dim_users", base, Seq("user_id"), Seq("updated_at"))
+    val updates = Warehouse.dimUsers(
+      Tables.customer(s, d).filter(col("c_custkey") % 10 === 0), day2)
+      .withColumn("user_segment", lit("VIP"))
+    // applied twice: MERGE must be idempotent (SURVEY.md §5.3)
+    Warehouse.mergeIntoTable(s, root, "dim_users", updates, Seq("user_id"), Seq("updated_at"))
+    Warehouse.mergeIntoTable(s, root, "dim_users", updates, Seq("user_id"), Seq("updated_at"))
+    Lake.readTableFeed(s, root, "dim_users")
+  }
+
+  val dimUpsertOracle: String =
+    """SELECT c_custkey AS user_id, c_name AS user_name,
+      |       CAST(c_nationkey AS INT) AS user_nation,
+      |       CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END AS user_segment,
+      |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-02' ELSE DATE '2024-06-01' END AS updated_at
+      |FROM customer""".stripMargin
+
+  /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
+    * version), checked end-to-end through a snapshot write.
+    */
+  def factSnapshot(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_fact_")
+    val fact = Warehouse.stampSnapshot(
+      Reference.b6PaymentTotals(s, d), Date.valueOf("2024-06-01"), 1)
+    Warehouse.requireFkIntact(
+      fact, Tables.orders(s, d).select(col("o_orderpriority")).distinct(),
+      "payment_method", "o_orderpriority")
+    Lake.writeTableSnapshot(fact, root, "fact_payment_method_totals")
+    Lake.readTableFeed(s, root, "fact_payment_method_totals")
+  }
+
+  val factSnapshotOracle: String =
+    """SELECT o_orderpriority AS payment_method,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+      |       COUNT(*) AS transaction_count,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_amount,
+      |       DATE '2024-06-01' AS snapshot_date,
+      |       1 AS snapshot_version
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** C4 permissions: grants (incl. an upsert-overwrite and an expired one),
+    * a revoke, then a deterministic batch of access checks. The VALUES
+    * oracle carries the hand-computed expected decisions.
+    */
+  def permissionCheck(s: SparkSession, d: String): DataFrame = {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+    val asOf = Date.valueOf("2024-06-01")
+    var p = Permissions.empty(s)
+    p = Permissions.grant(p, "ana@x.io", "/lake/streams", "read", "root", t0)
+    p = Permissions.grant(p, "ana@x.io", "/lake/streams", "read", "root", t1) // upsert, same key
+    p = Permissions.grant(p, "bob@x.io", "/lake", "admin", "root", t0)
+    p = Permissions.grant(p, "eve@x.io", "/lake/tables", "write", "root", t0,
+      expiresAt = Some(Date.valueOf("2024-03-01"))) // expired by asOf
+    p = Permissions.grant(p, "zed@x.io", "/lake/tables", "read", "root", t0)
+    p = Permissions.revoke(p, "zed@x.io", "/lake/tables", "read")
+    val cache = p.cache()
+    val checks = Seq(
+      ("ana@x.io", "/lake/streams/events", "read"),
+      ("ana@x.io", "/lake/tables/dim", "read"),
+      ("bob@x.io", "/lake/streams/events", "write"),
+      ("eve@x.io", "/lake/tables/dim", "write"),
+      ("zed@x.io", "/lake/tables/dim", "read"))
+    import s.implicits._
+    val out = checks.map { case (u, path, t) =>
+      (u, path, t, Permissions.check(cache, u, path, t, asOf))
+    }.toDF("user_email", "path", "ptype", "allowed")
+    cache.unpersist()
+    out
+  }
+
+  val permissionCheckOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('ana@x.io', '/lake/streams/events', 'read', TRUE),
+      |  ('ana@x.io', '/lake/tables/dim', 'read', FALSE),
+      |  ('bob@x.io', '/lake/streams/events', 'write', TRUE),
+      |  ('eve@x.io', '/lake/tables/dim', 'write', FALSE),
+      |  ('zed@x.io', '/lake/tables/dim', 'read', FALSE)
+      |) t(user_email, path, ptype, allowed)""".stripMargin
+
+  /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a
+    * VALUES oracle.
+    */
+  def feedCatalog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var cat = FeedCatalog.builtIn
+    cat = cat.add(graft.model.FeedConfig("documents_feed", "stream", "crawler",
+      "raw documents", "date", "append", 90, 0, enabled = true, status = "active"))
+    cat = cat.update("documents_feed", retentionDays = Some(30))
+    cat = cat.disable("transaction_flattened")
+    cat = cat.archive("transaction_stream_blacklisted")
+    cat = cat.delete("user_transaction_summary_eur", confirm = true)
+    cat.all.map(f => (f.name, f.feedType, f.status, f.enabled, f.retentionDays))
+      .toDF("name", "feed_type", "status", "enabled", "retention_days")
+  }
+
+  val feedCatalogOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('documents_feed', 'stream', 'active', TRUE, 30),
+      |  ('payment_method_totals', 'table', 'active', TRUE, 0),
+      |  ('product_purchase_counts', 'table', 'active', TRUE, 0),
+      |  ('transaction_flattened', 'stream', 'active', FALSE, 365),
+      |  ('transaction_stream', 'stream', 'active', TRUE, 365),
+      |  ('transaction_stream_anonymized', 'stream', 'active', TRUE, 730),
+      |  ('transaction_stream_blacklisted', 'stream', 'archived', FALSE, 365),
+      |  ('user_transaction_summary', 'table', 'active', TRUE, 0)
+      |) t(name, feed_type, status, enabled, retention_days)""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    "a6_lake_roundtrip" -> (lakeRoundtrip _),
+    "a7_table_versions" -> (tableVersions _),
+    "a7_snapshot_readback" -> (snapshotReadback _),
+    "c1_retention_prune" -> (retentionPrune _),
+    "w_dim_upsert" -> (dimUpsert _),
+    "w_fact_snapshot" -> (factSnapshot _),
+    "c4_permission_check" -> (permissionCheck _),
+    "c5_feed_catalog" -> (feedCatalog _))
+
+  val oracles: Map[String, String] = Map(
+    "a6_lake_roundtrip" -> lakeRoundtripOracle,
+    "a7_table_versions" -> tableVersionsOracle,
+    "a7_snapshot_readback" -> Reference.b6Oracle,
+    "c1_retention_prune" -> retentionPruneOracle,
+    "w_dim_upsert" -> dimUpsertOracle,
+    "w_fact_snapshot" -> factSnapshotOracle,
+    "c4_permission_check" -> permissionCheckOracle,
+    "c5_feed_catalog" -> feedCatalogOracle)
+}

@@ -1,0 +1,199 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.queries.Q
+import graft.queries.Q.QueryFn
+
+/** Structured Streaming slice (SURVEY.md §2.A2/A4/A13, §2.D streaming).
+  *
+  * The reference's ingestion is a Python poll loop with count-based flushes
+  * (kafka_consumer_datalake.py:49-76); here the same semantics are
+  * Structured Streaming: a file source stands in for Kafka (same micro-batch
+  * model, no broker in this container), `Trigger.AvailableNow` gives the
+  * drain-then-stop shape of the reference's `LIMIT n` pulls
+  * (export_to_data_lake.py:83-85), and state (aggregates, dedup,
+  * latest-per-key) lives in the state store, not a Python dict.
+  *
+  * Because AvailableNow over a static directory processes exactly the batch
+  * a batch job would read, each streaming query here is oracle-checked
+  * against plain SQL — streaming/batch parity is the correctness contract
+  * (SURVEY.md §5.5).
+  *
+  * Scale: state-store operators key-partition the stream; watermarks bound
+  * state growth for event-time windows; `maxFilesPerTrigger` (or Kafka's
+  * `maxOffsetsPerTrigger`) bounds batch size — the knobs that keep a
+  * 100 TB/day stream inside executor memory.
+  */
+object Streams {
+
+  /** Streaming view of an events parquet file/dir (nanos ts → ts_us long).
+    * The file source requires a directory, so the single testdata file is
+    * staged into a scratch dir (in production this is the landing directory
+    * a collector drops files into — or a Kafka source).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(graft.Tables.path(dir, "events"))
+    val staged = Files.createTempDirectory("graft_src_")
+    Files.copy(src, staged.resolve("events.parquet"))
+    val path = staged.toString
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).parquet(path)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the table. */
+  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
+    val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Continuous grouped aggregation (B4's streaming shape): per event_type
+    * running totals in update/complete-mode state.
+    */
+  def streamAgg(s: SparkSession, d: String): DataFrame =
+    drain(
+      eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          Q.moneySum(col("value")).as("total"),
+          Q.moneyAvg(col("value")).as("avg_value")),
+      OutputMode.Complete())
+
+  val streamAggOracle: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Event-time tumbling window + watermark (absent in the reference —
+    * SURVEY.md §2.D flags this as the principled alternative to its
+    * arrival-date partitioning).
+    */
+  def streamWindow(s: SparkSession, d: String): DataFrame =
+    drain(
+      eventsStream(s, d)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      OutputMode.Complete())
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"))
+
+  val streamWindowOracle: String =
+    """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS win_start_us,
+      |       event_type, COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Streaming exact dedup on a key (B9's upsert cousin; dropDuplicates
+    * keeps first-seen per key in state).
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    drain(
+      eventsStream(s, d)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      OutputMode.Complete())
+
+  val streamDedupOracle: String =
+    """SELECT event_type, COUNT(*) AS cnt
+      |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+      |      ORDER BY event_id)
+      |GROUP BY 1""".stripMargin
+
+  // public: Spark codegen materializes these via generated accessors
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  case class Latest(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: latest event per user (B9 as
+    * a continuously-maintained table). The in-group reduce is commutative,
+    * so batch iterator order cannot change the result.
+    */
+  def streamLatestPerUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val typed = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .as[Ev]
+    val updated = typed
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Latest]) =>
+          val incoming = rows.reduce((a, b) =>
+            if (a.ts_us > b.ts_us || (a.ts_us == b.ts_us && a.event_id > b.event_id)) a else b)
+          val best = state.getOption match {
+            case Some(cur) if cur.ts_us > incoming.ts_us ||
+              (cur.ts_us == incoming.ts_us && cur.event_id > incoming.event_id) => cur
+            case _ => Latest(user, incoming.event_id, incoming.ts_us, incoming.value)
+          }
+          state.update(best)
+          best
+      }
+    drain(updated.toDF(), OutputMode.Update())
+  }
+
+  val streamLatestOracle: String =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** A6's streaming shape: continuous ingestion into the date-partitioned
+    * lake via a parquet sink, then read back through the lake (the full
+    * kafka_consumer_datalake.py pipeline, Spark-native).
+    */
+  def streamIngestLake(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_slake_").toString
+    val q = eventsStream(s, d)
+      .withColumn("year", year(col("event_ts")))
+      .withColumn("month", month(col("event_ts")))
+      .withColumn("day", dayofmonth(col("event_ts")))
+      .select("event_id", "user_id", "event_type", "value", "year", "month", "day")
+      .writeStream
+      .format("parquet")
+      .partitionBy("year", "month", "day")
+      .option("path", s"$root/streams/events")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/streams/events")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
+  }
+
+  val streamIngestOracle: String =
+    """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    "s_stream_agg" -> (streamAgg _),
+    "s_stream_window" -> (streamWindow _),
+    "s_stream_dedup" -> (streamDedup _),
+    "s_stream_latest" -> (streamLatestPerUser _),
+    "s_stream_ingest_lake" -> (streamIngestLake _))
+
+  val oracles: Map[String, String] = Map(
+    "s_stream_agg" -> streamAggOracle,
+    "s_stream_window" -> streamWindowOracle,
+    "s_stream_dedup" -> streamDedupOracle,
+    "s_stream_latest" -> streamLatestOracle,
+    "s_stream_ingest_lake" -> streamIngestOracle)
+}

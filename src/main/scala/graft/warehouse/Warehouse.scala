@@ -1,0 +1,86 @@
+package graft.warehouse
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.Lake
+
+/** The star-schema warehouse (SURVEY.md §2.A10-A11, B8-B9) — set-oriented
+  * Spark replacements for the reference's per-row MySQL upserts
+  * (sync_to_mysql.py:133-232, `df.iterrows()` loops).
+  *
+  * MERGE without Delta: read current snapshot → union updates → keep the
+  * newest row per key (`row_number` over key ordered by recency) → write the
+  * next version via the lake's snapshot mechanism (SURVEY.md §7.4). The
+  * version-directory convention gives atomic-enough swap (readers keep the
+  * old version until the new dir is complete).
+  *
+  * At scale: the dedup is ONE shuffle on the merge key. Updates are usually
+  * ≪ the base table, so AQE/broadcast keeps the union-side cost at
+  * O(base + updates); there is no per-row RPC as in the reference.
+  */
+object Warehouse {
+
+  /** Latest-wins upsert: rows of `updates` replace same-key rows of `base`.
+    * Ties within a batch are broken by `orderCols` descending (the reference
+    * is last-write-wins per arriving row, sync_to_mysql.py:137-142).
+    */
+  def merge(base: DataFrame, updates: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val tagged = base.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col("_src").desc +: orderCols.map(col(_).desc)): _*)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+
+  /** MERGE into a versioned warehouse table: reads the latest snapshot (if
+    * any), merges, writes version N+1. Returns the new version.
+    */
+  def mergeIntoTable(
+      spark: SparkSession, root: String, table: String,
+      updates: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      retentionVersions: Int = 7): Int = {
+    val merged = Lake.latestVersion(spark, root, table) match {
+      case Some(_) => merge(Lake.readTableFeed(spark, root, table), updates, keys, orderCols)
+      case None =>
+        // first load: still dedup the batch itself on the merge key
+        merge(updates.limit(0), updates, keys, orderCols)
+    }
+    Lake.writeTableSnapshot(merged, root, table, retentionVersions)
+  }
+
+  /** dim_users extraction (sync_to_mysql.py:133-144) from the customer
+    * table, with the reference's `updated_at` stamp.
+    */
+  def dimUsers(customer: DataFrame, updatedAt: Date): DataFrame =
+    customer.select(
+      col("c_custkey").as("user_id"),
+      col("c_name").as("user_name"),
+      col("c_nationkey").cast("int").as("user_nation"),
+      col("c_mktsegment").as("user_segment"),
+      lit(updatedAt).as("updated_at"))
+
+  /** Snapshot lineage stamps (sync_to_mysql.py:336): every fact row carries
+    * the export that produced it.
+    */
+  def stampSnapshot(fact: DataFrame, snapshotDate: Date, version: Int): DataFrame =
+    fact.withColumn("snapshot_date", lit(snapshotDate))
+      .withColumn("snapshot_version", lit(version))
+
+  /** Referential check (sync_to_mysql.py:150-151: unknown FK raises):
+    * left-anti join audit; throws with a sample of orphan keys.
+    */
+  def requireFkIntact(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): Unit = {
+    val orphans = fact.select(col(factKey))
+      .join(broadcast(dim.select(col(dimKey))), col(factKey) === col(dimKey), "left_anti")
+    val sample = orphans.limit(5).collect()
+    if (sample.nonEmpty)
+      throw new IllegalStateException(
+        s"referential integrity violation: $factKey values missing in dim: " +
+          sample.map(_.get(0)).mkString(", "))
+  }
+}

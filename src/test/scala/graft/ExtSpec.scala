@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-grams over words, distinct, degenerate short docs") {
+    val df = Seq("a b c d", "a b", "x y z", "a b c a b c").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty) // < 3 words
+    assert(out(2) === Seq("x y z"))
+    assert(out(3).sorted === Seq("a b c", "b c a", "c a b")) // distinct
+  }
+
+  test("minhash signatures identical for identical shingle sets") {
+    val docs = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash: identical docs have hamming 0; disjoint docs differ") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val sk = Dedup.simhashSketches(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) === sk(2L))
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) > 0)
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 2.0f), 0),
+      (3L, Array(3.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = Similarity.withNorm(df)
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((1L, 1L)) === 1.0)
+    assert(cos((1L, 3L)) === 1.0) // colinear
+    assert(cos((1L, 2L)) === 0.0)
+  }
+
+  test("media decode stub is deterministic and length-driven") {
+    val r = Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8"), "fake/src0")
+    val f1 = Multimodal.decodeStub(r)
+    val f2 = Multimodal.decodeStub(r)
+    assert(f1 === f2)
+    assert(f1.n_bytes === 11L)
+    assert(f1.width === 11 % 640 + 64 && f1.height === 11 % 480 + 48)
+  }
+
+  test("decodeAll runs the typed mapPartitions path") {
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "fake/a"),
+      Multimodal.MediaRow(2L, Array[Byte](), "fake/b")).toDS()
+    val out = Multimodal.decodeAll(ds).collect().sortBy(_.media_id)
+    assert(out.map(_.n_bytes).toSeq === Seq(3L, 0L))
+    assert(out.forall(_.n_frames >= 1))
+  }
+}

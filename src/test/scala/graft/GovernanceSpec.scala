@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.governance.{FeedCatalog, Permissions}
+import graft.model.FeedConfig
+
+class GovernanceSpec extends SparkSpec {
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val asOf = Date.valueOf("2024-06-01")
+
+  test("grant + check: prefix match, exact match, and miss") {
+    var p = Permissions.empty(spark)
+    p = Permissions.grant(p, "u@x", "/lake/streams", "read", "root", t0)
+    assert(Permissions.check(p, "u@x", "/lake/streams", "read", asOf))
+    assert(Permissions.check(p, "u@x", "/lake/streams/ev/year=2024", "read", asOf))
+    assert(!Permissions.check(p, "u@x", "/lake/streamsX", "read", asOf)) // not a path segment
+    assert(!Permissions.check(p, "u@x", "/lake", "read", asOf))
+    assert(!Permissions.check(p, "other@x", "/lake/streams", "read", asOf))
+  }
+
+  test("admin implies read and write; write does not imply read") {
+    var p = Permissions.empty(spark)
+    p = Permissions.grant(p, "a@x", "/d", "admin", "root", t0)
+    p = Permissions.grant(p, "w@x", "/d", "write", "root", t0)
+    assert(Permissions.check(p, "a@x", "/d", "read", asOf))
+    assert(Permissions.check(p, "a@x", "/d", "write", asOf))
+    assert(!Permissions.check(p, "w@x", "/d", "read", asOf))
+  }
+
+  test("expiry honored; grant on same unique key upserts (no duplicate)") {
+    var p = Permissions.empty(spark)
+    p = Permissions.grant(p, "u@x", "/d", "read", "root", t0,
+      expiresAt = Some(Date.valueOf("2024-03-01")))
+    assert(!Permissions.check(p, "u@x", "/d", "read", asOf))
+    assert(Permissions.check(p, "u@x", "/d", "read", Date.valueOf("2024-02-01")))
+    p = Permissions.grant(p, "u@x", "/d", "read", "root",
+      Timestamp.valueOf("2024-05-01 00:00:00")) // re-grant, no expiry
+    assert(p.count() === 1) // unique key upheld
+    assert(Permissions.check(p, "u@x", "/d", "read", asOf))
+  }
+
+  test("revoke deactivates; invalid permission type rejected") {
+    var p = Permissions.empty(spark)
+    p = Permissions.grant(p, "u@x", "/d", "read", "root", t0)
+    p = Permissions.revoke(p, "u@x", "/d", "read")
+    assert(!Permissions.check(p, "u@x", "/d", "read", asOf))
+    intercept[IllegalArgumentException] {
+      Permissions.grant(p, "u@x", "/d", "execute", "root", t0)
+    }
+  }
+
+  private val feed = FeedConfig("f1", "stream", "src", "d", "date", "append",
+    30, 0, enabled = true, status = "active")
+
+  test("catalog CRUD: add/update/disable/archive/restore/delete") {
+    var c = FeedCatalog.empty.add(feed)
+    intercept[IllegalArgumentException](c.add(feed)) // duplicate
+    c = c.update("f1", retentionDays = Some(60))
+    assert(c.get("f1").retentionDays === 60)
+    c = c.disable("f1")
+    assert(c.active.isEmpty)
+    c = c.enable("f1").archive("f1")
+    assert(c.get("f1").status === "archived" && !c.get("f1").enabled)
+    c = c.restore("f1")
+    assert(c.get("f1").status === "active")
+    intercept[IllegalArgumentException](c.delete("f1", confirm = false)) // guarded
+    assert(c.delete("f1", confirm = true).all.isEmpty)
+  }
+
+  test("catalog validates enums on add") {
+    intercept[IllegalArgumentException] {
+      FeedCatalog.empty.add(feed.copy(feedType = "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      FeedCatalog.empty.add(feed.copy(storageMode = "nope"))
+    }
+  }
+
+  test("built-in catalog mirrors the reference feed registry") {
+    val c = FeedCatalog.builtIn
+    assert(c.all.size === 8)
+    assert(c.get("transaction_stream_anonymized").retentionDays === 730)
+    assert(c.get("payment_method_totals").retentionVersions === 7)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import graft.lake.{Lake, Retention}
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(): String = Files.createTempDirectory("lake_spec_").toString
+
+  test("appendStream partitions by event date and readStreamFeed prunes") {
+    val root = scratch()
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (2L, "2024-01-02 10:00:00", 2.0),
+      (3L, "2024-01-03 10:00:00", 3.0))
+      .toDF("id", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    Lake.appendStream(df, root, "ev", eventTimeCol = Some("ts"))
+    assert(Lake.readStreamFeed(spark, root, "ev").count() === 3)
+    val pruned = Lake.readStreamFeed(spark, root, "ev",
+      from = Some(LocalDate.of(2024, 1, 2)))
+    assert(pruned.select("id").as[Long].collect().sorted === Array(2L, 3L))
+    // partition pruning is in the plan, not a post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ")) // only PartitionFilters remain
+  }
+
+  test("processing-date append stamps the asOf date (reference behavior)") {
+    val root = scratch()
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    Lake.appendStream(df, root, "ev", eventTimeCol = None,
+      asOfDate = LocalDate.of(2024, 2, 29))
+    val row = Lake.readStreamFeed(spark, root, "ev")
+      .select("year", "month", "day").as[(Int, Int, Int)].collect().head
+    assert(row === ((2024, 2, 29)))
+  }
+
+  test("append accumulates files, second append does not clobber") {
+    val root = scratch()
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    Lake.appendStream(df, root, "ev", asOfDate = LocalDate.of(2024, 1, 1))
+    Lake.appendStream(df, root, "ev", asOfDate = LocalDate.of(2024, 1, 1))
+    assert(Lake.readStreamFeed(spark, root, "ev").count() === 2)
+  }
+
+  test("table snapshots: version discovery, latest read, retention pruning") {
+    val root = scratch()
+    val v1 = Lake.writeTableSnapshot(Seq((1, "a")).toDF("k", "x"), root, "t", 2)
+    val v2 = Lake.writeTableSnapshot(Seq((2, "b")).toDF("k", "x"), root, "t", 2)
+    val v3 = Lake.writeTableSnapshot(Seq((3, "c")).toDF("k", "x"), root, "t", 2)
+    assert((v1, v2, v3) === ((1, 2, 3)))
+    assert(Lake.versions(spark, root, "t") === Seq(2, 3)) // v1 pruned
+    assert(Lake.readTableFeed(spark, root, "t").select("k").as[Int].head() === 3)
+    assert(Lake.readTableFeed(spark, root, "t", Some(2)).select("k").as[Int].head() === 2)
+  }
+
+  test("writeIgnore is a no-op when target exists") {
+    val root = scratch()
+    val p = s"$root/x"
+    assert(Lake.writeIgnore(Seq(1).toDF("a"), p))
+    assert(!Lake.writeIgnore(Seq(2).toDF("a"), p))
+    assert(spark.read.parquet(p).as[Int].head() === 1)
+  }
+
+  test("feedMetadata reports per-partition file stats") {
+    val root = scratch()
+    val df = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    Lake.appendStream(df, root, "ev", eventTimeCol = Some("ts"))
+    val meta = Lake.feedMetadata(spark, root, "ev").collect()
+    assert(meta.length === 2)
+    assert(meta.forall(_.getAs[Long]("files") >= 1))
+    assert(meta.forall(_.getAs[Long]("bytes") > 0))
+  }
+
+  test("date retention deletes old day partitions; dry-run does not") {
+    val root = scratch()
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-10 10:00:00"),
+      (3L, "2024-02-01 10:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    Lake.appendStream(df, root, "ev", eventTimeCol = Some("ts"))
+    val dry = Retention.pruneStreamPartitions(spark, root, "ev",
+      LocalDate.of(2024, 1, 15), dryRun = true)
+    assert(dry.length === 2 && dry.forall(!_.deleted))
+    assert(Lake.readStreamFeed(spark, root, "ev").count() === 3)
+    val real = Retention.pruneStreamPartitions(spark, root, "ev",
+      LocalDate.of(2024, 1, 15), dryRun = false)
+    assert(real.length === 2)
+    assert(Lake.readStreamFeed(spark, root, "ev")
+      .select("id").as[Long].collect() === Array(3L))
+  }
+
+  test("version retention keeps newest K and no-ops when n <= K") {
+    val root = scratch()
+    (1 to 4).foreach(i => Lake.writeTableSnapshot(Seq(i).toDF("a"), root, "t", 99))
+    assert(Retention.pruneTableVersions(spark, root, "t", keep = 5).isEmpty)
+    val pruned = Retention.pruneTableVersions(spark, root, "t", keep = 2)
+    assert(pruned.length === 2)
+    assert(Lake.versions(spark, root, "t") === Seq(3, 4))
+  }
+}

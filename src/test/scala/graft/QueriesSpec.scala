@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q
+
+/** Unit + property tests for the aggregation helpers (SURVEY.md §5.2-5.3). */
+class QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("moneySum is exact on decimal-representable doubles") {
+    val df = Seq(0.1, 0.2, 0.3, 100.01).toDF("v")
+    assert(df.agg(Q.moneySum($"v")).as[Double].head() === 100.61)
+  }
+
+  test("moneySum/moneyAvg: empty input yields NULL sum, NULL avg") {
+    val df = Seq.empty[Double].toDF("v")
+    val r = df.agg(Q.moneySum($"v"), Q.moneyAvg($"v")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("moneySum is partition-order independent (associativity)") {
+    val vals = (1 to 1000).map(i => i * 0.01 + 0.001 * (i % 7))
+    val a = vals.toDF("v").repartition(1).agg(Q.moneySum($"v")).as[Double].head()
+    val b = vals.toDF("v").repartition(13).agg(Q.moneySum($"v")).as[Double].head()
+    assert(a === b)
+  }
+
+  test("property: min <= moneyAvg <= max; count consistency (seeded trials)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val xs = List.fill(1 + rnd.nextInt(200))(rnd.nextDouble() * 2000 - 1000)
+      val df = xs.toDF("v")
+      val row = df.agg(
+        Q.moneyAvg($"v").as("avg"), min($"v").as("mn"), max($"v").as("mx"),
+        count(lit(1)).as("cnt")).collect().head
+      val (avg, mn, mx) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      // avg of 2dp-rounded values can undershoot raw min by at most half a cent
+      assert(avg >= mn - 0.005 && avg <= mx + 0.005)
+      assert(row.getLong(3) === xs.size)
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle has a matching query entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Date
+
+import graft.warehouse.Warehouse
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10), (2L, "b", 10), (3L, "c", 10)).toDF("k", "v", "ver")
+
+  test("merge: updates replace same-key rows, new keys insert") {
+    val upd = Seq((2L, "B", 20), (4L, "d", 20)).toDF("k", "v", "ver")
+    val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
+      .orderBy("k").as[(Long, String, Int)].collect()
+    assert(out === Array((1L, "a", 10), (2L, "B", 20), (3L, "c", 10), (4L, "d", 20)))
+  }
+
+  test("merge is idempotent") {
+    val upd = Seq((2L, "B", 20)).toDF("k", "v", "ver")
+    val once = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
+    val twice = Warehouse.merge(once, upd, Seq("k"), Seq("ver"))
+    assert(once.orderBy("k").collect() === twice.orderBy("k").collect())
+  }
+
+  test("merge: within-batch duplicates resolve last-write-wins by order col") {
+    val upd = Seq((2L, "first", 20), (2L, "last", 30)).toDF("k", "v", "ver")
+    val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
+    assert(out.filter($"k" === 2).select("v").as[String].head() === "last")
+  }
+
+  test("merge handles empty update batch (reference skips empty frames)") {
+    val out = Warehouse.merge(base, base.limit(0), Seq("k"), Seq("ver"))
+    assert(out.count() === 3)
+  }
+
+  test("merge keeps NULL-keyed rows distinct from real keys") {
+    val withNull = base.union(Seq((null.asInstanceOf[java.lang.Long], "n", 10))
+      .toDF("k", "v", "ver"))
+    val out = Warehouse.merge(withNull, Seq((1L, "A", 99)).toDF("k", "v", "ver"),
+      Seq("k"), Seq("ver"))
+    assert(out.count() === 4)
+    assert(out.filter($"k".isNull).count() === 1)
+  }
+
+  test("stampSnapshot adds lineage columns") {
+    val out = Warehouse.stampSnapshot(base, Date.valueOf("2024-06-01"), 7)
+    val r = out.select("snapshot_date", "snapshot_version").distinct().collect()
+    assert(r.length === 1)
+    assert(r.head.getDate(0) === Date.valueOf("2024-06-01") && r.head.getInt(1) === 7)
+  }
+
+  test("requireFkIntact passes on intact FK and raises on orphans") {
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    Warehouse.requireFkIntact(base, dim, "k", "id") // no throw
+    val badDim = Seq(1L, 2L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Warehouse.requireFkIntact(base, badDim, "k", "id")
+    }
+    assert(e.getMessage.contains("referential integrity"))
+  }
+}
