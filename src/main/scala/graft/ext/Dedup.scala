@@ -1,7 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Q.QueryFn
@@ -68,6 +68,7 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < 300)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -97,19 +98,60 @@ object Dedup {
       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35""".stripMargin
 
-  private val NumHashes = 32
+  val NumHashes = 32
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash signatures: doc_id → 32 min-hash values over the shingle set.
-    * One explode + one groupBy; signature width is constant per doc.
+  /** Custom typed aggregate computing all 32 minima in one buffer. A
+    * 32-column `min(...)` aggregate works, but its generated code is huge
+    * (Janino compile time dominated the whole pipeline); this Aggregator is
+    * one JIT-compiled Scala loop with a 32-slot array buffer. The 32 hash
+    * functions derive from ONE xxhash64 of the shingle via a splitmix64
+    * avalanche — each shingle string is hashed exactly once.
+    */
+  object MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    private def mix(h0: Long): Long = {
+      var h = h0 + 0x9e3779b97f4a7c15L
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var x = h
+      var i = 0
+      while (i < NumHashes) {
+        x = mix(x)
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** MinHash signatures: doc_id → sig array<long>[32] over the shingle set.
+    * One explode + one groupBy with the compact custom aggregate.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs
+    // Small single-file inputs arrive as ONE partition; fan out before the
+    // per-doc shingling lambda or it runs serially on one core.
+    val fanout = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val minhash = udaf(MinHashAgg)
+    fanout
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-    val mins = (0 until NumHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(minhash(col("h")).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: band-bucket candidates, then exact
@@ -119,8 +161,9 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val sigs = minhashSignatures(docs)
     val bandCols = (0 until Bands).map { b =>
-      val rowsInBand = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), xxhash64(rowsInBand: _*).as("band_hash"))
+      struct(lit(b).as("band_idx"),
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
+          .as("band_hash"))
     }
     val bucketed = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
@@ -132,7 +175,8 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sh = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -143,17 +187,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash: 64-bit sketch = sign of per-bit ±1 sums over token hashes. */
+  /** SimHash: 64-bit sketch = sign of per-bit ±1 sums over token hashes.
+    * The ±1 sum per bit is rewritten as 2·popcount(bit) − n, so the 64
+    * aggregate expressions are plain bit-extract sums (no CASE) plus one
+    * shared count — a much narrower codegen'd aggregate.
+    */
   def simhashSketches(docs: DataFrame): DataFrame = {
     val tokens = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
-    }
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s_$b")
+    } :+ count(lit(1)).as("n_tok")
     val perBit = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // bit set iff ±1 sum ≥ 0  ⇔  2·popcount ≥ n
     val sim = (0 until 64)
-      .map(b => when(col(s"s_$b") >= 0, lit(1L << b)).otherwise(0L))
+      .map(b => when(col(s"s_$b") * 2 >= col("n_tok"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     perBit.select(col("doc_id"), sim.as("simhash"))
   }

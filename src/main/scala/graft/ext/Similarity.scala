@@ -22,13 +22,26 @@ import graft.queries.Q.QueryFn
   */
 object Similarity {
 
-  /** Strict sequential dot product of two double arrays. */
+  /** Strict sequential dot product of two double arrays — the codegen'd
+    * native expression (see graft.functions.DotProductD). Numerically
+    * identical to the higher-order fold below.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.dotD(a, b)
+
+  /** Reference formulation via higher-order functions (interpreted lambda;
+    * kept for cross-checking the native expression in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** embeddings with a double-cast vector and its L2 norm. */
+  /** embeddings with a double-cast vector and its L2 norm. The single-file
+    * input is fanned out so the O(N×M) pairwise stages downstream
+    * parallelize (a one-partition left side serializes a nested-loop join).
+    */
   def withNorm(df: DataFrame): DataFrame =
-    df.select(
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

@@ -73,6 +73,25 @@ object Permissions {
       .isEmpty
   }
 
+  /** Set-oriented check: evaluate many (user_email, path, ptype) requests in
+    * ONE broadcast join against the permissions table — the scalable form of
+    * `check` (no per-request driver round-trip).
+    */
+  def checkBatch(perms: DataFrame, requests: DataFrame, asOf: Date): DataFrame = {
+    val p = perms.filter(col("is_active"))
+      .filter(col("expires_at").isNull || col("expires_at") >= lit(asOf))
+      .select(col("user_email").as("p_email"), col("folder_path"),
+        col("permission_type").as("p_type"))
+    requests.join(broadcast(p),
+        col("user_email") === col("p_email")
+          && (col("p_type") === col("ptype") || col("p_type") === "admin")
+          && (col("path") === col("folder_path")
+            || col("path").startsWith(concat(col("folder_path"), lit("/")))),
+        "left_outer")
+      .groupBy(col("user_email"), col("path"), col("ptype"))
+      .agg((count(col("p_email")) > 0).as("allowed"))
+  }
+
   /** Listing ordered by (email, folder) (permissions_manager.py:61-63). */
   def list(perms: DataFrame): DataFrame =
     perms.orderBy(col("user_email"), col("folder_path"), col("permission_type"))

@@ -159,19 +159,15 @@ object Lifecycle {
       expiresAt = Some(Date.valueOf("2024-03-01"))) // expired by asOf
     p = Permissions.grant(p, "zed@x.io", "/lake/tables", "read", "root", t0)
     p = Permissions.revoke(p, "zed@x.io", "/lake/tables", "read")
-    val cache = p.cache()
-    val checks = Seq(
+    import s.implicits._
+    val requests = Seq(
       ("ana@x.io", "/lake/streams/events", "read"),
       ("ana@x.io", "/lake/tables/dim", "read"),
       ("bob@x.io", "/lake/streams/events", "write"),
       ("eve@x.io", "/lake/tables/dim", "write"),
       ("zed@x.io", "/lake/tables/dim", "read"))
-    import s.implicits._
-    val out = checks.map { case (u, path, t) =>
-      (u, path, t, Permissions.check(cache, u, path, t, asOf))
-    }.toDF("user_email", "path", "ptype", "allowed")
-    cache.unpersist()
-    out
+      .toDF("user_email", "path", "ptype")
+    Permissions.checkBatch(p, requests, asOf)
   }
 
   val permissionCheckOracle: String =

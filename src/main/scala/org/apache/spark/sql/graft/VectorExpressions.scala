@@ -1,0 +1,73 @@
+// Lives under org.apache.spark.sql to reach the private[sql] Column<->
+// Expression bridge (ExpressionUtils) — the conventional home for
+// third-party native expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for vector math (SURVEY.md §2.E).
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate the
+  * lambda per element in interpreted mode — correct, but the similarity
+  * operators put a 64-element dot product in the innermost loop of an
+  * O(N×Q) scan, so this is the one hot path worth a custom expression
+  * (preference order (b) of the build contract: Expression before custom
+  * plan, after built-ins).
+  *
+  * `DotProductD` generates a tight primitive `double` loop inside
+  * whole-stage codegen — no lambda dispatch, no boxing. The summation is
+  * strict left-to-right IEEE, the same fold as the higher-order-function
+  * formulation and DuckDB's `list_dot_product`, so swapping it in changes
+  * nothing numerically (oracle hashes stay identical).
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API over the native expressions. */
+object VectorFunctions {
+
+  /** Strict sequential dot product of two `array<double>` columns
+    * (codegen'd; bit-identical to the `aggregate(zip_with(...))` fold).
+    */
+  def dotD(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductD(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

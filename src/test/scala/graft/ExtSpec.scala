@@ -20,7 +20,8 @@ class ExtSpec extends SparkSpec {
     val docs = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(docs).collect()
-      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === Dedup.NumHashes)
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
   }
@@ -49,6 +50,19 @@ class ExtSpec extends SparkSpec {
     assert(cos((1L, 1L)) === 1.0)
     assert(cos((1L, 3L)) === 1.0) // colinear
     assert(cos((1L, 2L)) === 0.0)
+  }
+
+  test("native DotProductD matches the higher-order fold bit-exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((rnd.nextLong().abs, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val e = Similarity.withNorm(df)
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val both = a.crossJoin(b).select(
+      Similarity.dot(col("va"), col("vb")).as("native"),
+      Similarity.dotHof(col("va"), col("vb")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
   test("media decode stub is deterministic and length-driven") {
