@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Lifecycle, Reference, Relational}
+import graft.queries.{Lifecycle, Reference, Relational, Scale}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.defs ++ Relational.defs ++ Lifecycle.defs ++ Streams.defs ++
+      Scale.defs ++
       TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Lifecycle.oracles ++ Streams.oracles ++
+      Scale.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

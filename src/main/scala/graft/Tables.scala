@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   * (`spark.sql.legacy.parquet.nanosAsLong`) and derive `ts_us` (microseconds
   * since epoch, BIGINT) with integer division — a double intermediate would
   * lose precision above 2^53 ns. Queries expose `ts_us` so the DuckDB oracle
-  * (`epoch_ns(ts)//1000`) compares exactly.
+  * (`epoch_ns(ts)//1000`) compares exactly. `ts DIV 1000` truncates toward
+  * zero while DuckDB's `//` floors, so this equivalence assumes non-negative
+  * (post-1970) timestamps — true of all testdata; a floor-division expression
+  * would be needed for pre-1970 nanos.
+  *
+  * The nanosAsLong conf is also set by the Verify/Bench/test session
+  * builders; the set here is a fallback for externally-built sessions and is
+  * session-global once applied (only `events` uses NANOS today).
   */
 object Tables {
   val all: Seq[String] = Seq(

@@ -1,0 +1,157 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.governance.Orchestrator
+import graft.ingest.Ingest
+import Q.QueryFn
+
+/** Scale-technique operators: the shuffle-shaping patterns a 100 TB
+  * deployment leans on, each demonstrated end-to-end with an oracle proving
+  * the technique does not change results.
+  */
+object Scale {
+
+  /** Salted two-phase aggregation for skewed keys: phase 1 aggregates on
+    * (key, salt) — spreading one hot key over 16 reducers — phase 2 merges
+    * the partials. Decimal partials are associative, so the oracle is the
+    * plain GROUP BY: salting must be invisible in the result.
+    */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("part_sum"),
+        count(lit(1)).as("part_cnt"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("part_sum")).cast("double").as("total"),
+        sum(col("part_cnt")).as("cnt"))
+  }
+
+  val saltedAggOracle: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Bucketed co-located join: both sides written with `bucketBy` on the
+    * join key, so the sort-merge join needs NO Exchange — at 100 TB this is
+    * the difference between a full reshuffle per join and none. The oracle
+    * is the plain join: bucketing must not change results.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    s.sql("DROP TABLE IF EXISTS graft_customer_b")
+    // a previous session may have left the managed-table locations behind
+    // (the in-memory catalog forgets them; the directories persist)
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("graft_orders_b", "graft_customer_b")
+      .foreach(t => fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
+    Tables.orders(s, d).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_orders_b")
+    Tables.customer(s, d).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_customer_b")
+    val j = s.table("graft_orders_b")
+      .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+    j.groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("orders"), Q.moneySum(col("o_totalprice")).as("total"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT c_nationkey AS nation, COUNT(*) AS orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Sketch aggregates: HLL distinct + approximate percentiles — the
+    * streaming/100 TB substitutes for exact COUNT(DISTINCT)/percentile
+    * (SURVEY.md §2.B7, §7.4). Estimates are engine-specific → rows-only
+    * check here; the accuracy contract is asserted in ScalaTest against the
+    * exact values.
+    */
+  def approxSketches(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_buyers"),
+        countDistinct(col("o_custkey")).as("exact_buyers"),
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("hll_buyers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"))
+
+  /** A5 generator: deterministic synthetic transaction payloads — every
+    * field pure arithmetic on the row id, reproduced exactly by the oracle's
+    * `range()`.
+    */
+  def genTransactions(s: SparkSession, d: String): DataFrame =
+    Ingest.transactions(s, 10000)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+
+  val genTransactionsOracle: String =
+    """SELECT 'tx_' || lpad(CAST(id AS VARCHAR), 8, '0') AS transaction_id,
+      |       id % 10000 + 1 AS user_id,
+      |       ((id * 37) % 49900 + 100) / 100.0 AS amount,
+      |       ['EUR', 'USD', 'GBP'][CAST(id % 3 + 1 AS INT)] AS currency,
+      |       epoch_us(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(id)) AS ts_us,
+      |       CASE WHEN id % 10 < 8 THEN 'approved' ELSE 'declined' END AS status
+      |FROM range(0, 10000) t(id)""".stripMargin
+
+  /** A5 + B6 fused: generated stream straight through an aggregate — the
+    * producer→ksqlDB path (§3.1→§3.2) with no broker hop.
+    */
+  def genAggregate(s: SparkSession, d: String): DataFrame =
+    Ingest.transactionsFlat(s, 20000)
+      .groupBy(col("payment_method"))
+      .agg(
+        Q.moneySum(col("amount")).as("total_amount"),
+        count(lit(1)).as("transaction_count"))
+
+  val genAggregateOracle: String =
+    """SELECT ['card', 'paypal', 'apple_pay'][CAST(id % 3 + 1 AS INT)] AS payment_method,
+      |       CAST(SUM(CAST(((id * 37) % 49900 + 100) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+      |       COUNT(*) AS transaction_count
+      |FROM range(0, 20000) t(id)
+      |GROUP BY 1""".stripMargin
+
+  /** C6 orchestration tick: full export+sync cycle; deterministic statuses
+    * checked against a VALUES oracle.
+    */
+  def orchestratorRun(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_orch_").toString
+    val first = Orchestrator.runOnce(s, d, root)
+    val second = Orchestrator.runOnce(s, d, root) // re-run: versions advance
+    (first.map(r => (r.task, r.status, 1)) ++ second.map(r => (r.task, r.status, 2)))
+      .toDF("task", "status", "run")
+  }
+
+  val orchestratorRunOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('export_streams', 'ok', 1), ('export_tables', 'ok', 1), ('sync_warehouse', 'ok', 1),
+      |  ('export_streams', 'ok', 2), ('export_tables', 'ok', 2), ('sync_warehouse', 'ok', 2)
+      |) t(task, status, run)""".stripMargin
+
+  val defs: Map[String, QueryFn] = Map(
+    "p_salted_agg" -> (saltedAgg _),
+    "p_bucketed_join" -> (bucketedJoin _),
+    "x_approx_sketches" -> (approxSketches _),
+    "a5_gen_transactions" -> (genTransactions _),
+    "a5_gen_aggregate" -> (genAggregate _),
+    "c6_orchestrator_run" -> (orchestratorRun _))
+
+  val oracles: Map[String, String] = Map(
+    "p_salted_agg" -> saltedAggOracle,
+    "p_bucketed_join" -> bucketedJoinOracle,
+    "a5_gen_transactions" -> genTransactionsOracle,
+    "a5_gen_aggregate" -> genAggregateOracle,
+    "c6_orchestrator_run" -> orchestratorRunOracle)
+}

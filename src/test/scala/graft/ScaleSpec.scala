@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.governance.Orchestrator
+import graft.ingest.Ingest
+import graft.lake.Lake
+import graft.queries.Scale
+
+class ScaleSpec extends SparkSpec {
+
+  test("generator is deterministic and distributed (no driver loop)") {
+    val a = Ingest.transactions(spark, 1000).collect()
+    val b = Ingest.transactions(spark, 1000).collect()
+    assert(a === b)
+    assert(a.length === 1000)
+    val amounts = a.map(_.getAs[Double]("amount"))
+    assert(amounts.min >= 1.0 && amounts.max <= 500.0)
+  }
+
+  test("bucketed join plan contains no shuffle Exchange") {
+    // disable broadcast so the join takes the sort-merge path it would at
+    // 100 TB (at test scale the dim side would otherwise broadcast — also
+    // exchange-free, but not the property under test)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joinPlan =
+      try Scale.bucketedJoin(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the final single-key groupBy may exchange; the JOIN itself must not:
+    // assert no Exchange below the SortMergeJoin by checking the join's
+    // immediate subtree markers (bucketed scans feed sorts directly)
+    val lines = joinPlan.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, s"expected SortMergeJoin in:\n$joinPlan")
+    val below = lines.drop(joinIdx)
+    assert(!below.exists(_.contains("Exchange hashpartitioning")),
+      s"join subtree should be exchange-free (bucket co-location):\n$joinPlan")
+  }
+
+  test("approx sketches are within 5% of exact distinct counts") {
+    val rows = Scale.approxSketches(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_buyers").toDouble
+      val approx = r.getAs[Long]("approx_buyers").toDouble
+      val hll = r.getAs[Long]("hll_buyers").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx off: $r")
+      assert(math.abs(hll - exact) / exact < 0.05, s"hll off: $r")
+    }
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val d = "/root/testdata/sf0.001"
+    val salted = Scale.saltedAgg(spark, d).orderBy("l_returnflag").collect()
+    val plain = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(queries.Q.moneySum(col("l_extendedprice")).as("total"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag").collect()
+    assert(salted === plain)
+  }
+
+  test("orchestrator: second tick advances versions, all tasks ok") {
+    val root = Files.createTempDirectory("orch_spec_").toString
+    val d = "/root/testdata/sf0.001"
+    val r1 = Orchestrator.runOnce(spark, d, root)
+    assert(r1.forall(_.status == "ok"), r1.mkString("; "))
+    assert(r1.find(_.task == "export_tables").get.detail === "version=v1")
+    val r2 = Orchestrator.runOnce(spark, d, root)
+    assert(r2.find(_.task == "export_tables").get.detail === "version=v2")
+    assert(Lake.versions(spark, root, "dim_users") === Seq(1, 2))
+    // warehouse merge is stable: same dim content in both versions
+    val v1 = Lake.readTableFeed(spark, root, "dim_users", Some(1)).count()
+    val v2 = Lake.readTableFeed(spark, root, "dim_users", Some(2)).count()
+    assert(v1 === v2)
+  }
+}
