@@ -130,6 +130,28 @@ object TextAnalysis {
       |       sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** Karp-Rabin-style rolling hash over the character stream: a strict
+    * left-to-right fold h ← (h·31 + code) mod 1e9+7. The modulus keeps the
+    * accumulator ≤ ~3.2e10, so ANSI long arithmetic never overflows and
+    * both engines compute the identical value.
+    */
+  def rollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L).as("roll_hash"))
+
+  val rollingHashOracle: String =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(0, [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
+      |FROM documents""".stripMargin
+
   /** Corpus profile: per (lang, source) aggregate — the first thing a data
     * pipeline computes over a new crawl.
     */
@@ -155,6 +177,7 @@ object TextAnalysis {
     "x_text_quality" -> (qualityScore _),
     "x_text_langid" -> (langId _),
     "x_text_fingerprint" -> (fingerprint _),
+    "x_text_rollhash" -> (rollingHash _),
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
@@ -162,5 +185,6 @@ object TextAnalysis {
     "x_text_quality" -> qualityScoreOracle,
     "x_text_langid" -> langIdOracle,
     "x_text_fingerprint" -> fingerprintOracle,
+    "x_text_rollhash" -> rollingHashOracle,
     "x_text_profile" -> corpusProfileOracle)
 }

@@ -397,6 +397,40 @@ object Relational {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  /** Correlated scalar subquery (Catalyst rewrites to a left outer
+    * aggregate join — no per-row execution).
+    */
+  def subqueryScalar(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |       (SELECT COUNT(*) FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS n_lines,
+        |       (SELECT MAX(l_extendedprice) FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS max_line
+        |FROM orders_sq""".stripMargin)
+  }
+
+  val subqueryScalarOracle: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines,
+      |       (SELECT MAX(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line
+      |FROM orders""".stripMargin
+
+  /** IN / NOT IN subqueries (→ semi/anti joins after rewrite). */
+  def subqueryIn(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+    Tables.orders(s, d).createOrReplaceTempView("orders_in_sq")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |       c_custkey IN (SELECT o_custkey FROM orders_in_sq WHERE o_totalprice > 300000) AS big_spender
+        |FROM customer_sq""".stripMargin)
+  }
+
+  val subqueryInOracle: String =
+    """SELECT c_custkey, c_name,
+      |       c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) AS big_spender
+      |FROM customer""".stripMargin
+
   /** Ordered string aggregation (LISTAGG equivalent, deterministic order). */
   def stringAgg(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -434,6 +468,8 @@ object Relational {
     "d_scalar_dates" -> (scalarDates _),
     "d_scalar_math" -> (scalarMath _),
     "d_json_extract" -> (jsonExtract _),
+    "d_subquery_scalar" -> (subqueryScalar _),
+    "d_subquery_in" -> (subqueryIn _),
     "d_string_agg" -> (stringAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -460,5 +496,7 @@ object Relational {
     "d_scalar_dates" -> scalarDatesOracle,
     "d_scalar_math" -> scalarMathOracle,
     "d_json_extract" -> jsonExtractOracle,
+    "d_subquery_scalar" -> subqueryScalarOracle,
+    "d_subquery_in" -> subqueryInOracle,
     "d_string_agg" -> stringAggOracle)
 }
