@@ -431,6 +431,49 @@ object Relational {
       |       c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) AS big_spender
       |FROM customer""".stripMargin
 
+  /** Array/map function library sampler over a constructed array column:
+    * higher-order transform/filter, sort, slice, containment, and a map
+    * built from entries — the collection-type surface §1.4 notes the
+    * reference lacks entirely.
+    */
+  def arrayMapFuncs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"),
+        array_sort(collect_set(col("l_returnflag"))).as("flags"))
+    // array-typed results are serialized to strings at the output boundary
+    // (the hash compare operates on scalar cells)
+    li.select(
+      col("l_orderkey"),
+      size(col("lines")).as("n_lines"),
+      concat_ws(",", transform(col("lines"), x => (x * 2).cast("string"))).as("doubled"),
+      concat_ws(",", transform(filter(col("lines"), x => x % 2 === 1),
+        x => x.cast("string"))).as("odd_lines"),
+      concat_ws(",", transform(slice(col("lines"), 1, 2), x => x.cast("string"))).as("first_two"),
+      array_contains(col("flags"), "R").as("has_r"),
+      element_at(col("lines"), -1).as("last_line"),
+      aggregate(col("lines"), lit(0), (a, x) => a + x).as("line_sum"),
+      map_from_arrays(col("flags"), transform(col("flags"), f => length(f)))
+        .getItem("R").as("r_len"))
+  }
+
+  val arrayMapFuncsOracle: String =
+    """WITH g AS (
+      |  SELECT l_orderkey,
+      |         list_sort(list(l_linenumber)) AS lines,
+      |         list_sort(list(DISTINCT l_returnflag)) AS flags
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |       len(lines) AS n_lines,
+      |       list_aggregate([CAST(x * 2 AS VARCHAR) for x in lines], 'string_agg', ',') AS doubled,
+      |       COALESCE(list_aggregate([CAST(x AS VARCHAR) for x in list_filter(lines, x -> x % 2 = 1)], 'string_agg', ','), '') AS odd_lines,
+      |       list_aggregate([CAST(x AS VARCHAR) for x in lines[1:2]], 'string_agg', ',') AS first_two,
+      |       list_contains(flags, 'R') AS has_r,
+      |       lines[-1] AS last_line,
+      |       list_reduce(list_prepend(0, lines), (a, x) -> a + x) AS line_sum,
+      |       map_from_entries([{k: f, v: length(f)} for f in flags])['R'][1] AS r_len
+      |FROM g""".stripMargin
+
   /** Ordered string aggregation (LISTAGG equivalent, deterministic order). */
   def stringAgg(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -470,6 +513,7 @@ object Relational {
     "d_json_extract" -> (jsonExtract _),
     "d_subquery_scalar" -> (subqueryScalar _),
     "d_subquery_in" -> (subqueryIn _),
+    "d_array_map_funcs" -> (arrayMapFuncs _),
     "d_string_agg" -> (stringAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -498,5 +542,6 @@ object Relational {
     "d_json_extract" -> jsonExtractOracle,
     "d_subquery_scalar" -> subqueryScalarOracle,
     "d_subquery_in" -> subqueryInOracle,
+    "d_array_map_funcs" -> arrayMapFuncsOracle,
     "d_string_agg" -> stringAggOracle)
 }

@@ -177,6 +177,41 @@ object Streams {
       .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
   }
 
+  /** foreachBatch → warehouse MERGE: the canonical streaming-upsert pattern
+    * (kafka_consumer_warehouse.py's consume→flush→upsert loop, §3.4, done
+    * Spark-native). Each micro-batch is reduced to latest-per-user and
+    * merged into the versioned dim table; the final table equals the batch
+    * latest-per-key result regardless of batch boundaries.
+    */
+  def streamUpsertWarehouse(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_supsert_").toString
+    val q = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_us").desc, col("event_id").desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        graft.warehouse.Warehouse.mergeIntoTable(
+          batch.sparkSession, root, "user_latest", latest,
+          keys = Seq("user_id"), orderCols = Seq("ts_us", "event_id"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.lake.Lake.readTableFeed(s, root, "user_latest")
+  }
+
+  val streamUpsertOracle: String =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
   val streamIngestOracle: String =
     """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
       |       COUNT(*) AS cnt,
@@ -188,6 +223,7 @@ object Streams {
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
     "s_stream_latest" -> (streamLatestPerUser _),
+    "s_stream_upsert" -> (streamUpsertWarehouse _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +231,6 @@ object Streams {
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,
     "s_stream_latest" -> streamLatestOracle,
+    "s_stream_upsert" -> streamUpsertOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }
