@@ -144,9 +144,62 @@ object Similarity {
       |JOIN assigned a ON a.cent_id = q.cent_id AND a.vec_id <> q.vec_id
       |QUALIFY rk <= 3""".stripMargin
 
+  private val NumPlanes = 24
+  private val ChunkBits = 8
+  private val NumChunks = NumPlanes / ChunkBits
+
+  /** Deterministic ±1 random hyperplanes (seeded), as literal columns. */
+  private def planeLit(p: Int): Column = {
+    val rnd = new scala.util.Random(42L * (p + 1))
+    array((0 until 64).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
+  }
+
+  /** Random-hyperplane LSH (SimHash-for-vectors): 24-bit signature = sign
+    * pattern against fixed ±1 hyperplanes; candidates share one of three
+    * 8-bit chunks; candidates verified by exact cosine ≥ 0.9.
+    *
+    * The 100-TB embedding near-dup path: O(N·planes) signatures +
+    * O(candidates) verification, never all-pairs. Sensitivity is tuned for
+    * true near-duplicates (theoretical recall ≈ 0.97 at cos 0.99, ≈ 0.8 at
+    * cos 0.95 — asserted on planted duplicates in ExtSpec); the driver
+    * testdata's max pairwise cosine is ~0.48, so an empty result here is
+    * the honest answer. `cosineNearDup` above is the exact ground truth.
+    */
+  def embedLsh(s: SparkSession, d: String): DataFrame =
+    embedLshOver(withNorm(Tables.embeddings(s, d)), threshold = 0.9)
+
+  /** LSH core over a prepared (vec_id, v, nrm) frame — reused by tests. */
+  def embedLshOver(e: DataFrame, threshold: Double): DataFrame = {
+    val bits = (0 until NumPlanes)
+      .map(p => when(dot(col("v"), planeLit(p)) > 0, lit(1L << p)).otherwise(0L))
+    val signed = e.withColumn("sig", bits.reduce(_ + _))
+    val chunkCols = (0 until NumChunks).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("sig"), c * ChunkBits).bitwiseAND(0xFFL).as("chunk_val"))
+    }
+    val chunks = signed.select(
+      col("vec_id"), col("v"), col("nrm"),
+      explode(array(chunkCols: _*)).as("ch"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("ch.chunk_idx"), col("ch.chunk_val"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx")
+          && col("x.chunk_val") === col("y.chunk_val")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("va"), col("x.nrm").as("na"),
+        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand.withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "x_ann_topk" -> (annTopK _),
     "x_embed_neardup" -> (cosineNearDup _),
+    "x_embed_lsh" -> (embedLsh _),
     "x_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(

@@ -207,8 +207,41 @@ object Lifecycle {
       |  ('user_transaction_summary', 'table', 'active', TRUE, 0)
       |) t(name, feed_type, status, enabled, retention_days)""".stripMargin
 
+  /** A9 breadth: the same rows written and read back through every
+    * container-supported columnar/row format (parquet, orc, avro, json,
+    * csv) — value fidelity proven by one shared aggregate oracle per
+    * format.
+    */
+  def formatsRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_fmt_")
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val formats = Seq("parquet", "orc", "json", "csv") // no spark-avro jar in image
+    val readBack = formats.map { f =>
+      val w = ev.write.mode("overwrite").format(f)
+      (if (f == "csv") w.option("header", "true") else w).save(s"$root/$f")
+      val r = s.read.format(f)
+      val df = f match {
+        case "csv" => r.option("header", "true").schema(ev.schema).load(s"$root/$f")
+        case "json" => r.schema(ev.schema).load(s"$root/$f")
+        case _ => r.load(s"$root/$f")
+      }
+      df.withColumn("format", lit(f))
+    }
+    readBack.reduce(_ unionByName _)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
+  }
+
+  val formatsRoundtripOracle: String =
+    """SELECT f.format, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |CROSS JOIN (VALUES ('parquet'), ('orc'), ('json'), ('csv')) f(format)
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "a6_lake_roundtrip" -> (lakeRoundtrip _),
+    "a9_formats_roundtrip" -> (formatsRoundtrip _),
     "a7_table_versions" -> (tableVersions _),
     "a7_snapshot_readback" -> (snapshotReadback _),
     "c1_retention_prune" -> (retentionPrune _),
@@ -219,6 +252,7 @@ object Lifecycle {
 
   val oracles: Map[String, String] = Map(
     "a6_lake_roundtrip" -> lakeRoundtripOracle,
+    "a9_formats_roundtrip" -> formatsRoundtripOracle,
     "a7_table_versions" -> tableVersionsOracle,
     "a7_snapshot_readback" -> Reference.b6Oracle,
     "c1_retention_prune" -> retentionPruneOracle,

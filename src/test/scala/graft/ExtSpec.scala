@@ -65,6 +65,24 @@ class ExtSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("embedding LSH finds planted near-duplicates (recall on cos>=0.99)") {
+    // 100 base vectors + a barely-perturbed copy of each (cosine ~0.9998)
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 100).map(i => i.toLong -> Array.fill(64)(rnd.nextFloat() - 0.5f))
+    val rows = base.flatMap { case (id, v) =>
+      val near = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+      Seq((id, v, 0), (id + 1000L, near, 0))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val found = Similarity.embedLshOver(Similarity.withNorm(df), threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 100).map(i => (i.toLong, i + 1000L)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${found.size} pairs)")
+    // no false positives survive the exact-verify stage
+    assert(found.forall { case (a, b) => expected.contains((a, b)) || expected.contains((b, a)) })
+  }
+
   test("media decode stub is deterministic and length-driven") {
     val r = Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8"), "fake/src0")
     val f1 = Multimodal.decodeStub(r)
