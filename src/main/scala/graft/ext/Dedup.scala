@@ -187,25 +187,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash: 64-bit sketch = sign of per-bit ±1 sums over token hashes.
-    * The ±1 sum per bit is rewritten as 2·popcount(bit) − n, so the 64
-    * aggregate expressions are plain bit-extract sums (no CASE) plus one
-    * shared count — a much narrower codegen'd aggregate.
+  /** Custom typed aggregate for the 64 per-bit ±1 sums: like [[MinHashAgg]],
+    * one JIT'd loop with an array buffer instead of 64 generated aggregate
+    * expressions (whose codegen compile time dominated at bench scale).
     */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var b = 0
+      while (b < 64) { buf(b) += (((h >>> b) & 1L).toInt * 2) - 1; b += 1 }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Int]): Long = {
+      var sim = 0L
+      var b = 0
+      while (b < 64) { if (r(b) >= 0) sim |= (1L << b); b += 1 }
+      sim
+    }
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** SimHash: 64-bit sketch = sign of per-bit ±1 sums over token hashes. */
   def simhashSketches(docs: DataFrame): DataFrame = {
-    val tokens = docs
+    val simhash = udaf(SimHashAgg)
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s_$b")
-    } :+ count(lit(1)).as("n_tok")
-    val perBit = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    // bit set iff ±1 sum ≥ 0  ⇔  2·popcount ≥ n
-    val sim = (0 until 64)
-      .map(b => when(col(s"s_$b") * 2 >= col("n_tok"), lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    perBit.select(col("doc_id"), sim.as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(simhash(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance 3, found via 4×16-bit
