@@ -85,20 +85,24 @@ object Multimodal {
   /** SQL-checkable slice of the multimodal plumbing: binary payload length,
     * content digest, and the deterministic stub dimensions.
     */
-  def mediaMeta(s: SparkSession, d: String): DataFrame =
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    val bytes = length(col("text").cast("binary"))
     Tables.documents(s, d).select(
       col("doc_id").as("media_id"),
-      length(col("text").cast("binary")).as("n_bytes"),
+      bytes.as("n_bytes"),
       sha2(col("text").cast("binary"), 256).as("digest"),
-      (col("n_chars") % 640 + 64).cast("int").as("width"),
-      (col("n_chars") % 480 + 48).cast("int").as("height"))
+      // dimensions derive from BYTE length, matching decodeStub exactly
+      // (n_chars would drift from the stub on multi-byte text)
+      (bytes % 640 + 64).cast("int").as("width"),
+      (bytes % 480 + 48).cast("int").as("height"))
+  }
 
   val mediaMetaOracle: String =
     """SELECT doc_id AS media_id,
       |       octet_length(CAST(text AS BLOB)) AS n_bytes,
       |       sha256(text) AS digest,
-      |       CAST(n_chars % 640 + 64 AS INT) AS width,
-      |       CAST(n_chars % 480 + 48 AS INT) AS height
+      |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 64 AS INT) AS width,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 48 AS INT) AS height
       |FROM documents""".stripMargin
 
   /** Decoded features via the typed mapPartitions path (stub decode). */

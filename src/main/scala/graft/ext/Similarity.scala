@@ -45,6 +45,10 @@ object Similarity {
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // zero-norm vectors have no defined cosine; Spark's x/0 → NULL and
+      // DuckDB's → inf would also rank differently, so exclude them here
+      // and in every oracle (WHERE nrm > 0)
+      .filter(col("nrm") > 0)
 
   def cosine(va: Column, na: Column, vb: Column, nb: Column): Column =
     dot(va, vb) / (na * nb)
@@ -68,7 +72,8 @@ object Similarity {
   val annTopKOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |           FROM embeddings)
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
       |SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
       |       list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos,
       |       row_number() OVER (PARTITION BY q.vec_id
@@ -95,7 +100,8 @@ object Similarity {
   val cosineNearDupOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |           FROM embeddings)
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -130,7 +136,8 @@ object Similarity {
   val annIvfOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |           FROM embeddings),
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
       |assigned AS (
       |  SELECT e.vec_id, e.v, e.nrm, c.vec_id AS cent_id
       |  FROM e JOIN (SELECT * FROM e WHERE vec_id % 64 = 0) c ON TRUE

@@ -57,9 +57,14 @@ object TextAnalysis {
         regexp_count(t, lit("\\b(the|a)\\b")).as("stopword_cnt"))
       .select(
         col("doc_id"), col("lang"), col("word_cnt"),
-        (col("len_chars").cast("double") / col("word_cnt")).as("avg_token_len"),
-        (col("punct_cnt").cast("double") / col("len_chars")).as("punct_ratio"),
-        (col("stopword_cnt").cast("double") / col("word_cnt")).as("stopword_ratio"))
+        // zero-count guards: Spark's non-ANSI x/0 yields NULL while DuckDB
+        // yields inf — make the degenerate case an explicit NULL in BOTH
+        when(col("word_cnt") === 0, lit(null).cast("double"))
+          .otherwise(col("len_chars").cast("double") / col("word_cnt")).as("avg_token_len"),
+        when(col("len_chars") === 0, lit(null).cast("double"))
+          .otherwise(col("punct_cnt").cast("double") / col("len_chars")).as("punct_ratio"),
+        when(col("word_cnt") === 0, lit(null).cast("double"))
+          .otherwise(col("stopword_cnt").cast("double") / col("word_cnt")).as("stopword_ratio"))
       .withColumn("quality_score",
         when(col("word_cnt") < 5, 0.0)
           .otherwise(col("stopword_ratio") * 0.5
@@ -68,9 +73,12 @@ object TextAnalysis {
 
   val qualityScoreOracle: String =
     """SELECT doc_id, lang, word_cnt,
-      |       CAST(len_chars AS DOUBLE) / word_cnt AS avg_token_len,
-      |       CAST(punct_cnt AS DOUBLE) / len_chars AS punct_ratio,
-      |       CAST(stopword_cnt AS DOUBLE) / word_cnt AS stopword_ratio,
+      |       CASE WHEN word_cnt = 0 THEN NULL
+      |            ELSE CAST(len_chars AS DOUBLE) / word_cnt END AS avg_token_len,
+      |       CASE WHEN len_chars = 0 THEN NULL
+      |            ELSE CAST(punct_cnt AS DOUBLE) / len_chars END AS punct_ratio,
+      |       CASE WHEN word_cnt = 0 THEN NULL
+      |            ELSE CAST(stopword_cnt AS DOUBLE) / word_cnt END AS stopword_ratio,
       |       CASE WHEN word_cnt < 5 THEN 0.0
       |            ELSE (CAST(stopword_cnt AS DOUBLE) / word_cnt) * 0.5
       |                 + (1.0 - CAST(punct_cnt AS DOUBLE) / len_chars) * 0.5 END AS quality_score

@@ -37,9 +37,13 @@ case class FeedCatalog(feeds: Map[String, FeedConfig]) {
   private def setEnabled(name: String, value: Boolean): FeedCatalog =
     FeedCatalog(feeds + (name -> get(name).copy(enabled = value)))
 
-  /** archive/restore (manage_feeds.py:190-240): status flip. */
+  /** archive/restore (manage_feeds.py:190-240): status flip only — the
+    * reference moves the descriptor file and preserves its contents, so the
+    * enabled flag must survive an archive→restore round-trip. (`active`
+    * already excludes archived feeds regardless of enabled.)
+    */
   def archive(name: String): FeedCatalog =
-    FeedCatalog(feeds + (name -> get(name).copy(status = "archived", enabled = false)))
+    FeedCatalog(feeds + (name -> get(name).copy(status = "archived")))
   def restore(name: String): FeedCatalog =
     FeedCatalog(feeds + (name -> get(name).copy(status = "active")))
 

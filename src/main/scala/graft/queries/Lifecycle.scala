@@ -203,7 +203,7 @@ object Lifecycle {
       |  ('transaction_flattened', 'stream', 'active', FALSE, 365),
       |  ('transaction_stream', 'stream', 'active', TRUE, 365),
       |  ('transaction_stream_anonymized', 'stream', 'active', TRUE, 730),
-      |  ('transaction_stream_blacklisted', 'stream', 'archived', FALSE, 365),
+      |  ('transaction_stream_blacklisted', 'stream', 'archived', TRUE, 365),
       |  ('user_transaction_summary', 'table', 'active', TRUE, 0)
       |) t(name, feed_type, status, enabled, retention_days)""".stripMargin
 

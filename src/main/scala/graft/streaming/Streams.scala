@@ -35,12 +35,18 @@ object Streams {
     * staged into a scratch dir (in production this is the landing directory
     * a collector drops files into — or a Kafka source).
     */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(graft.Tables.path(dir, "events"))
-    val staged = Files.createTempDirectory("graft_src_")
-    Files.copy(src, staged.resolve("events.parquet"))
-    val path = staged.toString
+    // stage once per sfDir — every streaming query shares the copy
+    val path = stagedDirs.computeIfAbsent(dir, { d =>
+      val staged = Files.createTempDirectory("graft_src_")
+      Files.copy(java.nio.file.Paths.get(graft.Tables.path(d, "events")),
+        staged.resolve("events.parquet"))
+      staged.toString
+    })
     val schema = s.read.parquet(path).schema
     s.readStream.schema(schema).parquet(path)
       .withColumn("ts_us", expr("ts DIV 1000"))
@@ -192,13 +198,11 @@ object Streams {
       .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch
-          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-              .orderBy(col("ts_us").desc, col("event_id").desc)))
-          .filter(col("_rn") === 1).drop("_rn")
+        // merge resolves within-batch duplicates itself (latest by
+        // orderCols), so the raw batch goes straight in — no extra
+        // pre-reduce shuffle per micro-batch
         graft.warehouse.Warehouse.mergeIntoTable(
-          batch.sparkSession, root, "user_latest", latest,
+          batch.sparkSession, root, "user_latest", batch,
           keys = Seq("user_id"), orderCols = Seq("ts_us", "event_id"))
         ()
       }

@@ -62,9 +62,11 @@ class GovernanceSpec extends SparkSpec {
     c = c.disable("f1")
     assert(c.active.isEmpty)
     c = c.enable("f1").archive("f1")
-    assert(c.get("f1").status === "archived" && !c.get("f1").enabled)
+    assert(c.get("f1").status === "archived")
+    assert(c.active.isEmpty) // archived feeds never export, enabled or not
     c = c.restore("f1")
-    assert(c.get("f1").status === "active")
+    // archive→restore round-trips the enabled flag (reference preserves it)
+    assert(c.get("f1").status === "active" && c.get("f1").enabled)
     intercept[IllegalArgumentException](c.delete("f1", confirm = false)) // guarded
     assert(c.delete("f1", confirm = true).all.isEmpty)
   }

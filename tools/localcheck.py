@@ -48,6 +48,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     names = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
     n_pass = n_fail = n_noora = 0
+    # completeness: an oracle whose query crashed in Verify has no output
+    # dir — that is a FAIL, not a silent skip
+    for missing in sorted(set(oracle) - set(names)):
+        print(f"FAIL  {missing}: no query output (query failed in Verify?)")
+        n_fail += 1
     for name in names:
         spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
         try:
