@@ -180,7 +180,44 @@ object TextAnalysis {
       |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** TF-IDF top terms per document, with a LINEAR idf (N/df instead of
+    * log(N/df)): log is libm-implementation-specific and would break the
+    * cross-engine oracle, while the rational form preserves the ranking for
+    * fixed N. weight = (tf·N)/df in exact integer→double arithmetic; top-3
+    * terms per doc, ties broken lexicographically.
+    */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tokens.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("weight", (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("weight"), col("rk"))
+  }
+
+  val tfidfTopOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term,
+      |       CAST(tf * n AS DOUBLE) / df AS weight,
+      |       row_number() OVER (PARTITION BY doc_id
+      |                          ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term) AS rk
+      |FROM tf JOIN df USING (term) CROSS JOIN n
+      |QUALIFY rk <= 3""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_text_tfidf" -> (tfidfTop _),
     "x_text_tokens" -> (tokenStats _),
     "x_text_quality" -> (qualityScore _),
     "x_text_langid" -> (langId _),
@@ -189,6 +226,7 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_text_tfidf" -> tfidfTopOracle,
     "x_text_tokens" -> tokenStatsOracle,
     "x_text_quality" -> qualityScoreOracle,
     "x_text_langid" -> langIdOracle,

@@ -397,6 +397,45 @@ object Relational {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  /** Sessionization (gaps-and-islands): a new session starts when the gap
+    * to the previous event exceeds 1 hour; one window pass assigns ids, one
+    * aggregate summarizes sessions. The batch ground truth for the
+    * streaming `session_window` operator.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 3600L * 1000000L
+    e.withColumn("prev_ts", lag(col("ts_us"), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+  }
+
+  val sessionizeOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |         CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+      |                OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w > 3600000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, COUNT(*) AS events,
+      |       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+
   /** Correlated scalar subquery (Catalyst rewrites to a left outer
     * aggregate join — no per-row execution).
     */
@@ -495,6 +534,7 @@ object Relational {
     "d_join_cross" -> (joinCross _),
     "d_join_range" -> (joinRange _),
     "d_join_asof" -> (joinAsof _),
+    "d_sessionize" -> (sessionize _),
     "d_window_rank" -> (windowRank _),
     "d_window_running" -> (windowRunning _),
     "d_window_moving" -> (windowMoving _),
@@ -524,6 +564,7 @@ object Relational {
     "d_join_cross" -> joinCrossOracle,
     "d_join_range" -> joinRangeOracle,
     "d_join_asof" -> joinAsofOracle,
+    "d_sessionize" -> sessionizeOracle,
     "d_window_rank" -> windowRankOracle,
     "d_window_running" -> windowRunningOracle,
     "d_window_moving" -> windowMovingOracle,

@@ -107,6 +107,43 @@ object Streams {
       |       event_type, COUNT(*) AS cnt
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Event-time session windows in streaming state (1-hour gap): the
+    * stateful counterpart of the batch gaps-and-islands operator
+    * (`d_sessionize`), which doubles as its oracle — session membership
+    * must agree between the two constructions.
+    */
+  def streamSessions(s: SparkSession, d: String): DataFrame =
+    drain(
+      eventsStream(s, d)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(session_window(col("event_ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("events")),
+      OutputMode.Complete())
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("events"))
+
+  // Spark's session_window merges an event iff its gap to the window end is
+  // STRICTLY below the gap duration, so the islands construction uses >=
+  // for the new-session mark (the two differ only on exact-1h gaps, absent
+  // from ns-precision data).
+  val streamSessionsOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |         CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+      |                OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w >= 3600000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS events
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
   /** Streaming exact dedup on a key (B9's upsert cousin; dropDuplicates
     * keeps first-seen per key in state).
     */
@@ -226,6 +263,7 @@ object Streams {
     "s_stream_agg" -> (streamAgg _),
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
+    "s_stream_sessions" -> (streamSessions _),
     "s_stream_latest" -> (streamLatestPerUser _),
     "s_stream_upsert" -> (streamUpsertWarehouse _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
@@ -234,6 +272,7 @@ object Streams {
     "s_stream_agg" -> streamAggOracle,
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,
+    "s_stream_sessions" -> streamSessionsOracle,
     "s_stream_latest" -> streamLatestOracle,
     "s_stream_upsert" -> streamUpsertOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
