@@ -155,11 +155,12 @@ object Similarity {
   private val ChunkBits = 8
   private val NumChunks = NumPlanes / ChunkBits
 
-  /** Deterministic ±1 random hyperplanes (seeded), as literal columns. */
-  private def planeLit(p: Int): Column = {
-    val rnd = new scala.util.Random(42L * (p + 1))
-    array((0 until 64).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
-  }
+  /** Deterministic ±1 random hyperplane matrix (seeded). */
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes) { p =>
+      val rnd = new scala.util.Random(42L * (p + 1))
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
 
   /** Random-hyperplane LSH (SimHash-for-vectors): 24-bit signature = sign
     * pattern against fixed ±1 hyperplanes; candidates share one of three
@@ -177,9 +178,8 @@ object Similarity {
 
   /** LSH core over a prepared (vec_id, v, nrm) frame — reused by tests. */
   def embedLshOver(e: DataFrame, threshold: Double): DataFrame = {
-    val bits = (0 until NumPlanes)
-      .map(p => when(dot(col("v"), planeLit(p)) > 0, lit(1L << p)).otherwise(0L))
-    val signed = e.withColumn("sig", bits.reduce(_ + _))
+    val signed = e.withColumn("sig",
+      org.apache.spark.sql.graft.VectorFunctions.hyperplaneSig(col("v"), planes))
     val chunkCols = (0 until NumChunks).map { c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sig"), c * ChunkBits).bitwiseAND(0xFFL).as("chunk_val"))

@@ -61,6 +61,62 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane sign bits in ONE expression: bit p of the result is set
+  * iff dot(v, planes(p)) > 0. Folding the whole signature into a single
+  * node keeps the generated code one tight nested loop — 24 separate
+  * dot-product expression trees took seconds of Janino compilation per
+  * cold plan. The plane matrix rides along as a referenced constant
+  * (`addReferenceObj`), not inline literals.
+  */
+case class HyperplaneSignature(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("planes", planes, "double[][]")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |${ev.value} = 0L;
+         |for (int $p = 0; $p < $m.length; $p++) {
+         |  int $n = java.lang.Math.min($a.numElements(), $m[$p].length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $m[$p][$i]; }
+         |  if ($s > 0) ${ev.value} |= (1L << $p);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions. */
 object VectorFunctions {
 
@@ -70,4 +126,8 @@ object VectorFunctions {
   def dotD(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductD(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** 64-bit sign-pattern signature of a vector against a plane matrix. */
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(HyperplaneSignature(ExpressionUtils.expression(v), planes))
 }
