@@ -162,6 +162,76 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |QUALIFY rn <= 3""".stripMargin
 
+  /** Distribution window functions: percent_rank / cume_dist / ntile over a
+    * total order (ties broken by key, so ranks — and hence the exact
+    * rational values — are deterministic).
+    */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(
+      col("o_orderkey"), col("o_orderstatus"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  val windowDistOracle: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  /** Moment statistics (mean / variance / stddev / covariance / correlation)
+    * assembled from exact decimal power sums, combined in IEEE double — the
+    * built-in `stddev`/`corr` accumulate doubles in partition order and
+    * cannot oracle-match, but the sum-of-squares formulation is
+    * order-independent and bit-identical.
+    */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,4)")).cast("double")
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_discount") * col("l_discount")).as("syy"),
+        dsum(col("l_quantity") * col("l_discount")).as("sxy"))
+    agg.select(
+      col("l_returnflag"),
+      (col("sx") / col("n")).as("mean_qty"),
+      ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("var_qty"),
+      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("std_qty"),
+      ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("cov_qd"),
+      ((col("sxy") - col("sx") * col("sy") / col("n"))
+        / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          * (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qd"))
+  }
+
+  val statsMomentsOracle: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+      |         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |       sx / n AS mean_qty,
+      |       (sxx - sx * sx / n) / n AS var_qty,
+      |       sqrt((sxx - sx * sx / n) / n) AS std_qty,
+      |       (sxy - sx * sy / n) / n AS cov_qd,
+      |       (sxy - sx * sy / n)
+      |         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qd
+      |FROM a""".stripMargin
+
   /** Running (cumulative) sum + lag, explicit ROWS frame. Decimal inside the
     * window keeps the running sum order-exact across engines.
     */
@@ -536,6 +606,8 @@ object Relational {
     "d_join_asof" -> (joinAsof _),
     "d_sessionize" -> (sessionize _),
     "d_window_rank" -> (windowRank _),
+    "d_window_dist" -> (windowDist _),
+    "d_stats_moments" -> (statsMoments _),
     "d_window_running" -> (windowRunning _),
     "d_window_moving" -> (windowMoving _),
     "d_sort_topk" -> (sortTopK _),
@@ -566,6 +638,8 @@ object Relational {
     "d_join_asof" -> joinAsofOracle,
     "d_sessionize" -> sessionizeOracle,
     "d_window_rank" -> windowRankOracle,
+    "d_window_dist" -> windowDistOracle,
+    "d_stats_moments" -> statsMomentsOracle,
     "d_window_running" -> windowRunningOracle,
     "d_window_moving" -> windowMovingOracle,
     "d_sort_topk" -> sortTopKOracle,
