@@ -143,6 +143,54 @@ object Lifecycle {
       |       1 AS snapshot_version
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Incremental view maintenance: the B4-style aggregate kept up to date
+    * from appended batches WITHOUT recomputing history. State = mergeable
+    * partial aggregates (count, decimal sum, min, max — all associative),
+    * combined per refresh: two day-range chunks processed in sequence must
+    * equal one batch over everything, which is exactly what the oracle
+    * asserts. At 100 TB this is the difference between scanning the full
+    * fact history per refresh and scanning only the new partition.
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_ivm_")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("value"), col("ts_us"),
+        dayofmonth(timestamp_micros(col("ts_us"))).as("dy"))
+    def partial(chunk: DataFrame): DataFrame =
+      chunk.groupBy(col("user_id")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("total_dec"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    def refresh(chunk: DataFrame): Unit = {
+      val p = partial(chunk)
+      val merged = Lake.latestVersion(s, root, "user_value_summary") match {
+        case None => p
+        case Some(_) =>
+          Lake.readTableFeed(s, root, "user_value_summary").unionByName(p)
+            .groupBy(col("user_id")).agg(
+              sum(col("cnt")).as("cnt"),
+              sum(col("total_dec")).as("total_dec"),
+              min(col("min_value")).as("min_value"),
+              max(col("max_value")).as("max_value"))
+      }
+      Lake.writeTableSnapshot(merged, root, "user_value_summary")
+      ()
+    }
+    refresh(ev.filter(col("dy") <= 15))
+    refresh(ev.filter(col("dy") > 15))
+    Lake.readTableFeed(s, root, "user_value_summary")
+      .select(col("user_id"), col("cnt"),
+        col("total_dec").cast("double").as("total"),
+        col("min_value"), col("max_value"))
+  }
+
+  val incrementalAggOracle: String =
+    """SELECT user_id, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** C4 permissions: grants (incl. an upsert-overwrite and an expired one),
     * a revoke, then a deterministic batch of access checks. The VALUES
     * oracle carries the hand-computed expected decisions.
@@ -246,6 +294,7 @@ object Lifecycle {
     "a7_snapshot_readback" -> (snapshotReadback _),
     "c1_retention_prune" -> (retentionPrune _),
     "w_dim_upsert" -> (dimUpsert _),
+    "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
     "c4_permission_check" -> (permissionCheck _),
     "c5_feed_catalog" -> (feedCatalog _))
@@ -257,6 +306,7 @@ object Lifecycle {
     "a7_snapshot_readback" -> Reference.b6Oracle,
     "c1_retention_prune" -> retentionPruneOracle,
     "w_dim_upsert" -> dimUpsertOracle,
+    "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,
     "c4_permission_check" -> permissionCheckOracle,
     "c5_feed_catalog" -> feedCatalogOracle)
