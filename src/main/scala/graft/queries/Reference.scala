@@ -280,6 +280,26 @@ object Reference {
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** The B4 semantics as literal SQL text through `spark.sql` — the
+    * interface the reference's users actually write (ksqlDB statements).
+    * Same oracle as the DataFrame formulation: the two front-ends must
+    * agree exactly.
+    */
+  def b4SqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey AS user_id, c_name AS user_name, o_orderstatus AS transaction_type,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+        |       COUNT(*) AS transaction_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_amount,
+        |       MIN(o_totalprice) AS min_amount,
+        |       MAX(o_totalprice) AS max_amount,
+        |       MAX(o_orderdate) AS last_transaction_date
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin)
+  }
+
   /** B10 — positional column naming (sync_to_mysql.py:110-114): `toDF`. */
   def b10Rename(s: SparkSession, d: String): DataFrame =
     Tables.region(s, d).toDF("region_id", "region_name")
@@ -298,6 +318,7 @@ object Reference {
     "b8_dim_lookup" -> (b8DimLookup _),
     "b8_fk_orphans" -> (b8Orphans _),
     "b9_latest_per_key" -> (b9LatestPerKey _),
+    "b4_sql_surface" -> (b4SqlSurface _),
     "b10_rename" -> (b10Rename _))
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +332,6 @@ object Reference {
     "b8_dim_lookup" -> b8Oracle,
     "b8_fk_orphans" -> b8OrphansOracle,
     "b9_latest_per_key" -> b9Oracle,
+    "b4_sql_surface" -> b4Oracle,
     "b10_rename" -> b10Oracle)
 }

@@ -196,6 +196,57 @@ object Streams {
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** Multi-micro-batch state: the events file is split into four chunk
+    * files and the source capped at ONE file per trigger, so AvailableNow
+    * runs four sequential micro-batches — keyed state must carry across
+    * batches (unlike the single-batch queries above, where state never
+    * survives a trigger). The in-group reduce and the cross-batch state
+    * update are both commutative, so batch order cannot change the result,
+    * and the final table must equal the plain batch oracle.
+    */
+  def streamMultiBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = Files.createTempDirectory("graft_mb_")
+    val ev = s.read.parquet(graft.Tables.path(d, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    (0 until 4).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(4)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c")
+    }
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
+      .as[Ev]
+    val latest = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Latest]) =>
+          val incoming = rows.reduce((a, b) =>
+            if (a.ts_us > b.ts_us || (a.ts_us == b.ts_us && a.event_id > b.event_id)) a else b)
+          val best = state.getOption match {
+            case Some(cur) if cur.ts_us > incoming.ts_us ||
+              (cur.ts_us == incoming.ts_us && cur.event_id > incoming.event_id) => cur
+            case _ => Latest(user, incoming.event_id, incoming.ts_us, incoming.value)
+          }
+          state.update(best)
+          best
+      }
+    // Update mode emits a row per key per batch; the LAST emission per key
+    // is the final state — reduce the sink table the same way.
+    val emitted = drain(latest.toDF(), OutputMode.Update())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us").desc, col("event_id").desc)
+    emitted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  val streamMultiBatchOracle: String =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
   /** A6's streaming shape: continuous ingestion into the date-partitioned
     * lake via a parquet sink, then read back through the lake (the full
     * kafka_consumer_datalake.py pipeline, Spark-native).
@@ -266,6 +317,7 @@ object Streams {
     "s_stream_sessions" -> (streamSessions _),
     "s_stream_latest" -> (streamLatestPerUser _),
     "s_stream_upsert" -> (streamUpsertWarehouse _),
+    "s_stream_multibatch" -> (streamMultiBatch _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +327,6 @@ object Streams {
     "s_stream_sessions" -> streamSessionsOracle,
     "s_stream_latest" -> streamLatestOracle,
     "s_stream_upsert" -> streamUpsertOracle,
+    "s_stream_multibatch" -> streamMultiBatchOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }
