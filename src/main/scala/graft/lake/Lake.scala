@@ -120,6 +120,36 @@ object Lake {
     else { df.write.mode(SaveMode.ErrorIfExists).parquet(path); true }
   }
 
+  /** Compact a stream feed's day partition: rewrite its many small files
+    * (the inevitable by-product of frequent micro-batch appends —
+    * kafka_consumer_datalake.py flushes every 100 messages) into
+    * ~`targetBytes` files. Small-files compaction is the lake-maintenance
+    * op that keeps scan task counts sane at 100 TB; the rewrite is
+    * per-partition and atomic-enough via write-to-temp + swap. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compactPartition(
+      spark: SparkSession, root: String, name: String,
+      date: java.time.LocalDate, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val partDir = s"${streamPath(root, name)}/year=${date.getYear}" +
+      s"/month=${date.getMonthValue}/day=${date.getDayOfMonth}"
+    val f = fs(spark, partDir)
+    val p = new Path(partDir)
+    if (!f.exists(p)) return (0, 0)
+    def parquetFiles = f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, s".compact_${p.getName}")
+    spark.read.parquet(partDir).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    f.delete(p, true)
+    f.rename(tmp, p)
+    // drop the _SUCCESS marker so the dir looks like its siblings
+    f.delete(new Path(p, "_SUCCESS"), false)
+    (before.size, parquetFiles.size)
+  }
+
   /** Per-feed metadata (A12, export_to_data_lake.py:267-328): one row per
     * partition directory with file count + bytes, from the file system —
     * no data scan.

@@ -143,6 +143,39 @@ object Lifecycle {
       |       1 AS snapshot_version
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** C-family compaction: many micro-batch appends → many small files;
+    * compaction rewrites each day partition to bounded file counts and the
+    * oracle proves the data is untouched. The `require` asserts the
+    * physical effect (file counts actually shrank) inside the gate itself.
+    */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_cmp_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("value"), timestamp_micros(col("ts_us")).as("ts"))
+    // five small appends → ≥5 files per day partition
+    (0 until 5).foreach { c =>
+      Lake.appendStream(ev.filter(pmod(col("event_id"), lit(5)) === c),
+        root, "events", eventTimeCol = Some("ts"))
+    }
+    val days = Lake.readStreamFeed(s, root, "events")
+      .select(col("year"), col("month"), col("day")).distinct()
+      .collect().map(r => java.time.LocalDate.of(r.getInt(0), r.getInt(1), r.getInt(2)))
+    days.foreach { day =>
+      val (before, after) = Lake.compactPartition(s, root, "events", day)
+      require(before >= 5 && after < before,
+        s"compaction had no effect on $day: $before -> $after")
+    }
+    Lake.readStreamFeed(s, root, "events")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
+  }
+
+  val compactionOracle: String =
+    """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   /** Incremental view maintenance: the B4-style aggregate kept up to date
     * from appended batches WITHOUT recomputing history. State = mergeable
     * partial aggregates (count, decimal sum, min, max — all associative),
@@ -293,6 +326,7 @@ object Lifecycle {
     "a7_table_versions" -> (tableVersions _),
     "a7_snapshot_readback" -> (snapshotReadback _),
     "c1_retention_prune" -> (retentionPrune _),
+    "c7_compaction" -> (compaction _),
     "w_dim_upsert" -> (dimUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -305,6 +339,7 @@ object Lifecycle {
     "a7_table_versions" -> tableVersionsOracle,
     "a7_snapshot_readback" -> Reference.b6Oracle,
     "c1_retention_prune" -> retentionPruneOracle,
+    "c7_compaction" -> compactionOracle,
     "w_dim_upsert" -> dimUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

@@ -95,6 +95,38 @@ class LakeSpec extends SparkSpec {
       .select("id").as[Long].collect() === Array(3L))
   }
 
+  test("compaction shrinks file count, preserves rows, no-ops on missing dir") {
+    val root = scratch()
+    val df = Seq.tabulate(20)(i => (i.toLong, "2024-01-01 10:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    (0 until 4).foreach(i =>
+      Lake.appendStream(df.filter(col("id") % 4 === i), root, "ev", eventTimeCol = Some("ts")))
+    val day = java.time.LocalDate.of(2024, 1, 1)
+    val (before, after) = Lake.compactPartition(spark, root, "ev", day)
+    assert(before >= 4 && after === 1)
+    assert(Lake.readStreamFeed(spark, root, "ev").count() === 20)
+    // partition columns still discoverable after the rewrite
+    assert(Lake.readStreamFeed(spark, root, "ev", from = Some(day)).count() === 20)
+    assert(Lake.compactPartition(spark, root, "ev",
+      java.time.LocalDate.of(1999, 1, 1)) === ((0, 0)))
+  }
+
+  test("schema evolution: mergeSchema surfaces late-added columns as nulls") {
+    val root = scratch()
+    val v1 = Seq((1L, 10.0)).toDF("id", "v")
+      .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+    val v2 = Seq((2L, 20.0, "web")).toDF("id", "v", "source")
+      .withColumn("ts", lit("2024-01-02 10:00:00").cast("timestamp"))
+    Lake.appendStream(v1, root, "ev", eventTimeCol = Some("ts"))
+    Lake.appendStream(v2, root, "ev", eventTimeCol = Some("ts"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(Lake.streamPath(root, "ev"))
+    assert(merged.columns.contains("source"))
+    val rows = merged.select("id", "source").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows === Array((1L, None), (2L, Some("web"))))
+  }
+
   test("version retention keeps newest K and no-ops when n <= K") {
     val root = scratch()
     (1 to 4).foreach(i => Lake.writeTableSnapshot(Seq(i).toDF("a"), root, "t", 99))
