@@ -160,8 +160,16 @@ object Lifecycle {
     val days = Lake.readStreamFeed(s, root, "events")
       .select(col("year"), col("month"), col("day")).distinct()
       .collect().map(r => java.time.LocalDate.of(r.getInt(0), r.getInt(1), r.getInt(2)))
-    days.foreach { day =>
-      val (before, after) = Lake.compactPartition(s, root, "events", day)
+    // day partitions are independent — compact them concurrently (each is
+    // its own small Spark job; serial execution wastes the cluster)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val results = Await.result(
+      Future.sequence(days.toSeq.map(day => Future {
+        day -> Lake.compactPartition(s, root, "events", day)
+      })), Duration.Inf)
+    results.foreach { case (day, (before, after)) =>
       require(before >= 5 && after < before,
         s"compaction had no effect on $day: $before -> $after")
     }
