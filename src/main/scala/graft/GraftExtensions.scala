@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature}
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * expressions as SQL functions, so the pure-SQL front-end can call them
+  * (`SELECT graft_dot(a, b) ...`). Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
+  * build. No custom analyzer/optimizer rules are injected — the engine
+  * needs none (SURVEY.md §4); this is the function-registration slice of
+  * the extension API only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_dot expects exactly 2 arguments")
+        DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_hyperplane_sig expects 1 argument")
+        // SQL surface uses a small fixed demo matrix; the typed API takes
+        // the caller's matrix
+        HyperplaneSignature(children.head,
+          Array.tabulate(8) { p =>
+            val rnd = new scala.util.Random(42L * (p + 1))
+            Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+          })
+      }))
+  }
+}

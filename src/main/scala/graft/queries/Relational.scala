@@ -208,9 +208,15 @@ object Relational {
       ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("var_qty"),
       sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("std_qty"),
       ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("cov_qd"),
-      ((col("sxy") - col("sx") * col("sy") / col("n"))
-        / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-          * (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qd"))
+      {
+        // zero-variance guard: Spark x/0 → NULL but DuckDB → ±inf/NaN, so
+        // the degenerate case must be an explicit NULL in both engines
+        val varx = col("sxx") - col("sx") * col("sx") / col("n")
+        val vary = col("syy") - col("sy") * col("sy") / col("n")
+        when(varx === 0.0 || vary === 0.0, lit(null).cast("double"))
+          .otherwise((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt(varx * vary)).as("corr_qd")
+      })
   }
 
   val statsMomentsOracle: String =
@@ -228,8 +234,9 @@ object Relational {
       |       (sxx - sx * sx / n) / n AS var_qty,
       |       sqrt((sxx - sx * sx / n) / n) AS std_qty,
       |       (sxy - sx * sy / n) / n AS cov_qd,
-      |       (sxy - sx * sy / n)
-      |         / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qd
+      |       CASE WHEN sxx - sx * sx / n = 0.0 OR syy - sy * sy / n = 0.0 THEN NULL
+      |            ELSE (sxy - sx * sy / n)
+      |                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) END AS corr_qd
       |FROM a""".stripMargin
 
   /** Running (cumulative) sum + lag, explicit ROWS frame. Decimal inside the
