@@ -268,6 +268,52 @@ object Lifecycle {
       |  ('zed@x.io', '/lake/tables/dim', 'read', FALSE)
       |) t(user_email, path, ptype, allowed)""".stripMargin
 
+  /** C8 data quality: the declarative expectation suite over orders —
+    * one-pass conditional-sum evaluation + a broadcast FK check; the oracle
+    * recomputes every violation count in SQL.
+    */
+  def dataQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.Quality
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val rowChecks = Quality.evaluate(orders, Seq(
+      Quality.NotNull("o_custkey"),
+      Quality.Unique("o_orderkey"),
+      Quality.InRange("o_totalprice", 0.0, 1e7),
+      Quality.Matches("o_orderpriority", "^[1-5]-")))
+    val fk = Quality.fkCheck(orders, Tables.customer(s, d), "o_custkey", "c_custkey")
+    rowChecks.unionByName(Seq(fk).toDF("check", "violations", "total", "passed"))
+  }
+
+  val dataQualityOracle: String =
+    """SELECT 'not_null(o_custkey)' AS check, COUNT(*) FILTER (o_custkey IS NULL) AS violations,
+      |       COUNT(*) AS total, COUNT(*) FILTER (o_custkey IS NULL) = 0 AS passed
+      |FROM orders
+      |UNION ALL
+      |SELECT 'unique(o_orderkey)', COUNT(*) - COUNT(DISTINCT o_orderkey),
+      |       COUNT(*), COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'in_range(o_totalprice, 0.0, 1.0E7)',
+      |       COUNT(*) FILTER (o_totalprice < 0.0 OR o_totalprice > 1e7 OR o_totalprice IS NULL),
+      |       COUNT(*),
+      |       COUNT(*) FILTER (o_totalprice < 0.0 OR o_totalprice > 1e7 OR o_totalprice IS NULL) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'matches(o_orderpriority)',
+      |       COUNT(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL),
+      |       COUNT(*),
+      |       COUNT(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'fk(o_custkey -> c_custkey)',
+      |       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |          (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)),
+      |       COUNT(*),
+      |       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |          (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) = 0
+      |FROM orders""".stripMargin
+
   /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a
     * VALUES oracle.
     */
@@ -339,6 +385,7 @@ object Lifecycle {
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
     "c4_permission_check" -> (permissionCheck _),
+    "c8_data_quality" -> (dataQuality _),
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
@@ -352,5 +399,6 @@ object Lifecycle {
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,
     "c4_permission_check" -> permissionCheckOracle,
+    "c8_data_quality" -> dataQualityOracle,
     "c5_feed_catalog" -> feedCatalogOracle)
 }
