@@ -248,7 +248,40 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥ 5 word
+    * 3-gram shingles with any "benchmark" document (here: doc_id < 10 as
+    * the held-out set). The real pipeline op behind test-set contamination
+    * sweeps; at scale the benchmark side is tiny and broadcast, so the
+    * training scan never shuffles.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_id"), col("sh").as("bench_sh"))
+    docs.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), lit(true))
+      .withColumn("overlap", size(array_intersect(col("sh"), col("bench_sh"))))
+      .filter(col("overlap") >= 5)
+      .select(col("doc_id"), col("bench_id"), col("overlap"))
+  }
+
+  val decontaminateOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |           ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                 for i in range(1, len(ws) - 1)] END) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |SELECT t.doc_id, b.doc_id AS bench_id,
+      |       len(list_intersect(t.sh, b.sh)) AS overlap
+      |FROM (SELECT * FROM sh WHERE doc_id >= 10) t
+      |CROSS JOIN (SELECT * FROM sh WHERE doc_id < 10) b
+      |WHERE len(list_intersect(t.sh, b.sh)) >= 5""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_decontaminate" -> (decontaminate _),
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -256,6 +289,7 @@ object Dedup {
     "x_dedup_simhash" -> (simhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "x_decontaminate" -> decontaminateOracle,
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle)

@@ -216,7 +216,37 @@ object TextAnalysis {
       |FROM tf JOIN df USING (term) CROSS JOIN n
       |QUALIFY rk <= 3""".stripMargin
 
+  /** PII scrubbing: redact email-, phone-, and long-digit-shaped spans
+    * (the anonymization family beyond B3's key hashing). Pure regex
+    * projection — streams at scan speed; deterministic, so the oracle
+    * applies identical patterns.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(t, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      scrubbed.as("scrubbed"),
+      (length(t) - length(scrubbed)).as("removed_chars"),
+      regexp_count(t, lit("[0-9]{6,}")).as("long_numbers"))
+  }
+
+  val piiScrubOracle: String =
+    """SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+      |       length(text) - length(regexp_replace(
+      |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9]{6,}', '<NUM>', 'g')) AS removed_chars,
+      |       len(regexp_extract_all(text, '[0-9]{6,}')) AS long_numbers
+      |FROM documents""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_text_scrub" -> (piiScrub _),
     "x_text_tfidf" -> (tfidfTop _),
     "x_text_tokens" -> (tokenStats _),
     "x_text_quality" -> (qualityScore _),
@@ -226,6 +256,7 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_text_scrub" -> piiScrubOracle,
     "x_text_tfidf" -> tfidfTopOracle,
     "x_text_tokens" -> tokenStatsOracle,
     "x_text_quality" -> qualityScoreOracle,

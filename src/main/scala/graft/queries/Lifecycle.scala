@@ -150,7 +150,10 @@ object Lifecycle {
     */
   def compaction(s: SparkSession, d: String): DataFrame = {
     val root = scratch("graft_cmp_")
+    // cap volume: the operator's behavior (5 small files per day → 1) is
+    // scale-invariant; writing 100k rows five times would only bench I/O
     val ev = Tables.events(s, d)
+      .filter(col("event_id") < 20000)
       .select(col("event_id"), col("value"), timestamp_micros(col("ts_us")).as("ts"))
     // five small appends → ≥5 files per day partition
     (0 until 5).foreach { c =>
@@ -182,7 +185,7 @@ object Lifecycle {
     """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
       |       COUNT(*) AS cnt,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-      |FROM events GROUP BY 1, 2, 3""".stripMargin
+      |FROM events WHERE event_id < 20000 GROUP BY 1, 2, 3""".stripMargin
 
   /** Incremental view maintenance: the B4-style aggregate kept up to date
     * from appended batches WITHOUT recomputing history. State = mergeable
