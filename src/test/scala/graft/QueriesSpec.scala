@@ -48,4 +48,16 @@ class QueriesSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("no query-name collisions across modules (Map ++ drops silently)") {
+    import graft.queries.{Lifecycle, Reference, Relational, Scale}
+    import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+    import graft.streaming.Streams
+    val parts = Seq(
+      Reference.defs, Relational.defs, Lifecycle.defs, Streams.defs,
+      Scale.defs, TextAnalysis.defs, Dedup.defs, Similarity.defs, Multimodal.defs)
+    val totalKeys = parts.map(_.size).sum
+    assert(SparkEntry.queries.size === totalKeys,
+      s"combined map has ${SparkEntry.queries.size} entries but modules define $totalKeys — duplicate names")
+  }
 }
