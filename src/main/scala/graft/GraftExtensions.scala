@@ -27,13 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "graft_hyperplane_sig expects 1 argument")
-        // SQL surface uses a small fixed demo matrix; the typed API takes
-        // the caller's matrix
-        HyperplaneSignature(children.head,
-          Array.tabulate(8) { p =>
-            val rnd = new scala.util.Random(42L * (p + 1))
-            Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
-          })
+        // SQL surface uses a small fixed matrix from the one shared
+        // generator; the typed API takes the caller's matrix
+        HyperplaneSignature(children.head, graft.ext.Similarity.planeMatrix(8))
       }))
   }
 }

@@ -155,12 +155,17 @@ object Similarity {
   private val ChunkBits = 8
   private val NumChunks = NumPlanes / ChunkBits
 
-  /** Deterministic ±1 random hyperplane matrix (seeded). */
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(NumPlanes) { p =>
+  /** Deterministic ±1 random hyperplane matrix (seeded) — the single
+    * generator behind both the typed LSH path and the SQL-registered
+    * function (GraftExtensions).
+    */
+  def planeMatrix(n: Int, dim: Int = 64): Array[Array[Double]] =
+    Array.tabulate(n) { p =>
       val rnd = new scala.util.Random(42L * (p + 1))
-      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
     }
+
+  private lazy val planes: Array[Array[Double]] = planeMatrix(NumPlanes)
 
   /** Random-hyperplane LSH (SimHash-for-vectors): 24-bit signature = sign
     * pattern against fixed ±1 hyperplanes; candidates share one of three

@@ -22,19 +22,23 @@ object Quality {
     val name = s"in_range($column, $lo, $hi)"
   }
   case class Matches(column: String, regex: String) extends Check {
-    val name = s"matches($column)"
+    val name = s"matches($column, $regex)"
   }
   case class Unique(column: String) extends Check {
     val name = s"unique($column)"
   }
 
-  private def violationExpr(c: Check): Column = c match {
-    case NotNull(col0) => sum(when(col(col0).isNull, 1L).otherwise(0L))
-    case InRange(col0, lo, hi) =>
-      sum(when(col(col0) < lo || col(col0) > hi || col(col0).isNull, 1L).otherwise(0L))
-    case Matches(col0, re) =>
-      sum(when(!col(col0).rlike(re) || col(col0).isNull, 1L).otherwise(0L))
-    case Unique(col0) => count(lit(1)) - countDistinct(col(col0))
+  private def violationExpr(c: Check): Column = {
+    val raw = c match {
+      case NotNull(col0) => sum(when(col(col0).isNull, 1L).otherwise(0L))
+      case InRange(col0, lo, hi) =>
+        sum(when(col(col0) < lo || col(col0) > hi || col(col0).isNull, 1L).otherwise(0L))
+      case Matches(col0, re) =>
+        sum(when(!col(col0).rlike(re) || col(col0).isNull, 1L).otherwise(0L))
+      case Unique(col0) => count(lit(1)) - countDistinct(col(col0))
+    }
+    // sum() over zero rows is NULL — an empty table has zero violations
+    coalesce(raw, lit(0L))
   }
 
   /** Evaluate all checks over one table in one aggregation pass. Returns
@@ -53,12 +57,18 @@ object Quality {
     }.toDF("check", "violations", "total", "passed")
   }
 
+  /** FK values in `fact` with no match in `dim` (broadcast anti-join) —
+    * the single implementation behind both the count-style check here and
+    * Warehouse.requireFkIntact's fail-fast audit.
+    */
+  def orphans(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
+    fact.select(col(factKey))
+      .join(broadcast(dim.select(col(dimKey))), col(factKey) === col(dimKey), "left_anti")
+
   /** Referential check as a row: FK values in `fact` missing from `dim`. */
   def fkCheck(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): (String, Long, Long, Boolean) = {
     val total = fact.count()
-    val orphans = fact.select(col(factKey))
-      .join(broadcast(dim.select(col(dimKey))), col(factKey) === col(dimKey), "left_anti")
-      .count()
-    (s"fk($factKey -> $dimKey)", orphans, total, orphans == 0L)
+    val n = orphans(fact, dim, factKey, dimKey).count()
+    (s"fk($factKey -> $dimKey)", n, total, n == 0L)
   }
 }

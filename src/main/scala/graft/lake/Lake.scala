@@ -143,8 +143,18 @@ object Lake {
     val tmp = new Path(p.getParent, s".compact_${p.getName}")
     spark.read.parquet(partDir).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    f.delete(p, true)
-    f.rename(tmp, p)
+    // swap via rename-aside: the live data is never deleted before its
+    // replacement is in place, so a crash leaves either the old or the new
+    // directory discoverable — never neither
+    val aside = new Path(p.getParent, s".old_${p.getName}")
+    f.delete(aside, true)
+    if (!f.rename(p, aside))
+      throw new java.io.IOException(s"compaction: could not move $p aside")
+    if (!f.rename(tmp, p)) {
+      f.rename(aside, p) // roll back
+      throw new java.io.IOException(s"compaction: could not promote $tmp")
+    }
+    f.delete(aside, true)
     // drop the _SUCCESS marker so the dir looks like its siblings
     f.delete(new Path(p, "_SUCCESS"), false)
     (before.size, parquetFiles.size)

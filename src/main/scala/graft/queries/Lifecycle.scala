@@ -303,7 +303,7 @@ object Lifecycle {
       |       COUNT(*) FILTER (o_totalprice < 0.0 OR o_totalprice > 1e7 OR o_totalprice IS NULL) = 0
       |FROM orders
       |UNION ALL
-      |SELECT 'matches(o_orderpriority)',
+      |SELECT 'matches(o_orderpriority, ^[1-5]-)',
       |       COUNT(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL),
       |       COUNT(*),
       |       COUNT(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL) = 0

@@ -242,10 +242,9 @@ object Streams {
     emitted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  val streamMultiBatchOracle: String =
-    """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
-      |FROM events
-      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+  // same semantics as the single-batch stateful query — deliberately the
+  // identical oracle, so the two must agree with batch AND each other
+  val streamMultiBatchOracle: String = streamLatestOracle
 
   /** A6's streaming shape: continuous ingestion into the date-partitioned
     * lake via a parquet sink, then read back through the lake (the full

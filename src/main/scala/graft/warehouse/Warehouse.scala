@@ -72,12 +72,12 @@ object Warehouse {
       .withColumn("snapshot_version", lit(version))
 
   /** Referential check (sync_to_mysql.py:150-151: unknown FK raises):
-    * left-anti join audit; throws with a sample of orphan keys.
+    * fail-fast wrapper over the shared anti-join audit
+    * (graft.governance.Quality.orphans); throws with a sample of orphans.
     */
   def requireFkIntact(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): Unit = {
-    val orphans = fact.select(col(factKey))
-      .join(broadcast(dim.select(col(dimKey))), col(factKey) === col(dimKey), "left_anti")
-    val sample = orphans.limit(5).collect()
+    val sample = graft.governance.Quality.orphans(fact, dim, factKey, dimKey)
+      .limit(5).collect()
     if (sample.nonEmpty)
       throw new IllegalStateException(
         s"referential integrity violation: $factKey values missing in dim: " +

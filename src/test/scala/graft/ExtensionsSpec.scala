@@ -40,10 +40,16 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head.getLong(0)
       assert(sig === sig2)
     } finally {
-      // restore the suite-shared session; never stop the shared context
-      prior.foreach { p =>
-        SparkSession.setDefaultSession(p)
-        SparkSession.setActiveSession(p)
+      // restore the suite-shared session; never stop the shared context.
+      // If no session existed before, clear ours so later suites build
+      // their own (instead of silently adopting the extension session).
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
       }
     }
   }

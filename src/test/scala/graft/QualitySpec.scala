@@ -23,7 +23,7 @@ class QualitySpec extends SparkSpec {
     // the right semantics for identifier columns
     assert(res("unique(k)")._1 === 2L)
     assert(res("in_range(amt, 0.0, 100.0)") === ((1L, false)))
-    assert(res("matches(prio)") === ((1L, false)))
+    assert(res("matches(prio, ^[1-5]-)") === ((1L, false)))
 
     val clean = Seq((Some(1L), 10.0, "1-URGENT"), (Some(2L), 20.0, "2-HIGH"))
       .toDF("k", "amt", "prio")
@@ -31,6 +31,13 @@ class QualitySpec extends SparkSpec {
       Quality.NotNull("k"), Quality.Unique("k"),
       Quality.InRange("amt", 0.0, 100.0), Quality.Matches("prio", "^[1-5]-")))
     assert(ok.collect().forall(_.getBoolean(3)))
+  }
+
+  test("empty input: zero violations, all checks pass (no NPE)") {
+    val empty = Seq.empty[(Option[Long], Double)].toDF("k", "amt")
+    val res = Quality.evaluate(empty, Seq(
+      Quality.NotNull("k"), Quality.Unique("k"), Quality.InRange("amt", 0.0, 1.0)))
+    assert(res.collect().forall(r => r.getLong(1) === 0L && r.getBoolean(3)))
   }
 
   test("fkCheck counts orphans") {
