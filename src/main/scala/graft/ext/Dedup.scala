@@ -12,11 +12,11 @@ import graft.queries.Q.QueryFn
   * Scale design:
   *  - Exact dedup is a hash-groupBy: one shuffle keyed on the 256-bit
   *    fingerprint; group cardinality ≈ distinct docs, never wider than input.
-  *  - MinHash+LSH is the scalable near-dup path: shingle → 32 minhashes →
-  *    8 bands of 4 → candidates are pairs sharing a band bucket. Work is
-  *    O(docs × shingles) + O(candidate pairs); there is no all-pairs stage.
-  *    Band buckets with heavy skew (boilerplate docs) would be salted /
-  *    capped in production; the verify stage bounds false positives.
+  *  - MinHash+LSH is the scalable near-dup path: exact-dup pre-collapse →
+  *    shingle → 32 minhashes → 8 bands of 4 → candidates are pairs sharing
+  *    a band bucket, with a per-bucket cap bounding skew (boilerplate
+  *    clusters). Work is O(docs × shingles) + O(candidate pairs); there is
+  *    no all-pairs stage. The verify stage bounds false positives.
   *  - SimHash gives a 64-bit sketch; the 4×16-bit chunk-band trick finds all
   *    pairs within Hamming distance 3 (pigeonhole) without an all-pairs scan.
   *  - The brute-force n-gram Jaccard operator is intentionally restricted to
@@ -102,20 +102,27 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  /** Default per-band bucket cap for LSH candidate generation — see
+    * [[minhashLshOver]]. 64 keeps per-bucket pair work ≤ 64²/2 = 2k pairs.
+    */
+  val MaxBucketDefault = 64
+
+  /** splitmix64 avalanche: derives the i-th of the 32 hash functions from ONE
+    * base hash of the shingle — each shingle string is hashed exactly once.
+    */
+  private[ext] def mix(h0: Long): Long = {
+    var h = h0 + 0x9e3779b97f4a7c15L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
   /** Custom typed aggregate computing all 32 minima in one buffer. A
     * 32-column `min(...)` aggregate works, but its generated code is huge
     * (Janino compile time dominated the whole pipeline); this Aggregator is
-    * one JIT-compiled Scala loop with a 32-slot array buffer. The 32 hash
-    * functions derive from ONE xxhash64 of the shingle via a splitmix64
-    * avalanche — each shingle string is hashed exactly once.
+    * one JIT-compiled Scala loop with a 32-slot array buffer.
     */
   object MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
-    private def mix(h0: Long): Long = {
-      var h = h0 + 0x9e3779b97f4a7c15L
-      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-      h ^ (h >>> 31)
-    }
     override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
     override def reduce(buf: Array[Long], h: Long): Array[Long] = {
       var x = h
@@ -140,7 +147,9 @@ object Dedup {
   }
 
   /** MinHash signatures: doc_id → sig array<long>[32] over the shingle set.
-    * One explode + one groupBy with the compact custom aggregate.
+    * One explode + one groupBy with the compact custom aggregate. This is
+    * the streaming-friendly form (partial aggregation works per batch); the
+    * batch LSH pipeline below uses the shuffle-free [[sigOfHashes]] instead.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     // Small single-file inputs arrive as ONE partition; fan out before the
@@ -154,37 +163,142 @@ object Dedup {
       .agg(minhash(col("h")).as("sig"))
   }
 
-  /** MinHash + LSH near-dup pairs: band-bucket candidates, then exact
-    * Jaccard verification of candidates only.
+  /** Scalar signature kernel: the full 32-slot min loop over a doc's shingle
+    * hashes in ONE projection — no explode, no aggregation shuffle. Same
+    * hash chain as [[MinHashAgg]] (splitmix64 over xxhash64), so the two
+    * paths produce identical signatures. A JVM Scala UDF (not a HOF) because
+    * the 32-way inner loop is hot; the input hashes come from the codegen'd
+    * `xxhash64` via a `transform`.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sigs = minhashSignatures(docs)
+  private val sigOfHashes = udf((hs: Seq[Long]) => {
+    val buf = Array.fill(NumHashes)(Long.MaxValue)
+    hs.foreach { h =>
+      var x = h
+      var i = 0
+      while (i < NumHashes) {
+        x = mix(x)
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+    }
+    buf
+  })
+
+  /** MinHash + LSH near-dup pairs over the documents table. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOver(Tables.documents(s, d))
+
+  /** MinHash + LSH near-dup pairs, scale-safe form:
+    *
+    *  1. '''Exact-duplicate pre-collapse''': docs are grouped by content
+    *     fingerprint and only one representative per distinct text enters
+    *     the LSH pipeline. A 100 TB crawl corpus is typically 20-50% exact
+    *     dups clustered on boilerplate; without this step every k-dup group
+    *     lands in the same bucket in all 8 bands and yields 8·k² candidate
+    *     pairs. After collapse, member pairs are re-expanded algebraically
+    *     (identical texts have Jaccard exactly 1.0).
+    *  2. '''One shingle pass''': shingles and the signature are computed in
+    *     the same projection over the representatives and persisted; the
+    *     verify stage reuses the persisted arrays instead of re-shingling.
+    *  3. '''Band-bucket cap''': within each (band, hash) bucket, members are
+    *     ranked and only the first `maxBucket` generate pairs, bounding
+    *     per-bucket work at maxBucket²/2 regardless of skew. Near-dup
+    *     clusters larger than the cap still connect through their retained
+    *     members (and the pre-collapse already removed the exact-dup mass);
+    *     overflow rows are counted in the `bsz` column exposed to tests via
+    *     [[lshCandidates]].
+    *  4. Pair generation is a per-bucket `collect_list` (bounded by the cap)
+    *     + combination expansion — same shuffle key as the ranking window,
+    *     no self-join re-shuffle, never an all-pairs stage.
+    */
+  def minhashLshOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
+    // no pre-repartition: only the cheap sha2 projection runs before the
+    // fp-shuffle; all expensive work (shingling, signatures) lands on the
+    // 32-way post-shuffle side, and at scale scan splits parallelize the map
+    val docs = docs0
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("fp"))
+    // one row per distinct text; min doc_id is the representative
+    val groups = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        first(col("text")).as("text"), // texts in a fp-group are identical
+        count(lit(1)).as("k"))
+    // shingles + signature in one pass, computed once and reused: at 100 TB
+    // this intermediate would be checkpointed to the lake; in one job,
+    // persist() is the equivalent
+    val repSh = groups
+      .select(col("rep_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs never signed (< 3 words)
+      .withColumn("sig", sigOfHashes(transform(col("sh"), sv => xxhash64(sv))))
+      .persist()
+    val verified = lshCandidates(repSh, maxBucket)
+      .join(repSh.select(col("rep_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(repSh.select(col("rep_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.35)
+      .select(col("rep_a"), col("rep_b"), col("jaccard"))
+    // re-expand exact-dup groups: within-group pairs are Jaccard 1.0 by
+    // identity (groups whose text has no shingles stay excluded, matching
+    // the signature path); cross-group member pairs inherit the rep pair's
+    // Jaccard because members are byte-identical to their representative
+    val members = docs.select(col("doc_id"), col("fp"))
+      .join(groups.select(col("fp"), col("rep_id"), col("k")), "fp")
+    val dupMembers = members.filter(col("k") > 1)
+      .join(repSh.select(col("rep_id")), "rep_id")
+      .select(col("rep_id"), col("doc_id"))
+    val within = dupMembers.as("p")
+      .join(dupMembers.as("q"),
+        col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val m = members.select(col("doc_id"), col("rep_id"))
+    val cross = verified
+      .join(m.select(col("doc_id").as("a_id"), col("rep_id").as("rep_a")), "rep_a")
+      .join(m.select(col("doc_id").as("b_id"), col("rep_id").as("rep_b")), "rep_b")
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** Test hook: the scalar-UDF signature path over (doc_id, text), for
+    * equivalence checks against [[minhashSignatures]].
+    */
+  private[graft] def minhashLshSignaturesForTest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sigOfHashes(transform(col("sh"), sv => xxhash64(sv))))
+      .select(col("doc_id"), col("sig"))
+
+  /** LSH candidate pairs from a (rep_id, sig) table, with the per-bucket cap
+    * applied. Exposed for the skew test (candidate counts must stay bounded
+    * on a planted boilerplate cluster).
+    */
+  private[graft] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
           .as("band_hash"))
     }
     val bucketed = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val candidates = bucketed.as("x")
-      .join(bucketed.as("y"),
-        col("x.band_idx") === col("y.band_idx")
-          && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("rep_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("rep_id"), col("band.band_idx"), col("band.band_hash"))
+    // bucket size + rank in one window shuffle; the groupBy below reuses the
+    // same partitioning (band_idx, band_hash) so no further exchange
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val capped = bucketed
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("rep_id"))))
+      .filter(col("bsz") >= 2 && col("rn") <= maxBucket)
+    capped
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("rep_id")).as("ids")) // bounded by maxBucket
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
+          "b -> named_struct('rep_a', a, 'rep_b', b))))")).as("pr"))
+      .select(col("pr.rep_a"), col("pr.rep_b"))
       .distinct()
-    val sh = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= 0.35)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Custom typed aggregate for the 64 per-bit ±1 sums: like [[MinHashAgg]],
@@ -251,18 +365,28 @@ object Dedup {
   /** Benchmark decontamination: flag training documents sharing ≥ 5 word
     * 3-gram shingles with any "benchmark" document (here: doc_id < 10 as
     * the held-out set). The real pipeline op behind test-set contamination
-    * sweeps; at scale the benchmark side is tiny and broadcast, so the
-    * training scan never shuffles.
+    * sweeps.
+    *
+    * Scale shape: an '''inverted-index equi-join''' — both sides explode to
+    * (doc, shingle) postings and join on the shingle, then a group-count per
+    * (train, bench) pair recovers the intersection size (shingle sets are
+    * distinct, so matching postings = intersection). Work is
+    * O(postings matching the benchmark vocabulary), one shuffle keyed on the
+    * shingle — never O(train × bench) pairs, so a real 100k-doc held-out set
+    * costs the same scan as a 10-doc one. AQE broadcasts the benchmark side
+    * when it fits; nothing requires it to.
     */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val train = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bench = docs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("bench_id"), col("sh").as("bench_sh"))
-    docs.filter(col("doc_id") >= 10)
-      .join(broadcast(bench), lit(true))
-      .withColumn("overlap", size(array_intersect(col("sh"), col("bench_sh"))))
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+    train.join(bench, "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).cast("int").as("overlap"))
       .filter(col("overlap") >= 5)
       .select(col("doc_id"), col("bench_id"), col("overlap"))
   }

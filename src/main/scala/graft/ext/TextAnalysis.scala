@@ -193,11 +193,16 @@ object TextAnalysis {
     val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tokens.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs.count()
+    // corpus size as a 1-row aggregate cross-joined into the plan: no
+    // separate driver-side count() action, and N stays a plan-time input
+    val n1 = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term"))
-    tf.join(broadcast(df_), "term")
-      .withColumn("weight", (col("tf") * lit(n)).cast("double") / col("df"))
+    // no broadcast hint on the term→df table: the vocabulary of a 100 TB
+    // corpus is GBs and must shuffle-join; AQE still broadcasts when small
+    tf.join(df_, "term")
+      .crossJoin(n1)
+      .withColumn("weight", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("weight"), col("rk"))

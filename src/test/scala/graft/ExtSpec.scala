@@ -26,6 +26,50 @@ class ExtSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("minhashLshOver: planted near-dups found; exact dups expand to jaccard 1.0") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact-dup group
+      (3L, base + " lambda"), // near-dup of the group (high shingle overlap)
+      (4L, "one two three four five six seven eight nine ten"), // unrelated
+      (5L, "a b"), (6L, "a b")) // identical but shingle-less: must not pair
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0) // within-group expansion
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // cross-group expansion
+    assert(pairs((1L, 3L)) === pairs((2L, 3L)) && pairs((1L, 3L)) >= 0.35)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    assert(!pairs.contains((5L, 6L)))
+  }
+
+  test("LSH bucket cap bounds candidates on a planted 1k boilerplate cluster") {
+    // 1000 near-identical (NOT exact-dup) docs: high pairwise similarity, so
+    // uncapped banding yields ~all C(1000,2) pairs; the cap must bound it
+    val cluster = (0 until 1000).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog near a river bank today variant$i"))
+    val docs = cluster.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).withColumnRenamed("doc_id", "rep_id")
+    val cap = 64
+    val capped = Dedup.lshCandidates(sigs, cap).count()
+    // ≤ bands × cap²/2 by construction; uncapped would be ~499.5k pairs
+    val bound = 8L * cap * (cap - 1) / 2
+    assert(capped > 0 && capped <= bound,
+      s"capped candidate count $capped outside (0, $bound]")
+    val uncapped = Dedup.lshCandidates(sigs, Int.MaxValue).count()
+    assert(uncapped > 10L * capped,
+      s"cluster not skewed enough to prove the cap ($uncapped vs $capped)")
+  }
+
+  test("sigOfHashes path produces the same signatures as the MinHashAgg path") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "p q r s t u v")).toDF("doc_id", "text")
+    val viaAgg = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaUdf = Dedup.minhashLshSignaturesForTest(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg === viaUdf)
+  }
+
   test("simhash: identical docs have hamming 0; disjoint docs differ") {
     val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
       .toDF("doc_id", "text")
