@@ -55,4 +55,29 @@ object Orchestrator {
     }
     Seq(exportStreams, exportTables, syncWarehouse)
   }
+
+  case class TickResult(tick: Int, results: Seq[TaskResult])
+
+  /** Continuous scheduled operation (beam_orchestrator.py:117-131: the
+    * reference's `schedule.every(N).minutes` loop, here a bounded timed
+    * loop). Each tick runs the full export+sync cycle; versioned sinks
+    * advance one version per tick, which is the property the
+    * `c6_orchestrator_schedule` gate pins (v1→v2→v3). `ticks <= 0` runs
+    * forever — the production mode; bounded runs are for tests/gates.
+    * Wall-clock pacing uses fixed-delay semantics like the reference
+    * (interval measured from tick end).
+    */
+  def runScheduled(
+      spark: SparkSession, sfDir: String, lakeRoot: String,
+      ticks: Int, intervalMs: Long,
+      asOf: LocalDate = LocalDate.of(2024, 6, 1)): Seq[TickResult] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TickResult]
+    var i = 0
+    while (ticks <= 0 || i < ticks) {
+      if (i > 0) Thread.sleep(intervalMs)
+      i += 1
+      out += TickResult(i, runOnce(spark, sfDir, lakeRoot, asOf))
+    }
+    out.toSeq
+  }
 }

@@ -56,10 +56,29 @@ object Permissions {
       .filter(col("_rn") === 1).drop("_src", "_rn")
   }
 
+  /** Normalized folder column: trailing slashes stripped, so a grant on
+    * "/data/" (or the root "/") builds the prefix "/data/" (resp. "/")
+    * instead of the never-matching "//…". Empty string = root grant.
+    */
+  private def folderNorm(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "/+$", "")
+
+  private def normPath(p: String) = p.replaceAll("/+$", "")
+
+  /** Prefix-match predicate shared by [[check]] and [[checkBatch]]: the
+    * requested path equals the granted folder or sits underneath it.
+    */
+  private def pathUnder(path: org.apache.spark.sql.Column,
+      folder: org.apache.spark.sql.Column) = {
+    val nf = folderNorm(folder)
+    path === nf || path.startsWith(concat(nf, lit("/")))
+  }
+
   /** Path-prefix access check: active, unexpired (as of `asOf`), and the
     * requested path is under the granted folder. `admin` implies read+write
     * (standard semantics; the reference's ENUM carries no hierarchy, so
-    * exact-type match is also honored).
+    * exact-type match is also honored). Trailing slashes on either side are
+    * ignored; a grant on "/" covers every absolute path.
     */
   def check(perms: DataFrame, userEmail: String, path: String,
       permissionType: String, asOf: Date): Boolean = {
@@ -68,8 +87,7 @@ object Permissions {
     !perms
       .filter(col("user_email") === userEmail && col("is_active") && typeOk)
       .filter(col("expires_at").isNull || col("expires_at") >= lit(asOf))
-      .filter(lit(path) === col("folder_path")
-        || lit(path).startsWith(concat(col("folder_path"), lit("/"))))
+      .filter(pathUnder(lit(normPath(path)), col("folder_path")))
       .isEmpty
   }
 
@@ -85,8 +103,7 @@ object Permissions {
     requests.join(broadcast(p),
         col("user_email") === col("p_email")
           && (col("p_type") === col("ptype") || col("p_type") === "admin")
-          && (col("path") === col("folder_path")
-            || col("path").startsWith(concat(col("folder_path"), lit("/")))),
+          && pathUnder(folderNorm(col("path")), col("folder_path")),
         "left_outer")
       .groupBy(col("user_email"), col("path"), col("ptype"))
       .agg((count(col("p_email")) > 0).as("allowed"))

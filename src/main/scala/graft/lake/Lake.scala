@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * Hive-style directories, so Spark's partition discovery + partition-filter
   * pushdown prune reads for free (a date-range read of a 100 TB stream feed
   * touches only the selected day directories; `.explain` shows
-  * PartitionFilters on year/month/day).
+  * PartitionFilters on year/month/day). One divergence: the reference
+  * zero-pads month/day directory names (`month=01`); Spark writes them
+  * unpadded (`month=1`). Partition-value semantics are identical (both
+  * parse as int partitions); maintenance ops that address directories by
+  * path ([[compactPartition]]) probe both spellings.
   *
   * Unlike the reference (pandas → single file per batch,
   * export_to_data_lake.py:214-233) writes are executor-parallel; file count
@@ -125,17 +129,51 @@ object Lake {
     * kafka_consumer_datalake.py flushes every 100 messages) into
     * ~`targetBytes` files. Small-files compaction is the lake-maintenance
     * op that keeps scan task counts sane at 100 TB; the rewrite is
-    * per-partition and atomic-enough via write-to-temp + swap. Returns
+    * per-partition via write-to-temp + rename swap. Returns
     * (filesBefore, filesAfter).
+    *
+    * Crash model: the swap is two renames (live→`.old_`, `.compact_`→live),
+    * so data is never deleted before its replacement exists — but between
+    * the two renames the live directory is briefly absent (both copies sit
+    * in dot-prefixed dirs partition discovery ignores), and a concurrent
+    * reader during the swap can hit FileNotFound. Compaction therefore
+    * requires reader exclusion for the target partition (run it in the
+    * maintenance window, as the orchestrator does). A crash inside the
+    * window is self-healing: the next call for the same partition finds the
+    * aside dirs and recovers — `.old_` is restored if the live dir is
+    * missing, and stale `.compact_`/`.old_` leftovers are cleared.
+    *
+    * Spark writes unpadded partition directory names (`month=1`); the
+    * reference zero-pads (`month=01`, data_lake_config.py:141-148). Both
+    * spellings are probed so compaction also works on a lake produced by
+    * the reference's exporter.
     */
   def compactPartition(
       spark: SparkSession, root: String, name: String,
       date: java.time.LocalDate, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val partDir = s"${streamPath(root, name)}/year=${date.getYear}" +
+    val unpadded = s"${streamPath(root, name)}/year=${date.getYear}" +
       s"/month=${date.getMonthValue}/day=${date.getDayOfMonth}"
-    val f = fs(spark, partDir)
+    val padded = f"${streamPath(root, name)}/year=${date.getYear}" +
+      f"/month=${date.getMonthValue}%02d/day=${date.getDayOfMonth}%02d"
+    val f = fs(spark, unpadded)
+    // crash recovery BEFORE choosing the live dir, so an interrupted swap
+    // does not masquerade as a missing partition
+    Seq(unpadded, padded).distinct.foreach { dir =>
+      val live = new Path(dir)
+      val aside = new Path(live.getParent, s".old_${live.getName}")
+      val tmp = new Path(live.getParent, s".compact_${live.getName}")
+      if (f.exists(aside) && !f.exists(live)) {
+        // crashed between the two renames: restore the original
+        if (!f.rename(aside, live))
+          throw new java.io.IOException(s"compaction recovery: could not restore $aside")
+      }
+      f.delete(tmp, true)   // incomplete rewrite: discard
+      if (f.exists(live)) f.delete(aside, true) // promoted but not cleaned
+    }
+    val partDir = if (f.exists(new Path(unpadded))) unpadded
+      else if (f.exists(new Path(padded))) padded
+      else return (0, 0)
     val p = new Path(partDir)
-    if (!f.exists(p)) return (0, 0)
     def parquetFiles = f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles
     val totalBytes = before.map(_.getLen).sum
@@ -143,9 +181,6 @@ object Lake {
     val tmp = new Path(p.getParent, s".compact_${p.getName}")
     spark.read.parquet(partDir).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap via rename-aside: the live data is never deleted before its
-    // replacement is in place, so a crash leaves either the old or the new
-    // directory discoverable — never neither
     val aside = new Path(p.getParent, s".old_${p.getName}")
     f.delete(aside, true)
     if (!f.rename(p, aside))
@@ -158,6 +193,64 @@ object Lake {
     // drop the _SUCCESS marker so the dir looks like its siblings
     f.delete(new Path(p, "_SUCCESS"), false)
     (before.size, parquetFiles.size)
+  }
+
+  /** A12 running per-feed descriptor (export_to_data_lake.py:267-328): the
+    * reference accumulates `total_records` / `total_size_mb` / `created_at`
+    * / `last_export` in a `_metadata.json` next to each feed. Timestamps are
+    * epoch micros (exact across engines).
+    */
+  case class FeedDescriptor(
+      feed: String, total_records: Long, total_size_bytes: Long,
+      export_count: Int, created_at_us: Long, last_export_at_us: Long)
+
+  private def descriptorTable(name: String) = s"${name}__descriptor"
+
+  def readFeedDescriptor(
+      spark: SparkSession, root: String, name: String): Option[FeedDescriptor] = {
+    import spark.implicits._
+    latestVersion(spark, root, descriptorTable(name))
+      .map(_ => readTableFeed(spark, root, descriptorTable(name))
+        .as[FeedDescriptor].head())
+  }
+
+  /** Append a batch AND maintain the feed's running descriptor.
+    *
+    * The record count comes from an `Observation` on the write itself — no
+    * second scan of the source (the reference pays `len(df)` on a frame
+    * already in memory; at 100 TB a separate count would double the read).
+    * Byte totals come from a driver-side FS walk (append-only feeds, so the
+    * current total equals the accumulated deltas — same numbers as the
+    * reference's per-export `sum(st_size)` accumulation). The descriptor
+    * itself is persisted through the versioned-table mechanism: crash-safe
+    * by directory convention and with version history for free.
+    */
+  def appendStreamTracked(
+      df: DataFrame, root: String, name: String,
+      eventTimeCol: Option[String] = None,
+      asOfDate: LocalDate = LocalDate.now(),
+      atUs: Long = System.currentTimeMillis() * 1000L): FeedDescriptor = {
+    val spark = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    appendStream(df.observe(obs, count(lit(1)).as("rows")),
+      root, name, eventTimeCol, asOfDate)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val bytes = {
+      import spark.implicits._
+      feedMetadata(spark, root, name).agg(sum(col("bytes"))).as[Option[Long]]
+        .head().getOrElse(0L)
+    }
+    val next = readFeedDescriptor(spark, root, name) match {
+      case Some(cur) => cur.copy(
+        total_records = cur.total_records + rows,
+        total_size_bytes = bytes,
+        export_count = cur.export_count + 1,
+        last_export_at_us = atUs)
+      case None => FeedDescriptor(name, rows, bytes, 1, atUs, atUs)
+    }
+    import spark.implicits._
+    writeTableSnapshot(Seq(next).toDF(), root, descriptorTable(name))
+    next
   }
 
   /** Per-feed metadata (A12, export_to_data_lake.py:267-328): one row per

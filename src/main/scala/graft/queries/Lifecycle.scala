@@ -251,13 +251,18 @@ object Lifecycle {
       expiresAt = Some(Date.valueOf("2024-03-01"))) // expired by asOf
     p = Permissions.grant(p, "zed@x.io", "/lake/tables", "read", "root", t0)
     p = Permissions.revoke(p, "zed@x.io", "/lake/tables", "read")
+    p = Permissions.grant(p, "sys@x.io", "/", "admin", "root", t0) // root grant
+    p = Permissions.grant(p, "tia@x.io", "/lake/docs/", "read", "root", t0) // trailing slash
     import s.implicits._
     val requests = Seq(
       ("ana@x.io", "/lake/streams/events", "read"),
       ("ana@x.io", "/lake/tables/dim", "read"),
       ("bob@x.io", "/lake/streams/events", "write"),
       ("eve@x.io", "/lake/tables/dim", "write"),
-      ("zed@x.io", "/lake/tables/dim", "read"))
+      ("zed@x.io", "/lake/tables/dim", "read"),
+      ("sys@x.io", "/lake/tables/dim", "write"), // via the root grant
+      ("tia@x.io", "/lake/docs/readme", "read"), // under trailing-slash grant
+      ("tia@x.io", "/lake/docs2", "read")) // sibling, NOT under /lake/docs/
       .toDF("user_email", "path", "ptype")
     Permissions.checkBatch(p, requests, asOf)
   }
@@ -268,7 +273,10 @@ object Lifecycle {
       |  ('ana@x.io', '/lake/tables/dim', 'read', FALSE),
       |  ('bob@x.io', '/lake/streams/events', 'write', TRUE),
       |  ('eve@x.io', '/lake/tables/dim', 'write', FALSE),
-      |  ('zed@x.io', '/lake/tables/dim', 'read', FALSE)
+      |  ('zed@x.io', '/lake/tables/dim', 'read', FALSE),
+      |  ('sys@x.io', '/lake/tables/dim', 'write', TRUE),
+      |  ('tia@x.io', '/lake/docs/readme', 'read', TRUE),
+      |  ('tia@x.io', '/lake/docs2', 'read', FALSE)
       |) t(user_email, path, ptype, allowed)""".stripMargin
 
   /** C8 data quality: the declarative expectation suite over orders —
@@ -377,7 +385,42 @@ object Lifecycle {
       |CROSS JOIN (VALUES ('parquet'), ('orc'), ('json'), ('csv')) f(format)
       |GROUP BY 1""".stripMargin
 
+  /** A12 descriptor accumulation: three tracked appends of the same events
+    * batch; the running descriptor must show 3× the record count, the FIRST
+    * export's created_at and the LAST export's last_export stamp — exactly
+    * the reference's `_metadata.json` bookkeeping
+    * (export_to_data_lake.py:281-301). The oracle recomputes the totals
+    * from the raw table; byte totals are FS facts DuckDB cannot see, so
+    * only their positivity is asserted.
+    */
+  def feedDescriptor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("graft_desc_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val stamps = Seq("2024-06-01 00:00:00", "2024-06-02 00:00:00", "2024-06-03 00:00:00")
+      .map(t => java.sql.Timestamp.valueOf(t).getTime * 1000L)
+    val last = stamps.map(at =>
+      Lake.appendStreamTracked(ev, root, "events",
+        eventTimeCol = Some("ts"), atUs = at)).last
+    val persisted = Lake.readFeedDescriptor(s, root, "events").get
+    require(persisted == last, "persisted descriptor diverged from returned one")
+    Seq(persisted).toDF()
+      .select(col("feed"), col("total_records"), col("export_count"),
+        col("created_at_us"), col("last_export_at_us"),
+        (col("total_size_bytes") > 0).as("has_bytes"))
+  }
+
+  val feedDescriptorOracle: String =
+    """SELECT 'events' AS feed, 3 * COUNT(*) AS total_records, 3 AS export_count,
+      |       epoch_us(TIMESTAMP '2024-06-01 00:00:00') AS created_at_us,
+      |       epoch_us(TIMESTAMP '2024-06-03 00:00:00') AS last_export_at_us,
+      |       TRUE AS has_bytes
+      |FROM events""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a12_feed_descriptor" -> (feedDescriptor _),
     "a6_lake_roundtrip" -> (lakeRoundtrip _),
     "a9_formats_roundtrip" -> (formatsRoundtrip _),
     "a7_table_versions" -> (tableVersions _),
@@ -392,6 +435,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a12_feed_descriptor" -> feedDescriptorOracle,
     "a6_lake_roundtrip" -> lakeRoundtripOracle,
     "a9_formats_roundtrip" -> formatsRoundtripOracle,
     "a7_table_versions" -> tableVersionsOracle,

@@ -88,6 +88,23 @@ object Scale {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"))
 
+  /** The exact half of the sketch gate, split out so it is hash-verified
+    * against the oracle (the estimates above stay rows-only by nature —
+    * HLL/quantile estimates are engine-specific; their accuracy contract
+    * vs these exact values is asserted in ScaleSpec).
+    */
+  def sketchExact(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_buyers"),
+        count(lit(1)).as("orders"))
+
+  val sketchExactOracle: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_buyers,
+      |       COUNT(*) AS orders
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** A5 generator: deterministic synthetic transaction payloads — every
     * field pure arithmetic on the row id, reproduced exactly by the oracle's
     * `range()`.
@@ -140,18 +157,47 @@ object Scale {
       |  ('export_streams', 'ok', 2), ('export_tables', 'ok', 2), ('sync_warehouse', 'ok', 2)
       |) t(task, status, run)""".stripMargin
 
+  /** C6 continuous operation: a ≥3-tick timed loop (the reference's
+    * `schedule.every(N).minutes`, beam_orchestrator.py:117-131) where each
+    * tick must advance the versioned sinks deterministically — v1→v2→v3 for
+    * both the exported table and the warehouse dim. The version is parsed
+    * out of each task's own detail string, so the gate checks what the
+    * tasks actually did, not separate state.
+    */
+  def orchestratorSchedule(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_orch_sched_").toString
+    val ticks = Orchestrator.runScheduled(s, d, root, ticks = 3, intervalMs = 100)
+    ticks.flatMap(t => t.results.map(r =>
+      (t.tick, r.task, r.status,
+        "version=v(\\d+)".r.findFirstMatchIn(r.detail)
+          .map(_.group(1).toInt).getOrElse(0))))
+      .toDF("tick", "task", "status", "version")
+  }
+
+  val orchestratorScheduleOracle: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'export_streams', 'ok', 0), (1, 'export_tables', 'ok', 1), (1, 'sync_warehouse', 'ok', 1),
+      |  (2, 'export_streams', 'ok', 0), (2, 'export_tables', 'ok', 2), (2, 'sync_warehouse', 'ok', 2),
+      |  (3, 'export_streams', 'ok', 0), (3, 'export_tables', 'ok', 3), (3, 'sync_warehouse', 'ok', 3)
+      |) t(tick, task, status, version)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "p_salted_agg" -> (saltedAgg _),
     "p_bucketed_join" -> (bucketedJoin _),
     "x_approx_sketches" -> (approxSketches _),
+    "x_sketch_exact" -> (sketchExact _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
-    "c6_orchestrator_run" -> (orchestratorRun _))
+    "c6_orchestrator_run" -> (orchestratorRun _),
+    "c6_orchestrator_schedule" -> (orchestratorSchedule _))
 
   val oracles: Map[String, String] = Map(
     "p_salted_agg" -> saltedAggOracle,
     "p_bucketed_join" -> bucketedJoinOracle,
+    "x_sketch_exact" -> sketchExactOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
     "a5_gen_aggregate" -> genAggregateOracle,
-    "c6_orchestrator_run" -> orchestratorRunOracle)
+    "c6_orchestrator_run" -> orchestratorRunOracle,
+    "c6_orchestrator_schedule" -> orchestratorScheduleOracle)
 }

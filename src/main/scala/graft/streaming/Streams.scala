@@ -272,14 +272,29 @@ object Streams {
 
   /** foreachBatch → warehouse MERGE: the canonical streaming-upsert pattern
     * (kafka_consumer_warehouse.py's consume→flush→upsert loop, §3.4, done
-    * Spark-native). Each micro-batch is reduced to latest-per-user and
-    * merged into the versioned dim table; the final table equals the batch
-    * latest-per-key result regardless of batch boundaries.
+    * Spark-native). The events file is split into four time-INTERLEAVED
+    * chunks (`event_id % 4`) drained one file per trigger, so four
+    * sequential micro-batches arrive with rows OLDER than already-merged
+    * ones — the real out-of-order arrival case. Because `Warehouse.merge`
+    * is true latest-wins (orderCols before source), the final table still
+    * equals the batch latest-per-key result regardless of batch boundaries,
+    * which is exactly what the oracle asserts.
     */
   def streamUpsertWarehouse(s: SparkSession, d: String): DataFrame = {
     val root = Files.createTempDirectory("graft_supsert_").toString
-    val q = eventsStream(s, d)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = Files.createTempDirectory("graft_supsert_src_")
+    val ev = s.read.parquet(graft.Tables.path(d, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    (0 until 4).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(4)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c")
+    }
+    val q = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
@@ -309,7 +324,32 @@ object Streams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** A4 wire contract: producer JSON serialization → Kafka record schema →
+    * [[KafkaIngest.parse]] → the original typed rows. The broker hop is the
+    * only thing a real cluster adds (same wire schema, same parse); the
+    * oracle regenerates the payloads arithmetically, so this gate
+    * hash-verifies the full serialize/deserialize path.
+    */
+  def kafkaWireRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tx = graft.ingest.Ingest.transactions(s, 10000)
+    val wire = KafkaIngest.toWire(tx, keyCol = "transaction_id",
+      topic = "transaction_stream", tsCol = "ts")
+    KafkaIngest.parse(wire)
+      .select(col("transaction_id"), col("user_id"), col("amount"),
+        col("currency"), unix_micros(col("ts")).as("ts_us"), col("status"))
+  }
+
+  val kafkaWireRoundtripOracle: String =
+    """SELECT 'tx_' || lpad(CAST(id AS VARCHAR), 8, '0') AS transaction_id,
+      |       id % 10000 + 1 AS user_id,
+      |       ((id * 37) % 49900 + 100) / 100.0 AS amount,
+      |       ['EUR', 'USD', 'GBP'][CAST(id % 3 + 1 AS INT)] AS currency,
+      |       epoch_us(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(id)) AS ts_us,
+      |       CASE WHEN id % 10 < 8 THEN 'approved' ELSE 'declined' END AS status
+      |FROM range(0, 10000) t(id)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a4_kafka_wire_roundtrip" -> (kafkaWireRoundtrip _),
     "s_stream_agg" -> (streamAgg _),
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
@@ -320,6 +360,7 @@ object Streams {
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
+    "a4_kafka_wire_roundtrip" -> kafkaWireRoundtripOracle,
     "s_stream_agg" -> streamAggOracle,
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,

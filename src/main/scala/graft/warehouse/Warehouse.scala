@@ -23,15 +23,19 @@ import graft.lake.Lake
   */
 object Warehouse {
 
-  /** Latest-wins upsert: rows of `updates` replace same-key rows of `base`.
-    * Ties within a batch are broken by `orderCols` descending (the reference
-    * is last-write-wins per arriving row, sync_to_mysql.py:137-142).
+  /** TRUE latest-wins upsert: the newest row per key by `orderCols` survives,
+    * whether it comes from `base` or `updates`; on an exact `orderCols` tie
+    * the update wins (`_src` tiebreak). The reference is last-write-wins per
+    * arriving row (sync_to_mysql.py:137-142), which diverges when a batch
+    * delivers rows older than the stored ones — ordering by recency first
+    * makes the merged table independent of batch boundaries and arrival
+    * order, which is the invariant the streaming upsert gate relies on.
     */
   def merge(base: DataFrame, updates: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
     val tagged = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((col("_src").desc +: orderCols.map(col(_).desc)): _*)
+      .orderBy((orderCols.map(col(_).desc) :+ col("_src").desc): _*)
     tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")

@@ -10,6 +10,18 @@ class GovernanceSpec extends SparkSpec {
   private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
   private val asOf = Date.valueOf("2024-06-01")
 
+  test("root grant and trailing-slash grants match sub-paths") {
+    var p = Permissions.empty(spark)
+    p = Permissions.grant(p, "admin@x", "/", "admin", "root", t0)
+    p = Permissions.grant(p, "u@x", "/lake/docs/", "read", "root", t0)
+    assert(Permissions.check(p, "admin@x", "/", "read", asOf))
+    assert(Permissions.check(p, "admin@x", "/anything/below", "write", asOf))
+    assert(Permissions.check(p, "u@x", "/lake/docs", "read", asOf))
+    assert(Permissions.check(p, "u@x", "/lake/docs/readme", "read", asOf))
+    assert(Permissions.check(p, "u@x", "/lake/docs/", "read", asOf))
+    assert(!Permissions.check(p, "u@x", "/lake/docs2", "read", asOf)) // sibling
+  }
+
   test("grant + check: prefix match, exact match, and miss") {
     var p = Permissions.empty(spark)
     p = Permissions.grant(p, "u@x", "/lake/streams", "read", "root", t0)

@@ -111,6 +111,50 @@ class LakeSpec extends SparkSpec {
       java.time.LocalDate.of(1999, 1, 1)) === ((0, 0)))
   }
 
+  test("compaction recovers a crashed swap and compacts reference-padded dirs") {
+    val root = scratch()
+    val df = Seq.tabulate(8)(i => (i.toLong, "2024-01-05 10:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    (0 until 2).foreach(i =>
+      Lake.appendStream(df.filter(col("id") % 2 === i), root, "ev", eventTimeCol = Some("ts")))
+    val day = java.time.LocalDate.of(2024, 1, 5)
+    val partDir = new java.io.File(s"$root/streams/ev/year=2024/month=1/day=5")
+    // simulate a crash between the two swap renames: live moved aside,
+    // replacement not yet promoted
+    val aside = new java.io.File(partDir.getParent, ".old_day=5")
+    assert(partDir.renameTo(aside))
+    val (before, after) = Lake.compactPartition(spark, root, "ev", day)
+    assert(before >= 2 && after === 1) // recovered THEN compacted
+    assert(Lake.readStreamFeed(spark, root, "ev").count() === 8)
+    assert(!aside.exists())
+
+    // a lake produced by the reference exporter (zero-padded month/day)
+    val padded = new java.io.File(s"$root/streams/ref/year=2024/month=01/day=05")
+    padded.mkdirs()
+    Seq.tabulate(6)(i => (i.toLong, "x")).toDF("id", "v")
+      .repartition(3).write.mode("append").parquet(padded.toString)
+    val (b2, a2) = Lake.compactPartition(spark, root, "ref", day)
+    assert(b2 >= 3 && a2 === 1)
+  }
+
+  test("feed descriptor accumulates across tracked appends") {
+    val root = scratch()
+    val df = Seq.tabulate(10)(i => (i.toLong, "2024-03-01 00:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    assert(Lake.readFeedDescriptor(spark, root, "ev").isEmpty)
+    val d1 = Lake.appendStreamTracked(df, root, "ev", Some("ts"), atUs = 1000L)
+    assert(d1.total_records === 10L && d1.export_count === 1)
+    assert(d1.created_at_us === 1000L && d1.last_export_at_us === 1000L)
+    assert(d1.total_size_bytes > 0)
+    val d2 = Lake.appendStreamTracked(df.limit(4), root, "ev", Some("ts"), atUs = 2000L)
+    assert(d2.total_records === 14L && d2.export_count === 2)
+    assert(d2.created_at_us === 1000L && d2.last_export_at_us === 2000L)
+    assert(d2.total_size_bytes > d1.total_size_bytes)
+    // persisted descriptor equals the returned one, and versions advanced
+    assert(Lake.readFeedDescriptor(spark, root, "ev").contains(d2))
+    assert(Lake.versions(spark, root, "ev__descriptor") === Seq(1, 2))
+  }
+
   test("schema evolution: mergeSchema surfaces late-added columns as nulls") {
     val root = scratch()
     val v1 = Seq((1L, 10.0)).toDF("id", "v")

@@ -30,6 +30,31 @@ class WarehouseSpec extends SparkSpec {
     assert(out.filter($"k" === 2).select("v").as[String].head() === "last")
   }
 
+  test("merge: an update OLDER than the stored row must not overwrite it") {
+    val upd = Seq((2L, "stale", 5)).toDF("k", "v", "ver") // ver 5 < stored 10
+    val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
+    assert(out.filter($"k" === 2).select("v").as[String].head() === "b")
+  }
+
+  test("merge: exact order-col tie goes to the update (_src tiebreak)") {
+    val upd = Seq((2L, "B", 10)).toDF("k", "v", "ver") // same ver as stored
+    val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
+    assert(out.filter($"k" === 2).select("v").as[String].head() === "B")
+  }
+
+  test("merge: out-of-order batch sequence converges to global latest-per-key") {
+    // deliver batches newest-first; final table must equal a single merge of all
+    val b1 = Seq((1L, "v3", 30), (2L, "v3", 30)).toDF("k", "v", "ver")
+    val b2 = Seq((1L, "v2", 20), (3L, "v2", 20)).toDF("k", "v", "ver")
+    val b3 = Seq((1L, "v1", 10), (2L, "v1", 10), (3L, "v1", 10)).toDF("k", "v", "ver")
+    val sequential = Seq(b1, b2, b3).foldLeft(base.limit(0)) {
+      (acc, b) => Warehouse.merge(acc, b, Seq("k"), Seq("ver"))
+    }
+    val allAtOnce = Warehouse.merge(base.limit(0), b1.union(b2).union(b3), Seq("k"), Seq("ver"))
+    assert(sequential.orderBy("k").collect() === allAtOnce.orderBy("k").collect())
+    assert(sequential.filter($"k" === 1).select("v").as[String].head() === "v3")
+  }
+
   test("merge handles empty update batch (reference skips empty frames)") {
     val out = Warehouse.merge(base, base.limit(0), Seq("k"), Seq("ver"))
     assert(out.count() === 3)
