@@ -157,7 +157,12 @@ object Dedup {
     val fanout = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val minhash = udaf(MinHashAgg)
     fanout
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      // outer generate + explicit null filter: a plain explode would infer a
+      // size(shingles(text)) > 0 filter and push it BELOW the fan-out
+      // repartition, re-running the shingle lambda serially (see
+      // decontaminate for the same trap)
+      .select(col("doc_id"), explode_outer(shingles(col("text"))).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .withColumn("h", xxhash64(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(minhash(col("h")).as("sig"))
@@ -211,17 +216,54 @@ object Dedup {
     *     + combination expansion — same shuffle key as the ranking window,
     *     no self-join re-shuffle, never an all-pairs stage.
     */
-  def minhashLshOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
+  /** Exact-duplicate collapse shared by the near-dup pipelines: one row per
+    * distinct text (`rep_id` = min doc_id, carrying the text and member
+    * count `k`) plus the doc→rep membership table. ONE shuffle keyed on the
+    * content fingerprint — the same cost exact dedup already pays.
+    */
+  private[ext] def collapseExact(docs0: DataFrame): (DataFrame, DataFrame) = {
     // no pre-repartition: only the cheap sha2 projection runs before the
-    // fp-shuffle; all expensive work (shingling, signatures) lands on the
-    // 32-way post-shuffle side, and at scale scan splits parallelize the map
+    // fp-shuffle; all expensive work (shingling, sketching) lands on the
+    // post-shuffle side, and at scale scan splits parallelize the map
     val docs = docs0
       .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("fp"))
-    // one row per distinct text; min doc_id is the representative
     val groups = docs.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"),
         first(col("text")).as("text"), // texts in a fp-group are identical
         count(lit(1)).as("k"))
+    val members = docs.select(col("doc_id"), col("fp"))
+      .join(groups.select(col("fp"), col("rep_id"), col("k")), "fp")
+    (groups, members)
+  }
+
+  /** Expand rep-level near-dup pairs back to member pairs after a collapsed
+    * pipeline: within-group pairs score `withinScore` (identical texts);
+    * cross-group member pairs inherit their reps' score. `dupReps`
+    * restricts which groups generate within-pairs (e.g. minhash excludes
+    * shingle-less texts, which its signature path never sees).
+    */
+  private def expandPairs(
+      members: DataFrame, repPairs: DataFrame, scoreName: String,
+      withinScore: Column, dupReps: DataFrame): DataFrame = {
+    val dupMembers = members.filter(col("k") > 1)
+      .join(dupReps.select(col("rep_id")), "rep_id")
+      .select(col("rep_id"), col("doc_id"))
+    val within = dupMembers.as("p")
+      .join(dupMembers.as("q"),
+        col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        withinScore.as(scoreName))
+    val m = members.select(col("doc_id"), col("rep_id"))
+    val cross = repPairs
+      .join(m.select(col("doc_id").as("a_id"), col("rep_id").as("rep_a")), "rep_a")
+      .join(m.select(col("doc_id").as("b_id"), col("rep_id").as("rep_b")), "rep_b")
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"), col(scoreName))
+    within.unionByName(cross)
+  }
+
+  def minhashLshOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val (groups, members) = collapseExact(docs0)
     // shingles + signature in one pass, computed once and reused: at 100 TB
     // this intermediate would be checkpointed to the lake; in one job,
     // persist() is the equivalent
@@ -238,27 +280,8 @@ object Dedup {
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= 0.35)
       .select(col("rep_a"), col("rep_b"), col("jaccard"))
-    // re-expand exact-dup groups: within-group pairs are Jaccard 1.0 by
-    // identity (groups whose text has no shingles stay excluded, matching
-    // the signature path); cross-group member pairs inherit the rep pair's
-    // Jaccard because members are byte-identical to their representative
-    val members = docs.select(col("doc_id"), col("fp"))
-      .join(groups.select(col("fp"), col("rep_id"), col("k")), "fp")
-    val dupMembers = members.filter(col("k") > 1)
-      .join(repSh.select(col("rep_id")), "rep_id")
-      .select(col("rep_id"), col("doc_id"))
-    val within = dupMembers.as("p")
-      .join(dupMembers.as("q"),
-        col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
-      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    val m = members.select(col("doc_id"), col("rep_id"))
-    val cross = verified
-      .join(m.select(col("doc_id").as("a_id"), col("rep_id").as("rep_a")), "rep_a")
-      .join(m.select(col("doc_id").as("b_id"), col("rep_id").as("rep_b")), "rep_b")
-      .select(least(col("a_id"), col("b_id")).as("doc_a"),
-        greatest(col("a_id"), col("b_id")).as("doc_b"), col("jaccard"))
-    within.unionByName(cross)
+    expandPairs(members, verified, "jaccard",
+      withinScore = lit(1.0), dupReps = repSh)
   }
 
   /** Test hook: the scalar-UDF signature path over (doc_id, text), for
@@ -269,6 +292,32 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", sigOfHashes(transform(col("sh"), sv => xxhash64(sv))))
       .select(col("doc_id"), col("sig"))
+
+  /** Bounded in-bucket pair generation, shared by the minhash and simhash
+    * banding stages: rank bucket members, keep the first `maxBucket`
+    * (bounding per-bucket work at maxBucket²/2 regardless of skew), then
+    * expand combinations from a per-bucket `collect_list` whose length the
+    * cap already bounds. Bucket size + rank come from ONE window shuffle,
+    * and the groupBy reuses the same partitioning — no self-join, no
+    * re-shuffle, never an all-pairs stage.
+    */
+  private def cappedBucketPairs(
+      bucketed: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val capped = bucketed
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("rep_id"))))
+      .filter(col("bsz") >= 2 && col("rn") <= maxBucket)
+    capped
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(col("rep_id")).as("ids")) // bounded by maxBucket
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
+          "b -> named_struct('rep_a', a, 'rep_b', b))))")).as("pr"))
+      .select(col("pr.rep_a"), col("pr.rep_b"))
+      .distinct()
+  }
 
   /** LSH candidate pairs from a (rep_id, sig) table, with the per-bucket cap
     * applied. Exposed for the skew test (candidate counts must stay bounded
@@ -283,22 +332,7 @@ object Dedup {
     val bucketed = sigs
       .select(col("rep_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("rep_id"), col("band.band_idx"), col("band.band_hash"))
-    // bucket size + rank in one window shuffle; the groupBy below reuses the
-    // same partitioning (band_idx, band_hash) so no further exchange
-    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
-    val capped = bucketed
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(w.orderBy(col("rep_id"))))
-      .filter(col("bsz") >= 2 && col("rn") <= maxBucket)
-    capped
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("rep_id")).as("ids")) // bounded by maxBucket
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
-          "b -> named_struct('rep_a', a, 'rep_b', b))))")).as("pr"))
-      .select(col("pr.rep_a"), col("pr.rep_b"))
-      .distinct()
+    cappedBucketPairs(bucketed, Seq("band_idx", "band_hash"), maxBucket)
   }
 
   /** Custom typed aggregate for the 64 per-bit ±1 sums: like [[MinHashAgg]],
@@ -340,26 +374,36 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within Hamming distance 3, found via 4×16-bit
-    * chunk banding (any pair ≤3 bits apart must agree on ≥1 chunk).
+    * chunk banding (any pair ≤3 bits apart must agree on ≥1 chunk). Same
+    * skew defenses as the minhash path: exact-dup pre-collapse (identical
+    * texts have identical sketches, so every k-dup group would otherwise
+    * put k rows in the same chunk bucket 4 times) and the per-bucket cap;
+    * within-group pairs re-expand at Hamming 0 by identity.
     */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sk = simhashSketches(Tables.documents(s, d))
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsOver(Tables.documents(s, d))
+
+  def simhashPairsOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
+    val (groups, members) = collapseExact(docs0)
+    val sk = simhashSketches(
+      groups.select(col("rep_id").as("doc_id"), col("text")))
+      .withColumnRenamed("doc_id", "rep_id")
+      .persist()
     val chunks = sk.select(
-      col("doc_id"), col("simhash"),
+      col("rep_id"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_idx"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*))
         .as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
-    chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx")
-          && col("x.chunk_val") === col("y.chunk_val")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      .select(col("rep_id"), col("ch.chunk_idx"), col("ch.chunk_val"))
+    val verified = cappedBucketPairs(chunks, Seq("chunk_idx", "chunk_val"), maxBucket)
+      .join(sk.select(col("rep_id").as("rep_a"), col("simhash").as("sim_a")), "rep_a")
+      .join(sk.select(col("rep_id").as("rep_b"), col("simhash").as("sim_b")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= 3)
+    expandPairs(members, verified, "hamming",
+      withinScore = lit(0).cast("int"), dupReps = sk)
   }
 
   /** Benchmark decontamination: flag training documents sharing ≥ 5 word
@@ -380,10 +424,16 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+    // explode_OUTER on purpose: a plain explode makes the optimizer infer a
+    // `size(shingles(text)) > 0` pre-filter and push it below the
+    // repartition, where the interpreted shingle lambda then runs twice per
+    // row on the UNDISTRIBUTED input (serial, 4× the whole query's cost).
+    // With outer generate nothing is inferred; the inner join drops the
+    // null-shingle rows post-shuffle, distributed and codegen'd.
     val train = docs.filter(col("doc_id") >= 10)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
     val bench = docs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("shingle"))
     train.join(bench, "shingle")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).cast("int").as("overlap"))

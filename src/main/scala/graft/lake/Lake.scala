@@ -261,17 +261,17 @@ object Lake {
     import spark.implicits._
     val base = streamPath(root, name)
     val f = fs(spark, base)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
       else if (st.getPath.getName.endsWith(".parquet")) {
         val rel = st.getPath.getParent.toString.stripPrefix(f.makeQualified(new Path(base)).toString)
-        val i = rows.indexWhere(_._1 == rel)
-        if (i >= 0) rows(i) = (rel, rows(i)._2 + 1, rows(i)._3 + st.getLen)
-        else rows += ((rel, 1L, st.getLen))
+        val (n, b) = rows.getOrElse(rel, (0L, 0L))
+        rows(rel) = (n + 1, b + st.getLen)
       }
     }
     if (f.exists(new Path(base))) walk(new Path(base))
-    rows.toSeq.sortBy(_._1).toDF("partition", "files", "bytes")
+    rows.toSeq.map { case (rel, (n, b)) => (rel, n, b) }
+      .sortBy(_._1).toDF("partition", "files", "bytes")
   }
 }

@@ -79,6 +79,22 @@ class ExtSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) > 0)
   }
 
+  test("simhashPairsOver: exact dups expand at hamming 0; near-dups survive verify") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact-dup group
+      (3L, base + " extra"), // near-dup: one extra token
+      (4L, "completely different words with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0) // within-group expansion
+    assert(pairs.get((1L, 3L)) === pairs.get((2L, 3L))) // cross expansion agrees
+    pairs.get((1L, 3L)).foreach(h => assert(h <= 3))
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 2.0f), 0),
