@@ -348,8 +348,42 @@ object Streams {
       |       CASE WHEN id % 10 < 8 THEN 'approved' ELSE 'declined' END AS status
       |FROM range(0, 10000) t(id)""".stripMargin
 
+  /** The consumer pipeline over the wire format as an actual STREAM: wire
+    * records staged as two files, drained one per trigger through
+    * [[KafkaIngest.parse]] into a stateful aggregate — byte-identical to
+    * what `KafkaIngest.source` feeds on a real cluster, minus only the
+    * broker hop (kafka_consumer_datalake.py:49-76's poll→decode→accumulate
+    * loop). Two micro-batches prove the decode works under incremental
+    * state, and the oracle regenerates the expected totals arithmetically.
+    */
+  def streamKafkaWire(s: SparkSession, d: String): DataFrame = {
+    val staged = Files.createTempDirectory("graft_wire_")
+    val wire = KafkaIngest.toWire(graft.ingest.Ingest.transactions(s, 5000),
+      keyCol = "transaction_id", topic = "transaction_stream", tsCol = "ts")
+    (0 until 2).foreach(c =>
+      wire.filter(pmod(col("offset"), lit(2)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c"))
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$staged/chunk=0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
+    drain(
+      KafkaIngest.parse(raw)
+        .groupBy(col("currency"))
+        .agg(count(lit(1)).as("cnt"), Q.moneySum(col("amount")).as("total")),
+      OutputMode.Complete())
+  }
+
+  val streamKafkaWireOracle: String =
+    """SELECT ['EUR', 'USD', 'GBP'][CAST(id % 3 + 1 AS INT)] AS currency,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(((id * 37) % 49900 + 100) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM range(0, 5000) t(id)
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "a4_kafka_wire_roundtrip" -> (kafkaWireRoundtrip _),
+    "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
@@ -361,6 +395,7 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "a4_kafka_wire_roundtrip" -> kafkaWireRoundtripOracle,
+    "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,
