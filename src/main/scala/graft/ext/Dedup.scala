@@ -193,29 +193,6 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshOver(Tables.documents(s, d))
 
-  /** MinHash + LSH near-dup pairs, scale-safe form:
-    *
-    *  1. '''Exact-duplicate pre-collapse''': docs are grouped by content
-    *     fingerprint and only one representative per distinct text enters
-    *     the LSH pipeline. A 100 TB crawl corpus is typically 20-50% exact
-    *     dups clustered on boilerplate; without this step every k-dup group
-    *     lands in the same bucket in all 8 bands and yields 8·k² candidate
-    *     pairs. After collapse, member pairs are re-expanded algebraically
-    *     (identical texts have Jaccard exactly 1.0).
-    *  2. '''One shingle pass''': shingles and the signature are computed in
-    *     the same projection over the representatives and persisted; the
-    *     verify stage reuses the persisted arrays instead of re-shingling.
-    *  3. '''Band-bucket cap''': within each (band, hash) bucket, members are
-    *     ranked and only the first `maxBucket` generate pairs, bounding
-    *     per-bucket work at maxBucket²/2 regardless of skew. Near-dup
-    *     clusters larger than the cap still connect through their retained
-    *     members (and the pre-collapse already removed the exact-dup mass);
-    *     overflow rows are counted in the `bsz` column exposed to tests via
-    *     [[lshCandidates]].
-    *  4. Pair generation is a per-bucket `collect_list` (bounded by the cap)
-    *     + combination expansion — same shuffle key as the ranking window,
-    *     no self-join re-shuffle, never an all-pairs stage.
-    */
   /** Exact-duplicate collapse shared by the near-dup pipelines: one row per
     * distinct text (`rep_id` = min doc_id, carrying the text and member
     * count `k`) plus the doc→rep membership table. ONE shuffle keyed on the
@@ -241,11 +218,24 @@ object Dedup {
     * cross-group member pairs inherit their reps' score. `dupReps`
     * restricts which groups generate within-pairs (e.g. minhash excludes
     * shingle-less texts, which its signature path never sees).
+    *
+    * The expansion is capped by the same policy as the band buckets: only
+    * the first `maxBucket` members (by doc_id) of a group participate, so
+    * a 1M-member boilerplate group emits ≤ cap²/2 within-pairs instead of
+    * 5·10¹¹ on one shuffle key — pair output stays linear-ish in input,
+    * and the FULL membership of a capped group remains recoverable from
+    * [[exactGroups]] (pairs among exact duplicates carry no information
+    * beyond the group listing).
     */
   private def expandPairs(
       members: DataFrame, repPairs: DataFrame, scoreName: String,
-      withinScore: Column, dupReps: DataFrame): DataFrame = {
-    val dupMembers = members.filter(col("k") > 1)
+      withinScore: Column, dupReps: DataFrame, maxBucket: Int): DataFrame = {
+    val mw = Window.partitionBy(col("rep_id"))
+    val capped = members
+      .withColumn("_mrn", row_number().over(mw.orderBy(col("doc_id"))))
+      .filter(col("_mrn") <= maxBucket)
+      .select(col("rep_id"), col("doc_id"), col("k"))
+    val dupMembers = capped.filter(col("k") > 1)
       .join(dupReps.select(col("rep_id")), "rep_id")
       .select(col("rep_id"), col("doc_id"))
     val within = dupMembers.as("p")
@@ -253,7 +243,7 @@ object Dedup {
         col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
         withinScore.as(scoreName))
-    val m = members.select(col("doc_id"), col("rep_id"))
+    val m = capped.select(col("doc_id"), col("rep_id"))
     val cross = repPairs
       .join(m.select(col("doc_id").as("a_id"), col("rep_id").as("rep_a")), "rep_a")
       .join(m.select(col("doc_id").as("b_id"), col("rep_id").as("rep_b")), "rep_b")
@@ -262,6 +252,34 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** MinHash + LSH near-dup pairs, scale-safe form:
+    *
+    *  1. '''Exact-duplicate pre-collapse''': docs are grouped by content
+    *     fingerprint and only one representative per distinct text enters
+    *     the LSH pipeline. A 100 TB crawl corpus is typically 20-50% exact
+    *     dups clustered on boilerplate; without this step every k-dup group
+    *     lands in the same bucket in all 8 bands and yields 8·k² candidate
+    *     pairs. After collapse, member pairs are re-expanded algebraically
+    *     (identical texts have Jaccard exactly 1.0).
+    *  2. '''One shingle pass''': shingles and the signature are computed in
+    *     the same projection over the representatives and persisted; the
+    *     verify stage reuses the persisted arrays instead of re-shingling.
+    *  3. '''Band-bucket cap''': within each (band, hash) bucket, members are
+    *     ranked and only the first `maxBucket` generate pairs, bounding
+    *     per-bucket work at maxBucket²/2 regardless of skew. Near-dup
+    *     clusters larger than the cap still connect through their retained
+    *     members (and the pre-collapse already removed the exact-dup mass);
+    *     bounded-candidate behavior on a planted boilerplate cluster is
+    *     pinned in ExtSpec via [[lshCandidates]].
+    *  4. Pair generation is a per-bucket `collect_list` (bounded by the cap)
+    *     + combination expansion — same shuffle key as the ranking window,
+    *     no self-join re-shuffle, never an all-pairs stage.
+    *
+    * The persisted rep table lives until the session ends (there is no
+    * sound point to unpersist a lazily-consumed result); it is one row per
+    * DISTINCT text, and the 100 TB deployment writes this intermediate to
+    * the lake (checkpoint) instead of executor memory.
+    */
   def minhashLshOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
     val (groups, members) = collapseExact(docs0)
     // shingles + signature in one pass, computed once and reused: at 100 TB
@@ -281,7 +299,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.35)
       .select(col("rep_a"), col("rep_b"), col("jaccard"))
     expandPairs(members, verified, "jaccard",
-      withinScore = lit(1.0), dupReps = repSh)
+      withinScore = lit(1.0), dupReps = repSh, maxBucket = maxBucket)
   }
 
   /** Test hook: the scalar-UDF signature path over (doc_id, text), for
@@ -403,7 +421,7 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= 3)
     expandPairs(members, verified, "hamming",
-      withinScore = lit(0).cast("int"), dupReps = sk)
+      withinScore = lit(0).cast("int"), dupReps = sk, maxBucket = maxBucket)
   }
 
   /** Benchmark decontamination: flag training documents sharing ≥ 5 word

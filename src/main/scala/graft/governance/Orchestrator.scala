@@ -76,7 +76,9 @@ object Orchestrator {
     while (ticks <= 0 || i < ticks) {
       if (i > 0) Thread.sleep(intervalMs)
       i += 1
-      out += TickResult(i, runOnce(spark, sfDir, lakeRoot, asOf))
+      val r = TickResult(i, runOnce(spark, sfDir, lakeRoot, asOf))
+      // in forever mode the return value is unreachable — don't accumulate
+      if (ticks > 0) out += r
     }
     out.toSeq
   }

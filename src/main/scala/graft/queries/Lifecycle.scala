@@ -399,8 +399,12 @@ object Lifecycle {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"),
         timestamp_micros(col("ts_us")).as("ts"))
-    val stamps = Seq("2024-06-01 00:00:00", "2024-06-02 00:00:00", "2024-06-03 00:00:00")
-      .map(t => java.sql.Timestamp.valueOf(t).getTime * 1000L)
+    // explicit UTC: Timestamp.valueOf would use the JVM default zone and
+    // silently shift these stamps away from the oracle's epoch_us on any
+    // non-UTC host
+    val stamps = Seq("2024-06-01T00:00:00", "2024-06-02T00:00:00", "2024-06-03T00:00:00")
+      .map(t => java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
     val last = stamps.map(at =>
       Lake.appendStreamTracked(ev, root, "events",
         eventTimeCol = Some("ts"), atUs = at)).last

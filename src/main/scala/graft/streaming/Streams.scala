@@ -53,6 +53,26 @@ object Streams {
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
 
+  /** Stage the events table as `nChunks` time-INTERLEAVED files
+    * (`event_id % nChunks`) so a `maxFilesPerTrigger=1` stream drains them
+    * as sequential micro-batches whose rows arrive out of event-time order —
+    * the staging recipe shared by the multi-batch state and streaming-upsert
+    * gates. Returns (glob path, chunk schema).
+    */
+  private def stageInterleavedEventChunks(
+      s: SparkSession, d: String, nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = Files.createTempDirectory("graft_chunks_")
+    val ev = s.read.parquet(graft.Tables.path(d, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    (0 until nChunks).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c")
+    }
+    (s"$staged/chunk=*", ev.schema)
+  }
+
   /** Run a streaming DF to completion into a memory sink, return the table. */
   private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
     val s = df.sparkSession
@@ -206,19 +226,11 @@ object Streams {
     */
   def streamMultiBatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Files.createTempDirectory("graft_mb_")
-    val ev = s.read.parquet(graft.Tables.path(d, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-    (0 until 4).foreach { c =>
-      ev.filter(pmod(col("event_id"), lit(4)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c")
-    }
+    val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
     val stream = s.readStream
-      .schema(ev.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/chunk=*")
+      .parquet(glob)
       .as[Ev]
     val latest = stream
       .groupByKey(_.user_id)
@@ -282,19 +294,11 @@ object Streams {
     */
   def streamUpsertWarehouse(s: SparkSession, d: String): DataFrame = {
     val root = Files.createTempDirectory("graft_supsert_").toString
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Files.createTempDirectory("graft_supsert_src_")
-    val ev = s.read.parquet(graft.Tables.path(d, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-    (0 until 4).foreach { c =>
-      ev.filter(pmod(col("event_id"), lit(4)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c")
-    }
+    val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
     val q = s.readStream
-      .schema(ev.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/chunk=*")
+      .parquet(glob)
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)

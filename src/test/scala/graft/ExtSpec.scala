@@ -61,6 +61,17 @@ class ExtSpec extends SparkSpec {
       s"cluster not skewed enough to prove the cap ($uncapped vs $capped)")
   }
 
+  test("exact-dup group pair expansion is capped like the band buckets") {
+    // a 500-member identical-text group: uncapped within-expansion would
+    // emit C(500,2) = 124,750 pairs on ONE shuffle key; the member cap
+    // bounds it to C(cap,2)
+    val docs = (0 until 500).map(i => (i.toLong, "the same boilerplate text block"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshOver(docs, maxBucket = 8).collect()
+    assert(pairs.length === 8 * 7 / 2)
+    assert(pairs.forall(_.getDouble(2) === 1.0))
+  }
+
   test("sigOfHashes path produces the same signatures as the MinHashAgg path") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "p q r s t u v")).toDF("doc_id", "text")
     val viaAgg = Dedup.minhashSignatures(docs).collect()
