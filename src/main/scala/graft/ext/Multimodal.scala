@@ -105,10 +105,24 @@ object Multimodal {
       |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 48 AS INT) AS height
       |FROM documents""".stripMargin
 
-  /** Decoded features via the typed mapPartitions path (stub decode). */
+  /** Decoded features via the typed mapPartitions path (stub decode). The
+    * projected columns are all deterministic arithmetic on the payload
+    * length, so the gate hash-verifies the WHOLE typed mapPartitions
+    * round-trip (encoder → per-partition decode → encoder) against SQL;
+    * only the FNV `checksum` column is unverifiable (DuckDB 1.0 cannot
+    * byte-fold a blob) and is excluded here, covered by ExtSpec instead.
+    */
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     decodeAll(mediaFromDocuments(s, d)).toDF()
       .select("media_id", "format", "n_bytes", "width", "height", "n_frames")
+
+  val mediaFeaturesOracle: String =
+    """SELECT doc_id AS media_id, 'fake/' || source AS format,
+      |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 64 AS INT) AS width,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 480 + 48 AS INT) AS height,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT) AS n_frames
+      |FROM documents""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(
     "x_media_meta" -> (mediaMeta _),
@@ -116,5 +130,6 @@ object Multimodal {
     "x_media_frames" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    "x_media_meta" -> mediaMetaOracle)
+    "x_media_meta" -> mediaMetaOracle,
+    "x_media_features" -> mediaFeaturesOracle)
 }

@@ -208,14 +208,55 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** LSH with PLANTED exact duplicates, hash-verified end-to-end: 100 base
+    * vectors from a deterministic LCG (reproducible in SQL with pure integer
+    * arithmetic) plus an exact copy of the first 50. Identical vectors get
+    * identical signatures, so candidate recall on the planted pairs is
+    * exactly 1 — which makes the LSH output equal brute-force cosine ≥
+    * threshold, and therefore oracle-checkable (the driver testdata has no
+    * near-dups, so `x_embed_lsh`'s honest empty result cannot exercise
+    * this path; ExtSpec covers perturbed near-dups where recall < 1).
+    */
+  def embedLshPlanted(s: SparkSession, d: String): DataFrame = {
+    def lcg(x: Column): Column =
+      ((lit(1103515245L) * x + lit(12345L)) % lit(2147483648L)).cast("double") /
+        lit(2147483648.0) - lit(0.5)
+    val ids = s.range(100).select(col("id").as("vec_id"), col("id").as("src"))
+      .unionByName(s.range(50).select((col("id") + 1000).as("vec_id"), col("id").as("src")))
+    val vecs = ids
+      .withColumn("v", transform(sequence(lit(0), lit(63)),
+        j => lcg(col("src") * 64 + j)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    embedLshOver(vecs, threshold = 0.999)
+  }
+
+  val embedLshPlantedOracle: String =
+    """WITH ids AS (
+      |  SELECT id AS vec_id, id AS src FROM range(0, 100) t(id)
+      |  UNION ALL
+      |  SELECT id + 1000 AS vec_id, id AS src FROM range(0, 50) t(id)),
+      |e AS (
+      |  SELECT vec_id,
+      |         [CAST((1103515245 * (src * 64 + j) + 12345) % 2147483648 AS DOUBLE)
+      |            / 2147483648.0 - 0.5 for j in range(0, 64)] AS v
+      |  FROM ids),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.999""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_ann_topk" -> (annTopK _),
     "x_embed_neardup" -> (cosineNearDup _),
     "x_embed_lsh" -> (embedLsh _),
+    "x_embed_lsh_planted" -> (embedLshPlanted _),
     "x_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "x_ann_topk" -> annTopKOracle,
     "x_embed_neardup" -> cosineNearDupOracle,
+    "x_embed_lsh_planted" -> embedLshPlantedOracle,
     "x_ann_ivf" -> annIvfOracle)
 }
