@@ -472,17 +472,82 @@ object Dedup {
       |CROSS JOIN (SELECT * FROM sh WHERE doc_id < 10) b
       |WHERE len(list_intersect(t.sh, b.sh)) >= 5""".stripMargin
 
+  /** Deterministic planted corpus shared by the verified LSH gates: 100
+    * distinct docs with DISJOINT word ranges (doc i uses words
+    * w(17i)..w(17i+9), stride 17 > window 10, so cross-doc Jaccard is 0 and
+    * cross-doc token sets are disjoint) plus exact copies of the first 20
+    * (ids 1000+i). Reproducible in SQL with pure integer arithmetic.
+    */
+  private def plantedDocs(s: SparkSession): DataFrame = {
+    val text = concat_ws(" ", transform(sequence(lit(0), lit(9)),
+      k => concat(lit("w"), (col("src") * 17 + k).cast("string"))))
+    s.range(100).select(col("id").as("doc_id"), col("id").as("src"))
+      .unionByName(s.range(20).select((col("id") + 1000).as("doc_id"), col("id").as("src")))
+      .withColumn("text", text)
+      .select(col("doc_id"), col("text"))
+  }
+
+  private val plantedSql: String =
+    """SELECT vec.doc_id,
+      |       array_to_string(['w' || CAST(vec.src * 17 + k AS VARCHAR)
+      |                        for k in range(0, 10)], ' ') AS text
+      |FROM (SELECT id AS doc_id, id AS src FROM range(0, 100) t(id)
+      |      UNION ALL
+      |      SELECT id + 1000 AS doc_id, id AS src FROM range(0, 20) t(id)) vec""".stripMargin
+
+  /** MinHash+LSH on the planted corpus, hash-verified end-to-end: exact
+    * duplicates guarantee candidate recall 1 (identical signatures), and no
+    * non-identical pair reaches the 0.35 threshold (disjoint shingles), so
+    * the LSH output equals brute-force Jaccard and the oracle recomputes it
+    * from first principles. Complements `x_dedup_minhash_lsh`, whose banding
+    * probabilities DuckDB cannot express (rows-only there).
+    */
+  def minhashLshPlanted(s: SparkSession, d: String): DataFrame =
+    minhashLshOver(plantedDocs(s))
+
+  val minhashLshPlantedOracle: String =
+    s"""WITH docs AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.sh, b.sh)) > 0
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35""".stripMargin
+
+  /** SimHash on the planted corpus: within-group pairs at Hamming 0 are the
+    * exact expected output (disjoint token sets put non-identical sketches
+    * far apart; deterministic input, deterministic sketches). DuckDB cannot
+    * compute simhash, but it CAN state the expected result exactly.
+    */
+  def simhashPlanted(s: SparkSession, d: String): DataFrame =
+    simhashPairsOver(plantedDocs(s))
+
+  val simhashPlantedOracle: String =
+    """SELECT id AS doc_a, id + 1000 AS doc_b, 0 AS hamming
+      |FROM range(0, 20) t(id)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_decontaminate" -> (decontaminate _),
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
     "x_dedup_minhash_lsh" -> (minhashLsh _),
-    "x_dedup_simhash" -> (simhashPairs _))
+    "x_dedup_minhash_planted" -> (minhashLshPlanted _),
+    "x_dedup_simhash" -> (simhashPairs _),
+    "x_dedup_simhash_planted" -> (simhashPlanted _))
 
   val oracles: Map[String, String] = Map(
     "x_decontaminate" -> decontaminateOracle,
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,
-    "x_dedup_ngram_jaccard" -> ngramJaccardOracle)
+    "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "x_dedup_minhash_planted" -> minhashLshPlantedOracle,
+    "x_dedup_simhash_planted" -> simhashPlantedOracle)
 }
