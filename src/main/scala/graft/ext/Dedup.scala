@@ -533,7 +533,83 @@ object Dedup {
     """SELECT id AS doc_a, id + 1000 AS doc_b, 0 AS hamming
       |FROM range(0, 20) t(id)""".stripMargin
 
+  /** Near-dup CLUSTERS from pair edges: connected components by iterative
+    * min-label propagation (each step joins labels to both edge directions
+    * and takes the min over self + neighbors; fixpoint when no label
+    * changes). The pipeline op that turns pairwise near-dup output into
+    * dedup groups ("keep one doc per cluster").
+    *
+    * Scale shape: every iteration is one shuffle join keyed on doc id, and
+    * the iteration count is the cluster DIAMETER (longest chain), not the
+    * cluster size — boilerplate clusters are dense (diameter ~2), so a
+    * handful of iterations converge; the loop is driver-paced with a
+    * convergence check per step, the standard Pregel-without-GraphX shape.
+    * Edges here come from the bounded ground-truth Jaccard operator so the
+    * oracle (a recursive CTE computing min reachable id) can verify the
+    * component assignment exactly.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val bidir = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("id"))
+      .unionByName(edges.select(col("doc_b").as("id")))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      iter += 1
+      val next = labels.as("l")
+        .join(bidir.as("e"), col("l.id") === col("e.doc_a"), "left_outer")
+        .join(labels.select(col("id").as("n_id"), col("cluster").as("n_cluster")).as("n"),
+          col("e.doc_b") === col("n_id"), "left_outer")
+        .groupBy(col("l.id").as("id"))
+        .agg(least(min(col("l.cluster")), min(col("n_cluster"))).as("cluster"))
+        .persist()
+      val changes = next.as("a")
+        .join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.cluster") =!= col("b.cluster"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+    }
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |           ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                 for i in range(1, len(ws) - 1)] END) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE doc_id < 300)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.sh, b.sh)) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+      |edges AS (SELECT doc_a, doc_b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |verts AS (SELECT DISTINCT doc_a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM verts
+      |  UNION
+      |  SELECT e.doc_a AS id, reach.r
+      |  FROM reach JOIN edges e ON e.doc_b = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster
+      |FROM reach GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_dedup_clusters" -> (dedupClusters _),
     "x_decontaminate" -> (decontaminate _),
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
@@ -544,6 +620,7 @@ object Dedup {
     "x_dedup_simhash_planted" -> (simhashPlanted _))
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_clusters" -> dedupClustersOracle,
     "x_decontaminate" -> decontaminateOracle,
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,

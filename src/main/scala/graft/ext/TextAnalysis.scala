@@ -250,7 +250,64 @@ object TextAnalysis {
       |       len(regexp_extract_all(text, '[0-9]{6,}')) AS long_numbers
       |FROM documents""".stripMargin
 
+  /** Deterministic pseudo-shuffle key: a Knuth multiplicative hash of the
+    * doc id in pure integer arithmetic, so the "random" order is exactly
+    * reproducible by any engine (no RNG, no engine-specific hash).
+    */
+  private def shuffleKey(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** Stratified deterministic sampling: k docs per (lang, source) stratum,
+    * picked by the pseudo-shuffle order — the corpus-curation op behind
+    * "balance the training mix across languages/sources". One shuffle on
+    * the stratum key (window rank); at 100 TB the same plan holds, and for
+    * heavy strata the rank window can be pre-filtered by a hash-threshold
+    * scan (filter before shuffle) — noted here, unnecessary at gate scale.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(shuffleKey(col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= 5)
+      .select(col("lang"), col("source"), col("doc_id"), col("pick"))
+  }
+
+  val sampleStratifiedOracle: String =
+    """SELECT lang, source, doc_id,
+      |       row_number() OVER (PARTITION BY lang, source
+      |         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS pick
+      |FROM documents
+      |QUALIFY pick <= 5""".stripMargin
+
+  /** Weighted source mixing: down-sample each source to a configured rate
+    * with the deterministic hash threshold (source A keeps 100%, B 50%,
+    * C 10% — the "data mixture" recipe of a training pipeline). Pure
+    * filter — streams at scan speed, no shuffle at all.
+    */
+  def mixSources(s: SparkSession, d: String): DataFrame = {
+    val weights = Seq("src0" -> 100L, "src1" -> 50L, "src2" -> 10L)
+    val pct = weights.foldLeft(lit(25L)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(shuffleKey(col("doc_id")) % 100 < pct)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"))
+  }
+
+  val mixSourcesOracle: String =
+    """SELECT source, COUNT(*) AS kept
+      |FROM documents
+      |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      |      CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+      |                  WHEN 'src2' THEN 10 ELSE 25 END
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_sample_stratified" -> (sampleStratified _),
+    "x_mix_sources" -> (mixSources _),
     "x_text_scrub" -> (piiScrub _),
     "x_text_tfidf" -> (tfidfTop _),
     "x_text_tokens" -> (tokenStats _),
@@ -261,6 +318,8 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_sample_stratified" -> sampleStratifiedOracle,
+    "x_mix_sources" -> mixSourcesOracle,
     "x_text_scrub" -> piiScrubOracle,
     "x_text_tfidf" -> tfidfTopOracle,
     "x_text_tokens" -> tokenStatsOracle,
