@@ -385,8 +385,74 @@ object Streams {
       |FROM range(0, 5000) t(id)
       |GROUP BY 1""".stripMargin
 
+  /** Poison-pill quarantine: every 7th payload is corrupted (deterministic,
+    * keyed on the id embedded in the Kafka key), and the wire decode splits
+    * the batch into valid rows and a dead-letter disposition instead of
+    * failing — the production answer to the reference's log-and-skip
+    * (kafka_consumer_datalake.py:59-63), keeping the poison rows auditable
+    * with their Kafka provenance rather than dropping them.
+    */
+  def wireQuarantine(s: SparkSession, d: String): DataFrame = {
+    val tx = graft.ingest.Ingest.transactions(s, 7000)
+    val wire = KafkaIngest.toWire(tx, keyCol = "transaction_id",
+      topic = "transaction_stream", tsCol = "ts")
+    val id = substring(col("key").cast("string"), 4, 8).cast("long")
+    val corrupted = wire.withColumn("value",
+      when(id % 7 === 0, lit("{corrupt").cast("binary")).otherwise(col("value")))
+    KafkaIngest.parse(corrupted)
+      .withColumn("disposition",
+        when(col("transaction_id").isNull, "quarantined").otherwise("ok"))
+      .groupBy(col("disposition"), col("currency"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val wireQuarantineOracle: String =
+    """SELECT CASE WHEN id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS disposition,
+      |       CASE WHEN id % 7 = 0 THEN NULL
+      |            ELSE ['EUR', 'USD', 'GBP'][CAST(id % 3 + 1 AS INT)] END AS currency,
+      |       COUNT(*) AS cnt
+      |FROM range(0, 7000) t(id)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Exactly-once via checkpointing: the SAME AvailableNow query is started
+    * twice against one checkpoint + parquet sink; the second run finds the
+    * source fully committed and appends nothing, so the sink equals ONE
+    * batch pass — the restart/replay guarantee the reference's at-least-once
+    * consumer loop lacks (kafka_consumer_datalake.py commits after flush;
+    * a crash between flush and commit double-writes).
+    */
+  def streamExactlyOnce(s: SparkSession, d: String): DataFrame = {
+    val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 2)
+    val ckpt = Files.createTempDirectory("graft_eo_ckpt_").toString
+    val out = Files.createTempDirectory("graft_eo_out_").toString + "/sink"
+    def runPass(): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPass()
+    runPass() // restart on the same checkpoint: must be a no-op
+    s.read.parquet(out).agg(
+      count(lit(1)).as("cnt"),
+      count_distinct(col("event_id")).as("distinct_events"),
+      Q.moneySum(col("value")).as("total"))
+  }
+
+  val streamExactlyOnceOracle: String =
+    """SELECT COUNT(*) AS cnt, COUNT(DISTINCT event_id) AS distinct_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "a4_kafka_wire_roundtrip" -> (kafkaWireRoundtrip _),
+    "a4_wire_quarantine" -> (wireQuarantine _),
+    "s_stream_exactly_once" -> (streamExactlyOnce _),
     "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
     "s_stream_window" -> (streamWindow _),
@@ -399,6 +465,8 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "a4_kafka_wire_roundtrip" -> kafkaWireRoundtripOracle,
+    "a4_wire_quarantine" -> wireQuarantineOracle,
+    "s_stream_exactly_once" -> streamExactlyOnceOracle,
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
     "s_stream_window" -> streamWindowOracle,
