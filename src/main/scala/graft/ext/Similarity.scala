@@ -247,7 +247,46 @@ object Similarity {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.999""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * storage/serving compression step of an embedding pipeline (4× smaller
+    * than float32, 8× smaller than the double math type). Per-vector scale
+    * = max |component| / 127; `floor(x + 0.5)` rounds half-up in exact IEEE
+    * arithmetic (`round()` differs between engines, floor does not). The
+    * gate reports per-vector reconstruction error, so the oracle verifies
+    * quantize AND dequantize bit-exactly.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val scale = aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / lit(127.0)
+    val q = transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("int"))
+    val deq = transform(col("q"), x => x.cast("double") * col("scale"))
+    val err = aggregate(zip_with(col("v"), col("deq"), (a, b) => abs(a - b)),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    e.withColumn("scale", scale)
+      .withColumn("q", q)
+      .withColumn("deq", deq)
+      .withColumn("max_abs_err", err)
+      // the comparer hashes scalar columns only — serialize the int8 vector
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("q")).as("q_csv"), col("max_abs_err"))
+  }
+
+  val embedQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |s AS (SELECT vec_id, v,
+      |             list_max([abs(x) for x in v]) / 127.0 AS scale FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |             [CAST(floor(x / scale + 0.5) AS INT) for x in v] AS q FROM s)
+      |SELECT vec_id, scale,
+      |       array_to_string(q, ',') AS q_csv,
+      |       list_max([abs(v[i] - q[i] * scale) for i in range(1, len(v) + 1)]) AS max_abs_err
+      |FROM q""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_embed_quantize" -> (embedQuantize _),
     "x_ann_topk" -> (annTopK _),
     "x_embed_neardup" -> (cosineNearDup _),
     "x_embed_lsh" -> (embedLsh _),
@@ -255,6 +294,7 @@ object Similarity {
     "x_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
+    "x_embed_quantize" -> embedQuantizeOracle,
     "x_ann_topk" -> annTopKOracle,
     "x_embed_neardup" -> cosineNearDupOracle,
     "x_embed_lsh_planted" -> embedLshPlantedOracle,
