@@ -542,8 +542,11 @@ object Dedup {
     * Scale shape: every iteration is one shuffle join keyed on doc id, and
     * the iteration count is the cluster DIAMETER (longest chain), not the
     * cluster size — boilerplate clusters are dense (diameter ~2), so a
-    * handful of iterations converge; the loop is driver-paced with a
-    * convergence check per step, the standard Pregel-without-GraphX shape.
+    * handful of iterations converge (the exact requirement is the
+    * eccentricity of each component's min-id vertex); the loop is
+    * driver-paced with a convergence check per step, the standard
+    * Pregel-without-GraphX shape, and throws rather than return partial
+    * labels if the iteration bound is hit.
     * Edges here come from the bounded ground-truth Jaccard operator so the
     * oracle (a recursive CTE computing min reachable id) can verify the
     * component assignment exactly.
@@ -579,6 +582,12 @@ object Dedup {
       labels = next
       converged = changes == 0
     }
+    // partial labels would silently split one logical cluster into several —
+    // fail loudly instead (iterations needed = eccentricity of the min-id
+    // vertex; raise the bound for pathological chain-shaped clusters)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in $iter iterations")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

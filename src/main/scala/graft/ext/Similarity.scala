@@ -218,14 +218,26 @@ object Similarity {
     * this path; ExtSpec covers perturbed near-dups where recall < 1).
     */
   def embedLshPlanted(s: SparkSession, d: String): DataFrame = {
-    def lcg(x: Column): Column =
-      ((lit(1103515245L) * x + lit(12345L)) % lit(2147483648L)).cast("double") /
-        lit(2147483648.0) - lit(0.5)
+    // NONLINEAR mixer (LCG step + xor-shift + multiply + xor-shift), exactly
+    // reproducible in SQL via integer ops. A plain LCG is linear, and its
+    // lattice structure makes lag-correlated vectors (components shifted by
+    // a constant ~5e-4) that cross the 0.999 cosine threshold without being
+    // identical — which would make LSH recall probabilistic and the oracle
+    // equality unsound. The xor steps destroy the lattice; max non-planted
+    // cosine is far below threshold (asserted in ExtSpec).
+    def mix(x: Column): Column = {
+      val h1 = (lit(1103515245L) * x + lit(12345L)) % lit(2147483648L)
+      val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+      val h3 = (h2 * lit(69069L)) % lit(2147483648L)
+      h3.bitwiseXOR(shiftright(h3, 7))
+    }
+    def unit(x: Column): Column =
+      (mix(x) % lit(2147483648L)).cast("double") / lit(2147483648.0) - lit(0.5)
     val ids = s.range(100).select(col("id").as("vec_id"), col("id").as("src"))
       .unionByName(s.range(50).select((col("id") + 1000).as("vec_id"), col("id").as("src")))
     val vecs = ids
       .withColumn("v", transform(sequence(lit(0), lit(63)),
-        j => lcg(col("src") * 64 + j)))
+        j => unit(col("src") * 64 + j)))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("nrm"))
     embedLshOver(vecs, threshold = 0.999)
@@ -236,11 +248,18 @@ object Similarity {
       |  SELECT id AS vec_id, id AS src FROM range(0, 100) t(id)
       |  UNION ALL
       |  SELECT id + 1000 AS vec_id, id AS src FROM range(0, 50) t(id)),
+      |h1 AS (
+      |  SELECT vec_id,
+      |         [(1103515245 * (src * 64 + j) + 12345) % 2147483648
+      |          for j in range(0, 64)] AS hs
+      |  FROM ids),
+      |h2 AS (SELECT vec_id, [xor(h, h >> 13) for h in hs] AS hs FROM h1),
+      |h3 AS (SELECT vec_id, [(h * 69069) % 2147483648 for h in hs] AS hs FROM h2),
       |e AS (
       |  SELECT vec_id,
-      |         [CAST((1103515245 * (src * 64 + j) + 12345) % 2147483648 AS DOUBLE)
-      |            / 2147483648.0 - 0.5 for j in range(0, 64)] AS v
-      |  FROM ids),
+      |         [CAST(xor(h, h >> 7) AS DOUBLE) / 2147483648.0 - 0.5
+      |          for h in hs] AS v
+      |  FROM h3),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos

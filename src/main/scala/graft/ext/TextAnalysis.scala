@@ -252,10 +252,13 @@ object TextAnalysis {
 
   /** Deterministic pseudo-shuffle key: a Knuth multiplicative hash of the
     * doc id in pure integer arithmetic, so the "random" order is exactly
-    * reproducible by any engine (no RNG, no engine-specific hash).
+    * reproducible by any engine (no RNG, no engine-specific hash). The id
+    * is folded into 31 bits FIRST so the multiply cannot overflow Long
+    * (2³¹·2654435761 < 2⁶³) — an unmasked id ≳ 3.5e9 would wrap negative
+    * in Spark and error in ANSI SQL engines.
     */
   private def shuffleKey(id: Column): Column =
-    (id * lit(2654435761L)) % lit(4294967296L)
+    ((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
 
   /** Stratified deterministic sampling: k docs per (lang, source) stratum,
     * picked by the pseudo-shuffle order — the corpus-curation op behind
@@ -277,7 +280,7 @@ object TextAnalysis {
   val sampleStratifiedOracle: String =
     """SELECT lang, source, doc_id,
       |       row_number() OVER (PARTITION BY lang, source
-      |         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS pick
+      |         ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS pick
       |FROM documents
       |QUALIFY pick <= 5""".stripMargin
 
@@ -300,7 +303,7 @@ object TextAnalysis {
   val mixSourcesOracle: String =
     """SELECT source, COUNT(*) AS kept
       |FROM documents
-      |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 <
       |      CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
       |                  WHEN 'src2' THEN 10 ELSE 25 END
       |GROUP BY 1""".stripMargin

@@ -154,6 +154,17 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => expected.contains((a, b)) || expected.contains((b, a)) })
   }
 
+  test("embedLshPlanted: exactly the 50 planted pairs, no lattice artifacts") {
+    // the nonlinear mixer must keep every non-planted cosine far below the
+    // 0.999 threshold (a plain LCG has lag correlations that cross it),
+    // making candidate recall structurally 1 and the oracle equality sound
+    val pairs = Similarity.embedLshPlanted(spark, "unused").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 50)
+    // cos of identical vectors is d/(sqrt(d))² — 1.0 up to one ulp, not ===
+    assert(pairs.forall { case (a, b, c) => b - a == 1000 && math.abs(c - 1.0) < 1e-12 })
+  }
+
   test("media decode stub is deterministic and length-driven") {
     val r = Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8"), "fake/src0")
     val f1 = Multimodal.decodeStub(r)
