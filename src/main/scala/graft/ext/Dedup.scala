@@ -25,18 +25,34 @@ import graft.queries.Q.QueryFn
   */
 object Dedup {
 
-  /** Word 3-gram shingle set (distinct) of a text column. Guards the
-    * degenerate <3-word case (Spark `sequence(0,-1)` would count down).
+  /** Word 3-gram shingle set (distinct, first-occurrence order) of a text
+    * column. Implemented as a JVM UDF rather than the equivalent
+    * split/transform/concat_ws/array_distinct HOF chain: higher-order
+    * functions are interpreted expression trees that allocate per element,
+    * and this is the hottest scalar kernel of every dedup pipeline — the
+    * single pass below is several times cheaper and far less GC-sensitive
+    * under load. `split(" ", -1)` matches Spark's `split(text, " ")`
+    * (regex, keep trailing empties), so outputs are identical to the HOF
+    * formulation and to the DuckDB oracles built on `string_split`.
     */
-  def shingles(text: Column): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      when(size(words) < 3, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), size(words) - 3),
-          i => concat_ws(" ", element_at(words, i + 1),
-            element_at(words, i + 2), element_at(words, i + 3)))))
-  }
+  private val shinglesUdf = udf((text: String) => {
+    if (text == null) Seq.empty[String]
+    else {
+      val words = text.split(" ", -1)
+      if (words.length < 3) Seq.empty[String]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + 2 < words.length) {
+          out += (words(i) + " " + words(i + 1) + " " + words(i + 2))
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+  })
+
+  def shingles(text: Column): Column = shinglesUdf(text)
 
   /** Exact dedup groups: fingerprint → surviving doc_id + duplicate count. */
   def exactGroups(s: SparkSession, d: String): DataFrame =
