@@ -105,6 +105,70 @@ object Scale {
       |       COUNT(*) AS orders
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Bloom-filter pre-join pruning: when the dimension side is too big to
+    * broadcast but its KEY SET fits a bloom filter, build the bloom on the
+    * dim keys and filter the fact BEFORE its shuffle — at 100 TB this is
+    * the difference between shuffling the whole fact table and shuffling
+    * only rows that can possibly join (Spark's own runtime row-level
+    * filtering does this automatically between exchanges; the explicit form
+    * works on any plan shape). False positives pass the bloom but are
+    * eliminated by the real join, so the result provably equals the plain
+    * join — which is exactly what the oracle checks.
+    */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val bloom = cust.stat.bloomFilter("c_custkey", 100000, 0.01)
+    val bBloom = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bBloom.value.mightContain(k))
+    Tables.orders(s, d)
+      .filter(mightContain(col("o_custkey"))) // prune before the shuffle
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("orders"), Q.moneySum(col("o_totalprice")).as("total"))
+  }
+
+  val bloomJoinOracle: String =
+    """SELECT c_nationkey AS nation, COUNT(*) AS orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1""".stripMargin
+
+  /** The sketch ACCURACY contract as an oracle gate: per group, booleans
+    * asserting the estimates sit inside their documented envelopes (±5% of
+    * exact for the distinct-count sketches; between observed min/max for
+    * the percentiles). The estimates themselves stay engine-specific
+    * (rows-only in `x_approx_sketches`); their being-in-bounds is exact and
+    * SQL-expressible.
+    */
+  def sketchBounds(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        // rsd 0.01 makes the ±5% envelope a 5-sigma bound (the default 0.05
+        // sketch exceeds 5% for a third of groups, by design)
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_buyers"),
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("hll_buyers"),
+        countDistinct(col("o_custkey")).as("exact_buyers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .select(
+        col("o_orderstatus"),
+        (abs(col("approx_buyers") - col("exact_buyers"))
+          <= col("exact_buyers") * 0.05).as("approx_within_5pct"),
+        (abs(col("hll_buyers") - col("exact_buyers"))
+          <= col("exact_buyers") * 0.05).as("hll_within_5pct"),
+        col("p50").between(col("lo"), col("hi")).as("p50_in_range"),
+        (col("p95").between(col("lo"), col("hi")) && col("p95") >= col("p50"))
+          .as("p95_in_range"))
+
+  val sketchBoundsOracle: String =
+    """SELECT o_orderstatus, TRUE AS approx_within_5pct, TRUE AS hll_within_5pct,
+      |       TRUE AS p50_in_range, TRUE AS p95_in_range
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** A5 generator: deterministic synthetic transaction payloads — every
     * field pure arithmetic on the row id, reproduced exactly by the oracle's
     * `range()`.
@@ -185,6 +249,8 @@ object Scale {
   val defs: Map[String, QueryFn] = Map(
     "p_salted_agg" -> (saltedAgg _),
     "p_bucketed_join" -> (bucketedJoin _),
+    "p_bloom_join" -> (bloomJoin _),
+    "x_sketch_bounds" -> (sketchBounds _),
     "x_approx_sketches" -> (approxSketches _),
     "x_sketch_exact" -> (sketchExact _),
     "a5_gen_transactions" -> (genTransactions _),
@@ -195,6 +261,8 @@ object Scale {
   val oracles: Map[String, String] = Map(
     "p_salted_agg" -> saltedAggOracle,
     "p_bucketed_join" -> bucketedJoinOracle,
+    "p_bloom_join" -> bloomJoinOracle,
+    "x_sketch_bounds" -> sketchBoundsOracle,
     "x_sketch_exact" -> sketchExactOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
     "a5_gen_aggregate" -> genAggregateOracle,
