@@ -598,6 +598,10 @@ object Dedup {
       labels = next
       converged = changes == 0
     }
+    // the final labels cache was materialized by the convergence count, so
+    // the inputs' caches are no longer needed
+    edges.unpersist()
+    bidir.unpersist()
     // partial labels would silently split one logical cluster into several —
     // fail loudly instead (iterations needed = eccentricity of the min-id
     // vertex; raise the bound for pathological chain-shaped clusters)

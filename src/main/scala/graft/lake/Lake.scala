@@ -231,15 +231,13 @@ object Lake {
       asOfDate: LocalDate = LocalDate.now(),
       atUs: Long = System.currentTimeMillis() * 1000L): FeedDescriptor = {
     val spark = df.sparkSession
+    import spark.implicits._
     val obs = org.apache.spark.sql.Observation()
     appendStream(df.observe(obs, count(lit(1)).as("rows")),
       root, name, eventTimeCol, asOfDate)
     val rows = obs.get("rows").asInstanceOf[Long]
-    val bytes = {
-      import spark.implicits._
-      feedMetadata(spark, root, name).agg(sum(col("bytes"))).as[Option[Long]]
-        .head().getOrElse(0L)
-    }
+    // the walk already happens on the driver — sum there, no Spark job
+    val bytes = walkFeed(spark, root, name).map(_._3).sum
     val next = readFeedDescriptor(spark, root, name) match {
       case Some(cur) => cur.copy(
         total_records = cur.total_records + rows,
@@ -248,17 +246,15 @@ object Lake {
         last_export_at_us = atUs)
       case None => FeedDescriptor(name, rows, bytes, 1, atUs, atUs)
     }
-    import spark.implicits._
     writeTableSnapshot(Seq(next).toDF(), root, descriptorTable(name))
     next
   }
 
-  /** Per-feed metadata (A12, export_to_data_lake.py:267-328): one row per
-    * partition directory with file count + bytes, from the file system —
-    * no data scan.
+  /** Driver-side FS walk shared by [[feedMetadata]] and
+    * [[appendStreamTracked]]: (partition dir, file count, bytes), sorted.
     */
-  def feedMetadata(spark: SparkSession, root: String, name: String): DataFrame = {
-    import spark.implicits._
+  private def walkFeed(
+      spark: SparkSession, root: String, name: String): Seq[(String, Long, Long)] = {
     val base = streamPath(root, name)
     val f = fs(spark, base)
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
@@ -271,7 +267,15 @@ object Lake {
       }
     }
     if (f.exists(new Path(base))) walk(new Path(base))
-    rows.toSeq.map { case (rel, (n, b)) => (rel, n, b) }
-      .sortBy(_._1).toDF("partition", "files", "bytes")
+    rows.toSeq.map { case (rel, (n, b)) => (rel, n, b) }.sortBy(_._1)
+  }
+
+  /** Per-feed metadata (A12, export_to_data_lake.py:267-328): one row per
+    * partition directory with file count + bytes, from the file system —
+    * no data scan.
+    */
+  def feedMetadata(spark: SparkSession, root: String, name: String): DataFrame = {
+    import spark.implicits._
+    walkFeed(spark, root, name).toDF("partition", "files", "bytes")
   }
 }

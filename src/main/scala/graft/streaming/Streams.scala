@@ -53,24 +53,32 @@ object Streams {
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
 
-  /** Stage the events table as `nChunks` time-INTERLEAVED files
-    * (`event_id % nChunks`) so a `maxFilesPerTrigger=1` stream drains them
-    * as sequential micro-batches whose rows arrive out of event-time order —
-    * the staging recipe shared by the multi-batch state and streaming-upsert
-    * gates. Returns (glob path, chunk schema).
+  /** Stage a frame as `nChunks` files split by `keyCol % nChunks` so a
+    * `maxFilesPerTrigger=1` stream drains them as sequential micro-batches
+    * whose rows interleave across chunks (out of event-time order when the
+    * key correlates with time). Returns (glob path, chunk schema).
+    */
+  private def stageChunks(
+      df: DataFrame, keyCol: String,
+      nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
+    val staged = Files.createTempDirectory("graft_chunks_")
+    (0 until nChunks).foreach { c =>
+      df.filter(pmod(col(keyCol), lit(nChunks)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c")
+    }
+    (s"$staged/chunk=*", df.schema)
+  }
+
+  /** The staging recipe shared by the multi-batch state, streaming-upsert
+    * and exactly-once gates: events keyed by `event_id` (time-interleaved).
     */
   private def stageInterleavedEventChunks(
       s: SparkSession, d: String, nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = Files.createTempDirectory("graft_chunks_")
     val ev = s.read.parquet(graft.Tables.path(d, "events"))
       .withColumn("ts_us", expr("ts DIV 1000"))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-    (0 until nChunks).foreach { c =>
-      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c")
-    }
-    (s"$staged/chunk=*", ev.schema)
+    stageChunks(ev, "event_id", nChunks)
   }
 
   /** Run a streaming DF to completion into a memory sink, return the table. */
@@ -361,16 +369,13 @@ object Streams {
     * state, and the oracle regenerates the expected totals arithmetically.
     */
   def streamKafkaWire(s: SparkSession, d: String): DataFrame = {
-    val staged = Files.createTempDirectory("graft_wire_")
     val wire = KafkaIngest.toWire(graft.ingest.Ingest.transactions(s, 5000),
       keyCol = "transaction_id", topic = "transaction_stream", tsCol = "ts")
-    (0 until 2).foreach(c =>
-      wire.filter(pmod(col("offset"), lit(2)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c"))
+    val (glob, schema) = stageChunks(wire, "offset", nChunks = 2)
     val raw = s.readStream
-      .schema(s.read.parquet(s"$staged/chunk=0").schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/chunk=*")
+      .parquet(glob)
     drain(
       KafkaIngest.parse(raw)
         .groupBy(col("currency"))
