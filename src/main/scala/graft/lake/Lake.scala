@@ -117,6 +117,37 @@ object Lake {
     spark.read.parquet(s"${tablePath(root, name)}/version=v$v")
   }
 
+  /** Change-data view between two snapshots of a versioned table: rows
+    * classified `inserted` / `deleted` / `updated` / `unchanged` by key —
+    * the CDC feed a downstream warehouse consumer derives from the
+    * version-partitioned lake (the reference ships full snapshots and lets
+    * MySQL upserts discover changes row by row; this computes the delta
+    * set-wise in ONE full-outer join keyed on the merge key).
+    *
+    * Non-key columns compare via `to_json(struct(...))` — canonical,
+    * null-safe, and column-order deterministic. At scale the join shuffles
+    * both snapshots once on the key; with bucketed snapshot writes it would
+    * be exchange-free.
+    */
+  def versionDiff(
+      spark: SparkSession, root: String, name: String,
+      vOld: Int, vNew: Int, keys: Seq[String]): DataFrame = {
+    val o = readTableFeed(spark, root, name, Some(vOld))
+    val n = readTableFeed(spark, root, name, Some(vNew))
+    val valueCols = o.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, side: String) =
+      df.select(
+        keys.map(col) :+
+          to_json(struct(valueCols.map(col): _*)).as(s"_payload_$side"): _*)
+    val joined = tagged(o, "old").join(tagged(n, "new"), keys.toSeq, "full_outer")
+    joined.select(
+      keys.map(col) :+
+        when(col("_payload_old").isNull, "inserted")
+          .when(col("_payload_new").isNull, "deleted")
+          .when(col("_payload_old") =!= col("_payload_new"), "updated")
+          .otherwise("unchanged").as("change"): _*)
+  }
+
   /** StorageMode.IGNORE (data_lake_config.py:13): write only if absent. */
   def writeIgnore(df: DataFrame, path: String): Boolean = {
     val f = fs(df.sparkSession, path)

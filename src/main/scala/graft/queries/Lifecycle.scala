@@ -423,8 +423,42 @@ object Lifecycle {
       |       TRUE AS has_bytes
       |FROM events""".stripMargin
 
+  /** A7 change-data diff: snapshot v1 from the customer dim, v2 with
+    * deterministic deletes (key % 7), updates (key % 10) and 3 inserts;
+    * [[Lake.versionDiff]] must classify every key exactly as the oracle
+    * recomputes it from the same arithmetic.
+    */
+  def versionDiffGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("graft_vdiff_")
+    val v1 = Tables.customer(s, d).select(
+      col("c_custkey").as("user_id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"))
+    Lake.writeTableSnapshot(v1, root, "dim_users_cdc")
+    val v2 = v1.filter(col("user_id") % 7 =!= 0)
+      .withColumn("segment",
+        when(col("user_id") % 10 === 0, lit("CHANGED")).otherwise(col("segment")))
+      .unionByName(s.range(3).select(
+        (col("id") + 1000000L).as("user_id"),
+        lit("new user").as("name"), lit("NEW").as("segment")))
+    Lake.writeTableSnapshot(v2, root, "dim_users_cdc")
+    Lake.versionDiff(s, root, "dim_users_cdc", 1, 2, Seq("user_id"))
+  }
+
+  val versionDiffOracle: String =
+    """SELECT c_custkey AS user_id,
+      |       CASE WHEN c_custkey % 7 = 0 THEN 'deleted'
+      |            WHEN c_custkey % 10 = 0 THEN 'updated'
+      |            ELSE 'unchanged' END AS change
+      |FROM customer
+      |UNION ALL
+      |SELECT 1000000 + id AS user_id, 'inserted' AS change
+      |FROM range(0, 3) t(id)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "a12_feed_descriptor" -> (feedDescriptor _),
+    "a7_version_diff" -> (versionDiffGate _),
     "a6_lake_roundtrip" -> (lakeRoundtrip _),
     "a9_formats_roundtrip" -> (formatsRoundtrip _),
     "a7_table_versions" -> (tableVersions _),
@@ -440,6 +474,7 @@ object Lifecycle {
 
   val oracles: Map[String, String] = Map(
     "a12_feed_descriptor" -> feedDescriptorOracle,
+    "a7_version_diff" -> versionDiffOracle,
     "a6_lake_roundtrip" -> lakeRoundtripOracle,
     "a9_formats_roundtrip" -> formatsRoundtripOracle,
     "a7_table_versions" -> tableVersionsOracle,
