@@ -32,11 +32,12 @@ object Dedup {
     * and this is the hottest scalar kernel of every dedup pipeline — the
     * single pass below is several times cheaper and far less GC-sensitive
     * under load. `split(" ", -1)` matches Spark's `split(text, " ")`
-    * (regex, keep trailing empties), so outputs are identical to the HOF
-    * formulation and to the DuckDB oracles built on `string_split`.
+    * (regex, keep trailing empties) and NULL propagates to NULL, so outputs
+    * are identical to the HOF formulation and to the DuckDB oracles built
+    * on `string_split` — including on null text.
     */
   private val shinglesUdf = udf((text: String) => {
-    if (text == null) Seq.empty[String]
+    if (text == null) null
     else {
       val words = text.split(" ", -1)
       if (words.length < 3) Seq.empty[String]

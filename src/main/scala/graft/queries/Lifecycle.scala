@@ -436,11 +436,15 @@ object Lifecycle {
       col("c_name").as("name"),
       col("c_mktsegment").as("segment"))
     Lake.writeTableSnapshot(v1, root, "dim_users_cdc")
+    // insert keys start past the observed max so they cannot collide with a
+    // real customer key at ANY scale factor (the oracle derives the same
+    // base from the raw table)
+    val insertBase = v1.agg(max(col("user_id"))).head().getLong(0) + 1
     val v2 = v1.filter(col("user_id") % 7 =!= 0)
       .withColumn("segment",
         when(col("user_id") % 10 === 0, lit("CHANGED")).otherwise(col("segment")))
       .unionByName(s.range(3).select(
-        (col("id") + 1000000L).as("user_id"),
+        (col("id") + insertBase).as("user_id"),
         lit("new user").as("name"), lit("NEW").as("segment")))
     Lake.writeTableSnapshot(v2, root, "dim_users_cdc")
     Lake.versionDiff(s, root, "dim_users_cdc", 1, 2, Seq("user_id"))
@@ -453,7 +457,8 @@ object Lifecycle {
       |            ELSE 'unchanged' END AS change
       |FROM customer
       |UNION ALL
-      |SELECT 1000000 + id AS user_id, 'inserted' AS change
+      |SELECT (SELECT MAX(c_custkey) FROM customer) + 1 + id AS user_id,
+      |       'inserted' AS change
       |FROM range(0, 3) t(id)""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(

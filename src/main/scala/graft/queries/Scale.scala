@@ -116,8 +116,15 @@ object Scale {
     * join — which is exactly what the oracle checks.
     */
   def bloomJoin(s: SparkSession, d: String): DataFrame = {
-    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-    val bloom = cust.stat.bloomFilter("c_custkey", 100000, 0.01)
+    // persist: the bloom build is an eager action and the join re-reads the
+    // same dim — one scan, not two. count() materializes the cache AND
+    // sizes the filter, so capacity tracks the scale factor instead of a
+    // hard-coded guess that would saturate (fpp → 1, no pruning) at scale.
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .persist()
+    val expected = math.max(cust.count(), 1000L)
+    val bloom = cust.stat.bloomFilter("c_custkey", expected, 0.01)
     val bBloom = s.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bBloom.value.mightContain(k))
     Tables.orders(s, d)
