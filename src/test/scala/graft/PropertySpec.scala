@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ext.{Dedup, Similarity}
+import graft.warehouse.Warehouse
+
+/** Generator-driven invariants. ScalaCheck supplies the data (fixed seeds →
+  * reproducible runs); each property evaluates as ONE Spark job over a
+  * generated batch rather than a job per case.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, next) = g.pureApply(Gen.Parameters.default, s) -> s.next
+      (next, Some(v))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+
+  private val wordGen = Gen.oneOf("a", "bb", "ccc", "the", "fox", "x1", "")
+  private val textGen = Gen.chooseNum(0, 9)
+    .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("shingles UDF matches the naive sliding-window spec on generated texts") {
+    def spec(text: String): Seq[String] = {
+      val words = text.split(" ", -1)
+      if (words.length < 3) Seq.empty
+      else words.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    val texts = sample(textGen, 300, seed = 7L)
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) === spec(t), s"text '$t'")
+    }
+  }
+
+  test("merge converges to the same table for any batch split and order") {
+    val rowGen = for {
+      k <- Gen.chooseNum(1L, 8L)
+      ver <- Gen.chooseNum(1, 50)
+      v <- Gen.alphaLowerStr.map(_.take(4))
+    } yield (k, v, ver)
+    (0 until 6).foreach { trial =>
+      val rows = sample(rowGen, 30, seed = 100L + trial)
+      // ties on (k, ver) across batches resolve by arrival (update wins),
+      // so make (k, ver) unique to give the property a well-defined answer
+      val uniq = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+      val df = uniq.toDF("k", "v", "ver")
+      val empty = df.limit(0)
+      val allAtOnce = Warehouse.merge(empty, df, Seq("k"), Seq("ver"))
+        .orderBy("k").collect()
+      val nSplits = 1 + trial % 3
+      val batches = uniq.grouped(math.max(1, uniq.size / (nSplits + 1))).toSeq
+      val sequential = batches.foldLeft(empty) { (acc, b) =>
+        Warehouse.merge(acc, b.toDF("k", "v", "ver"), Seq("k"), Seq("ver"))
+      }.orderBy("k").collect()
+      assert(sequential === allAtOnce, s"trial $trial diverged")
+    }
+  }
+
+  test("quantization reconstruction error is bounded by scale/2 on real data") {
+    val out = Similarity.embedQuantize(spark, "/root/testdata/sf0.001")
+      .select(col("scale"), col("max_abs_err"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (scale, err) =>
+      // floor(x/scale + 0.5) rounds to the nearest grid point: error ≤
+      // scale/2 (+ tiny slack for the division round-trip)
+      assert(err <= scale / 2 + 1e-12, s"err $err vs scale $scale")
+    }
+  }
+}
