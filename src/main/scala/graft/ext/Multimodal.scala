@@ -70,17 +70,35 @@ object Multimodal {
 
   /** "Frame sampling": byte-range slices of the payload — the Spark-side
     * shape of video frame extraction (payload in, bounded samples out).
+    * Each sampled frame is digested via its HEX encoding: offsets are
+    * byte-aligned, so slice-of-hex ≡ hex-of-slice carries the same bytes,
+    * and hex strings are the form DuckDB can also slice (no BLOB substring
+    * in DuckDB 1.0) — which makes this gate hash-verifiable end-to-end.
     */
   def frameSample(s: SparkSession, d: String): DataFrame =
     mediaFromDocuments(s, d).toDF()
+      .withColumn("hx", hex(col("bytes")))
       .select(
-        col("media_id"),
+        col("media_id"), col("hx"),
         posexplode(transform(
           sequence(lit(0), least(floor(length(col("bytes")) / 64), lit(3))),
-          i => substring(col("bytes"), (i * 64 + 1).cast("int"), lit(16)))))
+          i => (i * 128 + 1).cast("int"))))
       .withColumnRenamed("pos", "frame_idx")
       .select(col("media_id"), col("frame_idx"),
-        sha2(col("col"), 256).as("frame_digest"))
+        sha2(col("hx").substr(col("col"), lit(32)), 256).as("frame_digest"))
+
+  val frameSampleOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+      |         octet_length(CAST(text AS BLOB)) AS n
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, hx,
+      |         unnest(range(0, least(n // 64, 3) + 1)) AS i
+      |  FROM m)
+      |SELECT doc_id AS media_id, i AS frame_idx,
+      |       sha256(substring(hx, i * 128 + 1, 32)) AS frame_digest
+      |FROM ex""".stripMargin
 
   /** SQL-checkable slice of the multimodal plumbing: binary payload length,
     * content digest, and the deterministic stub dimensions.
@@ -131,5 +149,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "x_media_meta" -> mediaMetaOracle,
-    "x_media_features" -> mediaFeaturesOracle)
+    "x_media_features" -> mediaFeaturesOracle,
+    "x_media_frames" -> frameSampleOracle)
 }
