@@ -336,7 +336,7 @@ object Dedup {
     * and the groupBy reuses the same partitioning — no self-join, no
     * re-shuffle, never an all-pairs stage.
     */
-  private def cappedBucketPairs(
+  private[ext] def cappedBucketPairs(
       bucketed: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     val capped = bucketed

@@ -107,20 +107,40 @@ object Similarity {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
-  /** IVF-style ANN: deterministic centroids (vec_id % 64 == 0), each vector
-    * assigned to its max-cosine centroid; queries search only their cell.
+  /** Number of IVF centroids — FIXED, independent of the corpus size. At
+    * 100 TB this is the trained codebook size; here the codebook is a
+    * deterministic sample (the K lowest vec_ids) so the oracle can rebuild
+    * it in SQL.
+    */
+  val IvfK = 64
+
+  /** IVF-style ANN with a fixed-K codebook: every vector is assigned to its
+    * max-cosine centroid in one pass, queries search only their own cell.
+    *
+    * Scale shape: K is a CONSTANT (not a fraction of N), so assignment is
+    * O(N·K) against a truly broadcastable O(K) centroid table, and the
+    * assignment itself is a `max_by` AGGREGATE — partial aggregation folds
+    * each partition's N×K scored rows down to N before the only shuffle.
+    * (The previous formulation had both failure modes the 100× test
+    * catches: centroids = `vec_id % 64` grows K with N, making assignment
+    * O(N²/64) with an unbounded broadcast, and a `row_number` window over
+    * the N×K product adds a full N×K exchange+sort that the aggregate
+    * avoids.) Ties (one vector equidistant to two centroids) break to the
+    * lowest cent_id via the (ccos, -cent_id) ordering struct, matching the
+    * oracle's ORDER BY.
     */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cents = e.filter(col("vec_id") % 64 === 0)
+    val cents = e.orderBy(col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cent_id"),
+        // v/nrm are functionally dependent on vec_id — any value is the value
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("q_cell"))
@@ -140,7 +160,7 @@ object Similarity {
       |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
       |assigned AS (
       |  SELECT e.vec_id, e.v, e.nrm, c.vec_id AS cent_id
-      |  FROM e JOIN (SELECT * FROM e WHERE vec_id % 64 = 0) c ON TRUE
+      |  FROM e JOIN (SELECT * FROM e ORDER BY vec_id LIMIT 64) c ON TRUE
       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
       |    ORDER BY list_dot_product(c.v, e.v) / (c.nrm * e.nrm) DESC, c.vec_id) = 1)
       |SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
@@ -181,31 +201,49 @@ object Similarity {
   def embedLsh(s: SparkSession, d: String): DataFrame =
     embedLshOver(withNorm(Tables.embeddings(s, d)), threshold = 0.9)
 
-  /** LSH core over a prepared (vec_id, v, nrm) frame — reused by tests. */
-  def embedLshOver(e: DataFrame, threshold: Double): DataFrame = {
+  /** LSH core over a prepared (vec_id, v, nrm) frame — reused by tests.
+    *
+    * Candidate generation carries IDS ONLY (the vectors re-attach after the
+    * candidate set is deduped — shuffling 64-dim arrays through the bucket
+    * stage would multiply its width for nothing), and in-bucket pair
+    * expansion goes through the same capped policy as the minhash/simhash
+    * banding ([[Dedup.cappedBucketPairs]]): a degenerate corpus that piles
+    * thousands of near-identical embeddings into one 8-bit chunk bucket
+    * generates at most maxBucket²/2 pairs per bucket instead of all-pairs.
+    * The signature table is persisted — computed once, read by the bucket
+    * stage and both re-attach joins (at 100 TB it's a lake checkpoint).
+    */
+  def embedLshOver(
+      e: DataFrame, threshold: Double,
+      maxBucket: Int = Dedup.MaxBucketDefault): DataFrame = {
     val signed = e.withColumn("sig",
       org.apache.spark.sql.graft.VectorFunctions.hyperplaneSig(col("v"), planes))
+      .persist()
+    embedLshCandidates(signed, maxBucket)
+      .join(signed.select(col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(signed.select(col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Chunk-bucket candidate pairs (ids only, capped per bucket). Exposed for
+    * the skew test: candidate counts must stay bounded when a boilerplate
+    * cluster of identical embeddings floods one bucket.
+    */
+  private[graft] def embedLshCandidates(signed: DataFrame, maxBucket: Int): DataFrame = {
     val chunkCols = (0 until NumChunks).map { c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sig"), c * ChunkBits).bitwiseAND(0xFFL).as("chunk_val"))
     }
     val chunks = signed.select(
-      col("vec_id"), col("v"), col("nrm"),
-      explode(array(chunkCols: _*)).as("ch"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("ch.chunk_idx"), col("ch.chunk_val"))
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx")
-          && col("x.chunk_val") === col("y.chunk_val")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("va"), col("x.nrm").as("na"),
-        col("y.v").as("vb"), col("y.nrm").as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
-    cand.withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      // cappedBucketPairs speaks rep_id — same id-ranked cap policy
+      col("vec_id").as("rep_id"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("rep_id"), col("ch.chunk_idx"), col("ch.chunk_val"))
+    Dedup.cappedBucketPairs(chunks, Seq("chunk_idx", "chunk_val"), maxBucket)
+      .select(col("rep_a").as("vec_a"), col("rep_b").as("vec_b"))
   }
 
   /** LSH with PLANTED exact duplicates, hash-verified end-to-end: 100 base

@@ -125,10 +125,11 @@ object Scale {
       .persist()
     val expected = math.max(cust.count(), 1000L)
     val bloom = cust.stat.bloomFilter("c_custkey", expected, 0.01)
-    val bBloom = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bBloom.value.mightContain(k))
+    // native BloomFilterMightContain probe (not a Scala UDF): keeps the
+    // pre-shuffle fact filter inside whole-stage codegen
     Tables.orders(s, d)
-      .filter(mightContain(col("o_custkey"))) // prune before the shuffle
+      .filter(org.apache.spark.sql.graft.VectorFunctions
+        .bloomMightContain(bloom, col("o_custkey"))) // prune before the shuffle
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nation"))
       .agg(count(lit(1)).as("orders"), Q.moneySum(col("o_totalprice")).as("total"))

@@ -120,6 +120,27 @@ case class HyperplaneSignature(
 /** Column-level API over the native expressions. */
 object VectorFunctions {
 
+  /** Bloom-filter membership probe as Spark's own native
+    * `BloomFilterMightContain` expression (the one behind runtime row-level
+    * filtering) over a driver-built `util.sketch.BloomFilter`. Unlike a
+    * Scala UDF probe, this participates in whole-stage codegen, so the
+    * pre-shuffle fact filter stays inside the generated scan loop. The
+    * filter rides along as a binary literal — the same shape Spark's
+    * injected runtime filters use (their bloom arrives as a scalar-subquery
+    * result). Keys are probed raw (`mightContainLong`), matching
+    * `DataFrameStatFunctions.bloomFilter`'s `putLong` on integral columns.
+    */
+  def bloomMightContain(
+      bloom: org.apache.spark.util.sketch.BloomFilter, key: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        ExpressionUtils.expression(key)))
+  }
+
   /** Strict sequential dot product of two `array<double>` columns
     * (codegen'd; bit-identical to the `aggregate(zip_with(...))` fold).
     */

@@ -154,6 +154,33 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => expected.contains((a, b)) || expected.contains((b, a)) })
   }
 
+  test("embed-LSH bucket cap bounds candidates on a planted identical-embedding cluster") {
+    // 500 identical embeddings (one boilerplate vector repeated) all share
+    // every chunk bucket: uncapped that is C(500,2) ≈ 125k candidate pairs
+    // from one bucket key; the cap must bound it to C(cap,2) — the same
+    // defense the minhash/simhash banding already has
+    val rnd = new scala.util.Random(7)
+    val boiler = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val rows = (0 until 500).map(i => (i.toLong, boiler, 0)) ++
+      (0 until 50).map(i => (1000L + i, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    val signed = Similarity.withNorm(rows.toDF("vec_id", "embedding", "label"))
+      .withColumn("sig", org.apache.spark.sql.graft.VectorFunctions
+        .hyperplaneSig(col("v"), Similarity.planeMatrix(24)))
+    val cap = 64
+    val capped = Similarity.embedLshCandidates(signed, cap).count()
+    assert(capped > 0 && capped <= 3L * cap * (cap - 1) / 2,
+      s"capped candidate count $capped outside (0, ${3L * cap * (cap - 1) / 2}]")
+    val uncapped = Similarity.embedLshCandidates(signed, Int.MaxValue).count()
+    assert(uncapped > 10L * capped,
+      s"cluster not skewed enough to prove the cap ($uncapped vs $capped)")
+    // the capped pipeline still verifies pairs among retained members at ~1.0
+    val pairs = Similarity.embedLshOver(
+      Similarity.withNorm(rows.toDF("vec_id", "embedding", "label")),
+      threshold = 0.999, maxBucket = cap).collect()
+    assert(pairs.length === cap * (cap - 1) / 2)
+    assert(pairs.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
+  }
+
   test("embedLshPlanted: exactly the 50 planted pairs, no lattice artifacts") {
     // the nonlinear mixer must keep every non-planted cosine far below the
     // 0.999 threshold (a plain LCG has lag correlations that cross it),
