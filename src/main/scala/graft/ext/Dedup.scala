@@ -370,6 +370,58 @@ object Dedup {
     cappedBucketPairs(bucketed, Seq("band_idx", "band_hash"), maxBucket)
   }
 
+  /** The minhash-LSH gate on REAL data, as an exact containment contract.
+    * Which true pairs LSH finds is probabilistic by design (band recall
+    * ~0.11 at jaccard 0.35), so the found-pair set itself cannot be
+    * oracled; what IS exact:
+    *
+    *  - every LSH pair inside the bounded slice must appear in the
+    *    brute-force Jaccard ≥ 0.35 truth (the verify stage makes false
+    *    positives structurally impossible — `false_positives = 0`),
+    *  - the reported jaccard must equal the brute-force value bit-for-bit
+    *    (`value_mismatches = 0`), including the algebraic 1.0 of expanded
+    *    exact-duplicate pairs,
+    *  - and the truth itself (`truth_pairs`) is recomputed independently by
+    *    the oracle from raw text, so the gate is anchored to real data, not
+    *    a row of constants.
+    *
+    * The slice bound (doc_id < 300, as in [[ngramJaccard]]) keeps the
+    * all-pairs truth the verification path, never the scale path. The
+    * planted gate (`x_dedup_minhash_planted`) covers the recall direction
+    * with a corpus where recall is structurally 1.
+    */
+  def minhashLshContainment(s: SparkSession, d: String): DataFrame = {
+    val lsh = minhashLshOver(Tables.documents(s, d))
+      .filter(col("doc_a") < 300 && col("doc_b") < 300)
+    val truth = ngramJaccard(s, d).withColumnRenamed("jaccard", "true_jaccard")
+    val stats = lsh.join(truth, Seq("doc_a", "doc_b"), "left_outer")
+      .agg(
+        coalesce(sum(when(col("true_jaccard").isNull, 1)), lit(0))
+          .cast("long").as("false_positives"),
+        coalesce(sum(when(col("true_jaccard").isNotNull
+          && col("jaccard") =!= col("true_jaccard"), 1)), lit(0))
+          .cast("long").as("value_mismatches"))
+    stats.crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
+      .select(col("truth_pairs"), col("false_positives"), col("value_mismatches"))
+  }
+
+  val minhashLshContainmentOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |           ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                 for i in range(1, len(ws) - 1)] END) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents WHERE doc_id < 300))
+      |SELECT COUNT(*) AS truth_pairs,
+      |       CAST(0 AS BIGINT) AS false_positives,
+      |       CAST(0 AS BIGINT) AS value_mismatches
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.sh, b.sh)) > 0
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35""".stripMargin
+
   /** Custom typed aggregate for the 64 per-bit ±1 sums: like [[MinHashAgg]],
     * one JIT'd loop with an array buffer instead of 64 generated aggregate
     * expressions (whose codegen compile time dominated at bench scale).
@@ -440,6 +492,43 @@ object Dedup {
     expandPairs(members, verified, "hamming",
       withinScore = lit(0).cast("int"), dupReps = sk, maxBucket = maxBucket)
   }
+
+  /** The simhash gate on REAL data, as an exact set-equality contract.
+    * DuckDB cannot recompute simhash sketches (xxhash64 is
+    * engine-specific), but the chunk-banding construction has a property
+    * brute force can pin EXACTLY: by pigeonhole, any two 64-bit sketches
+    * within Hamming distance 3 must agree on at least one of the four
+    * 16-bit chunks — so on a slice where no bucket overflows the cap, the
+    * banded+verified pipeline output must equal all-pairs
+    * Hamming ≤ 3 over the same sketches, pair for pair and distance for
+    * distance. `missed_pairs` additionally proves the collapse/re-expand
+    * machinery loses nothing. The cap is lifted to the slice size (300 ≥
+    * any bucket) so pure completeness is what's measured; skew behavior is
+    * pinned separately in ExtSpec.
+    */
+  def simhashContainment(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.documents(s, d).filter(col("doc_id") < 300)
+    val pipeline = simhashPairsOver(slice, maxBucket = 300)
+    val sk = simhashSketches(slice.select(col("doc_id"), col("text")))
+    val brute = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("true_hamming"))
+      .filter(col("true_hamming") <= 3)
+    pipeline.join(brute, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("hamming").isNull, 1)), lit(0))
+          .cast("long").as("missed_pairs"),
+        coalesce(sum(when(col("true_hamming").isNull, 1)), lit(0))
+          .cast("long").as("extra_pairs"),
+        coalesce(sum(when(col("hamming").isNotNull && col("true_hamming").isNotNull
+          && col("hamming") =!= col("true_hamming"), 1)), lit(0))
+          .cast("long").as("hamming_mismatches"))
+  }
+
+  val simhashContainmentOracle: String =
+    """SELECT CAST(0 AS BIGINT) AS missed_pairs,
+      |       CAST(0 AS BIGINT) AS extra_pairs,
+      |       CAST(0 AS BIGINT) AS hamming_mismatches""".stripMargin
 
   /** Benchmark decontamination: flag training documents sharing ≥ 5 word
     * 3-gram shingles with any "benchmark" document (here: doc_id < 10 as
@@ -644,9 +733,9 @@ object Dedup {
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
-    "x_dedup_minhash_lsh" -> (minhashLsh _),
+    "x_dedup_minhash_lsh" -> (minhashLshContainment _),
     "x_dedup_minhash_planted" -> (minhashLshPlanted _),
-    "x_dedup_simhash" -> (simhashPairs _),
+    "x_dedup_simhash" -> (simhashContainment _),
     "x_dedup_simhash_planted" -> (simhashPlanted _))
 
   val oracles: Map[String, String] = Map(
@@ -655,6 +744,8 @@ object Dedup {
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "x_dedup_minhash_lsh" -> minhashLshContainmentOracle,
     "x_dedup_minhash_planted" -> minhashLshPlantedOracle,
+    "x_dedup_simhash" -> simhashContainmentOracle,
     "x_dedup_simhash_planted" -> simhashPlantedOracle)
 }

@@ -246,6 +246,48 @@ object Similarity {
       .select(col("rep_a").as("vec_a"), col("rep_b").as("vec_b"))
   }
 
+  /** The embed-LSH gate on REAL data, as an exact containment contract:
+    * bucket recall is probabilistic by design, so the found-pair set is not
+    * oracle-able, but (a) every emitted pair must be a true brute-force
+    * cosine ≥ 0.9 pair (`false_positives = 0` — the exact-verify stage makes
+    * this structural), (b) its cosine must equal the brute-force value
+    * bit-for-bit (`value_mismatches = 0`, same IEEE fold both ways), and
+    * (c) the brute-force truth count is recomputed independently by the
+    * oracle from the raw embeddings — on the driver testdata that count is
+    * honestly 0 (max pairwise cosine ~0.48), and the gate proves LSH agrees
+    * rather than hallucinating pairs. The planted twin covers recall.
+    */
+  def embedLshContainment(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val lsh = embedLshOver(e, threshold = 0.9)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("true_cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("true_cos") >= 0.9)
+      .select(col("vec_a"), col("vec_b"), col("true_cos"))
+    val stats = lsh.join(truth, Seq("vec_a", "vec_b"), "left_outer")
+      .agg(
+        coalesce(sum(when(col("true_cos").isNull, 1)), lit(0))
+          .cast("long").as("false_positives"),
+        coalesce(sum(when(col("true_cos").isNotNull
+          && col("cos") =!= col("true_cos"), 1)), lit(0))
+          .cast("long").as("value_mismatches"))
+    stats.crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
+      .select(col("truth_pairs"), col("false_positives"), col("value_mismatches"))
+  }
+
+  val embedLshContainmentOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+      |SELECT COUNT(*) AS truth_pairs,
+      |       CAST(0 AS BIGINT) AS false_positives,
+      |       CAST(0 AS BIGINT) AS value_mismatches
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9""".stripMargin
+
   /** LSH with PLANTED exact duplicates, hash-verified end-to-end: 100 base
     * vectors from a deterministic LCG (reproducible in SQL with pure integer
     * arithmetic) plus an exact copy of the first 50. Identical vectors get
@@ -346,7 +388,7 @@ object Similarity {
     "x_embed_quantize" -> (embedQuantize _),
     "x_ann_topk" -> (annTopK _),
     "x_embed_neardup" -> (cosineNearDup _),
-    "x_embed_lsh" -> (embedLsh _),
+    "x_embed_lsh" -> (embedLshContainment _),
     "x_embed_lsh_planted" -> (embedLshPlanted _),
     "x_ann_ivf" -> (annIvf _))
 
@@ -354,6 +396,7 @@ object Similarity {
     "x_embed_quantize" -> embedQuantizeOracle,
     "x_ann_topk" -> annTopKOracle,
     "x_embed_neardup" -> cosineNearDupOracle,
+    "x_embed_lsh" -> embedLshContainmentOracle,
     "x_embed_lsh_planted" -> embedLshPlantedOracle,
     "x_ann_ivf" -> annIvfOracle)
 }

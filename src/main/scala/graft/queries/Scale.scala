@@ -72,21 +72,71 @@ object Scale {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
-  /** Sketch aggregates: HLL distinct + approximate percentiles — the
-    * streaming/100 TB substitutes for exact COUNT(DISTINCT)/percentile
-    * (SURVEY.md §2.B7, §7.4). Estimates are engine-specific → rows-only
-    * check here; the accuracy contract is asserted in ScalaTest against the
-    * exact values.
+  /** Sketch ALGEBRA gate: the raw HLL/percentile estimates are
+    * engine-specific (DuckDB cannot recompute them), but the properties
+    * that make sketches correct ON A CLUSTER are exact and SQL-checkable
+    * as booleans, the same move `x_sketch_bounds` makes for the accuracy
+    * envelopes:
+    *
+    *  - '''partition invariance''': `approx_count_distinct` over 1
+    *    partition equals the same aggregate over 32 hash partitions. HLL++
+    *    partial buffers merge by register-max, so the estimate must be
+    *    independent of data layout — this is precisely the map-side-combine
+    *    correctness a 1000-executor aggregation relies on.
+    *  - '''union-merge accuracy''': per-group DataSketches HLL sketches
+    *    unioned via `hll_union_agg` estimate the global distinct count
+    *    within the sketch envelope (union switches the estimator from HIP
+    *    to composite, so union-vs-direct equality is NOT guaranteed — the
+    *    exact-anchored envelope is the honest contract).
+    *  - '''quantile rank contract''': `percentile_approx(accuracy=10000)`
+    *    must return an actual member of the group whose rank sits inside
+    *    the documented ±n/accuracy rank window around p·n (±1 row slack for
+    *    boundary rounding) — checked by exact conditional counts.
+    *
+    * Exact anchors (`exact_buyers`, `n`) ride along so the oracle is not
+    * just a row of TRUEs.
     */
-  def approxSketches(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .groupBy(col("o_orderstatus"))
+  def approxSketches(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val acd1 = o.repartition(1)
+      .agg(approx_count_distinct(col("o_custkey"), 0.01)).head.getLong(0)
+    val acd32 = o.repartition(32, col("o_orderkey"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01)).head.getLong(0)
+    val unionEst = o.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("skb"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("skb")))).head.getLong(0)
+    val exactGlobal = o.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    val groups = o.groupBy(col("o_orderstatus"))
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_buyers"),
         countDistinct(col("o_custkey")).as("exact_buyers"),
-        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("hll_buyers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("p95"))
+        count(lit(1)).as("n"))
+    val ranks = o
+      .join(broadcast(groups.select(col("o_orderstatus").as("st"), col("p50"))),
+        col("o_orderstatus") === col("st"))
+      .groupBy(col("st"))
+      .agg(
+        sum(when(col("o_totalprice") <= col("p50"), 1).otherwise(0)).as("cnt_le"),
+        sum(when(col("o_totalprice") < col("p50"), 1).otherwise(0)).as("cnt_lt"),
+        max(when(col("o_totalprice") === col("p50"), 1).otherwise(0)).as("is_member"))
+    groups.join(ranks, col("o_orderstatus") === col("st"))
+      .select(
+        col("o_orderstatus"), col("exact_buyers"), col("n"),
+        (col("is_member") === 1).as("p50_is_member"),
+        (col("cnt_le") >= floor(col("n") * 0.5) - floor(col("n") / 10000) - 1 &&
+          col("cnt_lt") <= ceil(col("n") * 0.5) + floor(col("n") / 10000) + 1)
+          .as("p50_rank_ok"),
+        lit(acd1 == acd32).as("acd_partition_invariant"),
+        (lit(math.abs(unionEst - exactGlobal))
+          <= lit(exactGlobal * 0.05)).as("hll_union_within_5pct"))
+  }
+
+  val approxSketchesOracle: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_buyers,
+      |       COUNT(*) AS n,
+      |       TRUE AS p50_is_member, TRUE AS p50_rank_ok,
+      |       TRUE AS acd_partition_invariant, TRUE AS hll_union_within_5pct
+      |FROM orders GROUP BY 1""".stripMargin
 
   /** The exact half of the sketch gate, split out so it is hash-verified
     * against the oracle (the estimates above stay rows-only by nature —
@@ -272,6 +322,7 @@ object Scale {
     "p_bloom_join" -> bloomJoinOracle,
     "x_sketch_bounds" -> sketchBoundsOracle,
     "x_sketch_exact" -> sketchExactOracle,
+    "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
     "a5_gen_aggregate" -> genAggregateOracle,
     "c6_orchestrator_run" -> orchestratorRunOracle,
