@@ -419,6 +419,170 @@ object Streams {
       |FROM range(0, 7000) t(id)
       |GROUP BY 1, 2""".stripMargin
 
+  // public: Spark codegen materializes these via generated accessors.
+  // EvT carries the watermarked event_ts column — the analyzer requires the
+  // watermark attribute to be present in the Dataset feeding an event-time
+  // timeout, so it can't be projected away before groupByKey.
+  case class EvT(user_id: Long, event_id: Long, ts_us: Long, value: Double,
+      event_ts: java.sql.Timestamp)
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  case class SessRow(user_id: Long, session_start_us: Long,
+      session_end_us: Long, events: Long, status: String)
+
+  private val SessionGapUs = 3600L * 1000000L
+
+  /** Session builder with EVENT-TIME TIMEOUTS — the one stateful-streaming
+    * shape the other gates don't cover: a session that simply stops
+    * receiving events must still be emitted, which only a timeout can do
+    * (no later row ever triggers the group again).
+    *
+    * Per group: fold the batch's events in (ts, id) order into the open
+    * session from state; a gap ≥ 1h closes the open session (emitted
+    * immediately, `status = closed`) and opens a new one; the trailing open
+    * session goes back into state with `setTimeoutTimestamp(last + gap)`.
+    * When the event-time watermark passes that timestamp, Spark invokes the
+    * handler with `hasTimedOut` and the final session is emitted
+    * (`status = expired`) and the state removed — bounding state size by
+    * the number of LIVE sessions, the property that keeps a 100 TB/day
+    * stream's state store finite. Sessions already behind the watermark
+    * when registered clamp to watermark+1ms and expire at the next tick.
+    */
+  private def sessionHandler(
+      user: Long, rows: Iterator[EvT],
+      state: GroupState[SessState]): Iterator[SessRow] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      if (user < 0) Iterator.empty
+      else Iterator(SessRow(user, st.start_us, st.last_us, st.n, "expired"))
+    } else {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer[SessRow]()
+      evs.foreach { e =>
+        open match {
+          case Some(st) if e.ts_us - st.last_us < SessionGapUs =>
+            open = Some(SessState(st.start_us, e.ts_us, st.n + 1))
+          case Some(st) =>
+            closed += SessRow(user, st.start_us, st.last_us, st.n, "closed")
+            open = Some(SessState(e.ts_us, e.ts_us, 1))
+          case None =>
+            open = Some(SessState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      open.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(
+          math.max(st.last_us / 1000 + SessionGapUs / 1000,
+            state.getCurrentWatermarkMs() + 1))
+      }
+      if (user < 0) Iterator.empty else closed.iterator
+    }
+  }
+
+  /** Stage the events keyed by USER into `nChunks` files (every user's full
+    * history lands in one micro-batch, so inline session closure is
+    * deterministic) plus three watermark sentinels (user -1) as separate
+    * trailing files. The watermark delay is the full data SPAN: user-keyed
+    * chunks each cover the whole time range, so any smaller delay would
+    * make the stateful operator drop later chunks' rows as late data.
+    * Under that delay the sentinels choreograph deterministic timeout
+    * firing: the first sits so the post-sentinel watermark lands mid-range
+    * (sessions ending in the earlier half expire in the SECOND sentinel's
+    * batch), the second pushes the watermark past every real timer (the
+    * rest expire in the THIRD sentinel's batch), and the last gives the
+    * engine the batch in which those final firings run — so every user's
+    * final session provably expires before AvailableNow terminates,
+    * without relying on no-data micro-batch behavior, and expiry firings
+    * demonstrably span two different batches.
+    */
+  private def stageUserChunksWithSentinels(
+      s: SparkSession, d: String,
+      nChunks: Int): (String, org.apache.spark.sql.types.StructType, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(graft.Tables.path(d, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
+    val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+    val delayMs = (maxTs - minTs) / 1000 + 1
+    val delayUs = delayMs * 1000
+    val midTs = minTs + (maxTs - minTs) / 2
+    val day = 86400L * 1000000L
+    val staged = Files.createTempDirectory("graft_sess_")
+    (0 until nChunks).foreach { c =>
+      ev.filter(pmod(col("user_id"), lit(nChunks)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c")
+    }
+    Seq(midTs + delayUs, maxTs + delayUs + 30 * day, maxTs + delayUs + 60 * day)
+      .zipWithIndex.foreach { case (ts, i) =>
+        s.range(1).select(
+          lit(-1L).as("user_id"), lit(-1L - i).as("event_id"),
+          lit(ts).as("ts_us"), lit(0.0).as("value"))
+          .coalesce(1).write.parquet(s"$staged/chunk=${nChunks + i}")
+      }
+    (s"$staged/chunk=*", ev.schema, delayMs)
+  }
+
+  private def streamSessionTimeoutOver(s: SparkSession, d: String, nChunks: Int): DataFrame = {
+    import s.implicits._
+    val (glob, schema, delayMs) = stageUserChunksWithSentinels(s, d, nChunks)
+    val stream = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(glob)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", s"$delayMs milliseconds")
+      .as[EvT]
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionHandler)
+    drain(sessions.toDF(), OutputMode.Append())
+  }
+
+  /** Timeout gate, single data batch: all real events in one micro-batch,
+    * sentinels in two more — every session is emitted exactly once, closed
+    * inline or expired by timeout, and the union equals batch
+    * gaps-and-islands sessionization.
+    */
+  def streamSessionTimeout(s: SparkSession, d: String): DataFrame =
+    streamSessionTimeoutOver(s, d, nChunks = 1)
+
+  /** Timeout gate, multi-batch: four user-keyed chunks drained one file per
+    * trigger — state and timeout timestamps must survive across batches,
+    * and timeouts fire PROGRESSIVELY (chunk k's sessions are already behind
+    * the watermark advanced by chunks < k, so their clamped timers fire in
+    * later batches, not just at the sentinel flush).
+    */
+  def streamSessionTimeoutMultiBatch(s: SparkSession, d: String): DataFrame =
+    streamSessionTimeoutOver(s, d, nChunks = 4)
+
+  // each user's non-final sessions close inline ('closed'); the final one
+  // can only leave the state store via its event-time timer ('expired') —
+  // so the status column is itself proof the timeouts fired
+  val streamSessionTimeoutOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |         CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+      |                OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w >= 3600000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, session_id, MIN(ts_us) AS session_start_us,
+      |         MAX(ts_us) AS session_end_us, COUNT(*) AS events
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, session_start_us, session_end_us, events,
+      |       CASE WHEN session_id = MAX(session_id) OVER (PARTITION BY user_id)
+      |            THEN 'expired' ELSE 'closed' END AS status
+      |FROM agg""".stripMargin
+
   /** Exactly-once via checkpointing: the SAME AvailableNow query is started
     * twice against one checkpoint + parquet sink; the second run finds the
     * source fully committed and appends nothing, so the sink equals ONE
@@ -466,6 +630,8 @@ object Streams {
     "s_stream_latest" -> (streamLatestPerUser _),
     "s_stream_upsert" -> (streamUpsertWarehouse _),
     "s_stream_multibatch" -> (streamMultiBatch _),
+    "s_stream_session_timeout" -> (streamSessionTimeout _),
+    "s_stream_timeout_multibatch" -> (streamSessionTimeoutMultiBatch _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -480,5 +646,7 @@ object Streams {
     "s_stream_latest" -> streamLatestOracle,
     "s_stream_upsert" -> streamUpsertOracle,
     "s_stream_multibatch" -> streamMultiBatchOracle,
+    "s_stream_session_timeout" -> streamSessionTimeoutOracle,
+    "s_stream_timeout_multibatch" -> streamSessionTimeoutOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }
