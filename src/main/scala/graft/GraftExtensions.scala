@@ -5,16 +5,23 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature}
 
-/** SparkSessionExtensions entry point: registers the native vector
-  * expressions as SQL functions, so the pure-SQL front-end can call them
-  * (`SELECT graft_dot(a, b) ...`). Activate with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
-  * build. No custom analyzer/optimizer rules are injected — the engine
-  * needs none (SURVEY.md §4); this is the function-registration slice of
-  * the extension API only.
+/** SparkSessionExtensions entry point. Two slices of the extension API:
+  *
+  *  - '''function registration''': the native vector expressions as SQL
+  *    functions, so the pure-SQL front-end can call them
+  *    (`SELECT graft_dot(a, b) ...`);
+  *  - '''optimizer rule''': [[RewriteDotProduct]], which transparently
+  *    swaps the interpreted HOF dot-product pattern for the codegen'd
+  *    native expression (user-provided rules run after the main optimizer
+  *    batches, so the pattern arrives resolved and constant-folded).
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * at session build (honored only when the SparkContext is created) or
+  * programmatically via `SparkSession.builder().withExtensions(...)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

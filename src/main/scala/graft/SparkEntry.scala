@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Lifecycle, Reference, Relational, Scale}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, IncrementalLsh, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,10 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.defs ++ Relational.defs ++ Lifecycle.defs ++ Streams.defs ++
       Scale.defs ++
-      TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+      TextAnalysis.defs ++ Dedup.defs ++ IncrementalLsh.defs ++
+      Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Lifecycle.oracles ++ Streams.oracles ++
       Scale.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ IncrementalLsh.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

@@ -192,7 +192,7 @@ object Dedup {
     * the 32-way inner loop is hot; the input hashes come from the codegen'd
     * `xxhash64` via a `transform`.
     */
-  private val sigOfHashes = udf((hs: Seq[Long]) => {
+  private[ext] val sigOfHashes = udf((hs: Seq[Long]) => {
     val buf = Array.fill(NumHashes)(Long.MaxValue)
     hs.foreach { h =>
       var x = h
@@ -358,16 +358,23 @@ object Dedup {
     * applied. Exposed for the skew test (candidate counts must stay bounded
     * on a planted boilerplate cluster).
     */
-  private[graft] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame =
+    cappedBucketPairs(bandBuckets(sigs), Seq("band_idx", "band_hash"), maxBucket)
+
+  /** (rep_id, band_idx, band_hash) postings of a (rep_id, sig) table — the
+    * banding half of [[lshCandidates]], shared with the incremental index
+    * ([[IncrementalLsh]]), which needs the postings of old and new
+    * signatures separately.
+    */
+  private[ext] def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
           .as("band_hash"))
     }
-    val bucketed = sigs
+    sigs
       .select(col("rep_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("rep_id"), col("band.band_idx"), col("band.band_hash"))
-    cappedBucketPairs(bucketed, Seq("band_idx", "band_hash"), maxBucket)
   }
 
   /** The minhash-LSH gate on REAL data, as an exact containment contract.
@@ -584,7 +591,7 @@ object Dedup {
     * cross-doc token sets are disjoint) plus exact copies of the first 20
     * (ids 1000+i). Reproducible in SQL with pure integer arithmetic.
     */
-  private def plantedDocs(s: SparkSession): DataFrame = {
+  private[ext] def plantedDocs(s: SparkSession): DataFrame = {
     val text = concat_ws(" ", transform(sequence(lit(0), lit(9)),
       k => concat(lit("w"), (col("src") * 17 + k).cast("string"))))
     s.range(100).select(col("id").as("doc_id"), col("id").as("src"))

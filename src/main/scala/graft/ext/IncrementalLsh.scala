@@ -1,0 +1,136 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Q.QueryFn
+
+/** Incremental maintenance of the MinHash-LSH near-dup index — the real
+  * operation on a GROWING 100-TB corpus, where recomputing the whole
+  * pipeline per ingest batch ([[Dedup.minhashLshOver]]) would reprocess
+  * 100 TB to absorb a few GB.
+  *
+  * State on disk (lake-style parquet tables under a root):
+  *  - `sigs`:  doc_id, shingle set, 32-slot minhash signature — appended,
+  *    never rewritten; the shingle arrays let later appends verify
+  *    candidates without re-reading document text.
+  *  - `pairs`: doc_a, doc_b, jaccard — append-only verified output.
+  *
+  * An append batch costs O(new): only new documents are shingled and
+  * signed; candidate generation joins the FULL posting table down to the
+  * band buckets the new signatures touch (`left_semi` on the new postings'
+  * bucket keys — one equi-join keyed on the bucket, never a rescan of old
+  * pairs) and keeps only pairs involving a new doc. Because appended ids
+  * are required to be strictly increasing, the id-ranked bucket cap
+  * ([[Dedup.cappedBucketPairs]]) never displaces an old member, so the
+  * already-stored pair set stays exactly valid and
+  * '''append-then-incremental ≡ full recompute''' — which is what the
+  * gate and ExtSpec verify, hash-exactly, on the planted corpus.
+  *
+  * Composition note: this maintains the index at DOC granularity; in front
+  * of it the exact-dup collapse ([[Dedup.collapseExact]]) composes the same
+  * way it does for the batch pipeline (rep ids are min doc ids, so they
+  * also grow monotonically under appends).
+  */
+object IncrementalLsh {
+
+  val JaccardThreshold = 0.35
+
+  /** Shingles + signature for a doc batch, one pass. The shingle-less
+    * filter is a CHEAP predicate on raw text (< 3 words), deliberately not
+    * `size(shingles(text)) > 0`: a post-projection filter on the UDF column
+    * is deterministic and would be pushed below the fan-out repartition,
+    * running the hot shingle kernel twice per row on the undistributed
+    * input (the InferFiltersFromGenerate trap, predicate-pushdown edition).
+    */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 3)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .withColumn("sig", Dedup.sigOfHashes(transform(col("sh"), sv => xxhash64(sv))))
+
+  /** Verify candidate pairs against the stored shingle arrays — identical
+    * arithmetic to the batch pipeline, so jaccard values hash-match it.
+    */
+  private def verify(cand: DataFrame, sigs: DataFrame): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(sigs.select(col("doc_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"), col("jaccard"))
+
+  /** Build the index from an initial corpus. */
+  def init(docs: DataFrame, root: String,
+      maxBucket: Int = Dedup.MaxBucketDefault): Unit = {
+    val s = docs.sparkSession
+    signatures(docs).write.mode("overwrite").parquet(s"$root/sigs")
+    val sigs = s.read.parquet(s"$root/sigs")
+    val cand = Dedup.lshCandidates(
+      sigs.select(col("doc_id").as("rep_id"), col("sig")), maxBucket)
+    verify(cand, sigs).write.mode("overwrite").parquet(s"$root/pairs")
+  }
+
+  /** Absorb an append batch: sign ONLY the new docs, generate only
+    * new×(existing ∪ new) candidates from the touched buckets, verify,
+    * append. New doc ids must be strictly greater than every indexed id
+    * (the append contract that keeps the id-ranked cap — and therefore the
+    * stored pair set — stable).
+    */
+  def append(newDocs: DataFrame, root: String,
+      maxBucket: Int = Dedup.MaxBucketDefault): Unit = {
+    val s = newDocs.sparkSession
+    val existing = s.read.parquet(s"$root/sigs")
+    val maxOld = existing.agg(max(col("doc_id"))).head.getLong(0)
+    val minNew = newDocs.agg(min(col("doc_id"))).head.getLong(0)
+    require(minNew > maxOld,
+      s"IncrementalLsh.append: new ids must exceed indexed ids ($minNew <= $maxOld)")
+    val newSigs = signatures(newDocs).persist()
+    newSigs.write.mode("append").parquet(s"$root/sigs")
+    val all = s.read.parquet(s"$root/sigs")
+    val touched = Dedup.bandBuckets(
+      newSigs.select(col("doc_id").as("rep_id"), col("sig")))
+      .select(col("band_idx"), col("band_hash")).distinct()
+    val allBuckets = Dedup.bandBuckets(
+      all.select(col("doc_id").as("rep_id"), col("sig")))
+      .join(touched, Seq("band_idx", "band_hash"), "left_semi")
+    val cand = Dedup.cappedBucketPairs(
+      allBuckets, Seq("band_idx", "band_hash"), maxBucket)
+      // rep_a < rep_b and new ids are the highest, so "pair involves a new
+      // doc" ⟺ rep_b is new; old-old pairs in touched buckets are already
+      // stored and must not re-verify or duplicate
+      .filter(col("rep_b") > maxOld)
+    verify(cand, all).write.mode("append").parquet(s"$root/pairs")
+    newSigs.unpersist()
+    ()
+  }
+
+  /** The maintained near-dup pair table. */
+  def pairs(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/pairs")
+
+  /** Gate: init on the 100 planted base docs, then TWO incremental appends
+    * of 10 exact duplicates each — the final maintained pair table must
+    * equal brute-force Jaccard over the whole corpus (the same oracle the
+    * one-shot planted pipeline answers), proving append-then-incremental ≡
+    * full recompute with no duplicated or lost pairs across appends.
+    */
+  def lshIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_ilsh_").toString
+    val docs = Dedup.plantedDocs(s)
+    init(docs.filter(col("doc_id") < 100), root)
+    append(docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1010), root)
+    append(docs.filter(col("doc_id") >= 1010), root)
+    pairs(s, root)
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "x_dedup_lsh_incremental" -> (lshIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_lsh_incremental" -> Dedup.minhashLshPlantedOracle)
+}

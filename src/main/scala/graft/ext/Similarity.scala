@@ -171,6 +171,38 @@ object Similarity {
       |JOIN assigned a ON a.cent_id = q.cent_id AND a.vec_id <> q.vec_id
       |QUALIFY rk <= 3""".stripMargin
 
+  /** Catalyst-rewrite gate: a cosine-style query written ENTIRELY with the
+    * interpreted higher-order-function dot product — no native expression
+    * in the source. In a session built with [[graft.GraftExtensions]], the
+    * injected [[graft.RewriteDotProduct]] optimizer rule swaps every
+    * `aggregate(zip_with(·,·,*), 0.0, +)` for the codegen'd `graft_dot`;
+    * ExtensionsSpec pins the plan substitution, and this gate hash-verifies
+    * that a query THROUGH the rewrite still matches DuckDB bit-for-bit
+    * (both formulations are the same strict IEEE fold, so the rule firing
+    * or not firing must be invisible in results — that invariance is what
+    * makes it safe to inject globally).
+    */
+  def catalystDot(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.withColumn("nd", dotHof(col("v"), col("v")))
+      .filter(col("nd") > 0)
+      .withColumn("cos_self", dotHof(col("v"), col("v"))
+        / (sqrt(col("nd")) * sqrt(col("nd"))))
+      .select(col("vec_id"), col("nd"), col("cos_self"))
+  }
+
+  val catalystDotOracle: String =
+    """SELECT vec_id,
+      |       list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nd,
+      |       list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |            * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos_self
+      |FROM embeddings
+      |WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0""".stripMargin
+
   private val NumPlanes = 24
   private val ChunkBits = 8
   private val NumChunks = NumPlanes / ChunkBits
@@ -390,6 +422,7 @@ object Similarity {
     "x_embed_neardup" -> (cosineNearDup _),
     "x_embed_lsh" -> (embedLshContainment _),
     "x_embed_lsh_planted" -> (embedLshPlanted _),
+    "x_catalyst_dot" -> (catalystDot _),
     "x_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
@@ -398,5 +431,6 @@ object Similarity {
     "x_embed_neardup" -> cosineNearDupOracle,
     "x_embed_lsh" -> embedLshContainmentOracle,
     "x_embed_lsh_planted" -> embedLshPlantedOracle,
+    "x_catalyst_dot" -> catalystDotOracle,
     "x_ann_ivf" -> annIvfOracle)
 }

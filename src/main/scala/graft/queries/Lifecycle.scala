@@ -120,6 +120,32 @@ object Lifecycle {
       |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-02' ELSE DATE '2024-06-01' END AS updated_at
       |FROM customer""".stripMargin
 
+  /** A10 through a REAL JDBC database: the same dim_users merge cycle as
+    * [[dimUpsert]], but the warehouse table lives in embedded Derby behind
+    * `Warehouse.mergeIntoJdbc` — load, VIP update batch applied twice
+    * (idempotence), read back OVER JDBC. Same oracle as the parquet-backed
+    * gate: the storage engine must be invisible in the merged result,
+    * which is exactly the claim that absorbing the reference's MySQL sink
+    * into the generic merge rests on.
+    */
+  def jdbcUpsert(s: SparkSession, d: String): DataFrame = {
+    System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    val day1 = Date.valueOf("2024-06-01")
+    val day2 = Date.valueOf("2024-06-02")
+    val base = Warehouse.dimUsers(Tables.customer(s, d), day1)
+    Warehouse.mergeIntoJdbc(s, url, "dim_users", base, Seq("user_id"), Seq("updated_at"))
+    val updates = Warehouse.dimUsers(
+      Tables.customer(s, d).filter(col("c_custkey") % 10 === 0), day2)
+      .withColumn("user_segment", lit("VIP"))
+    Warehouse.mergeIntoJdbc(s, url, "dim_users", updates, Seq("user_id"), Seq("updated_at"))
+    Warehouse.mergeIntoJdbc(s, url, "dim_users", updates, Seq("user_id"), Seq("updated_at"))
+    s.read.format("jdbc").option("url", url).option("dbtable", "dim_users").load()
+  }
+
+  val jdbcUpsertOracle: String = dimUpsertOracle
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -471,6 +497,7 @@ object Lifecycle {
     "c1_retention_prune" -> (retentionPrune _),
     "c7_compaction" -> (compaction _),
     "w_dim_upsert" -> (dimUpsert _),
+    "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
     "c4_permission_check" -> (permissionCheck _),
@@ -487,6 +514,7 @@ object Lifecycle {
     "c1_retention_prune" -> retentionPruneOracle,
     "c7_compaction" -> compactionOracle,
     "w_dim_upsert" -> dimUpsertOracle,
+    "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,
     "c4_permission_check" -> permissionCheckOracle,

@@ -57,6 +57,46 @@ object Warehouse {
     Lake.writeTableSnapshot(merged, root, table, retentionVersions)
   }
 
+  /** Generic JDBC upsert writer — the literal A10/A11 sink shape (the
+    * reference upserts into MySQL, sync_to_mysql.py:133-232): the same
+    * latest-wins [[merge]] with the warehouse table living behind ANY JDBC
+    * url. Tested against embedded Derby (the JDBC engine shipped with
+    * Spark); MySQL is the identical code path with its url/driver. Set
+    * oriented: ONE table read + ONE bulk write per batch, versus the
+    * reference's per-row `INSERT ... ON DUPLICATE KEY UPDATE` loop over
+    * `df.iterrows()`.
+    *
+    * The merged frame is materialized (persist + count) BEFORE the write:
+    * Spark evaluates lazily and `mode("overwrite")` drops the very table
+    * the merge reads from. At warehouse scale the same pattern goes
+    * through a staging table + atomic rename; the cache is the single-JVM
+    * equivalent.
+    */
+  def mergeIntoJdbc(
+      spark: SparkSession, url: String, table: String,
+      updates: DataFrame, keys: Seq[String], orderCols: Seq[String]): Unit = {
+    val exists = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally conn.close()
+    }
+    val base =
+      if (exists)
+        spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+      else updates.limit(0)
+    val merged = merge(base, updates, keys, orderCols).persist()
+    merged.count()
+    merged.write.format("jdbc").mode("overwrite")
+      .option("url", url).option("dbtable", table).save()
+    merged.unpersist()
+    ()
+  }
+
   /** dim_users extraction (sync_to_mysql.py:133-144) from the customer
     * table, with the reference's `updated_at` stamp.
     */

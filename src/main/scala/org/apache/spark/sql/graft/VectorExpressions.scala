@@ -32,14 +32,26 @@ case class DotProductD(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // null on length mismatch / null element, even for non-null inputs —
+  // exactly the HOF fold's semantics (see below), hence nullable
+  override def nullable: Boolean = true
 
+  // Semantics match `aggregate(zip_with(a, b, _*_), 0.0, _+_)` EXACTLY so
+  // the RewriteDotProduct optimizer rule is a pure substitution: zip_with
+  // pads a shorter array with nulls and null propagates through *, + — so
+  // unequal lengths or any null element yield NULL, not a truncated sum.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -48,10 +60,15 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
        """.stripMargin
     })

@@ -154,6 +154,46 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => expected.contains((a, b)) || expected.contains((b, a)) })
   }
 
+  test("incremental LSH: append-then-incremental equals full recompute") {
+    import graft.ext.IncrementalLsh
+    // perturbed corpus (not just exact dups): base docs plus overlapping
+    // near-dups with ids above the base range, split across two appends
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 10).map(k => s"w${i * 17 + k}").mkString(" ")))
+    val near = (0 until 10).map(i => // drop last word, add one: high overlap
+      (1000L + i, ((0 until 9).map(k => s"w${i * 17 + k}") :+ s"x$i").mkString(" ")))
+    val dups = (10 until 20).map(i =>
+      (1100L + i, (0 until 10).map(k => s"w${i * 17 + k}").mkString(" ")))
+    val all = (base ++ near ++ dups).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("ilsh_spec_").toString
+    IncrementalLsh.init(base.toDF("doc_id", "text"), root)
+    IncrementalLsh.append(near.toDF("doc_id", "text"), root)
+    IncrementalLsh.append(dups.toDF("doc_id", "text"), root)
+    val incr = IncrementalLsh.pairs(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // one-shot rebuild over the full corpus through the same index code
+    val root2 = java.nio.file.Files.createTempDirectory("ilsh_spec2_").toString
+    IncrementalLsh.init(all, root2)
+    val full = IncrementalLsh.pairs(spark, root2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr === full)
+    assert(incr.nonEmpty) // near-dups at jaccard 8/10-ish must be found
+    assert(incr.exists { case (a, b, j) => b >= 1000 && j < 1.0 && j >= 0.35 })
+    // no duplicated pairs across the two appends
+    val cnt = IncrementalLsh.pairs(spark, root).count()
+    assert(cnt === incr.size)
+  }
+
+  test("incremental LSH: non-increasing append ids are rejected") {
+    import graft.ext.IncrementalLsh
+    val root = java.nio.file.Files.createTempDirectory("ilsh_spec3_").toString
+    IncrementalLsh.init(Seq((5L, "a b c d e")).toDF("doc_id", "text"), root)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalLsh.append(Seq((3L, "a b c d f")).toDF("doc_id", "text"), root)
+    }
+    assert(e.getMessage.contains("must exceed"))
+  }
+
   test("embed-LSH bucket cap bounds candidates on a planted identical-embedding cluster") {
     // 500 identical embeddings (one boilerplate vector repeated) all share
     // every chunk bucket: uncapped that is C(500,2) ≈ 125k candidate pairs

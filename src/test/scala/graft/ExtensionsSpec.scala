@@ -53,4 +53,63 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RewriteDotProduct rewrites the HOF fold to graft_dot, preserving results") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rule-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      // a LocalRelation input would be constant-folded by
+      // ConvertToLocalRelation before the injected rule ever sees it (user
+      // rules run after the main batches) — go through parquet, the shape
+      // every real query has
+      val pq = java.nio.file.Files.createTempDirectory("rule_spec_").toString
+      Seq(
+        (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+        (2L, Seq(0.5, -1.5, 2.5), Seq(2.0, 0.0, -4.0)),
+        (3L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch → NULL
+        (4L, Seq(1.0, 2.0, 3.0), null)) // null input → NULL
+        .toDF("id", "a", "b").write.parquet(s"$pq/t")
+      val df = spark.read.parquet(s"$pq/t")
+      val hof = df.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      // the rule fired: the optimized plan carries the native expression
+      // and no ArrayAggregate remains
+      val optimized = hof.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), optimized)
+      assert(!optimized.toLowerCase.contains("aggregate(zip_with"), optimized)
+      // and results are exactly the hand-computed fold, nulls included
+      val out = hof.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(out(1L) === Some(1.0 * 4 + 2 * 5 + 3 * 6))
+      assert(out(2L) === Some(0.5 * 2 + (-1.5) * 0 + 2.5 * (-4)))
+      assert(out(3L) === None)
+      assert(out(4L) === None)
+      // a NON-matching fold (different zero) is left untouched
+      val other = df.filter(col("id") === 1).select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(1.0), (acc, v) => acc + v).as("d"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(other.collect().head.getDouble(0) === 33.0)
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
 }

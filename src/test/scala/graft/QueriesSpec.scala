@@ -51,11 +51,12 @@ class QueriesSpec extends SparkSpec {
 
   test("no query-name collisions across modules (Map ++ drops silently)") {
     import graft.queries.{Lifecycle, Reference, Relational, Scale}
-    import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+    import graft.ext.{Dedup, IncrementalLsh, Multimodal, Similarity, TextAnalysis}
     import graft.streaming.Streams
     val parts = Seq(
       Reference.defs, Relational.defs, Lifecycle.defs, Streams.defs,
-      Scale.defs, TextAnalysis.defs, Dedup.defs, Similarity.defs, Multimodal.defs)
+      Scale.defs, TextAnalysis.defs, Dedup.defs, IncrementalLsh.defs,
+      Similarity.defs, Multimodal.defs)
     val totalKeys = parts.map(_.size).sum
     assert(SparkEntry.queries.size === totalKeys,
       s"combined map has ${SparkEntry.queries.size} entries but modules define $totalKeys — duplicate names")

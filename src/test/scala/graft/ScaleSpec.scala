@@ -40,15 +40,24 @@ class ScaleSpec extends SparkSpec {
       s"join subtree should be exchange-free (bucket co-location):\n$joinPlan")
   }
 
-  test("approx sketches are within 5% of exact distinct counts") {
+  test("sketch algebra: every boolean contract holds on real data") {
     val rows = Scale.approxSketches(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_buyers").toDouble
-      val approx = r.getAs[Long]("approx_buyers").toDouble
-      val hll = r.getAs[Long]("hll_buyers").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05, s"approx off: $r")
-      assert(math.abs(hll - exact) / exact < 0.05, s"hll off: $r")
+      assert(r.getAs[Boolean]("p50_is_member"), s"p50 not a member: $r")
+      assert(r.getAs[Boolean]("p50_rank_ok"), s"p50 rank out of window: $r")
+      assert(r.getAs[Boolean]("acd_partition_invariant"), s"layout-dependent ACD: $r")
+      assert(r.getAs[Boolean]("hll_union_within_5pct"), s"union estimate off: $r")
+    }
+  }
+
+  test("sketch estimates are within 5% of exact distinct counts (bounds gate)") {
+    val rows = Scale.sketchBounds(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_within_5pct"), s"approx off: $r")
+      assert(r.getAs[Boolean]("hll_within_5pct"), s"hll off: $r")
+      assert(r.getAs[Boolean]("p50_in_range") && r.getAs[Boolean]("p95_in_range"), s"$r")
     }
   }
 

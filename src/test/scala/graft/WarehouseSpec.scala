@@ -36,6 +36,29 @@ class WarehouseSpec extends SparkSpec {
     assert(out.filter($"k" === 2).select("v").as[String].head() === "b")
   }
 
+  test("JDBC upsert round-trip equals the in-memory merge, incl. stale updates") {
+    System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:wh_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    // batch 2 carries one NEWER row (k=2), one STALE row (k=3, ver 5 < 10)
+    // and one new key — latest-wins must hold through the JDBC store too
+    val upd1 = Seq((2L, "B", 20), (4L, "d", 20)).toDF("k", "v", "ver")
+    val upd2 = Seq((2L, "B2", 30), (3L, "stale", 5), (5L, "e", 30)).toDF("k", "v", "ver")
+    Warehouse.mergeIntoJdbc(spark, url, "t", base, Seq("k"), Seq("ver"))
+    Warehouse.mergeIntoJdbc(spark, url, "t", upd1, Seq("k"), Seq("ver"))
+    Warehouse.mergeIntoJdbc(spark, url, "t", upd2, Seq("k"), Seq("ver"))
+    val viaJdbc = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t").load()
+      .orderBy("k").as[(Long, String, Int)].collect()
+    val viaMerge = Warehouse.merge(
+      Warehouse.merge(base, upd1, Seq("k"), Seq("ver")),
+      upd2, Seq("k"), Seq("ver"))
+      .orderBy("k").as[(Long, String, Int)].collect()
+    assert(viaJdbc === viaMerge)
+    assert(viaJdbc.map(r => r._1 -> r._2).toMap ===
+      Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
   test("merge: exact order-col tie goes to the update (_src tiebreak)") {
     val upd = Seq((2L, "B", 10)).toDF("k", "v", "ver") // same ver as stored
     val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
