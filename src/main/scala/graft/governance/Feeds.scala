@@ -1,15 +1,18 @@
 package graft.governance
 
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
 import graft.model.{FeedConfig, FeedType, PartitioningType, StorageMode}
 
 /** Feed catalog CRUD (SURVEY.md §2.C5, manage_feeds.py).
   *
   * The reference stores one JSON descriptor per feed under feeds/active or
   * feeds/archived and moves files to archive; here the catalog is an
-  * immutable in-memory collection (persistable as a lake table) and archive
-  * is a status flip (SURVEY.md §2.C5: "archive = status column, not file
-  * move"). All mutations validate enums via the model ADTs and return a new
-  * catalog — callers persist via Lake.writeTableSnapshot when durable.
+  * immutable in-memory collection with the SAME on-disk layout behind
+  * [[FeedCatalog.save]]/[[FeedCatalog.load]] (one JSON file per feed,
+  * directory by status), while in-memory archive is a status flip. All
+  * mutations validate enums via the model ADTs and return a new catalog.
   */
 case class FeedCatalog(feeds: Map[String, FeedConfig]) {
 
@@ -65,6 +68,101 @@ case class FeedCatalog(feeds: Map[String, FeedConfig]) {
 
 object FeedCatalog {
   def empty: FeedCatalog = FeedCatalog(Map.empty)
+
+  /** Persist the catalog as the reference's on-disk layout: ONE JSON
+    * descriptor per feed under `feeds/active/` or `feeds/archived/`
+    * (manage_feeds.py:107-122; archive there is a file move,
+    * manage_feeds.py:190-240). Both directories are rewritten from the
+    * catalog, which lands in the same end state as tracking individual
+    * moves. Driver-side metadata like the reference's — no Spark job.
+    */
+  def save(cat: FeedCatalog, root: String): Unit = {
+    val base = Paths.get(root, "feeds")
+    Seq("active", "archived").foreach { d =>
+      val p = base.resolve(d)
+      if (Files.exists(p))
+        Files.list(p).iterator().asScala.filter(_.toString.endsWith(".json"))
+          .foreach(f => Files.delete(f))
+      else Files.createDirectories(p)
+    }
+    cat.all.foreach { f =>
+      val dir = if (f.status == "archived") "archived" else "active"
+      val json =
+        s"""{
+           |  "feed_name": "${esc(f.name)}",
+           |  "feed_type": "${esc(f.feedType)}",
+           |  "source": "${esc(f.source)}",
+           |  "description": "${esc(f.description)}",
+           |  "partitioning": "${esc(f.partitioning)}",
+           |  "storage_mode": "${esc(f.storageMode)}",
+           |  "retention_days": ${f.retentionDays},
+           |  "retention_versions": ${f.retentionVersions},
+           |  "enabled": ${f.enabled},
+           |  "status": "${esc(f.status)}"
+           |}""".stripMargin
+      Files.writeString(base.resolve(dir).resolve(f.name + ".json"), json)
+    }
+  }
+
+  /** Load a catalog saved by [[save]] — every descriptor re-validates its
+    * enums through the model ADTs, so a hand-edited file with an invalid
+    * mode fails here, not at first use.
+    */
+  def load(root: String): FeedCatalog = {
+    val base = Paths.get(root, "feeds")
+    val files = Seq("active", "archived").map(base.resolve)
+      .filter(Files.exists(_))
+      .flatMap(p => Files.list(p).iterator().asScala.toSeq)
+      .filter(_.toString.endsWith(".json"))
+    files.foldLeft(empty)((cat, f) => cat.add(parseDescriptor(f)))
+  }
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => out += '\n'
+          case c => out += c
+        }
+        i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toString
+  }
+
+  private def parseDescriptor(file: Path): FeedConfig = {
+    val text = Files.readString(file)
+    def str(k: String): String = {
+      val m = ("\"" + k + "\":\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(text)
+        .getOrElse(throw new IllegalArgumentException(s"$file: missing $k"))
+      unesc(m.group(1))
+    }
+    def int(k: String): Int =
+      ("\"" + k + "\":\\s*(-?\\d+)").r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalArgumentException(s"$file: missing $k"))
+        .group(1).toInt
+    def bool(k: String): Boolean =
+      ("\"" + k + "\":\\s*(true|false)").r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalArgumentException(s"$file: missing $k"))
+        .group(1).toBoolean
+    FeedConfig(
+      name = str("feed_name"), feedType = str("feed_type"),
+      source = str("source"), description = str("description"),
+      partitioning = str("partitioning"), storageMode = str("storage_mode"),
+      retentionDays = int("retention_days"),
+      retentionVersions = int("retention_versions"),
+      enabled = bool("enabled"), status = str("status")).validate()
+  }
 
   /** sync-from-config (manage_feeds.py:265-305): register the reference's
     * configured feeds (data_lake_config.py:46-115) transposed to testdata.

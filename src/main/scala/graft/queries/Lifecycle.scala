@@ -363,7 +363,13 @@ object Lifecycle {
     cat = cat.disable("transaction_flattened")
     cat = cat.archive("transaction_stream_blacklisted")
     cat = cat.delete("user_transaction_summary_eur", confirm = true)
-    cat.all.map(f => (f.name, f.feedType, f.status, f.enabled, f.retentionDays))
+    // round-trip through the reference's on-disk descriptor layout (one
+    // JSON per feed under feeds/active|archived) — the emitted rows come
+    // from the RELOADED catalog, so persistence is inside the oracle loop
+    val root = scratch("graft_feeds_")
+    FeedCatalog.save(cat, root)
+    FeedCatalog.load(root)
+      .all.map(f => (f.name, f.feedType, f.status, f.enabled, f.retentionDays))
       .toDF("name", "feed_type", "status", "enabled", "retention_days")
   }
 

@@ -92,6 +92,35 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("descriptor files: save/load round-trip, layout by status, re-validation") {
+    val root = java.nio.file.Files.createTempDirectory("feeds_spec_").toString
+    val tricky = feed.copy(name = "f2",
+      description = "has \"quotes\", a \\ backslash\nand a newline")
+    val cat = FeedCatalog.empty.add(feed).add(tricky).archive("f2")
+    FeedCatalog.save(cat, root)
+    // one JSON per feed, directory chosen by status (reference layout)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "feeds", "active", "f1.json")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "feeds", "archived", "f2.json")))
+    val loaded = FeedCatalog.load(root)
+    assert(loaded.all === cat.all) // full fidelity incl. escaped description
+    // re-save after a status flip MOVES the descriptor between dirs
+    FeedCatalog.save(loaded.restore("f2"), root)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "feeds", "active", "f2.json")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "feeds", "archived", "f2.json")))
+    // a hand-edited descriptor with a bad enum fails at load, not at use
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "feeds", "active", "bad.json"),
+      """{"feed_name": "bad", "feed_type": "nope", "source": "s",
+        |"description": "d", "partitioning": "date", "storage_mode": "append",
+        |"retention_days": 1, "retention_versions": 0, "enabled": true,
+        |"status": "active"}""".stripMargin)
+    intercept[IllegalArgumentException](FeedCatalog.load(root))
+  }
+
   test("built-in catalog mirrors the reference feed registry") {
     val c = FeedCatalog.builtIn
     assert(c.all.size === 8)
