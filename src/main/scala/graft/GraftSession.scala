@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE session configuration every runtime entry point (Verify, Bench,
+  * Plans, test utilities) builds from — a missed config line in a
+  * hand-copied builder silently runs gates under a differently-configured
+  * session (UTC, nanos-as-long, AQE, and the GraftExtensions injection all
+  * change results or plans).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
+    * a tab or CR in builder-authored SQL or a feed description would
+    * otherwise make a strict `json.load` fail.
+    */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -47,7 +47,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
         LambdaFunction(Add(ma: NamedLambdaVariable, mv: NamedLambdaVariable, _),
           Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
-      if zero == 0.0 &&
+      // bit-exact +0.0 only: a fold seeded with -0.0 is observable
+      // (e.g. products summing to -0.0 keep the sign; empty arrays return
+      // the seed) and must not be rewritten — `-0.0 == 0.0` would match it
+      if zero != null &&
+        java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
         mx.exprId == zx.exprId && my.exprId == zy.exprId &&
         ma.exprId == acc.exprId && mv.exprId == v.exprId &&
         fin.exprId == fa.exprId &&

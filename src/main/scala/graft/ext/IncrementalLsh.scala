@@ -64,7 +64,27 @@ object IncrementalLsh {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"), col("jaccard"))
 
-  /** Build the index from an initial corpus. */
+  /** The highest doc id ever INGESTED (not just signed): shingle-less docs
+    * never reach the sigs table, but their ids are still spent — computing
+    * the watermark from sigs would let a later batch silently reuse them.
+    * Kept as a one-row parquet marker next to the data tables.
+    */
+  private def writeIdWatermark(s: SparkSession, root: String, maxId: Long): Unit =
+    s.range(1).select(lit(maxId).as("max_id"))
+      .write.mode("overwrite").parquet(s"$root/meta")
+
+  private def readIdWatermark(s: SparkSession, root: String): Long =
+    s.read.parquet(s"$root/meta").head.getLong(0)
+
+  /** Max doc_id of a batch; None when the batch is empty. */
+  private def maxId(docs: DataFrame): Option[Long] = {
+    val row = docs.agg(max(col("doc_id")), min(col("doc_id"))).head
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** Build the index from an initial corpus (may be empty — appends then
+    * start from scratch).
+    */
   def init(docs: DataFrame, root: String,
       maxBucket: Int = Dedup.MaxBucketDefault): Unit = {
     val s = docs.sparkSession
@@ -73,6 +93,7 @@ object IncrementalLsh {
     val cand = Dedup.lshCandidates(
       sigs.select(col("doc_id").as("rep_id"), col("sig")), maxBucket)
     verify(cand, sigs).write.mode("overwrite").parquet(s"$root/pairs")
+    writeIdWatermark(s, root, maxId(docs).getOrElse(Long.MinValue))
   }
 
   /** Absorb an append batch: sign ONLY the new docs, generate only
@@ -84,11 +105,12 @@ object IncrementalLsh {
   def append(newDocs: DataFrame, root: String,
       maxBucket: Int = Dedup.MaxBucketDefault): Unit = {
     val s = newDocs.sparkSession
-    val existing = s.read.parquet(s"$root/sigs")
-    val maxOld = existing.agg(max(col("doc_id"))).head.getLong(0)
-    val minNew = newDocs.agg(min(col("doc_id"))).head.getLong(0)
+    val maxOld = readIdWatermark(s, root)
+    val bounds = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    require(!bounds.isNullAt(0), "IncrementalLsh.append: append batch is empty")
+    val (minNew, maxNew) = (bounds.getLong(0), bounds.getLong(1))
     require(minNew > maxOld,
-      s"IncrementalLsh.append: new ids must exceed indexed ids ($minNew <= $maxOld)")
+      s"IncrementalLsh.append: new ids must exceed all ingested ids ($minNew <= $maxOld)")
     val newSigs = signatures(newDocs).persist()
     newSigs.write.mode("append").parquet(s"$root/sigs")
     val all = s.read.parquet(s"$root/sigs")
@@ -106,7 +128,7 @@ object IncrementalLsh {
       .filter(col("rep_b") > maxOld)
     verify(cand, all).write.mode("append").parquet(s"$root/pairs")
     newSigs.unpersist()
-    ()
+    writeIdWatermark(s, root, maxNew)
   }
 
   /** The maintained near-dup pair table. */

@@ -80,9 +80,7 @@ object FeedCatalog {
     val base = Paths.get(root, "feeds")
     Seq("active", "archived").foreach { d =>
       val p = base.resolve(d)
-      if (Files.exists(p))
-        Files.list(p).iterator().asScala.filter(_.toString.endsWith(".json"))
-          .foreach(f => Files.delete(f))
+      if (Files.exists(p)) listJson(p).foreach(f => Files.delete(f))
       else Files.createDirectories(p)
     }
     cat.all.foreach { f =>
@@ -112,17 +110,24 @@ object FeedCatalog {
     val base = Paths.get(root, "feeds")
     val files = Seq("active", "archived").map(base.resolve)
       .filter(Files.exists(_))
-      .flatMap(p => Files.list(p).iterator().asScala.toSeq)
-      .filter(_.toString.endsWith(".json"))
+      .flatMap(listJson)
     files.foldLeft(empty)((cat, f) => cat.add(parseDescriptor(f)))
   }
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case c => c.toString
+  /** `Files.list` holds an open directory stream — close it, eagerly
+    * materializing first (the iterator is lazy).
+    */
+  private def listJson(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.filter(_.toString.endsWith(".json")).toList
+    finally st.close()
   }
+
+  // full JSON escape incl. ALL control chars — the descriptor files exist
+  // to be read by strict json parsers (the reference's json.load), which
+  // reject a raw tab/CR inside a string
+  private def esc(s: String): String =
+    graft.GraftSession.jsonEscape(s).stripPrefix("\"").stripSuffix("\"")
 
   private def unesc(s: String): String = {
     val out = new StringBuilder
@@ -130,10 +135,14 @@ object FeedCatalog {
     while (i < s.length) {
       if (s(i) == '\\' && i + 1 < s.length) {
         s(i + 1) match {
-          case 'n' => out += '\n'
-          case c => out += c
+          case 'n' => out += '\n'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case c => out += c; i += 2
         }
-        i += 2
       } else { out += s(i); i += 1 }
     }
     out.toString

@@ -49,7 +49,13 @@ case class FeedConfig(
   def validate(): FeedConfig = {
     FeedType.parse(feedType); StorageMode.parse(storageMode)
     PartitioningType.parse(partitioning)
-    require(name.nonEmpty, "feed name must be non-empty")
+    // the name doubles as the descriptor FILENAME (manage_feeds.py writes
+    // feeds/active/<name>.json) — a separator or dot-dot would escape the
+    // catalog directory
+    require(name.matches("[A-Za-z0-9._-]+") && name != "." && name != "..",
+      s"feed name must be filesystem-safe: '$name'")
+    require(status == "active" || status == "archived",
+      s"unknown feed status: $status")
     this
   }
 }

@@ -141,8 +141,21 @@ object Lifecycle {
       .withColumn("user_segment", lit("VIP"))
     Warehouse.mergeIntoJdbc(s, url, "dim_users", updates, Seq("user_id"), Seq("updated_at"))
     Warehouse.mergeIntoJdbc(s, url, "dim_users", updates, Seq("user_id"), Seq("updated_at"))
-    s.read.format("jdbc").option("url", url).option("dbtable", "dim_users").load()
+    val out = s.read.format("jdbc")
+      .option("url", url).option("dbtable", "dim_users").load().persist()
+    out.count() // materialize before the database is dropped
+    dropDerbyMemoryDb(url)
+    out
   }
+
+  /** An in-memory Derby database lives for the JVM unless explicitly
+    * dropped; a successful `;drop=true` connect signals via SQLException.
+    */
+  private def dropDerbyMemoryDb(url: String): Unit =
+    try {
+      java.sql.DriverManager.getConnection(url.replace(";create=true", ";drop=true"))
+      ()
+    } catch { case _: java.sql.SQLException => () }
 
   val jdbcUpsertOracle: String = dimUpsertOracle
 

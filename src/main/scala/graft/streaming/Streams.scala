@@ -550,10 +550,13 @@ object Streams {
     streamSessionTimeoutOver(s, d, nChunks = 1)
 
   /** Timeout gate, multi-batch: four user-keyed chunks drained one file per
-    * trigger — state and timeout timestamps must survive across batches,
-    * and timeouts fire PROGRESSIVELY (chunk k's sessions are already behind
-    * the watermark advanced by chunks < k, so their clamped timers fire in
-    * later batches, not just at the sentinel flush).
+    * trigger — open sessions and their registered timeout timestamps must
+    * survive four data batches in the state store before any of them
+    * fires. (The span-wide watermark delay keeps every chunk's data on
+    * time, so no timer can fire during the data batches themselves; firing
+    * then happens across TWO distinct sentinel batches — earlier-half
+    * sessions when the watermark reaches mid-range, the rest at the final
+    * flush — exactly as in the single-batch gate.)
     */
   def streamSessionTimeoutMultiBatch(s: SparkSession, d: String): DataFrame =
     streamSessionTimeoutOver(s, d, nChunks = 4)

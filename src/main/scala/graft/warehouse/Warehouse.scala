@@ -78,7 +78,12 @@ object Warehouse {
     val exists = {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
-        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        // scope the probe to the CONNECTION'S catalog/schema (either may be
+        // null → that dimension is unscoped): a same-named table in another
+        // schema must not make the merge path read a table that doesn't
+        // resolve — or worse, isn't ours — in the current schema
+        val rs = conn.getMetaData.getTables(
+          conn.getCatalog, conn.getSchema, null, Array("TABLE"))
         var found = false
         while (!found && rs.next())
           found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)

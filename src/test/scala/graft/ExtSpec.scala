@@ -194,6 +194,23 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("must exceed"))
   }
 
+  test("incremental LSH: shingle-less doc ids are still spent; empty appends rejected") {
+    import graft.ext.IncrementalLsh
+    val root = java.nio.file.Files.createTempDirectory("ilsh_spec4_").toString
+    // id 9 has < 3 words → never signed, but its id is ingested: the
+    // watermark must come from ingested ids, not the sigs table
+    IncrementalLsh.init(
+      Seq((1L, "a b c d e"), (9L, "too short")).toDF("doc_id", "text"), root)
+    intercept[IllegalArgumentException] {
+      IncrementalLsh.append(Seq((9L, "x y z w v")).toDF("doc_id", "text"), root)
+    }
+    val e = intercept[IllegalArgumentException] {
+      IncrementalLsh.append(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), root)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("embed-LSH bucket cap bounds candidates on a planted identical-embedding cluster") {
     // 500 identical embeddings (one boilerplate vector repeated) all share
     // every chunk bucket: uncapped that is C(500,2) ≈ 125k candidate pairs

@@ -101,6 +101,12 @@ class ExtensionsSpec extends AnyFunSuite {
           lit(1.0), (acc, v) => acc + v).as("d"))
       assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
       assert(other.collect().head.getDouble(0) === 33.0)
+      // -0.0 seed is observable (sign of an all-negative-zero sum; empty
+      // arrays return the seed) — bit-exact guard must NOT rewrite it
+      val negZero = df.filter(col("id") === 1).select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(-0.0), (acc, v) => acc + v).as("d"))
+      assert(!negZero.queryExecution.optimizedPlan.toString.contains("graft_dot"))
     } finally {
       prior match {
         case Some(p) =>

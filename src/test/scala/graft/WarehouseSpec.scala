@@ -57,6 +57,12 @@ class WarehouseSpec extends SparkSpec {
     assert(viaJdbc === viaMerge)
     assert(viaJdbc.map(r => r._1 -> r._2).toMap ===
       Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // release the in-memory Derby database (lives for the JVM otherwise;
+    // a successful ;drop=true connect signals via SQLException)
+    try {
+      java.sql.DriverManager.getConnection(url.replace(";create=true", ";drop=true"))
+      ()
+    } catch { case _: java.sql.SQLException => () }
   }
 
   test("merge: exact order-col tie goes to the update (_src tiebreak)") {
