@@ -100,17 +100,21 @@ object Scale {
     val o = Tables.orders(s, d)
     val acd1 = o.repartition(1)
       .agg(approx_count_distinct(col("o_custkey"), 0.01)).head.getLong(0)
-    val acd32 = o.repartition(32, col("o_orderkey"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01)).head.getLong(0)
-    val unionEst = o.groupBy(col("o_orderstatus"))
-      .agg(hll_sketch_agg(col("o_custkey")).as("skb"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("skb")))).head.getLong(0)
-    val exactGlobal = o.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    // one pass for the 32-partition estimate AND the exact global anchor
+    val g32 = o.repartition(32, col("o_orderkey"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01),
+        countDistinct(col("o_custkey"))).head
+    val (acd32, exactGlobal) = (g32.getLong(0), g32.getLong(1))
+    // one grouped pass feeds both the per-group output and the sketch union
     val groups = o.groupBy(col("o_orderstatus"))
       .agg(
+        hll_sketch_agg(col("o_custkey")).as("skb"),
         countDistinct(col("o_custkey")).as("exact_buyers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
         count(lit(1)).as("n"))
+      .persist()
+    val unionEst = groups
+      .agg(hll_sketch_estimate(hll_union_agg(col("skb")))).head.getLong(0)
     val ranks = o
       .join(broadcast(groups.select(col("o_orderstatus").as("st"), col("p50"))),
         col("o_orderstatus") === col("st"))
