@@ -150,9 +150,47 @@ object IncrementalLsh {
     pairs(s, root)
   }
 
+  /** Gate: the SAME maintenance driven by Structured Streaming — documents
+    * arrive as micro-batches (`maxFilesPerTrigger=1`) and `foreachBatch`
+    * appends each batch to the persisted index, the canonical shape of a
+    * continuously-ingested corpus keeping its near-dup index current
+    * (crawl ids grow monotonically, satisfying the append contract). The
+    * final maintained pair table must equal brute-force Jaccard over
+    * everything ingested — batch boundaries invisible.
+    */
+  def streamLshIndex(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_slsh_").toString
+    val docs = Dedup.plantedDocs(s).persist()
+    init(docs.filter(col("doc_id") < 100), root)
+    val staged = Files.createTempDirectory("graft_slsh_src_")
+    // two arrival files in id order (ids grow with arrival time in a crawl)
+    docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1010)
+      .coalesce(1).write.parquet(s"$staged/chunk=0")
+    docs.filter(col("doc_id") >= 1010)
+      .coalesce(1).write.parquet(s"$staged/chunk=1")
+    val schema = docs.schema
+    docs.unpersist()
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_slsh_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch, root)
+      }
+      .start()
+    q.awaitTermination()
+    pairs(s, root)
+  }
+
   val defs: Map[String, QueryFn] = Map(
-    "x_dedup_lsh_incremental" -> (lshIncremental _))
+    "x_dedup_lsh_incremental" -> (lshIncremental _),
+    "s_stream_lsh_index" -> (streamLshIndex _))
 
   val oracles: Map[String, String] = Map(
-    "x_dedup_lsh_incremental" -> Dedup.minhashLshPlantedOracle)
+    "x_dedup_lsh_incremental" -> Dedup.minhashLshPlantedOracle,
+    "s_stream_lsh_index" -> Dedup.minhashLshPlantedOracle)
 }
