@@ -133,14 +133,18 @@ object Similarity {
     val e = withNorm(Tables.embeddings(s, d))
     val cents = e.orderBy(col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    // assignment rows are NARROWED to (vec_id, cent_id, ccos) before the
+    // aggregate: max_by's struct buffer plans as a SortAggregate, and
+    // carrying the 64-dim vectors through that sort would multiply its
+    // bytes ~30× for data the aggregate doesn't need — vectors re-attach
+    // by a plain N-row join afterwards instead
+    val assignedIds = e.join(broadcast(cents), lit(true))
       .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
       .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cent_id"),
-        // v/nrm are functionally dependent on vec_id — any value is the value
-        first(col("v")).as("v"),
-        first(col("nrm")).as("nrm"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cent_id"))
+    val assigned = e.join(assignedIds, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("q_cell"))
