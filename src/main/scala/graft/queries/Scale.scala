@@ -98,7 +98,9 @@ object Scale {
     */
   def approxSketches(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val acd1 = o.repartition(1)
+    // coalesce (not repartition): the single-partition estimate needs one
+    // buffer, not a shuffle — one task scans and aggregates
+    val acd1 = o.coalesce(1)
       .agg(approx_count_distinct(col("o_custkey"), 0.01)).head.getLong(0)
     // one pass for the 32-partition estimate AND the exact global anchor
     val g32 = o.repartition(32, col("o_orderkey"))
