@@ -79,10 +79,12 @@ object Scale {
     * envelopes:
     *
     *  - '''partition invariance''': `approx_count_distinct` over 1
-    *    partition equals the same aggregate over 32 hash partitions. HLL++
-    *    partial buffers merge by register-max, so the estimate must be
-    *    independent of data layout — this is precisely the map-side-combine
-    *    correctness a 1000-executor aggregation relies on.
+    *    partition equals the same aggregate over the hash-partitioned
+    *    layout. HLL++ partial buffers merge by register-max, so the
+    *    estimate must be independent of data layout — this is precisely the
+    *    map-side-combine correctness a 1000-executor aggregation relies on.
+    *    (Registers are also duplicate-idempotent, so both variants run over
+    *    the deduplicated key set — bit-identical estimates, minimal I/O.)
     *  - '''union-merge accuracy''': per-group DataSketches HLL sketches
     *    unioned via `hll_union_agg` estimate the global distinct count
     *    within the sketch envelope (union switches the estimator from HIP
@@ -98,15 +100,30 @@ object Scale {
     */
   def approxSketches(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    // coalesce (not repartition): the single-partition estimate needs one
-    // buffer, not a shuffle — one task scans and aggregates
-    val acd1 = o.coalesce(1)
-      .agg(approx_count_distinct(col("o_custkey"), 0.01)).head.getLong(0)
-    // one pass for the 32-partition estimate AND the exact global anchor
-    val g32 = o.repartition(32, col("o_orderkey"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01),
-        countDistinct(col("o_custkey"))).head
-    val (acd32, exactGlobal) = (g32.getLong(0), g32.getLong(1))
+    // HLL registers are a function of the DISTINCT value set only (register
+    // = max over hashed values; duplicates are idempotent), so both layout
+    // variants are computed over the deduplicated key set — bit-identical
+    // estimates to running them over the full table, at a fraction of the
+    // scan+shuffle cost. The map-side partial distinct shrinks the exchange
+    // to ~|keys| rows, and the exact anchor rides the same tiny table.
+    // default rsd (0.05): the invariance check compares the two layouts'
+    // estimates for EQUALITY, which holds at any precision — while rsd 0.01
+    // inflates the HLL++ aggregation buffer to ~2,700 long attributes and
+    // the per-plan codegen compile to seconds (the ±5% accuracy envelope
+    // that genuinely needs rsd 0.01 lives in `x_sketch_bounds`, one plan)
+    val keys = o.select(col("o_custkey")).distinct().persist()
+    // multi-partition estimate over the post-shuffle hash layout, plus the
+    // exact global anchor, in one pass over the key set
+    val gm = keys
+      .agg(approx_count_distinct(col("o_custkey")),
+        count(lit(1))).head
+    val (acdMulti, exactGlobal) = (gm.getLong(0), gm.getLong(1))
+    // single-partition estimate: coalesce (not repartition) — one task, one
+    // HLL buffer, no exchange. Layout differs from the hash-partitioned
+    // pass above, which is exactly the invariance being asserted.
+    val acd1 = keys.coalesce(1)
+      .agg(approx_count_distinct(col("o_custkey"))).head.getLong(0)
+    keys.unpersist()
     // the sketch union stays a SEPARATE pass: fusing hll_sketch_agg into
     // the groups aggregate below looks like one job saved, but countDistinct
     // triggers the two-phase distinct Expand rewrite and dragging a
@@ -135,7 +152,7 @@ object Scale {
         (col("cnt_le") >= floor(col("n") * 0.5) - floor(col("n") / 10000) - 1 &&
           col("cnt_lt") <= ceil(col("n") * 0.5) + floor(col("n") / 10000) + 1)
           .as("p50_rank_ok"),
-        lit(acd1 == acd32).as("acd_partition_invariant"),
+        lit(acd1 == acdMulti).as("acd_partition_invariant"),
         (lit(math.abs(unionEst - exactGlobal))
           <= lit(exactGlobal * 0.05)).as("hll_union_within_5pct"))
   }
