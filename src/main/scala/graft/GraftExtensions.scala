@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature}
+import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, TopKPerKeyStrategy}
 
-/** SparkSessionExtensions entry point. Two slices of the extension API:
+/** SparkSessionExtensions entry point. Three slices of the extension API:
   *
   *  - '''function registration''': the native vector expressions as SQL
   *    functions, so the pure-SQL front-end can call them
@@ -13,7 +13,10 @@ import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature}
   *  - '''optimizer rule''': [[RewriteDotProduct]], which transparently
   *    swaps the interpreted HOF dot-product pattern for the codegen'd
   *    native expression (user-provided rules run after the main optimizer
-  *    batches, so the pattern arrives resolved and constant-folded).
+  *    batches, so the pattern arrives resolved and constant-folded);
+  *  - '''planner strategy''': [[org.apache.spark.sql.graft.TopKPerKeyStrategy]],
+  *    which plans the whole-operator top-k-per-key logical node as a
+  *    partial/final physical pair (the custom-SparkPlan extension path).
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * at session build (honored only when the SparkContext is created) or
@@ -22,6 +25,7 @@ import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

@@ -253,6 +253,30 @@ object Scale {
       |       TRUE AS p50_in_range, TRUE AS p95_in_range
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Whole-operator Catalyst extension (preference order (c) of the build
+    * contract): top-k rows per key through the custom
+    * `TopKPerKey` LogicalPlan → `TopKPerKeyStrategy` (injected by
+    * GraftExtensions) → partial/final `TopKPerKeyExec` pair. The built-in
+    * formulation (`row_number()` window + filter) shuffles EVERY input row
+    * and fully sorts every group; the custom operator reduces each input
+    * partition to ≤ k rows per key with a bounded heap BEFORE the one hash
+    * exchange — at 100 TB the shuffle carries k·|keys| rows, not the table.
+    * Tie-break on the unique o_orderkey makes the kept set deterministic;
+    * the oracle recomputes it with QUALIFY row_number().
+    */
+  def topKPerKey(s: SparkSession, d: String): DataFrame =
+    org.apache.spark.sql.graft.TopK.perKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keyCols = Seq("o_custkey"),
+      orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+
+  val topKPerKeyOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin
+
   /** A5 generator: deterministic synthetic transaction payloads — every
     * field pure arithmetic on the row id, reproduced exactly by the oracle's
     * `range()`.
@@ -337,6 +361,7 @@ object Scale {
     "x_sketch_bounds" -> (sketchBounds _),
     "x_approx_sketches" -> (approxSketches _),
     "x_sketch_exact" -> (sketchExact _),
+    "x_topk_per_key" -> (topKPerKey _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
     "c6_orchestrator_run" -> (orchestratorRun _),
@@ -348,6 +373,7 @@ object Scale {
     "p_bloom_join" -> bloomJoinOracle,
     "x_sketch_bounds" -> sketchBoundsOracle,
     "x_sketch_exact" -> sketchExactOracle,
+    "x_topk_per_key" -> topKPerKeyOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
     "a5_gen_aggregate" -> genAggregateOracle,
