@@ -159,6 +159,54 @@ object Lifecycle {
 
   val jdbcUpsertOracle: String = dimUpsertOracle
 
+  /** SCD Type 2 over two update generations: customers seeded as current
+    * rows, then (gen 1, 2024-03-01) every 7th key changes segment, every
+    * 11th is re-delivered UNCHANGED (must be a no-op), and fresh keys
+    * arrive; (gen 2, 2024-06-01) every 21st key changes again — so those
+    * keys end with a three-row chain and the no-op rows prove idempotent
+    * redelivery. The oracle rebuilds every chain case by case.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val init = c
+      .withColumn("valid_from", lit(Date.valueOf("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val upd1 = c.filter(col("user_id") % 7 === 0)
+      .withColumn("segment", lit("MOVED7"))
+      .unionByName(c.filter(col("user_id") % 11 === 0 && col("user_id") % 7 =!= 0))
+      .unionByName(c.filter(col("user_id") % 13 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"), lit("FRESH").as("segment")))
+      .withColumn("effective_from", lit(Date.valueOf("2024-03-01")))
+    val v1 = Warehouse.scd2Apply(init, upd1, "user_id", Seq("segment"))
+    val upd2 = c.filter(col("user_id") % 21 === 0)
+      .select(col("user_id"), lit("MOVED21").as("segment"),
+        lit(Date.valueOf("2024-06-01")).as("effective_from"))
+    Warehouse.scd2Apply(v1, upd2, "user_id", Seq("segment"))
+  }
+
+  val scd2HistoryOracle: String =
+    """WITH c AS (SELECT c_custkey AS user_id, c_mktsegment AS seg FROM customer)
+      |SELECT user_id, seg AS segment, DATE '2024-01-01' AS valid_from,
+      |       CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      |FROM c WHERE user_id % 7 <> 0
+      |UNION ALL
+      |SELECT user_id, seg, DATE '2024-01-01', DATE '2024-03-01', FALSE
+      |FROM c WHERE user_id % 7 = 0
+      |UNION ALL
+      |SELECT user_id, 'MOVED7', DATE '2024-03-01', NULL, TRUE
+      |FROM c WHERE user_id % 7 = 0 AND user_id % 21 <> 0
+      |UNION ALL
+      |SELECT user_id, 'MOVED7', DATE '2024-03-01', DATE '2024-06-01', FALSE
+      |FROM c WHERE user_id % 21 = 0
+      |UNION ALL
+      |SELECT user_id, 'MOVED21', DATE '2024-06-01', NULL, TRUE
+      |FROM c WHERE user_id % 21 = 0
+      |UNION ALL
+      |SELECT user_id + 1000000, 'FRESH', DATE '2024-03-01', NULL, TRUE
+      |FROM c WHERE user_id % 13 = 0""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -516,6 +564,7 @@ object Lifecycle {
     "c1_retention_prune" -> (retentionPrune _),
     "c7_compaction" -> (compaction _),
     "w_dim_upsert" -> (dimUpsert _),
+    "w_scd2_history" -> (scd2History _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -533,6 +582,7 @@ object Lifecycle {
     "c1_retention_prune" -> retentionPruneOracle,
     "c7_compaction" -> compactionOracle,
     "w_dim_upsert" -> dimUpsertOracle,
+    "w_scd2_history" -> scd2HistoryOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

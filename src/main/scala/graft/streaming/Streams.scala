@@ -586,6 +586,149 @@ object Streams {
       |            THEN 'expired' ELSE 'closed' END AS status
       |FROM agg""".stripMargin
 
+  /** Stage events as TWO stream source dirs for the stream-stream join
+    * gates: left = even `event_id` ("impressions"), right = odd
+    * ("conversions"), each split into `nChunks` interleaved files plus two
+    * trailing watermark-sentinel files (user -1, far-future timestamps).
+    * The global watermark of a two-input query is the MIN over inputs, so
+    * BOTH sides carry sentinels: the first pushes each side's watermark
+    * past every real row (and hence past every join-state eviction bound),
+    * and the second provides the micro-batch in which the outer-join null
+    * flush actually runs — AvailableNow would otherwise terminate with
+    * unmatched rows still sitting in the join state store.
+    * The watermark delay is the full data span (every chunk covers the
+    * whole range); at production scale the delay is the real lateness
+    * bound and join state stays proportional to delay + join interval.
+    */
+  private def stageJoinStreams(
+      s: SparkSession, d: String,
+      nChunks: Int): (String, String, org.apache.spark.sql.types.StructType, Long) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(graft.Tables.path(d, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
+    val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+    val delayMs = (maxTs - minTs) / 1000 + 1
+    val day = 86400L * 1000000L
+    val staged = Files.createTempDirectory("graft_ssj_")
+    Seq(("left", 0), ("right", 1)).foreach { case (side, parity) =>
+      val sideDf = ev.filter(pmod(col("event_id"), lit(2)) === parity)
+      (0 until nChunks).foreach { c =>
+        sideDf.filter(pmod(col("event_id"), lit(2 * nChunks)) === (2 * c + parity))
+          .coalesce(1).write.parquet(s"$staged/$side/chunk=$c")
+      }
+      Seq(maxTs + delayMs * 1000 + 2 * day, maxTs + delayMs * 1000 + 30 * day)
+        .zipWithIndex.foreach { case (ts, i) =>
+          s.range(1).select(
+            lit(-1L).as("user_id"), lit(-1L - i).as("event_id"),
+            lit(ts).as("ts_us"))
+            .coalesce(1).write.parquet(s"$staged/$side/chunk=${nChunks + i}")
+        }
+    }
+    (s"$staged/left/chunk=*", s"$staged/right/chunk=*", ev.schema, delayMs)
+  }
+
+  private def joinStreams(s: SparkSession, d: String, nChunks: Int, joinType: String): DataFrame = {
+    val (leftGlob, rightGlob, schema, delayMs) = stageJoinStreams(s, d, nChunks)
+    def side(glob: String, p: String): DataFrame = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(glob)
+      .select(
+        col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_event"),
+        col("ts_us").as(s"${p}_ts_us"),
+        timestamp_micros(col("ts_us")).as(s"${p}_ts"))
+      .withWatermark(s"${p}_ts", s"$delayMs milliseconds")
+    val joined = side(leftGlob, "l").join(side(rightGlob, "r"),
+      expr("""l_user = r_user
+             |AND r_ts >= l_ts
+             |AND r_ts <= l_ts + interval 30 minutes""".stripMargin),
+      joinType)
+    drain(joined, OutputMode.Append())
+      .filter(col("l_user") >= 0) // drop watermark sentinels
+      .select(
+        col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts_us"), col("r_ts_us"))
+  }
+
+  /** Stream-stream INNER join with watermarks and a time-range condition
+    * (impression→conversion attribution within 30 min): the one relational
+    * join shape that needs BOTH sides in the state store. Watermark + the
+    * interval bound are what make that state finite — each side's rows are
+    * evicted once the other side's watermark passes their last possible
+    * match time, so at 100 TB/day state holds ~(delay + 30 min) of data,
+    * never the full streams.
+    */
+  def streamJoinInner(s: SparkSession, d: String): DataFrame =
+    joinStreams(s, d, nChunks = 2, joinType = "inner")
+
+  /** Stream-stream LEFT OUTER join: unmatched impressions must be emitted
+    * with NULL conversion columns — but only once the watermark proves no
+    * match can still arrive. The sentinel choreography (see
+    * [[stageJoinStreams]]) drives that flush deterministically before
+    * AvailableNow terminates; the multi-batch staging proves join state
+    * (and the pending-null bookkeeping) survives across micro-batches.
+    */
+  def streamJoinLeftOuter(s: SparkSession, d: String): DataFrame =
+    joinStreams(s, d, nChunks = 2, joinType = "left_outer")
+
+  private val joinOracleBody: String =
+    """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events WHERE event_id % 2 = 0),
+      |     r AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+      |           FROM events WHERE event_id % 2 = 1)
+      |SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event,
+      |       l.ts_us AS l_ts_us, r.ts_us AS r_ts_us
+      |FROM l @JOIN@ r ON l.user_id = r.user_id
+      | AND r.ts_us BETWEEN l.ts_us AND l.ts_us + 1800000000""".stripMargin
+
+  val streamJoinInnerOracle: String = joinOracleBody.replace("@JOIN@", "JOIN")
+  val streamJoinLeftOracle: String = joinOracleBody.replace("@JOIN@", "LEFT JOIN")
+
+  /** `dropDuplicatesWithinWatermark`: the state-BOUNDED streaming dedup —
+    * plain `dropDuplicates` (the `s_stream_dedup` gate) keeps every seen
+    * key in state forever, which no 100 TB/day stream survives; the
+    * within-watermark variant evicts keys once the watermark passes their
+    * last-seen time + delay, trading unbounded state for a dedup guarantee
+    * scoped to the lateness bound. The gate plants IDENTICAL duplicate
+    * rows (every 10th event) in a SEPARATE trailing chunk file, so dedup
+    * must happen across micro-batches through the state store, inside the
+    * span-wide watermark — making the result exactly global dedup, which
+    * the batch oracle recomputes.
+    */
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(graft.Tables.path(d, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("value"))
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
+    val delayMs = (bounds.getLong(1) - bounds.getLong(0)) / 1000 + 1
+    val staged = Files.createTempDirectory("graft_ddw_")
+    (0 until 2).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(2)) === c)
+        .coalesce(1).write.parquet(s"$staged/chunk=$c")
+    }
+    // identical full-row duplicates, arriving two micro-batches later
+    ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .coalesce(1).write.parquet(s"$staged/chunk=2")
+    val deduped = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", s"$delayMs milliseconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    drain(deduped, OutputMode.Append())
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
+  }
+
+  val streamDedupWatermarkOracle: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Exactly-once via checkpointing: the SAME AvailableNow query is started
     * twice against one checkpoint + parquet sink; the second run finds the
     * source fully committed and appends nothing, so the sink equals ONE
@@ -635,6 +778,9 @@ object Streams {
     "s_stream_multibatch" -> (streamMultiBatch _),
     "s_stream_session_timeout" -> (streamSessionTimeout _),
     "s_stream_timeout_multibatch" -> (streamSessionTimeoutMultiBatch _),
+    "s_stream_join_inner" -> (streamJoinInner _),
+    "s_stream_join_left" -> (streamJoinLeftOuter _),
+    "s_stream_dedup_watermark" -> (streamDedupWatermark _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -651,5 +797,8 @@ object Streams {
     "s_stream_multibatch" -> streamMultiBatchOracle,
     "s_stream_session_timeout" -> streamSessionTimeoutOracle,
     "s_stream_timeout_multibatch" -> streamSessionTimeoutOracle,
+    "s_stream_join_inner" -> streamJoinInnerOracle,
+    "s_stream_join_left" -> streamJoinLeftOracle,
+    "s_stream_dedup_watermark" -> streamDedupWatermarkOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }

@@ -2,7 +2,7 @@ package graft.warehouse
 
 import java.sql.Date
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.lake.Lake
@@ -100,6 +100,60 @@ object Warehouse {
       .option("url", url).option("dbtable", table).save()
     merged.unpersist()
     ()
+  }
+
+  /** SCD Type 2 dimension history — the warehouse-native upgrade of the
+    * reference's overwrite-in-place dim sync (sync_to_mysql.py:137-142,
+    * which loses the previous attribute values on every update): each key
+    * keeps a chain of `[valid_from, valid_to)` rows, exactly one of them
+    * current.
+    *
+    * `base` is the history table (`key, tracked..., valid_from, valid_to,
+    * is_current`); `updates` carries `key, tracked..., effective_from`.
+    * Per key: a new key opens a current row; changed tracked values close
+    * the current row at `effective_from` and open a new one; identical
+    * tracked values are a no-op (idempotent re-delivery).
+    *
+    * Scale shape: closed history never re-shuffles (it unions straight
+    * through); ONE key-partitioned join of current × updates, and each
+    * joined row fans out to its 0-2 output rows through a single
+    * `filter(array(...))` + explode projection — no second pass over the
+    * join, no window. Updates are usually ≪ the dimension, so AQE
+    * broadcasts them and even the join shuffle disappears.
+    */
+  def scd2Apply(
+      base: DataFrame, updates: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val cur = base.filter(col("is_current"))
+    val hist = base.filter(!col("is_current"))
+    val u = updates.select(
+      (col(key).as("_u_key") +:
+        tracked.map(t => col(t).as(s"_u_$t"))) :+
+        col("effective_from").as("_u_eff"): _*)
+    val joined = cur.join(u, col(key) === col("_u_key"), "full_outer")
+    val hasUpd = col("_u_key").isNotNull
+    val hasCur = col(key).isNotNull
+    val changed = tracked.map(t => !(col(t) <=> col(s"_u_$t"))).reduce(_ || _)
+    val nullTo = lit(null).cast("date")
+    def variant(keep: Column, keyC: Column, trackedC: Seq[Column],
+        from: Column, to: Column, isCur: Column): Column =
+      struct((keep.as("_keep") +: keyC.as(key) +:
+        tracked.zip(trackedC).map { case (n, c) => c.as(n) }) ++
+        Seq(from.as("valid_from"), to.as("valid_to"), isCur.as("is_current")): _*)
+    val variants = array(
+      // current row survives untouched (no update, or a no-op update)
+      variant(hasCur && (!hasUpd || !changed),
+        col(key), tracked.map(col), col("valid_from"), col("valid_to"), lit(true)),
+      // current row closed by a real change
+      variant(hasCur && hasUpd && changed,
+        col(key), tracked.map(col), col("valid_from"), col("_u_eff"), lit(false)),
+      // new current row (new key, or the successor of a closed row)
+      variant(hasUpd && (!hasCur || changed),
+        col("_u_key"), tracked.map(t => col(s"_u_$t")), col("_u_eff"), nullTo, lit(true)))
+    val applied = joined
+      .select(explode(filter(variants, v => v.getField("_keep"))).as("_r"))
+      .select(col("_r.*")).drop("_keep")
+    hist.unionByName(applied)
   }
 
   /** dim_users extraction (sync_to_mysql.py:133-144) from the customer

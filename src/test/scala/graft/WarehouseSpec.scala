@@ -105,6 +105,36 @@ class WarehouseSpec extends SparkSpec {
     assert(r.head.getDate(0) === Date.valueOf("2024-06-01") && r.head.getInt(1) === 7)
   }
 
+  test("scd2Apply: chains close/open correctly and redelivery is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d1 = Date.valueOf("2024-01-01")
+    val d2 = Date.valueOf("2024-03-01")
+    val init = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "attr")
+      .withColumn("valid_from", lit(d1))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    // key 1 changes, key 2 redelivered unchanged, key 4 is new
+    val upd = Seq((1L, "A2"), (2L, "B"), (4L, "D")).toDF("k", "attr")
+      .withColumn("effective_from", lit(d2))
+    val v1 = Warehouse.scd2Apply(init, upd, "k", Seq("attr")).persist()
+    // exactly one current row per key, closed rows chain into their successor
+    assert(v1.count() === 5)
+    assert(v1.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") =!= 1).isEmpty)
+    val closed = v1.filter(!col("is_current")).collect()
+    assert(closed.length === 1 && closed.head.getLong(0) === 1L
+      && closed.head.getDate(3) === d2)
+    val cur1 = v1.filter(col("is_current") && col("k") === 1L).collect().head
+    assert(cur1.getString(1) === "A2" && cur1.getDate(2) === d2 && cur1.isNullAt(3))
+    val cur2 = v1.filter(col("is_current") && col("k") === 2L).collect().head
+    assert(cur2.getString(1) === "B" && cur2.getDate(2) === d1) // untouched
+    // applying the SAME batch again must change nothing (idempotence)
+    val v2 = Warehouse.scd2Apply(v1, upd, "k", Seq("attr"))
+    assert(v2.exceptAll(v1).isEmpty && v1.exceptAll(v2).isEmpty)
+    v1.unpersist()
+    ()
+  }
+
   test("requireFkIntact passes on intact FK and raises on orphans") {
     val dim = Seq(1L, 2L, 3L).toDF("id")
     Warehouse.requireFkIntact(base, dim, "k", "id") // no throw
