@@ -1,0 +1,75 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index + data-skipping reads — the lake-side
+  * pruning layer for UNPARTITIONED columns (partition pruning already covers
+  * the date columns, `Lake.readStreamFeed`). The same design as Delta/Iceberg
+  * data skipping, on plain parquet:
+  *
+  *   - '''layout''': `writeClustered` range-partitions and sorts the data by
+  *     the cluster column before writing, so each file covers a narrow,
+  *     nearly disjoint value range — stats are only as good as the layout.
+  *   - '''index''': `buildStats` computes per-file min/max for the indexed
+  *     columns in ONE scan (`_metadata.file_path` + groupBy — a partial
+  *     aggregate over the files' own rows, no footer RPC storm) and persists
+  *     it as a tiny parquet table. At 100 TB the index is rebuilt
+  *     incrementally: only files newer than the index's watermark are
+  *     scanned and appended (same append-only contract as the incremental
+  *     LSH index).
+  *   - '''read''': `readRange` consults the index on the driver (the stats
+  *     table is O(files), the same bounded driver list `compactPartition`
+  *     already relies on), reads ONLY the candidate files, and re-applies
+  *     the predicate — skipping can only drop provably-disjoint files, never
+  *     change semantics; a file with NULL stats (all-null column) is kept
+  *     conservatively.
+  *
+  * At cluster scale this turns "scan 100 TB to find one user's rows" into
+  * "read the handful of files whose range admits that user", before parquet
+  * row-group pruning even starts.
+  */
+object FileStats {
+
+  /** Cluster `df` by `clusterCol` into `numFiles` range-sorted files.
+    * `repartitionByRange` samples the column to build balanced range
+    * bounds (one pass + one shuffle); the within-partition sort tightens
+    * parquet row-group stats too.
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCol: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** One-scan per-file min/max index for `cols`, persisted at `statsPath`. */
+  def buildStats(spark: SparkSession, dataPath: String, statsPath: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dataPath)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(statsPath)
+  }
+
+  /** The files whose [min, max] range can intersect [lo, hi] (NULL stats →
+    * kept). Exposed for the skip-ratio assertions in LakeSpec.
+    */
+  def candidateFiles(spark: SparkSession, statsPath: String, c: String, lo: Long, hi: Long): Seq[String] = {
+    val stats = spark.read.parquet(statsPath)
+    stats.filter(
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        !(col(s"${c}_min") > hi || col(s"${c}_max") < lo))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range read through the index: only candidate files are opened; the
+    * residual filter keeps the result exactly equal to the full scan.
+    */
+  def readRange(spark: SparkSession, statsPath: String, c: String, lo: Long, hi: Long): DataFrame = {
+    val files = candidateFiles(spark, statsPath, c, lo, hi)
+    require(files.nonEmpty, s"no file can contain $c in [$lo, $hi]")
+    spark.read.parquet(files: _*)
+      .filter(col(c) >= lo && col(c) <= hi)
+  }
+}

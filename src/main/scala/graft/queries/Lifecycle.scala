@@ -207,6 +207,25 @@ object Lifecycle {
       |SELECT user_id + 1000000, 'FRESH', DATE '2024-03-01', NULL, TRUE
       |FROM c WHERE user_id % 13 = 0""".stripMargin
 
+  /** File-level data skipping end-to-end: events clustered by `user_id`
+    * into range-sorted files, a one-scan min/max index built, then a range
+    * read that opens ONLY the files whose stats admit the range. The oracle
+    * is the plain filter over the raw table — skipping must be invisible in
+    * results (LakeSpec asserts it actually skips).
+    */
+  def fileSkipping(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_skip_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.lake.FileStats.writeClustered(ev, s"$root/events", "user_id", numFiles = 8)
+    graft.lake.FileStats.buildStats(s, s"$root/events", s"$root/stats", Seq("user_id"))
+    graft.lake.FileStats.readRange(s, s"$root/stats", "user_id", 100L, 200L)
+  }
+
+  val fileSkippingOracle: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -565,6 +584,7 @@ object Lifecycle {
     "c7_compaction" -> (compaction _),
     "w_dim_upsert" -> (dimUpsert _),
     "w_scd2_history" -> (scd2History _),
+    "p_file_skipping" -> (fileSkipping _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -583,6 +603,7 @@ object Lifecycle {
     "c7_compaction" -> compactionOracle,
     "w_dim_upsert" -> dimUpsertOracle,
     "w_scd2_history" -> scd2HistoryOracle,
+    "p_file_skipping" -> fileSkippingOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

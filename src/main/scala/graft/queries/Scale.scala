@@ -277,6 +277,94 @@ object Scale {
       |QUALIFY row_number() OVER (PARTITION BY o_custkey
       |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin
 
+  /** Deterministic k-per-group sampling through the [[topKPerKey]] operator
+    * with an EXPRESSION sort key: ordering by a Knuth multiplicative hash
+    * of the row id turns "top k" into "uniform-looking k-sample per group",
+    * reproducible by any engine (same trick as `x_sample_stratified`, here
+    * flowing through the custom physical operator instead of a window —
+    * per-partition heaps mean the sample never shuffles more than k·groups
+    * rows).
+    */
+  def samplePerGroup(s: SparkSession, d: String): DataFrame = {
+    val hash = ((col("o_orderkey") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+    org.apache.spark.sql.graft.TopK.perKey(
+      Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      keyCols = Seq("o_orderpriority"),
+      orderBy = Seq(hash.asc, col("o_orderkey").asc),
+      k = 4)
+  }
+
+  val samplePerGroupOracle: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_orderpriority
+      |  ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 4294967296, o_orderkey) <= 4""".stripMargin
+
+  /** AQE runtime skew-join repair: a planted hot key (≈ 2/3 of the fact
+    * lands on key 0) would stall one reducer of the sort-merge join for the
+    * whole stage; with `adaptive.skewJoin` the runtime splits that
+    * partition into many sub-reads, each joined against the (replicated)
+    * dim side. The thresholds are lowered to make sf0.01-sized skew visible
+    * to the optimizer — at 100 TB the DEFAULTS fire on the same shape. The
+    * oracle is the plain join+agg: the repair must be invisible in results.
+    * (This is the runtime complement of the MANUAL salting in
+    * [[saltedAgg]]: salting rewrites the query, AQE rewrites the plan.)
+    */
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val prior = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      // cached plans exclude partitioning-changing AQE rules (skew split
+      // included) unless this is on — the cache below is only a
+      // materialize-under-confs device, so allow it
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" ->
+        s.conf.get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    s.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    try {
+      // AQE splits a skewed reduce partition along MAPPER block boundaries,
+      // so the fact side must come from several map tasks for a split to
+      // exist at all. A 100 TB scan has thousands of mappers naturally; the
+      // single sf0.01 parquet file has one, so spread it first (hashing on
+      // the unique key — NOT the skewed one — keeps the mappers even).
+      val fact = Tables.orders(s, d)
+        .repartition(8, col("o_orderkey"))
+        .select(
+          when(col("o_orderkey") % 3 =!= 0, lit(0L))
+            .otherwise(col("o_orderkey") % 40).as("hot_key"),
+          col("o_totalprice"))
+      val dim = s.range(0, 40).select(
+        col("id").as("hot_key"), concat(lit("grp_"), col("id") % 5).as("grp"))
+      val joined = fact.join(dim, Seq("hot_key")).groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), Q.moneySum(col("o_totalprice")).as("total"))
+      // materialize UNDER the lowered thresholds: the confs are read at
+      // runtime by AQE, so they must still be set when the job runs
+      val out = joined.cache()
+      out.count()
+      out
+    } finally prior.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  val skewJoinOracle: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN 0 ELSE o_orderkey % 40 END AS hot_key,
+      |         o_totalprice
+      |  FROM orders),
+      |dim AS (SELECT range AS hot_key, 'grp_' || (range % 5) AS grp FROM range(0, 40))
+      |SELECT grp, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM fact JOIN dim USING (hot_key)
+      |GROUP BY 1""".stripMargin
+
   /** A5 generator: deterministic synthetic transaction payloads — every
     * field pure arithmetic on the row id, reproduced exactly by the oracle's
     * `range()`.
@@ -362,6 +450,8 @@ object Scale {
     "x_approx_sketches" -> (approxSketches _),
     "x_sketch_exact" -> (sketchExact _),
     "x_topk_per_key" -> (topKPerKey _),
+    "x_sample_pergroup" -> (samplePerGroup _),
+    "p_skew_join" -> (skewJoin _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
     "c6_orchestrator_run" -> (orchestratorRun _),
@@ -374,6 +464,8 @@ object Scale {
     "x_sketch_bounds" -> sketchBoundsOracle,
     "x_sketch_exact" -> sketchExactOracle,
     "x_topk_per_key" -> topKPerKeyOracle,
+    "x_sample_pergroup" -> samplePerGroupOracle,
+    "p_skew_join" -> skewJoinOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
     "a5_gen_aggregate" -> genAggregateOracle,

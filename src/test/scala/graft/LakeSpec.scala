@@ -171,6 +171,28 @@ class LakeSpec extends SparkSpec {
     assert(rows === Array((1L, None), (2L, Some("web"))))
   }
 
+  test("file-stats skipping opens fewer files and never changes results") {
+    val root = scratch()
+    val df = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 997).as("k"), (col("id") * 3 % 101).as("v"))
+    graft.lake.FileStats.writeClustered(df, s"$root/data", "id", numFiles = 10)
+    graft.lake.FileStats.buildStats(spark, s"$root/data", s"$root/stats", Seq("id"))
+    val all = spark.read.parquet(s"$root/data").inputFiles.length
+    val cand = graft.lake.FileStats.candidateFiles(spark, s"$root/stats", "id", 2000L, 2999L)
+    // a 10% range over 10 range-sorted files must prune most of them (range
+    // bounds come from sampling, so the range may straddle a boundary file)
+    assert(all === 10 && cand.length <= 3, s"files=$all candidates=${cand.length}")
+    val skipped = graft.lake.FileStats.readRange(spark, s"$root/stats", "id", 2000L, 2999L)
+    val full = spark.read.parquet(s"$root/data").filter(col("id").between(2000, 2999))
+    assert(skipped.count() === 1000)
+    assert(skipped.exceptAll(full).isEmpty && full.exceptAll(skipped).isEmpty)
+    // an out-of-range read prunes EVERY file and fails fast
+    val e = intercept[IllegalArgumentException] {
+      graft.lake.FileStats.readRange(spark, s"$root/stats", "id", 50000L, 60000L)
+    }
+    assert(e.getMessage.contains("no file"))
+  }
+
   test("version retention keeps newest K and no-ops when n <= K") {
     val root = scratch()
     (1 to 4).foreach(i => Lake.writeTableSnapshot(Seq(i).toDF("a"), root, "t", 99))
