@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, TopKPerKeyStrategy}
+import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, ProductMod, TopKPerKeyStrategy}
 
 /** SparkSessionExtensions entry point. Three slices of the extension API:
   *
@@ -32,6 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "graft_dot expects exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_product_mod"),
+      new ExpressionInfo(classOf[ProductMod].getName, "graft_product_mod"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_product_mod expects 1 argument")
+        // returning the AggregateFunction itself: the analyzer wraps it in
+        // an AggregateExpression exactly as for the built-in aggregates
+        ProductMod(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_sig"),

@@ -301,6 +301,34 @@ object Scale {
       |  PARTITION BY o_orderpriority
       |  ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 4294967296, o_orderkey) <= 4""".stripMargin
 
+  /** Custom [[org.apache.spark.sql.graft.ProductMod]] DeclarativeAggregate:
+    * an order/partitioning-invariant multiset fingerprint (product mod
+    * 2³¹−1) — the cheap integrity checksum for "does the re-sharded /
+    * compacted / merged table still carry exactly these ids". The gate
+    * computes the fingerprint twice, over the natural layout and over a
+    * deliberately re-partitioned copy, and ships the equality as a column:
+    * layout invariance is part of the checked result, and the value itself
+    * is recomputed independently by the oracle's ordered list_reduce.
+    */
+  def productFingerprint(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val fp = o.groupBy(col("o_orderpriority"))
+      .agg(expr("graft_product_mod(o_orderkey)").as("fp"), count(lit(1)).as("cnt"))
+    val reSharded = o.repartition(13, col("o_totalprice"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("graft_product_mod(o_orderkey)").as("fp2"))
+    fp.join(reSharded, "o_orderpriority")
+      .withColumn("layout_invariant", col("fp") === col("fp2"))
+      .drop("fp2")
+  }
+
+  val productFingerprintOracle: String =
+    """SELECT o_orderpriority,
+      |       list_reduce(list(o_orderkey % 2147483647 ORDER BY o_orderkey),
+      |                   (a, b) -> (a * b) % 2147483647) AS fp,
+      |       COUNT(*) AS cnt, TRUE AS layout_invariant
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** AQE runtime skew-join repair: a planted hot key (≈ 2/3 of the fact
     * lands on key 0) would stall one reducer of the sort-merge join for the
     * whole stage; with `adaptive.skewJoin` the runtime splits that
@@ -452,6 +480,7 @@ object Scale {
     "x_topk_per_key" -> (topKPerKey _),
     "x_sample_pergroup" -> (samplePerGroup _),
     "p_skew_join" -> (skewJoin _),
+    "x_product_fingerprint" -> (productFingerprint _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
     "c6_orchestrator_run" -> (orchestratorRun _),
@@ -466,6 +495,7 @@ object Scale {
     "x_topk_per_key" -> topKPerKeyOracle,
     "x_sample_pergroup" -> samplePerGroupOracle,
     "p_skew_join" -> skewJoinOracle,
+    "x_product_fingerprint" -> productFingerprintOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
     "a5_gen_aggregate" -> genAggregateOracle,

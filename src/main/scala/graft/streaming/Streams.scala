@@ -586,6 +586,101 @@ object Streams {
       |            THEN 'expired' ELSE 'closed' END AS status
       |FROM agg""".stripMargin
 
+  // transformWithState gate types (public: Spark codegen materializes them)
+  case class TwsPair(value: Double, event_id: Long)
+  case class TwsAgg(n: Long, cents: Long)
+  case class TwsRow(user_id: Long, n: Long, total: Double,
+      e1: Option[Long], e2: Option[Long], e3: Option[Long])
+
+  /** Spark 4 `transformWithState` processor: per-user running (count, money
+    * total) in a ValueState plus the top-3 events by value in a ListState —
+    * the new arbitrary-state API's typed state variables, where
+    * `mapGroupsWithState` forces everything through one state object. Money
+    * is accumulated in integer CENTS (each value rounded exactly as the
+    * engines' double→DECIMAL(18,2) cast rounds), so the running total is
+    * order- and batch-boundary-independent.
+    */
+  private class TopKStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TwsRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimerValues, ValueState}
+    @transient private var agg: ValueState[TwsAgg] = _
+    @transient private var top: ListState[TwsPair] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      agg = getHandle.getValueState[TwsAgg]("agg", Encoders.product[TwsAgg], TTLConfig.NONE)
+      top = getHandle.getListState[TwsPair]("top", Encoders.product[TwsPair], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TwsRow] = {
+      val batch = rows.toArray
+      val cents = batch.map(e =>
+        (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum
+      val next = {
+        val prev = Option(agg.get()).getOrElse(TwsAgg(0L, 0L))
+        TwsAgg(prev.n + batch.length, prev.cents + cents)
+      }
+      agg.update(next)
+      val best = (top.get().toList ++ batch.map(e => TwsPair(e.value, e.event_id)))
+        .sortBy(p => (-p.value, p.event_id)).take(3)
+      top.put(best.toArray)
+      val ids = best.map(_.event_id)
+      Iterator.single(TwsRow(user, next.n, next.cents / 100.0,
+        ids.lift(0), ids.lift(1), ids.lift(2)))
+    }
+  }
+
+  /** `transformWithState` end-to-end (requires the RocksDB state store —
+    * the provider the operator is built for, and the one a 100 TB/day
+    * deployment runs anyway for its changelog checkpointing + out-of-heap
+    * state). Four chunked micro-batches prove both state variables carry
+    * across batches; `n` is strictly monotone per user, so the final
+    * emission per key is the row with max `n`, which must equal the batch
+    * oracle's per-user count/total/top-3.
+    */
+  def streamTwsTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.get(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
+      val stream = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+        .as[Ev]
+      val out = stream
+        .groupByKey(_.user_id)
+        .transformWithState(new TopKStateProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val emitted = drain(out.toDF(), OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n").desc)
+      emitted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    } finally s.conf.set(key, prior)
+  }
+
+  val streamTwsTopKOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id) AS rn
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1)
+      |SELECT a.user_id, a.n, a.total,
+      |       MAX(CASE WHEN rn = 1 THEN event_id END) AS e1,
+      |       MAX(CASE WHEN rn = 2 THEN event_id END) AS e2,
+      |       MAX(CASE WHEN rn = 3 THEN event_id END) AS e3
+      |FROM agg a JOIN ranked r ON a.user_id = r.user_id
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Stage events as TWO stream source dirs for the stream-stream join
     * gates: left = even `event_id` ("impressions"), right = odd
     * ("conversions"), each split into `nChunks` interleaved files plus two
@@ -781,6 +876,7 @@ object Streams {
     "s_stream_join_inner" -> (streamJoinInner _),
     "s_stream_join_left" -> (streamJoinLeftOuter _),
     "s_stream_dedup_watermark" -> (streamDedupWatermark _),
+    "s_stream_tws_topk" -> (streamTwsTopK _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -800,5 +896,6 @@ object Streams {
     "s_stream_join_inner" -> streamJoinInnerOracle,
     "s_stream_join_left" -> streamJoinLeftOracle,
     "s_stream_dedup_watermark" -> streamDedupWatermarkOracle,
+    "s_stream_tws_topk" -> streamTwsTopKOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }

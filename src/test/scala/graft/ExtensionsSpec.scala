@@ -54,6 +54,56 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_product_mod: null-skipping modular product, codegen'd partial/final") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-prodmod-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val P = 2147483647L
+      // 8 input partitions force real partial/final merges; includes a
+      // negative id (folded into [0,P)), NULLs, and an all-NULL group
+      val df = Seq[(String, java.lang.Long)](
+        ("a", 3L), ("a", 5L), ("a", null), ("a", 7L),
+        ("b", -4L), ("b", 11L),
+        ("c", null))
+        .toDF("g", "id").repartition(8)
+      val out = df.groupBy("g").agg(expr("graft_product_mod(id)").as("fp"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(out("a") === Some(105L))
+      assert(out("b") === Some((Math.floorMod(-4L, P) * 11L) % P))
+      assert(out("c") === None) // all-NULL group → NULL, not 1
+      // stays in whole-stage codegen as a HashAggregate pair — the whole
+      // point of the Declarative (vs Imperative/UDAF) shape
+      val q = df.groupBy("g").agg(expr("graft_product_mod(id)"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+      assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"), plan)
+      // SQL surface, global aggregate over an empty relation → NULL
+      val empty = spark.sql("SELECT graft_product_mod(id) FROM (SELECT CAST(1 AS BIGINT) AS id) WHERE false")
+      assert(empty.collect().head.isNullAt(0))
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+
   test("RewriteDotProduct rewrites the HOF fold to graft_dot, preserving results") {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
