@@ -308,7 +308,52 @@ object TextAnalysis {
       |                  WHEN 'src2' THEN 10 ELSE 25 END
       |GROUP BY 1""".stripMargin
 
+  /** Vocabulary-coverage quality scoring — the perplexity PROXY that needs
+    * no model: build the corpus's top-200 vocabulary by document frequency
+    * (deterministic df-then-term tie-break), then score every document by
+    * its out-of-vocabulary token rate and its mean in-vocabulary document
+    * frequency. Low coverage ≈ boilerplate/garbled/foreign text — the
+    * standard cheap pre-filter before any model-based quality pass.
+    *
+    * Scale shape: the vocabulary is a global top-K → TakeOrderedAndProject
+    * (per-partition top-K + driver merge, never a full sort), and the
+    * scoring join is left to AQE (a top-200 table always broadcasts; a
+    * top-5M production vocabulary may not). All outputs are exact longs or
+    * single divisions of exact longs — engine-portable doubles.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = tokens
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(200)
+      .withColumnRenamed("term", "vterm")
+    tokens.join(vocab, col("term") === col("vterm"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vterm").isNull, 1).otherwise(0)).as("oov"),
+        sum(coalesce(col("df"), lit(0L))).as("df_sum"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("oov").cast("double") / col("n_tokens")).as("oov_rate"),
+        (col("df_sum").cast("double") / col("n_tokens")).as("avg_df"))
+  }
+
+  val vocabCoverageOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 200)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS oov_rate,
+      |       CAST(SUM(COALESCE(v.df, 0)) AS DOUBLE) / COUNT(*) AS avg_df
+      |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_text_vocab" -> (vocabCoverage _),
     "x_sample_stratified" -> (sampleStratified _),
     "x_mix_sources" -> (mixSources _),
     "x_text_scrub" -> (piiScrub _),
@@ -321,6 +366,7 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_text_vocab" -> vocabCoverageOracle,
     "x_sample_stratified" -> sampleStratifiedOracle,
     "x_mix_sources" -> mixSourcesOracle,
     "x_text_scrub" -> piiScrubOracle,

@@ -52,6 +52,33 @@ object FileStats {
       .write.mode(SaveMode.Overwrite).parquet(statsPath)
   }
 
+  /** Incremental index maintenance: scan ONLY files not yet in the index
+    * and append their stats rows — the O(new data) refresh an append-only
+    * 100 TB lake needs (the full `buildStats` rescan is the bootstrap, not
+    * the steady state). The indexed-file set IS the watermark, same
+    * append-only contract as the incremental LSH index; the parquet file
+    * listing is O(files) driver work, already the bound accepted by
+    * `compactPartition`.
+    */
+  def updateStats(spark: SparkSession, dataPath: String, statsPath: String, cols: Seq[String]): Int = {
+    // inputFiles and _metadata.file_path render the same file with
+    // different URI forms (file:/ vs file:///) — compare scheme-free paths
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val indexed = spark.read.parquet(statsPath)
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    val allFiles = spark.read.parquet(dataPath).inputFiles
+    val newFiles = allFiles.filterNot(f => indexed.contains(norm(f)))
+    if (newFiles.isEmpty) return 0
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(newFiles: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(statsPath)
+    newFiles.length
+  }
+
   /** The files whose [min, max] range can intersect [lo, hi] (NULL stats →
     * kept). Exposed for the skip-ratio assertions in LakeSpec.
     */

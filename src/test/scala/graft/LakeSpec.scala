@@ -193,6 +193,30 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("no file"))
   }
 
+  test("incremental stats update scans only new files and equals a rebuild") {
+    val root = scratch()
+    val df1 = spark.range(0, 5000).select(col("id"))
+    graft.lake.FileStats.writeClustered(df1, s"$root/data", "id", numFiles = 5)
+    graft.lake.FileStats.buildStats(spark, s"$root/data", s"$root/stats", Seq("id"))
+    // append a disjoint id range as new files (outside writeClustered: an
+    // overwrite would drop the old files)
+    spark.range(5000, 8000).select(col("id"))
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+      .write.mode("append").parquet(s"$root/data")
+    val updated = graft.lake.FileStats.updateStats(spark, s"$root/data", s"$root/stats", Seq("id"))
+    assert(updated === 3)
+    assert(graft.lake.FileStats.updateStats(spark, s"$root/data", s"$root/stats", Seq("id")) === 0)
+    // incremental index ≡ full rebuild
+    val full = scratch()
+    graft.lake.FileStats.buildStats(spark, s"$root/data", s"$full/stats", Seq("id"))
+    val inc = spark.read.parquet(s"$root/stats")
+    val reb = spark.read.parquet(s"$full/stats")
+    assert(inc.exceptAll(reb).isEmpty && reb.exceptAll(inc).isEmpty)
+    // and skipping through the incrementally-updated index stays exact
+    val out = graft.lake.FileStats.readRange(spark, s"$root/stats", "id", 6000L, 6499L)
+    assert(out.count() === 500)
+  }
+
   test("version retention keeps newest K and no-ops when n <= K") {
     val root = scratch()
     (1 to 4).foreach(i => Lake.writeTableSnapshot(Seq(i).toDF("a"), root, "t", 99))
