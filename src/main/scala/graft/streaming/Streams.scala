@@ -724,27 +724,44 @@ object Streams {
     (s"$staged/left/chunk=*", s"$staged/right/chunk=*", ev.schema, delayMs)
   }
 
-  private def joinStreams(s: SparkSession, d: String, nChunks: Int, joinType: String): DataFrame = {
+  private def joinStreams(s: SparkSession, d: String, nChunks: Int, joinType: String,
+      multiBatch: Boolean = true): DataFrame = {
     val (leftGlob, rightGlob, schema, delayMs) = stageJoinStreams(s, d, nChunks)
-    def side(glob: String, p: String): DataFrame = s.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(glob)
+    // each trigger maintains FOUR state stores per shuffle partition (two
+    // per side); 32 partitions × several sentinel-choreographed triggers is
+    // pure store-maintenance overhead at gate scale — 8 keeps the join
+    // parallel while quartering it (production sizes this to the cluster)
+    val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def side(glob: String, p: String): DataFrame = {
+        val src = s.readStream.schema(schema)
+        // the outer variants need the multi-trigger sentinel choreography
+        // (watermark advance in one batch, NULL flush in the next); the
+        // inner join emits matches eagerly and needs no flush batch
+        val withTrigger = if (multiBatch) src.option("maxFilesPerTrigger", "1") else src
+        withTrigger.parquet(glob)
+          .select(
+            col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_event"),
+            col("ts_us").as(s"${p}_ts_us"),
+            timestamp_micros(col("ts_us")).as(s"${p}_ts"))
+          .withWatermark(s"${p}_ts", s"$delayMs milliseconds")
+      }
+      val joined = side(leftGlob, "l").join(side(rightGlob, "r"),
+        expr("""l_user = r_user
+               |AND r_ts >= l_ts
+               |AND r_ts <= l_ts + interval 30 minutes""".stripMargin),
+        joinType)
+      drain(joined, OutputMode.Append())
+      // drop watermark sentinels from WHICHEVER side emitted them (an outer
+      // join also emits unmatched rows whose other side is NULL)
+      .filter(coalesce(col("l_user"), lit(0L)) >= 0 &&
+        coalesce(col("r_user"), lit(0L)) >= 0)
       .select(
-        col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_event"),
-        col("ts_us").as(s"${p}_ts_us"),
-        timestamp_micros(col("ts_us")).as(s"${p}_ts"))
-      .withWatermark(s"${p}_ts", s"$delayMs milliseconds")
-    val joined = side(leftGlob, "l").join(side(rightGlob, "r"),
-      expr("""l_user = r_user
-             |AND r_ts >= l_ts
-             |AND r_ts <= l_ts + interval 30 minutes""".stripMargin),
-      joinType)
-    drain(joined, OutputMode.Append())
-      .filter(col("l_user") >= 0) // drop watermark sentinels
-      .select(
-        col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("l_event"), col("r_event"),
         col("l_ts_us"), col("r_ts_us"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
   }
 
   /** Stream-stream INNER join with watermarks and a time-range condition
@@ -756,7 +773,7 @@ object Streams {
     * never the full streams.
     */
   def streamJoinInner(s: SparkSession, d: String): DataFrame =
-    joinStreams(s, d, nChunks = 2, joinType = "inner")
+    joinStreams(s, d, nChunks = 2, joinType = "inner", multiBatch = false)
 
   /** Stream-stream LEFT OUTER join: unmatched impressions must be emitted
     * with NULL conversion columns — but only once the watermark proves no
@@ -767,6 +784,14 @@ object Streams {
     */
   def streamJoinLeftOuter(s: SparkSession, d: String): DataFrame =
     joinStreams(s, d, nChunks = 2, joinType = "left_outer")
+
+  /** Stream-stream FULL OUTER join: unmatched rows flush from BOTH state
+    * stores once the watermark passes their last possible match time — the
+    * strictest of the outer variants (left unmatched AND right unmatched
+    * NULL-expanded, so `user_id` coalesces across sides).
+    */
+  def streamJoinFullOuter(s: SparkSession, d: String): DataFrame =
+    joinStreams(s, d, nChunks = 2, joinType = "full_outer")
 
   private val joinOracleBody: String =
     """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
@@ -780,6 +805,9 @@ object Streams {
 
   val streamJoinInnerOracle: String = joinOracleBody.replace("@JOIN@", "JOIN")
   val streamJoinLeftOracle: String = joinOracleBody.replace("@JOIN@", "LEFT JOIN")
+  val streamJoinFullOracle: String = joinOracleBody
+    .replace("@JOIN@", "FULL JOIN")
+    .replace("SELECT l.user_id,", "SELECT COALESCE(l.user_id, r.user_id) AS user_id,")
 
   /** `dropDuplicatesWithinWatermark`: the state-BOUNDED streaming dedup —
     * plain `dropDuplicates` (the `s_stream_dedup` gate) keeps every seen
@@ -875,6 +903,7 @@ object Streams {
     "s_stream_timeout_multibatch" -> (streamSessionTimeoutMultiBatch _),
     "s_stream_join_inner" -> (streamJoinInner _),
     "s_stream_join_left" -> (streamJoinLeftOuter _),
+    "s_stream_join_full" -> (streamJoinFullOuter _),
     "s_stream_dedup_watermark" -> (streamDedupWatermark _),
     "s_stream_tws_topk" -> (streamTwsTopK _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
@@ -895,6 +924,7 @@ object Streams {
     "s_stream_timeout_multibatch" -> streamSessionTimeoutOracle,
     "s_stream_join_inner" -> streamJoinInnerOracle,
     "s_stream_join_left" -> streamJoinLeftOracle,
+    "s_stream_join_full" -> streamJoinFullOracle,
     "s_stream_dedup_watermark" -> streamDedupWatermarkOracle,
     "s_stream_tws_topk" -> streamTwsTopKOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
