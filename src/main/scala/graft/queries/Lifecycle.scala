@@ -226,6 +226,28 @@ object Lifecycle {
     """SELECT event_id, user_id, event_type, value
       |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin
 
+  /** Z-order skipping end-to-end: events clustered on the Morton interleave
+    * of (user_id, day-of-month), indexed, then range-read on user_id ALONE
+    * — the dimension a single-column day layout could not prune. The
+    * oracle is the plain filter; the both-dimensions pruning ratio is
+    * pinned in LakeSpec. 16 z-bits cover user ids to 65535; a wider id
+    * domain folds (or re-scales) before interleaving.
+    */
+  def zorderSkipping(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_zo_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        dayofmonth(timestamp_micros(col("ts_us"))).cast("long").as("day"))
+    graft.lake.FileStats.writeClusteredZ(ev, s"$root/events", "user_id", "day",
+      bits = 16, numFiles = 8)
+    graft.lake.FileStats.buildStats(s, s"$root/events", s"$root/stats", Seq("user_id", "day"))
+    graft.lake.FileStats.readRange(s, s"$root/stats", "user_id", 40L, 80L)
+  }
+
+  val zorderSkippingOracle: String =
+    """SELECT event_id, user_id, value, CAST(day(ts) AS BIGINT) AS day
+      |FROM events WHERE user_id BETWEEN 40 AND 80""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -585,6 +607,7 @@ object Lifecycle {
     "w_dim_upsert" -> (dimUpsert _),
     "w_scd2_history" -> (scd2History _),
     "p_file_skipping" -> (fileSkipping _),
+    "p_zorder_skipping" -> (zorderSkipping _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -604,6 +627,7 @@ object Lifecycle {
     "w_dim_upsert" -> dimUpsertOracle,
     "w_scd2_history" -> scd2HistoryOracle,
     "p_file_skipping" -> fileSkippingOracle,
+    "p_zorder_skipping" -> zorderSkippingOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

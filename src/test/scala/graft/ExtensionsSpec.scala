@@ -92,6 +92,17 @@ class ExtensionsSpec extends AnyFunSuite {
       // SQL surface, global aggregate over an empty relation → NULL
       val empty = spark.sql("SELECT graft_product_mod(id) FROM (SELECT CAST(1 AS BIGINT) AS id) WHERE false")
       assert(empty.collect().head.isNullAt(0))
+      // randomized (fixed seed): equals the naive modular product, and is
+      // invariant across partition layouts — the map-side partials merging
+      // in a different grouping must not change a single bit
+      val rnd = new scala.util.Random(42)
+      val data = Seq.fill(500)(rnd.nextLong().abs % (1L << 40))
+      val expected = data.map(Math.floorMod(_, P)).foldLeft(1L)((a, b) => (a * b) % P)
+      val fps = Seq(1, 7, 64).map { parts =>
+        data.toDF("id").repartition(parts)
+          .agg(expr("graft_product_mod(id)")).collect().head.getLong(0)
+      }
+      assert(fps.forall(_ === expected), s"$fps vs $expected")
     } finally {
       prior match {
         case Some(p) =>

@@ -193,6 +193,29 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("no file"))
   }
 
+  test("z-order clustering prunes files on BOTH dimensions") {
+    val root = scratch()
+    // two independent uniform 10-bit dimensions
+    val df = spark.range(0, 40000).select(
+      col("id"),
+      (col("id") * 2654435761L % 1024).as("a"),
+      (col("id") * 40503 % 1024).as("b"))
+    graft.lake.FileStats.writeClusteredZ(df, s"$root/data", "a", "b", bits = 10, numFiles = 16)
+    graft.lake.FileStats.buildStats(spark, s"$root/data", s"$root/stats", Seq("a", "b"))
+    val total = spark.read.parquet(s"$root/data").inputFiles.length
+    // a one-eighth range on EITHER dimension must prune at least half the
+    // files (single-column clustering would prune ~nothing on the other;
+    // the exact count wobbles ±1 with repartitionByRange's sampled bounds)
+    val onA = graft.lake.FileStats.candidateFiles(spark, s"$root/stats", "a", 0L, 127L)
+    val onB = graft.lake.FileStats.candidateFiles(spark, s"$root/stats", "b", 0L, 127L)
+    assert(total === 16, s"total=$total")
+    assert(onA.length <= 8 && onB.length <= 8, s"a=${onA.length} b=${onB.length}")
+    // results stay exact through the pruned read
+    val out = graft.lake.FileStats.readRange(spark, s"$root/stats", "b", 0L, 127L)
+    val full = spark.read.parquet(s"$root/data").filter(col("b").between(0, 127))
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty)
+  }
+
   test("incremental stats update scans only new files and equals a rebuild") {
     val root = scratch()
     val df1 = spark.range(0, 5000).select(col("id"))

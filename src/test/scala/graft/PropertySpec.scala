@@ -63,6 +63,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2Apply matches a sequential per-key model on random update streams") {
+    import java.sql.Date
+    val attrGen = Gen.oneOf("A", "B", "C", "D")
+    val months = Seq("2024-02-01", "2024-04-01", "2024-06-01", "2024-08-01").map(Date.valueOf)
+    (0 until 4).foreach { trial =>
+      // per batch: a random subset of keys 1..10, one update row per key
+      val batches = months.zipWithIndex.map { case (eff, b) =>
+        val keys = sample(Gen.someOf(1L to 10L), 1, seed = 500L + 10 * trial + b).head.toSeq
+        val attrs = sample(attrGen, keys.size max 1, seed = 900L + 10 * trial + b)
+        eff -> keys.zip(attrs)
+      }
+      val empty = Seq.empty[(Long, String, Date, Date, Boolean)]
+        .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      val result = batches.foldLeft(empty) { case (acc, (eff, rows)) =>
+        if (rows.isEmpty) acc
+        else Warehouse.scd2Apply(acc,
+          rows.toDF("k", "attr").withColumn("effective_from", lit(eff)),
+          "k", Seq("attr"))
+      }.collect().map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4))).toSet
+      // model: per key, the chain of DISTINCT consecutive attrs with their
+      // effective dates; each row closes at the next change
+      val chains = scala.collection.mutable.Map.empty[Long, List[(String, Date)]]
+      batches.foreach { case (eff, rows) =>
+        rows.foreach { case (k, a) =>
+          val cur = chains.getOrElse(k, Nil)
+          if (cur.headOption.forall(_._1 != a)) chains(k) = (a, eff) :: cur
+        }
+      }
+      val expected = chains.flatMap { case (k, revChain) =>
+        val chain = revChain.reverse
+        chain.zipWithIndex.map { case ((a, from), i) =>
+          val to = chain.lift(i + 1).map(_._2)
+          (k, a, from, to, to.isEmpty)
+        }
+      }.toSet
+      assert(result === expected, s"trial $trial")
+    }
+  }
+
   test("quantization reconstruction error is bounded by scale/2 on real data") {
     val out = Similarity.embedQuantize(spark, "/root/testdata/sf0.001")
       .select(col("scale"), col("max_abs_err"))
