@@ -474,6 +474,53 @@ object Relational {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  /** UNPIVOT (melt): the inverse of [[pivotStatus]] — the wide per-status
+    * counts fold back into (key, variable, value) long form, composed
+    * directly over the pivot gate so the pair proves pivot∘unpivot is the
+    * grouped aggregate.
+    */
+  def unpivotStatus(s: SparkSession, d: String): DataFrame =
+    pivotStatus(s, d).unpivot(
+      Array(col("payment_method")),
+      Array(col("f_cnt"), col("o_cnt"), col("p_cnt")),
+      "status", "cnt")
+
+  val unpivotStatusOracle: String =
+    """WITH p AS (
+      |  SELECT o_orderpriority AS payment_method,
+      |         COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+      |         COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+      |         COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT payment_method, status, cnt
+      |FROM (UNPIVOT p ON f_cnt, o_cnt, p_cnt INTO NAME status VALUE cnt)""".stripMargin
+
+  /** Spark 4 VARIANT semi-structured type: `parse_json` once, then typed
+    * path extraction with `variant_get` — including a nested object/array
+    * path over a constructed payload. VARIANT keeps the parsed tree in a
+    * binary form, so repeated path extractions don't re-parse the JSON
+    * text per access the way chained `get_json_object` calls do — the
+    * semi-structured answer to "100 TB of raw JSON event payloads".
+    */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        parse_json(col("props")).as("v"),
+        parse_json(concat(lit("""{"a":{"b":["""),
+          get_json_object(col("props"), "$.k"), lit(","),
+          (get_json_object(col("props"), "$.k").cast("long") * 2).cast("string"),
+          lit("]}}"))).as("nested_v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("nested_v"), "$.a.b[1]", "bigint").as("nested"))
+
+  val variantExtractOracle: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS nested
+      |FROM events""".stripMargin
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event exceeds 1 hour; one window pass assigns ids, one
     * aggregate summarizes sessions. The batch ground truth for the
@@ -626,6 +673,8 @@ object Relational {
     "d_cube" -> (cubeAgg _),
     "d_grouping_sets" -> (groupingSets _),
     "d_pivot" -> (pivotStatus _),
+    "d_unpivot" -> (unpivotStatus _),
+    "d_variant" -> (variantExtract _),
     "d_scalar_strings" -> (scalarStrings _),
     "d_scalar_dates" -> (scalarDates _),
     "d_scalar_math" -> (scalarMath _),
@@ -658,6 +707,8 @@ object Relational {
     "d_cube" -> cubeAggOracle,
     "d_grouping_sets" -> groupingSetsOracle,
     "d_pivot" -> pivotStatusOracle,
+    "d_unpivot" -> unpivotStatusOracle,
+    "d_variant" -> variantExtractOracle,
     "d_scalar_strings" -> scalarStringsOracle,
     "d_scalar_dates" -> scalarDatesOracle,
     "d_scalar_math" -> scalarMathOracle,
