@@ -420,7 +420,125 @@ object Similarity {
       |       list_max([abs(v[i] - q[i] * scale) for i in range(1, len(v) + 1)]) AS max_abs_err
       |FROM q""".stripMargin
 
+  /** Product-quantization codebook geometry: 64 dims → 4 subspaces × 16
+    * dims, 16 centroids per subspace (8-bit code per vector total). At
+    * 100 TB the codebook is k-means-trained; here it is a deterministic
+    * sample (subvectors of the 16 lowest vec_ids) so the oracle can
+    * rebuild it in SQL — same move as the IVF codebook.
+    */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 16
+
+  /** Squared L2 via the dot identity, in a FIXED expression order —
+    * `|a|² − 2a·c + |c|²` — so both engines run the identical IEEE op
+    * sequence and distances (hence codes and rankings) are bit-exact.
+    */
+  private def l2sq(a: Column, c: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, c) + dot(c, c)
+
+  /** Product-quantization encode + asymmetric-distance (ADC) top-k search —
+    * the memory-bound ANN scale path: vectors compress 64×8 bytes → 4
+    * codes, and query-time search never touches a raw vector, only a
+    * Q×M×K lookup table of precomputed subspace distances.
+    *
+    * Scale shape: encoding scores N×M subvectors against a broadcast
+    * codebook and collapses to one code per (vector, subspace) via a
+    * `min(struct(dist, cid))` AGGREGATE — partial aggregation folds the
+    * N×M×K scored rows to N×M before the only shuffle, and rows are
+    * narrowed to (id, j, dist, cid) first (the IVF lesson: never drag
+    * vectors through an aggregate that doesn't need them). ADC search is a
+    * broadcast hash join of the code table against the tiny LUT — O(N·M)
+    * lookups, zero vector math per candidate, and the per-query sum runs
+    * over j-pivoted columns in a fixed order so the float total is
+    * engine-exact. Ties (identical codes ⇒ identical ADC) break by
+    * neighbor id, matching the oracle.
+    */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val subs = e
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(v, j * $PqSub + 1, $PqSub))")))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("sub"))
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("j").as("cj"), col("vec_id").as("cid"), col("sub").as("csub"))
+    val codes = subs.join(broadcast(cb), col("j") === col("cj"))
+      .withColumn("dist", l2sq(col("sub"), col("csub")))
+      .select(col("vec_id"), col("j"), col("dist"), col("cid"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.cid").as("code"))
+    val lut = subs.filter(col("vec_id") % 100 === 0)
+      .join(broadcast(cb), col("j") === col("cj"))
+      .select(col("vec_id").as("q_id"), col("j").as("lj"), col("cid"),
+        l2sq(col("sub"), col("csub")).as("qdist"))
+    val scored = codes
+      .join(broadcast(lut), col("j") === col("lj") && col("code") === col("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(
+        max(when(col("j") === 0, col("qdist"))).as("d0"),
+        max(when(col("j") === 1, col("qdist"))).as("d1"),
+        max(when(col("j") === 2, col("qdist"))).as("d2"),
+        max(when(col("j") === 3, col("qdist"))).as("d3"),
+        max(when(col("j") === 0, col("code"))).as("c0"),
+        max(when(col("j") === 1, col("code"))).as("c1"),
+        max(when(col("j") === 2, col("code"))).as("c2"),
+        max(when(col("j") === 3, col("code"))).as("c3"))
+      .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"), col("adc"), col("rk"))
+  }
+
+  val annPqOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |subs AS (
+      |  SELECT vec_id, j, v[j * 16 + 1 : j * 16 + 16] AS sub
+      |  FROM e, (SELECT unnest(generate_series(0, 3)) AS j) t),
+      |cb AS (SELECT j AS cj, vec_id AS cid, sub AS csub FROM subs WHERE vec_id < 16),
+      |dist AS (
+      |  SELECT s.vec_id, s.j, c.cid,
+      |         list_dot_product(s.sub, s.sub) - 2.0 * list_dot_product(s.sub, c.csub)
+      |           + list_dot_product(c.csub, c.csub) AS dist
+      |  FROM subs s JOIN cb c ON s.j = c.cj),
+      |codes AS (
+      |  SELECT vec_id, j, cid AS code,
+      |         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      |  FROM dist),
+      |lut AS (
+      |  SELECT s.vec_id AS q_id, s.j, c.cid,
+      |         list_dot_product(s.sub, s.sub) - 2.0 * list_dot_product(s.sub, c.csub)
+      |           + list_dot_product(c.csub, c.csub) AS qdist
+      |  FROM subs s JOIN cb c ON s.j = c.cj
+      |  WHERE s.vec_id % 100 = 0),
+      |adc AS (
+      |  SELECT l.q_id, k.vec_id,
+      |         MAX(CASE WHEN k.j = 0 THEN l.qdist END) AS d0,
+      |         MAX(CASE WHEN k.j = 1 THEN l.qdist END) AS d1,
+      |         MAX(CASE WHEN k.j = 2 THEN l.qdist END) AS d2,
+      |         MAX(CASE WHEN k.j = 3 THEN l.qdist END) AS d3,
+      |         MAX(CASE WHEN k.j = 0 THEN k.code END) AS c0,
+      |         MAX(CASE WHEN k.j = 1 THEN k.code END) AS c1,
+      |         MAX(CASE WHEN k.j = 2 THEN k.code END) AS c2,
+      |         MAX(CASE WHEN k.j = 3 THEN k.code END) AS c3
+      |  FROM (SELECT * FROM codes WHERE rn = 1) k
+      |  JOIN lut l ON l.j = k.j AND l.cid = k.code
+      |  WHERE k.vec_id <> l.q_id
+      |  GROUP BY 1, 2)
+      |SELECT q_id, vec_id AS neighbor_id, c0, c1, c2, c3,
+      |       d0 + d1 + d2 + d3 AS adc,
+      |       row_number() OVER (PARTITION BY q_id
+      |                          ORDER BY d0 + d1 + d2 + d3, vec_id) AS rk
+      |FROM adc QUALIFY rk <= 5""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_ann_pq" -> (annPq _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_ann_topk" -> (annTopK _),
     "x_embed_neardup" -> (cosineNearDup _),
@@ -430,6 +548,7 @@ object Similarity {
     "x_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
+    "x_ann_pq" -> annPqOracle,
     "x_embed_quantize" -> embedQuantizeOracle,
     "x_ann_topk" -> annTopKOracle,
     "x_embed_neardup" -> cosineNearDupOracle,

@@ -352,7 +352,91 @@ object TextAnalysis {
       |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
       |GROUP BY 1""".stripMargin
 
+  /** Gopher-style repetition signals — the cheap filters that catch
+    * boilerplate and degenerate (looping) generations before any model
+    * pass: distinct-word ratio, most-frequent-word fraction, and
+    * most-frequent word-BIGRAM fraction per document. High top-n-gram
+    * fractions flag "the same phrase repeated 500 times" documents that
+    * length/punctuation heuristics miss.
+    *
+    * Scale shape: words and bigrams are counted with ONE shuffle each on
+    * (doc_id, gram) with full partial aggregation (a repeated phrase
+    * collapses map-side), and the per-doc argmax is a `min(struct(-cnt,
+    * gram))` AGGREGATE — no window, no per-doc sort. Ties break to the
+    * lexicographically smallest gram, matching the oracle's ORDER BY.
+    * Bigrams come from one `transform` over the split array — no
+    * self-join on position.
+    */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val words = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        min(struct((-col("cnt")).as("neg"), col("w").as("g"))).as("top"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
+        col("top.g").as("top_word"),
+        ((-col("top.neg")).cast("double") / col("n_words")).as("top_word_frac"))
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        min(struct((-col("cnt")).as("neg"), col("bg").as("g"))).as("top"))
+      .select(
+        col("doc_id").as("b_doc"), col("n_bigrams"),
+        col("top.g").as("top_bigram"),
+        ((-col("top.neg")).cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+    words.join(bigrams, col("doc_id") === col("b_doc"), "left").drop("b_doc")
+  }
+
+  val repetitionSignalsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |wtop AS (
+      |  SELECT doc_id, w AS top_word, cnt,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+      |  FROM w),
+      |wagg AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |         COUNT(*) AS n_distinct FROM w GROUP BY 1),
+      |b AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS l,
+      |           unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |btop AS (
+      |  SELECT doc_id, bg AS top_bigram, cnt,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+      |  FROM b),
+      |bagg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams FROM b GROUP BY 1)
+      |SELECT wagg.doc_id, wagg.n_words, wagg.n_distinct,
+      |       CAST(wagg.n_distinct AS DOUBLE) / wagg.n_words AS distinct_ratio,
+      |       wtop.top_word,
+      |       CAST(wtop.cnt AS DOUBLE) / wagg.n_words AS top_word_frac,
+      |       bagg.n_bigrams, btop.top_bigram,
+      |       CAST(btop.cnt AS DOUBLE) / bagg.n_bigrams AS top_bigram_frac
+      |FROM wagg
+      |JOIN (SELECT * FROM wtop WHERE rn = 1) wtop USING (doc_id)
+      |LEFT JOIN bagg USING (doc_id)
+      |LEFT JOIN (SELECT * FROM btop WHERE rn = 1) btop ON bagg.doc_id = btop.doc_id""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_text_repetition" -> (repetitionSignals _),
     "x_text_vocab" -> (vocabCoverage _),
     "x_sample_stratified" -> (sampleStratified _),
     "x_mix_sources" -> (mixSources _),
@@ -366,6 +450,7 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_text_repetition" -> repetitionSignalsOracle,
     "x_text_vocab" -> vocabCoverageOracle,
     "x_sample_stratified" -> sampleStratifiedOracle,
     "x_mix_sources" -> mixSourcesOracle,

@@ -637,6 +637,123 @@ object Relational {
       |       map_from_entries([{k: f, v: length(f)} for f in flags])['R'][1] AS r_len
       |FROM g""".stripMargin
 
+  /** Value-RANGE window frame: trailing 7-day order count + money sum per
+    * customer. RANGE frames include ALL peers of the current order value —
+    * semantics a ROWS frame cannot express when timestamps tie. Ordering by
+    * integer epoch seconds keeps the frame boundary exact integer math in
+    * both engines (no calendar-interval or float comparison ambiguity).
+    * Scale shape: one hash exchange on o_custkey, per-partition sort, frame
+    * evaluated in a single pass with a sliding aggregate buffer.
+    */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("od_s", unix_timestamp(col("o_orderdate")))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od_s"))
+      .rangeBetween(-7L * 86400, 0)
+    o.select(
+      col("o_orderkey"), col("o_custkey"), col("od_s"),
+      count(lit(1)).over(w).as("cnt_7d"),
+      moneySumOver(col("o_totalprice"), w).as("sum_7d"))
+  }
+
+  val windowRangeOracle: String =
+    """SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS od_s,
+      |       COUNT(*) OVER w AS cnt_7d,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 1000
+      |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Exact order statistics per group: discrete percentiles (the smallest
+    * value whose cumulative distribution reaches p — always an element of
+    * the set, so cross-engine exact), the interpolated median, and a
+    * deterministic MODE (max frequency, ties broken by smallest value —
+    * the built-in `mode()` leaves ties undefined, which can never
+    * oracle-match). Mode via count-then-rank is two partial-agg passes,
+    * never a per-group sort of raw rows.
+    */
+  def statsOrder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pct = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("med"))
+    val wm = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    pct.join(mode, Seq("l_returnflag"))
+  }
+
+  val statsOrderOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_quantity AS mode_qty,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |p AS (
+      |  SELECT l_returnflag,
+      |         percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+      |         percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+      |         percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+      |         percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS med
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p.l_returnflag, p25, p50, p75, med, mode_qty
+      |FROM p JOIN (SELECT l_returnflag, mode_qty FROM m WHERE rn = 1) mm
+      |  ON p.l_returnflag = mm.l_returnflag""".stripMargin
+
+  /** LATERAL VIEW posexplode: array → (position, element) rows. The oracle
+    * recomputes positions by ordering (the array is sorted-distinct, so the
+    * mapping is unambiguous). pos cast to long: DuckDB row_number is BIGINT.
+    */
+  def explodePos(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_linenumber"))).as("lines"))
+    g.select(col("l_orderkey"), posexplode(col("lines")))
+      .select(col("l_orderkey"), col("pos").cast("long").as("pos"), col("col").as("line"))
+  }
+
+  val explodePosOracle: String =
+    """SELECT l_orderkey,
+      |       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS pos,
+      |       l_linenumber AS line
+      |FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)""".stripMargin
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): per-key halving
+    * walk c_custkey → c_custkey/2 → … → 0, aggregated to chain length and
+    * chain sum. Each recursion level is one distributed step over the
+    * previous level's output — level size never exceeds the anchor, and the
+    * engine stops when the recursive branch is empty (max depth here is
+    * log2(max custkey) ≈ 14, far under the 100-level guard).
+    */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH RECURSIVE walk(start_key, k, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer_v
+        |  UNION ALL
+        |  SELECT start_key, k DIV 2, depth + 1 FROM walk WHERE k > 0
+        |)
+        |SELECT start_key, CAST(MAX(depth) AS INT) AS steps,
+        |       CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM walk GROUP BY start_key""".stripMargin)
+  }
+
+  val recursiveCteOracle: String =
+    """WITH RECURSIVE walk(start_key, k, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT start_key, k // 2, depth + 1 FROM walk WHERE k > 0
+      |)
+      |SELECT start_key, CAST(MAX(depth) AS INT) AS steps,
+      |       CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM walk GROUP BY start_key""".stripMargin
+
   /** Ordered string aggregation (LISTAGG equivalent, deterministic order). */
   def stringAgg(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -682,6 +799,10 @@ object Relational {
     "d_subquery_scalar" -> (subqueryScalar _),
     "d_subquery_in" -> (subqueryIn _),
     "d_array_map_funcs" -> (arrayMapFuncs _),
+    "d_window_range" -> (windowRange _),
+    "d_stats_order" -> (statsOrder _),
+    "d_explode_pos" -> (explodePos _),
+    "d_recursive_cte" -> (recursiveCte _),
     "d_string_agg" -> (stringAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -716,5 +837,9 @@ object Relational {
     "d_subquery_scalar" -> subqueryScalarOracle,
     "d_subquery_in" -> subqueryInOracle,
     "d_array_map_funcs" -> arrayMapFuncsOracle,
+    "d_window_range" -> windowRangeOracle,
+    "d_stats_order" -> statsOrderOracle,
+    "d_explode_pos" -> explodePosOracle,
+    "d_recursive_cte" -> recursiveCteOracle,
     "d_string_agg" -> stringAggOracle)
 }

@@ -427,6 +427,40 @@ object Scale {
       |FROM range(0, 20000) t(id)
       |GROUP BY 1""".stripMargin
 
+  /** Dynamic partition pruning: the fact copy is Hive-partitioned on the
+    * join key, and the dim side carries a NON-partition predicate
+    * (`s_acctbal > 5000`) — so static pruning is impossible and, without
+    * DPP, every partition is a candidate at planning time. Spark's DPP rule
+    * inserts a runtime `dynamicpruningexpression` on the fact scan that
+    * reuses the dim broadcast, so only partitions whose supplier survives
+    * the filter are ever opened. At 100 TB this prunes at the metadata
+    * level before a single fact byte is read — the runtime complement of
+    * the static pruning `Lake.readStreamFeed` relies on. The write
+    * repartitions by the partition column first so each Hive directory is
+    * written by one task (≤ one file per supplier, not tasks × suppliers).
+    * Oracle = the plain join on the unpartitioned table: pruning must be
+    * invisible in the result.
+    */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_dpp_").toString
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .repartition(col("l_suppkey"))
+      .write.partitionBy("l_suppkey").mode("overwrite").parquet(root)
+    val fact = s.read.parquet(root)
+    val dim = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+    fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("lines"), Q.moneySum(col("l_extendedprice")).as("revenue"))
+  }
+
+  val dppJoinOracle: String =
+    """SELECT s_suppkey, COUNT(*) AS lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal > 5000
+      |GROUP BY 1""".stripMargin
+
   /** C6 orchestration tick: full export+sync cycle; deterministic statuses
     * checked against a VALUES oracle.
     */
@@ -480,6 +514,7 @@ object Scale {
     "x_topk_per_key" -> (topKPerKey _),
     "x_sample_pergroup" -> (samplePerGroup _),
     "p_skew_join" -> (skewJoin _),
+    "p_dpp_join" -> (dppJoin _),
     "x_product_fingerprint" -> (productFingerprint _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
@@ -495,6 +530,7 @@ object Scale {
     "x_topk_per_key" -> topKPerKeyOracle,
     "x_sample_pergroup" -> samplePerGroupOracle,
     "p_skew_join" -> skewJoinOracle,
+    "p_dpp_join" -> dppJoinOracle,
     "x_product_fingerprint" -> productFingerprintOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,

@@ -115,6 +115,31 @@ object Streams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Stream-STATIC enrichment join: a batch dimension joined into every
+    * micro-batch — no watermark and no join state (only stream-stream
+    * joins buffer rows; the static side is re-planned per batch, so dim
+    * updates are picked up at the next trigger). This is the "attach user
+    * attributes to the clickstream" shape: at 100 TB/day the broadcast dim
+    * means the stream never shuffles for the join, and the per-key
+    * aggregate state stays bounded by the dim's cardinality.
+    */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    drain(
+      eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("events"), Q.moneySum(col("value")).as("total")),
+      OutputMode.Complete())
+  }
+
+  val streamEnrichOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** Event-time tumbling window + watermark (absent in the reference —
     * SURVEY.md §2.D flags this as the principled alternative to its
     * arrival-date partitioning).
@@ -893,6 +918,7 @@ object Streams {
     "s_stream_exactly_once" -> (streamExactlyOnce _),
     "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
+    "s_stream_enrich" -> (streamEnrich _),
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
     "s_stream_sessions" -> (streamSessions _),
@@ -914,6 +940,7 @@ object Streams {
     "s_stream_exactly_once" -> streamExactlyOnceOracle,
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
+    "s_stream_enrich" -> streamEnrichOracle,
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,
     "s_stream_sessions" -> streamSessionsOracle,

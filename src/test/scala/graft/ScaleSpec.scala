@@ -40,6 +40,22 @@ class ScaleSpec extends SparkSpec {
       s"join subtree should be exchange-free (bucket co-location):\n$joinPlan")
   }
 
+  test("dpp join: fact scan carries a runtime partition filter and matches the plain join") {
+    val df = Scale.dppJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in fact PartitionFilters:\n$plan")
+    // pruning must be invisible in results: compare against the direct join
+    val direct = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .join(graft.Tables.supplier(spark, "/root/testdata/sf0.001")
+        .filter(col("s_acctbal") > 5000), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("lines"),
+        graft.queries.Q.moneySum(col("l_extendedprice")).as("revenue"))
+    assert(df.orderBy("s_suppkey").collect() === direct.orderBy("s_suppkey").collect())
+  }
+
   test("sketch algebra: every boolean contract holds on real data") {
     val rows = Scale.approxSketches(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
