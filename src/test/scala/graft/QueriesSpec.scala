@@ -44,6 +44,35 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("recursive CTE: chain length is floor(log2(key)) + 1; range window includes self") {
+    val walk = graft.queries.Relational.recursiveCte(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(walk.nonEmpty)
+    walk.foreach { r =>
+      val k = r.getAs[Long]("start_key")
+      val steps = r.getAs[Int]("steps")
+      // k=0 never enters the recursive branch (WHERE k > 0): zero steps
+      val expect = if (k == 0) 0 else (63 - java.lang.Long.numberOfLeadingZeros(k)) + 1
+      assert(steps === expect, s"key $k: steps $steps != $expect")
+    }
+    val rng = graft.queries.Relational.windowRange(spark, "/root/testdata/sf0.001")
+      .collect()
+    // RANGE frame always contains at least the current row (and its peers)
+    assert(rng.forall(_.getAs[Long]("cnt_7d") >= 1))
+  }
+
+  test("order statistics: quartiles are ordered and members of the value set") {
+    val rows = graft.queries.Relational.statsOrder(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75, s"quartiles out of order: $r")
+      val med = r.getAs[Double]("med")
+      assert(med >= p25 && med <= p75, s"median outside quartile range: $r")
+    }
+  }
+
   test("every oracle has a matching query entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
