@@ -175,6 +175,167 @@ object Similarity {
       |JOIN assigned a ON a.cent_id = q.cent_id AND a.vec_id <> q.vec_id
       |QUALIFY rk <= 3""".stripMargin
 
+  /** Number of k-means clusters — fixed, independent of N (same contract as
+    * the IVF/PQ codebooks).
+    */
+  val KmeansK = 8
+
+  /** Squared L2 via the dot identity in a FIXED expression order (see
+    * [[annPq]]'s `l2sq`) — bit-exact across engines.
+    */
+  private def kmL2(a: Column, c: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, c) + dot(c, c)
+
+  /** One Lloyd assignment pass: nearest centroid per vector (ties to the
+    * lowest cid), as a `min(struct)` AGGREGATE over the broadcast N×K score
+    * — partial aggregation folds to N rows before the only shuffle, the
+    * same shape as [[annIvf]]'s assignment.
+    */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .withColumn("dist", kmL2(col("v"), col("cv")))
+      .select(col("vec_id"), col("cid"), col("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** One Lloyd update pass: element-wise mean per cluster. The per-cluster
+    * sum is an ORDERED left fold over the members sorted by vec_id —
+    * starting FROM THE FIRST MEMBER VECTOR (no zero init), exactly
+    * DuckDB's `list_reduce` semantics — so the float sums are bit-identical
+    * across engines (a zero init would differ on −0.0 components, and an
+    * unordered SUM would differ run to run).
+    *
+    * Scale note: `collect_list` bounds this to the TRAINING SAMPLE — the
+    * production contract is "train the codebook on a deterministic sample,
+    * assign the full corpus", so the collected list is O(sample/K), never
+    * O(N/K) of the lake.
+    */
+  private def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+    e.join(assign, "vec_id")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("vec_id"), col("v")))).as("svs"))
+      .withColumn("vs", transform(col("svs"), s => s("v")))
+      .withColumn("sm", aggregate(
+        slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+        element_at(col("vs"), 1),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)))
+      .select(col("cid"), col("n"),
+        transform(col("sm"), x => x / col("n").cast("double")).as("cv"))
+
+  /** K-means codebook training (Lloyd's algorithm, 2 full iterations over a
+    * deterministic init — the K lowest vec_ids): the op that turns the
+    * deterministic-sample codebooks of [[annIvf]]/[[annPq]] into TRAINED
+    * ones. Every stage is engine-exact: distances use the fixed-order dot
+    * identity, assignment ties break to the lowest cid, and means are
+    * ordered folds (see [[kmUpdate]]) — so the trained centroids, not just
+    * their geometry, hash-match SQL bit-for-bit.
+    *
+    * Output: the final codebook posexploded to scalar (cid, n, dim, val)
+    * rows (the value matrix hash needs scalar columns).
+    */
+  def kmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val c0 = e.orderBy(col("vec_id")).limit(KmeansK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val c1 = kmUpdate(e, kmAssign(e, c0))
+    val c2 = kmUpdate(e, kmAssign(e, c1.select(col("cid"), col("cv"))))
+    c2.select(col("cid"), col("n"), posexplode(col("cv")))
+      .select(col("cid"), col("n"), col("pos").as("dim"), col("col").as("val"))
+  }
+
+  val kmeansTrainOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT e.vec_id, c.cid
+      |  FROM e JOIN c0 c ON TRUE
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+      |      + list_dot_product(c.cv, c.cv), c.cid) = 1),
+      |g1 AS (SELECT a.cid, COUNT(*) AS n, list(e.v ORDER BY e.vec_id) AS vs
+      |       FROM a1 a JOIN e ON e.vec_id = a.vec_id GROUP BY 1),
+      |c1 AS (SELECT cid, n,
+      |              [x / n for x in list_reduce(vs,
+      |                 (acc, v) -> [acc[i] + v[i] for i in range(1, 65)])] AS cv
+      |       FROM g1),
+      |a2 AS (
+      |  SELECT e.vec_id, c.cid
+      |  FROM e JOIN c1 c ON TRUE
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+      |      + list_dot_product(c.cv, c.cv), c.cid) = 1),
+      |g2 AS (SELECT a.cid, COUNT(*) AS n, list(e.v ORDER BY e.vec_id) AS vs
+      |       FROM a2 a JOIN e ON e.vec_id = a.vec_id GROUP BY 1),
+      |c2 AS (SELECT cid, n,
+      |              [x / n for x in list_reduce(vs,
+      |                 (acc, v) -> [acc[i] + v[i] for i in range(1, 65)])] AS cv
+      |       FROM g2)
+      |SELECT cid, n, j - 1 AS dim, cv[j] AS val
+      |FROM c2, (SELECT unnest(generate_series(1, 64)) AS j) t""".stripMargin
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus (one
+    * assignment pass against the fixed K=64 codebook — the [[annIvf]]
+    * partition), then prune near-duplicates WITHIN each cluster by exact
+    * cosine ≥ τ, keeping the lowest doc id of each duplicate group. A
+    * document is dropped iff some lower-id cluster-mate sits above the
+    * threshold; its keeper is the lowest such mate.
+    *
+    * Scale shape: this is the trick that makes embedding-level dedup
+    * tractable at 100 TB — candidate pairs exist only inside a cluster
+    * (expected O(N²/K) vs all-pairs O(N²)), the cluster id is one broadcast
+    * aggregate pass, and the within-cluster join is an equi-join on cell
+    * with both sides narrowed to (id, v, nrm). The pair stage shares the
+    * same shape as the capped-bucket dedup pipelines; τ here is 0.4 so the
+    * gate exercises real prunes on the driver corpus (max pairwise cosine
+    * ≈ 0.48).
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val assigned = e.join(broadcast(
+        e.orderBy(col("vec_id")).limit(IvfK)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))),
+        lit(true))
+      .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+    val cellVecs = e.join(assigned, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val lo = cellVecs.select(col("cell"), col("vec_id").as("keep_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val hi = cellVecs.select(col("cell"), col("vec_id").as("drop_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    hi.join(lo, Seq("cell"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("cell"), col("drop_id"))
+      .agg(min(col("keep_id")).as("keeper_id"),
+        min_by(col("cos"), col("keep_id")).as("cos"))
+  }
+
+  val semDedupOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |assigned AS (
+      |  SELECT e.vec_id, e.v, e.nrm, c.vec_id AS cell
+      |  FROM e JOIN (SELECT * FROM e ORDER BY vec_id LIMIT 64) c ON TRUE
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_dot_product(c.v, e.v) / (c.nrm * e.nrm) DESC, c.vec_id) = 1)
+      |SELECT a.cell, b.vec_id AS drop_id,
+      |       MIN(a.vec_id) AS keeper_id,
+      |       arg_min(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), a.vec_id) AS cos
+      |FROM assigned a
+      |JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+      |GROUP BY 1, 2""".stripMargin
+
   /** Catalyst-rewrite gate: a cosine-style query written ENTIRELY with the
     * interpreted higher-order-function dot product — no native expression
     * in the source. In a session built with [[graft.GraftExtensions]], the
@@ -538,6 +699,8 @@ object Similarity {
       |FROM adc QUALIFY rk <= 5""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(
+    "x_kmeans" -> (kmeansTrain _),
+    "x_semdedup" -> (semDedup _),
     "x_ann_pq" -> (annPq _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_ann_topk" -> (annTopK _),
@@ -548,6 +711,8 @@ object Similarity {
     "x_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
+    "x_kmeans" -> kmeansTrainOracle,
+    "x_semdedup" -> semDedupOracle,
     "x_ann_pq" -> annPqOracle,
     "x_embed_quantize" -> embedQuantizeOracle,
     "x_ann_topk" -> annTopKOracle,

@@ -308,6 +308,168 @@ object TextAnalysis {
       |                  WHEN 'src2' THEN 10 ELSE 25 END
       |GROUP BY 1""".stripMargin
 
+  /** Token-window document chunking with overlap — the "split long documents
+    * into context-sized training examples" op. Tokens are lowercase-alnum
+    * runs (the same tokenizer as [[tokenStats]]); windows are 40 tokens with
+    * a 10-token overlap (stride 30), so every chunk after the first repeats
+    * the previous chunk's last 10 tokens — the standard trick that keeps
+    * context across example boundaries. The final partial window is kept
+    * (training pipelines pad it), and an empty document still yields one
+    * empty chunk so no doc silently disappears.
+    *
+    * Scale shape: tokenize once per row, then `explode` over an arithmetic
+    * `sequence` of window starts — a pure per-row flatMap, no shuffle, fully
+    * codegen'd; at 100 TB it streams at parquet-scan speed and the output is
+    * ~len/stride times the input rows, written partition-local.
+    */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val win = 40
+    val stride = 30
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("start",
+        explode(sequence(lit(1L), greatest(col("n_tok"), lit(1L)), lit(stride.toLong))))
+      .select(
+        col("doc_id"), col("n_tok"), col("start"),
+        // (start-1)/stride is an exact small-int double division; floor makes
+        // the index integral in both engines (plain `/` is double in both)
+        floor((col("start") - 1) / lit(stride.toDouble)).cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("start"), lit(win)), " ").as("chunk_text"),
+        greatest(least(col("start") + (win - 1), col("n_tok")) - col("start") + 1, lit(0L))
+          .as("chunk_tok"))
+  }
+
+  val chunkDocsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+      |s AS (SELECT doc_id, n_tok, toks,
+      |             unnest(generate_series(1, greatest(n_tok, 1), 30)) AS start
+      |      FROM n)
+      |SELECT doc_id, n_tok, start,
+      |       CAST(floor((start - 1) / 30.0) AS BIGINT) AS chunk_idx,
+      |       array_to_string(toks[start : least(start + 39, n_tok)], ' ') AS chunk_text,
+      |       greatest(least(start + 39, n_tok) - start + 1, 0) AS chunk_tok
+      |FROM s""".stripMargin
+
+  /** Concat-and-cut sequence packing — the GPT-style "concatenate the corpus
+    * in a shuffled order and cut every B tokens" batching op. Documents are
+    * ordered by the deterministic pseudo-shuffle key, token counts are
+    * cumulatively summed, and each document is assigned to every
+    * B=256-token bin its token span overlaps (a doc straddling a cut
+    * contributes its head to one bin and its tail to the next), with the
+    * exact per-bin token contribution emitted.
+    *
+    * Scale shape: packing is SHARDED — the window runs per shard
+    * (`shuffle_key % 4`), not over one global total order, so at 100 TB
+    * each shard packs independently in parallel (bins are namespaced by
+    * shard) and no single-partition global sort exists anywhere. One
+    * shuffle on the shard key; the bin fan-out is a per-row arithmetic
+    * explode.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("tok"),
+        shuffleKey(col("doc_id")).as("k"))
+      .filter(col("tok") > 0)
+      .withColumn("shard", col("k") % 4)
+      .withColumn("cum", sum(col("tok")).over(w).cast("long"))
+      .withColumn("bin", explode(sequence(
+        floor((col("cum") - col("tok")) / lit(budget.toDouble)).cast("long"),
+        floor((col("cum") - 1) / lit(budget.toDouble)).cast("long"))))
+      .select(
+        col("doc_id"), col("shard"), col("tok"), col("bin"),
+        (least(col("cum"), (col("bin") + 1) * budget)
+          - greatest(col("cum") - col("tok"), col("bin") * budget)).as("tokens_in_bin"))
+  }
+
+  val packSequencesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '[a-z0-9]+')) AS tok,
+      |         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS k
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, tok, k, k % 4 AS shard,
+      |         CAST(SUM(tok) OVER (PARTITION BY k % 4 ORDER BY k, doc_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t WHERE tok > 0),
+      |b AS (
+      |  SELECT doc_id, shard, tok, cum,
+      |         unnest(generate_series(
+      |           CAST(floor((cum - tok) / 256.0) AS BIGINT),
+      |           CAST(floor((cum - 1) / 256.0) AS BIGINT))) AS bin
+      |  FROM o)
+      |SELECT doc_id, shard, tok, bin,
+      |       least(cum, (bin + 1) * 256) - greatest(cum - tok, bin * 256) AS tokens_in_bin
+      |FROM b""".stripMargin
+
+  /** Model-based quality filter — a fixed-weight LINEAR classifier over the
+    * engineered features of [[qualityScore]] (the shape of a fastText/
+    * logistic quality model with frozen public weights; training is out of
+    * scope, serving is the pipeline op). The raw margin is kept instead of
+    * the sigmoid: exp() is libm-dependent and differs across engines, while
+    * sigmoid is monotone, so thresholding the margin at 0 IS thresholding
+    * the probability at 0.5 — bit-exact and semantically identical. The
+    * weighted sum is written as an explicit left-to-right chain so both
+    * engines run the identical IEEE op sequence.
+    *
+    * Scale shape: pure per-row projection, no shuffle, codegen'd — the
+    * 100-TB quality pass is a scan.
+    */
+  def qualityModel(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val f = Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        length(t).cast("long").as("len_chars"),
+        regexp_count(t, lit("[a-z0-9]+")).cast("long").as("word_cnt"),
+        regexp_count(t, lit("[^a-z0-9 ]")).cast("long").as("punct_cnt"),
+        regexp_count(t, lit("\\b(the|a)\\b")).cast("long").as("stopword_cnt"),
+        regexp_count(t, lit("[0-9]{6,}")).cast("long").as("long_num_cnt"))
+    val stopR = col("stopword_cnt").cast("double") / col("word_cnt")
+    val punctR = col("punct_cnt").cast("double") / col("len_chars")
+    val lenF = least(col("word_cnt"), lit(100L)).cast("double") / lit(100.0)
+    val margin =
+      lit(-1.0) + stopR * lit(6.0) - punctR * lit(3.0) + lenF * lit(2.0) -
+        col("long_num_cnt").cast("double") * lit(0.5)
+    f.withColumn("margin",
+        when(col("word_cnt") === 0 || col("len_chars") === 0,
+          lit(null).cast("double")).otherwise(margin))
+      .withColumn("keep", coalesce(col("margin") > 0.0, lit(false)))
+      .select(col("doc_id"), col("lang"), col("word_cnt"),
+        col("margin"), col("keep"))
+  }
+
+  val qualityModelOracle: String =
+    """SELECT doc_id, lang, word_cnt,
+      |       CASE WHEN word_cnt = 0 OR len_chars = 0 THEN NULL
+      |            ELSE -1.0 + (CAST(stopword_cnt AS DOUBLE) / word_cnt) * 6.0
+      |                 - (CAST(punct_cnt AS DOUBLE) / len_chars) * 3.0
+      |                 + (CAST(least(word_cnt, 100) AS DOUBLE) / 100.0) * 2.0
+      |                 - CAST(long_num_cnt AS DOUBLE) * 0.5 END AS margin,
+      |       coalesce(
+      |         CASE WHEN word_cnt = 0 OR len_chars = 0 THEN NULL
+      |              ELSE -1.0 + (CAST(stopword_cnt AS DOUBLE) / word_cnt) * 6.0
+      |                   - (CAST(punct_cnt AS DOUBLE) / len_chars) * 3.0
+      |                   + (CAST(least(word_cnt, 100) AS DOUBLE) / 100.0) * 2.0
+      |                   - CAST(long_num_cnt AS DOUBLE) * 0.5 END > 0.0,
+      |         false) AS keep
+      |FROM (SELECT doc_id, lang, length(text) AS len_chars,
+      |             len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+      |             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_cnt,
+      |             len(regexp_extract_all(text, '\b(the|a)\b')) AS stopword_cnt,
+      |             len(regexp_extract_all(text, '[0-9]{6,}')) AS long_num_cnt
+      |      FROM documents)""".stripMargin
+
   /** Vocabulary-coverage quality scoring — the perplexity PROXY that needs
     * no model: build the corpus's top-200 vocabulary by document frequency
     * (deterministic df-then-term tie-break), then score every document by
@@ -436,6 +598,9 @@ object TextAnalysis {
       |LEFT JOIN (SELECT * FROM btop WHERE rn = 1) btop ON bagg.doc_id = btop.doc_id""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(
+    "x_chunk_docs" -> (chunkDocs _),
+    "x_pack_sequences" -> (packSequences _),
+    "x_quality_model" -> (qualityModel _),
     "x_text_repetition" -> (repetitionSignals _),
     "x_text_vocab" -> (vocabCoverage _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -450,6 +615,9 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_chunk_docs" -> chunkDocsOracle,
+    "x_pack_sequences" -> packSequencesOracle,
+    "x_quality_model" -> qualityModelOracle,
     "x_text_repetition" -> repetitionSignalsOracle,
     "x_text_vocab" -> vocabCoverageOracle,
     "x_sample_stratified" -> sampleStratifiedOracle,

@@ -323,4 +323,118 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("twf")).toMap
     assert(f(1L) === 1.0 && f(2L) === 0.25)
   }
+
+  test("kmeans: K clusters, members partition the corpus, inertia non-increasing") {
+    val d = "/root/testdata/sf0.001"
+    val out = Similarity.kmeansTrain(spark, d).collect()
+    val cids = out.map(_.getAs[Long]("cid")).distinct
+    assert(cids.length <= Similarity.KmeansK && cids.nonEmpty)
+    // 64 dims per centroid, cluster sizes sum to the corpus
+    val perCid = out.groupBy(_.getAs[Long]("cid"))
+    perCid.foreach { case (cid, rs) =>
+      assert(rs.map(_.getAs[Int]("dim")).sorted.toSeq === (0 until 64),
+        s"centroid $cid not 64-dimensional")
+      assert(rs.map(_.getAs[Long]("n")).distinct.length === 1)
+    }
+    val n = graft.Tables.embeddings(spark, d).count()
+    assert(perCid.map(_._2.head.getAs[Long]("n")).sum === n)
+    // Lloyd contract: each update step cannot increase total inertia
+    import org.apache.spark.sql.DataFrame
+    def inertia(cents: DataFrame): Double = {
+      val e = graft.Tables.embeddings(spark, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      e.join(broadcast(cents), lit(true))
+        .select(((aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))).as("d2"), col("vec_id"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("best"))
+        .agg(sum(col("best"))).collect()(0).getDouble(0)
+    }
+    val e0 = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val c0 = e0.orderBy(col("vec_id")).limit(Similarity.KmeansK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    import spark.implicits._
+    val c2 = out.toSeq.groupBy(r => (r.getAs[Long]("cid"), r.getAs[Long]("n")))
+      .map { case ((cid, _), rs) =>
+        (cid, rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("val")).toArray)
+      }.toSeq.toDF("cid", "cv")
+    assert(inertia(c2) <= inertia(c0) + 1e-9,
+      "two Lloyd iterations increased inertia")
+  }
+
+  test("semdedup: keeper precedes dropped doc and pair truly crosses the threshold") {
+    val d = "/root/testdata/sf0.001"
+    val drops = Similarity.semDedup(spark, d).collect()
+    drops.foreach { r =>
+      assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("drop_id"), s"keeper after drop: $r")
+      assert(r.getAs[Double]("cos") >= 0.4, s"below-threshold prune: $r")
+    }
+    // containment: every (keeper, dropped) pair must be a true cosine>=0.4
+    // pair of the exact all-pairs op
+    val truth = Similarity.cosineNearDup(spark, d).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    drops.foreach { r =>
+      val p = (r.getAs[Long]("keeper_id"), r.getAs[Long]("drop_id"))
+      assert(truth.contains(p), s"semdedup pruned a non-near-dup pair: $p")
+    }
+  }
+
+  test("chunkDocs: stride geometry, overlap of 10 tokens, full token coverage") {
+    val rows = graft.ext.TextAnalysis.chunkDocs(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val byIdx = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      val n = byIdx.head.getAs[Long]("n_tok")
+      // starts advance by exactly the stride; indexes dense from 0
+      assert(byIdx.map(_.getAs[Long]("chunk_idx")).toSeq ===
+        (0L until byIdx.length.toLong))
+      byIdx.foreach { r =>
+        assert(r.getAs[Long]("start") === r.getAs[Long]("chunk_idx") * 30 + 1)
+        assert(r.getAs[Long]("chunk_tok") <= 40)
+      }
+      // coverage: last chunk ends at n_tok (or the doc is empty)
+      val last = byIdx.last
+      if (n > 0)
+        assert(last.getAs[Long]("start") + last.getAs[Long]("chunk_tok") - 1 === n,
+          s"doc $doc tokens not fully covered")
+      // consecutive chunks overlap by win - stride = 10 tokens (when full)
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a.getAs[Long]("start") + a.getAs[Long]("chunk_tok") - 1
+          if (a.getAs[Long]("chunk_tok") == 40)
+            assert(aEnd - b.getAs[Long]("start") + 1 === 10)
+        case _ =>
+      }
+    }
+  }
+
+  test("packSequences: full bins hold exactly the budget; token mass conserved") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.packSequences(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+      .view.mapValues(_.map(_.getAs[Long]("tokens_in_bin")).sum).toMap
+    byBin.foreach { case ((shard, bin), tot) =>
+      val lastBin = byBin.keys.filter(_._1 == shard).map(_._2).max
+      if (bin < lastBin) assert(tot === 256, s"non-tail bin ($shard,$bin) holds $tot")
+      else assert(tot <= 256 && tot > 0)
+    }
+    // conservation: every token of every doc lands in exactly one bin slice
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("tokens_in_bin")).sum).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      assert(perDoc(doc) === rs.head.getAs[Long]("tok"),
+        s"doc $doc token mass not conserved across bins")
+    }
+  }
+
+  test("qualityModel: keep iff margin positive; degenerate docs never kept") {
+    val rows = graft.ext.TextAnalysis.qualityModel(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      if (r.isNullAt(r.fieldIndex("margin"))) assert(!keep, s"null margin kept: $r")
+      else assert(keep === (r.getAs[Double]("margin") > 0.0), s"keep != margin>0: $r")
+    }
+  }
 }
