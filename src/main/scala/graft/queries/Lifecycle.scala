@@ -248,6 +248,30 @@ object Lifecycle {
     """SELECT event_id, user_id, value, CAST(day(ts) AS BIGINT) AS day
       |FROM events WHERE user_id BETWEEN 40 AND 80""".stripMargin
 
+  /** DataSource V2 connector end-to-end (`graft.sources.StatsCsvSource`):
+    * events are clustered into stats-indexed CSV by the companion writer,
+    * then read back through `format("graft-stats-csv")` with a range filter
+    * and a 3-of-4 column projection — so the oracle checks the WHOLE V2
+    * contract: sidecar schema inference, file-skipping filter pushdown
+    * (planInputPartitions must not change results, only prune work),
+    * byte-level column pruning, and exact long/double/string round-trips
+    * through CSV text. SourcesSpec pins the pruning itself (files actually
+    * skipped, readSchema actually narrowed).
+    */
+  def dsv2Scan(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_dsv2_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.StatsCsvFormat.write(ev, root, "user_id", numFiles = 8)
+    s.read.format("graft-stats-csv").load(root)
+      .filter(col("user_id") >= 100 && col("user_id") <= 200)
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
+  val dsv2ScanOracle: String =
+    """SELECT event_id, user_id, value
+      |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -608,6 +632,7 @@ object Lifecycle {
     "w_scd2_history" -> (scd2History _),
     "p_file_skipping" -> (fileSkipping _),
     "p_zorder_skipping" -> (zorderSkipping _),
+    "a14_dsv2_scan" -> (dsv2Scan _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -628,6 +653,7 @@ object Lifecycle {
     "w_scd2_history" -> scd2HistoryOracle,
     "p_file_skipping" -> fileSkippingOracle,
     "p_zorder_skipping" -> zorderSkippingOracle,
+    "a14_dsv2_scan" -> dsv2ScanOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

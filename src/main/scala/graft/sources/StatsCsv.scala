@@ -1,0 +1,272 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector — "stats-indexed CSV": a directory of
+  * range-clustered CSV part files plus two tiny sidecars (`_GRAFT_SCHEMA.ddl`,
+  * `_GRAFT_STATS.csv` = per-file min/max of the cluster column). The read
+  * path exercises the full Catalyst V2 contract:
+  *
+  *   - `TableProvider.inferSchema` — schema from the sidecar, no user DDL;
+  *   - `SupportsPushDownRequiredColumns` — the reader PARSES only the pruned
+  *     columns (a projection that reaches the byte level, the CSV analogue
+  *     of parquet column pruning);
+  *   - `SupportsPushDownFilters` — comparison filters on the stats-indexed
+  *     column prune ENTIRE FILES at `planInputPartitions` time (the DSv2
+  *     form of [[graft.lake.FileStats.readRange]]'s data skipping). Skipping
+  *     only ever drops provably-disjoint files; every filter is also
+  *     returned as a residual so Spark re-evaluates row-level — semantics
+  *     never depend on the stats being right, only speed does.
+  *
+  * Scale shape: planning is O(files) on the driver (the same bounded
+  * file-list contract as the lake's stats index), each surviving file is one
+  * `InputPartition` (split granularity = file, the clustered-write keeps
+  * files bounded), and executors stream-parse their file without buffering
+  * it. Values round-trip exactly: longs are decimal text, doubles go through
+  * `Double.toString`/`parseDouble` (shortest round-trip repr), so a
+  * clustered copy of a parquet table is value-identical through this source.
+  *
+  * Contract: cell text must not contain the delimiter or newlines (the
+  * writer's clustered inputs here are machine tokens; a production writer
+  * would quote).
+  */
+object StatsCsvFormat {
+  val SchemaFile = "_GRAFT_SCHEMA.ddl"
+  val StatsFile = "_GRAFT_STATS.csv"
+  val Delim = ","
+
+  /** Cluster `df` by `clusterCol` into `numFiles` range-sorted CSV files and
+    * write the schema + per-file min/max sidecars (one extra scan, same
+    * one-pass stats shape as `FileStats.buildStats`).
+    */
+  def write(df: DataFrame, path: String, clusterCol: String, numFiles: Int): Unit = {
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).option("header", "false").csv(path)
+    val s = df.sparkSession
+    val stats = s.read.schema(df.schema).option("header", "false").csv(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(clusterCol)).as("mn"), max(col(clusterCol)).as("mx"))
+      .collect()
+    val fs = FileSystem.get(new URI(path + "/x").resolve("."), s.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    writeSidecar(fs, new Path(root, SchemaFile), df.schema.toDDL)
+    val lines = stats.map { r =>
+      val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+      s"$name,$clusterCol,${r.get(1)},${r.get(2)}"
+    }
+    writeSidecar(fs, new Path(root, StatsFile), lines.sorted.mkString("\n"))
+  }
+
+  private def writeSidecar(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private[sources] def readSidecar(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val br = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).mkString("\n")
+    } finally in.close()
+  }
+}
+
+/** The V2 provider. Registered as `graft-stats-csv` via DataSourceRegister
+  * (META-INF/services), so `spark.read.format("graft-stats-csv").load(dir)`
+  * resolves it like any built-in source.
+  */
+class StatsCsvSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-stats-csv"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-stats-csv requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val ddl = StatsCsvFormat.readSidecar(fs, new Path(path, StatsCsvFormat.SchemaFile))
+    StructType.fromDDL(ddl)
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new StatsCsvTable(properties.get("path"), schema)
+}
+
+class StatsCsvTable(path: String, schema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-stats-csv:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StatsCsvScanBuilder(path, schema)
+}
+
+class StatsCsvScanBuilder(path: String, fullSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept comparison filters usable against the file stats; EVERYTHING is
+    * returned as residual (Spark re-evaluates row-level), so pushdown is a
+    * pure pruning hint, never a semantic dependency — the same posture as
+    * parquet's `PushedFilters`.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(StatsCsvScan.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new StatsCsvScan(path, fullSchema, required, pushed)
+}
+
+case class StatsCsvPartition(filePath: String) extends InputPartition
+
+class StatsCsvScan(
+    path: String, fullSchema: StructType, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-stats-csv $path, pushed=[${pushed.mkString(", ")}]"
+
+  /** Driver-side planning: list part files, read the stats sidecar, drop
+    * every file a pushed filter proves disjoint. Files without stats rows
+    * (or with non-numeric stats) are kept conservatively.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".csv") && p.getName != StatsCsvFormat.StatsFile)
+      .sortBy(_.getName)
+    val stats: Map[String, (String, Long, Long)] =
+      StatsCsvFormat.readSidecar(fs, new Path(root, StatsCsvFormat.StatsFile))
+        .split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split(",", -1) match {
+            case Array(f, c, mn, mx) =>
+              try Some(f -> (c, mn.toLong, mx.toLong)) catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+    parts.filter { p =>
+      stats.get(p.getName) match {
+        case Some((c, mn, mx)) => !pushed.exists(f => StatsCsvScan.disjoint(f, c, mn, mx))
+        case None => true
+      }
+    }.map(p => StatsCsvPartition(p.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatsCsvReaderFactory(fullSchema, required)
+}
+
+object StatsCsvScan {
+  /** Filters the planner can use for file pruning. */
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => numeric(v)
+    case GreaterThan(_, v) => numeric(v)
+    case GreaterThanOrEqual(_, v) => numeric(v)
+    case LessThan(_, v) => numeric(v)
+    case LessThanOrEqual(_, v) => numeric(v)
+    case _ => false
+  }
+  private def numeric(v: Any): Boolean = v.isInstanceOf[Number]
+
+  /** True iff `f` on stats column `c` PROVES a file with [mn, mx] has no
+    * matching row — the only case skipping is allowed to drop it.
+    */
+  def disjoint(f: Filter, c: String, mn: Long, mx: Long): Boolean = f match {
+    case EqualTo(a, v: Number) if a == c => v.longValue < mn || v.longValue > mx
+    case GreaterThan(a, v: Number) if a == c => mx <= v.longValue
+    case GreaterThanOrEqual(a, v: Number) if a == c => mx < v.longValue
+    case LessThan(a, v: Number) if a == c => mn >= v.longValue
+    case LessThanOrEqual(a, v: Number) if a == c => mn > v.longValue
+    case _ => false
+  }
+}
+
+class StatsCsvReaderFactory(fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatsCsvPartition]
+    new StatsCsvPartitionReader(p.filePath, fullSchema, required)
+  }
+}
+
+/** Streams one CSV file, converting ONLY the pruned columns to Catalyst
+  * values — unneeded cells are never even type-converted.
+  */
+class StatsCsvPartitionReader(
+    filePath: String, fullSchema: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // (source index in the full row, target type) per output column
+  private val fields: Array[(Int, DataType)] = required.fields.map { f =>
+    (fullSchema.fieldIndex(f.name), f.dataType)
+  }
+
+  private lazy val reader: BufferedReader = {
+    val p = new Path(filePath)
+    val fs = p.getFileSystem(new Configuration())
+    new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+  }
+  private var line: String = _
+
+  override def next(): Boolean = {
+    line = reader.readLine()
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val cells = line.split(StatsCsvFormat.Delim, -1)
+    InternalRow.fromSeq(fields.toIndexedSeq.map { case (i, dt) =>
+      val cell = cells(i)
+      if (cell.isEmpty) null
+      else dt match {
+        case LongType => java.lang.Long.parseLong(cell)
+        case IntegerType => java.lang.Integer.parseInt(cell)
+        case DoubleType => java.lang.Double.parseDouble(cell)
+        case StringType => UTF8String.fromString(cell)
+        case BooleanType => java.lang.Boolean.parseBoolean(cell)
+        case other => throw new IllegalArgumentException(
+          s"graft-stats-csv: unsupported type $other")
+      }
+    })
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}
