@@ -272,6 +272,27 @@ object Lifecycle {
     """SELECT event_id, user_id, value
       |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin
 
+  /** DSv2 AGGREGATE pushdown: ungrouped MIN/MAX/COUNT(*) over the stats
+    * column are answered entirely from the sidecar index — the planner
+    * never lists a data file (SourcesSpec pins the scan class and the
+    * single synthetic partition). The oracle recomputes the same aggregates
+    * from the raw table, proving the index-answered values are exact.
+    */
+  def dsv2Agg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_dsv2a_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.StatsCsvFormat.write(ev, root, "user_id", numFiles = 8)
+    s.read.format("graft-stats-csv").load(root)
+      .agg(min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        count(lit(1)).as("n"))
+  }
+
+  val dsv2AggOracle: String =
+    """SELECT min(user_id) AS min_user, max(user_id) AS max_user,
+      |       count(*) AS n
+      |FROM events""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -633,6 +654,7 @@ object Lifecycle {
     "p_file_skipping" -> (fileSkipping _),
     "p_zorder_skipping" -> (zorderSkipping _),
     "a14_dsv2_scan" -> (dsv2Scan _),
+    "a15_dsv2_agg" -> (dsv2Agg _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -654,6 +676,7 @@ object Lifecycle {
     "p_file_skipping" -> fileSkippingOracle,
     "p_zorder_skipping" -> zorderSkippingOracle,
     "a14_dsv2_scan" -> dsv2ScanOracle,
+    "a15_dsv2_agg" -> dsv2AggOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

@@ -12,7 +12,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.sources._
@@ -64,14 +65,16 @@ object StatsCsvFormat {
     val s = df.sparkSession
     val stats = s.read.schema(df.schema).option("header", "false").csv(path)
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(col(clusterCol)).as("mn"), max(col(clusterCol)).as("mx"))
+      .agg(min(col(clusterCol)).as("mn"), max(col(clusterCol)).as("mx"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
       .collect()
     val fs = FileSystem.get(new URI(path + "/x").resolve("."), s.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     writeSidecar(fs, new Path(root, SchemaFile), df.schema.toDDL)
     val lines = stats.map { r =>
       val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-      s"$name,$clusterCol,${r.get(1)},${r.get(2)}"
+      s"$name,$clusterCol,${r.get(1)},${r.get(2)},${r.get(3)}"
     }
     writeSidecar(fs, new Path(root, StatsFile), lines.sorted.mkString("\n"))
   }
@@ -87,6 +90,27 @@ object StatsCsvFormat {
       val br = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       Iterator.continually(br.readLine()).takeWhile(_ != null).mkString("\n")
     } finally in.close()
+  }
+
+  /** One per-file stats row: indexed column, min, max, row count. */
+  private[sources] case class StatsEntry(col: String, mn: Long, mx: Long, cnt: Long)
+
+  /** Parse the stats sidecar → file name → entry (malformed lines are
+    * dropped, which downstream treats as "keep conservatively / don't
+    * answer aggregates from stats").
+    */
+  private[sources] def readStats(path: String): Map[String, StatsEntry] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    readSidecar(fs, new Path(root, StatsFile))
+      .split("\n").filter(_.nonEmpty).flatMap { line =>
+        line.split(",", -1) match {
+          case Array(f, c, mn, mx, cnt) =>
+            try Some(f -> StatsEntry(c, mn.toLong, mx.toLong, cnt.toLong))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
   }
 }
 
@@ -129,10 +153,13 @@ class StatsCsvTable(path: String, schema: StructType) extends Table with Support
 class StatsCsvScanBuilder(path: String, fullSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var hadFilters: Boolean = false
+  private var aggResult: Option[(StructType, Seq[Long])] = None
 
   /** Accept comparison filters usable against the file stats; EVERYTHING is
     * returned as residual (Spark re-evaluates row-level), so pushdown is a
@@ -141,6 +168,7 @@ class StatsCsvScanBuilder(path: String, fullSchema: StructType)
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(StatsCsvScan.prunable)
+    hadFilters = filters.nonEmpty
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -148,8 +176,75 @@ class StatsCsvScanBuilder(path: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new StatsCsvScan(path, fullSchema, required, pushed)
+  /** Ungrouped MIN/MAX/COUNT(*) over the stats column are answered ENTIRELY
+    * from the sidecar — zero data files opened (`min = min(file mins)` etc.;
+    * the index is exact, built from a full scan at write time). Spark only
+    * offers an aggregation when no post-scan filters remain, and this
+    * source always keeps filters as residuals, so stats-answered aggregates
+    * can never silently combine with a half-applied predicate; the
+    * `hadFilters` guard pins that invariant locally too.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (hadFilters || aggregation.groupByExpressions().nonEmpty) return false
+    val stats = StatsCsvFormat.readStats(path).values.toSeq
+    if (stats.isEmpty) return false
+    val statsCol = stats.head.col
+    def onStatsCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.toSeq == Seq(statsCol)
+        case _ => false
+      }
+    val colType = fullSchema(statsCol).dataType
+    val answered = aggregation.aggregateExpressions().map {
+      case m: AggMin if onStatsCol(m.column) =>
+        Some((StructField(s"min_$statsCol", colType), stats.map(_.mn).min))
+      case m: AggMax if onStatsCol(m.column) =>
+        Some((StructField(s"max_$statsCol", colType), stats.map(_.mx).max))
+      case _: CountStar =>
+        Some((StructField("count_star", LongType), stats.map(_.cnt).sum))
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) return false
+    val fields = answered.flatten
+    aggResult = Some((StructType(fields.map(_._1)), fields.map(_._2).toSeq))
+    true
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggResult.isDefined
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new StatsCsvAggScan(path, schema, values)
+    case None => new StatsCsvScan(path, fullSchema, required, pushed)
+  }
 }
+
+/** A scan whose entire result is the one pre-aggregated sidecar row — the
+  * `planInputPartitions` never lists a data file.
+  */
+class StatsCsvAggScan(path: String, aggSchema: StructType, values: Seq[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-stats-csv $path, aggregated-from-stats=[${aggSchema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(StatsCsvAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vs = partition.asInstanceOf[StatsCsvAggPartition].values
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(vs)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class StatsCsvAggPartition(values: Seq[Long]) extends InputPartition
 
 case class StatsCsvPartition(filePath: String) extends InputPartition
 
@@ -173,18 +268,10 @@ class StatsCsvScan(
     val parts = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.endsWith(".csv") && p.getName != StatsCsvFormat.StatsFile)
       .sortBy(_.getName)
-    val stats: Map[String, (String, Long, Long)] =
-      StatsCsvFormat.readSidecar(fs, new Path(root, StatsCsvFormat.StatsFile))
-        .split("\n").filter(_.nonEmpty).flatMap { line =>
-          line.split(",", -1) match {
-            case Array(f, c, mn, mx) =>
-              try Some(f -> (c, mn.toLong, mx.toLong)) catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap
+    val stats = StatsCsvFormat.readStats(path)
     parts.filter { p =>
       stats.get(p.getName) match {
-        case Some((c, mn, mx)) => !pushed.exists(f => StatsCsvScan.disjoint(f, c, mn, mx))
+        case Some(e) => !pushed.exists(f => StatsCsvScan.disjoint(f, e.col, e.mn, e.mx))
         case None => true
       }
     }.map(p => StatsCsvPartition(p.toString): InputPartition)

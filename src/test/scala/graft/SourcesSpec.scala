@@ -18,9 +18,16 @@ class SourcesSpec extends SparkSpec {
     dir
   }
 
-  private def v2Scan(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    // aggregates plan adaptively; the scan lives under the AQE wrapper
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case b: BatchScanExec => b }
       .getOrElse(fail("no BatchScanExec in plan"))
+  }
 
   test("unfiltered read equals the original table exactly") {
     val got = spark.read.format("graft-stats-csv").load(root)
@@ -58,6 +65,39 @@ class SourcesSpec extends SparkSpec {
       .filter(col("user_id") > 100000000L)
     assert(v2Scan(df).inputRDD.getNumPartitions === 0)
     assert(df.count() === 0)
+  }
+
+  test("ungrouped MIN/MAX/COUNT(*) answered from the sidecar, zero files planned") {
+    val df = spark.read.format("graft-stats-csv").load(root)
+      .agg(min(col("user_id")), max(col("user_id")), count(lit(1)))
+    val scan = v2Scan(df)
+    assert(scan.scan.isInstanceOf[graft.sources.StatsCsvAggScan],
+      s"aggregate not answered from stats: ${scan.scan.getClass}")
+    assert(scan.inputRDD.getNumPartitions === 1)
+    val Array(got) = df.collect()
+    val Array(want) = Tables.events(spark, sf)
+      .agg(min(col("user_id")), max(col("user_id")), count(lit(1))).collect()
+    assert(got === want)
+  }
+
+  test("a filter blocks stats-answered aggregation (falls back to a real scan)") {
+    val df = spark.read.format("graft-stats-csv").load(root)
+      .filter(col("user_id") >= 100)
+      .agg(count(lit(1)).as("n"))
+    assert(!v2Scan(df).scan.isInstanceOf[graft.sources.StatsCsvAggScan])
+    val want = Tables.events(spark, sf).filter(col("user_id") >= 100).count()
+    assert(df.collect()(0).getLong(0) === want)
+  }
+
+  test("grouped or non-stats-column aggregates are not pushed") {
+    val grouped = spark.read.format("graft-stats-csv").load(root)
+      .groupBy(col("event_type")).agg(count(lit(1)))
+    assert(!v2Scan(grouped).scan.isInstanceOf[graft.sources.StatsCsvAggScan])
+    val otherCol = spark.read.format("graft-stats-csv").load(root)
+      .agg(min(col("event_id")))
+    assert(!v2Scan(otherCol).scan.isInstanceOf[graft.sources.StatsCsvAggScan])
+    val want = Tables.events(spark, sf).agg(min(col("event_id"))).collect()(0).getLong(0)
+    assert(otherCol.collect()(0).getLong(0) === want)
   }
 
   test("disjointness proofs are exact at the stats boundaries") {
