@@ -145,12 +145,14 @@ class StatsCsvTable(path: String, schema: StructType) extends Table with Support
   override def name(): String = s"graft-stats-csv:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StatsCsvScanBuilder(path, schema)
+    new StatsCsvScanBuilder(path, schema,
+      options.getInt("maxFilesPerTrigger", Int.MaxValue))
 }
 
-class StatsCsvScanBuilder(path: String, fullSchema: StructType)
+class StatsCsvScanBuilder(
+    path: String, fullSchema: StructType, maxFilesPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -216,7 +218,7 @@ class StatsCsvScanBuilder(path: String, fullSchema: StructType)
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new StatsCsvAggScan(path, schema, values)
-    case None => new StatsCsvScan(path, fullSchema, required, pushed)
+    case None => new StatsCsvScan(path, fullSchema, required, pushed, maxFilesPerTrigger)
   }
 }
 
@@ -246,14 +248,100 @@ class StatsCsvAggScan(path: String, aggSchema: StructType, values: Seq[Long])
 
 case class StatsCsvAggPartition(values: Seq[Long]) extends InputPartition
 
+/** File-index offset: "the first `n` part files (in name order) have been
+  * ingested" — the natural exactly-once cursor for an append-only clustered
+  * directory (file names are written once, never rewritten; a restart
+  * resumes from the committed index).
+  */
+class FileIndexOffset(val n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+  override def equals(o: Any): Boolean = o match {
+    case f: FileIndexOffset => f.n == n
+    case _ => false
+  }
+  override def hashCode(): Int = n
+}
+
+/** Micro-batch streaming over the same directory: each batch admits at most
+  * `maxFilesPerTrigger` whole files (admission control via `ReadLimit`), and
+  * `Trigger.AvailableNow` snapshots the file count up front
+  * (`SupportsTriggerAvailableNow`) so the drain is bounded even if files
+  * keep arriving. Partition/reader machinery is SHARED with the batch path
+  * — one connector, both execution modes, column pruning included.
+  */
+class StatsCsvMicroBatchStream(
+    path: String, fullSchema: StructType, required: StructType,
+    maxFilesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxFiles}
+
+  // the sorted part-file list is re-read per planning call (files are
+  // append-only; indexes of already-seen files never change)
+  private def files(): Array[String] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".csv") && p.getName != StatsCsvFormat.StatsFile)
+      .map(_.toString).sorted
+  }
+
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(files().length)
+
+  private def available(): Int = availableNowTarget.getOrElse(files().length)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val from = start.asInstanceOf[FileIndexOffset].n
+    val cap = limit match {
+      case m: ReadMaxFiles => from + m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    new FileIndexOffset(math.min(available(), cap))
+  }
+  override def reportLatestOffset(): StreamOffset = new FileIndexOffset(available())
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def initialOffset(): StreamOffset = new FileIndexOffset(0)
+  override def deserializeOffset(json: String): StreamOffset =
+    new FileIndexOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val fs = files()
+    fs.slice(start.asInstanceOf[FileIndexOffset].n, end.asInstanceOf[FileIndexOffset].n)
+      .map(f => StatsCsvPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatsCsvReaderFactory(fullSchema, required)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 case class StatsCsvPartition(filePath: String) extends InputPartition
 
 class StatsCsvScan(
     path: String, fullSchema: StructType, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], maxFilesPerTrigger: Int = Int.MaxValue)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StatsCsvMicroBatchStream(path, fullSchema, required, maxFilesPerTrigger)
   override def description(): String =
     s"graft-stats-csv $path, pushed=[${pushed.mkString(", ")}]"
 

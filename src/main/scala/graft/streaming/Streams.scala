@@ -912,6 +912,35 @@ object Streams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events""".stripMargin
 
+  /** The custom DataSource V2 connector as a STREAMING source: events are
+    * clustered into 8 stats-indexed CSV files, then `readStream.format
+    * ("graft-stats-csv")` ingests them through the connector's
+    * MicroBatchStream — file-index offsets, `maxFilesPerTrigger=3`
+    * admission control (so AvailableNow needs 3 micro-batches: 3+3+2
+    * files), `SupportsTriggerAvailableNow` snapshotting the drain target.
+    * The grouped aggregate carries state ACROSS those batches, and the
+    * oracle recomputes it from the raw table — one connector, batch and
+    * streaming, one correctness contract.
+    */
+  def streamDsv2(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_dsv2_stream_").toString
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.StatsCsvFormat.write(ev, root, "user_id", numFiles = 8)
+    drain(
+      s.readStream.format("graft-stats-csv")
+        .option("maxFilesPerTrigger", "3")
+        .load(root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total")),
+      OutputMode.Complete())
+  }
+
+  val streamDsv2Oracle: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "a4_kafka_wire_roundtrip" -> (kafkaWireRoundtrip _),
     "a4_wire_quarantine" -> (wireQuarantine _),
@@ -932,6 +961,7 @@ object Streams {
     "s_stream_join_full" -> (streamJoinFullOuter _),
     "s_stream_dedup_watermark" -> (streamDedupWatermark _),
     "s_stream_tws_topk" -> (streamTwsTopK _),
+    "s_stream_dsv2" -> (streamDsv2 _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -954,5 +984,6 @@ object Streams {
     "s_stream_join_full" -> streamJoinFullOracle,
     "s_stream_dedup_watermark" -> streamDedupWatermarkOracle,
     "s_stream_tws_topk" -> streamTwsTopKOracle,
+    "s_stream_dsv2" -> streamDsv2Oracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }

@@ -100,6 +100,29 @@ class SourcesSpec extends SparkSpec {
     assert(otherCol.collect()(0).getLong(0) === want)
   }
 
+  test("streaming: maxFilesPerTrigger=3 over 8 files drains in exactly 3 micro-batches") {
+    val ckpt = Files.createTempDirectory("graft_dsv2_ckpt_").toString
+    val out = Files.createTempDirectory("graft_dsv2_out_").toString + "/sink"
+    def runPass() = {
+      val q = spark.readStream.format("graft-stats-csv")
+        .option("maxFilesPerTrigger", "3").load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val fed = runPass().recentProgress.filter(_.numInputRows > 0)
+    assert(fed.length === 3, s"expected 3+3+2 file batches, got ${fed.length}")
+    assert(spark.read.parquet(out).count() === Tables.events(spark, sf).count())
+    // restart on the same checkpoint: source fully committed, nothing replays
+    runPass()
+    assert(spark.read.parquet(out).count() ===
+      Tables.events(spark, sf).count(), "checkpoint restart replayed files")
+  }
+
   test("disjointness proofs are exact at the stats boundaries") {
     // file covers [10, 20]
     assert(!StatsCsvScan.disjoint(EqualTo("c", 10L), "c", 10L, 20L))
