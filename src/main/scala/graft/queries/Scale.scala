@@ -253,6 +253,87 @@ object Scale {
       |       TRUE AS p50_in_range, TRUE AS p95_in_range
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Per-partition Misra-Gries summary: at most k counters; a term beyond
+    * capacity decrements every counter (dropping zeros) — the classic
+    * one-pass frequent-items sketch. Guarantees used by the gate: the
+    * summary NEVER overcounts, and any term with partition frequency
+    * > N_p/(k+1) survives.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      if (counters.contains(t)) counters(t) += 1
+      else if (counters.size < k) counters(t) = 1L
+      else {
+        counters.mapValuesInPlace((_, v) => v - 1)
+        counters.filterInPlace((_, v) => v > 0)
+      }
+    }
+    counters.iterator
+  }
+
+  /** Heavy hitters (approximate frequent items) over document tokens — the
+    * sketch-family member HLL/percentile don't cover. The SCALE path is one
+    * pass, no token-level shuffle: each partition reduces its token stream
+    * to a ≤ k-counter Misra-Gries summary (`mapPartitions` — genuinely
+    * imperative per-partition logic), summaries merge by term (a shuffle of
+    * ≤ k·partitions rows, not N tokens), and only the candidate terms get
+    * exact counts (a broadcast semi-join verify pass).
+    *
+    * The candidate SET depends on partitioning, so the gate emits the
+    * sketch's PROVABLE guarantees as exact booleans (the `x_sketch_bounds`
+    * pattern): by an averaging argument any term with global frequency
+    * > N/(k+1) exceeds N_p/(k+1) in at least one partition and therefore
+    * survives that partition's summary → `missed_true_hh = 0`; MG counts
+    * are always underestimates and the verify pass uses exact counts →
+    * `overcount = 0`. The oracle recomputes n_tokens and the true-HH count
+    * exactly.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val tokens = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val summaries = tokens.as[String]
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("term", "mg_count")
+    // merged summary: ≤ k·partitions rows; the sum of underestimates is
+    // still an underestimate
+    val candidates = summaries.groupBy(col("term"))
+      .agg(sum(col("mg_count")).as("mg_count"))
+    val verified = tokens.join(broadcast(candidates), "term")
+      .groupBy(col("term"), col("mg_count"))
+      .agg(count(lit(1)).as("true_count"))
+    val truth = tokens.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(tokens.agg(count(lit(1)).as("n_tokens")))
+      .filter(col("c") > col("n_tokens") / (k + 1.0))
+      .select(col("term").as("hh_term"), col("c"))
+    truth
+      .join(verified, col("hh_term") === col("term"), "left_outer")
+      .agg(
+        coalesce(sum(when(col("term").isNull, 1)), lit(0))
+          .cast("long").as("missed_true_hh"))
+      .crossJoin(verified
+        .agg(coalesce(sum(when(col("mg_count") > col("true_count"), 1)), lit(0))
+          .cast("long").as("overcount")))
+      .crossJoin(tokens.agg(count(lit(1)).as("n_tokens")))
+      .crossJoin(truth.agg(count(lit(1)).cast("long").as("n_true_hh")))
+      .select(col("n_tokens"), col("n_true_hh"),
+        col("missed_true_hh"), col("overcount"))
+  }
+
+  val heavyHittersOracle: String =
+    """WITH tokens AS (
+      |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*) AS n_tokens FROM tokens),
+      |freqs AS (SELECT term, COUNT(*) AS c FROM tokens GROUP BY 1)
+      |SELECT tot.n_tokens,
+      |       (SELECT COUNT(*) FROM freqs, tot WHERE c > n_tokens / 21.0) AS n_true_hh,
+      |       CAST(0 AS BIGINT) AS missed_true_hh,
+      |       CAST(0 AS BIGINT) AS overcount
+      |FROM tot""".stripMargin
+
   /** Whole-operator Catalyst extension (preference order (c) of the build
     * contract): top-k rows per key through the custom
     * `TopKPerKey` LogicalPlan → `TopKPerKeyStrategy` (injected by
@@ -509,6 +590,7 @@ object Scale {
     "p_bucketed_join" -> (bucketedJoin _),
     "p_bloom_join" -> (bloomJoin _),
     "x_sketch_bounds" -> (sketchBounds _),
+    "x_heavy_hitters" -> (heavyHitters _),
     "x_approx_sketches" -> (approxSketches _),
     "x_sketch_exact" -> (sketchExact _),
     "x_topk_per_key" -> (topKPerKey _),
@@ -526,6 +608,7 @@ object Scale {
     "p_bucketed_join" -> bucketedJoinOracle,
     "p_bloom_join" -> bloomJoinOracle,
     "x_sketch_bounds" -> sketchBoundsOracle,
+    "x_heavy_hitters" -> heavyHittersOracle,
     "x_sketch_exact" -> sketchExactOracle,
     "x_topk_per_key" -> topKPerKeyOracle,
     "x_sample_pergroup" -> samplePerGroupOracle,

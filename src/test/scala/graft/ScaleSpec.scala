@@ -102,4 +102,29 @@ class ScaleSpec extends SparkSpec {
     val v2 = Lake.readTableFeed(spark, root, "dim_users", Some(2)).count()
     assert(v1 === v2)
   }
+
+  test("misra-gries: never overcounts, never misses a frequent item, any order") {
+    val base = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (1 to 40).map(i => s"t$i")
+    val exact = base.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 5
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      val stream = rnd.shuffle(base)
+      val summary = Scale.misraGries(stream.iterator, k).toMap
+      assert(summary.size <= k)
+      summary.foreach { case (t, c) =>
+        assert(c <= exact(t), s"MG overcounted $t: $c > ${exact(t)}")
+      }
+      // freq > n/(k+1) = 120/6 = 20 must survive: a(50) and b(30)
+      assert(summary.contains("a") && summary.contains("b"),
+        s"frequent item missed in $summary")
+    }
+  }
+
+  test("heavy-hitters gate: guarantees hold and counts are exact") {
+    val Array(r) = Scale.heavyHitters(spark, "/root/testdata/sf0.001").collect()
+    assert(r.getAs[Long]("missed_true_hh") === 0L)
+    assert(r.getAs[Long]("overcount") === 0L)
+    assert(r.getAs[Long]("n_tokens") > 0L)
+  }
 }
