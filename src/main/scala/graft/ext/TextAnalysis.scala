@@ -412,6 +412,90 @@ object TextAnalysis {
       |       least(cum, (bin + 1) * 256) - greatest(cum - tok, bin * 256) AS tokens_in_bin
       |FROM b""".stripMargin
 
+  /** C4-style corpus-level line deduplication: segment every document into
+    * 5-token "lines" (the synthetic docs are single-line, so fixed token
+    * windows stand in for newline-delimited lines), count how many DISTINCT
+    * documents each line occurs in, drop every line appearing in ≥ 3
+    * documents (boilerplate by definition), and reassemble each document
+    * from its kept lines in order — the dedup that removes repeated
+    * headers/footers/navigation WITHIN documents, which document-level
+    * near-dup cannot touch.
+    *
+    * Scale shape: two shuffles, both keyed and narrow — one on the line
+    * text (the frequency count; at 100 TB this is a hash of the line, and
+    * the count is a partial-aggregated groupBy, never a collect), one on
+    * doc_id for reassembly (`sort_array(collect_list)` per doc is bounded
+    * by document length, the same per-key bound every per-doc op has).
+    */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val L = 5
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .withColumn("start", explode(sequence(
+        lit(1L), greatest(size(col("toks")).cast("long"), lit(1L)), lit(L.toLong))))
+      .select(col("doc_id"),
+        floor((col("start") - 1) / lit(L.toDouble)).cast("long").as("line_idx"),
+        array_join(slice(col("toks"), col("start"), lit(L)), " ").as("line_text"))
+    val freq = lines.groupBy(col("line_text"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    lines.join(freq, "line_text")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("ndocs") < 3, 1).otherwise(0)).cast("long").as("kept_lines"),
+        sum(when(col("ndocs") >= 3, 1).otherwise(0)).cast("long").as("dropped_lines"),
+        array_join(transform(sort_array(collect_list(
+          when(col("ndocs") < 3, struct(col("line_idx"), col("line_text"))))),
+          x => x("line_text")), " ").as("cleaned_text"))
+  }
+
+  val lineDedupOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks,
+      |             unnest(generate_series(1, greatest(len(toks), 1), 5)) AS start
+      |      FROM t),
+      |lines AS (SELECT doc_id, CAST(floor((start - 1) / 5.0) AS BIGINT) AS line_idx,
+      |                 array_to_string(toks[start : start + 4], ' ') AS line_text
+      |          FROM s),
+      |freq AS (SELECT line_text, COUNT(DISTINCT doc_id) AS ndocs FROM lines GROUP BY 1)
+      |SELECT l.doc_id,
+      |       CAST(SUM(CASE WHEN ndocs < 3 THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+      |       CAST(SUM(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+      |       coalesce(string_agg(CASE WHEN ndocs < 3 THEN line_text END, ' '
+      |                           ORDER BY line_idx), '') AS cleaned_text
+      |FROM lines l JOIN freq f USING (line_text)
+      |GROUP BY 1""".stripMargin
+
+  /** Deterministic train/val/test split — the reproducibility op every
+    * training pipeline needs: membership is a pure function of the doc id
+    * (pseudo-shuffle hash mod 100 → 80/10/10), so the split is stable
+    * across runs, machines, and engines, and adding documents never moves
+    * an existing one between splits. Shuffle-free scan; the gate emits
+    * per-split counts and id checksums so the oracle proves both sizes AND
+    * membership.
+    */
+  def dataSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = shuffleKey(col("doc_id")) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("id_min"),
+        max(col("doc_id")).as("id_max"))
+  }
+
+  val dataSplitOracle: String =
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |       COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |       MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+      |FROM (SELECT doc_id,
+      |             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS b
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin
+
   /** Model-based quality filter — a fixed-weight LINEAR classifier over the
     * engineered features of [[qualityScore]] (the shape of a fastText/
     * logistic quality model with frozen public weights; training is out of
@@ -601,6 +685,8 @@ object TextAnalysis {
     "x_chunk_docs" -> (chunkDocs _),
     "x_pack_sequences" -> (packSequences _),
     "x_quality_model" -> (qualityModel _),
+    "x_line_dedup" -> (lineDedup _),
+    "x_data_split" -> (dataSplit _),
     "x_text_repetition" -> (repetitionSignals _),
     "x_text_vocab" -> (vocabCoverage _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -618,6 +704,8 @@ object TextAnalysis {
     "x_chunk_docs" -> chunkDocsOracle,
     "x_pack_sequences" -> packSequencesOracle,
     "x_quality_model" -> qualityModelOracle,
+    "x_line_dedup" -> lineDedupOracle,
+    "x_data_split" -> dataSplitOracle,
     "x_text_repetition" -> repetitionSignalsOracle,
     "x_text_vocab" -> vocabCoverageOracle,
     "x_sample_stratified" -> sampleStratifiedOracle,

@@ -428,6 +428,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup: real drops occur, cleaned text bounded by kept lines") {
+    val rows = graft.ext.TextAnalysis.lineDedup(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("dropped_lines") > 0),
+      "no boilerplate line was ever dropped — threshold not exercised")
+    assert(rows.exists(_.getAs[Long]("kept_lines") > 0))
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("kept_lines")
+      val clean = r.getAs[String]("cleaned_text")
+      if (kept == 0) assert(clean.isEmpty, s"no kept lines but text remains: $r")
+      val tok = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(tok <= kept * 5, s"cleaned text longer than kept lines allow: $r")
+    }
+  }
+
+  test("dataSplit: covering, disjoint by construction, ~80/10/10, stable") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.dataSplit(spark, d).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = graft.Tables.documents(spark, d).count()
+    assert(rows.values.sum === total, "splits do not cover the corpus")
+    assert(rows("train") > rows.getOrElse("val", 0L))
+    assert(rows("train") > rows.getOrElse("test", 0L))
+    // determinism: a second run is identical (pure function of doc_id)
+    val again = graft.ext.TextAnalysis.dataSplit(spark, d).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("id_sum")).toMap
+    val first = graft.ext.TextAnalysis.dataSplit(spark, d).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("id_sum")).toMap
+    assert(again === first)
+  }
+
   test("qualityModel: keep iff margin positive; degenerate docs never kept") {
     val rows = graft.ext.TextAnalysis.qualityModel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
