@@ -554,6 +554,117 @@ object TextAnalysis {
       |             len(regexp_extract_all(text, '[0-9]{6,}')) AS long_num_cnt
       |      FROM documents)""".stripMargin
 
+  /** BM25 top-k retrieval over an inverted index — the search op behind
+    * "find the training docs most relevant to these probe queries"
+    * (retrieval-based curation / decontamination-by-query). Classic BM25
+    * with k1=1.2, b=0.75 and a RATIONAL idf `(N - df + 0.5)/(df + 0.5)`
+    * (same move as [[tfidfTop]]'s linear idf: `ln` is libm-dependent and
+    * would break bit-exact oracle parity; the ranking is order-isomorphic
+    * for df < N/2, which holds for every query term here). Three fixed
+    * 3-term queries; per-(query, doc) scores pivot the three terms to
+    * columns and add them in a FIXED ORDER (the [[graft.ext.Similarity]]
+    * ADC pattern) so the float total is engine-exact.
+    *
+    * Scale shape: the inverted index (tf per (term, doc)) is one
+    * (doc, term) shuffle with map-side collapse; df and the length norm
+    * are partial-aggregated; the query join hits only postings of the 9
+    * query terms (a broadcast semi-join against a 9-row table — O(matching
+    * postings), never a corpus scan per query); top-k is a per-query
+    * window over the scored candidates only.
+    */
+  def bm25Search(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val queries = Seq(
+      (0L, "data", "spark", "query"),
+      (1L, "table", "join", "key"),
+      (2L, "batch", "window", "agg"))
+    import s.implicits._
+    val qterms = queries.toDF("query_id", "t0", "t1", "t2")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("len_sum"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qlong = qterms.select(col("query_id"),
+      explode(array(
+        struct(lit(0).as("slot"), col("t0").as("qterm")),
+        struct(lit(1).as("slot"), col("t1").as("qterm")),
+        struct(lit(2).as("slot"), col("t2").as("qterm")))).as("q"))
+      .select(col("query_id"), col("q.slot"), col("q.qterm"))
+    // per-(query, doc, slot) BM25 term score; avgdl via the broadcast stats
+    val scored = tf
+      .join(broadcast(qlong), col("term") === col("qterm"))
+      .join(broadcast(df_.join(broadcast(qlong.select(col("qterm").as("term")).distinct()), "term")),
+        "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl")
+            / (col("len_sum").cast("double") / col("n_docs")))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        max(when(col("slot") === 0, col("tscore"))).as("s0"),
+        max(when(col("slot") === 1, col("tscore"))).as("s1"),
+        max(when(col("slot") === 2, col("tscore"))).as("s2"))
+      .withColumn("score",
+        coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
+          + coalesce(col("s2"), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+  }
+
+  val bm25SearchOracle: String =
+    """WITH q(query_id, slot, qterm) AS (VALUES
+      |  (0, 0, 'data'), (0, 1, 'spark'), (0, 2, 'query'),
+      |  (1, 0, 'table'), (1, 1, 'join'), (1, 2, 'key'),
+      |  (2, 0, 'batch'), (2, 1, 'window'), (2, 2, 'agg')),
+      |docs AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      |  GROUP BY 1, 2),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS len_sum FROM dl),
+      |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+  |  -- e0 literals force DOUBLE: DuckDB parses bare decimals as DECIMAL and
+      |  -- tf * DECIMAL stays exact decimal math, 1 ulp off Spark's doubles
+      |  SELECT q.query_id, tf.doc_id, q.slot,
+      |         ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
+      |           * (tf * 2.2e0)
+      |           / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl
+      |                / (CAST(len_sum AS DOUBLE) / n_docs))) AS tscore
+      |  FROM tf
+      |  JOIN q ON tf.term = q.qterm
+      |  JOIN dfs ON dfs.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats),
+      |agg AS (
+      |  SELECT query_id, doc_id,
+      |         MAX(CASE WHEN slot = 0 THEN tscore END) AS s0,
+      |         MAX(CASE WHEN slot = 1 THEN tscore END) AS s1,
+      |         MAX(CASE WHEN slot = 2 THEN tscore END) AS s2
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |       coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score,
+      |       row_number() OVER (PARTITION BY query_id ORDER BY
+      |         coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) DESC,
+      |         doc_id) AS rk
+      |FROM agg QUALIFY rk <= 10""".stripMargin
+
   /** Vocabulary-coverage quality scoring — the perplexity PROXY that needs
     * no model: build the corpus's top-200 vocabulary by document frequency
     * (deterministic df-then-term tie-break), then score every document by
@@ -687,6 +798,7 @@ object TextAnalysis {
     "x_quality_model" -> (qualityModel _),
     "x_line_dedup" -> (lineDedup _),
     "x_data_split" -> (dataSplit _),
+    "x_bm25_search" -> (bm25Search _),
     "x_text_repetition" -> (repetitionSignals _),
     "x_text_vocab" -> (vocabCoverage _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -706,6 +818,7 @@ object TextAnalysis {
     "x_quality_model" -> qualityModelOracle,
     "x_line_dedup" -> lineDedupOracle,
     "x_data_split" -> dataSplitOracle,
+    "x_bm25_search" -> bm25SearchOracle,
     "x_text_repetition" -> repetitionSignalsOracle,
     "x_text_vocab" -> vocabCoverageOracle,
     "x_sample_stratified" -> sampleStratifiedOracle,

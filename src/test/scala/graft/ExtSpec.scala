@@ -459,6 +459,19 @@ class ExtSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("bm25: dense non-increasing rankings, positive scores, candidates only") {
+    val rows = graft.ext.TextAnalysis.bm25Search(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq === (1 to rs.length), s"ranks not dense for $q")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores increase with rank for query $q")
+      assert(scores.forall(_ > 0), s"non-positive BM25 score for query $q")
+    }
+  }
+
   test("qualityModel: keep iff margin positive; degenerate docs never kept") {
     val rows = graft.ext.TextAnalysis.qualityModel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
