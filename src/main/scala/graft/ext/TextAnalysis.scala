@@ -792,7 +792,69 @@ object TextAnalysis {
       |LEFT JOIN bagg USING (doc_id)
       |LEFT JOIN (SELECT * FROM btop WHERE rn = 1) btop ON bagg.doc_id = btop.doc_id""".stripMargin
 
+  /** Count-based bigram language-model scoring — train on the `train`
+    * split's bigram/context counts, score every `val`-split document: per
+    * doc, the number of bigrams, how many are out-of-model (unseen context
+    * pair), and the summed conditional probability P(w2|w1) = c(w1,w2)/c(w1)
+    * of the seen ones. The statistical shape of n-gram-LM perplexity
+    * filtering (CCNet-style) with the log/exp kept OUT of the contract:
+    * probabilities ship as `round(10⁹·P)` computed entirely in integers —
+    * `floor((2·10⁹·c2 + c1) div (2·c1))` — so both engines agree bit-for-bit
+    * (libm `ln` is not cross-engine reproducible; the monotone integer score
+    * ranks documents identically).
+    *
+    * Scale shape: model training is one (w1,w2) shuffle and one (w1)
+    * shuffle, both partial-agg'd map-side; scoring joins val bigrams
+    * against the two model tables on their natural keys (vocabulary-sized
+    * sides — bucketable at 100 TB, AQE-chosen here) and folds per-doc with
+    * one keyed aggregation. Split membership is the same pure hash as
+    * [[dataSplit]] — no shared state between train and serve passes.
+    */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("toks"),
+        (shuffleKey(col("doc_id")) % 100).as("b"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs
+      .select(col("doc_id"), col("b"),
+        explode(expr("transform(slice(toks, 1, size(toks) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("b"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = bigrams.filter(col("b") < 80)
+    val pair = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams.filter(col("b") >= 80 && col("b") < 90)
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("c2").isNotNull,
+          expr("(2000000000 * c2 + c1) div (2 * c1)")).otherwise(0L)).as("score_sum"))
+  }
+
+  val bigramLmOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks,
+      |                  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS b
+      |           FROM documents),
+      |bg AS (SELECT doc_id, b, toks[i] AS w1, toks[i + 1] AS w2
+      |       FROM (SELECT doc_id, b, toks,
+      |                    unnest(generate_series(1, len(toks) - 1)) AS i
+      |             FROM t WHERE len(toks) >= 2)),
+      |pair AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE b < 80 GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS c1 FROM bg WHERE b < 80 GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(SUM(CASE WHEN pair.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(SUM(CASE WHEN pair.c2 IS NOT NULL
+      |                     THEN (2000000000 * pair.c2 + ctx.c1) // (2 * ctx.c1)
+      |                     ELSE 0 END) AS BIGINT) AS score_sum
+      |FROM bg LEFT JOIN pair USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |WHERE b >= 80 AND b < 90
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_bigram_lm" -> (bigramLm _),
     "x_chunk_docs" -> (chunkDocs _),
     "x_pack_sequences" -> (packSequences _),
     "x_quality_model" -> (qualityModel _),
@@ -813,6 +875,7 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_bigram_lm" -> bigramLmOracle,
     "x_chunk_docs" -> chunkDocsOracle,
     "x_pack_sequences" -> packSequencesOracle,
     "x_quality_model" -> qualityModelOracle,

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph / behavioral / time-series analytics over the warehouse tables —
+  * the reporting layer a production deployment runs ON TOP of the lake the
+  * reference feeds (SURVEY.md §2.E): iterative graph algorithms, funnel and
+  * cohort analyses over the event stream, and calendar-resampled series.
+  *
+  * Engine-exactness strategy shared by every gate here: all arithmetic that
+  * crosses an aggregation boundary is INTEGER (counts, scaled fixed-point
+  * ranks, epoch-derived day/week indices) or decimal — never raw-double
+  * sums — so any aggregation/iteration order in either engine produces
+  * bit-identical results (same trick as [[Q.moneySum]], pushed further:
+  * PageRank runs entirely in fixed-point `rank × 10¹²` with truncating
+  * integer division, which both Spark `div` and DuckDB `//` implement
+  * identically for non-negative operands).
+  */
+object Analytics {
+
+  /** rank fixed-point scale: 1.0 == 10¹². */
+  private val Scale = 1000000000000L
+
+  /** Supplier co-occurrence edges: s1→s2 iff both supplied the same order.
+    * Per-order fan-out is bounded by order size (~4 lineitems), so the
+    * self-join emits O(|lineitem| · avg_order_size) pairs — never all-pairs
+    * over suppliers. Both directions are emitted (the graph is symmetric).
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+  }
+
+  /** PageRank over the supplier co-occurrence graph — the canonical
+    * iterative-join workload. Damping 0.85, 3 iterations, dangling mass
+    * (suppliers with no co-occurrence edges) redistributed uniformly.
+    *
+    * Exactness: ranks are fixed-point longs (× 10¹²); every step is integer
+    * add/multiply/`div`, so Spark and DuckDB (3 unrolled CTE iterations)
+    * agree bit-for-bit — no float summation order anywhere.
+    *
+    * Scale shape: per iteration ONE shuffle — the `groupBy(dst)` of
+    * contributions, partial-aggregated map-side; the rank frontier (N rows,
+    * 3 longs) is persisted between iterations so iteration k never replays
+    * k−1 (on a cluster this is the lake-checkpoint step of every iterative
+    * graph job), and the dangling/N scalars ride along as broadcast 1-row
+    * joins. Edges are re-read per iteration from the same persisted frame.
+    */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d).persist()
+    val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+    val deg = nodes.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        nodes("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist()
+    val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
+
+    var r = deg.withColumn("r", lit(Scale))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(
+          r.filter(col("outdeg") > 0)
+            .select(col("node"), expr("r div outdeg").as("share")),
+          e("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
+      val dang = r.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+      r = deg.join(contrib, deg("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(n1))
+        .select(col("node"), col("outdeg"),
+          expr(s"${15L * Scale / 100} + (85 * (coalesce(in_mass, CAST(0 AS BIGINT))" +
+            " + (dmass div n_nodes))) div 100").as("r"))
+        .persist()
+    }
+    r.select(col("node").as("s_suppkey"), col("r").as("rank_scaled"))
+  }
+
+  private def pagerankIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT d.node, d.outdeg,
+       |         CAST(${15L * Scale / 100} + (85 * (coalesce(c.m, 0) + dg.dd)) // 100 AS BIGINT) AS r
+       |  FROM deg d
+       |  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(p.r // p.outdeg) AS BIGINT) AS m
+       |             FROM e JOIN $prev p ON p.node = e.src AND p.outdeg > 0
+       |             GROUP BY 1) c ON c.node = d.node
+       |  CROSS JOIN (SELECT CAST(coalesce(SUM(r), 0) // (SELECT n FROM nn) AS BIGINT) AS dd
+       |              FROM $prev WHERE outdeg = 0) dg)""".stripMargin
+
+  val graphPagerankOracle: String =
+    s"""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       |      FROM li a JOIN li b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+       |nodes AS (SELECT s_suppkey AS node FROM supplier),
+       |deg AS (SELECT node, CAST(coalesce(dc.c, 0) AS BIGINT) AS outdeg
+       |        FROM nodes LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY 1) dc
+       |          ON dc.src = nodes.node),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, outdeg, CAST($Scale AS BIGINT) AS r FROM deg),
+       |${pagerankIterSql("r0", "i1")},
+       |${pagerankIterSql("i1", "i2")},
+       |${pagerankIterSql("i2", "i3")}
+       |SELECT node AS s_suppkey, r AS rank_scaled FROM i3""".stripMargin
+
+  /** Triangle count on the (undirected) supplier co-occurrence graph via
+    * degree-ordered orientation — each undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, so every triangle is
+    * counted exactly once at its smallest vertex and the wedge join's
+    * out-degree is O(√m) on skewed graphs (the classic MR triangle bound)
+    * instead of O(max-degree).
+    *
+    * Scale shape: edges/degrees are one keyed shuffle each; the wedge
+    * self-join is keyed on the wedge apex and bounded by oriented
+    * out-degree²; the closing-edge probe is an equi-join against the
+    * canonical edge list (no Cartesian anywhere).
+    */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    // canonical undirected edges u < v (each pair once)
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).persist()
+    val degree = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(degree.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(degree.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("a"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("b"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(least(col("x.b"), col("y.b")).as("u"),
+        greatest(col("x.b"), col("y.b")).as("v"))
+    val tri = wedges.join(und, Seq("u", "v")).agg(count(lit(1)).as("n_triangles"))
+    val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      degree.agg(count(lit(1)).as("n_active_nodes")))
+    stats.crossJoin(tri)
+      .select(col("n_active_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val graphTrianglesOracle: String =
+    """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+      |und AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |        FROM li a JOIN li b
+      |          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |degree AS (SELECT node, count(*) AS deg FROM (
+      |             SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |           GROUP BY 1),
+      |oriented AS (
+      |  SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.u ELSE und.v END AS a,
+      |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.v ELSE und.u END AS b
+      |  FROM und JOIN degree du ON du.node = und.u JOIN degree dv ON dv.node = und.v),
+      |wedges AS (
+      |  SELECT least(x.b, y.b) AS u, greatest(x.b, y.b) AS v
+      |  FROM oriented x JOIN oriented y ON x.a = y.a AND x.b < y.b),
+      |tri AS (SELECT count(*) AS n_triangles FROM wedges JOIN und USING (u, v))
+      |SELECT (SELECT count(*) FROM degree) AS n_active_nodes,
+      |       (SELECT count(*) FROM und) AS n_edges,
+      |       n_triangles
+      |FROM tri""".stripMargin
+
+  /** Conversion funnel signup → click → purchase over the event stream:
+    * per user, the first signup, the first click strictly AFTER that
+    * signup, and the first purchase strictly after that click. The output
+    * is one row per signed-up user with the (nullable) step timestamps and
+    * the number of steps completed — the per-user detail a funnel report
+    * aggregates.
+    *
+    * Scale shape: three keyed aggregations on user_id (each partial-agg'd
+    * map-side) chained by user_id equi-joins — the event table is scanned
+    * once per step with the step's type filter pushed to the scan; no
+    * windows, no per-user sort.
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1L) + when(col("t2").isNull, 0L).otherwise(1L)
+          + when(col("t3").isNull, 0L).otherwise(1L)).as("steps_completed"))
+  }
+
+  val funnelStepsOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+      |       FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY 1)
+      |SELECT s1.user_id, t1, t2, t3,
+      |       CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+      |              + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  /** Weekly cohort retention: users are cohorted by the week of their first
+    * event; for every (cohort_week, week_offset) the gate counts how many
+    * of that cohort were active offset weeks later — the standard
+    * retention triangle.
+    *
+    * Scale shape: one user-keyed aggregation for the cohort assignment,
+    * one distinct over (user, week) — both partial-agg'd — and a final
+    * small groupBy; week indices are pure integer arithmetic on the
+    * event-time scan (no calendar UDF).
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts_us div 86400000000) div 7").as("week"))
+    val active = wk.distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH wk AS (SELECT DISTINCT user_id,
+      |                   ((epoch_ns(ts) // 1000) // 86400000000) // 7 AS week
+      |            FROM events),
+      |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+      |FROM wk JOIN cohort USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Calendar gap-fill + forward-fill — the resampling op every time-series
+    * pipeline needs: the per-user daily series is re-indexed onto the full
+    * corpus day span (missing days materialized with 0 events) and the
+    * daily monetary sum is forward-filled from the last observed day.
+    *
+    * Exactness: daily sums go through decimal(18,2) ([[Q.moneySum]]
+    * convention), the fill copies already-exact values, and day indices are
+    * integer epoch arithmetic.
+    *
+    * Scale shape: one (user, day) aggregation, a broadcast 1-row span to
+    * drive `sequence()` (the grid is generated, never shuffled), one left
+    * join back on (user, day), and a per-user ordered window for the fill —
+    * state bounded by span length per user.
+    */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"), col("value"))
+    val daily = e.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("v"))
+    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).cast("double").as("value_sum_ffill"))
+  }
+
+  val tsGapfillOracle: String =
+    """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day, value
+      |           FROM events),
+      |daily AS (SELECT user_id, day, count(*) AS n,
+      |                 SUM(CAST(value AS DECIMAL(18,2))) AS v
+      |          FROM e GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+      |grid AS (SELECT u.user_id, g.day
+      |         FROM (SELECT DISTINCT user_id FROM e) u
+      |         CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g)
+      |SELECT user_id, day, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |       CAST(last_value(v IGNORE NULLS) OVER (
+      |              PARTITION BY user_id ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS value_sum_ffill
+      |FROM grid LEFT JOIN daily USING (user_id, day)""".stripMargin
+
+  /** Per-user daily-volume anomaly flags at the 3σ level — computed WITHOUT
+    * floats: a day is anomalous iff (x−μ)² > 9σ², which over integer daily
+    * counts is algebraically `(n·x − S)² > 9·(n·Q − S²)` with n = observed
+    * days, S = Σx, Q = Σx² per user. Pure integer arithmetic on both
+    * engines, so the boolean is exact — no sqrt, no division, no float
+    * variance drift (population variance, observed days only).
+    *
+    * Scale shape: one (user, day) count aggregation, one user-keyed stats
+    * aggregation over the (small) daily table, one user-keyed equi-join
+    * back; everything partial-agg'd, nothing wider than the daily series.
+    */
+  def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    daily.join(stats, "user_id")
+      .select(col("user_id"), col("day"), col("x").as("n_events"),
+        ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+          lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("is_anomaly"))
+  }
+
+  val tsAnomalyOracle: String =
+    """WITH daily AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |                      count(*) AS x
+      |               FROM events GROUP BY 1, 2),
+      |stats AS (SELECT user_id, count(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |                 CAST(SUM(x * x) AS BIGINT) AS q
+      |          FROM daily GROUP BY 1)
+      |SELECT user_id, day, x AS n_events,
+      |       (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
+      |FROM daily JOIN stats USING (user_id)""".stripMargin
+
+  val defs: Map[String, Q.QueryFn] = Map(
+    "x_graph_pagerank" -> (graphPagerank _),
+    "x_graph_triangles" -> (graphTriangles _),
+    "x_funnel" -> (funnelSteps _),
+    "x_cohort_retention" -> (cohortRetention _),
+    "x_ts_gapfill" -> (tsGapfill _),
+    "x_ts_anomaly" -> (tsAnomaly _))
+
+  val oracles: Map[String, String] = Map(
+    "x_graph_pagerank" -> graphPagerankOracle,
+    "x_graph_triangles" -> graphTrianglesOracle,
+    "x_funnel" -> funnelStepsOracle,
+    "x_cohort_retention" -> cohortRetentionOracle,
+    "x_ts_gapfill" -> tsGapfillOracle,
+    "x_ts_anomaly" -> tsAnomalyOracle)
+}
