@@ -323,7 +323,183 @@ object Analytics {
       |       (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
       |FROM daily JOIN stats USING (user_id)""".stripMargin
 
+  /** Per-node local clustering coefficient — how close each supplier's
+    * co-occurrence neighborhood is to a clique: coeff = triangles_at_node /
+    * (deg·(deg−1)/2). Triangles are enumerated once (degree-ordered, as in
+    * [[graphTriangles]]) and then exploded to their 3 corners, so the heavy
+    * wedge join runs once; the numerator/denominator ship as exact integers
+    * and the ratio as their (correctly-rounded, engine-identical) double
+    * quotient — NULL where the node has fewer than 2 neighbors.
+    */
+  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).persist()
+    val degree = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(degree.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(degree.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(lower, col("u")).otherwise(col("v")).as("a"),
+      when(lower, col("v")).otherwise(col("u")).as("b"))
+    val triangles = oriented.as("x").join(oriented.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("apex"),
+        least(col("x.b"), col("y.b")).as("u"),
+        greatest(col("x.b"), col("y.b")).as("v"))
+      .join(und, Seq("u", "v"))
+    val triPerNode = triangles
+      .select(explode(array(col("apex"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    degree.join(triPerNode, Seq("node"), "left")
+      .select(col("node").as("s_suppkey"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      .withColumn("coeff",
+        when(col("n_wedges") > 0,
+          col("n_tri").cast("double") / col("n_wedges")).otherwise(lit(null)))
+  }
+
+  val graphClusteringCoeffOracle: String =
+    """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+      |und AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |        FROM li a JOIN li b
+      |          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |degree AS (SELECT node, count(*) AS deg FROM (
+      |             SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |           GROUP BY 1),
+      |oriented AS (
+      |  SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.u ELSE und.v END AS a,
+      |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.v ELSE und.u END AS b
+      |  FROM und JOIN degree du ON du.node = und.u JOIN degree dv ON dv.node = und.v),
+      |tri AS (
+      |  SELECT x.a AS apex, least(x.b, y.b) AS u, greatest(x.b, y.b) AS v
+      |  FROM oriented x JOIN oriented y ON x.a = y.a AND x.b < y.b
+      |  JOIN und ON und.u = least(x.b, y.b) AND und.v = greatest(x.b, y.b)),
+      |pern AS (SELECT node, count(*) AS n_tri FROM (
+      |           SELECT apex AS node FROM tri
+      |           UNION ALL SELECT u FROM tri UNION ALL SELECT v FROM tri)
+      |         GROUP BY 1)
+      |SELECT degree.node AS s_suppkey, degree.deg,
+      |       CAST(coalesce(pern.n_tri, 0) AS BIGINT) AS n_tri,
+      |       CAST(degree.deg * (degree.deg - 1) // 2 AS BIGINT) AS n_wedges,
+      |       CASE WHEN degree.deg >= 2
+      |            THEN CAST(coalesce(pern.n_tri, 0) AS DOUBLE)
+      |                   / (degree.deg * (degree.deg - 1) // 2)
+      |            ELSE NULL END AS coeff
+      |FROM degree LEFT JOIN pern ON pern.node = degree.node""".stripMargin
+
+  /** First-order Markov transition matrix over the event stream: for every
+    * user's time-ordered event sequence, count (event_type → next
+    * event_type) transitions, with the transition probability as the exact
+    * integer quotient n / Σn(from). The session-flow summary behind "what
+    * do users do after X".
+    *
+    * Scale shape: one per-user ordered window (`lead`) — state bounded by
+    * per-user event count — then one small groupBy on the 5×5 type pairs;
+    * the probability denominator is a window over the TINY aggregated
+    * matrix, not the event table.
+    */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p", col("n").cast("double") / sum(col("n")).over(byFrom))
+  }
+
+  val transitionMatrixOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+      |  FROM events),
+      |m AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+      |FROM m""".stripMargin
+
+  /** RFM customer segmentation: recency (days since epoch of last order),
+    * frequency (order count), monetary (decimal-exact revenue) per
+    * customer, each scored into quintiles. Quintile assignment is
+    * `ntile(5)` with a UNIQUE order key (metric, custkey) so the tiling is
+    * deterministic and engine-identical.
+    *
+    * Scale shape: one customer-keyed aggregation; the ntile windows are
+    * global by definition (the one inherently-serial step) — at 100 TB the
+    * production variant broadcasts approx-quantile cutpoints instead, and
+    * the gate's exact tiling is the oracle for that (same contract as the
+    * sketch gates: exact twin verifiable, approximate path for scale).
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+    per.select(col("o_custkey"), col("last_day"), col("freq"), col("monetary"),
+      ntile(5).over(Window.orderBy(col("last_day"), col("o_custkey"))).as("r_score"),
+      ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))).as("f_score"),
+      ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey"))).as("m_score"))
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+      |         count(*) AS freq,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, last_day, freq, monetary,
+      |       CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS INT) AS r_score,
+      |       CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INT) AS f_score,
+      |       CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+      |FROM per""".stripMargin
+
+  /** Equi-width revenue histogram — the profiling op behind "show me the
+    * distribution": order totals bucketed into fixed 25 000-wide bins with
+    * count and decimal-exact mass per bin. Bin ids are integer arithmetic
+    * on exact cents (`decimal(18,2) × 100 div 2 500 000`) — no float
+    * boundary ambiguity on either engine.
+    *
+    * Scale shape: a single partial-agg'd groupBy over a 2-column pruned
+    * scan; bins are data-independent so the reduce side is O(bins).
+    */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " div 2500000").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Q.moneySum(col("o_totalprice")).as("total"))
+      .withColumn("lo", (col("bucket") * 25000).cast("double"))
+  }
+
+  val histogramOracle: String =
+    """SELECT bucket, count(*) AS n,
+      |       CAST(SUM(c) AS DOUBLE) AS total,
+      |       CAST(bucket * 25000 AS DOUBLE) AS lo
+      |FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500000 AS bucket,
+      |             CAST(o_totalprice AS DECIMAL(18,2)) AS c
+      |      FROM orders)
+      |GROUP BY bucket""".stripMargin
+
   val defs: Map[String, Q.QueryFn] = Map(
+    "x_graph_clustering" -> (graphClusteringCoeff _),
+    "x_transition_matrix" -> (transitionMatrix _),
+    "x_rfm_segments" -> (rfmSegments _),
+    "x_histogram" -> (histogram _),
     "x_graph_pagerank" -> (graphPagerank _),
     "x_graph_triangles" -> (graphTriangles _),
     "x_funnel" -> (funnelSteps _),
@@ -332,6 +508,10 @@ object Analytics {
     "x_ts_anomaly" -> (tsAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "x_graph_clustering" -> graphClusteringCoeffOracle,
+    "x_transition_matrix" -> transitionMatrixOracle,
+    "x_rfm_segments" -> rfmSegmentsOracle,
+    "x_histogram" -> histogramOracle,
     "x_graph_pagerank" -> graphPagerankOracle,
     "x_graph_triangles" -> graphTrianglesOracle,
     "x_funnel" -> funnelStepsOracle,

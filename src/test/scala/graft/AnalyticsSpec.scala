@@ -109,6 +109,55 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clustering coefficient: corner counts sum to 3x triangles, coeff in [0,1]") {
+    val cc = Analytics.graphClusteringCoeff(spark, sf).collect()
+    val tri = Analytics.graphTriangles(spark, sf).collect().head.getAs[Long]("n_triangles")
+    assert(cc.map(_.getAs[Long]("n_tri")).sum === 3 * tri)
+    cc.foreach { r =>
+      val (nTri, wedges) = (r.getAs[Long]("n_tri"), r.getAs[Long]("n_wedges"))
+      assert(nTri <= wedges, "more triangles than wedges at a node")
+      if (wedges == 0) assert(r.isNullAt(r.fieldIndex("coeff")))
+      else {
+        val c = r.getAs[Double]("coeff")
+        assert(c >= 0.0 && c <= 1.0)
+      }
+    }
+  }
+
+  test("transition matrix: rows sum to 1 per source, transitions = events - users") {
+    val m = Analytics.transitionMatrix(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(m.map(_.getAs[Long]("n")).sum === expected)
+    m.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val p = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"from=$from sums to $p")
+    }
+  }
+
+  test("rfm: scores are balanced quintiles over all customers") {
+    val r = Analytics.rfmSegments(spark, sf).collect()
+    val n = r.length
+    for (colName <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = r.groupBy(_.getAs[Int](colName)).view.mapValues(_.size).toMap
+      assert(sizes.keySet === (1 to 5).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1, s"$colName unbalanced: $sizes")
+      assert(sizes.values.sum === n)
+    }
+  }
+
+  test("histogram: mass and count conserved, bucket geometry consistent") {
+    val h = Analytics.histogram(spark, sf).collect()
+    val o = Tables.orders(spark, sf)
+    assert(h.map(_.getAs[Long]("n")).sum === o.count())
+    val exact = o.agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(h.map(_.getAs[Double]("total")).sum - exact) < 1e-6 * exact)
+    h.foreach { r =>
+      assert(r.getAs[Double]("lo") === r.getAs[Long]("bucket") * 25000.0)
+    }
+  }
+
   test("bigram LM: scores bounded by seen-bigram probability mass") {
     val rows = TextAnalysis.bigramLm(spark, sf).collect()
     assert(rows.nonEmpty)
