@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.{Date, Timestamp}
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.governance.{FeedCatalog, Permissions}
@@ -292,6 +292,32 @@ object Lifecycle {
     """SELECT min(user_id) AS min_user, max(user_id) AS max_user,
       |       count(*) AS n
       |FROM events""".stripMargin
+
+  /** DSv2 WRITE path end-to-end: events go through the connector's own
+    * `BatchWrite` (`df.write.format("graft-stats-csv")` — no manual
+    * repartition: the write declares its range-cluster + sort layout via
+    * `RequiresDistributionAndOrdering`, stages files, folds the stats index
+    * in-line, and two-phase-commits files-then-sidecars), then read back
+    * with a range filter that exercises the file skipping the write's own
+    * stats enable. The oracle proves the full write→read round trip is
+    * value-exact; SourcesSpec pins the layout (disjoint per-file ranges),
+    * truncate semantics, and abort cleanliness.
+    */
+  def dsv2Write(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_dsv2w_")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.format("graft-stats-csv")
+      .option("cluster", "user_id").option("numFiles", "8")
+      .mode(SaveMode.Overwrite).save(root)
+    s.read.format("graft-stats-csv").load(root)
+      .filter(col("user_id") >= 40 && col("user_id") <= 90)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val dsv2WriteOracle: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE user_id BETWEEN 40 AND 90""".stripMargin
 
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
@@ -655,6 +681,7 @@ object Lifecycle {
     "p_zorder_skipping" -> (zorderSkipping _),
     "a14_dsv2_scan" -> (dsv2Scan _),
     "a15_dsv2_agg" -> (dsv2Agg _),
+    "a17_dsv2_write" -> (dsv2Write _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -677,6 +704,7 @@ object Lifecycle {
     "p_zorder_skipping" -> zorderSkippingOracle,
     "a14_dsv2_scan" -> dsv2ScanOracle,
     "a15_dsv2_agg" -> dsv2AggOracle,
+    "a17_dsv2_write" -> dsv2WriteOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

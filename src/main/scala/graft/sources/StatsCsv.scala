@@ -121,6 +121,11 @@ object StatsCsvFormat {
 class StatsCsvSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-stats-csv"
 
+  /** Writes to a fresh directory have no sidecar to infer from — accept the
+    * query's schema instead (reads without a user schema still infer).
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-stats-csv requires a path")
@@ -141,14 +146,21 @@ class StatsCsvSource extends TableProvider with DataSourceRegister {
     new StatsCsvTable(properties.get("path"), schema)
 }
 
-class StatsCsvTable(path: String, schema: StructType) extends Table with SupportsRead {
+class StatsCsvTable(path: String, schema: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-stats-csv:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatsCsvScanBuilder(path, schema,
       options.getInt("maxFilesPerTrigger", Int.MaxValue))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new StatsCsvWriteBuilder(path, info)
 }
 
 class StatsCsvScanBuilder(
@@ -444,4 +456,226 @@ class StatsCsvPartitionReader(
   }
 
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+// ───────────────────────────── write path ─────────────────────────────
+
+/** The V2 WRITE half of the connector. Three contracts exercised:
+  *
+  *   - `WriteBuilder` + `SupportsTruncate`: `mode("overwrite")` plans
+  *     `truncate()` (replace-directory semantics at COMMIT time — never a
+  *     delete-then-fail window);
+  *   - `RequiresDistributionAndOrdering`: the write DECLARES its layout —
+  *     range-cluster by the `cluster` option, sort within partitions,
+  *     `numFiles` partitions — and Spark plans the exchange/sort; callers
+  *     just `df.write.format("graft-stats-csv")`, the connector owns the
+  *     physical layout contract (this is what makes every written directory
+  *     automatically skippable by the read path);
+  *   - `BatchWrite`/`DataWriter` two-phase commit: tasks stream rows to
+  *     STAGED files and fold the per-file min/max/count as they go; task
+  *     `commit()` returns those stats as the commit message; the driver's
+  *     `commit(messages)` renames staged files into place and writes the
+  *     schema + stats sidecars LAST (a crash before that leaves the old
+  *     directory fully readable); `abort()` deletes the staging dir.
+  *
+  * Scale shape: stats come from the write stream itself (zero extra scans —
+  * vs the companion [[StatsCsvFormat.write]] helper's post-pass), commit is
+  * O(files) driver-side renames, and speculative/retried task attempts
+  * stage to attempt-unique names with the driver arbitrating one winner.
+  */
+class StatsCsvWriteBuilder(
+    path: String, info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val cluster = info.options.get("cluster")
+    require(cluster != null && cluster.nonEmpty,
+      "graft-stats-csv write requires .option(\"cluster\", <integral column>)")
+    val schema = info.schema()
+    require(Seq(LongType, IntegerType).contains(schema(cluster).dataType),
+      s"cluster column $cluster must be integral (stats index is long-typed)")
+    new StatsCsvWrite(path, schema, cluster,
+      info.options.getInt("numFiles", 8), truncateFirst, info.queryId())
+  }
+}
+
+class StatsCsvWrite(
+    path: String, schema: StructType, cluster: String, numFiles: Int,
+    truncateFirst: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private def sortOrder: SortOrder =
+    Expressions.sort(Expressions.column(cluster), SortDirection.ASCENDING)
+
+  /** Range-cluster on the stats column: ordered distribution = Spark plans a
+    * range exchange, so distinct output files cover disjoint key ranges and
+    * the stats index prunes maximally.
+    */
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(sortOrder))
+  override def requiredOrdering(): Array[SortOrder] = Array(sortOrder)
+  override def requiredNumPartitions(): Int = numFiles
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new StatsCsvBatchWrite(path, schema, cluster, truncateFirst, queryId)
+}
+
+/** Per-task result: where the staged file is, its final name, and the
+  * cluster-column stats folded while writing. `file == null` marks an empty
+  * partition (nothing staged).
+  */
+case class StatsCsvCommitMessage(
+    file: String, finalName: String, mn: Long, mx: Long, cnt: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class StatsCsvBatchWrite(
+    path: String, schema: StructType, cluster: String,
+    truncateFirst: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private def stagingDir = new Path(path, s".staging-$queryId")
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new StatsCsvWriterFactory(path, stagingDir.toString, schema,
+      schema.fieldIndex(cluster))
+
+  /** Driver-side finalize: arbitrate one staged file per partition, rename
+    * into place, then write the sidecars (schema first, stats LAST — the
+    * read path keys off the stats file, so a reader never sees half a
+    * commit). Truncate deletes the previous generation only after every
+    * rename succeeded.
+    */
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val winners = messages.collect {
+      case m: StatsCsvCommitMessage if m.file != null => m
+    }
+    val previous =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".csv") || p.getName == StatsCsvFormat.StatsFile ||
+            p.getName == StatsCsvFormat.SchemaFile)
+      else Array.empty[Path]
+    if (truncateFirst) {
+      // replace semantics: old generation's files go away before renames so
+      // the final listing is exactly this write's output
+      previous.foreach(p => fs.delete(p, false))
+    }
+    winners.foreach { m =>
+      val to = new Path(root, m.finalName)
+      if (fs.exists(to)) fs.delete(to, false)
+      require(fs.rename(new Path(m.file), to), s"rename failed: ${m.file} -> $to")
+    }
+    val statsLines = winners.filter(_.cnt > 0).map { m =>
+      s"${m.finalName},$cluster,${m.mn},${m.mx},${m.cnt}"
+    }
+    val out1 = fs.create(new Path(root, StatsCsvFormat.SchemaFile), true)
+    try out1.write(schema.toDDL.getBytes(StandardCharsets.UTF_8)) finally out1.close()
+    val out2 = fs.create(new Path(root, StatsCsvFormat.StatsFile), true)
+    try out2.write(statsLines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out2.close()
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(stagingDir, true)
+  }
+}
+
+class StatsCsvWriterFactory(
+    path: String, stagingDir: String, schema: StructType, clusterIdx: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new StatsCsvDataWriter(stagingDir, schema, clusterIdx, partitionId, taskId)
+}
+
+/** Streams rows to one staged CSV file, folding min/max/count of the
+  * cluster column in-line (the stats index costs nothing extra). The staged
+  * name carries the task id so retried attempts never collide; the FINAL
+  * name is partition-indexed, so the committed directory lists in cluster
+  * order.
+  */
+class StatsCsvDataWriter(
+    stagingDir: String, schema: StructType, clusterIdx: Int,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private var out: java.io.BufferedWriter = _
+  private var staged: Path = _
+  private var mn = Long.MaxValue
+  private var mx = Long.MinValue
+  private var cnt = 0L
+
+  private val types = schema.fields.map(_.dataType)
+
+  private def ensureOpen(): Unit = if (out == null) {
+    staged = new Path(stagingDir, f"part-$partitionId%05d-attempt-$taskId.csv.staged")
+    val fs = staged.getFileSystem(new Configuration())
+    out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(staged, true), StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(StatsCsvFormat.Delim)
+      if (!row.isNullAt(i)) types(i) match {
+        case LongType => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType => sb.append(row.getDouble(i))
+        case StringType => sb.append(row.getUTF8String(i).toString)
+        case BooleanType => sb.append(row.getBoolean(i))
+        case other => throw new IllegalArgumentException(
+          s"graft-stats-csv: unsupported type $other")
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    if (!row.isNullAt(clusterIdx)) {
+      val k = types(clusterIdx) match {
+        case LongType => row.getLong(clusterIdx)
+        case _ => row.getInt(clusterIdx).toLong
+      }
+      if (k < mn) mn = k
+      if (k > mx) mx = k
+    }
+    cnt += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    StatsCsvCommitMessage(
+      if (staged == null) null else staged.toString,
+      f"part-$partitionId%05d.csv", mn, mx, cnt)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (staged != null) staged.getFileSystem(new Configuration()).delete(staged, false)
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import graft.sources.{StatsCsvFormat, StatsCsvScan}
@@ -121,6 +123,81 @@ class SourcesSpec extends SparkSpec {
     runPass()
     assert(spark.read.parquet(out).count() ===
       Tables.events(spark, sf).count(), "checkpoint restart replayed files")
+  }
+
+  // ── write path ──
+
+  private def v2Write(dir: String, mode: String = "overwrite",
+      filter: org.apache.spark.sql.Column = lit(true)): Unit =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(filter)
+      .write.format("graft-stats-csv")
+      .option("cluster", "user_id").option("numFiles", "4")
+      .mode(mode).save(dir)
+
+  test("V2 write: round-trips exactly and honors the declared range clustering") {
+    val dir = Files.createTempDirectory("graft_dsv2_w1_").toString
+    v2Write(dir)
+    val back = spark.read.format("graft-stats-csv").load(dir)
+    val orig = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // RequiresDistributionAndOrdering produced disjoint per-file key ranges
+    // NIO read: spark.read hides _-prefixed files even when named directly
+    val stats = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, StatsCsvFormat.StatsFile))
+      .asScala.filter(_.nonEmpty)
+      .map(_.split(",")).map(a => (a(0), a(2).toLong, a(3).toLong))
+      .toSeq.sortBy(_._1)
+    assert(stats.length >= 2, "expected multiple clustered files")
+    stats.sliding(2).foreach { case Seq((f1, _, mx1), (f2, mn2, _)) =>
+      assert(mx1 <= mn2, s"files $f1 and $f2 overlap: max $mx1 > min $mn2")
+    }
+    // sorted file names follow the cluster order (partition-indexed names)
+    assert(stats.map(_._1).forall(_.matches("part-\\d{5}\\.csv")))
+  }
+
+  test("V2 write: overwrite truncates the previous generation at commit") {
+    val dir = Files.createTempDirectory("graft_dsv2_w2_").toString
+    v2Write(dir)
+    val full = spark.read.format("graft-stats-csv").load(dir).count()
+    v2Write(dir, filter = col("user_id") <= 5)
+    val after = spark.read.format("graft-stats-csv").load(dir)
+    val expect = Tables.events(spark, sf).filter(col("user_id") <= 5).count()
+    assert(after.count() === expect, "stale files survived the overwrite")
+    assert(after.count() < full)
+    // stats sidecar describes only the new generation
+    val statsTotal = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, StatsCsvFormat.StatsFile))
+      .asScala.filter(_.nonEmpty).map(_.split(",")(4).toLong).sum
+    assert(statsTotal === expect)
+  }
+
+  test("V2 write: abort leaves no staged or committed output") {
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft_dsv2_w3_").toString
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT")
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("cluster", "user_id", "path", dir))
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = opts
+      override def queryId(): String = "spec-abort"
+      override def schema(): org.apache.spark.sql.types.StructType = ddl
+    }
+    val write = new graft.sources.StatsCsvWriteBuilder(dir, info).build()
+    val batch = write.toBatch
+    val factory = batch.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 2L))
+    val msg = w.commit()
+    batch.abort(Array(msg))
+    val left = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!left.exists(_.endsWith(".csv")), s"committed csv after abort: ${left.toSeq}")
+    assert(!left.exists(_.startsWith(".staging")), s"staging dir survived abort: ${left.toSeq}")
   }
 
   test("disjointness proofs are exact at the stats boundaries") {
