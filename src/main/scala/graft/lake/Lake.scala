@@ -226,6 +226,65 @@ object Lake {
     (before.size, parquetFiles.size)
   }
 
+  /** One partition's erasure outcome. */
+  case class EraseAudit(
+      year: Int, month: Int, day: Int, removed: Long, remaining: Long)
+
+  /** C9 (repo extra): right-to-be-forgotten erasure — physically delete
+    * every row whose `keyCol` appears in `keys` from a partitioned stream
+    * feed, rewriting ONLY the partitions that contain such rows.
+    *
+    * Shape: `keys` is a (small) deletion-requests relation, never a
+    * driver-side list — discovery is one feed scan semi-joined against the
+    * broadcast keys and partial-aggregated to per-partition hit counts
+    * (collected: bounded by partition count, same contract as compaction's
+    * day list); each affected partition is then rewritten through the
+    * compaction swap protocol (write `.erase_` tmp → move live aside →
+    * promote → drop aside), so a crash at any point leaves either the old
+    * or the new generation fully readable, never a mix. Untouched
+    * partitions keep their files byte-for-byte (LakeSpec pins this) — at
+    * 100 TB the rewrite cost is proportional to the data that actually
+    * holds the subjects, not the lake.
+    */
+  def eraseKeys(
+      spark: SparkSession, root: String, name: String,
+      keyCol: String, keys: DataFrame): Seq[EraseAudit] = {
+    import org.apache.spark.sql.functions.broadcast
+    val feed = readStreamFeed(spark, root, name)
+    val hits = feed
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val f = fs(spark, streamPath(root, name))
+    hits.toSeq.sortBy(t => (t._1, t._2, t._3)).map { case (y, m, d, nRemoved) =>
+      val live = new Path(s"${streamPath(root, name)}/year=$y/month=$m/day=$d")
+      val aside = new Path(live.getParent, s".old_${live.getName}")
+      val tmp = new Path(live.getParent, s".erase_${live.getName}")
+      // crash recovery first, same protocol as compactPartition
+      if (f.exists(aside) && !f.exists(live)) {
+        if (!f.rename(aside, live))
+          throw new java.io.IOException(s"erasure recovery: could not restore $aside")
+      }
+      f.delete(tmp, true)
+      if (f.exists(live)) f.delete(aside, true)
+      val kept = spark.read.parquet(live.toString)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val remaining = spark.read.parquet(tmp.toString).count()
+      if (!f.rename(live, aside))
+        throw new java.io.IOException(s"erasure: could not move $live aside")
+      if (!f.rename(tmp, live)) {
+        f.rename(aside, live)
+        throw new java.io.IOException(s"erasure: could not promote $tmp")
+      }
+      f.delete(aside, true)
+      f.delete(new Path(live, "_SUCCESS"), false)
+      EraseAudit(y, m, d, nRemoved, remaining)
+    }
+  }
+
   /** A12 running per-feed descriptor (export_to_data_lake.py:267-328): the
     * reference accumulates `total_records` / `total_size_mb` / `created_at`
     * / `last_export` in a `_metadata.json` next to each feed. Timestamps are

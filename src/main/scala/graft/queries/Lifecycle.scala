@@ -319,6 +319,40 @@ object Lifecycle {
     """SELECT event_id, user_id, event_type, value
       |FROM events WHERE user_id BETWEEN 40 AND 90""".stripMargin
 
+  /** C9 right-to-be-forgotten: events land in a date-partitioned lake, then
+    * every row of the requested subjects (user_id % 13 == 0 — a deletion-
+    * requests relation, not a driver list) is physically erased via
+    * `Lake.eraseKeys` — only partitions containing subjects are rewritten,
+    * through the crash-safe swap protocol. The gate returns per-day
+    * remaining counts from the POST-ERASURE lake joined with the audit's
+    * removed counts; the oracle recomputes both from the raw table, so the
+    * erasure must delete exactly the subjects' rows and nothing else.
+    */
+  def gdprErasure(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_gdpr_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    Lake.appendStream(ev, root, "events", eventTimeCol = Some("ts"))
+    val keys = Tables.events(s, d).select(col("user_id"))
+      .filter(col("user_id") % 13 === 0).distinct()
+    val audit = Lake.eraseKeys(s, root, "events", "user_id", keys)
+    val auditDf = s.createDataFrame(audit)
+      .select(col("year"), col("month"), col("day"), col("removed"))
+    Lake.readStreamFeed(s, root, "events")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("remaining"))
+      .join(auditDf, Seq("year", "month", "day"), "left")
+      .select(col("year"), col("month"), col("day"), col("remaining"),
+        coalesce(col("removed"), lit(0L)).as("removed"))
+  }
+
+  val gdprErasureOracle: String =
+    """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+      |       CAST(SUM(CASE WHEN user_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining,
+      |       CAST(SUM(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -682,6 +716,7 @@ object Lifecycle {
     "a14_dsv2_scan" -> (dsv2Scan _),
     "a15_dsv2_agg" -> (dsv2Agg _),
     "a17_dsv2_write" -> (dsv2Write _),
+    "c9_gdpr_erasure" -> (gdprErasure _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -705,6 +740,7 @@ object Lifecycle {
     "a14_dsv2_scan" -> dsv2ScanOracle,
     "a15_dsv2_agg" -> dsv2AggOracle,
     "a17_dsv2_write" -> dsv2WriteOracle,
+    "c9_gdpr_erasure" -> gdprErasureOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

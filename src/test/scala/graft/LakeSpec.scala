@@ -240,6 +240,32 @@ class LakeSpec extends SparkSpec {
     assert(out.count() === 500)
   }
 
+  test("GDPR erasure rewrites only subject partitions, exactly and idempotently") {
+    val root = Files.createTempDirectory("graft_gdpr_spec_").toString
+    // day 1 holds subjects (uid 1, 2) and bystanders; day 2 has no subjects
+    val rows = Seq(
+      (1L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"), (3L, 7L, "2024-01-01"),
+      (4L, 8L, "2024-01-02"), (5L, 9L, "2024-01-02"))
+    val df = rows.toDF("event_id", "user_id", "d")
+      .withColumn("ts", col("d").cast("timestamp")).drop("d")
+    Lake.appendStream(df, root, "ev", eventTimeCol = Some("ts"))
+    val day2 = new java.io.File(s"$root/streams/ev/year=2024/month=1/day=2")
+    val day2Before = day2.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val keys = Seq(1L, 2L, 999L).toDF("user_id")
+
+    val audit = Lake.eraseKeys(spark, root, "ev", "user_id", keys)
+    assert(audit === Seq(Lake.EraseAudit(2024, 1, 1, 2, 1)),
+      "only day 1 rewritten, 2 removed, 1 remaining")
+    // subjects gone, bystanders intact, day 2 untouched byte-for-byte
+    val back = Lake.readStreamFeed(spark, root, "ev")
+    assert(back.filter(col("user_id").isin(1L, 2L)).count() === 0)
+    assert(back.count() === 3)
+    assert(day2.listFiles().map(f => (f.getName, f.lastModified)).toSet === day2Before,
+      "partition without subjects was rewritten")
+    // idempotent: nothing left to erase, no partition touched
+    assert(Lake.eraseKeys(spark, root, "ev", "user_id", keys) === Seq.empty)
+  }
+
   test("version retention keeps newest K and no-ops when n <= K") {
     val root = scratch()
     (1 to 4).foreach(i => Lake.writeTableSnapshot(Seq(i).toDF("a"), root, "t", 99))
