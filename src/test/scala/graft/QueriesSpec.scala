@@ -73,18 +73,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tpch q3 top-10 is strictly ordered with a deterministic tie-break") {
+    val rows = graft.queries.Tpch.q3(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ra, rb) = (a.getAs[Double]("revenue"), b.getAs[Double]("revenue"))
+      assert(ra > rb || (ra == rb && a.getLong(0) < b.getLong(0)))
+    }
+  }
+
   test("every oracle has a matching query entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
   test("no query-name collisions across modules (Map ++ drops silently)") {
-    import graft.queries.{Lifecycle, Reference, Relational, Scale}
+    import graft.queries.{Analytics, Lifecycle, Reference, Relational, Scale, Tpch}
     import graft.ext.{Dedup, IncrementalLsh, Multimodal, Similarity, TextAnalysis}
     import graft.streaming.Streams
     val parts = Seq(
       Reference.defs, Relational.defs, Lifecycle.defs, Streams.defs,
-      Scale.defs, TextAnalysis.defs, Dedup.defs, IncrementalLsh.defs,
+      Scale.defs, Analytics.defs, Tpch.defs,
+      TextAnalysis.defs, Dedup.defs, IncrementalLsh.defs,
       Similarity.defs, Multimodal.defs)
     val totalKeys = parts.map(_.size).sum
     assert(SparkEntry.queries.size === totalKeys,
