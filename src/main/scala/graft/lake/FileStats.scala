@@ -131,3 +131,73 @@ object FileStats {
       .filter(col(c) >= lo && col(c) <= hi)
   }
 }
+
+/** Per-file BLOOM index for POINT lookups on columns the files are NOT
+  * clustered by — the complement of the min/max range index: a range index
+  * on an unsorted column prunes nothing (every file spans the domain),
+  * while a bloom answers "might file F contain key k?" with a bounded
+  * false-positive rate and zero false negatives, so a point read opens
+  * ~1 + fpp·files files instead of all of them (the same design as
+  * Delta's bloom file indexes).
+  *
+  * Build is ONE scan with map-side partial merges (a kryo-buffered
+  * `Aggregator` over `spark.util.sketch.BloomFilter`); the probe
+  * deserializes the candidate blooms driver-side — O(files × bloom bytes),
+  * the same bounded-driver-state contract as the min/max sidecar — and the
+  * opened files keep the residual equality filter, so a false positive can
+  * cost IO but never correctness.
+  */
+object BloomIndex {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+  import org.apache.spark.util.sketch.BloomFilter
+
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    override def reduce(b: BloomFilter, k: Long): BloomFilter = { b.putLong(k); b }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+      a.mergeInPlace(b); a
+    }
+    override def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    override def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** One-scan per-file bloom over integral column `c`. */
+  def build(
+      spark: SparkSession, dataPath: String, indexPath: String, c: String,
+      expectedPerFile: Long = 1L << 20, fpp: Double = 0.01): Unit = {
+    val agg = udaf(new BloomAgg(expectedPerFile, fpp))
+    spark.read.parquet(dataPath)
+      .filter(col(c).isNotNull)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(agg(col(c).cast("long")).as("bloom"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(indexPath)
+  }
+
+  /** Files whose bloom admits ANY of `keys` (no false negatives). */
+  def candidateFiles(
+      spark: SparkSession, indexPath: String, keys: Seq[Long]): Seq[String] =
+    spark.read.parquet(indexPath).collect().iterator.filter { r =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      keys.exists(bf.mightContainLong)
+    }.map(_.getString(0)).toSeq
+
+  /** Point lookup through the index: open only admitted files; the
+    * residual IN filter keeps results identical to a full scan.
+    */
+  def readPoint(
+      spark: SparkSession, indexPath: String, c: String, keys: Seq[Long]): DataFrame = {
+    val files = candidateFiles(spark, indexPath, keys)
+    if (files.isEmpty)
+      // provably no file holds any key: empty result with the data schema
+      spark.read.parquet(indexPath).sparkSession.emptyDataFrame
+    else spark.read.parquet(files: _*).filter(col(c).isin(keys: _*))
+  }
+}

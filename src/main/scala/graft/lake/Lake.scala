@@ -226,6 +226,42 @@ object Lake {
     (before.size, parquetFiles.size)
   }
 
+  /** Outcome of a write-audit-publish cycle. */
+  case class WapResult(published: Boolean, version: Option[Int], failedChecks: Seq[String])
+
+  /** C10 (repo extra): write-audit-publish — the Iceberg/Delta WAP pattern
+    * over the versioned table layout. The batch is STAGED to a hidden
+    * directory, the data-quality expectations run against a RE-READ of the
+    * staged files (auditing what was actually persisted, not the input
+    * plan), and only a fully-passing batch is promoted — one atomic rename
+    * to `version=vN+1`, so readers either see the old version or the
+    * complete audited new one, never a partial or dirty batch. A failing
+    * batch is deleted and reported; the live table is untouched.
+    */
+  def writeAuditPublish(
+      df: DataFrame, root: String, name: String,
+      checks: Seq[graft.governance.Quality.Check]): WapResult = {
+    val spark = df.sparkSession
+    val staged = new Path(s"${tablePath(root, name)}/.wap_staging")
+    val f = fs(spark, tablePath(root, name))
+    f.delete(staged, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val audit = graft.governance.Quality
+      .evaluate(spark.read.parquet(staged.toString), checks)
+      .collect()
+    val failed = audit.filter(!_.getBoolean(3)).map(_.getString(0)).toSeq
+    if (failed.nonEmpty) {
+      f.delete(staged, true)
+      WapResult(published = false, None, failed)
+    } else {
+      val next = latestVersion(spark, root, name).getOrElse(0) + 1
+      val live = new Path(s"${tablePath(root, name)}/version=v$next")
+      if (!f.rename(staged, live))
+        throw new java.io.IOException(s"WAP publish: could not promote $staged")
+      WapResult(published = true, Some(next), Nil)
+    }
+  }
+
   /** One partition's erasure outcome. */
   case class EraseAudit(
       year: Int, month: Int, day: Int, removed: Long, remaining: Long)

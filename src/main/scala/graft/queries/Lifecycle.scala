@@ -226,6 +226,62 @@ object Lifecycle {
     """SELECT event_id, user_id, event_type, value
       |FROM events WHERE user_id BETWEEN 100 AND 200""".stripMargin
 
+  /** Bloom point-lookup skipping: events clustered by USER (so event_ids
+    * scatter across files and a min/max index on event_id would prune
+    * nothing), a per-file bloom index built on event_id in one scan, then
+    * a 5-key point lookup that opens only bloom-admitted files. The oracle
+    * is the plain IN filter — false positives may cost IO, never rows;
+    * LakeSpec asserts the pruning ratio and the no-false-negative contract.
+    */
+  def bloomPoint(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_bloompt_")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.lake.FileStats.writeClustered(ev, s"$root/events", "user_id", numFiles = 8)
+    graft.lake.BloomIndex.build(s, s"$root/events", s"$root/bloom", "event_id")
+    graft.lake.BloomIndex.readPoint(s, s"$root/bloom", "event_id",
+      Seq(11L, 222L, 3333L, 4444L, 5555L))
+  }
+
+  val bloomPointOracle: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id IN (11, 222, 3333, 4444, 5555)""".stripMargin
+
+  /** Write-audit-publish: a base batch publishes as v1; a DIRTY batch
+    * (planted out-of-range values) is staged, audited, REJECTED — the live
+    * table must still read as v1; a clean second batch then publishes as
+    * v2. The gate returns the final table + the version stamp, so the
+    * oracle proves both that the dirty batch never became visible and that
+    * the clean pipeline advanced exactly one version.
+    */
+  def wapPublish(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.Quality
+    val root = scratch("graft_wap_")
+    val checks = Seq(
+      Quality.NotNull("o_orderstatus"),
+      Quality.InRange("o_totalprice", 0, 1e9))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val r1 = Lake.writeAuditPublish(base, root, "orders_curated", checks)
+    require(r1.published && r1.version.contains(1), s"base batch must publish v1: $r1")
+    val dirty = base.withColumn("o_totalprice",
+      when(col("o_orderkey") % 100 === 0, lit(-5.0)).otherwise(col("o_totalprice")))
+    val r2 = Lake.writeAuditPublish(dirty, root, "orders_curated", checks)
+    require(!r2.published &&
+      r2.failedChecks.forall(_.startsWith("in_range(o_totalprice")) &&
+      r2.failedChecks.nonEmpty,
+      s"dirty batch must be rejected on the range check alone: $r2")
+    val clean = base.filter(col("o_orderstatus") =!= "F")
+    val r3 = Lake.writeAuditPublish(clean, root, "orders_curated", checks)
+    require(r3.published && r3.version.contains(2), s"clean batch must publish v2: $r3")
+    Lake.readTableFeed(s, root, "orders_curated")
+      .withColumn("table_version", lit(Lake.latestVersion(s, root, "orders_curated").get))
+  }
+
+  val wapPublishOracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS table_version
+      |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin
+
   /** Z-order skipping end-to-end: events clustered on the Morton interleave
     * of (user_id, day-of-month), indexed, then range-read on user_id ALONE
     * — the dimension a single-column day layout could not prune. The
@@ -717,6 +773,8 @@ object Lifecycle {
     "a15_dsv2_agg" -> (dsv2Agg _),
     "a17_dsv2_write" -> (dsv2Write _),
     "c9_gdpr_erasure" -> (gdprErasure _),
+    "c10_wap_publish" -> (wapPublish _),
+    "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
@@ -741,6 +799,8 @@ object Lifecycle {
     "a15_dsv2_agg" -> dsv2AggOracle,
     "a17_dsv2_write" -> dsv2WriteOracle,
     "c9_gdpr_erasure" -> gdprErasureOracle,
+    "c10_wap_publish" -> wapPublishOracle,
+    "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,

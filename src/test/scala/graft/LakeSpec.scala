@@ -266,6 +266,45 @@ class LakeSpec extends SparkSpec {
     assert(Lake.eraseKeys(spark, root, "ev", "user_id", keys) === Seq.empty)
   }
 
+  test("bloom index: no false negatives, real pruning, exact point reads") {
+    val root = Files.createTempDirectory("graft_bloom_spec_").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    graft.lake.FileStats.writeClustered(ev, s"$root/ev", "user_id", numFiles = 8)
+    graft.lake.BloomIndex.build(spark, s"$root/ev", s"$root/bloom", "event_id")
+    val keys = Seq(5L, 123L, 456L, 789L)
+    // every file that truly holds a key must be admitted (no false negatives)
+    val truth = spark.read.parquet(s"$root/ev")
+      .filter(col("event_id").isin(keys: _*))
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0))
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val admitted = graft.lake.BloomIndex.candidateFiles(spark, s"$root/bloom", keys)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    assert(truth.subsetOf(admitted), s"bloom missed files: ${truth -- admitted}")
+    // and it prunes: 4 keys live in <= 4 files; fpp 1% admits few extras
+    assert(admitted.size < 8, s"bloom admitted every file")
+    // point read equals the full-scan filter exactly
+    val got = graft.lake.BloomIndex.readPoint(spark, s"$root/bloom", "event_id", keys)
+      .orderBy("event_id").collect()
+    val want = ev.filter(col("event_id").isin(keys: _*)).orderBy("event_id").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("WAP: a rejected batch leaves no staging and the live version untouched") {
+    import graft.governance.Quality
+    val root = Files.createTempDirectory("graft_wap_spec_").toString
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val r1 = Lake.writeAuditPublish(base, root, "t", Seq(Quality.InRange("v", 0, 100)))
+    assert(r1.published && r1.version.contains(1))
+    val dirty = Seq((3L, -1.0)).toDF("k", "v")
+    val r2 = Lake.writeAuditPublish(dirty, root, "t", Seq(Quality.InRange("v", 0, 100)))
+    assert(!r2.published && r2.failedChecks.nonEmpty)
+    assert(Lake.versions(spark, root, "t") === Seq(1), "rejected batch changed versions")
+    assert(!new java.io.File(s"$root/tables/t/.wap_staging").exists(),
+      "staging survived a rejected batch")
+    assert(Lake.readTableFeed(spark, root, "t").count() === 2)
+  }
+
   test("version retention keeps newest K and no-ops when n <= K") {
     val root = scratch()
     (1 to 4).foreach(i => Lake.writeTableSnapshot(Seq(i).toDF("a"), root, "t", 99))
