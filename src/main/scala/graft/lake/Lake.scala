@@ -271,16 +271,18 @@ object Lake {
     * feed, rewriting ONLY the partitions that contain such rows.
     *
     * Shape: `keys` is a (small) deletion-requests relation, never a
-    * driver-side list — discovery is one feed scan semi-joined against the
-    * broadcast keys and partial-aggregated to per-partition hit counts
-    * (collected: bounded by partition count, same contract as compaction's
-    * day list); each affected partition is then rewritten through the
-    * compaction swap protocol (write `.erase_` tmp → move live aside →
-    * promote → drop aside), so a crash at any point leaves either the old
-    * or the new generation fully readable, never a mix. Untouched
-    * partitions keep their files byte-for-byte (LakeSpec pins this) — at
-    * 100 TB the rewrite cost is proportional to the data that actually
-    * holds the subjects, not the lake.
+    * driver-side list. Three jobs total, independent of how many
+    * partitions are affected: (1) discovery — one feed scan semi-joined
+    * against the broadcast keys, partial-aggregated to per-partition hit
+    * counts (collected: bounded by partition count, the same contract as
+    * compaction's day list); (2) survivor counts per affected partition;
+    * (3) ONE dynamic-partition-overwrite write of all surviving rows —
+    * Spark stages and swaps each output partition, so untouched partitions
+    * keep their files byte-for-byte (LakeSpec pins this) and a reader sees
+    * old or new, never a mix. Partitions whose every row was a subject
+    * produce no output and are deleted explicitly. At 100 TB the rewrite
+    * cost is proportional to the data that actually holds the subjects,
+    * not the lake — and not to the partition count either.
     */
   def eraseKeys(
       spark: SparkSession, root: String, name: String,
@@ -292,32 +294,35 @@ object Lake {
       .groupBy(col("year"), col("month"), col("day"))
       .agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    if (hits.isEmpty) return Seq.empty
+    val affectedKey = col("year") * 10000 + col("month") * 100 + col("day")
+    val affectedIds = hits.keySet.map { case (y, m, d) => y * 10000 + m * 100 + d }
+    val survivors = feed
+      .filter(affectedKey.isin(affectedIds.toSeq: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .persist()
+    val remaining = survivors
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    survivors
+      .repartition(col("year"), col("month"), col("day"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day")
+      .parquet(streamPath(root, name))
+    survivors.unpersist()
     val f = fs(spark, streamPath(root, name))
-    hits.toSeq.sortBy(t => (t._1, t._2, t._3)).map { case (y, m, d, nRemoved) =>
-      val live = new Path(s"${streamPath(root, name)}/year=$y/month=$m/day=$d")
-      val aside = new Path(live.getParent, s".old_${live.getName}")
-      val tmp = new Path(live.getParent, s".erase_${live.getName}")
-      // crash recovery first, same protocol as compactPartition
-      if (f.exists(aside) && !f.exists(live)) {
-        if (!f.rename(aside, live))
-          throw new java.io.IOException(s"erasure recovery: could not restore $aside")
-      }
-      f.delete(tmp, true)
-      if (f.exists(live)) f.delete(aside, true)
-      val kept = spark.read.parquet(live.toString)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
-      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val remaining = spark.read.parquet(tmp.toString).count()
-      if (!f.rename(live, aside))
-        throw new java.io.IOException(s"erasure: could not move $live aside")
-      if (!f.rename(tmp, live)) {
-        f.rename(aside, live)
-        throw new java.io.IOException(s"erasure: could not promote $tmp")
-      }
-      f.delete(aside, true)
-      f.delete(new Path(live, "_SUCCESS"), false)
-      EraseAudit(y, m, d, nRemoved, remaining)
+    hits.toSeq.sortBy(_._1).map { case ((y, m, d), nRemoved) =>
+      val rem = remaining.getOrElse((y, m, d), 0L)
+      if (rem == 0L)
+        // every row was a subject: nothing written, drop the directory
+        f.delete(new Path(s"${streamPath(root, name)}/year=$y/month=$m/day=$d"), true)
+      EraseAudit(y, m, d, nRemoved, rem)
     }
   }
 

@@ -242,10 +242,12 @@ class LakeSpec extends SparkSpec {
 
   test("GDPR erasure rewrites only subject partitions, exactly and idempotently") {
     val root = Files.createTempDirectory("graft_gdpr_spec_").toString
-    // day 1 holds subjects (uid 1, 2) and bystanders; day 2 has no subjects
+    // day 1: subjects (uid 1, 2) + a bystander; day 2: no subjects;
+    // day 3: ONLY subjects (whole partition must disappear)
     val rows = Seq(
       (1L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"), (3L, 7L, "2024-01-01"),
-      (4L, 8L, "2024-01-02"), (5L, 9L, "2024-01-02"))
+      (4L, 8L, "2024-01-02"), (5L, 9L, "2024-01-02"),
+      (6L, 1L, "2024-01-03"), (7L, 2L, "2024-01-03"))
     val df = rows.toDF("event_id", "user_id", "d")
       .withColumn("ts", col("d").cast("timestamp")).drop("d")
     Lake.appendStream(df, root, "ev", eventTimeCol = Some("ts"))
@@ -254,8 +256,11 @@ class LakeSpec extends SparkSpec {
     val keys = Seq(1L, 2L, 999L).toDF("user_id")
 
     val audit = Lake.eraseKeys(spark, root, "ev", "user_id", keys)
-    assert(audit === Seq(Lake.EraseAudit(2024, 1, 1, 2, 1)),
-      "only day 1 rewritten, 2 removed, 1 remaining")
+    assert(audit === Seq(
+      Lake.EraseAudit(2024, 1, 1, 2, 1), Lake.EraseAudit(2024, 1, 3, 2, 0)),
+      "day 1 rewritten (2 removed, 1 kept); day 3 fully erased")
+    assert(!new java.io.File(s"$root/streams/ev/year=2024/month=1/day=3").exists(),
+      "fully-erased partition directory must be gone")
     // subjects gone, bystanders intact, day 2 untouched byte-for-byte
     val back = Lake.readStreamFeed(spark, root, "ev")
     assert(back.filter(col("user_id").isin(1L, 2L)).count() === 0)
