@@ -153,7 +153,8 @@ class StatsCsvTable(path: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatsCsvScanBuilder(path, schema,
       options.getInt("maxFilesPerTrigger", Int.MaxValue))
@@ -529,6 +530,82 @@ class StatsCsvWrite(
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new StatsCsvBatchWrite(path, schema, cluster, truncateFirst, queryId)
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new StatsCsvStreamingWrite(path, schema, cluster, queryId)
+}
+
+/** The STREAMING half of the write path (micro-batch epochs). Files are
+  * named `part-<epoch>-<partition>.csv` — deterministic per (epoch, task
+  * partition) — and each epoch commit REPLACES its own files and stats
+  * lines, so a replayed epoch (failure between sink commit and checkpoint
+  * write) converges to the same directory state: effective exactly-once on
+  * top of at-least-once delivery, the same idempotent-sink contract as the
+  * parquet foreachBatch sinks in `graft.streaming`. The stats sidecar is
+  * maintained incrementally per epoch (merge by file name), so the batch
+  * read path's file skipping and aggregate pushdown keep working on a
+  * directory a stream is still appending to.
+  */
+class StatsCsvStreamingWrite(
+    path: String, schema: StructType, cluster: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stagingDir = new Path(path, s".staging-$queryId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StatsCsvStreamingWriterFactory(path, stagingDir.toString, schema,
+      schema.fieldIndex(cluster))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val winners = messages.collect {
+      case m: StatsCsvCommitMessage if m.file != null => m
+    }
+    winners.foreach { m =>
+      val to = new Path(root, m.finalName)
+      if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace, never duplicate
+      require(fs.rename(new Path(m.file), to), s"rename failed: ${m.file} -> $to")
+    }
+    val schemaFile = new Path(root, StatsCsvFormat.SchemaFile)
+    if (!fs.exists(schemaFile)) {
+      val o = fs.create(schemaFile, true)
+      try o.write(schema.toDDL.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    }
+    // merge stats: drop prior lines for this epoch's files, add the fresh ones
+    val statsFile = new Path(root, StatsCsvFormat.StatsFile)
+    val replaced = winners.map(_.finalName).toSet
+    val prior =
+      if (fs.exists(statsFile))
+        StatsCsvFormat.readSidecar(fs, statsFile).split("\n")
+          .filter(_.nonEmpty).filterNot(l => replaced.contains(l.takeWhile(_ != ',')))
+      else Array.empty[String]
+    val fresh = winners.filter(_.cnt > 0).map(m =>
+      s"${m.finalName},$cluster,${m.mn},${m.mx},${m.cnt}")
+    val o2 = fs.create(statsFile, true)
+    try o2.write((prior ++ fresh).sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally o2.close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    new Path(path).getFileSystem(conf).delete(stagingDir, true)
+  }
+}
+
+class StatsCsvStreamingWriterFactory(
+    path: String, stagingDir: String, schema: StructType, clusterIdx: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new StatsCsvDataWriter(stagingDir, schema, clusterIdx, partitionId, taskId,
+      finalName = f"part-$epochId%05d-$partitionId%05d.csv")
 }
 
 /** Per-task result: where the staged file is, its final name, and the
@@ -617,8 +694,13 @@ class StatsCsvWriterFactory(
   */
 class StatsCsvDataWriter(
     stagingDir: String, schema: StructType, clusterIdx: Int,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    finalName: String = null)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val targetName =
+    if (finalName != null) finalName else f"part-$partitionId%05d.csv"
+
 
   private var out: java.io.BufferedWriter = _
   private var staged: Path = _
@@ -629,7 +711,7 @@ class StatsCsvDataWriter(
   private val types = schema.fields.map(_.dataType)
 
   private def ensureOpen(): Unit = if (out == null) {
-    staged = new Path(stagingDir, f"part-$partitionId%05d-attempt-$taskId.csv.staged")
+    staged = new Path(stagingDir, s"$targetName-attempt-$taskId.staged")
     val fs = staged.getFileSystem(new Configuration())
     out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(fs.create(staged, true), StandardCharsets.UTF_8))
@@ -669,7 +751,7 @@ class StatsCsvDataWriter(
     if (out != null) out.close()
     StatsCsvCommitMessage(
       if (staged == null) null else staged.toString,
-      f"part-$partitionId%05d.csv", mn, mx, cnt)
+      targetName, mn, mx, cnt)
   }
 
   override def abort(): Unit = {

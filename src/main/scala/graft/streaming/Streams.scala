@@ -941,6 +941,39 @@ object Streams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1""".stripMargin
 
+  /** The FULL connector loop: a stats-CSV directory is streamed through the
+    * connector's micro-batch SOURCE (3 files per trigger) and lands in a
+    * second stats-CSV directory through the connector's STREAMING SINK —
+    * multiple epoch commits building the files + stats sidecars
+    * incrementally. The read-back goes through the connector's batch read,
+    * so one gate covers all four quadrants (batch/stream × read/write),
+    * and the oracle proves the loop is value-exact end to end.
+    */
+  def streamDsv2Sink(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_dsv2_loop_in_").toString
+    val out = Files.createTempDirectory("graft_dsv2_loop_out_").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft_dsv2_loop_ck_").toString
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.StatsCsvFormat.write(ev, root, "user_id", numFiles = 8)
+    val q = s.readStream.format("graft-stats-csv")
+      .option("maxFilesPerTrigger", "3")
+      .load(root)
+      .writeStream.format("graft-stats-csv")
+      .option("path", out)
+      .option("cluster", "user_id").option("numFiles", "2")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("graft-stats-csv").load(out)
+      .filter(col("user_id") >= 40 && col("user_id") <= 90)
+  }
+
+  val streamDsv2SinkOracle: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE user_id BETWEEN 40 AND 90""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "a4_kafka_wire_roundtrip" -> (kafkaWireRoundtrip _),
     "a4_wire_quarantine" -> (wireQuarantine _),
@@ -962,6 +995,7 @@ object Streams {
     "s_stream_dedup_watermark" -> (streamDedupWatermark _),
     "s_stream_tws_topk" -> (streamTwsTopK _),
     "s_stream_dsv2" -> (streamDsv2 _),
+    "s_stream_dsv2_sink" -> (streamDsv2Sink _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -985,5 +1019,6 @@ object Streams {
     "s_stream_dedup_watermark" -> streamDedupWatermarkOracle,
     "s_stream_tws_topk" -> streamTwsTopKOracle,
     "s_stream_dsv2" -> streamDsv2Oracle,
+    "s_stream_dsv2_sink" -> streamDsv2SinkOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }

@@ -200,6 +200,32 @@ class SourcesSpec extends SparkSpec {
     assert(!left.exists(_.startsWith(".staging")), s"staging dir survived abort: ${left.toSeq}")
   }
 
+  test("V2 streaming sink: epoch replay converges to one file and one stats line") {
+    val dir = Files.createTempDirectory("graft_dsv2_w4_").toString
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT")
+    val sw = new graft.sources.StatsCsvStreamingWrite(dir, ddl, "user_id", "spec-replay")
+    val factory = sw.createStreamingWriterFactory(null)
+    def runEpoch(): Unit = {
+      val w = factory.createWriter(0, 1L, 0L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 2L))
+      w.write(org.apache.spark.sql.catalyst.InternalRow(3L, 4L))
+      sw.commit(0L, Array(w.commit()))
+    }
+    runEpoch()
+    runEpoch() // at-least-once delivery replays the epoch
+    val csvs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".csv") && n != StatsCsvFormat.StatsFile)
+    assert(csvs.toSeq === Seq("part-00000-00000.csv"), s"duplicated epoch files: ${csvs.toSeq}")
+    val stats = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, StatsCsvFormat.StatsFile))
+      .asScala.filter(_.nonEmpty)
+    assert(stats.size === 1 && stats.head.endsWith(",2,4,2"),
+      s"stats not converged: $stats")
+    // and the committed directory reads back exactly one epoch's rows
+    assert(spark.read.format("graft-stats-csv").load(dir).count() === 2)
+  }
+
   test("disjointness proofs are exact at the stats boundaries") {
     // file covers [10, 20]
     assert(!StatsCsvScan.disjoint(EqualTo("c", 10L), "c", 10L, 20L))
