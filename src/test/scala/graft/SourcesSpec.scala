@@ -62,6 +62,17 @@ class SourcesSpec extends SparkSpec {
     assert(scan.scan.readSchema().fieldNames.toSeq === Seq("event_id", "value"))
   }
 
+  test("batch reads are vectorized: scan reports columnar, plan bridges via ColumnarToRow") {
+    val df = spark.read.format("graft-stats-csv").load(root)
+      .select(col("event_id"), col("value"))
+    assert(v2Scan(df).supportsColumnar, "batch scan did not take the columnar path")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // row-path parity: the streaming reader (row-based) must agree exactly
+    val want = Tables.events(spark, sf).select(col("event_id"), col("value"))
+      .orderBy("event_id").collect()
+    assert(df.orderBy("event_id").collect().toSeq === want.toSeq)
+  }
+
   test("an impossible range plans zero partitions and returns zero rows") {
     val df = spark.read.format("graft-stats-csv").load(root)
       .filter(col("user_id") > 100000000L)
