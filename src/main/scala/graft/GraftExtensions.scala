@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, ProductMod, TopKPerKeyStrategy}
 
-/** SparkSessionExtensions entry point. Three slices of the extension API:
+/** SparkSessionExtensions entry point. Four slices of the extension API
+  * (function registration, optimizer rule, planner strategy, check rule):
   *
   *  - '''function registration''': the native vector expressions as SQL
   *    functions, so the pure-SQL front-end can call them
@@ -16,7 +17,11 @@ import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, ProductMod,
   *    batches, so the pattern arrives resolved and constant-folded);
   *  - '''planner strategy''': [[org.apache.spark.sql.graft.TopKPerKeyStrategy]],
   *    which plans the whole-operator top-k-per-key logical node as a
-  *    partial/final physical pair (the custom-SparkPlan extension path).
+  *    partial/final physical pair (the custom-SparkPlan extension path);
+  *  - '''check rule''': [[graft.governance.ReadGuard]], which enforces the
+  *    C4 permission catalog against every analyzed plan's file-backed
+  *    relations while a principal is installed (analysis-time row-level
+  *    security — queries over unauthorized paths fail before execution).
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * at session build (honored only when the SparkContext is created) or
@@ -26,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // analysis-time permission enforcement (no-op until a principal is
+    // installed via governance.ReadGuard.install)
+    ext.injectCheckRule(graft.governance.ReadGuard.checkRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

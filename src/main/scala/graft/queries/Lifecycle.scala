@@ -409,6 +409,47 @@ object Lifecycle {
       |       CAST(SUM(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** C11 analysis-time read enforcement: the permission catalog is wired
+    * into Catalyst as a CHECK RULE (GraftExtensions.injectCheckRule), so a
+    * query over a path the installed principal has no read/admin grant for
+    * fails at analysis — before any scan. The gate exercises the full 2×2:
+    * alice (read on one dataset) and bob (admin at the lake root) each
+    * attempt both datasets; attempts run with install/clear bracketing so
+    * the harness session is untouched afterwards. Deterministic boolean
+    * matrix → VALUES oracle.
+    */
+  def readGuard(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.{Permissions, ReadGuard}
+    val root = scratch("graft_guard_")
+    val asOf = Date.valueOf("2024-06-01")
+    val at = Timestamp.valueOf("2024-06-01 00:00:00")
+    Tables.region(s, d).write.mode(SaveMode.Overwrite).parquet(s"$root/allowed")
+    Tables.nation(s, d).write.mode(SaveMode.Overwrite).parquet(s"$root/secret")
+    var perms = Permissions.empty(s)
+    perms = Permissions.grant(perms, "alice@corp", s"$root/allowed", "read", "root@corp", at)
+    perms = Permissions.grant(perms, "bob@corp", root, "admin", "root@corp", at)
+    perms = perms.persist()
+    perms.count()
+    def attempt(principal: String, dir: String): Boolean = {
+      ReadGuard.install(perms, principal, asOf)
+      try { s.read.parquet(s"$root/$dir").count(); true }
+      catch { case _: SecurityException => false }
+      finally ReadGuard.clear()
+    }
+    val rows = for {
+      principal <- Seq("alice@corp", "bob@corp")
+      dataset <- Seq("allowed", "secret")
+    } yield (principal, dataset, attempt(principal, dataset))
+    import s.implicits._
+    rows.toDF("principal", "dataset", "allowed")
+  }
+
+  val readGuardOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('alice@corp', 'allowed', true), ('alice@corp', 'secret', false),
+      |  ('bob@corp', 'allowed', true), ('bob@corp', 'secret', true))
+      |  t(principal, dataset, allowed)""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -774,6 +815,7 @@ object Lifecycle {
     "a17_dsv2_write" -> (dsv2Write _),
     "c9_gdpr_erasure" -> (gdprErasure _),
     "c10_wap_publish" -> (wapPublish _),
+    "c11_read_guard" -> (readGuard _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
@@ -800,6 +842,7 @@ object Lifecycle {
     "a17_dsv2_write" -> dsv2WriteOracle,
     "c9_gdpr_erasure" -> gdprErasureOracle,
     "c10_wap_publish" -> wapPublishOracle,
+    "c11_read_guard" -> readGuardOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,

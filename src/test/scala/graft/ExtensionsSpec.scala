@@ -115,6 +115,53 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ReadGuard check rule: denies unauthorized paths at analysis, v1 and v2") {
+    import graft.governance.{Permissions, ReadGuard}
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-guard-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft_guard_ext_").toString
+      spark.range(5).toDF("k").write.parquet(s"$root/open")
+      spark.range(5).toDF("k").write.parquet(s"$root/locked")
+      // a stats-csv dir too: the guard must see v2 relations' path option
+      graft.sources.StatsCsvFormat.write(
+        spark.range(5).select(col("id").as("k")), s"$root/v2locked", "k", 2)
+      val at = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val perms = Permissions.grant(Permissions.empty(spark),
+        "alice@corp", s"$root/open", "read", "root@corp", at)
+      ReadGuard.install(perms, "alice@corp", java.sql.Date.valueOf("2024-06-01"))
+      try {
+        assert(spark.read.parquet(s"$root/open").count() === 5)
+        intercept[SecurityException] { spark.read.parquet(s"$root/locked").count() }
+        intercept[SecurityException] {
+          spark.read.format("graft-stats-csv").load(s"$root/v2locked").count()
+        }
+        // relation-free plans pass untouched while the guard is active
+        assert(spark.range(3).count() === 3)
+      } finally ReadGuard.clear()
+      // cleared: the same read succeeds again
+      assert(spark.read.parquet(s"$root/locked").count() === 5)
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+
   test("RewriteDotProduct rewrites the HOF fold to graft_dot, preserving results") {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
