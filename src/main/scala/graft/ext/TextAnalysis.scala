@@ -853,7 +853,46 @@ object TextAnalysis {
       |WHERE b >= 80 AND b < 90
       |GROUP BY 1""".stripMargin
 
+  /** BPE merge learning, iteration 1 — the counting kernel of tokenizer
+    * training: aggregate the corpus to a word-frequency table (the standard
+    * BPE preprocessing — all later work is per unique word, weighted by its
+    * count, never per corpus occurrence), emit every adjacent character
+    * pair of every unique word via one arithmetic `transform` (no
+    * positional self-join), and rank pairs by weighted frequency with a
+    * total order (count DESC, pair ASC) so the top-10 merge candidates are
+    * engine-deterministic. Production BPE repeats this loop after applying
+    * the winning merge; the gate pins the counting step, which is the part
+    * that touches data at scale — each iteration is two keyed partial-agg'd
+    * shuffles (word counts, pair counts), both bounded by vocabulary size
+    * after the first.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(10)
+  }
+
+  val bpeMergesOracle: String =
+    """WITH w AS (SELECT w, count(*) AS wc FROM (
+      |             SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+      |             FROM documents)
+      |           GROUP BY 1),
+      |p AS (SELECT substr(w, i, 2) AS pair, wc
+      |      FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+      |            FROM w WHERE len(w) >= 2))
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      |FROM p GROUP BY 1
+      |ORDER BY n DESC, pair
+      |LIMIT 10""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_bpe_merges" -> (bpeMerges _),
     "x_bigram_lm" -> (bigramLm _),
     "x_chunk_docs" -> (chunkDocs _),
     "x_pack_sequences" -> (packSequences _),
@@ -875,6 +914,7 @@ object TextAnalysis {
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
+    "x_bpe_merges" -> bpeMergesOracle,
     "x_bigram_lm" -> bigramLmOracle,
     "x_chunk_docs" -> chunkDocsOracle,
     "x_pack_sequences" -> packSequencesOracle,
