@@ -409,6 +409,65 @@ object Lifecycle {
       |       CAST(SUM(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** Surrogate-key lifecycle over two dimension batches: batch 1 (half the
+    * customers) is assigned dense keys 1..n by natural-key order; batch 2
+    * (ALL customers, so half are re-arrivals) must leave every existing
+    * assignment untouched and extend the sequence for the newcomers only.
+    * The oracle rebuilds the same two-step assignment in SQL, so both
+    * stability and density are hash-checked.
+    */
+  def surrogateKeys(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    val empty = Seq.empty[(Long, Long)].toDF("c_custkey", "sk")
+    val gen1 = Warehouse.assignSurrogateKeys(empty, cust.filter(col("c_custkey") % 2 === 0), "c_custkey")
+    Warehouse.assignSurrogateKeys(gen1, cust, "c_custkey")
+  }
+
+  val surrogateKeysOracle: String =
+    """WITH g1 AS (SELECT c_custkey,
+      |                   CAST(rank() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
+      |            FROM customer WHERE c_custkey % 2 = 0),
+      |g2 AS (SELECT c_custkey,
+      |              (SELECT max(sk) FROM g1)
+      |                + CAST(rank() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
+      |       FROM customer WHERE c_custkey % 2 <> 0)
+      |SELECT * FROM g1 UNION ALL SELECT * FROM g2""".stripMargin
+
+  /** Distribution-drift detection between two time slices of the event
+    * stream (first vs second half of January): per event_type, the share
+    * drift test |pA − pB| > 5 % is evaluated in EXACT integer
+    * cross-multiplication — `|cA·nB − cB·nA|·20 > nA·nB` — so the boolean
+    * verdicts are engine-identical with no float division anywhere. The
+    * monitoring op behind "did the pipeline's input change shape".
+    */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.events(s, d)
+      .select(col("event_type"),
+        (expr("ts_us div 86400000000") < lit(19738L)).as("first_half"))
+    val agg = slice.groupBy(col("event_type")).agg(
+      sum(when(col("first_half"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("first_half"), 1L).otherwise(0L)).as("c_b"))
+    val totals = agg.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    agg.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("c_a"), col("c_b"),
+        (abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")) * 20 >
+          col("n_a") * col("n_b")).as("drifted"))
+  }
+
+  val profileDriftOracle: String =
+    """WITH s AS (SELECT event_type,
+      |                  (epoch_ns(ts) // 1000) // 86400000000 < 19738 AS first_half
+      |           FROM events),
+      |agg AS (SELECT event_type,
+      |               CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |               CAST(SUM(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |        FROM s GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b FROM agg)
+      |SELECT event_type, c_a, c_b,
+      |       abs(c_a * n_b - c_b * n_a) * 20 > n_a * n_b AS drifted
+      |FROM agg CROSS JOIN t""".stripMargin
+
   /** C11 analysis-time read enforcement: the permission catalog is wired
     * into Catalyst as a CHECK RULE (GraftExtensions.injectCheckRule), so a
     * query over a path the installed principal has no read/admin grant for
@@ -820,6 +879,8 @@ object Lifecycle {
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
+    "w_surrogate_keys" -> (surrogateKeys _),
+    "c12_profile_drift" -> (profileDrift _),
     "c4_permission_check" -> (permissionCheck _),
     "c8_data_quality" -> (dataQuality _),
     "c5_feed_catalog" -> (feedCatalog _))
@@ -847,6 +908,8 @@ object Lifecycle {
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,
+    "w_surrogate_keys" -> surrogateKeysOracle,
+    "c12_profile_drift" -> profileDriftOracle,
     "c4_permission_check" -> permissionCheckOracle,
     "c8_data_quality" -> dataQualityOracle,
     "c5_feed_catalog" -> feedCatalogOracle)

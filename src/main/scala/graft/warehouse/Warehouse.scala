@@ -159,6 +159,32 @@ object Warehouse {
   /** dim_users extraction (sync_to_mysql.py:133-144) from the customer
     * table, with the reference's `updated_at` stamp.
     */
+  /** Surrogate-key assignment for a dimension: natural keys arriving in a
+    * batch get DENSE, STABLE warehouse ids — existing naturals keep their
+    * id forever, unseen naturals get `max(existing) + dense rank among the
+    * new ones` (rank ordered by natural key, so the assignment is
+    * deterministic and engine-reproducible). The id-compactness every
+    * star-schema fact join wants, without the instability of
+    * `monotonically_increasing_id`.
+    *
+    * Scale shape: the anti-join and max ride on the DIMENSION (small by
+    * definition next to facts); the rank window over the new naturals is
+    * the one ordered step — new-arrival batches are a sliver of the dim,
+    * and at extreme dim sizes the same contract holds with a two-level
+    * (bucket, rank-within-bucket) assignment.
+    */
+  def assignSurrogateKeys(
+      existing: DataFrame, batch: DataFrame, naturalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = existing.agg(coalesce(max(col("sk")), lit(0L)).as("mx"))
+    val fresh = batch.select(col(naturalCol)).distinct()
+      .join(existing, Seq(naturalCol), "left_anti")
+      .withColumn("rk", dense_rank().over(Window.orderBy(col(naturalCol))))
+      .crossJoin(broadcast(maxId))
+      .select(col(naturalCol), (col("mx") + col("rk")).as("sk"))
+    existing.unionByName(fresh)
+  }
+
   def dimUsers(customer: DataFrame, updatedAt: Date): DataFrame =
     customer.select(
       col("c_custkey").as("user_id"),

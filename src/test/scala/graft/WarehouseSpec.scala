@@ -144,4 +144,21 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("referential integrity"))
   }
+
+  test("surrogate keys: stable across batches, dense, idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Long)].toDF("nk", "sk")
+    val g1 = Warehouse.assignSurrogateKeys(empty, Seq(10L, 30L, 20L).toDF("nk"), "nk")
+    val m1 = g1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 === Map(10L -> 1L, 20L -> 2L, 30L -> 3L), s"dense by natural order: $m1")
+    // second batch: one re-arrival (20) + two new (5, 40)
+    val g2 = Warehouse.assignSurrogateKeys(g1, Seq(20L, 5L, 40L).toDF("nk"), "nk")
+    val m2 = g2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2.view.filterKeys(m1.contains).toMap === m1, "existing assignments moved")
+    assert(m2(5L) === 4L && m2(40L) === 5L, s"new keys extend the sequence: $m2")
+    // idempotent: replaying a batch adds nothing
+    assert(Warehouse.assignSurrogateKeys(g2, Seq(20L, 5L).toDF("nk"), "nk")
+      .count() === 5)
+  }
 }
