@@ -114,4 +114,67 @@ class PropertySpec extends SparkSpec {
       assert(err <= scale / 2 + 1e-12, s"err $err vs scale $scale")
     }
   }
+
+  test("BPE pair counts equal a naive per-word scan on generated corpora") {
+    val texts = sample(textGen, 200, seed = 23L)
+    // naive spec: word-frequency table, then every adjacent char pair of
+    // each unique word weighted by its corpus count
+    val words = texts.flatMap(_.split(" ", -1)).filter(_.matches("[a-z0-9]+"))
+    val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val spec = wc.toSeq.filter(_._1.length >= 2).flatMap { case (w, c) =>
+      w.sliding(2).map(_ -> c)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === spec)
+  }
+
+  test("surrogate keys: any random batch sequence yields a dense stable bijection") {
+    val batchesGen = Gen.listOfN(4, Gen.listOfN(6, Gen.chooseNum(1L, 30L)))
+    val batches = sample(batchesGen, 5, seed = 41L)
+    batches.foreach { bs =>
+      var table = Seq.empty[(Long, Long)].toDF("nk", "sk")
+      val snapshots = bs.map { b =>
+        table = Warehouse.assignSurrogateKeys(table, b.toDF("nk"), "nk")
+        table.as[(Long, Long)].collect().toMap
+      }
+      val fin = snapshots.last
+      // dense bijection onto 1..N
+      assert(fin.values.toSeq.sorted === (1L to fin.size.toLong).toList)
+      // every intermediate assignment survives unchanged to the end
+      snapshots.foreach(snap => snap.foreach { case (nk, sk) =>
+        assert(fin(nk) === sk, s"key $nk moved from $sk to ${fin(nk)}")
+      })
+    }
+  }
+
+  test("anomaly verdicts are invariant under event order and partitioning") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 5L); d <- Gen.chooseNum(0L, 6L)
+    } yield (u, d)
+    val ev = sample(evGen, 400, seed = 59L)
+    def flags(rows: Seq[(Long, Long)], parts: Int): Map[(Long, Long), Boolean] = {
+      val daily = rows.toDF("user_id", "day").repartition(parts)
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+      daily.join(stats, "user_id")
+        .select(col("user_id"), col("day"),
+          ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            lit(9L) * (col("n") * col("q") - col("s") * col("s"))).as("f"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    }
+    val base = flags(ev, 1)
+    assert(flags(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(3)).shuffle(ev), 7) === base)
+  }
 }
