@@ -128,13 +128,51 @@ object Tpch {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1""".stripMargin
 
+  /** Q10: top-20 customers by revenue lost to returned items in one
+    * quarter, with their nation — the classic returned-item report.
+    */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenue.cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, Q.QueryFn] = Map(
     "q_tpch_q1" -> (q1 _),
     "q_tpch_q3" -> (q3 _),
-    "q_tpch_q5" -> (q5 _))
+    "q_tpch_q5" -> (q5 _),
+    "q_tpch_q10" -> (q10 _))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q1" -> q1Oracle,
     "q_tpch_q3" -> q3Oracle,
-    "q_tpch_q5" -> q5Oracle)
+    "q_tpch_q5" -> q5Oracle,
+    "q_tpch_q10" -> q10Oracle)
 }
