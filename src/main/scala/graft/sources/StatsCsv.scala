@@ -722,18 +722,20 @@ class StatsCsvBatchWrite(
     val previous =
       if (fs.exists(root))
         fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".csv") || p.getName == StatsCsvFormat.StatsFile ||
-            p.getName == StatsCsvFormat.SchemaFile)
+          .filter(p => p.getName.endsWith(".csv") && p.getName != StatsCsvFormat.StatsFile)
       else Array.empty[Path]
-    if (truncateFirst) {
-      // replace semantics: old generation's files go away before renames so
-      // the final listing is exactly this write's output
-      previous.foreach(p => fs.delete(p, false))
-    }
     winners.foreach { m =>
       val to = new Path(root, m.finalName)
       if (fs.exists(to)) fs.delete(to, false)
       require(fs.rename(new Path(m.file), to), s"rename failed: ${m.file} -> $to")
+    }
+    if (truncateFirst) {
+      // replace semantics, promoted-first ordering: the new generation is
+      // fully in place before any old file not overwritten by a rename is
+      // swept, so a crash mid-commit leaves a superset, never a hole
+      val kept = winners.map(_.finalName).toSet
+      previous.filterNot(p => kept.contains(p.getName))
+        .foreach(p => fs.delete(p, false))
     }
     val statsLines = winners.filter(_.cnt > 0).map { m =>
       s"${m.finalName},$cluster,${m.mn},${m.mx},${m.cnt}"
