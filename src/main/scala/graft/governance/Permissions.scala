@@ -109,6 +109,19 @@ object Permissions {
       .agg((count(col("p_email")) > 0).as("allowed"))
   }
 
+  /** The folder prefixes under which `principal` may READ as of `asOf`
+    * (active, unexpired, read- or admin-typed), normalized like
+    * [[pathUnder]]'s folder side — the one source of truth the analysis-
+    * time [[ReadGuard]] snapshots, so rule enforcement can never drift
+    * from `check`/`checkBatch` semantics.
+    */
+  def readableFolders(perms: DataFrame, principal: String, asOf: Date): Seq[String] =
+    perms
+      .filter(col("user_email") === principal && col("is_active"))
+      .filter(col("permission_type") === "read" || col("permission_type") === "admin")
+      .filter(col("expires_at").isNull || col("expires_at") >= lit(asOf))
+      .select(folderNorm(col("folder_path"))).collect().map(_.getString(0)).toSeq
+
   /** Listing ordered by (email, folder) (permissions_manager.py:61-63). */
   def list(perms: DataFrame): DataFrame =
     perms.orderBy(col("user_email"), col("folder_path"), col("permission_type"))

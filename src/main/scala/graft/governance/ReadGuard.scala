@@ -28,19 +28,13 @@ object ReadGuard {
 
   @volatile private var active: Option[(String, Seq[String])] = None
 
-  private def norm(p: String) = p.replaceAll("/+$", "")
-
-  /** Snapshot `principal`'s active, unexpired read-capable grants and start
-    * enforcing them on every subsequent analyzed plan in this JVM session.
+  /** Snapshot `principal`'s active, unexpired read-capable grants (via the
+    * shared [[Permissions.readableFolders]] — one source of truth with
+    * `check`/`checkBatch`) and start enforcing them on every subsequent
+    * analyzed plan in this JVM session.
     */
-  def install(perms: DataFrame, principal: String, asOf: Date): Unit = {
-    val prefixes = perms
-      .filter(col("user_email") === principal && col("is_active"))
-      .filter(col("permission_type") === "read" || col("permission_type") === "admin")
-      .filter(col("expires_at").isNull || col("expires_at") >= lit(asOf))
-      .select(col("folder_path")).collect().map(r => norm(r.getString(0))).toSeq
-    active = Some((principal, prefixes))
-  }
+  def install(perms: DataFrame, principal: String, asOf: Date): Unit =
+    active = Some((principal, Permissions.readableFolders(perms, principal, asOf)))
 
   def clear(): Unit = active = None
 
@@ -65,6 +59,18 @@ object ReadGuard {
         }
         case v2: DataSourceV2Relation =>
           Option(v2.options.get("path")).foreach { raw =>
+            val up = new org.apache.hadoop.fs.Path(raw).toUri.getPath
+            if (!permitted(up, prefixes)) deny(principal, up)
+          }
+        // streaming reads resolve to their own leaves — cover both, or a
+        // readStream over an unauthorized path would bypass the guard
+        case sv2: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
+          Option(sv2.extraOptions.get("path")).foreach { raw =>
+            val up = new org.apache.hadoop.fs.Path(raw).toUri.getPath
+            if (!permitted(up, prefixes)) deny(principal, up)
+          }
+        case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+          (sr.dataSource.paths ++ sr.dataSource.options.get("path")).foreach { raw =>
             val up = new org.apache.hadoop.fs.Path(raw).toUri.getPath
             if (!permitted(up, prefixes)) deny(principal, up)
           }

@@ -190,14 +190,16 @@ object BloomIndex {
     }.map(_.getString(0)).toSeq
 
   /** Point lookup through the index: open only admitted files; the
-    * residual IN filter keeps results identical to a full scan.
+    * residual IN filter keeps results identical to a full scan. `dataPath`
+    * supplies the schema when every file is pruned (schema-only footer
+    * read — an empty result must still carry the data columns).
     */
   def readPoint(
-      spark: SparkSession, indexPath: String, c: String, keys: Seq[Long]): DataFrame = {
+      spark: SparkSession, dataPath: String, indexPath: String,
+      c: String, keys: Seq[Long]): DataFrame = {
     val files = candidateFiles(spark, indexPath, keys)
     if (files.isEmpty)
-      // provably no file holds any key: empty result with the data schema
-      spark.read.parquet(indexPath).sparkSession.emptyDataFrame
+      spark.read.parquet(dataPath).filter(lit(false))
     else spark.read.parquet(files: _*).filter(col(c).isin(keys: _*))
   }
 }

@@ -64,6 +64,7 @@ object Analytics {
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
 
     var r = deg.withColumn("r", lit(Scale))
+    val frontiers = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to 3) {
       val contrib = e.join(
           r.filter(col("outdeg") > 0)
@@ -78,8 +79,15 @@ object Analytics {
           expr(s"${15L * Scale / 100} + (85 * (coalesce(in_mass, CAST(0 AS BIGINT))" +
             " + (dmass div n_nodes))) div 100").as("r"))
         .persist()
+      frontiers += r
     }
-    r.select(col("node").as("s_suppkey"), col("r").as("rank_scaled"))
+    // materialize once, then release every intermediate cache — gates run
+    // in a long-lived session, and leaked frontier blocks would accumulate
+    val out = r.select(col("node").as("s_suppkey"), col("r").as("rank_scaled"))
+      .localCheckpoint()
+    frontiers.foreach(_.unpersist())
+    deg.unpersist(); e.unpersist()
+    out
   }
 
   private def pagerankIterSql(prev: String, out: String): String =
@@ -152,9 +160,12 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(
       degree.agg(count(lit(1)).as("n_active_nodes")))
-    stats.crossJoin(tri)
+    val out = stats.crossJoin(tri)
       .select(col("n_active_nodes"), col("n_edges"), col("n_triangles"),
         (col("n_triangles") * lit(1000L)).as("est_triangles"))
+      .localCheckpoint()
+    oriented.unpersist(); und.unpersist()
+    out
   }
 
   val graphTrianglesOracle: String =
@@ -366,13 +377,16 @@ object Analytics {
     val triPerNode = triangles
       .select(explode(array(col("apex"), col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    degree.join(triPerNode, Seq("node"), "left")
+    val out = degree.join(triPerNode, Seq("node"), "left")
       .select(col("node").as("s_suppkey"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         (col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
       .withColumn("coeff",
         when(col("n_wedges") > 0,
           col("n_tri").cast("double") / col("n_wedges")).otherwise(lit(null)))
+      .localCheckpoint()
+    oriented.unpersist(); und.unpersist()
+    out
   }
 
   val graphClusteringCoeffOracle: String =

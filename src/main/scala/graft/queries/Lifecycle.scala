@@ -239,7 +239,7 @@ object Lifecycle {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     graft.lake.FileStats.writeClustered(ev, s"$root/events", "user_id", numFiles = 8)
     graft.lake.BloomIndex.build(s, s"$root/events", s"$root/bloom", "event_id")
-    graft.lake.BloomIndex.readPoint(s, s"$root/bloom", "event_id",
+    graft.lake.BloomIndex.readPoint(s, s"$root/events", s"$root/bloom", "event_id",
       Seq(11L, 222L, 3333L, 4444L, 5555L))
   }
 

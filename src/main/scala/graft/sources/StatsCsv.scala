@@ -201,8 +201,17 @@ class StatsCsvScanBuilder(
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (hadFilters || aggregation.groupByExpressions().nonEmpty) return false
-    val stats = StatsCsvFormat.readStats(path).values.toSeq
+    val statsMap = StatsCsvFormat.readStats(path)
+    val stats = statsMap.values.toSeq
     if (stats.isEmpty) return false
+    // coverage guard: a data file missing from the sidecar (dropped
+    // malformed line, all-NULL cluster values, partial external write)
+    // would make sidecar-answered aggregates silently wrong — fall back
+    val conf0 = SparkSession.active.sparkContext.hadoopConfiguration
+    val root0 = new Path(path)
+    val dataFiles = root0.getFileSystem(conf0).listStatus(root0).map(_.getPath.getName)
+      .filter(n => n.endsWith(".csv") && n != StatsCsvFormat.StatsFile)
+    if (!dataFiles.forall(statsMap.contains)) return false
     val statsCol = stats.head.col
     def onStatsCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
@@ -662,11 +671,14 @@ class StatsCsvStreamingWrite(
         StatsCsvFormat.readSidecar(fs, statsFile).split("\n")
           .filter(_.nonEmpty).filterNot(l => replaced.contains(l.takeWhile(_ != ',')))
       else Array.empty[String]
-    val fresh = winners.filter(_.cnt > 0).map(m =>
+    val fresh = winners.filter(m => m.cnt > 0 && m.mn <= m.mx).map(m =>
       s"${m.finalName},$cluster,${m.mn},${m.mx},${m.cnt}")
     val o2 = fs.create(statsFile, true)
     try o2.write((prior ++ fresh).sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally o2.close()
+    // losing/retried attempts leave .staged files; epochs are sequential,
+    // so the staging dir is garbage once this epoch's winners are promoted
+    fs.delete(stagingDir, true)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -699,11 +711,15 @@ class StatsCsvBatchWrite(
 
   private def stagingDir = new Path(path, s".staging-$queryId")
 
+  // file names carry a query-unique prefix so APPEND generations can never
+  // collide with (and silently replace) an earlier write's part files
+  private def gen = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
+
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     new StatsCsvWriterFactory(path, stagingDir.toString, schema,
-      schema.fieldIndex(cluster))
+      schema.fieldIndex(cluster), gen)
 
   /** Driver-side finalize: arbitrate one staged file per partition, rename
     * into place, then write the sidecars (schema first, stats LAST — the
@@ -737,13 +753,24 @@ class StatsCsvBatchWrite(
       previous.filterNot(p => kept.contains(p.getName))
         .foreach(p => fs.delete(p, false))
     }
-    val statsLines = winners.filter(_.cnt > 0).map { m =>
+    // merge (append) or replace (truncate) the stats sidecar; a file whose
+    // cluster values were all NULL emits NO line — the aggregate-pushdown
+    // coverage check then forces a real scan instead of serving sentinels
+    val statsLines = winners.filter(m => m.cnt > 0 && m.mn <= m.mx).map { m =>
       s"${m.finalName},$cluster,${m.mn},${m.mx},${m.cnt}"
     }
+    val statsFile = new Path(root, StatsCsvFormat.StatsFile)
+    val replaced = winners.map(_.finalName).toSet
+    val prior =
+      if (!truncateFirst && fs.exists(statsFile))
+        StatsCsvFormat.readSidecar(fs, statsFile).split("\n")
+          .filter(_.nonEmpty).filterNot(l => replaced.contains(l.takeWhile(_ != ',')))
+      else Array.empty[String]
     val out1 = fs.create(new Path(root, StatsCsvFormat.SchemaFile), true)
     try out1.write(schema.toDDL.getBytes(StandardCharsets.UTF_8)) finally out1.close()
-    val out2 = fs.create(new Path(root, StatsCsvFormat.StatsFile), true)
-    try out2.write(statsLines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val out2 = fs.create(statsFile, true)
+    try out2.write((prior ++ statsLines).sorted.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
     finally out2.close()
     fs.delete(stagingDir, true)
   }
@@ -757,11 +784,13 @@ class StatsCsvBatchWrite(
 }
 
 class StatsCsvWriterFactory(
-    path: String, stagingDir: String, schema: StructType, clusterIdx: Int)
+    path: String, stagingDir: String, schema: StructType, clusterIdx: Int,
+    gen: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new StatsCsvDataWriter(stagingDir, schema, clusterIdx, partitionId, taskId)
+    new StatsCsvDataWriter(stagingDir, schema, clusterIdx, partitionId, taskId,
+      finalName = f"part-$gen%s-$partitionId%05d.csv")
 }
 
 /** Streams rows to one staged CSV file, folding min/max/count of the

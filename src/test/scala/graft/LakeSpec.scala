@@ -289,10 +289,15 @@ class LakeSpec extends SparkSpec {
     // and it prunes: 4 keys live in <= 4 files; fpp 1% admits few extras
     assert(admitted.size < 8, s"bloom admitted every file")
     // point read equals the full-scan filter exactly
-    val got = graft.lake.BloomIndex.readPoint(spark, s"$root/bloom", "event_id", keys)
+    val got = graft.lake.BloomIndex.readPoint(spark, s"$root/ev", s"$root/bloom", "event_id", keys)
       .orderBy("event_id").collect()
     val want = ev.filter(col("event_id").isin(keys: _*)).orderBy("event_id").collect()
     assert(got.toSeq === want.toSeq)
+    // all-pruned lookup: empty result still carries the data schema
+    val none = graft.lake.BloomIndex.readPoint(
+      spark, s"$root/ev", s"$root/bloom", "event_id", Seq(-12345L))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("event_id", "user_id", "value"))
   }
 
   test("WAP: a rejected batch leaves no staging and the live version untouched") {

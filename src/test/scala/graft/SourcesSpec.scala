@@ -166,8 +166,11 @@ class SourcesSpec extends SparkSpec {
     stats.sliding(2).foreach { case Seq((f1, _, mx1), (f2, mn2, _)) =>
       assert(mx1 <= mn2, s"files $f1 and $f2 overlap: max $mx1 > min $mn2")
     }
-    // sorted file names follow the cluster order (partition-indexed names)
-    assert(stats.map(_._1).forall(_.matches("part-\\d{5}\\.csv")))
+    // names: query-unique generation prefix + partition index, so sorted
+    // listing within one write follows the cluster order and APPEND
+    // generations can never collide
+    assert(stats.map(_._1).forall(_.matches("part-[a-zA-Z0-9]+-\\d{5}\\.csv")),
+      s"unexpected names: ${stats.map(_._1)}")
   }
 
   test("V2 write: overwrite truncates the previous generation at commit") {
@@ -184,6 +187,36 @@ class SourcesSpec extends SparkSpec {
         java.nio.file.Paths.get(dir, StatsCsvFormat.StatsFile))
       .asScala.filter(_.nonEmpty).map(_.split(",")(4).toLong).sum
     assert(statsTotal === expect)
+  }
+
+  test("V2 write: append preserves prior generations, stats sidecar merges") {
+    val dir = Files.createTempDirectory("graft_dsv2_w5_").toString
+    v2Write(dir)
+    val full = Tables.events(spark, sf).count()
+    v2Write(dir, mode = "append", filter = col("user_id") <= 5)
+    val extra = Tables.events(spark, sf).filter(col("user_id") <= 5).count()
+    val back = spark.read.format("graft-stats-csv").load(dir)
+    // count() goes through sidecar-answered pushdown — merge must be exact
+    assert(back.count() === full + extra)
+    // and the real rows agree (appended subset present twice for uid<=5)
+    assert(back.filter(col("user_id") <= 5).count() === 2 * extra)
+  }
+
+  test("aggregate pushdown falls back when the sidecar misses a file") {
+    val dir = Files.createTempDirectory("graft_dsv2_w6_").toString
+    v2Write(dir)
+    val statsPath = java.nio.file.Paths.get(dir, StatsCsvFormat.StatsFile)
+    val lines = java.nio.file.Files.readAllLines(statsPath).asScala.filter(_.nonEmpty)
+    java.nio.file.Files.write(statsPath,
+      lines.drop(1).mkString("\n").getBytes("UTF-8"))
+    // drop hadoop's checksum sidecar — the NIO edit stales it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._GRAFT_STATS.csv.crc"))
+    val df = spark.read.format("graft-stats-csv").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(!v2Scan(df).scan.isInstanceOf[graft.sources.StatsCsvAggScan],
+      "uncovered sidecar must not answer aggregates")
+    assert(df.collect()(0).getLong(0) === Tables.events(spark, sf).count())
   }
 
   test("V2 write: abort leaves no staged or committed output") {
