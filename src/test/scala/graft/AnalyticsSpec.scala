@@ -122,7 +122,10 @@ class AnalyticsSpec extends SparkSpec {
 
   test("clustering coefficient: corner counts sum to 3x triangles, coeff in [0,1]") {
     val cc = Analytics.graphClusteringCoeff(spark, sf).collect()
-    val tri = bruteTriangles(bruteEdges()) // full (unsampled) graph
+    val sampled = bruteEdges().filter { case (u, v) =>
+      ((u * 2654435761L + v * 40503L) % 4294967296L) % 10 == 0
+    } // same deterministic sample as the gate
+    val tri = bruteTriangles(sampled)
     assert(cc.map(_.getAs[Long]("n_tri")).sum === 3L * tri)
     cc.foreach { r =>
       val (nTri, wedges) = (r.getAs[Long]("n_tri"), r.getAs[Long]("n_wedges"))
