@@ -53,7 +53,15 @@ object Analytics {
     * graph job), and the dangling/N scalars ride along as broadcast 1-row
     * joins. Edges are re-read per iteration from the same persisted frame.
     */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    graphPagerank(s, d, checkpoint = true)
+
+  /** `checkpoint = false` exposes the live pipeline plan (used by the plan
+    * auditor); the gate path checkpoints so intermediate caches can be
+    * released without recompute.
+    */
+  private[graft] def graphPagerank(
+      s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     val e = coEdges(s, d).persist()
     val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
     val deg = nodes.join(
@@ -83,11 +91,14 @@ object Analytics {
     }
     // materialize once, then release every intermediate cache — gates run
     // in a long-lived session, and leaked frontier blocks would accumulate
-    val out = r.select(col("node").as("s_suppkey"), col("r").as("rank_scaled"))
-      .localCheckpoint()
-    frontiers.foreach(_.unpersist())
-    deg.unpersist(); e.unpersist()
-    out
+    val res = r.select(col("node").as("s_suppkey"), col("r").as("rank_scaled"))
+    if (!checkpoint) res
+    else {
+      val out = res.localCheckpoint()
+      frontiers.foreach(_.unpersist())
+      deg.unpersist(); e.unpersist()
+      out
+    }
   }
 
   private def pagerankIterSql(prev: String, out: String): String =
@@ -134,7 +145,11 @@ object Analytics {
     * closing probe broadcasts the sampled edge list so the wedge stream
     * never shuffles.
     */
-  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+  def graphTriangles(s: SparkSession, d: String): DataFrame =
+    graphTriangles(s, d, checkpoint = true)
+
+  private[graft] def graphTriangles(
+      s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     val e = coEdges(s, d)
     // canonical undirected edges u < v, hash-sampled at p = 1/10
     val und = e.filter(col("src") < col("dst"))
@@ -160,12 +175,15 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(
       degree.agg(count(lit(1)).as("n_active_nodes")))
-    val out = stats.crossJoin(tri)
+    val res = stats.crossJoin(tri)
       .select(col("n_active_nodes"), col("n_edges"), col("n_triangles"),
         (col("n_triangles") * lit(1000L)).as("est_triangles"))
-      .localCheckpoint()
-    oriented.unpersist(); und.unpersist()
-    out
+    if (!checkpoint) res
+    else {
+      val out = res.localCheckpoint()
+      oriented.unpersist(); und.unpersist()
+      out
+    }
   }
 
   val graphTrianglesOracle: String =
