@@ -547,7 +547,56 @@ object Analytics {
       |      FROM orders)
       |GROUP BY bucket""".stripMargin
 
+  /** Last-touch attribution: every purchase is credited to the same user's
+    * most recent PRECEDING click (strictly earlier event time; ties broken
+    * by event_id, so the ordering is total and engine-identical), with the
+    * click→purchase latency — the marketing-attribution op behind
+    * "which click drove this conversion". Purchases with no prior click
+    * attribute to NULL.
+    *
+    * Scale shape: one per-user ordered window over ONLY the click/purchase
+    * subset (filter pushed to the scan), carrying the last-click id and
+    * time via `last(…, ignoreNulls)` over the strictly-preceding frame —
+    * the same union-tag-and-carry construction as the as-of join, no
+    * per-purchase subquery, no self-join.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("click_id"), (col("ts_us") - col("click_ts")).as("gap_us"))
+  }
+
+  val attributionOracle: String =
+    """WITH cp AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |carried AS (
+      |  SELECT user_id, event_id, ts_us, event_type,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |           OVER w AS click_id,
+      |         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      |           OVER w AS click_ts
+      |  FROM cp
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id AS purchase_id, click_id,
+      |       ts_us - click_ts AS gap_us
+      |FROM carried WHERE event_type = 'purchase'""".stripMargin
+
   val defs: Map[String, Q.QueryFn] = Map(
+    "x_attribution" -> (attribution _),
     "x_graph_clustering" -> (graphClusteringCoeff _),
     "x_transition_matrix" -> (transitionMatrix _),
     "x_rfm_segments" -> (rfmSegments _),
@@ -560,6 +609,7 @@ object Analytics {
     "x_ts_anomaly" -> (tsAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "x_attribution" -> attributionOracle,
     "x_graph_clustering" -> graphClusteringCoeffOracle,
     "x_transition_matrix" -> transitionMatrixOracle,
     "x_rfm_segments" -> rfmSegmentsOracle,

@@ -350,6 +350,56 @@ object Streams {
     graft.lake.Lake.readTableFeed(s, root, "user_latest")
   }
 
+  /** Streaming-driven GDPR erasure: deletion requests arrive as a stream
+    * (three request files drained one per trigger) and each micro-batch is
+    * applied to the lake through `Lake.eraseKeys` — the subjects of batch k
+    * are physically gone before batch k+1 is admitted. Composes the C9
+    * partition-surgery operator with the streaming admission-control
+    * machinery; the oracle proves the final lake equals "all subjects
+    * erased" regardless of how the requests were batched (erasure is
+    * idempotent and batch-composable by construction).
+    */
+  def streamErasure(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_serase_").toString
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    graft.lake.Lake.appendStream(ev, root, "events", eventTimeCol = Some("ts"))
+    // deletion requests: user_id % 13 == 0, split into 3 request files
+    val reqDir = Files.createTempDirectory("graft_serase_req_").toString
+    val subjects = graft.Tables.events(s, d).select(col("user_id"))
+      .filter(col("user_id") % 13 === 0).distinct()
+    (0 to 2).foreach { i =>
+      subjects.filter(col("user_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$reqDir/req_$i")
+    }
+    val schema = subjects.schema
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$reqDir/req_*")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.lake.Lake.eraseKeys(
+          batch.sparkSession, root, "events", "user_id", batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.lake.Lake.readStreamFeed(s, root, "events")
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(count(lit(1)).as("remaining"))
+  }
+
+  val streamErasureOracle: String =
+    """SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+      |       CAST(SUM(CASE WHEN user_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining
+      |FROM events GROUP BY 1, 2, 3
+      |HAVING remaining > 0""".stripMargin
+
   val streamUpsertOracle: String =
     """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
       |FROM events
@@ -996,6 +1046,7 @@ object Streams {
     "s_stream_tws_topk" -> (streamTwsTopK _),
     "s_stream_dsv2" -> (streamDsv2 _),
     "s_stream_dsv2_sink" -> (streamDsv2Sink _),
+    "s_stream_erasure" -> (streamErasure _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
 
   val oracles: Map[String, String] = Map(
@@ -1020,5 +1071,6 @@ object Streams {
     "s_stream_tws_topk" -> streamTwsTopKOracle,
     "s_stream_dsv2" -> streamDsv2Oracle,
     "s_stream_dsv2_sink" -> streamDsv2SinkOracle,
+    "s_stream_erasure" -> streamErasureOracle,
     "s_stream_ingest_lake" -> streamIngestOracle)
 }
