@@ -767,7 +767,66 @@ object Relational {
       |       COUNT(*) AS cnt
       |FROM customer GROUP BY 1""".stripMargin
 
+  /** Correlated LATERAL join (Spark 4 SQL): for every nation, its top-2
+    * customers by account balance via a correlated LATERAL subquery — the
+    * SQL-standard form of per-key top-k. Deterministic tie-break on
+    * custkey; the planner decorrelates this into a ranked window, so the
+    * declarative form costs the same as the window formulation.
+    */
+  def lateralJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_v n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_v c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t""".stripMargin)
+  }
+
+  val lateralJoinOracle: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+      |) t""".stripMargin
+
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN`):
+    * the discounted-charge formula registered ONCE as a catalog-level SQL
+    * UDF and used from a plain query — fully declarative, inlined by the
+    * analyzer (no black-box lambda), so pushdown/codegen see through it.
+    * The oracle inlines the same expression by hand.
+    */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(ep DOUBLE, disc DOUBLE, tax DOUBLE)
+            |RETURNS DECIMAL(25,6)
+            |RETURN CAST(CAST(ep AS DECIMAL(12,2)) * CAST(1.0 - disc AS DECIMAL(12,2))
+            |            * CAST(1.0 + tax AS DECIMAL(12,2)) AS DECIMAL(25,6))""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |       CAST(SUM(graft_charge(l_extendedprice, l_discount, l_tax)) AS DOUBLE)
+        |         AS total_charge,
+        |       COUNT(*) AS n
+        |FROM lineitem_v GROUP BY 1""".stripMargin)
+  }
+
+  val sqlUdfOracle: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                     * CAST(1.0 - l_discount AS DECIMAL(12,2))
+      |                     * CAST(1.0 + l_tax AS DECIMAL(12,2)) AS DECIMAL(25,6)))
+      |         AS DOUBLE) AS total_charge,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "d_lateral_join" -> (lateralJoin _),
+    "d_sql_udf" -> (sqlUdf _),
     "d_join_left" -> (joinLeft _),
     "d_join_semi" -> (joinSemi _),
     "d_join_anti" -> (joinAnti _),
@@ -806,6 +865,8 @@ object Relational {
     "d_string_agg" -> (stringAgg _))
 
   val oracles: Map[String, String] = Map(
+    "d_lateral_join" -> lateralJoinOracle,
+    "d_sql_udf" -> sqlUdfOracle,
     "d_join_left" -> joinLeftOracle,
     "d_join_semi" -> joinSemiOracle,
     "d_join_anti" -> joinAntiOracle,
