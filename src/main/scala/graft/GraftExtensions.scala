@@ -30,6 +30,10 @@ import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, ProductMod,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // materialized-view rewrite: aggregates over a registered base table
+    // are re-pointed at its pre-aggregated summary when answer-preserving
+    // (no-op until a view is registered via warehouse.SummaryRewrite.create)
+    ext.injectOptimizerRule(session => graft.warehouse.SummaryRewrite.rule(session))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     // analysis-time permission enforcement (no-op until a principal is
     // installed via governance.ReadGuard.install)

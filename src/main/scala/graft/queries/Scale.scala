@@ -542,6 +542,60 @@ object Scale {
       |WHERE s_acctbal > 5000
       |GROUP BY 1""".stripMargin
 
+  /** Materialized-view query rewrite end-to-end: a rollup of lineitem by
+    * (l_returnflag, l_linestatus) is materialized and registered, then a
+    * COARSER aggregate (by l_returnflag only, with a key-only filter) is
+    * written against the BASE table — and the injected optimizer rule
+    * ([[graft.warehouse.SummaryRewrite]]) re-points it at the rollup. The
+    * gate hard-fails unless the optimized plan scans the summary and not
+    * the fact table, so correctness here proves BOTH the rewrite fired and
+    * that it is answer-preserving (oracle runs the same query on the raw
+    * lineitem in DuckDB). At 100 TB the difference is a fact-table scan vs
+    * a dimension-sized summary read. The result is collected (3 rows) and
+    * returned as a local relation so the view can be dropped eagerly —
+    * later gates must never see a registered view they didn't create.
+    */
+  def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = Files.createTempDirectory("graft_mv_").toString
+    val basePath = Tables.path(d, "lineitem")
+    try {
+      SummaryRewrite.create(s, "mv_li_rfls", basePath, s"$root/mv",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq(
+          "l_quantity" -> Some("decimal(18,2)"),
+          "l_extendedprice" -> Some("decimal(18,2)")),
+        mins = Seq("l_discount"), maxs = Seq("l_discount"))
+      val q = s.read.parquet(basePath)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Q.moneySum(col("l_quantity")).as("sum_qty"),
+          Q.moneySum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc"),
+          count(lit(1)).as("cnt"))
+      val paths = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      require(paths.exists(_.endsWith("/mv")),
+        s"materialized-view rewrite did not fire; scanned $paths")
+      require(!paths.exists(_.endsWith("lineitem.parquet")),
+        s"rewritten plan still scans the base table: $paths")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally SummaryRewrite.drop("mv_li_rfls")
+  }
+
+  val mvRewriteOracle: String =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       MIN(l_discount) AS min_disc,
+      |       MAX(l_discount) AS max_disc,
+      |       COUNT(*) AS cnt
+      |FROM lineitem
+      |WHERE l_returnflag <> 'N'
+      |GROUP BY 1""".stripMargin
+
   /** C6 orchestration tick: full export+sync cycle; deterministic statuses
     * checked against a VALUES oracle.
     */
@@ -597,6 +651,7 @@ object Scale {
     "x_sample_pergroup" -> (samplePerGroup _),
     "p_skew_join" -> (skewJoin _),
     "p_dpp_join" -> (dppJoin _),
+    "p_mv_rewrite" -> (mvRewrite _),
     "x_product_fingerprint" -> (productFingerprint _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
@@ -614,6 +669,7 @@ object Scale {
     "x_sample_pergroup" -> samplePerGroupOracle,
     "p_skew_join" -> skewJoinOracle,
     "p_dpp_join" -> dppJoinOracle,
+    "p_mv_rewrite" -> mvRewriteOracle,
     "x_product_fingerprint" -> productFingerprintOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,

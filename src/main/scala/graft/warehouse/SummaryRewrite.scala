@@ -1,0 +1,227 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.DataType
+
+/** Materialized-view (summary-table) query rewrite — the classic 100 TB
+  * pre-aggregation win, done the Catalyst way.
+  *
+  * The reference pre-computes its four warehouse aggregates as ksqlDB
+  * tables and serves reads from those (SURVEY.md §2.B B4-B7,
+  * data_lake_config.py:82-115) — but its consumers must KNOW to query the
+  * summary. Here the summary stays transparent: `create` materializes a
+  * grouped rollup of a base table to parquet and registers it in a
+  * driver-side catalog; an injected optimizer rule ([[SummaryRewrite.rule]],
+  * wired by [[graft.GraftExtensions]] into the operator-optimization batch)
+  * then rewrites ANY later aggregate over the base table into an aggregate
+  * over the rollup whenever that is provably answer-preserving:
+  *
+  *  - every grouping column is a subset of the view's grouping keys
+  *    (a coarser re-aggregation of a finer rollup is exact);
+  *  - every filter between the aggregate and the scan references grouping
+  *    keys only (key predicates select whole groups, so they commute with
+  *    the pre-aggregation);
+  *  - every aggregate call decomposes over the view: SUM(x) = SUM of the
+  *    per-group sums, COUNT(*)/COUNT(1) = SUM of the per-group counts,
+  *    MIN/MAX(x) = MIN/MAX of the per-group minima/maxima — with no
+  *    DISTINCT and no FILTER clause. Re-aggregated results are cast back
+  *    to the original aggregate's result type, so downstream operators
+  *    (and the driver's hash compare) see bit-identical schema and values.
+  *
+  * Anything else — a non-key filter, AVG written as `avg` rather than
+  * sum/count, COUNT(col), a UDAF — leaves the plan untouched; the rule is
+  * allowed to decline, never to approximate. Output attribute `exprId`s are
+  * preserved through the rewrite (exprId-keyed aliases), so operators above
+  * the aggregate re-bind without a fixup pass. The rule runs inside the
+  * fixed-point operator-optimization batch and is idempotent by
+  * construction: after the rewrite the scan no longer matches the
+  * registered base path.
+  *
+  * Why this matters at scale: the rollup is |groups| rows where the base is
+  * |facts| — at 100 TB a dashboard query that would scan the fact table
+  * reads a dimension-sized summary instead, and column pruning/pushdown on
+  * the rewritten plan still apply because the rewrite happens mid-optimizer,
+  * not after it. Refresh is the owner's job (re-`create` after a load; at
+  * scale, per-partition incremental refresh à la
+  * [[graft.queries.Lifecycle]]'s incremental aggregate).
+  */
+object SummaryRewrite {
+
+  /** One decomposable measure: `kind` ∈ sum|min|max, over base column
+    * `baseCol` (optionally pre-cast to `castTo` — the repo's decimal(18,2)
+    * money convention), materialized as view column `mvCol`.
+    */
+  final case class Measure(kind: String, baseCol: String, castTo: Option[DataType], mvCol: String)
+
+  /** A registered summary: `basePath`/`mvPath` are normalized URI paths. */
+  final case class MvDef(
+      name: String,
+      basePath: String,
+      mvPath: String,
+      keys: Seq[String],
+      measures: Seq[Measure],
+      countCol: String)
+
+  @volatile private var registered: List[MvDef] = Nil
+
+  private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Materialize + register a summary of `basePath` grouped by `keys`.
+    *
+    * `sums` is (column, optional cast DDL type) — the cast must match the
+    * query side's pre-aggregation cast exactly for the rewrite to fire.
+    */
+  def create(
+      spark: SparkSession,
+      name: String,
+      basePath: String,
+      mvPath: String,
+      keys: Seq[String],
+      sums: Seq[(String, Option[String])] = Nil,
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): MvDef = {
+    val base = spark.read.parquet(basePath)
+    val measures =
+      sums.map { case (c, ct) =>
+        Measure("sum", c, ct.map(DataType.fromDDL), s"mv_sum_$c")
+      } ++
+        mins.map(c => Measure("min", c, None, s"mv_min_$c")) ++
+        maxs.map(c => Measure("max", c, None, s"mv_max_$c"))
+    val aggCols = measures.map { m =>
+      val in = m.castTo.map(t => col(m.baseCol).cast(t)).getOrElse(col(m.baseCol))
+      (m.kind match {
+        case "sum" => sum(in)
+        case "min" => min(in)
+        case "max" => max(in)
+      }).as(m.mvCol)
+    } :+ count(lit(1)).as("mv_cnt")
+    base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val mv = MvDef(name, norm(basePath), norm(mvPath), keys, measures, "mv_cnt")
+    registered = mv :: registered.filterNot(_.name == name)
+    mv
+  }
+
+  def drop(name: String): Unit = registered = registered.filterNot(_.name == name)
+  def clear(): Unit = registered = Nil
+
+  /** The injected rule (one instance per session, see [[graft.GraftExtensions]]). */
+  def rule(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registered.isEmpty || !plan.resolved) plan
+      else plan.transformDown {
+        case agg: Aggregate => rewrite(session, agg).getOrElse(agg)
+      }
+  }
+
+  /** Peel column-pruning Projects and key-only Filters down to a scan of
+    * `mv.basePath`; returns the collected filter conditions on success.
+    */
+  private def matchBase(mv: MvDef, plan: LogicalPlan): Option[Seq[Expression]] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.map(_.toUri.getPath) == Seq(mv.basePath) =>
+        Some(Nil)
+      case _ => None
+    }
+    case Filter(cond, child) if cond.deterministic =>
+      matchBase(mv, child).map(cond +: _)
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      matchBase(mv, child)
+    case _ => None
+  }
+
+  private def rewrite(session: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    val candidates = registered.flatMap(mv => matchBase(mv, agg.child).map(mv -> _))
+    candidates.headOption.flatMap { case (mv, filters) =>
+      val keySet = mv.keys.toSet
+      def keysOnly(e: Expression): Boolean = e.references.forall(a => keySet.contains(a.name))
+      val groupingOk = agg.groupingExpressions.forall {
+        case a: AttributeReference => keySet.contains(a.name)
+        case _ => false
+      }
+      if (!groupingOk || !filters.forall(keysOnly)) None
+      else {
+        // fresh relation per rewrite: unique exprIds even if the same view
+        // serves two aggregates in one plan (e.g. a self-join of rollups)
+        val mvPlan = session.read.parquet(mv.mvPath).queryExecution.analyzed
+        val byName: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+
+        def mvMeasure(fn: AggregateFunction): Option[Expression] = {
+          def reAgg(outer: AggregateFunction, origType: DataType): Expression =
+            Cast(outer.toAggregateExpression(), origType, Some(confTz(session)),
+              org.apache.spark.sql.catalyst.expressions.EvalMode.fromSQLConf(
+                org.apache.spark.sql.internal.SQLConf.get))
+          fn match {
+            case s @ Sum(a: AttributeReference, _) =>
+              mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name && m.castTo.isEmpty)
+                .map(m => reAgg(Sum(byName(m.mvCol)), s.dataType))
+            case s @ Sum(Cast(a: AttributeReference, dt, _, _), _) =>
+              mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name && m.castTo.contains(dt))
+                .map(m => reAgg(Sum(byName(m.mvCol)), s.dataType))
+            case m0 @ Min(a: AttributeReference) =>
+              mv.measures.find(m => m.kind == "min" && m.baseCol == a.name)
+                .map(m => reAgg(Min(byName(m.mvCol)), m0.dataType))
+            case m0 @ Max(a: AttributeReference) =>
+              mv.measures.find(m => m.kind == "max" && m.baseCol == a.name)
+                .map(m => reAgg(Max(byName(m.mvCol)), m0.dataType))
+            case c @ Count(Seq(Literal(_, _))) =>
+              Some(reAgg(Sum(byName(mv.countCol)), c.dataType))
+            case _ => None
+          }
+        }
+
+        var ok = true
+        def rewriteExpr(e: Expression): Expression = e.transformUp {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            mvMeasure(ae.aggregateFunction) match {
+              case Some(rep) => rep
+              case None => ok = false; ae
+            }
+          case ae: AggregateExpression => ok = false; ae
+          case a: AttributeReference if keySet.contains(a.name) && byName.contains(a.name) =>
+            byName(a.name)
+        }
+
+        val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+          case a: AttributeReference if keySet.contains(a.name) =>
+            Alias(byName(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+          case al @ Alias(child, n) =>
+            Alias(rewriteExpr(child), n)(exprId = al.exprId, qualifier = al.qualifier)
+          case _ => ok = false; agg.aggregateExpressions.head
+        }
+        val newGrouping = agg.groupingExpressions.map(rewriteExpr)
+        val newFilter = filters.map(rewriteExpr).reduceOption(And)
+        // decline if any aggregate failed to decompose or any rewritten
+        // expression still references the base relation
+        val refsOk = (newAggExprs ++ newGrouping ++ newFilter)
+          .forall(_.references.subsetOf(mvPlan.outputSet))
+        if (!ok || !refsOk) None
+        else {
+          val source = newFilter.map(Filter(_, mvPlan)).getOrElse(mvPlan)
+          Some(agg.copy(groupingExpressions = newGrouping,
+            aggregateExpressions = newAggExprs, child = source))
+        }
+      }
+    }
+  }
+
+  private def confTz(session: SparkSession): String =
+    session.sessionState.conf.sessionLocalTimeZone
+
+  /** File-source root paths scanned by a logical plan — the gate/spec proof
+    * that a rewritten query reads the summary and not the base table.
+    */
+  def scannedPaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+      case _ => Seq.empty[String]
+    }
+  }.flatten
+}

@@ -226,4 +226,104 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SummaryRewrite: answer-preserving rewrites fire, everything else declines") {
+    import graft.warehouse.SummaryRewrite
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-mv-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_mv_spec_").toString
+      val base = s"$root/fact"
+      (0 until 1000).map { i =>
+        (s"k${i % 4}", s"s${i % 3}", i.toDouble / 7, i.toLong, if (i % 10 == 0) null else s"v$i")
+      }.toDF("k1", "k2", "amount", "qty", "tag").write.parquet(base)
+      def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        SummaryRewrite.scannedPaths(df.queryExecution.optimizedPlan)
+      def truth(df: => org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+        // compute the same query with no view registered — the unrewritten plan
+        SummaryRewrite.clear()
+        df.collect().toSeq
+      }
+      try {
+        SummaryRewrite.create(spark, "mv", base, s"$root/mv",
+          keys = Seq("k1", "k2"),
+          sums = Seq("amount" -> Some("decimal(18,2)"), "qty" -> None),
+          mins = Seq("amount"), maxs = Seq("qty"))
+        def q1 = spark.read.parquet(base)
+          .filter(col("k1") =!= "k3")
+          .groupBy(col("k1"))
+          .agg(
+            sum(col("amount").cast("decimal(18,2)")).cast("double").as("s"),
+            sum(col("qty")).as("sq"),
+            min(col("amount")).as("mn"),
+            max(col("qty")).as("mx"),
+            count(lit(1)).as("n"))
+        assert(scans(q1).forall(_.endsWith("/mv")), scans(q1))
+        val got = q1.collect().toSeq
+        val want = truth(q1)
+        assert(got.toSet === want.toSet, s"$got vs $want")
+        // re-register for the remaining cases (truth() clears)
+        SummaryRewrite.create(spark, "mv", base, s"$root/mv",
+          keys = Seq("k1", "k2"),
+          sums = Seq("amount" -> Some("decimal(18,2)"), "qty" -> None),
+          mins = Seq("amount"), maxs = Seq("qty"))
+        // operators ABOVE the aggregate re-bind on preserved exprIds
+        val q2 = spark.read.parquet(base).groupBy(col("k1"), col("k2"))
+          .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"))
+          .select(col("k1"), (col("sq") + col("n")).as("t"))
+          .orderBy(col("k1"), col("t"))
+        assert(scans(q2).forall(_.endsWith("/mv")), scans(q2))
+        val got2 = q2.collect().toSeq
+        SummaryRewrite.create(spark, "mv", base, s"$root/mv",
+          keys = Seq("k1", "k2"),
+          sums = Seq("amount" -> Some("decimal(18,2)"), "qty" -> None),
+          mins = Seq("amount"), maxs = Seq("qty"))
+        // decline cases: each must keep scanning the base table
+        val declined = Seq(
+          // filter on a non-key column
+          spark.read.parquet(base).filter(col("tag").isNotNull)
+            .groupBy(col("k1")).agg(sum(col("qty")).as("sq")),
+          // DISTINCT aggregate
+          spark.read.parquet(base).groupBy(col("k1"))
+            .agg(countDistinct(col("k2")).as("dc")),
+          // COUNT(col) — null-sensitive, view only stores COUNT(*)
+          spark.read.parquet(base).groupBy(col("k1"))
+            .agg(count(col("tag")).as("ct")),
+          // sum of an unregistered column expression
+          spark.read.parquet(base).groupBy(col("k1"))
+            .agg(sum(col("amount") * 2).as("s2")),
+          // grouping by a non-key column
+          spark.read.parquet(base).groupBy(col("tag"))
+            .agg(sum(col("qty")).as("sq")),
+          // sum cast mismatch (decimal(12,2) vs registered decimal(18,2))
+          spark.read.parquet(base).groupBy(col("k1"))
+            .agg(sum(col("amount").cast("decimal(12,2)")).as("s3")))
+        declined.foreach { d =>
+          assert(scans(d).exists(_.endsWith("/fact")), d.queryExecution.optimizedPlan)
+        }
+        SummaryRewrite.clear()
+        val want2 = q2.collect().toSeq
+        assert(got2 === want2)
+      } finally SummaryRewrite.clear()
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
 }
