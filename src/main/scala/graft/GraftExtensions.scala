@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // are re-pointed at its pre-aggregated summary when answer-preserving
     // (no-op until a view is registered via warehouse.SummaryRewrite.create)
     ext.injectOptimizerRule(session => graft.warehouse.SummaryRewrite.rule(session))
+    // column-level masking: reads of protected paths get pseudonym/redact
+    // projections (no-op until policies are installed via ColumnMask.install)
+    ext.injectOptimizerRule(session => graft.governance.ColumnMask.rule(session))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     // analysis-time permission enforcement (no-op until a principal is
     // installed via governance.ReadGuard.install)

@@ -509,6 +509,51 @@ object Lifecycle {
       |  ('bob@corp', 'allowed', true), ('bob@corp', 'secret', true))
       |  t(principal, dataset, allowed)""".stripMargin
 
+  /** C13 column-level masking: the engine-side version of the reference's
+    * anonymized twin stream (data_lake_config.py:60-68) — ONE table, and
+    * reads are rewritten by the injected [[graft.governance.ColumnMask]]
+    * rule while policies are installed. The analyst read sees `o_orderpriority`
+    * pseudonymized (sha2-256, join-stable) and `o_totalprice` redacted to
+    * NULL; the admin read (policies cleared) sees raw values. Both reads
+    * run the same code — only the installed policy set differs — and the
+    * oracle recomputes both halves, so the gate hash-proves masking is
+    * applied when installed and absent when cleared. Each half is
+    * collected under its own policy state (the returned local relation
+    * cannot drift if policies change later).
+    */
+  def columnMask(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.ColumnMask
+    import ColumnMask.{Policy, Pseudonym, Redact}
+    val root = scratch("graft_mask_")
+    Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/orders_pii")
+    val policies = Seq(
+      Policy(s"$root/orders_pii", "o_orderpriority", Pseudonym),
+      Policy(s"$root/orders_pii", "o_totalprice", Redact))
+    def readAs(masked: Boolean, who: String): DataFrame = {
+      if (masked) ColumnMask.install(policies)
+      try {
+        val df = s.read.parquet(s"$root/orders_pii").withColumn("who", lit(who))
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally ColumnMask.clear()
+    }
+    readAs(masked = true, "analyst").unionByName(readAs(masked = false, "admin"))
+  }
+
+  val columnMaskOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey <= 2000)
+      |SELECT o_orderkey, sha256(o_orderpriority) AS o_orderpriority,
+      |       CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus,
+      |       'analyst' AS who
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus, 'admin' AS who
+      |FROM base""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -875,6 +920,7 @@ object Lifecycle {
     "c9_gdpr_erasure" -> (gdprErasure _),
     "c10_wap_publish" -> (wapPublish _),
     "c11_read_guard" -> (readGuard _),
+    "c13_column_mask" -> (columnMask _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
@@ -904,6 +950,7 @@ object Lifecycle {
     "c9_gdpr_erasure" -> gdprErasureOracle,
     "c10_wap_publish" -> wapPublishOracle,
     "c11_read_guard" -> readGuardOracle,
+    "c13_column_mask" -> columnMaskOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,

@@ -326,4 +326,64 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ColumnMask: pseudonym/redact apply in place, filters cannot leak raw values") {
+    import graft.governance.ColumnMask
+    import ColumnMask.{Policy, Pseudonym, Redact}
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-mask-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_mask_spec_").toString
+      Seq(("u1", 10.0, "fr"), ("u2", 20.0, "de"), ("u1", 30.0, "fr"))
+        .toDF("user", "amount", "country").write.parquet(s"$root/t")
+      ColumnMask.install(Seq(
+        Policy(s"$root/t", "user", Pseudonym),
+        Policy(s"$root/t", "amount", Redact)))
+      try {
+        val df = spark.read.parquet(s"$root/t")
+        // pseudonym is sha2-256 of the raw value; redact is NULL
+        val rows = df.collect().map(r => (r.getString(0), r.isNullAt(1), r.getString(2)))
+        val shaU1 = org.apache.commons.codec.digest.DigestUtils.sha256Hex("u1")
+        assert(rows.forall(_._2), "amount must be redacted to NULL")
+        assert(rows.count(_._1 == shaU1) === 2, rows.toSeq)
+        assert(!rows.exists(_._1 == "u1"), "raw value must never surface")
+        // a filter on the RAW value of a masked column matches nothing —
+        // pushdown substitutes the mask expression, it never sees raw data
+        assert(df.filter(col("user") === "u1").count() === 0)
+        assert(df.filter(col("amount") > 0).count() === 0)
+        // ...while filtering on the masked value works (join-stable pseudonym)
+        assert(df.filter(col("user") === shaU1).count() === 2)
+        // GROUP BY on the pseudonym aggregates the same groups as raw data
+        val grouped = df.groupBy(col("user")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(grouped(shaU1) === 2)
+        // unprotected columns and other tables pass through untouched
+        assert(df.select(col("country")).distinct().count() === 2)
+        spark.range(3).toDF("id").write.parquet(s"$root/open")
+        assert(spark.read.parquet(s"$root/open").agg(sum(col("id"))).head.getLong(0) === 3)
+      } finally ColumnMask.clear()
+      // cleared: raw values visible again
+      val raw = spark.read.parquet(s"$root/t")
+      assert(raw.filter(col("user") === "u1").count() === 2)
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
 }
