@@ -554,6 +554,38 @@ object Lifecycle {
       |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus, 'admin' AS who
       |FROM base""".stripMargin
 
+  /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
+    * analyzed plan of a join+aggregate report and emits one row per
+    * (output_column, source_table, source_column) edge — including the
+    * two-source derived measure and the no-source `count(*)` (NULL edge).
+    * Pure driver-side metadata (zero Spark jobs for the extraction); the
+    * VALUES oracle pins the exact edge set.
+    */
+  def columnLineage(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderstatus") =!= "X")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        Q.moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("orders_n"),
+        max(col("o_orderdate")).as("latest_order"),
+        (Q.moneySum(col("o_totalprice")) / count(lit(1))).as("avg_rev"),
+        Q.moneySum(col("o_totalprice") + col("c_acctbal")).as("mixed"))
+    graft.governance.Lineage.columnLineage(s, q)
+  }
+
+  val columnLineageOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('c_mktsegment', 'customer', 'c_mktsegment'),
+      |  ('revenue', 'orders', 'o_totalprice'),
+      |  ('orders_n', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      |  ('latest_order', 'orders', 'o_orderdate'),
+      |  ('avg_rev', 'orders', 'o_totalprice'),
+      |  ('mixed', 'customer', 'c_acctbal'),
+      |  ('mixed', 'orders', 'o_totalprice'))
+      |  t(output_column, source_table, source_column)""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -921,6 +953,7 @@ object Lifecycle {
     "c10_wap_publish" -> (wapPublish _),
     "c11_read_guard" -> (readGuard _),
     "c13_column_mask" -> (columnMask _),
+    "c14_column_lineage" -> (columnLineage _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
@@ -951,6 +984,7 @@ object Lifecycle {
     "c10_wap_publish" -> wapPublishOracle,
     "c11_read_guard" -> readGuardOracle,
     "c13_column_mask" -> columnMaskOracle,
+    "c14_column_lineage" -> columnLineageOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,

@@ -127,4 +127,35 @@ class GovernanceSpec extends SparkSpec {
     assert(c.get("transaction_stream_anonymized").retentionDays === 730)
     assert(c.get("payment_method_totals").retentionVersions === 7)
   }
+
+  test("column lineage: renames chain, unions merge branches, explode tracks input") {
+    import org.apache.spark.sql.functions._
+    import graft.governance.Lineage
+    val root = java.nio.file.Files.createTempDirectory("graft_lineage_").toString
+    import spark.implicits._
+    Seq((1, "a,b", 1.0)).toDF("id", "tags", "v").write.parquet(s"$root/left.parquet")
+    Seq((1, 2.0)).toDF("id2", "w").write.parquet(s"$root/right.parquet")
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      Lineage.columnLineage(spark, df).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val left = spark.read.parquet(s"$root/left.parquet")
+    val right = spark.read.parquet(s"$root/right.parquet")
+    // rename chain: v -> x -> y still points at left.v; filters are ignored
+    val renamed = left.select(col("id"), col("v").as("x"))
+      .filter(col("id") > 0).select(col("x").as("y"))
+    assert(edges(renamed) === Set(("y", "left", "v")))
+    // join + multi-source expression
+    val joined = left.join(right, col("id") === col("id2"))
+      .select((col("v") + col("w")).as("sum_vw"))
+    assert(edges(joined) === Set(("sum_vw", "left", "v"), ("sum_vw", "right", "w")))
+    // union: both branches contribute positionally
+    val unioned = left.select(col("v").as("u")).union(right.select(col("w").as("u")))
+    assert(edges(unioned) === Set(("u", "left", "v"), ("u", "right", "w")))
+    // explode: generated column derives from the generator input
+    val exploded = left.select(explode(split(col("tags"), ",")).as("tag"))
+    assert(edges(exploded) === Set(("tag", "left", "tags")))
+    // literal output: NULL edge
+    val lits = left.select(col("id"), lit(42).as("answer"))
+    assert(edges(lits) === Set(("id", "left", "id"), ("answer", null, null)))
+  }
 }
