@@ -734,7 +734,63 @@ object Dedup {
       |SELECT id AS doc_id, MIN(r) AS cluster
       |FROM reach GROUP BY 1""".stripMargin
 
+  /** Exact-substring dedup at shingle resolution — the span-level
+    * complement of the document-level MinHash/SimHash paths (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, does this with a suffix array; an inverted shingle
+    * index expresses the same duplicated-span accounting as two shuffles).
+    * A shingle is DUPLICATED if it occurs in ≥2 documents; its canonical
+    * owner is the smallest doc_id holding it (the copy that keeps the
+    * span). Per document: total distinct shingles, duplicated shingles,
+    * shingles this doc would TRIM (duplicated, owned elsewhere), and a
+    * drop flag when more than half the document is duplicated material —
+    * the exact integer comparison `dup*2 > n`, no float thresholds.
+    *
+    * Scale shape: explode → one shuffle keyed on shingle (the posting
+    * aggregate), join back on the same key (exchange reuse), re-aggregate
+    * by doc. Work is O(total postings + matching postings) — no pairwise
+    * stage anywhere, the same discipline as [[decontaminate]]. At 100 TB
+    * the posting aggregate is the natural place for a frequency cutoff
+    * (stop-shingles), which changes results and is therefore NOT applied
+    * in the gated operator.
+    */
+  def substrDedup(s: SparkSession, d: String): DataFrame = {
+    val post = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode_outer(shingles(col("text"))).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val owners = post.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("ndocs"))
+    post.join(owners, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") > 1, 1).otherwise(0)).as("dup_shingles"),
+        sum(when(col("ndocs") > 1 && col("owner") =!= col("doc_id"), 1).otherwise(0))
+          .as("trim_shingles"))
+      .withColumn("drop_doc", col("dup_shingles") * 2 > col("n_shingles"))
+  }
+
+  val substrDedupOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |           ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                 for i in range(1, len(ws) - 1)] END) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |post AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      |own AS (SELECT shingle, MIN(doc_id) AS owner, COUNT(*) AS ndocs
+      |        FROM post GROUP BY 1)
+      |SELECT p.doc_id,
+      |       COUNT(*) AS n_shingles,
+      |       CAST(SUM(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+      |       CAST(SUM(CASE WHEN o.ndocs > 1 AND o.owner <> p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS trim_shingles,
+      |       SUM(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) * 2 > COUNT(*) AS drop_doc
+      |FROM post p JOIN own o USING (shingle)
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_substr_dedup" -> (substrDedup _),
     "x_dedup_clusters" -> (dedupClusters _),
     "x_decontaminate" -> (decontaminate _),
     "x_dedup_exact_groups" -> (exactGroups _),
@@ -746,6 +802,7 @@ object Dedup {
     "x_dedup_simhash_planted" -> (simhashPlanted _))
 
   val oracles: Map[String, String] = Map(
+    "x_substr_dedup" -> substrDedupOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_decontaminate" -> decontaminateOracle,
     "x_dedup_exact_groups" -> exactGroupsOracle,
