@@ -542,6 +542,53 @@ object Scale {
       |WHERE s_acctbal > 5000
       |GROUP BY 1""".stripMargin
 
+  /** Runtime bloom-filter injection — Spark's own runtime row-level
+    * filtering, the automatic counterpart of the hand-built
+    * [[bloomJoin]]: with the optimizer flag on, a shuffle join whose
+    * creation side carries a selective predicate gets a bloom filter BUILT
+    * FROM the dim keys and pushed onto the fact scan as a
+    * `might_contain(..., xxhash64(key))` predicate — fact rows that cannot
+    * match are dropped BEFORE the shuffle. At 100 TB this is the default
+    * posture (the thresholds exist so small scans skip the overhead; the
+    * gate lowers them because sf0.01 is below the 10 GB default). The gate
+    * hard-fails unless the filter was actually injected, and the oracle is
+    * the plain join — runtime filtering must be invisible in the result.
+    * Broadcast is disabled so the join genuinely shuffles (a broadcast
+    * join already prunes at the hash table and gets no runtime filter).
+    */
+  def runtimeFilterJoin(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      val q = Tables.lineitem(s, d)
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("lines"), Q.moneySum(col("l_extendedprice")).as("revenue"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      require(plan.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n$plan")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val runtimeFilterJoinOracle: String =
+    """SELECT s_suppkey, COUNT(*) AS lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal > 9000
+      |GROUP BY 1""".stripMargin
+
   /** Materialized-view query rewrite end-to-end: a rollup of lineitem by
     * (l_returnflag, l_linestatus) is materialized and registered, then a
     * COARSER aggregate (by l_returnflag only, with a key-only filter) is
@@ -652,6 +699,7 @@ object Scale {
     "p_skew_join" -> (skewJoin _),
     "p_dpp_join" -> (dppJoin _),
     "p_mv_rewrite" -> (mvRewrite _),
+    "p_runtime_filter" -> (runtimeFilterJoin _),
     "x_product_fingerprint" -> (productFingerprint _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
@@ -670,6 +718,7 @@ object Scale {
     "p_skew_join" -> skewJoinOracle,
     "p_dpp_join" -> dppJoinOracle,
     "p_mv_rewrite" -> mvRewriteOracle,
+    "p_runtime_filter" -> runtimeFilterJoinOracle,
     "x_product_fingerprint" -> productFingerprintOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
