@@ -58,6 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ProductMod(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.NGramsGenerator].getName, "graft_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "graft_ngrams expects exactly 2 arguments")
+        // a Generator: the analyzer plans it via Generate (LATERAL VIEW /
+        // select-position), same as the built-in explode family
+        org.apache.spark.sql.graft.NGramsGenerator(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -795,6 +795,29 @@ object Relational {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
       |) t""".stripMargin
 
+  /** Custom table-generating function (UDTF) through the extension point:
+    * [[org.apache.spark.sql.graft.NGramsGenerator]] is a native Catalyst
+    * `Generator` registered as `graft_ngrams`, driven here from plain SQL
+    * via LATERAL VIEW — one row per positional word 3-gram. The oracle
+    * reproduces the fan-out with DuckDB's LATERAL unnest; positions and
+    * duplicate n-grams must agree exactly.
+    */
+  def generatorUdtf(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("docs_gen_v")
+    s.sql(
+      """SELECT doc_id, pos, ngram
+        |FROM docs_gen_v
+        |LATERAL VIEW graft_ngrams(text, 3) g AS pos, ngram
+        |WHERE doc_id < 50""".stripMargin)
+  }
+
+  val generatorUdtfOracle: String =
+    """SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+      |       ws[u.i] || ' ' || ws[u.i + 1] || ' ' || ws[u.i + 2] AS ngram
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |      FROM documents WHERE doc_id < 50) t,
+      |LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) u""".stripMargin
+
   /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN`):
     * the discounted-charge formula registered ONCE as a catalog-level SQL
     * UDF and used from a plain query — fully declarative, inlined by the
@@ -826,6 +849,7 @@ object Relational {
 
   val defs: Map[String, QueryFn] = Map(
     "d_lateral_join" -> (lateralJoin _),
+    "d_generator_udtf" -> (generatorUdtf _),
     "d_sql_udf" -> (sqlUdf _),
     "d_join_left" -> (joinLeft _),
     "d_join_semi" -> (joinSemi _),
@@ -866,6 +890,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "d_lateral_join" -> lateralJoinOracle,
+    "d_generator_udtf" -> generatorUdtfOracle,
     "d_sql_udf" -> sqlUdfOracle,
     "d_join_left" -> joinLeftOracle,
     "d_join_semi" -> joinSemiOracle,

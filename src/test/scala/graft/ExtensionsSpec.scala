@@ -327,6 +327,43 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_ngrams generator: positional fan-out, null/short inputs generate nothing") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ngrams-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      Seq((1, "a b c d"), (2, "x y"), (3, null)).toDF("id", "t")
+        .createOrReplaceTempView("ng_t")
+      val out = spark.sql(
+        "SELECT id, pos, ngram FROM ng_t LATERAL VIEW graft_ngrams(t, 3) g AS pos, ngram")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+      // doc 1: two trigrams with positions; docs 2 (too short) and 3 (null): none
+      assert(out === Set((1, 0, "a b c"), (1, 1, "b c d")))
+      // duplicates are KEPT (unlike the distinct shingle set)
+      val dup = spark.sql(
+        "SELECT pos, ngram FROM (SELECT 'a a a a' AS t) LATERAL VIEW graft_ngrams(t, 2) g AS pos, ngram")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(dup.toSeq.sorted === Seq((0, "a a"), (1, "a a"), (2, "a a")))
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+
   test("ColumnMask: pseudonym/redact apply in place, filters cannot leak raw values") {
     import graft.governance.ColumnMask
     import ColumnMask.{Policy, Pseudonym, Redact}
