@@ -818,6 +818,38 @@ object Relational {
       |      FROM documents WHERE doc_id < 50) t,
       |LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) u""".stripMargin
 
+  /** SQL scripting (Spark 4 `BEGIN ... END` compounds): session variables,
+    * a WHILE loop and per-iteration scalar subqueries — the procedural
+    * orchestration glue the reference scripts in Python
+    * (beam_orchestrator.py's batch loops), expressed in the engine's own
+    * SQL. The script partitions the count by `o_orderkey % 5` across loop
+    * iterations; the oracle is the direct aggregate, so loop + variable
+    * accumulation must reproduce the one-pass answer exactly.
+    */
+  def sqlScripting(s: SparkSession, d: String): DataFrame = {
+    val prior = s.conf.getOption("spark.sql.scripting.enabled")
+    try {
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      Tables.orders(s, d).createOrReplaceTempView("orders_scr_v")
+      s.sql(
+        """BEGIN
+          |  DECLARE i INT DEFAULT 0;
+          |  DECLARE acc BIGINT DEFAULT 0;
+          |  WHILE i < 5 DO
+          |    SET acc = acc + (SELECT COUNT(*) FROM orders_scr_v WHERE o_orderkey % 5 = i);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT acc AS total_orders, i AS iterations;
+          |END""".stripMargin)
+    } finally prior match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None => s.conf.unset("spark.sql.scripting.enabled")
+    }
+  }
+
+  val sqlScriptingOracle: String =
+    "SELECT COUNT(*) AS total_orders, 5 AS iterations FROM orders"
+
   /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN`):
     * the discounted-charge formula registered ONCE as a catalog-level SQL
     * UDF and used from a plain query — fully declarative, inlined by the
@@ -850,6 +882,7 @@ object Relational {
   val defs: Map[String, QueryFn] = Map(
     "d_lateral_join" -> (lateralJoin _),
     "d_generator_udtf" -> (generatorUdtf _),
+    "d_sql_scripting" -> (sqlScripting _),
     "d_sql_udf" -> (sqlUdf _),
     "d_join_left" -> (joinLeft _),
     "d_join_semi" -> (joinSemi _),
@@ -891,6 +924,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "d_lateral_join" -> lateralJoinOracle,
     "d_generator_udtf" -> generatorUdtfOracle,
+    "d_sql_scripting" -> sqlScriptingOracle,
     "d_sql_udf" -> sqlUdfOracle,
     "d_join_left" -> joinLeftOracle,
     "d_join_semi" -> joinSemiOracle,

@@ -115,6 +115,41 @@ object Streams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** State-store READER (Spark 4 `statestore` data source): the persisted
+    * state of a streaming aggregation, read back as a plain batch
+    * DataFrame from the checkpoint — no touching the query, no foreachBatch
+    * taps. This is the ops answer to "what does the stream currently
+    * believe": at scale, state debugging/auditing becomes a batch query
+    * over the checkpoint (per-key counts, skew hunting, reconciliation
+    * against the lake). The state rows expose the aggregation buffer
+    * (count + decimal sum here); the oracle recomputes the same per-key
+    * aggregate from the raw table — the checkpointed state must equal the
+    * batch truth exactly.
+    */
+  def stateReader(s: SparkSession, d: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft_state_ck_").toString
+    val agg = eventsStream(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("total"))
+    val name = "graft_state_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("statestore").option("path", ckpt).load()
+      .select(
+        col("key.user_id").as("user_id"),
+        col("value.count").as("cnt"),
+        col("value.sum").cast("double").as("total"))
+  }
+
+  val stateReaderOracle: String =
+    """SELECT user_id, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Stream-STATIC enrichment join: a batch dimension joined into every
     * micro-batch — no watermark and no join state (only stream-stream
     * joins buffer rows; the static side is re-planned per batch, so dim
@@ -1030,6 +1065,7 @@ object Streams {
     "s_stream_exactly_once" -> (streamExactlyOnce _),
     "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
+    "s_state_reader" -> (stateReader _),
     "s_stream_enrich" -> (streamEnrich _),
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
@@ -1055,6 +1091,7 @@ object Streams {
     "s_stream_exactly_once" -> streamExactlyOnceOracle,
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
+    "s_state_reader" -> stateReaderOracle,
     "s_stream_enrich" -> streamEnrichOracle,
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,
