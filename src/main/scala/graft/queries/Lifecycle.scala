@@ -586,6 +586,54 @@ object Lifecycle {
       |  ('mixed', 'orders', 'o_totalprice'))
       |  t(output_column, source_table, source_column)""".stripMargin
 
+  /** Incremental materialized-view refresh: the summary absorbs an
+    * appended batch via [[graft.warehouse.SummaryRewrite.refreshIncremental]]
+    * — partial rollup of the batch merged into the current summary, cost ∝
+    * batch, base never rescanned, refreshed summary written as a new
+    * versioned directory. The follow-up query against the BASE table must
+    * (a) be rewritten onto the refreshed summary (hard `require` on the
+    * scan paths) and (b) hash-match the full recompute oracle — proving
+    * incremental refresh ≡ full rebuild.
+    */
+  def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = scratch("graft_mvi_")
+    val base = s"$root/orders_base"
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 3 =!= 0).write.mode(SaveMode.Overwrite).parquet(base)
+    try {
+      SummaryRewrite.create(s, "mv_orders_prio", base, s"$root/mv",
+        keys = Seq("o_orderpriority"),
+        sums = Seq("o_totalprice" -> Some("decimal(18,2)")),
+        mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"))
+      val batch = o.filter(col("o_orderkey") % 3 === 0)
+      batch.write.mode(SaveMode.Append).parquet(base)
+      SummaryRewrite.refreshIncremental(s, "mv_orders_prio", batch)
+      val q = s.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          Q.moneySum(col("o_totalprice")).as("total"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n"))
+      val paths = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      require(paths.exists(_.contains("/mv")),
+        s"rewrite onto the refreshed summary did not fire; scanned $paths")
+      require(!paths.exists(_.endsWith("orders_base")),
+        s"rewritten plan still scans the base table: $paths")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally SummaryRewrite.drop("mv_orders_prio")
+  }
+
+  val mvIncrementalOracle: String =
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       MIN(o_orderdate) AS first_order,
+      |       MAX(o_orderdate) AS last_order,
+      |       COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -954,6 +1002,7 @@ object Lifecycle {
     "c11_read_guard" -> (readGuard _),
     "c13_column_mask" -> (columnMask _),
     "c14_column_lineage" -> (columnLineage _),
+    "w_mv_incremental" -> (mvIncremental _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
@@ -985,6 +1034,7 @@ object Lifecycle {
     "c11_read_guard" -> readGuardOracle,
     "c13_column_mask" -> columnMaskOracle,
     "c14_column_lineage" -> columnLineageOracle,
+    "w_mv_incremental" -> mvIncrementalOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,

@@ -111,6 +111,64 @@ object SummaryRewrite {
   def drop(name: String): Unit = registered = registered.filterNot(_.name == name)
   def clear(): Unit = registered = Nil
 
+  /** Incremental refresh: fold ONE new batch of base rows into the summary
+    * without rescanning the base table — the 100 TB refresh path (cost ∝
+    * batch size, not accumulated history). Works because every registered
+    * measure is decomposable: the batch's partial rollup unions with the
+    * current summary and re-merges per key (sums and counts add, minima/
+    * maxima fold). The refreshed summary is written as a NEW directory
+    * (`<mvPath>_v<n>`) and the registration is swapped — readers planned
+    * against the old directory finish against immutable files, the same
+    * versioned-snapshot discipline as [[graft.lake.Lake]]. NOTE: append-only
+    * batches only — updates/deletes need a rebuild (MIN/MAX cannot be
+    * decremented).
+    */
+  def refreshIncremental(spark: SparkSession, name: String, batch: org.apache.spark.sql.DataFrame): MvDef = {
+    val mv = registered.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no registered view named $name"))
+    val current = spark.read.parquet(mv.mvPath)
+    val batchRollup = {
+      val aggCols = mv.measures.map { m =>
+        val in = m.castTo.map(t => col(m.baseCol).cast(t)).getOrElse(col(m.baseCol))
+        (m.kind match {
+          case "sum" => sum(in)
+          case "min" => min(in)
+          case "max" => max(in)
+        }).as(m.mvCol)
+      } :+ count(lit(1)).as(mv.countCol)
+      batch.groupBy(mv.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    val mergeCols = mv.measures.map { m =>
+      (m.kind match {
+        case "sum" => sum(col(m.mvCol))
+        case "min" => min(col(m.mvCol))
+        case "max" => max(col(m.mvCol))
+      }).as(m.mvCol)
+    } :+ sum(col(mv.countCol)).as(mv.countCol)
+    val merged = current.unionByName(batchRollup)
+      .groupBy(mv.keys.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    // union widens summed decimals; fold back to the stored schema so the
+    // refreshed summary is indistinguishable from a full rebuild
+    val aligned = merged.select(current.columns.map { c =>
+      val dt = current.schema(c).dataType
+      col(c).cast(dt).as(c)
+    }: _*)
+    val next = nextVersionPath(mv.mvPath)
+    aligned.write.mode("overwrite").parquet(next)
+    val updated = mv.copy(mvPath = norm(next))
+    registered = updated :: registered.filterNot(_.name == name)
+    updated
+  }
+
+  private def nextVersionPath(p: String): String = {
+    val m = "_v(\\d+)$".r.findFirstMatchIn(p)
+    m match {
+      case Some(g) => p.substring(0, g.start) + "_v" + (g.group(1).toInt + 1)
+      case None => p + "_v2"
+    }
+  }
+
   /** The injected rule (one instance per session, see [[graft.GraftExtensions]]). */
   def rule(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
