@@ -160,6 +160,71 @@ object TextAnalysis {
       |         (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
       |FROM documents""".stripMargin
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169),
+    * integer-linearized for engine exactness. DSIR scores each raw document
+    * by how much its hashed-n-gram distribution over-indexes in a TARGET
+    * corpus (here: the `lang = 'en'` slice) versus the raw pool, then keeps
+    * the top-weighted docs. The log-likelihood-ratio weight needs libm
+    * `ln` — not bit-stable across engines — so the per-bucket contribution
+    * `ln(tc/T) − ln(rc/R)` is replaced by its exact-integer linearization
+    * `tc·R − rc·T` (same sign, same zero crossing; +1-smoothed counts):
+    * a document's evidence is the sum of that quantity over its token
+    * occurrences, and selection is `evidence > 0` — over-indexed in the
+    * target, exactly computable by both engines.
+    *
+    * Scale shape: token buckets come from a 256-bucket polynomial hash
+    * computed scan-side (no vocabulary join); bucket stats are one
+    * partial-agg'd shuffle of ≤256 reduce rows; the per-doc evidence
+    * re-joins the tiny bucket table broadcast-style and aggregates by
+    * doc_id. Work is O(total tokens) with nothing wider than the corpus.
+    */
+  def importanceSelect(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val bucketed = toks.withColumn("b",
+      pmod(aggregate(transform(split(col("token"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L), lit(256)))
+    val bstats = bucketed.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+    val tot = bstats.agg(
+      (sum(col("rc")) + 256).as("rtot"), (sum(col("tc")) + 256).as("ttot"))
+    bucketed.join(broadcast(bstats), "b")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum((col("tc") + 1) * col("rtot") - (col("rc") + 1) * col("ttot")).as("evidence"))
+      .withColumn("selected", col("evidence") > 0)
+  }
+
+  val importanceSelectOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |buck AS (
+      |  SELECT doc_id, lang,
+      |         list_reduce(
+      |           list_prepend(0, [CAST(ascii(c) AS BIGINT) for c in string_split(token, '')]),
+      |           (acc, c) -> (acc * 31 + c) % 1000000007) % 256 AS b
+      |  FROM toks WHERE token <> ''),
+      |bstats AS (
+      |  SELECT b, COUNT(*) AS rc,
+      |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      |  FROM buck GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(rc) + 256 AS BIGINT) AS rtot,
+      |         CAST(SUM(tc) + 256 AS BIGINT) AS ttot
+      |  FROM bstats)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       CAST(SUM((bs.tc + 1) * tot.rtot - (bs.rc + 1) * tot.ttot) AS BIGINT) AS evidence,
+      |       CAST(SUM((bs.tc + 1) * tot.rtot - (bs.rc + 1) * tot.ttot) AS BIGINT) > 0 AS selected
+      |FROM buck JOIN bstats bs USING (b) CROSS JOIN tot
+      |GROUP BY 1""".stripMargin
+
   /** Corpus profile: per (lang, source) aggregate — the first thing a data
     * pipeline computes over a new crawl.
     */
@@ -911,6 +976,7 @@ object TextAnalysis {
     "x_text_langid" -> (langId _),
     "x_text_fingerprint" -> (fingerprint _),
     "x_text_rollhash" -> (rollingHash _),
+    "x_importance_select" -> (importanceSelect _),
     "x_text_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
@@ -933,5 +999,6 @@ object TextAnalysis {
     "x_text_langid" -> langIdOracle,
     "x_text_fingerprint" -> fingerprintOracle,
     "x_text_rollhash" -> rollingHashOracle,
+    "x_importance_select" -> importanceSelectOracle,
     "x_text_profile" -> corpusProfileOracle)
 }
