@@ -5,23 +5,31 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, ProductMod, TopKPerKeyStrategy}
 
-/** SparkSessionExtensions entry point. Four slices of the extension API
-  * (function registration, optimizer rule, planner strategy, check rule):
+/** SparkSessionExtensions entry point. Every slice of the extension API is
+  * exercised (function/aggregate/generator registration, optimizer rules,
+  * planner strategy, check rule, parser):
   *
-  *  - '''function registration''': the native vector expressions as SQL
-  *    functions, so the pure-SQL front-end can call them
-  *    (`SELECT graft_dot(a, b) ...`);
-  *  - '''optimizer rule''': [[RewriteDotProduct]], which transparently
-  *    swaps the interpreted HOF dot-product pattern for the codegen'd
-  *    native expression (user-provided rules run after the main optimizer
-  *    batches, so the pattern arrives resolved and constant-folded);
+  *  - '''function registration''': the native vector expressions, the
+  *    [[org.apache.spark.sql.graft.ProductMod]] declarative aggregate and
+  *    the [[org.apache.spark.sql.graft.NGramsGenerator]] generator (UDTF),
+  *    so the pure-SQL front-end can call them
+  *    (`SELECT graft_dot(a, b)`, `LATERAL VIEW graft_ngrams(text, 3)`);
+  *  - '''optimizer rules''': [[RewriteDotProduct]] (HOF dot-product → the
+  *    codegen'd native expression), the
+  *    [[graft.warehouse.SummaryRewrite]] materialized-view rewrite
+  *    (aggregates over a registered base table re-pointed at its
+  *    pre-aggregated summary when answer-preserving), and
+  *    [[graft.governance.ColumnMask]] (scan-fused pseudonym/redact
+  *    projections over protected paths);
   *  - '''planner strategy''': [[org.apache.spark.sql.graft.TopKPerKeyStrategy]],
   *    which plans the whole-operator top-k-per-key logical node as a
   *    partial/final physical pair (the custom-SparkPlan extension path);
   *  - '''check rule''': [[graft.governance.ReadGuard]], which enforces the
   *    C4 permission catalog against every analyzed plan's file-backed
   *    relations while a principal is installed (analysis-time row-level
-  *    security — queries over unauthorized paths fail before execution).
+  *    security — queries over unauthorized paths fail before execution);
+  *  - '''parser''': [[GraftSqlParser]], the delegating parser adding
+  *    `SHOW GRAFT VIEWS` while forwarding all other SQL verbatim.
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * at session build (honored only when the SparkContext is created) or
@@ -37,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // column-level masking: reads of protected paths get pseudonym/redact
     // projections (no-op until policies are installed via ColumnMask.install)
     ext.injectOptimizerRule(session => graft.governance.ColumnMask.rule(session))
+    // parser extension: SHOW GRAFT VIEWS (everything else delegated verbatim)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     // analysis-time permission enforcement (no-op until a principal is
     // installed via governance.ReadGuard.install)

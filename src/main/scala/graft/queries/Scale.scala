@@ -643,6 +643,38 @@ object Scale {
       |WHERE l_returnflag <> 'N'
       |GROUP BY 1""".stripMargin
 
+  /** Parser extension end-to-end: `SHOW GRAFT VIEWS` is custom SQL parsed
+    * by [[graft.GraftSqlParser]] (injected via `injectParser`, delegating
+    * everything else to Spark's parser) into a driver-side command that
+    * lists the registered materialized views. Two views are registered,
+    * listed through plain `spark.sql`, and dropped; the VALUES oracle pins
+    * the catalog rows.
+    */
+  def customParser(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = Files.createTempDirectory("graft_parser_").toString
+    try {
+      SummaryRewrite.create(s, "mv_orders_by_prio", Tables.path(d, "orders"), s"$root/mv1",
+        keys = Seq("o_orderpriority"),
+        sums = Seq("o_totalprice" -> Some("decimal(18,2)")))
+      SummaryRewrite.create(s, "mv_li_by_flag", Tables.path(d, "lineitem"), s"$root/mv2",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("l_quantity" -> Some("decimal(18,2)")), mins = Seq("l_discount"))
+      val shown = s.sql("SHOW GRAFT VIEWS")
+      val rows = shown.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), shown.schema)
+    } finally {
+      SummaryRewrite.drop("mv_orders_by_prio")
+      SummaryRewrite.drop("mv_li_by_flag")
+    }
+  }
+
+  val customParserOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('mv_li_by_flag', 'lineitem.parquet', 'l_returnflag,l_linestatus', 2),
+      |  ('mv_orders_by_prio', 'orders.parquet', 'o_orderpriority', 1))
+      |  t(view_name, base_table, group_keys, n_measures)""".stripMargin
+
   /** C6 orchestration tick: full export+sync cycle; deterministic statuses
     * checked against a VALUES oracle.
     */
@@ -700,6 +732,7 @@ object Scale {
     "p_dpp_join" -> (dppJoin _),
     "p_mv_rewrite" -> (mvRewrite _),
     "p_runtime_filter" -> (runtimeFilterJoin _),
+    "d_custom_parser" -> (customParser _),
     "x_product_fingerprint" -> (productFingerprint _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
@@ -719,6 +752,7 @@ object Scale {
     "p_dpp_join" -> dppJoinOracle,
     "p_mv_rewrite" -> mvRewriteOracle,
     "p_runtime_filter" -> runtimeFilterJoinOracle,
+    "d_custom_parser" -> customParserOracle,
     "x_product_fingerprint" -> productFingerprintOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,

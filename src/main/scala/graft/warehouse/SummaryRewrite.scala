@@ -111,6 +111,9 @@ object SummaryRewrite {
   def drop(name: String): Unit = registered = registered.filterNot(_.name == name)
   def clear(): Unit = registered = Nil
 
+  /** Registered views, for the `SHOW GRAFT VIEWS` command and specs. */
+  def list: Seq[MvDef] = registered
+
   /** Incremental refresh: fold ONE new batch of base rows into the summary
     * without rescanning the base table — the 100 TB refresh path (cost ∝
     * batch size, not accumulated history). Works because every registered

@@ -314,6 +314,11 @@ class ExtensionsSpec extends AnyFunSuite {
         SummaryRewrite.clear()
         val want2 = q2.collect().toSeq
         assert(got2 === want2)
+        // parser extension: SHOW GRAFT VIEWS lists the catalog (empty now),
+        // and ordinary SQL still parses through the delegating parser
+        assert(spark.sql("SHOW GRAFT VIEWS").collect().isEmpty)
+        assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) === 2)
+        intercept[Exception] { spark.sql("SHOW GRAFT NONSENSE") }
       } finally SummaryRewrite.clear()
     } finally {
       prior match {
