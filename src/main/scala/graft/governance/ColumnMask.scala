@@ -90,7 +90,13 @@ object ColumnMask {
     Alias(e, a.name)(qualifier = a.qualifier)
   }
 
-  /** The injected rule (see [[graft.GraftExtensions]]). */
+  /** The injected rule (see [[graft.GraftExtensions]]). Fail-closed
+    * boundary: the in-place rewrite covers v1 file relations (including the
+    * per-micro-batch relations Structured Streaming file sources plan);
+    * reads of a PROTECTED path through any OTHER relation kind (e.g. a
+    * DataSourceV2 connector) are REFUSED rather than silently served raw —
+    * a masking policy must never depend on which connector a reader picked.
+    */
   def rule(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (active.isEmpty) plan
@@ -112,6 +118,16 @@ object ColumnMask {
               }
             case _ => lr -> Nil
           }
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          Option(v2.options.get("path"))
+            .map(raw => new org.apache.hadoop.fs.Path(raw).toUri.getPath)
+            .filter(p => covering(p).nonEmpty)
+            .foreach { p =>
+              throw new SecurityException(
+                s"column-mask policy covers $p but the read uses a non-maskable " +
+                  "relation; use the file source or clear the policy")
+            }
+          v2 -> Nil
       }
   }
 }

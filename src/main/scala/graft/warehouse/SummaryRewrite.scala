@@ -233,7 +233,12 @@ object SummaryRewrite {
               mv.measures.find(m => m.kind == "max" && m.baseCol == a.name)
                 .map(m => reAgg(Max(byName(m.mvCol)), m0.dataType))
             case c @ Count(Seq(Literal(_, _))) =>
-              Some(reAgg(Sum(byName(mv.countCol)), c.dataType))
+              // COUNT(*) = 0 over an empty input, but SUM over an empty
+              // summary is NULL — coalesce so the global-aggregate
+              // (no grouping keys) rewrite of an empty base stays exact
+              Some(org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+                reAgg(Sum(byName(mv.countCol)), c.dataType),
+                Literal(0L))))
             case _ => None
           }
         }

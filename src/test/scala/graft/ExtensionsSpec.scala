@@ -319,6 +319,19 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(spark.sql("SHOW GRAFT VIEWS").collect().isEmpty)
         assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) === 2)
         intercept[Exception] { spark.sql("SHOW GRAFT NONSENSE") }
+        // GLOBAL aggregate (no grouping) over an EMPTY base: COUNT(*) must
+        // stay 0 through the rewrite (sum-of-counts over an empty summary
+        // is NULL without the coalesce)
+        spark.read.parquet(base).filter(col("k1") === "nope")
+          .write.parquet(s"$root/empty")
+        SummaryRewrite.create(spark, "mv_empty", s"$root/empty", s"$root/mv_e",
+          keys = Seq("k1"), sums = Seq("qty" -> None))
+        val g = spark.read.parquet(s"$root/empty")
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+        assert(scans(g).forall(_.endsWith("/mv_e")), scans(g))
+        val gr = g.collect().head
+        assert(gr.getLong(0) === 0L)
+        assert(gr.isNullAt(1))
       } finally SummaryRewrite.clear()
     } finally {
       prior match {
@@ -413,6 +426,17 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(df.select(col("country")).distinct().count() === 2)
         spark.range(3).toDF("id").write.parquet(s"$root/open")
         assert(spark.read.parquet(s"$root/open").agg(sum(col("id"))).head.getLong(0) === 3)
+        // fail-closed: a protected path read through a NON-maskable (v2)
+        // relation is refused, never served raw
+        graft.sources.StatsCsvFormat.write(
+          spark.range(5).select(col("id").as("k")), s"$root/t_v2", "k", 2)
+        ColumnMask.install(Seq(Policy(s"$root/t_v2", "k", Redact)))
+        intercept[SecurityException] {
+          spark.read.format("graft-stats-csv").load(s"$root/t_v2").collect()
+        }
+        // unprotected v2 reads pass through
+        ColumnMask.install(Seq(Policy(s"$root/t", "user", Pseudonym)))
+        assert(spark.read.format("graft-stats-csv").load(s"$root/t_v2").count() === 5)
       } finally ColumnMask.clear()
       // cleared: raw values visible again
       val raw = spark.read.parquet(s"$root/t")
