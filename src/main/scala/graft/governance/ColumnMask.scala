@@ -60,6 +60,12 @@ object ColumnMask {
 
   private val masked = TreeNodeTag[Boolean]("graft.columnMask.applied")
 
+  /** True when some active policy covers `path` — consulted by
+    * [[graft.warehouse.SummaryRewrite]] so a pre-aggregated summary can
+    * never serve raw values of a protected base table.
+    */
+  def protects(path: String): Boolean = covering(path).nonEmpty
+
   /** Start masking: every subsequently-analyzed plan in this JVM session
     * has the policies applied. Sessions with no installed policies are
     * untouched. Install for the principals that need masking (the
@@ -107,10 +113,19 @@ object ColumnMask {
               val pols = fs.location.rootPaths.map(_.toUri.getPath).flatMap(covering).distinct
               if (pols.isEmpty) lr -> Nil
               else {
-                val byCol = pols.map(p => p.column -> p.action).toMap
+                // case-insensitive column match (Spark's default resolution
+                // is case-insensitive; a case-mismatched policy must still
+                // mask). A covering policy whose column is absent from the
+                // relation is a policy error — refuse, never serve raw.
+                val byCol = pols.map(p => p.column.toLowerCase -> p.action).toMap
+                val present = lr.output.map(_.name.toLowerCase).toSet
+                val missing = byCol.keySet.diff(present)
+                if (missing.nonEmpty) throw new SecurityException(
+                  s"column-mask policy names column(s) $missing absent from " +
+                    s"${fs.location.rootPaths.mkString(",")}; fix or clear the policy")
                 lr.setTagValue(masked, true)
                 val projList = lr.output.map(a =>
-                  byCol.get(a.name).map(maskExpr(a, _)).getOrElse(a))
+                  byCol.get(a.name.toLowerCase).map(maskExpr(a, _)).getOrElse(a))
                 val proj = Project(projList, lr)
                 val remapped = lr.output.zip(proj.output)
                   .filter { case (old, nw) => old.exprId != nw.exprId }

@@ -48,8 +48,16 @@ object Lineage {
               val t = tableName(fs.location.rootPaths.head.toUri.getPath)
               lr.output.foreach(a => sources(a.exprId.id) = Set((t, a.name)))
             case _ =>
-              lr.output.foreach(a => sources(a.exprId.id) = Set.empty)
+              // a data-bearing leaf we can't name (e.g. JDBC): its columns
+              // DO carry source data — mark them opaque, never source-free
+              // (a NULL edge must mean "derives from no input column")
+              lr.output.foreach(a => sources(a.exprId.id) = Set(("<opaque>", a.name)))
           }
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          val t = Option(v2.options.get("path"))
+            .map(raw => tableName(new org.apache.hadoop.fs.Path(raw).toUri.getPath))
+            .getOrElse("<opaque>")
+          v2.output.foreach(a => sources(a.exprId.id) = Set((t, a.name)))
         case g: Generate =>
           // explode/posexplode etc: every generated column derives from the
           // generator's inputs

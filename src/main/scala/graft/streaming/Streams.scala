@@ -81,15 +81,21 @@ object Streams {
     stageChunks(ev, "event_id", nChunks)
   }
 
-  /** Run a streaming DF to completion into a memory sink, return the table. */
-  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+  /** Run a streaming DF to completion into a memory sink, return the table.
+    * Pass `checkpoint` to control the location (e.g. to read the state
+    * store back afterwards); by default a scratch dir is used.
+    */
+  private def drain(
+      df: DataFrame, mode: OutputMode,
+      checkpoint: Option[String] = None): DataFrame = {
     val s = df.sparkSession
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation",
+        checkpoint.getOrElse(Files.createTempDirectory("graft_ckpt_").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -128,16 +134,11 @@ object Streams {
     */
   def stateReader(s: SparkSession, d: String): DataFrame = {
     val ckpt = Files.createTempDirectory("graft_state_ck_").toString
-    val agg = eventsStream(s, d)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("total"))
-    val name = "graft_state_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drain(
+      eventsStream(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("total")),
+      OutputMode.Complete(), checkpoint = Some(ckpt))
     s.read.format("statestore").option("path", ckpt).load()
       .select(
         col("key.user_id").as("user_id"),

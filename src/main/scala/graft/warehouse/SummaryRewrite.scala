@@ -93,19 +93,25 @@ object SummaryRewrite {
       } ++
         mins.map(c => Measure("min", c, None, s"mv_min_$c")) ++
         maxs.map(c => Measure("max", c, None, s"mv_max_$c"))
-    val aggCols = measures.map { m =>
+    val mv = MvDef(name, norm(basePath), norm(mvPath), keys, measures, "mv_cnt")
+    rollup(base, mv).write.mode("overwrite").parquet(mvPath)
+    registered = mv :: registered.filterNot(_.name == name)
+    mv
+  }
+
+  /** The view's defining rollup of `df` — shared by [[create]] and
+    * [[refreshIncremental]] so the two can never aggregate differently.
+    */
+  private def rollup(df: org.apache.spark.sql.DataFrame, mv: MvDef): org.apache.spark.sql.DataFrame = {
+    val aggCols = mv.measures.map { m =>
       val in = m.castTo.map(t => col(m.baseCol).cast(t)).getOrElse(col(m.baseCol))
       (m.kind match {
         case "sum" => sum(in)
         case "min" => min(in)
         case "max" => max(in)
       }).as(m.mvCol)
-    } :+ count(lit(1)).as("mv_cnt")
-    base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
-    val mv = MvDef(name, norm(basePath), norm(mvPath), keys, measures, "mv_cnt")
-    registered = mv :: registered.filterNot(_.name == name)
-    mv
+    } :+ count(lit(1)).as(mv.countCol)
+    df.groupBy(mv.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   def drop(name: String): Unit = registered = registered.filterNot(_.name == name)
@@ -129,39 +135,41 @@ object SummaryRewrite {
   def refreshIncremental(spark: SparkSession, name: String, batch: org.apache.spark.sql.DataFrame): MvDef = {
     val mv = registered.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no registered view named $name"))
-    val current = spark.read.parquet(mv.mvPath)
-    val batchRollup = {
-      val aggCols = mv.measures.map { m =>
-        val in = m.castTo.map(t => col(m.baseCol).cast(t)).getOrElse(col(m.baseCol))
+    // Suppress every view over the same base for the duration: the natural
+    // batch argument is a key-filtered scan of the base table, and the
+    // rewrite rule would otherwise re-point the batch rollup at the STALE
+    // summary — folding the old summary into itself instead of the new rows.
+    val sameBase = registered.filter(_.basePath == mv.basePath)
+    registered = registered.filterNot(_.basePath == mv.basePath)
+    try {
+      val current = spark.read.parquet(mv.mvPath)
+      val mergeCols = mv.measures.map { m =>
         (m.kind match {
-          case "sum" => sum(in)
-          case "min" => min(in)
-          case "max" => max(in)
+          case "sum" => sum(col(m.mvCol))
+          case "min" => min(col(m.mvCol))
+          case "max" => max(col(m.mvCol))
         }).as(m.mvCol)
-      } :+ count(lit(1)).as(mv.countCol)
-      batch.groupBy(mv.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      } :+ sum(col(mv.countCol)).as(mv.countCol)
+      val merged = current.unionByName(rollup(batch, mv))
+        .groupBy(mv.keys.map(col): _*)
+        .agg(mergeCols.head, mergeCols.tail: _*)
+      // union widens summed decimals; fold back to the stored schema so the
+      // refreshed summary is indistinguishable from a full rebuild
+      val aligned = merged.select(current.columns.map { c =>
+        val dt = current.schema(c).dataType
+        col(c).cast(dt).as(c)
+      }: _*)
+      val next = nextVersionPath(mv.mvPath)
+      aligned.write.mode("overwrite").parquet(next)
+      val updated = mv.copy(mvPath = norm(next))
+      registered = updated :: sameBase.filterNot(_.name == name) ::: registered
+      updated
+    } catch {
+      case t: Throwable =>
+        // restore the suppressed registrations on failure
+        registered = sameBase ::: registered
+        throw t
     }
-    val mergeCols = mv.measures.map { m =>
-      (m.kind match {
-        case "sum" => sum(col(m.mvCol))
-        case "min" => min(col(m.mvCol))
-        case "max" => max(col(m.mvCol))
-      }).as(m.mvCol)
-    } :+ sum(col(mv.countCol)).as(mv.countCol)
-    val merged = current.unionByName(batchRollup)
-      .groupBy(mv.keys.map(col): _*)
-      .agg(mergeCols.head, mergeCols.tail: _*)
-    // union widens summed decimals; fold back to the stored schema so the
-    // refreshed summary is indistinguishable from a full rebuild
-    val aligned = merged.select(current.columns.map { c =>
-      val dt = current.schema(c).dataType
-      col(c).cast(dt).as(c)
-    }: _*)
-    val next = nextVersionPath(mv.mvPath)
-    aligned.write.mode("overwrite").parquet(next)
-    val updated = mv.copy(mvPath = norm(next))
-    registered = updated :: registered.filterNot(_.name == name)
-    updated
   }
 
   private def nextVersionPath(p: String): String = {
@@ -199,8 +207,24 @@ object SummaryRewrite {
   }
 
   private def rewrite(session: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    // every registered view over this scan is a candidate — the first whose
+    // measures/keys cover the query wins (one declining must not mask
+    // another that matches)
     val candidates = registered.flatMap(mv => matchBase(mv, agg.child).map(mv -> _))
-    candidates.headOption.flatMap { case (mv, filters) =>
+    candidates.view.flatMap { case (mv, filters) =>
+      // a mask-protected base must never be served from its (unmasked)
+      // summary: masking wins over the rewrite, fail closed
+      if (graft.governance.ColumnMask.protects(mv.basePath)) None
+      else tryRewrite(session, agg, mv, filters)
+    }.headOption
+  }
+
+  private def tryRewrite(
+      session: SparkSession,
+      agg: Aggregate,
+      mv: MvDef,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    {
       val keySet = mv.keys.toSet
       def keysOnly(e: Expression): Boolean = e.references.forall(a => keySet.contains(a.name))
       val groupingOk = agg.groupingExpressions.forall {

@@ -278,7 +278,9 @@ class ExtensionsSpec extends AnyFunSuite {
           sums = Seq("amount" -> Some("decimal(18,2)"), "qty" -> None),
           mins = Seq("amount"), maxs = Seq("qty"))
         // operators ABOVE the aggregate re-bind on preserved exprIds
-        val q2 = spark.read.parquet(base).groupBy(col("k1"), col("k2"))
+        // (a def, not a val: the truth recompute below must re-analyze
+        // from scratch, not reuse the cached rewritten QueryExecution)
+        def q2 = spark.read.parquet(base).groupBy(col("k1"), col("k2"))
           .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"))
           .select(col("k1"), (col("sq") + col("n")).as("t"))
           .orderBy(col("k1"), col("t"))
@@ -319,6 +321,23 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(spark.sql("SHOW GRAFT VIEWS").collect().isEmpty)
         assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) === 2)
         intercept[Exception] { spark.sql("SHOW GRAFT NONSENSE") }
+        // candidate iteration: a later-registered view with disjoint keys
+        // (head of the registry) must not mask an earlier one that matches
+        SummaryRewrite.create(spark, "mv", base, s"$root/mv",
+          keys = Seq("k1", "k2"), sums = Seq("qty" -> None))
+        SummaryRewrite.create(spark, "mv_tag", base, s"$root/mv_t",
+          keys = Seq("tag"), sums = Seq("qty" -> None))
+        val q3 = spark.read.parquet(base).groupBy(col("k1")).agg(sum(col("qty")).as("sq"))
+        assert(scans(q3).forall(_.endsWith("/mv")), scans(q3))
+        // masking wins over the rewrite: while a policy covers the base,
+        // the (unmasked) summary must not serve it — base stays scanned
+        graft.governance.ColumnMask.install(Seq(
+          graft.governance.ColumnMask.Policy(base, "amount", graft.governance.ColumnMask.Redact)))
+        try {
+          val qm = spark.read.parquet(base).groupBy(col("k1")).agg(sum(col("qty")).as("sq"))
+          assert(scans(qm).exists(_.endsWith("/fact")), scans(qm))
+        } finally graft.governance.ColumnMask.clear()
+        SummaryRewrite.clear()
         // GLOBAL aggregate (no grouping) over an EMPTY base: COUNT(*) must
         // stay 0 through the rewrite (sum-of-counts over an empty summary
         // is NULL without the coalesce)
