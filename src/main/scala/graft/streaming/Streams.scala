@@ -386,6 +386,71 @@ object Streams {
     graft.lake.Lake.readTableFeed(s, root, "user_latest")
   }
 
+  /** Streaming-maintained materialized view: micro-batches fold into the
+    * registered summary through
+    * [[graft.warehouse.SummaryRewrite.refreshIncremental]] inside
+    * `foreachBatch` — the summary stays query-fresh as data lands, at
+    * per-batch cost (never a base rescan). The seed chunk creates the view;
+    * three more chunks drain one per trigger, each appended to the base AND
+    * folded into the summary. The final aggregate over the BASE table must
+    * be rewritten onto the (last-refreshed) summary — hard `require` — and
+    * hash-match the full recompute oracle: streaming maintenance ≡ batch
+    * rebuild, the same parity contract every other streaming gate carries.
+    */
+  def streamMvRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = Files.createTempDirectory("graft_smv_").toString
+    val base = s"$root/events_base"
+    val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
+    // seed: the first chunk becomes the initial base + summary
+    val seed = s.read.schema(schema).parquet(glob)
+      .filter(pmod(col("event_id"), lit(4)) === 0)
+    seed.write.parquet(base)
+    try {
+      SummaryRewrite.create(s, "mv_stream_users", base, s"$root/mv",
+        keys = Seq("user_id"),
+        sums = Seq("value" -> Some("decimal(18,2)")))
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+        .filter(pmod(col("event_id"), lit(4)) =!= 0) // seed already applied
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val rows = batch.persist()
+            rows.write.mode("append").parquet(base)
+            SummaryRewrite.refreshIncremental(rows.sparkSession, "mv_stream_users", rows)
+            rows.unpersist()
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val agg = s.read.parquet(base)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("cnt"))
+      val paths = SummaryRewrite.scannedPaths(agg.queryExecution.optimizedPlan)
+      require(paths.exists(_.contains("/mv")),
+        s"rewrite onto the streaming-refreshed summary did not fire; scanned $paths")
+      require(!paths.exists(_.endsWith("events_base")),
+        s"rewritten plan still scans the base: $paths")
+      val rows = agg.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally SummaryRewrite.drop("mv_stream_users")
+  }
+
+  val streamMvRefreshOracle: String =
+    """SELECT user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       COUNT(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Streaming-driven GDPR erasure: deletion requests arrive as a stream
     * (three request files drained one per trigger) and each micro-batch is
     * applied to the lake through `Lake.eraseKeys` — the subjects of batch k
@@ -1067,6 +1132,7 @@ object Streams {
     "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
     "s_state_reader" -> (stateReader _),
+    "s_stream_mv_refresh" -> (streamMvRefresh _),
     "s_stream_enrich" -> (streamEnrich _),
     "s_stream_window" -> (streamWindow _),
     "s_stream_dedup" -> (streamDedup _),
@@ -1093,6 +1159,7 @@ object Streams {
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
     "s_state_reader" -> stateReaderOracle,
+    "s_stream_mv_refresh" -> streamMvRefreshOracle,
     "s_stream_enrich" -> streamEnrichOracle,
     "s_stream_window" -> streamWindowOracle,
     "s_stream_dedup" -> streamDedupOracle,
