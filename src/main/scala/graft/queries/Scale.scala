@@ -643,6 +643,68 @@ object Scale {
       |WHERE l_returnflag <> 'N'
       |GROUP BY 1""".stripMargin
 
+  /** Cost-based join reordering from ANALYZE statistics: the query is
+    * WRITTEN in the worst order — fact ⋈ mid first (every fact row
+    * survives), the selective small dim last — and CBO, fed by
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`, must reorder
+    * to apply the selective dim first. At 100 TB this is the difference
+    * between shuffling the full fact-mid join product and shuffling ~1% of
+    * it; the stats collection pass is the price, paid once per load. The
+    * gate hard-fails unless the optimized join tree actually changed order
+    * (small-dim leaf before the mid leaf), and the oracle is the plain
+    * 3-way join — reordering must be invisible in the result.
+    */
+  def cboReorder(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    val tables = Seq("graft_cbo_fact", "graft_cbo_mid", "graft_cbo_small")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      tables.foreach(t => fs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
+      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .write.saveAsTable("graft_cbo_fact")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .write.saveAsTable("graft_cbo_mid")
+      Tables.supplier(s, d).filter(col("s_acctbal") > 9900)
+        .select("s_suppkey", "s_nationkey")
+        .write.saveAsTable("graft_cbo_small")
+      tables.foreach(t => s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val q = s.table("graft_cbo_fact")
+        .join(s.table("graft_cbo_mid"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table("graft_cbo_small"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("lines"), Q.moneySum(col("l_extendedprice")).as("revenue"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      val posSmall = plan.indexOf("graft_cbo_small")
+      val posMid = plan.indexOf("graft_cbo_mid")
+      require(posSmall >= 0 && posMid >= 0 && posSmall < posMid,
+        s"CBO did not reorder the selective dim ahead of the mid join:\n$plan")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally {
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
+  val cboReorderOracle: String =
+    """SELECT s_nationkey, COUNT(*) AS lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal > 9900
+      |GROUP BY 1""".stripMargin
+
   /** Parser extension end-to-end: `SHOW GRAFT VIEWS` is custom SQL parsed
     * by [[graft.GraftSqlParser]] (injected via `injectParser`, delegating
     * everything else to Spark's parser) into a driver-side command that
@@ -733,6 +795,7 @@ object Scale {
     "p_mv_rewrite" -> (mvRewrite _),
     "p_runtime_filter" -> (runtimeFilterJoin _),
     "d_custom_parser" -> (customParser _),
+    "p_cbo_reorder" -> (cboReorder _),
     "x_product_fingerprint" -> (productFingerprint _),
     "a5_gen_transactions" -> (genTransactions _),
     "a5_gen_aggregate" -> (genAggregate _),
@@ -753,6 +816,7 @@ object Scale {
     "p_mv_rewrite" -> mvRewriteOracle,
     "p_runtime_filter" -> runtimeFilterJoinOracle,
     "d_custom_parser" -> customParserOracle,
+    "p_cbo_reorder" -> cboReorderOracle,
     "x_product_fingerprint" -> productFingerprintOracle,
     "x_approx_sketches" -> approxSketchesOracle,
     "a5_gen_transactions" -> genTransactionsOracle,
