@@ -409,4 +409,32 @@ object Lake {
     import spark.implicits._
     walkFeed(spark, root, name).toDF("partition", "files", "bytes")
   }
+
+  /** Vacuum a versioned table directory: delete every entry that is not a
+    * live `version=vN` snapshot — crashed-write leftovers (staging dirs
+    * like [[writeAuditPublish]]'s `.wap_staging`, `_temporary` attempt
+    * dirs, stray files). The complement of version retention: retention
+    * prunes COMMITTED history, vacuum removes what never committed. Pure
+    * driver-side FS listing (no data scan); `dryRun` previews. Live
+    * version dirs are untouched by construction — the deletion predicate
+    * is on the directory NAME, so a racing writer's fresh `version=vN+1`
+    * can never be collected.
+    */
+  def vacuumTable(
+      spark: SparkSession, root: String, name: String,
+      dryRun: Boolean = false): Seq[(String, Boolean)] = {
+    val base = new Path(tablePath(root, name))
+    val f = fs(spark, tablePath(root, name))
+    if (!f.exists(base)) Seq.empty
+    else {
+      val live = versions(spark, root, name).map(v => s"version=v$v").toSet
+      f.listStatus(base).toSeq
+        .filterNot(st => live.contains(st.getPath.getName))
+        .map { st =>
+          val deleted = !dryRun && f.delete(st.getPath, true)
+          (st.getPath.getName, deleted)
+        }
+        .sortBy(_._1)
+    }
+  }
 }

@@ -634,6 +634,43 @@ object Lifecycle {
       |       COUNT(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** C15 orphan-file vacuum: crashed-write leftovers (a staging dir from an
+    * aborted write-audit-publish, a `_temporary` attempt dir) are planted
+    * next to two live snapshots, then [[Lake.vacuumTable]] dry-runs
+    * (deletes nothing), vacuums (deletes exactly the orphans), and the gate
+    * proves the live data survived byte-for-row (count re-read through the
+    * normal reader) and a second vacuum finds nothing. The complement of
+    * version retention: retention prunes committed history, vacuum removes
+    * what never committed.
+    */
+  def vacuumOrphans(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_vac_")
+    val agg = Reference.b6PaymentTotals(s, d)
+    Lake.writeTableSnapshot(agg, root, "payment_method_totals")
+    Lake.writeTableSnapshot(agg, root, "payment_method_totals")
+    // plant crashed-write leftovers beside the live versions
+    val dir = Lake.tablePath(root, "payment_method_totals")
+    agg.limit(1).write.parquet(s"$dir/.crashed_staging")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/_temporary"))
+    val dry = Lake.vacuumTable(s, root, "payment_method_totals", dryRun = true)
+    val swept = Lake.vacuumTable(s, root, "payment_method_totals")
+    val after = Lake.vacuumTable(s, root, "payment_method_totals", dryRun = true)
+    val intact = Lake.readTableFeed(s, root, "payment_method_totals").count() == 5
+    import s.implicits._
+    (dry.map { case (n, del) => ("dry", n, del) } ++
+      swept.map { case (n, del) => ("vacuum", n, del) } :+
+      ("post", "orphans_remaining", after.nonEmpty) :+
+      ("post", "data_intact", intact))
+      .toDF("phase", "item", "flag")
+  }
+
+  val vacuumOrphansOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('dry', '.crashed_staging', false), ('dry', '_temporary', false),
+      |  ('vacuum', '.crashed_staging', true), ('vacuum', '_temporary', true),
+      |  ('post', 'orphans_remaining', false), ('post', 'data_intact', true))
+      |  t(phase, item, flag)""".stripMargin
+
   /** A11 snapshot stamping: fact rows carry lineage columns (literal date +
     * version), checked end-to-end through a snapshot write.
     */
@@ -1003,6 +1040,7 @@ object Lifecycle {
     "c13_column_mask" -> (columnMask _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
+    "c15_vacuum" -> (vacuumOrphans _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
@@ -1035,6 +1073,7 @@ object Lifecycle {
     "c13_column_mask" -> columnMaskOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
+    "c15_vacuum" -> vacuumOrphansOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,
