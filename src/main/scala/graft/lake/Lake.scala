@@ -148,6 +148,28 @@ object Lake {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** RESTORE a versioned table feed to an earlier snapshot — Delta-style
+    * rollback-by-roll-forward: the target version's content is re-published
+    * as a NEW latest version, so history (and any audit trail pointing at
+    * intermediate versions) is preserved, and every reader of "latest"
+    * moves to the restored content atomically at the version flip. The
+    * alternative (deleting newer versions in place) would rewrite history
+    * under concurrent readers; this path never mutates an existing
+    * snapshot. The copy reads the source snapshot during the write job and
+    * version pruning only runs after the new snapshot is committed, so even
+    * a restore-from version that retention then collects is copied safely.
+    * Returns the new version number.
+    */
+  def restoreTable(
+      spark: SparkSession, root: String, name: String, toVersion: Int,
+      retentionVersions: Int = 7): Int = {
+    val vs = versions(spark, root, name)
+    require(vs.contains(toVersion), s"version v$toVersion of $name does not exist (have: ${vs.mkString(",")})")
+    writeTableSnapshot(
+      readTableFeed(spark, root, name, Some(toVersion)),
+      root, name, retentionVersions)
+  }
+
   /** StorageMode.IGNORE (data_lake_config.py:13): write only if absent. */
   def writeIgnore(df: DataFrame, path: String): Boolean = {
     val f = fs(df.sparkSession, path)

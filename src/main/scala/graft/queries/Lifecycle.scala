@@ -85,6 +85,43 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'v3', COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin
 
+  /** C16: RESTORE (rollback-by-roll-forward) — v1 is the good publish, v2 a
+    * bad deploy that dropped a payment method, restore-to-v1 republishes the
+    * v1 content as v3. The per-version (rows, exact money checksum) matrix
+    * proves v3 ≡ v1 value-for-value while v2 stays in history untouched.
+    * Checksums re-enter decimal(18,2) before summing, so the version-level
+    * total is aggregation-order exact in both engines.
+    */
+  def restoreVersion(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_restore_")
+    val full = Reference.b6PaymentTotals(s, d)
+    Lake.writeTableSnapshot(full, root, "pm_totals")
+    Lake.writeTableSnapshot(
+      full.filter(col("payment_method") =!= "5-LOW"), root, "pm_totals")
+    val v3 = Lake.restoreTable(s, root, "pm_totals", toVersion = 1)
+    require(v3 == 3, s"restore must publish v3, got v$v3")
+    import s.implicits._
+    Lake.versions(s, root, "pm_totals").map { v =>
+      val row = Lake.readTableFeed(s, root, "pm_totals", Some(v))
+        .agg(count(lit(1)),
+          sum(col("total_amount").cast("decimal(18,2)")).cast("double")).head
+      ("v" + v, row.getLong(0), row.getDouble(1))
+    }.toDF("version", "n_rows", "checksum")
+  }
+
+  val restoreVersionOracle: String =
+    """WITH a AS (
+      |  SELECT COUNT(DISTINCT o_orderpriority) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |  FROM orders),
+      |f AS (
+      |  SELECT COUNT(DISTINCT o_orderpriority) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |  FROM orders WHERE o_orderpriority <> '5-LOW')
+      |SELECT 'v1' AS version, n AS n_rows, s AS checksum FROM a
+      |UNION ALL SELECT 'v2', n, s FROM f
+      |UNION ALL SELECT 'v3', n, s FROM a""".stripMargin
+
   /** A7 read-back: the latest snapshot of B6 must equal the live query —
     * proves overwrite-versioned storage preserves aggregate values exactly.
     */
@@ -1041,6 +1078,7 @@ object Lifecycle {
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
+    "c16_restore" -> (restoreVersion _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
     "w_incremental_agg" -> (incrementalAgg _),
@@ -1074,6 +1112,7 @@ object Lifecycle {
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,
+    "c16_restore" -> restoreVersionOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
     "w_incremental_agg" -> incrementalAggOracle,

@@ -58,6 +58,28 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readTableFeed(spark, root, "t", Some(2)).select("k").as[Int].head() === 2)
   }
 
+  test("restoreTable republishes an old snapshot as a new version, history intact") {
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq((1, "good"), (2, "good")).toDF("k", "x"), root, "t")
+    Lake.writeTableSnapshot(Seq((1, "bad")).toDF("k", "x"), root, "t")
+    val v3 = Lake.restoreTable(spark, root, "t", toVersion = 1)
+    assert(v3 === 3)
+    assert(Lake.versions(spark, root, "t") === Seq(1, 2, 3))
+    assert(Lake.readTableFeed(spark, root, "t").orderBy("k").collect().toSeq ===
+      Lake.readTableFeed(spark, root, "t", Some(1)).orderBy("k").collect().toSeq)
+    // the bad deploy stays readable for audit
+    assert(Lake.readTableFeed(spark, root, "t", Some(2)).count() === 1)
+    // restoring a version that never existed must fail fast
+    intercept[IllegalArgumentException] {
+      Lake.restoreTable(spark, root, "t", toVersion = 9)
+    }
+    // restore works even when retention then collects the source version
+    val v4 = Lake.restoreTable(spark, root, "t", toVersion = 2, retentionVersions = 2)
+    assert(v4 === 4)
+    assert(Lake.versions(spark, root, "t") === Seq(3, 4))
+    assert(Lake.readTableFeed(spark, root, "t").select("x").as[String].head() === "bad")
+  }
+
   test("writeIgnore is a no-op when target exists") {
     val root = scratch()
     val p = s"$root/x"
