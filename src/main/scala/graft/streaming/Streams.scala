@@ -121,6 +121,53 @@ object Streams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Streaming `observe()` metrics: per-micro-batch data-quality telemetry
+    * (row count, exact decimal value mass, event-time high-water mark)
+    * riding the EXISTING plan as accumulator-backed observed metrics — no
+    * second pass, no extra scan, no sink change. This is the monitoring
+    * primitive a 100-TB pipeline runs on every hop (row counts and value
+    * mass per batch reconcile source against sink; the high-water mark
+    * tracks freshness); at scale the per-batch rows land in the metrics
+    * feed instead of a driver list.
+    *
+    * The stream drains 4 staged chunks (`event_id % 4`) one file per
+    * trigger, so the per-batch metric rows are deterministic and the
+    * oracle recomputes them as per-chunk batch aggregates: every row must
+    * be observed in exactly one batch, and the decimal mass re-totalled
+    * across batches equals the table truth — the exactly-once observation
+    * contract. Metrics come from `StreamingQuery.recentProgress` after
+    * `AvailableNow` terminates (synchronous, unlike the listener bus).
+    */
+  def streamObserve(s: SparkSession, d: String): DataFrame = {
+    val (glob, schema) = stageInterleavedEventChunks(s, d, 4)
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(glob)
+      .observe("metrics",
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).as("value_mass"),
+        max(col("ts_us")).as("max_ts_us"))
+      .writeStream.format("noop")
+      .option("checkpointLocation", Files.createTempDirectory("graft_obs_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get("metrics")).map { m =>
+        (p.batchId, m.getAs[Long]("n_rows"),
+          m.getDecimal(m.fieldIndex("value_mass")).doubleValue(),
+          m.getAs[Long]("max_ts_us"))
+      }
+    }.filter(_._2 > 0)
+    import s.implicits._
+    batches.toDF("batch", "n_rows", "value_mass", "max_ts_us")
+  }
+
+  val streamObserveOracle: String =
+    """SELECT event_id % 4 AS batch, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_mass,
+      |       MAX(epoch_ns(ts) // 1000) AS max_ts_us
+      |FROM events GROUP BY 1""".stripMargin
+
   /** State-store READER (Spark 4 `statestore` data source): the persisted
     * state of a streaming aggregation, read back as a plain batch
     * DataFrame from the checkpoint — no touching the query, no foreachBatch
@@ -1131,6 +1178,7 @@ object Streams {
     "s_stream_exactly_once" -> (streamExactlyOnce _),
     "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
+    "s_stream_observe" -> (streamObserve _),
     "s_state_reader" -> (stateReader _),
     "s_stream_mv_refresh" -> (streamMvRefresh _),
     "s_stream_enrich" -> (streamEnrich _),
@@ -1158,6 +1206,7 @@ object Streams {
     "s_stream_exactly_once" -> streamExactlyOnceOracle,
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
+    "s_stream_observe" -> streamObserveOracle,
     "s_state_reader" -> stateReaderOracle,
     "s_stream_mv_refresh" -> streamMvRefreshOracle,
     "s_stream_enrich" -> streamEnrichOracle,
