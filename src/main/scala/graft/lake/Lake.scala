@@ -102,10 +102,55 @@ object Lake {
       df: DataFrame, root: String, name: String,
       retentionVersions: Int = 7): Int = {
     val spark = df.sparkSession
-    val next = latestVersion(spark, root, name).getOrElse(0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"${tablePath(root, name)}/version=v$next")
+    val tdir = tablePath(root, name)
+    val stage = new Path(
+      s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val n = commitStaged(spark, tdir, stage)
     Retention.pruneTableVersions(spark, root, name, keep = retentionVersions, dryRun = false)
-    next
+    n
+  }
+
+  /** Optimistic-concurrency snapshot commit: promote a fully-written
+    * staging directory to the next free `version=vN` slot. Version numbers
+    * are claimed with an exclusive marker-file create (atomic on HDFS;
+    * best-effort on the local FS) BEFORE the rename, so two writers that
+    * both computed next = N cannot clobber each other — the loser's create
+    * fails and it retries with N+1. Lost-update prevention for concurrent
+    * snapshot publishers, plus no torn reads ever: a version directory
+    * appears only via rename of a complete staging dir, so `versions()`
+    * can never list a half-written snapshot. A writer that crashes after
+    * claiming but before renaming burns its version number (readers skip
+    * the gap; `vacuumTable` collects the marker and the orphaned staging).
+    */
+  private def commitStaged(spark: SparkSession, tdir: String, stage: Path): Int = {
+    val f = fs(spark, tdir)
+    val (root, name) = {
+      val p = new Path(tdir)
+      (p.getParent.getParent.toString, p.getName)
+    }
+    var n = latestVersion(spark, root, name).getOrElse(0) + 1
+    while (true) {
+      val claim = new Path(s"$tdir/.claim_v$n")
+      val claimed =
+        try { f.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val live = new Path(s"$tdir/version=v$n")
+        if (f.exists(live)) {
+          // slot already occupied (pre-OCC partial dir or racing writer):
+          // release the claim and move on, never overwrite a snapshot
+          f.delete(claim, false)
+        } else {
+          if (!f.rename(stage, live))
+            throw new java.io.IOException(s"commit: could not promote $stage to $live")
+          f.delete(claim, false)
+          return n
+        }
+      }
+      n += 1
+    }
+    -1 // unreachable
   }
 
   /** Read a table snapshot: latest version, or a specific one (A3). */
@@ -276,10 +321,9 @@ object Lake {
       f.delete(staged, true)
       WapResult(published = false, None, failed)
     } else {
-      val next = latestVersion(spark, root, name).getOrElse(0) + 1
-      val live = new Path(s"${tablePath(root, name)}/version=v$next")
-      if (!f.rename(staged, live))
-        throw new java.io.IOException(s"WAP publish: could not promote $staged")
+      // same OCC claim-then-rename as writeTableSnapshot: concurrent
+      // publishers get distinct versions, readers never see a torn snapshot
+      val next = commitStaged(spark, tablePath(root, name), staged)
       WapResult(published = true, Some(next), Nil)
     }
   }

@@ -58,6 +58,32 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readTableFeed(spark, root, "t", Some(2)).select("k").as[Int].head() === 2)
   }
 
+  test("snapshot commit is claim-based: no clobber, no torn version dirs") {
+    val root = scratch()
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Lake.writeTableSnapshot(Seq((1, "a")).toDF("k", "x"), root, "t")
+    Lake.writeTableSnapshot(Seq((2, "b")).toDF("k", "x"), root, "t")
+    val tdir = Lake.tablePath(root, "t")
+    // a concurrent writer has claimed v3 but not yet renamed: we must skip it
+    f.create(new org.apache.hadoop.fs.Path(s"$tdir/.claim_v3"), false).close()
+    val v = Lake.writeTableSnapshot(Seq((4, "d")).toDF("k", "x"), root, "t")
+    assert(v === 4)
+    assert(Lake.versions(spark, root, "t") === Seq(1, 2, 4))
+    // a pre-existing (crashed, pre-OCC) version dir is never overwritten
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$tdir/version=v5"))
+    val v2 = Lake.writeTableSnapshot(Seq((6, "f")).toDF("k", "x"), root, "t")
+    assert(v2 === 6)
+    assert(spark.read.parquet(s"$tdir/version=v6").count() === 1)
+    // committed writes leave no staging dirs; the foreign claim marker stays
+    val leftovers = f.listStatus(new org.apache.hadoop.fs.Path(tdir))
+      .map(_.getPath.getName).filter(_.startsWith(".stage_")).toSeq
+    assert(leftovers === Seq.empty)
+    // vacuum collects the stale claim marker; version-named dirs are live
+    Lake.vacuumTable(spark, root, "t")
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(tdir)).map(_.getPath.getName).sorted.toSeq
+    assert(names === Seq("version=v1", "version=v2", "version=v4", "version=v5", "version=v6"))
+  }
+
   test("restoreTable republishes an old snapshot as a new version, history intact") {
     val root = scratch()
     Lake.writeTableSnapshot(Seq((1, "good"), (2, "good")).toDF("k", "x"), root, "t")
