@@ -708,7 +708,10 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
-  val dedupClustersOracle: String =
+  /** The connected-components recursive-CTE prefix shared by the cluster
+    * oracle and the quality-survivor oracle (bounded doc_id < 300 slice).
+    */
+  private val clusterCtes: String =
     s"""WITH RECURSIVE sh AS (
       |  SELECT doc_id,
       |         list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
@@ -730,9 +733,62 @@ object Dedup {
       |  SELECT id, id AS r FROM verts
       |  UNION
       |  SELECT e.doc_a AS id, reach.r
-      |  FROM reach JOIN edges e ON e.doc_b = reach.id)
+      |  FROM reach JOIN edges e ON e.doc_b = reach.id)""".stripMargin
+
+  val dedupClustersOracle: String =
+    s"""$clusterCtes
       |SELECT id AS doc_id, MIN(r) AS cluster
       |FROM reach GROUP BY 1""".stripMargin
+
+  /** Quality-aware survivor selection over near-dup clusters: each cluster
+    * keeps its HIGHEST-quality member (ties broken by lowest doc_id), not
+    * the lowest id — the selection a real training pipeline makes when
+    * near-duplicates differ in cleanliness (keep the best copy, drop the
+    * rest). Unclustered documents are singleton clusters and survive
+    * unconditionally. Reuses the hash-verified quality score and the
+    * connected-components clustering; the ranking is one per-cluster
+    * window over cluster-sized groups (clusters are near-dup components —
+    * tiny by construction; the global shape is one (cluster) shuffle of
+    * one row per doc, never wider than the input).
+    */
+  def qualitySurvivors(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d)
+    val q = TextAnalysis.qualityScore(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("quality_score"))
+    val labeled = q.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster"))
+    val rankW = w.orderBy(col("quality_score").desc, col("doc_id"))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("survivor_id"),
+        col("quality_score"), col("cluster_size"))
+  }
+
+  val qualitySurvivorsOracle: String =
+    s"""$clusterCtes,
+      |clus AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id,
+      |         CASE WHEN word_cnt < 5 THEN 0.0
+      |              ELSE (CAST(stopword_cnt AS DOUBLE) / word_cnt) * 0.5
+      |                   + (1.0 - CAST(punct_cnt AS DOUBLE) / len_chars) * 0.5 END AS quality_score
+      |  FROM (SELECT doc_id, length(text) AS len_chars,
+      |               len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+      |               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_cnt,
+      |               len(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt
+      |        FROM documents WHERE doc_id < 300)),
+      |lab AS (
+      |  SELECT q.doc_id, COALESCE(clus.cluster, q.doc_id) AS cluster, q.quality_score
+      |  FROM q LEFT JOIN clus ON q.doc_id = clus.doc_id)
+      |SELECT cluster, doc_id AS survivor_id, quality_score,
+      |       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+      |FROM lab
+      |QUALIFY row_number() OVER (PARTITION BY cluster
+      |                           ORDER BY quality_score DESC, doc_id) = 1""".stripMargin
 
   /** Exact-substring dedup at shingle resolution — the span-level
     * complement of the document-level MinHash/SimHash paths (Lee et al.
@@ -792,6 +848,7 @@ object Dedup {
   val defs: Map[String, QueryFn] = Map(
     "x_substr_dedup" -> (substrDedup _),
     "x_dedup_clusters" -> (dedupClusters _),
+    "x_dedup_quality_survivors" -> (qualitySurvivors _),
     "x_decontaminate" -> (decontaminate _),
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
@@ -804,6 +861,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "x_substr_dedup" -> substrDedupOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
+    "x_dedup_quality_survivors" -> qualitySurvivorsOracle,
     "x_decontaminate" -> decontaminateOracle,
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,
