@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // column-level masking: reads of protected paths get pseudonym/redact
     // projections (no-op until policies are installed via ColumnMask.install)
     ext.injectOptimizerRule(session => graft.governance.ColumnMask.rule(session))
+    // row-level security: reads of protected paths get the policy predicate
+    // appended at the scan leaf (no-op until installed via RowFilter.install)
+    ext.injectOptimizerRule(session => graft.governance.RowFilter.rule(session))
     // parser extension: SHOW GRAFT VIEWS (everything else delegated verbatim)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

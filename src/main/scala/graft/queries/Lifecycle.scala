@@ -591,6 +591,48 @@ object Lifecycle {
       |SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus, 'admin' AS who
       |FROM base""".stripMargin
 
+  /** C18 row-level security: reads of a protected table are filtered by
+    * the injected [[graft.governance.RowFilter]] rule while policies are
+    * installed. The tenant read sees only its nations' positive-balance
+    * customers (two covering policies AND together; `c_acctbal > 0`
+    * exercises the analyzer's int→double literal coercion on the policy
+    * text); the admin read (policies cleared) sees every row. Both reads
+    * run the same code — only the installed policy set differs — and the
+    * oracle recomputes both halves, hash-proving the filter is applied
+    * when installed and absent when cleared. The predicate lands on the
+    * scan leaf, so it pushes into the parquet reader like a user filter
+    * (PLANS pins PushedFilters carrying the policy).
+    */
+  def rowFilter(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.RowFilter
+    import RowFilter.Policy
+    val root = scratch("graft_rls_")
+    Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/customer_rls")
+    val policies = Seq(
+      Policy(s"$root/customer_rls", "c_nationkey IN (1, 2, 3)"),
+      Policy(s"$root/customer_rls", "c_acctbal > 0"))
+    def readAs(filteredRead: Boolean, who: String): DataFrame = {
+      if (filteredRead) RowFilter.install(policies)
+      try {
+        val df = s.read.parquet(s"$root/customer_rls").withColumn("who", lit(who))
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally RowFilter.clear()
+    }
+    readAs(filteredRead = true, "tenant").unionByName(readAs(filteredRead = false, "admin"))
+  }
+
+  val rowFilterOracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer)
+      |SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, 'tenant' AS who
+      |FROM base WHERE c_nationkey IN (1, 2, 3) AND c_acctbal > 0
+      |UNION ALL
+      |SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, 'admin' AS who
+      |FROM base""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1075,6 +1117,7 @@ object Lifecycle {
     "c10_wap_publish" -> (wapPublish _),
     "c11_read_guard" -> (readGuard _),
     "c13_column_mask" -> (columnMask _),
+    "c18_row_filter" -> (rowFilter _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1109,6 +1152,7 @@ object Lifecycle {
     "c10_wap_publish" -> wapPublishOracle,
     "c11_read_guard" -> readGuardOracle,
     "c13_column_mask" -> columnMaskOracle,
+    "c18_row_filter" -> rowFilterOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,

@@ -212,9 +212,11 @@ object SummaryRewrite {
     // another that matches)
     val candidates = registered.flatMap(mv => matchBase(mv, agg.child).map(mv -> _))
     candidates.view.flatMap { case (mv, filters) =>
-      // a mask-protected base must never be served from its (unmasked)
-      // summary: masking wins over the rewrite, fail closed
-      if (graft.governance.ColumnMask.protects(mv.basePath)) None
+      // a mask- or row-filter-protected base must never be served from its
+      // (unmasked, unfiltered) summary: governance wins over the rewrite,
+      // fail closed
+      if (graft.governance.ColumnMask.protects(mv.basePath) ||
+          graft.governance.RowFilter.protects(mv.basePath)) None
       else tryRewrite(session, agg, mv, filters)
     }.headOption
   }

@@ -471,4 +471,88 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RowFilter: policy predicates apply at the scan, fail closed, compose beneath the mask") {
+    import graft.governance.{ColumnMask, RowFilter}
+    import RowFilter.Policy
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rls-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_rls_spec_").toString
+      Seq(("u1", 10.0, "fr"), ("u2", 20.0, "de"), ("u1", 30.0, "fr"), ("u3", -5.0, "fr"))
+        .toDF("user", "amount", "country").write.parquet(s"$root/t")
+
+      // one policy filters; two covering policies AND; int literal over a
+      // double column exercises the analyzer coercion on the policy text
+      RowFilter.install(Seq(Policy(s"$root/t", "country = 'fr'")))
+      try {
+        assert(spark.read.parquet(s"$root/t").count() === 3)
+        RowFilter.install(Seq(
+          Policy(s"$root/t", "country = 'fr'"),
+          Policy(s"$root/t", "amount > 5")))
+        val rows = spark.read.parquet(s"$root/t").collect()
+        assert(rows.length === 2 && rows.forall(_.getString(2) == "fr"))
+        // aggregates see only policy rows
+        assert(spark.read.parquet(s"$root/t")
+          .agg(sum(col("amount"))).head.getDouble(0) === 40.0)
+        // other tables pass through untouched
+        spark.range(4).toDF("id").write.parquet(s"$root/open")
+        assert(spark.read.parquet(s"$root/open").count() === 4)
+
+        // fail-closed: bad column, non-boolean, unparsable — all refuse
+        for (bad <- Seq("no_such_col = 1", "amount + 1", "SELECT FROM (")) {
+          RowFilter.install(Seq(Policy(s"$root/t", bad)))
+          intercept[SecurityException] { spark.read.parquet(s"$root/t").collect() }
+        }
+
+        // fail-closed: covered path through a non-filterable (v2) relation
+        graft.sources.StatsCsvFormat.write(
+          spark.range(5).select(col("id").as("k")), s"$root/t_v2", "k", 2)
+        RowFilter.install(Seq(Policy(s"$root/t_v2", "k > 2")))
+        intercept[SecurityException] {
+          spark.read.format("graft-stats-csv").load(s"$root/t_v2").collect()
+        }
+        // uncovered v2 reads pass through
+        RowFilter.install(Seq(Policy(s"$root/t", "country = 'fr'")))
+        assert(spark.read.format("graft-stats-csv").load(s"$root/t_v2").count() === 5)
+
+        // composition: the RLS filter evaluates on RAW values beneath the
+        // mask projection — the admin's tenant predicate still selects the
+        // right rows while the analyst sees only pseudonyms
+        RowFilter.install(Seq(Policy(s"$root/t", "user = 'u1'")))
+        ColumnMask.install(Seq(
+          ColumnMask.Policy(s"$root/t", "user", ColumnMask.Pseudonym)))
+        try {
+          val masked = spark.read.parquet(s"$root/t").collect()
+          val shaU1 = org.apache.commons.codec.digest.DigestUtils.sha256Hex("u1")
+          assert(masked.length === 2, "raw-value policy must still filter")
+          assert(masked.forall(_.getString(0) == shaU1), "output must stay masked")
+        } finally ColumnMask.clear()
+
+        // a row-filtered base must never be answered from its summary
+        assert(RowFilter.protects(s"$root/t"))
+      } finally RowFilter.clear()
+      // cleared: every row visible again
+      assert(spark.read.parquet(s"$root/t").count() === 4)
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
 }
