@@ -168,6 +168,85 @@ object Streams {
       |       MAX(epoch_ns(ts) // 1000) AS max_ts_us
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Late-data CAPTURE: watermarks make Spark silently DROP rows older
+    * than the allowed lateness — correct for bounding state, but at
+    * 100 TB/day "silently" is a data-loss hole. This operator is the
+    * event-time complement of the wire dead-letter path
+    * ([[wireQuarantine]]): every row is routed, none dropped — rows older
+    * than (high-water mark − lateness) land in a QUARANTINE partition
+    * with provenance (deciding batch id), on-time rows land in the main
+    * feed, and the high-water mark itself is persisted durably per batch
+    * (restart-safe: a rebooted stream keeps the old watermark instead of
+    * re-admitting everything).
+    *
+    * One job per batch: rows are tagged and written once through a
+    * disposition-partitioned sink; the batch maximum event time rides the
+    * SAME write as an `Observation` metric (no second scan). The stream
+    * drains 4 interleaved chunks (`event_id % 4`) one file per trigger, so
+    * the hwm evolution is deterministic and the oracle replays it as a
+    * running per-batch window max: routing must match SQL exactly,
+    * row-for-row.
+    */
+  def streamLateCapture(s: SparkSession, d: String): DataFrame = {
+    val (glob, schema) = stageInterleavedEventChunks(s, d, 4)
+    val root = Files.createTempDirectory("graft_late_").toString
+    val latenessUs = 7L * 24 * 3600 * 1000000 // 7 event-time days
+    val hwmPath = s"$root/hwm"
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(glob)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val prev: Option[Long] =
+          if (new java.io.File(hwmPath).exists)
+            Some(ss.read.parquet(hwmPath).head.getLong(0))
+          else None
+        val isLate = prev match {
+          case Some(h) => col("ts_us") < lit(h - latenessUs)
+          case None => lit(false)
+        }
+        val tagged = batch
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .withColumn("batch_id", lit(id))
+          .withColumn("disposition", when(isLate, "late").otherwise("on_time"))
+        val obs = org.apache.spark.sql.Observation()
+        tagged.observe(obs, max(col("ts_us")).as("mx"))
+          .write.mode("append").partitionBy("disposition")
+          .parquet(s"$root/routed")
+        val mx = obs.get("mx").asInstanceOf[Long]
+        val hwm = math.max(prev.getOrElse(Long.MinValue), mx)
+        import ss.implicits._
+        // overwrite AFTER the routed write committed: a crash between the
+        // two replays the batch against the OLD hwm — same routing, and
+        // the parquet commit protocol discards the orphaned attempt
+        Seq(hwm).toDF("hwm").coalesce(1).write.mode("overwrite").parquet(hwmPath)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_late_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/routed")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("batch_id"), col("disposition").cast("string").as("disposition"))
+  }
+
+  val streamLateCaptureOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |         event_id % 4 AS b
+      |  FROM events),
+      |bm AS (SELECT b, MAX(ts_us) AS mx FROM e GROUP BY b),
+      |hw AS (SELECT b, MAX(mx) OVER (ORDER BY b
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_prev
+      |       FROM bm)
+      |SELECT e.event_id, e.user_id, e.ts_us, e.b AS batch_id,
+      |       CASE WHEN hw.hwm_prev IS NOT NULL
+      |                  AND e.ts_us < hw.hwm_prev - 604800000000
+      |            THEN 'late' ELSE 'on_time' END AS disposition
+      |FROM e JOIN hw ON e.b = hw.b""".stripMargin
+
   /** State-store READER (Spark 4 `statestore` data source): the persisted
     * state of a streaming aggregation, read back as a plain batch
     * DataFrame from the checkpoint — no touching the query, no foreachBatch
@@ -1179,6 +1258,7 @@ object Streams {
     "s_stream_kafka_wire" -> (streamKafkaWire _),
     "s_stream_agg" -> (streamAgg _),
     "s_stream_observe" -> (streamObserve _),
+    "s_stream_late_capture" -> (streamLateCapture _),
     "s_state_reader" -> (stateReader _),
     "s_stream_mv_refresh" -> (streamMvRefresh _),
     "s_stream_enrich" -> (streamEnrich _),
@@ -1207,6 +1287,7 @@ object Streams {
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
     "s_stream_agg" -> streamAggOracle,
     "s_stream_observe" -> streamObserveOracle,
+    "s_stream_late_capture" -> streamLateCaptureOracle,
     "s_state_reader" -> stateReaderOracle,
     "s_stream_mv_refresh" -> streamMvRefreshOracle,
     "s_stream_enrich" -> streamEnrichOracle,
