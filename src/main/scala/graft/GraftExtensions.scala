@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis-time permission enforcement (no-op until a principal is
     // installed via governance.ReadGuard.install)
     ext.injectCheckRule(graft.governance.ReadGuard.checkRule)
+    // analysis-time read AUDITING (no-op until a principal is installed
+    // via governance.ReadAudit.install)
+    ext.injectCheckRule(graft.governance.ReadAudit.checkRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

@@ -1,0 +1,71 @@
+package graft.governance
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Read AUDITING — the third leg of the governance loop the reference
+  * sketches with scattered log statements (manage_permissions.py logs
+  * grants, the consumers log their own reads): [[Permissions]] grants,
+  * [[ReadGuard]]/[[RowFilter]]/[[ColumnMask]] enforce, and this rule
+  * RECORDS. While a principal is installed, every analyzed plan is walked
+  * (the same `injectCheckRule` hook as ReadGuard, so nothing can be
+  * planned without passing through it) and each file-backed relation —
+  * v1 root paths and v2 `path`-option relations alike — appends one
+  * (seq, principal, path) entry to the audit log. Recording at ANALYSIS
+  * time is the right hook for an audit: it fires before any execution,
+  * captures reads that later fail or are cancelled (attempts are exactly
+  * what an auditor wants), and adds zero jobs to the query itself.
+  *
+  * The in-memory buffer is the session-local collection point; at scale
+  * the flush target is a versioned lake table (`Lake.writeTableSnapshot`
+  * of `log()`), turning audit review into a plain query — who planned
+  * reads of which path, in which order. Driver-side cost per query is the
+  * relation walk: O(plan nodes), no Spark jobs.
+  */
+object ReadAudit {
+
+  final case class Entry(seq: Long, principal: String, path: String)
+
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  @volatile private var active: Option[String] = None
+
+  /** Start attributing analyzed reads to `principal`. */
+  def install(principal: String): Unit = active = Some(principal)
+
+  def clear(): Unit = active = None
+
+  /** Drop all recorded entries (a fresh audit window). */
+  def reset(): Unit = { buf.clear(); seq.set(0L) }
+
+  /** The audit log as a DataFrame (seq preserves recording order). */
+  def log(session: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import session.implicits._
+    buf.asScala.toSeq.toDF()
+  }
+
+  /** The injected check rule (see [[graft.GraftExtensions]]). */
+  def checkRule(session: SparkSession): LogicalPlan => Unit = plan =>
+    active.foreach { who =>
+      plan.foreach {
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.foreach { p =>
+                buf.add(Entry(seq.getAndIncrement(), who, p.toUri.getPath))
+              }
+            case _ => ()
+          }
+        case v2: DataSourceV2Relation =>
+          Option(v2.options.get("path")).foreach { raw =>
+            buf.add(Entry(seq.getAndIncrement(), who,
+              new org.apache.hadoop.fs.Path(raw).toUri.getPath))
+          }
+        case _ => ()
+      }
+    }
+}

@@ -633,6 +633,46 @@ object Lifecycle {
       |SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, 'admin' AS who
       |FROM base""".stripMargin
 
+  /** C19 read auditing: while a principal is installed, the injected
+    * [[graft.governance.ReadAudit]] check rule records every file-backed
+    * relation of every ANALYZED plan — the attempt is captured before any
+    * execution, with a monotone sequence preserving order. The gate plans
+    * reads as two principals (alice twice on one dataset, once on another;
+    * bob once), plans one read with auditing cleared (must not appear),
+    * and emits per-(principal, dataset) counts plus the first sequence
+    * number — proving attribution, count and ORDER of the audit trail.
+    * Note the audited act is PLANNING (`spark.read.parquet(...)` alone),
+    * no job runs for the audited reads at all.
+    */
+  def readAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.ReadAudit
+    val root = scratch("graft_audit_")
+    Tables.nation(s, d).write.mode(SaveMode.Overwrite).parquet(s"$root/ds_a")
+    Tables.region(s, d).write.mode(SaveMode.Overwrite).parquet(s"$root/ds_b")
+    ReadAudit.reset()
+    ReadAudit.install("alice@corp")
+    try {
+      s.read.parquet(s"$root/ds_a")
+      s.read.parquet(s"$root/ds_a")
+      s.read.parquet(s"$root/ds_b")
+    } finally ReadAudit.clear()
+    ReadAudit.install("bob@corp")
+    try s.read.parquet(s"$root/ds_b") finally ReadAudit.clear()
+    s.read.parquet(s"$root/ds_a") // cleared: must not be audited
+    ReadAudit.log(s)
+      .withColumn("dataset", element_at(split(col("path"), "/"), -1))
+      .filter(col("dataset").isin("ds_a", "ds_b"))
+      .groupBy(col("principal"), col("dataset"))
+      .agg(count(lit(1)).as("n_reads"), min(col("seq")).as("first_seq"))
+  }
+
+  val readAuditOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('alice@corp', 'ds_a', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('alice@corp', 'ds_b', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('bob@corp',  'ds_b', CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
+      |  t(principal, dataset, n_reads, first_seq)""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1118,6 +1158,7 @@ object Lifecycle {
     "c11_read_guard" -> (readGuard _),
     "c13_column_mask" -> (columnMask _),
     "c18_row_filter" -> (rowFilter _),
+    "c19_read_audit" -> (readAudit _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1153,6 +1194,7 @@ object Lifecycle {
     "c11_read_guard" -> readGuardOracle,
     "c13_column_mask" -> columnMaskOracle,
     "c18_row_filter" -> rowFilterOracle,
+    "c19_read_audit" -> readAuditOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,
