@@ -673,6 +673,55 @@ object Lifecycle {
       |  ('bob@corp',  'ds_b', CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
       |  t(principal, dataset, n_reads, first_seq)""".stripMargin
 
+  private val catalogN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A19 catalog SQL + time travel: the versioned lake exposed through a
+    * DataSource V2 `TableCatalog`
+    * ([[org.apache.spark.sql.graft.GraftCatalog]]) — tables addressed BY
+    * NAME from SQL (the surface the reference gets from ksqlDB/MySQL),
+    * with `VERSION AS OF` resolving pinned snapshots through the catalog
+    * API itself. Three snapshot generations of an order summary are
+    * committed via `Lake.writeTableSnapshot` (the OCC claim path), then
+    * read back as v1, v2 and latest PURELY through SQL text — no paths in
+    * the queries. Reads plan through Spark's own ParquetTable, so
+    * pushdown/pruning behave exactly as path reads of the same snapshot.
+    * The catalog name is uniqued per call: Spark caches catalog INSTANCES
+    * per session, and this gate's root is a fresh scratch dir each run.
+    */
+  def catalogSql(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_cat_")
+    def snap(maxKey: Int): DataFrame =
+      Tables.orders(s, d).filter(col("o_orderkey") <= maxKey)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Q.moneySum(col("o_totalprice")).as("total"))
+    Lake.writeTableSnapshot(snap(5000), root, "order_summary")
+    Lake.writeTableSnapshot(snap(10000), root, "order_summary")
+    Lake.writeTableSnapshot(snap(15000), root, "order_summary")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def q(asof: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$asof' AS asof, o_orderpriority, n, total " +
+        s"FROM $cat.tables.order_summary$suffix")
+    q("v1", " VERSION AS OF 1")
+      .unionByName(q("v2", " VERSION AS OF 2"))
+      .unionByName(q("latest", ""))
+  }
+
+  val catalogSqlOracle: String =
+    """SELECT 'v1' AS asof, o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 5000 GROUP BY 2
+      |UNION ALL
+      |SELECT 'v2', o_orderpriority, COUNT(*),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders WHERE o_orderkey <= 10000 GROUP BY 2
+      |UNION ALL
+      |SELECT 'latest', o_orderpriority, COUNT(*),
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders WHERE o_orderkey <= 15000 GROUP BY 2""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1159,6 +1208,7 @@ object Lifecycle {
     "c13_column_mask" -> (columnMask _),
     "c18_row_filter" -> (rowFilter _),
     "c19_read_audit" -> (readAudit _),
+    "a19_catalog_sql" -> (catalogSql _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1195,6 +1245,7 @@ object Lifecycle {
     "c13_column_mask" -> columnMaskOracle,
     "c18_row_filter" -> rowFilterOracle,
     "c19_read_audit" -> readAuditOracle,
+    "a19_catalog_sql" -> catalogSqlOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import graft.lake.Lake
+
+/** Contracts of [[org.apache.spark.sql.graft.GraftCatalog]] beyond the
+  * oracle gate (`a19_catalog_sql` hash-verifies VERSION AS OF + latest):
+  * listings, existence, TIMESTAMP AS OF commit-time resolution, error
+  * shapes, and the write-refusal that protects the snapshot contract.
+  */
+class CatalogSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val (cat, root): (String, String) = {
+    val root = Files.createTempDirectory("graft_cat_spec_").toString
+    val c = "gcatspec"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.root", root)
+    (c, root)
+  }
+
+  private def snap(n: Int) =
+    Tables.nation(spark, sf).filter(col("n_nationkey") < n)
+
+  test("latest read, VERSION AS OF, and TIMESTAMP AS OF resolve the right snapshots") {
+    Lake.writeTableSnapshot(snap(5), root, "nations")
+    // commit-time resolution relies on directory mtimes; keep the two
+    // commits in distinct milliseconds and capture a point between them
+    Thread.sleep(30)
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(30)
+    Lake.writeTableSnapshot(snap(10), root, "nations")
+
+    assert(spark.sql(s"SELECT * FROM $cat.tables.nations").count() === 10)
+    assert(spark.sql(s"SELECT * FROM $cat.tables.nations VERSION AS OF 1").count() === 5)
+    assert(spark.sql(s"SELECT * FROM $cat.tables.nations VERSION AS OF 2").count() === 10)
+    // timestamp between the two commits resolves v1
+    val tsLit = java.time.Instant.ofEpochSecond(
+      betweenMicros / 1000000L, (betweenMicros % 1000000L) * 1000L).toString
+    assert(spark.sql(
+      s"SELECT * FROM $cat.tables.nations TIMESTAMP AS OF '$tsLit'").count() === 5)
+    // a timestamp before every commit has no snapshot to serve
+    intercept[AnalysisException] {
+      spark.sql(
+        s"SELECT * FROM $cat.tables.nations TIMESTAMP AS OF '2000-01-01 00:00:00'"
+      ).collect()
+    }
+  }
+
+  test("listings, existence and error shapes") {
+    Lake.writeTableSnapshot(snap(3), root, "listed")
+    assert(spark.sql(s"SHOW TABLES IN $cat.tables").collect()
+      .map(_.getString(1)).contains("listed"))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)) === Array("tables"))
+    intercept[AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.tables.no_such_table").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.tables.listed VERSION AS OF 99").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.nope.listed").collect()
+    }
+  }
+
+  test("reads prune columns and push filters through the catalog path") {
+    Lake.writeTableSnapshot(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      root, "orders_cat")
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM $cat.tables.orders_cat WHERE o_totalprice > 100000")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"filter must reach the parquet scan:\n$plan")
+    assert(df.count() ===
+      Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
+  }
+
+  test("DDL through the catalog refuses rather than bypassing the snapshot contract") {
+    Lake.writeTableSnapshot(snap(3), root, "guarded")
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.tables.guarded")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.tables.fresh (id BIGINT) USING parquet")
+    }
+    // the refusals changed nothing
+    assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").count() === 3)
+  }
+}
