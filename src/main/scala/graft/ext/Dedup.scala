@@ -790,6 +790,61 @@ object Dedup {
       |QUALIFY row_number() OVER (PARTITION BY cluster
       |                           ORDER BY quality_score DESC, doc_id) = 1""".stripMargin
 
+  /** Leakage-free train/val/test split: near-duplicate documents MUST land
+    * in the same split, or evaluation on held-out data silently tests on
+    * training material (the classic dedup-leakage pitfall; the reason
+    * benchmark decontamination and split assignment have to be
+    * cluster-aware). Composition of two hash-verified operators: the split
+    * key is the CLUSTER label (the component's min doc_id), not the doc
+    * id — every member inherits its cluster's split, singletons split by
+    * their own id, and the assignment stays a pure function of content
+    * clusters (stable across runs and corpus growth, like [[TextAnalysis.dataSplit]]).
+    * Edges come from the bounded ground-truth Jaccard operator so the
+    * oracle can rebuild the identical clusters; at 100 TB the same
+    * composition runs off [[minhashLshOver]]'s cluster output. The gate
+    * ships per-split sizes/checksums plus the straddling-cluster count —
+    * computed from the data, and provably zero by construction.
+    */
+  def leakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val bucket = TextAnalysis.shuffleKey(col("cluster")) % 100
+    val tagged = docs.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val straddle = tagged.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("straddling_clusters"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"))
+      .crossJoin(broadcast(straddle))
+  }
+
+  val leakFreeSplitOracle: String =
+    s"""$clusterCtes,
+      |clus AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY 1),
+      |docs AS (SELECT d.doc_id, COALESCE(clus.cluster, d.doc_id) AS cluster
+      |         FROM documents d LEFT JOIN clus USING (doc_id)),
+      |tagged AS (
+      |  SELECT doc_id, cluster,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, cluster,
+      |               (((cluster % 2147483648) * 2654435761) % 4294967296) % 100 AS b
+      |        FROM docs)),
+      |straddle AS (
+      |  SELECT COUNT(*) AS straddling_clusters FROM (
+      |    SELECT cluster FROM tagged GROUP BY 1
+      |    HAVING COUNT(DISTINCT split) > 1))
+      |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters,
+      |       CAST(SUM(doc_id) AS BIGINT) AS id_sum, straddling_clusters
+      |FROM tagged, straddle
+      |GROUP BY 1, straddling_clusters""".stripMargin
+
   /** Exact-substring dedup at shingle resolution — the span-level
     * complement of the document-level MinHash/SimHash paths (Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better",
@@ -849,6 +904,7 @@ object Dedup {
     "x_substr_dedup" -> (substrDedup _),
     "x_dedup_clusters" -> (dedupClusters _),
     "x_dedup_quality_survivors" -> (qualitySurvivors _),
+    "x_split_leakfree" -> (leakFreeSplit _),
     "x_decontaminate" -> (decontaminate _),
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
@@ -862,6 +918,7 @@ object Dedup {
     "x_substr_dedup" -> substrDedupOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_quality_survivors" -> qualitySurvivorsOracle,
+    "x_split_leakfree" -> leakFreeSplitOracle,
     "x_decontaminate" -> decontaminateOracle,
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,

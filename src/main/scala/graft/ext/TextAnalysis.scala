@@ -322,7 +322,7 @@ object TextAnalysis {
     * (2³¹·2654435761 < 2⁶³) — an unmasked id ≳ 3.5e9 would wrap negative
     * in Spark and error in ANSI SQL engines.
     */
-  private def shuffleKey(id: Column): Column =
+  private[ext] def shuffleKey(id: Column): Column =
     ((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
 
   /** Stratified deterministic sampling: k docs per (lang, source) stratum,
