@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.queries.Q
@@ -511,6 +511,72 @@ object Streams {
     q.awaitTermination()
     graft.lake.Lake.readTableFeed(s, root, "user_latest")
   }
+
+  /** One stream, TWO destinations — the reference's actual topology run as
+    * a single query: kafka_consumer_datalake.py appends raw parquet while
+    * kafka_consumer_warehouse.py upserts serving rows, each with its own
+    * consumer group re-reading the topic. Here ONE `foreachBatch` fans
+    * each micro-batch out to both sinks — the raw archive append and the
+    * latest-per-user warehouse MERGE — so the source is read once per
+    * batch (persist pins it across the two writes) instead of once per
+    * consumer, and the two destinations can never diverge by more than
+    * the in-flight batch. Cross-sink consistency is the gate's contract:
+    * the final output joins per-user totals recomputed FROM THE RAW
+    * ARCHIVE with the warehouse's latest rows, and the oracle rebuilds
+    * both from the source table — any fanout drift breaks the hash.
+    * (Sink atomicity note: the pair is not transactional; on batch replay
+    * the MERGE is idempotent, and a production raw archive uses
+    * epoch-named files as the DSv2 streaming sink does
+    * ([[graft.sources.StatsCsvSource]]) to make the append idempotent
+    * too.)
+    */
+  def streamFanout(s: SparkSession, d: String): DataFrame = {
+    val lakeRoot = Files.createTempDirectory("graft_fan_lake_").toString
+    val whRoot = Files.createTempDirectory("graft_fan_wh_").toString
+    val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(glob)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode(SaveMode.Append).parquet(s"$lakeRoot/events_raw")
+          graft.warehouse.Warehouse.mergeIntoTable(
+            batch.sparkSession, whRoot, "user_latest", batch,
+            keys = Seq("user_id"), orderCols = Seq("ts_us", "event_id"))
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    val lakeAgg = s.read.parquet(s"$lakeRoot/events_raw")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Q.moneySum(col("value")).as("value_total"))
+    graft.lake.Lake.readTableFeed(s, whRoot, "user_latest")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_us").as("last_ts_us"), col("value").as("last_value"))
+      .join(lakeAgg, Seq("user_id"))
+  }
+
+  val streamFanoutOracle: String =
+    """WITH agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+      |  FROM events GROUP BY 1),
+      |latest AS (
+      |  SELECT user_id, event_id AS last_event_id,
+      |         epoch_ns(ts) // 1000 AS last_ts_us, value AS last_value
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |                             ORDER BY ts DESC, event_id DESC) = 1)
+      |SELECT l.user_id, last_event_id, last_ts_us, last_value,
+      |       n_events, value_total
+      |FROM latest l JOIN agg USING (user_id)""".stripMargin
 
   /** Streaming-maintained materialized view: micro-batches fold into the
     * registered summary through
@@ -1267,6 +1333,7 @@ object Streams {
     "s_stream_sessions" -> (streamSessions _),
     "s_stream_latest" -> (streamLatestPerUser _),
     "s_stream_upsert" -> (streamUpsertWarehouse _),
+    "s_stream_fanout" -> (streamFanout _),
     "s_stream_multibatch" -> (streamMultiBatch _),
     "s_stream_session_timeout" -> (streamSessionTimeout _),
     "s_stream_timeout_multibatch" -> (streamSessionTimeoutMultiBatch _),
@@ -1296,6 +1363,7 @@ object Streams {
     "s_stream_sessions" -> streamSessionsOracle,
     "s_stream_latest" -> streamLatestOracle,
     "s_stream_upsert" -> streamUpsertOracle,
+    "s_stream_fanout" -> streamFanoutOracle,
     "s_stream_multibatch" -> streamMultiBatchOracle,
     "s_stream_session_timeout" -> streamSessionTimeoutOracle,
     "s_stream_timeout_multibatch" -> streamSessionTimeoutOracle,
