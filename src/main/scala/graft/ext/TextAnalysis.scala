@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Q.QueryFn
@@ -531,6 +532,124 @@ object TextAnalysis {
       |FROM lines l JOIN freq f USING (line_text)
       |GROUP BY 1""".stripMargin
 
+  /** Within-document segment dedup — the INTRA-doc complement of
+    * [[lineDedup]]'s cross-corpus pass: repeated 10-token segments inside
+    * one document (boilerplate stutter, template repetition) keep only
+    * their FIRST occurrence; the doc is reassembled in order. Entirely
+    * higher-order array functions over the scan — zero shuffles, zero
+    * joins: the dedup predicate is `first occurrence index == own index`
+    * via `array_position`, evaluated per row. At 100 TB this runs at scan
+    * speed alongside the other per-doc signals.
+    */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val L = 10L
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .withColumn("segs",
+        transform(
+          sequence(lit(1L), greatest(size(col("toks")).cast("long"), lit(1L)), lit(L)),
+          st => array_join(slice(col("toks"), st, lit(L.toInt)), " ")))
+      .withColumn("kept",
+        filter(col("segs"),
+          (seg, i) => array_position(col("segs"), seg) === i.cast("long") + lit(1L)))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_repeats"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  val paragraphDedupOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+      |           FROM documents),
+      |seg AS (
+      |  SELECT doc_id,
+      |         [array_to_string(toks[st : st + 9], ' ')
+      |          for st in range(1, greatest(len(toks), 1) + 1, 10)] AS segs
+      |  FROM t),
+      |k AS (
+      |  SELECT doc_id, segs,
+      |         [segs[i] for i in range(1, len(segs) + 1)
+      |          if list_position(segs, segs[i]) = i] AS kept
+      |  FROM seg)
+      |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+      |       CAST(len(segs) - len(kept) AS BIGINT) AS n_repeats,
+      |       array_to_string(kept, ' ') AS cleaned_text
+      |FROM k""".stripMargin
+
+  /** Per-source length winsorization — drop each source's shortest and
+    * longest 5% of documents (truncation-artifact and concatenation-
+    * artifact tails) by PERCENT RANK within the source, with a total
+    * order key (n_chars, doc_id) so ranks are engine-deterministic.
+    * One window over source-sized partitions; percent_rank is pure rank
+    * arithmetic — (rank−1)/(n−1) — identical across engines.
+    */
+  def lengthTrim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("pr"))
+  }
+
+  val lengthTrimOracle: String =
+    """SELECT doc_id, source, n_chars,
+      |       percent_rank() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS pr
+      |FROM documents
+      |QUALIFY pr >= 0.05 AND pr <= 0.95""".stripMargin
+
+  /** Token-budget selection — fill each source's token budget with its
+    * BEST documents: order by (quality desc, id), accumulate token counts,
+    * keep while the running total fits. This is the curation op behind
+    * "N billion tokens per source, best first"; per-source windows keep
+    * the cumulative sum partition-local (no global sort at any scale —
+    * the 100-TB allocation runs one window per source partition).
+    * Quality reuses the hash-verified [[qualityScore]] formula, so the
+    * ordering doubles are bit-identical across engines.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 600L
+    val q = qualityScore(s, d).select(col("doc_id"), col("quality_score"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"))
+      .join(q, Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("cum_toks"), col("quality_score"))
+  }
+
+  val tokenBudgetOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |         CASE WHEN word_cnt < 5 THEN 0.0
+      |              ELSE (CAST(stopword_cnt AS DOUBLE) / word_cnt) * 0.5
+      |                   + (1.0 - CAST(punct_cnt AS DOUBLE) / len_chars) * 0.5 END AS quality_score
+      |  FROM (SELECT doc_id, length(text) AS len_chars,
+      |               len(regexp_extract_all(text, '[a-z0-9]+')) AS word_cnt,
+      |               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct_cnt,
+      |               len(regexp_extract_all(text, '\b(the|a)\b')) AS stopword_cnt
+      |        FROM documents)),
+      |t AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS BIGINT) AS n_toks,
+      |         q.quality_score
+      |  FROM documents d JOIN q USING (doc_id))
+      |SELECT doc_id, source, n_toks,
+      |       CAST(SUM(n_toks) OVER (PARTITION BY source
+      |                              ORDER BY quality_score DESC, doc_id
+      |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks,
+      |       quality_score
+      |FROM t
+      |QUALIFY cum_toks <= 600""".stripMargin
+
   /** Deterministic train/val/test split — the reproducibility op every
     * training pipeline needs: membership is a pure function of the doc id
     * (pseudo-shuffle hash mod 100 → 80/10/10), so the split is stable
@@ -963,6 +1082,9 @@ object TextAnalysis {
     "x_pack_sequences" -> (packSequences _),
     "x_quality_model" -> (qualityModel _),
     "x_line_dedup" -> (lineDedup _),
+    "x_paragraph_dedup" -> (paragraphDedup _),
+    "x_length_trim" -> (lengthTrim _),
+    "x_token_budget" -> (tokenBudget _),
     "x_data_split" -> (dataSplit _),
     "x_bm25_search" -> (bm25Search _),
     "x_text_repetition" -> (repetitionSignals _),
@@ -986,6 +1108,9 @@ object TextAnalysis {
     "x_pack_sequences" -> packSequencesOracle,
     "x_quality_model" -> qualityModelOracle,
     "x_line_dedup" -> lineDedupOracle,
+    "x_paragraph_dedup" -> paragraphDedupOracle,
+    "x_length_trim" -> lengthTrimOracle,
+    "x_token_budget" -> tokenBudgetOracle,
     "x_data_split" -> dataSplitOracle,
     "x_bm25_search" -> bm25SearchOracle,
     "x_text_repetition" -> repetitionSignalsOracle,
