@@ -722,6 +722,43 @@ object Lifecycle {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |FROM orders WHERE o_orderkey <= 15000 GROUP BY 2""".stripMargin
 
+  /** A20 catalog SQL writes: INSERTs through the
+    * [[org.apache.spark.sql.graft.GraftCatalog]] COMMIT NEW VERSIONS via
+    * the same staged-claim protocol as the library API — SQL is a full
+    * read/write front door, not a read-only view. v1 seeds through
+    * `Lake.writeTableSnapshot`; `INSERT INTO` (append-as-new-version)
+    * commits v2 = v1 ∪ new rows; `INSERT OVERWRITE` commits v3 = exactly
+    * the query result. All three versions are then read back via time
+    * travel in one output — proving the SQL writes versioned rather than
+    * mutated, and that v1/v2 stayed readable after every write.
+    */
+  def catalogInsert(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_cati_")
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    Lake.writeTableSnapshot(nat.filter(col("n_nationkey") < 10), root, "nations_sql")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    nat.createOrReplaceTempView("nation_src")
+    s.sql(s"INSERT INTO $cat.tables.nations_sql " +
+      "SELECT n_nationkey, n_name FROM nation_src WHERE n_nationkey BETWEEN 10 AND 14")
+    s.sql(s"INSERT OVERWRITE $cat.tables.nations_sql " +
+      "SELECT n_nationkey, n_name FROM nation_src WHERE n_nationkey >= 20")
+    def q(asof: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$asof' AS asof, n_nationkey, n_name FROM $cat.tables.nations_sql$suffix")
+    q("v1", " VERSION AS OF 1")
+      .unionByName(q("v2", " VERSION AS OF 2"))
+      .unionByName(q("latest", ""))
+  }
+
+  val catalogInsertOracle: String =
+    """SELECT 'v1' AS asof, n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+      |UNION ALL
+      |SELECT 'v2', n_nationkey, n_name FROM nation WHERE n_nationkey < 15
+      |UNION ALL
+      |SELECT 'latest', n_nationkey, n_name FROM nation WHERE n_nationkey >= 20""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1209,6 +1246,7 @@ object Lifecycle {
     "c18_row_filter" -> (rowFilter _),
     "c19_read_audit" -> (readAudit _),
     "a19_catalog_sql" -> (catalogSql _),
+    "a20_catalog_insert" -> (catalogInsert _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1246,6 +1284,7 @@ object Lifecycle {
     "c18_row_filter" -> rowFilterOracle,
     "c19_read_audit" -> readAuditOracle,
     "a19_catalog_sql" -> catalogSqlOracle,
+    "a20_catalog_insert" -> catalogInsertOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,

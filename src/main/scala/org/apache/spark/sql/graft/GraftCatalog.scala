@@ -5,12 +5,15 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -40,10 +43,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the full scan machinery — vectorized reader, filter pushdown, column
   * pruning, partition discovery — identical to a path-based read of the
   * same snapshot; the catalog only resolves names to directories (a
-  * driver-side FS listing, no jobs). Writes stay on the library API
-  * ([[graft.lake.Lake.writeTableSnapshot]]), which owns the versioning and
-  * OCC claim protocol — `createTable`/`dropTable` through SQL would bypass
-  * the snapshot contract, so they refuse loudly instead of corrupting it.
+  * driver-side FS listing, no jobs).
+  *
+  * SQL writes go THROUGH the snapshot contract, never around it:
+  * `INSERT OVERWRITE` commits the query result as a new version,
+  * `INSERT INTO` commits current ∪ new rows as a new version (old
+  * versions stay time-travel readable; concurrent writers get distinct
+  * versions via the OCC claim protocol; readers never observe a partial
+  * append), and `CREATE TABLE` / CTAS commit an empty v1 carrying the
+  * declared schema. Time-traveled relations are read-only by
+  * construction. Destructive DDL (`DROP`/`ALTER`/`RENAME`) still refuses:
+  * version retirement belongs to Retention/vacuum, which know what is
+  * safe to delete.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -114,7 +125,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = snapshots(ident).nonEmpty
 
-  private def parquetTable(ident: Identifier, version: Int): Table = {
+  private def parquetTable(ident: Identifier, version: Int): ParquetTable = {
     val dir = s"${tableDir(ident)}/version=v$version"
     ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$version",
@@ -125,10 +136,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       classOf[ParquetFileFormat])
   }
 
+  /** The writable latest-snapshot table: reads delegate to Spark's
+    * ParquetTable over the current `version=vN` dir; INSERTs route through
+    * [[graft.lake.Lake.writeTableSnapshot]] — every SQL write COMMITS A
+    * NEW VERSION through the same staged-claim (OCC) protocol the library
+    * API uses. `INSERT OVERWRITE` snapshots exactly the query result;
+    * `INSERT INTO` snapshots current ∪ new rows (append-as-new-version:
+    * old versions stay readable via time travel, concurrent writers get
+    * distinct versions, a reader never sees a half-appended table). The
+    * V1Write bridge keeps the write a driver-coordinated DataFrame write,
+    * which is precisely what the snapshot contract wants — one staged
+    * parquet write, one rename.
+    */
+  private final class GraftTable(ident: Identifier, version: Int)
+      extends Table with SupportsRead with SupportsWrite {
+    private val delegate = parquetTable(ident, version)
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): V1Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+                val spark = data.sparkSession
+                // align by position onto the table schema (the query's
+                // column names are not the table's)
+                val aligned = data.toDF(schema().fieldNames.toIndexedSeq: _*)
+                val next =
+                  if (overwrite) aligned
+                  else graft.lake.Lake.readTableFeed(spark, root, ident.name())
+                    .unionByName(aligned)
+                graft.lake.Lake.writeTableSnapshot(next, root, ident.name())
+                ()
+              }
+            }
+        }
+      }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val snaps = snapshots(ident)
     if (snaps.isEmpty) throw new NoSuchTableException(ident)
-    parquetTable(ident, snaps.last._1)
+    new GraftTable(ident, snaps.last._1)
+  }
+
+  /** Pinned snapshots are immutable — time-travel loads expose scans only,
+    * so no write path can ever add files to a committed version dir.
+    */
+  private final class FrozenTable(ident: Identifier, version: Int)
+      extends Table with SupportsRead {
+    private val delegate = parquetTable(ident, version)
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
   }
 
   /** `VERSION AS OF n` (also accepts `vn`). */
@@ -138,7 +209,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (snaps.isEmpty) throw new NoSuchTableException(ident)
     if (!snaps.exists(_._1 == v)) throw new NoSuchTableException(
       Seq(s"${ident.name()} (has versions ${snaps.map(_._1).mkString(",")}, not v$v)"))
-    parquetTable(ident, v)
+    new FrozenTable(ident, v)
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): newest snapshot committed
@@ -150,14 +221,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val eligible = snaps.filter(_._2 * 1000L <= timestampMicros)
     if (eligible.isEmpty) throw new NoSuchTableException(
       Seq(s"${ident.name()} (no snapshot at or before timestamp $timestampMicros)"))
-    parquetTable(ident, eligible.map(_._1).max)
+    new FrozenTable(ident, eligible.map(_._1).max)
   }
 
+  /** `CREATE TABLE` (and the create half of CTAS): commit an EMPTY v1
+    * snapshot carrying the declared schema — creation is itself a version,
+    * so the very first write already rides the OCC claim path and CTAS's
+    * subsequent INSERT lands as v2. Partition transforms are refused: the
+    * snapshot layout owns the directory structure.
+    */
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are written via Lake.writeTableSnapshot (snapshot+OCC contract)")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft snapshot tables own their layout; partition transforms are not supported")
+    if (tableExists(ident)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.lake.Lake.writeTableSnapshot(empty, root, ident.name())
+    new GraftTable(ident, snapshots(ident).last._1)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

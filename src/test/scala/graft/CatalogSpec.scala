@@ -81,15 +81,46 @@ class CatalogSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
   }
 
-  test("DDL through the catalog refuses rather than bypassing the snapshot contract") {
+  test("destructive DDL refuses; reads and versions unaffected") {
     Lake.writeTableSnapshot(snap(3), root, "guarded")
     intercept[Exception] {
       spark.sql(s"DROP TABLE $cat.tables.guarded")
     }
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.tables.fresh (id BIGINT) USING parquet")
+      spark.sql(s"ALTER TABLE $cat.tables.guarded ADD COLUMN extra BIGINT")
     }
     // the refusals changed nothing
     assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").count() === 3)
+  }
+
+  test("SQL writes commit new versions through the snapshot contract") {
+    Lake.writeTableSnapshot(snap(5), root, "writable")
+    spark.sql(s"INSERT INTO $cat.tables.writable " +
+      s"SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet` " +
+      "WHERE n_nationkey BETWEEN 5 AND 7")
+    // append became a NEW version; v1 unchanged
+    assert(Lake.versions(spark, root, "writable") === Seq(1, 2))
+    assert(spark.sql(s"SELECT * FROM $cat.tables.writable VERSION AS OF 1").count() === 5)
+    assert(spark.sql(s"SELECT * FROM $cat.tables.writable").count() === 8)
+    spark.sql(s"INSERT OVERWRITE $cat.tables.writable " +
+      s"SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet` " +
+      "WHERE n_nationkey >= 20")
+    assert(Lake.versions(spark, root, "writable") === Seq(1, 2, 3))
+    assert(spark.sql(s"SELECT * FROM $cat.tables.writable").count() === 5)
+    // a pinned (time-traveled) relation is read-only by construction
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.tables.writable VERSION AS OF 1 VALUES (99, 'X')")
+    }
+  }
+
+  test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
+    spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT, v STRING)")
+    assert(Lake.versions(spark, root, "created") === Seq(1))
+    assert(spark.sql(s"SELECT * FROM $cat.tables.created").count() === 0)
+    spark.sql(s"INSERT INTO $cat.tables.created VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql(s"SELECT * FROM $cat.tables.created").count() === 2)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT) ")
+    }
   }
 }
