@@ -759,6 +759,72 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'latest', n_nationkey, n_name FROM nation WHERE n_nationkey >= 20""".stripMargin
 
+  /** C20 schema contracts on feed appends: the write-side guard the
+    * reference's pandas-inferred lake lacks — a malformed producer batch
+    * forks the feed schema silently and downstream readers break later,
+    * far from the cause. [[graft.governance.SchemaContract]] validates
+    * every append against the persisted contract BEFORE any file lands:
+    * missing columns / type conflicts / unknown extras reject; extras
+    * under `evolve=true` widen the contract additively. The gate runs the
+    * full accept/reject matrix and re-counts the feed after every step —
+    * rejected batches must leave ZERO rows behind — with contract width
+    * tracked across the evolution.
+    */
+  def schemaContract(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.SchemaContract
+    val root = scratch("graft_contract_")
+    val feed = "orders_feed"
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    def slice(lo: Int, hi: Int): DataFrame =
+      base.filter(col("o_orderkey").between(lo, hi))
+    def attempt(step: String, df: DataFrame, evolve: Boolean = false): (String, Boolean, Int, Long) = {
+      val ok =
+        try {
+          // processing-date mode: one day partition per append (the gate
+          // tests the CONTRACT, not date layout — a6_lake_roundtrip covers
+          // event-time partitioning)
+          SchemaContract.appendWithContract(df, root, feed,
+            eventTimeCol = None,
+            asOfDate = java.time.LocalDate.of(2026, 1, 1), evolve = evolve)
+          true
+        } catch { case _: SchemaContract.Violation => false }
+      val cols = SchemaContract.read(s, root, feed).map(_.fields.length).getOrElse(0)
+      val rows = s.read.option("mergeSchema", "true")
+        .parquet(Lake.streamPath(root, feed))
+        .count()
+      (step, ok, cols, rows)
+    }
+    val results = Seq(
+      attempt("seed", slice(1, 500)),
+      attempt("conforming", slice(501, 1000)),
+      attempt("missing_col", slice(2001, 2500).drop("o_totalprice")),
+      attempt("type_conflict",
+        slice(2001, 2500).withColumn("o_totalprice", col("o_totalprice").cast("string"))),
+      attempt("extra_no_evolve", slice(2001, 2500).withColumn("region", lit("emea"))),
+      attempt("extra_evolve",
+        slice(1001, 1500).withColumn("region", lit("emea")), evolve = true),
+      attempt("post_evolve", slice(1501, 2000).withColumn("region", lit("apac"))))
+    import s.implicits._
+    results.toDF("step", "accepted", "contract_cols", "feed_rows")
+  }
+
+  val schemaContractOracle: String =
+    """SELECT 'seed' AS step, true AS accepted, 3 AS contract_cols,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 500) AS feed_rows
+      |UNION ALL SELECT 'conforming', true, 3,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 1000)
+      |UNION ALL SELECT 'missing_col', false, 3,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 1000)
+      |UNION ALL SELECT 'type_conflict', false, 3,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 1000)
+      |UNION ALL SELECT 'extra_no_evolve', false, 3,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 1000)
+      |UNION ALL SELECT 'extra_evolve', true, 4,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 1500)
+      |UNION ALL SELECT 'post_evolve', true, 4,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 2000)""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1247,6 +1313,7 @@ object Lifecycle {
     "c19_read_audit" -> (readAudit _),
     "a19_catalog_sql" -> (catalogSql _),
     "a20_catalog_insert" -> (catalogInsert _),
+    "c20_schema_contract" -> (schemaContract _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1285,6 +1352,7 @@ object Lifecycle {
     "c19_read_audit" -> readAuditOracle,
     "a19_catalog_sql" -> catalogSqlOracle,
     "a20_catalog_insert" -> catalogInsertOracle,
+    "c20_schema_contract" -> schemaContractOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,
