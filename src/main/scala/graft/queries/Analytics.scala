@@ -455,6 +455,50 @@ object Analytics {
     * the probability denominator is a window over the TINY aggregated
     * matrix, not the event table.
     */
+  /** Top event PATHS (order-3 behavioral sequences) — the n-gram view of
+    * user journeys that the Markov matrix ([[transitionMatrix]]) only sees
+    * pairwise. Each user's events collapse to one time-ordered type
+    * sequence (total order (ts, event_id) — engine-deterministic), and the
+    * native [[org.apache.spark.sql.graft.NGramsGenerator]] UDTF streams
+    * its 3-grams straight out of GenerateExec — the same custom generator
+    * the SQL surface uses, here composed into an analytics pipeline. The
+    * global top-10 carries a total order (count desc, path) so the LIMIT
+    * is deterministic.
+    *
+    * Scale shape: the per-user collapse is one partial-agg'd shuffle whose
+    * state is bounded by per-user event counts (sessions at 100 TB:
+    * pre-split by day or session before collapsing); the n-gram fan-out
+    * streams, and the path count re-aggregates with map-side partials.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+        x => x("event_type")), " ").as("path_text"))
+      .createOrReplaceTempView("user_paths_v")
+    s.sql(
+      """SELECT ngram AS path, COUNT(*) AS n
+        |FROM user_paths_v
+        |LATERAL VIEW graft_ngrams(path_text, 3) g AS pos, ngram
+        |GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 10""".stripMargin)
+  }
+
+  val eventPathsOracle: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |         string_agg(event_type, ' '
+      |                    ORDER BY epoch_ns(ts) // 1000, event_id) AS path_text
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT string_split(path_text, ' ') AS ws FROM p),
+      |g AS (SELECT ws[u.i] || ' ' || ws[u.i + 1] || ' ' || ws[u.i + 2] AS path
+      |      FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) u)
+      |SELECT path, COUNT(*) AS n FROM g GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   def transitionMatrix(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val pairs = Tables.events(s, d)
@@ -599,6 +643,7 @@ object Analytics {
     "x_attribution" -> (attribution _),
     "x_graph_clustering" -> (graphClusteringCoeff _),
     "x_transition_matrix" -> (transitionMatrix _),
+    "x_event_paths" -> (eventPaths _),
     "x_rfm_segments" -> (rfmSegments _),
     "x_histogram" -> (histogram _),
     "x_graph_pagerank" -> (graphPagerank _),
@@ -612,6 +657,7 @@ object Analytics {
     "x_attribution" -> attributionOracle,
     "x_graph_clustering" -> graphClusteringCoeffOracle,
     "x_transition_matrix" -> transitionMatrixOracle,
+    "x_event_paths" -> eventPathsOracle,
     "x_rfm_segments" -> rfmSegmentsOracle,
     "x_histogram" -> histogramOracle,
     "x_graph_pagerank" -> graphPagerankOracle,
