@@ -29,7 +29,10 @@ import org.apache.spark.sql.graft.{DotProductD, HyperplaneSignature, ProductMod,
   *    relations while a principal is installed (analysis-time row-level
   *    security — queries over unauthorized paths fail before execution);
   *  - '''parser''': [[GraftSqlParser]], the delegating parser adding
-  *    `SHOW GRAFT VIEWS` while forwarding all other SQL verbatim.
+  *    `SHOW GRAFT VIEWS` while forwarding all other SQL verbatim;
+  *  - '''columnar rule''': [[org.apache.spark.sql.graft.GraftColumnarRule]],
+  *    a vectorized pre-filter compacting the DSv2 connector's batches
+  *    before the columnar→row transition (residual filter preserved).
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * at session build (honored only when the SparkContext is created) or
@@ -57,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis-time read AUDITING (no-op until a principal is installed
     // via governance.ReadAudit.install)
     ext.injectCheckRule(graft.governance.ReadAudit.checkRule)
+    // columnar rule: vectorized pre-filter compacts the DSv2 connector's
+    // batches BEFORE the columnar→row transition (residual filter kept)
+    ext.injectColumnar(session =>
+      new org.apache.spark.sql.graft.GraftColumnarRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),

@@ -555,4 +555,56 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ColumnarPreFilter: batches compact before the columnar->row transition; results unchanged") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-colfilter-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_colf_spec_").toString
+      val data = (1L to 10000L).map(i => (i, (i % 97).toDouble, s"s${i % 7}"))
+        .toDF("k", "v", "s")
+      graft.sources.StatsCsvFormat.write(data, root, "k", numFiles = 4)
+
+      // numeric conjunct engages the pre-filter; the full condition stays
+      // as the residual row filter
+      val q = spark.read.format("graft-stats-csv").load(root)
+        .filter(col("v") > 90.0 && col("s") =!= "s3")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarPreFilter"), s"pre-filter must engage:\n$plan")
+      assert(plan.contains("Filter"), "residual row filter must remain")
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+      val want = (1L to 10000L).map(i => (i, (i % 97).toDouble, s"s${i % 7}"))
+        .filter { case (_, v, sv) => v > 90.0 && sv != "s3" }.sorted
+      assert(got.toSeq === want)
+
+      // equality-op engagement on the long column
+      val q2 = spark.read.format("graft-stats-csv").load(root).filter(col("k") === 4242L)
+      assert(q2.queryExecution.executedPlan.toString.contains("ColumnarPreFilter"))
+      assert(q2.collect().map(_.getLong(0)).toSeq === Seq(4242L))
+
+      // string-only predicate: no numeric conjunct -> rule leaves the plan alone
+      val q3 = spark.read.format("graft-stats-csv").load(root).filter(col("s") === "s2")
+      assert(!q3.queryExecution.executedPlan.toString.contains("ColumnarPreFilter"))
+      assert(q3.count() === (1L to 10000L).count(_ % 7 == 2))
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
 }
