@@ -577,28 +577,37 @@ object TextAnalysis {
       |       array_to_string(kept, ' ') AS cleaned_text
       |FROM k""".stripMargin
 
-  /** Per-source length winsorization — drop each source's shortest and
-    * longest 5% of documents (truncation-artifact and concatenation-
-    * artifact tails) by PERCENT RANK within the source, with a total
-    * order key (n_chars, doc_id) so ranks are engine-deterministic.
-    * One window over source-sized partitions; percent_rank is pure rank
-    * arithmetic — (rank−1)/(n−1) — identical across engines.
+  /** Per-source length winsorization — drop each source's `floor(n/20)`
+    * shortest and longest documents (truncation-artifact and
+    * concatenation-artifact tails) by COUNT, not by percent_rank: a rank
+    * threshold like `pr ∈ [0.05, 0.95]` always kills the endpoint rows
+    * (pr = 0 and 1 by definition), which annihilates 1- and 2-document
+    * sources entirely and removes 20% of a 10-doc source. The count form
+    * trims exactly ⌊5%⌋ per tail — ZERO for sources under 20 docs, which
+    * therefore pass through whole. Total order key (n_chars, doc_id)
+    * keeps ranks engine-deterministic; `n div 20` is integer-exact in
+    * both engines. One window over source-sized partitions.
     */
   def lengthTrim(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
     Tables.documents(s, d)
-      .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("pr"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("cut", expr("n div 20"))
+      .filter(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
   val lengthTrimOracle: String =
-    """SELECT doc_id, source, n_chars,
-      |       percent_rank() OVER (PARTITION BY source
-      |                            ORDER BY n_chars, doc_id) AS pr
-      |FROM documents
-      |QUALIFY pr >= 0.05 AND pr <= 0.95""".stripMargin
+    """SELECT doc_id, source, n_chars
+      |FROM (SELECT doc_id, source, n_chars,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY n_chars, doc_id) AS rk,
+      |             COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM documents)
+      |WHERE rk > n // 20 AND rk <= n - n // 20""".stripMargin
 
   /** Token-budget selection — fill each source's token budget with its
     * BEST documents: order by (quality desc, id), accumulate token counts,

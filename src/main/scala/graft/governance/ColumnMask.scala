@@ -134,15 +134,24 @@ object ColumnMask {
             case _ => lr -> Nil
           }
         case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          Option(v2.options.get("path"))
-            .map(raw => new org.apache.hadoop.fs.Path(raw).toUri.getPath)
-            .filter(p => covering(p).nonEmpty)
-            .foreach { p =>
-              throw new SecurityException(
-                s"column-mask policy covers $p but the read uses a non-maskable " +
-                  "relation; use the file source or clear the policy")
-            }
+          // shared extractor: singular path, plural paths (JSON array from
+          // multi-path loads) AND name-addressed catalog tables
+          RelationPaths.of(v2).filter(p => covering(p).nonEmpty).foreach { p =>
+            throw new SecurityException(
+              s"column-mask policy covers $p but the read uses a non-maskable " +
+                "relation; use the file source or clear the policy")
+          }
           v2 -> Nil
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          // a pre-policy cache holds RAW column values; serving it would
+          // bypass the mask entirely — refuse, fail closed
+          RelationPaths.cachedPlanPaths(imr.cacheBuilder.cachedPlan)
+            .filter(p => covering(p).nonEmpty).foreach { p =>
+              throw new SecurityException(
+                s"column-mask policy covers $p but the data is served from a " +
+                  "pre-policy cache; uncache the table or clear the policy")
+            }
+          imr -> Nil
       }
   }
 }

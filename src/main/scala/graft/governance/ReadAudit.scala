@@ -48,24 +48,19 @@ object ReadAudit {
     buf.asScala.toSeq.toDF()
   }
 
-  /** The injected check rule (see [[graft.GraftExtensions]]). */
+  /** The injected check rule (see [[graft.GraftExtensions]]). The walk is
+    * the shared [[RelationPaths]] extractor, so the audit sees exactly
+    * what [[ReadGuard]] enforces on — v1 relations, v2 relations
+    * (including multi-path loads and name-addressed catalog tables), and
+    * streaming leaves (a `readStream` over a path is an audited read
+    * attempt like any other).
+    */
   def checkRule(session: SparkSession): LogicalPlan => Unit = plan =>
     active.foreach { who =>
-      plan.foreach {
-        case lr: LogicalRelation =>
-          lr.relation match {
-            case fs: HadoopFsRelation =>
-              fs.location.rootPaths.foreach { p =>
-                buf.add(Entry(seq.getAndIncrement(), who, p.toUri.getPath))
-              }
-            case _ => ()
-          }
-        case v2: DataSourceV2Relation =>
-          Option(v2.options.get("path")).foreach { raw =>
-            buf.add(Entry(seq.getAndIncrement(), who,
-              new org.apache.hadoop.fs.Path(raw).toUri.getPath))
-          }
-        case _ => ()
+      plan.foreach { node =>
+        RelationPaths.of(node).foreach { p =>
+          buf.add(Entry(seq.getAndIncrement(), who, p))
+        }
       }
     }
 }

@@ -45,36 +45,18 @@ object ReadGuard {
     throw new SecurityException(
       s"read denied: principal $principal has no active read grant covering $path")
 
-  /** The injected check rule: runs after analysis, throws to reject. */
+  /** The injected check rule: runs after analysis, throws to reject. The
+    * relation walk is the shared [[RelationPaths]] extractor — v1 file
+    * relations, v2 relations (path/paths options and name-addressed
+    * catalog tables via `GovernedPath`), and both streaming leaf kinds
+    * (skipping any would bypass the guard for that read shape).
+    */
   def checkRule(session: SparkSession): LogicalPlan => Unit = plan =>
     active.foreach { case (principal, prefixes) =>
-      plan.foreach {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.foreach { p =>
-              val up = p.toUri.getPath
-              if (!permitted(up, prefixes)) deny(principal, up)
-            }
-          case _ => ()
+      plan.foreach { node =>
+        RelationPaths.of(node).foreach { up =>
+          if (!permitted(up, prefixes)) deny(principal, up)
         }
-        case v2: DataSourceV2Relation =>
-          Option(v2.options.get("path")).foreach { raw =>
-            val up = new org.apache.hadoop.fs.Path(raw).toUri.getPath
-            if (!permitted(up, prefixes)) deny(principal, up)
-          }
-        // streaming reads resolve to their own leaves — cover both, or a
-        // readStream over an unauthorized path would bypass the guard
-        case sv2: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
-          Option(sv2.extraOptions.get("path")).foreach { raw =>
-            val up = new org.apache.hadoop.fs.Path(raw).toUri.getPath
-            if (!permitted(up, prefixes)) deny(principal, up)
-          }
-        case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
-          (sr.dataSource.paths ++ sr.dataSource.options.get("path")).foreach { raw =>
-            val up = new org.apache.hadoop.fs.Path(raw).toUri.getPath
-            if (!permitted(up, prefixes)) deny(principal, up)
-          }
-        case _ => ()
       }
     }
 }

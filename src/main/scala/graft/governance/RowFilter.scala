@@ -123,15 +123,26 @@ object RowFilter {
             case _ => lr
           }
         case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          Option(v2.options.get("path"))
-            .map(raw => new org.apache.hadoop.fs.Path(raw).toUri.getPath)
-            .filter(p => covering(p).nonEmpty)
-            .foreach { p =>
-              throw new SecurityException(
-                s"row-filter policy covers $p but the read uses a non-filterable " +
-                  "relation; use the file source or clear the policy")
-            }
+          // shared extractor: singular path, plural paths (JSON array from
+          // multi-path loads) AND name-addressed catalog tables — a miss
+          // here is a silent fail-open through that read shape
+          RelationPaths.of(v2).filter(p => covering(p).nonEmpty).foreach { p =>
+            throw new SecurityException(
+              s"row-filter policy covers $p but the read uses a non-filterable " +
+                "relation; use the file source or clear the policy")
+          }
           v2
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          // cache substitution replaces the file relation BEFORE this rule
+          // runs, so a pre-policy cache would serve covered rows unfiltered;
+          // walk the cached physical plan's scans and refuse — fail closed
+          RelationPaths.cachedPlanPaths(imr.cacheBuilder.cachedPlan)
+            .filter(p => covering(p).nonEmpty).foreach { p =>
+              throw new SecurityException(
+                s"row-filter policy covers $p but the data is served from a " +
+                  "pre-policy cache; uncache the table or clear the policy")
+            }
+          imr
       }
   }
 }

@@ -144,6 +144,7 @@ object Lake {
         } else {
           if (!f.rename(stage, live))
             throw new java.io.IOException(s"commit: could not promote $stage to $live")
+          stampCommit(f, live)
           f.delete(claim, false)
           return n
         }
@@ -151,6 +152,73 @@ object Lake {
       n += 1
     }
     -1 // unreachable
+  }
+
+  /** Leave a `_commit` receipt inside the published snapshot dir. POSIX
+    * rename PRESERVES the source dir's mtime, so the directory timestamp
+    * is the staging-write instant, not the commit; the receipt's own mtime
+    * IS the claim-rename instant — the value `TIMESTAMP AS OF` must order
+    * by (monotone per table because commits serialize through the claim).
+    * Underscore-prefixed, so Spark readers ignore it.
+    */
+  private def stampCommit(f: org.apache.hadoop.fs.FileSystem, live: Path): Unit =
+    try f.create(new Path(live, "_commit"), true).close()
+    catch { case _: java.io.IOException => () } // receipt is best-effort metadata
+
+  /** Commit instant of a snapshot: the `_commit` receipt's mtime when
+    * present (claim-rename time), else the directory mtime (pre-receipt
+    * tables; staging-write time — the best information available).
+    */
+  def commitInstantMillis(
+      spark: SparkSession, root: String, name: String, version: Int): Long = {
+    val dir = new Path(s"${tablePath(root, name)}/version=v$version")
+    val f = fs(spark, dir.toString)
+    val receipt = new Path(dir, "_commit")
+    if (f.exists(receipt)) f.getFileStatus(receipt).getModificationTime
+    else f.getFileStatus(dir).getModificationTime
+  }
+
+  /** Conditional snapshot commit: publish `df` as version `expectedLatest+1`
+    * ONLY IF no other writer has committed past `expectedLatest` — the
+    * compare-and-swap a read-modify-write (e.g. the catalog's INSERT INTO,
+    * which folds current rows into the new snapshot) needs for lost-update
+    * safety. Returns the committed version, or None on conflict (caller
+    * re-reads the new latest and retries). The unconditional
+    * [[writeTableSnapshot]] remains correct for writers whose content does
+    * not depend on the current snapshot.
+    */
+  def writeTableSnapshotIf(
+      df: DataFrame, root: String, name: String,
+      expectedLatest: Int,
+      retentionVersions: Int = 7): Option[Int] = {
+    val spark = df.sparkSession
+    val tdir = tablePath(root, name)
+    val f = fs(spark, tdir)
+    val n = expectedLatest + 1
+    val stage = new Path(
+      s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val claim = new Path(s"$tdir/.claim_v$n")
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    val live = new Path(s"$tdir/version=v$n")
+    if (!claimed || f.exists(live) ||
+        latestVersion(spark, root, name).getOrElse(0) != expectedLatest) {
+      // conflict: someone claimed/committed our slot (or a later one);
+      // delete OUR claim marker if we created one (safe either way: claims
+      // only matter before the slot's rename)
+      if (claimed) f.delete(claim, false)
+      f.delete(stage, true)
+      None
+    } else {
+      if (!f.rename(stage, live))
+        throw new java.io.IOException(s"commit: could not promote $stage to $live")
+      stampCommit(f, live)
+      f.delete(claim, false)
+      Retention.pruneTableVersions(spark, root, name, keep = retentionVersions, dryRun = false)
+      Some(n)
+    }
   }
 
   /** Read a table snapshot: latest version, or a specific one (A3). */

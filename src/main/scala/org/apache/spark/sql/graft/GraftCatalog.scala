@@ -35,9 +35,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time travel rides the catalog API itself (`loadTable(ident, version)` /
   * `(ident, timestampMicros)`): `VERSION AS OF n` resolves `version=vn`,
   * `TIMESTAMP AS OF t` resolves the newest snapshot COMMITTED at or before
-  * `t` (commit time = the claim-rename instant recorded by the snapshot
-  * directory's modification time — monotone per table because versions
-  * commit sequentially through the OCC claim protocol).
+  * `t`. Commit time is the `_commit` receipt the claim protocol stamps
+  * INSIDE the snapshot at rename time — NOT the directory mtime, which
+  * POSIX rename preserves from staging and which is therefore not monotone
+  * across concurrent writers (a slow stager can claim a later version with
+  * an earlier mtime).
   *
   * Reads plan through Spark's own `ParquetTable`, so the catalog inherits
   * the full scan machinery — vectorized reader, filter pushdown, column
@@ -56,6 +58,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * version retirement belongs to Retention/vacuum, which know what is
   * safe to delete.
   */
+/** Implemented by catalog tables so PATH-KEYED governance (ReadGuard,
+  * RowFilter, ColumnMask, ReadAudit — all of which key policies on file
+  * paths) can resolve the directory behind a NAME-addressed relation: a
+  * catalog read's `DataSourceV2Relation` carries no `path` option, so
+  * without this hook a `SELECT ... FROM cat.tables.t` would silently
+  * bypass every policy covering the table's files.
+  */
+trait GovernedPath { def governedPath: String }
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -149,7 +160,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * parquet write, one rename.
     */
   private final class GraftTable(ident: Identifier, version: Int)
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite with GovernedPath {
+    override def governedPath: String =
+      new Path(s"${tableDir(ident)}/version=v$version").toUri.getPath
     private val delegate = parquetTable(ident, version)
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
@@ -170,12 +183,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 // align by position onto the table schema (the query's
                 // column names are not the table's)
                 val aligned = data.toDF(schema().fieldNames.toIndexedSeq: _*)
-                val next =
-                  if (overwrite) aligned
-                  else graft.lake.Lake.readTableFeed(spark, root, ident.name())
-                    .unionByName(aligned)
-                graft.lake.Lake.writeTableSnapshot(next, root, ident.name())
-                ()
+                if (overwrite) {
+                  // content independent of the current snapshot: the plain
+                  // OCC commit is lost-update-safe
+                  graft.lake.Lake.writeTableSnapshot(aligned, root, ident.name())
+                  ()
+                } else {
+                  // read-modify-write: fold current rows into the new
+                  // snapshot under a compare-and-swap commit, else two
+                  // concurrent INSERT INTOs would each union only their
+                  // own rows and the later commit would drop the earlier
+                  // writer's append
+                  var attempts = 0
+                  var done = false
+                  while (!done) {
+                    attempts += 1
+                    if (attempts > 20) throw new java.io.IOException(
+                      s"INSERT INTO ${ident.name()}: still conflicting after $attempts attempts")
+                    val base = graft.lake.Lake
+                      .latestVersion(spark, root, ident.name()).getOrElse(0)
+                    val current =
+                      if (base == 0) aligned.limit(0)
+                      else graft.lake.Lake.readTableFeed(spark, root, ident.name(), Some(base))
+                    done = graft.lake.Lake.writeTableSnapshotIf(
+                      current.unionByName(aligned), root, ident.name(),
+                      expectedLatest = base).isDefined
+                  }
+                }
               }
             }
         }
@@ -192,7 +226,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * so no write path can ever add files to a committed version dir.
     */
   private final class FrozenTable(ident: Identifier, version: Int)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead with GovernedPath {
+    override def governedPath: String =
+      new Path(s"${tableDir(ident)}/version=v$version").toUri.getPath
     private val delegate = parquetTable(ident, version)
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
@@ -218,10 +254,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val snaps = snapshots(ident)
     if (snaps.isEmpty) throw new NoSuchTableException(ident)
-    val eligible = snaps.filter(_._2 * 1000L <= timestampMicros)
+    // order by COMMIT instant (the _commit receipt's mtime — POSIX rename
+    // preserves dir mtimes, so the directory timestamp is the staging
+    // instant, which is NOT monotone across concurrent writers)
+    val eligible = snaps.map(_._1).filter(v =>
+      graft.lake.Lake.commitInstantMillis(
+        SparkSession.active, root, ident.name(), v) * 1000L <= timestampMicros)
     if (eligible.isEmpty) throw new NoSuchTableException(
       Seq(s"${ident.name()} (no snapshot at or before timestamp $timestampMicros)"))
-    new FrozenTable(ident, eligible.map(_._1).max)
+    new FrozenTable(ident, eligible.max)
   }
 
   /** `CREATE TABLE` (and the create half of CTAS): commit an EMPTY v1

@@ -113,6 +113,27 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("conditional commit refuses on conflict; INSERT INTO never loses a concurrent append") {
+    import org.apache.spark.sql.functions._
+    Lake.writeTableSnapshot(snap(5), root, "cas_t")
+    // a conditional commit based on v1 succeeds when v1 is still latest
+    assert(Lake.writeTableSnapshotIf(snap(6), root, "cas_t", expectedLatest = 1) === Some(2))
+    // a second writer still holding base v1 must NOT clobber v2's content:
+    // its conditional commit refuses instead of committing
+    assert(Lake.writeTableSnapshotIf(snap(7), root, "cas_t", expectedLatest = 1) === None)
+    assert(Lake.versions(spark, root, "cas_t") === Seq(1, 2))
+    assert(Lake.readTableFeed(spark, root, "cas_t").count() === 6)
+    // no staging/claim leftovers from the refused commit
+    val leftovers = new java.io.File(s"$root/tables/cas_t").listFiles()
+      .map(_.getName).filter(n => n.startsWith(".stage_") || n.startsWith(".claim_"))
+    assert(leftovers.isEmpty, leftovers.toSeq)
+    // the commit receipt orders TIMESTAMP AS OF by claim instant
+    assert(new java.io.File(s"$root/tables/cas_t/version=v2/_commit").exists())
+    // receipt is invisible to readers
+    assert(spark.sql(s"SELECT * FROM $cat.tables.cas_t VERSION AS OF 2")
+      .columns.toSeq === snap(6).columns.toSeq)
+  }
+
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
     spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT, v STRING)")
     assert(Lake.versions(spark, root, "created") === Seq(1))

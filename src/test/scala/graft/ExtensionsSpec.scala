@@ -541,6 +541,56 @@ class ExtensionsSpec extends AnyFunSuite {
 
         // a row-filtered base must never be answered from its summary
         assert(RowFilter.protects(s"$root/t"))
+
+        // fail-closed: a PRE-POLICY cache of a covered table must refuse,
+        // not serve raw cached rows (cache substitution happens before the
+        // optimizer rule, so the relation leaf is an InMemoryRelation)
+        RowFilter.clear()
+        val cached = spark.read.parquet(s"$root/t")
+        cached.cache()
+        assert(cached.count() === 4) // materialize the cache, no policy
+        RowFilter.install(Seq(Policy(s"$root/t", "country = 'fr'")))
+        intercept[SecurityException] { spark.read.parquet(s"$root/t").count() }
+        cached.unpersist(blocking = true)
+        // with the cache gone the same read filters normally again
+        assert(spark.read.parquet(s"$root/t").count() === 3)
+
+        // fail-closed: MULTI-path v2 relations store their paths as a JSON
+        // array under the plural 'paths' option — the shared extractor
+        // must surface every one (this connector rejects multi-path loads
+        // outright, so pin the extraction on a synthetic v2 relation)
+        {
+          import org.apache.spark.sql.connector.catalog.{Table, TableCapability}
+          val dummy = new Table {
+            override def name(): String = "dummy"
+            override def schema(): org.apache.spark.sql.types.StructType =
+              new org.apache.spark.sql.types.StructType().add("k", "long")
+            override def capabilities(): java.util.Set[TableCapability] =
+              java.util.Collections.emptySet()
+          }
+          val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Map.of("paths", """["/a/x","/b/y"]"""))
+          val rel = org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation.create(dummy, None, None, opts)
+          assert(graft.governance.RelationPaths.of(rel) === Seq("/a/x", "/b/y"))
+        }
+
+        // fail-closed: a NAME-addressed catalog read of a covered table
+        // (no path option on the relation — the GovernedPath hook must
+        // carry the directory to the policy check)
+        val lakeRoot = java.nio.file.Files.createTempDirectory("graft_rls_cat_").toString
+        graft.lake.Lake.writeTableSnapshot(
+          Seq(("u1", 1L)).toDF("user", "k"), lakeRoot, "gov_t")
+        spark.conf.set("spark.sql.catalog.rlscat",
+          classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.rlscat.root", lakeRoot)
+        RowFilter.install(Seq(Policy(s"$lakeRoot/tables/gov_t", "k > 0")))
+        intercept[SecurityException] {
+          spark.sql("SELECT * FROM rlscat.tables.gov_t").collect()
+        }
+        RowFilter.clear()
+        assert(spark.sql("SELECT * FROM rlscat.tables.gov_t").count() === 1)
+        RowFilter.install(Seq(Policy(s"$root/t", "country = 'fr'")))
       } finally RowFilter.clear()
       // cleared: every row visible again
       assert(spark.read.parquet(s"$root/t").count() === 4)
