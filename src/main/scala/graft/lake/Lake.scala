@@ -261,6 +261,43 @@ object Lake {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** CHANGE-DATA FEED over a versioned table — the consumable history of
+    * what each snapshot commit DID, per key (the Delta CDF shape on the
+    * snapshot-directory layout). For every committed version in
+    * `(fromVersion, toVersion]` the per-key diff against its predecessor
+    * ([[versionDiff]]'s full-outer compare) is emitted stamped with the
+    * committing version, `unchanged` rows dropped — so a downstream
+    * consumer (warehouse sync, cache invalidation, an incremental-view
+    * maintainer) replays exactly the mutations, in commit order, without
+    * ever re-reading a full snapshot it already has. Feeding the changes
+    * from a checkpointed "last version seen" watermark makes this the
+    * pull-based streaming form (the same consume-from-cursor contract as
+    * the incremental LSH index); each poll costs two snapshot scans per
+    * NEW version, zero when idle.
+    */
+  def tableChanges(
+      spark: SparkSession, root: String, name: String,
+      fromVersion: Int, keys: Seq[String],
+      toVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, root, name)
+    val upper = toVersion.getOrElse(vs.max)
+    val range = vs.filter(v => v > fromVersion && v <= upper).sorted
+    require(vs.contains(fromVersion),
+      s"tableChanges: base version v$fromVersion is not present (have ${vs.mkString(",")})")
+    val steps = (fromVersion +: range).sliding(2).collect {
+      case Seq(a, b) =>
+        versionDiff(spark, root, name, a, b, keys)
+          .filter(col("change") =!= "unchanged")
+          .withColumn("change_version", lit(b))
+    }.toSeq
+    steps.reduceOption(_.unionByName(_)).getOrElse {
+      readTableFeed(spark, root, name, Some(fromVersion)).limit(0)
+        .select(keys.map(col): _*)
+        .withColumn("change", lit(""))
+        .withColumn("change_version", lit(0))
+    }
+  }
+
   /** RESTORE a versioned table feed to an earlier snapshot — Delta-style
     * rollback-by-roll-forward: the target version's content is re-published
     * as a NEW latest version, so history (and any audit trail pointing at

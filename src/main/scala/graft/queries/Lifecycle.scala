@@ -825,6 +825,39 @@ object Lifecycle {
       |UNION ALL SELECT 'post_evolve', true, 4,
       |       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1 AND 2000)""".stripMargin
 
+  /** A21 change-data feed: [[Lake.tableChanges]] replays WHAT each
+    * snapshot commit did, per key, in commit order — inserts/updates/
+    * deletes stamped with the committing version, unchanged rows dropped.
+    * Three generations with disjoint planted mutations (updates by
+    * doubling a value band, inserts by widening the key range, deletes by
+    * narrowing it) produce a fully predictable change log; the oracle
+    * rebuilds it from the same key-range arithmetic. This is the consume-
+    * from-cursor contract downstream sync jobs use instead of re-reading
+    * full snapshots.
+    */
+  def tableChangesGate(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_cdf_")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val k = col("o_orderkey")
+    Lake.writeTableSnapshot(o.filter(k <= 1000), root, "cdf")
+    Lake.writeTableSnapshot(
+      o.filter(k <= 1200).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), root, "cdf")
+    Lake.writeTableSnapshot(o.filter(k.between(201, 1200)), root, "cdf")
+    Lake.tableChanges(s, root, "cdf", fromVersion = 1, keys = Seq("o_orderkey"))
+  }
+
+  val tableChangesOracle: String =
+    """SELECT o_orderkey, 'updated' AS change, 2 AS change_version
+      |FROM orders WHERE o_orderkey BETWEEN 501 AND 1000
+      |UNION ALL
+      |SELECT o_orderkey, 'inserted', 2 FROM orders WHERE o_orderkey BETWEEN 1001 AND 1200
+      |UNION ALL
+      |SELECT o_orderkey, 'deleted', 3 FROM orders WHERE o_orderkey <= 200
+      |UNION ALL
+      |SELECT o_orderkey, 'updated', 3 FROM orders WHERE o_orderkey BETWEEN 501 AND 1000""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1314,6 +1347,7 @@ object Lifecycle {
     "a19_catalog_sql" -> (catalogSql _),
     "a20_catalog_insert" -> (catalogInsert _),
     "c20_schema_contract" -> (schemaContract _),
+    "a21_table_changes" -> (tableChangesGate _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1353,6 +1387,7 @@ object Lifecycle {
     "a19_catalog_sql" -> catalogSqlOracle,
     "a20_catalog_insert" -> catalogInsertOracle,
     "c20_schema_contract" -> schemaContractOracle,
+    "a21_table_changes" -> tableChangesOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,
