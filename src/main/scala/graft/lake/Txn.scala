@@ -1,0 +1,145 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CROSS-TABLE atomic commits — the transaction layer the per-table
+  * snapshot protocol cannot give by itself. Single-table writes are
+  * already atomic (staged dir + claim-rename), but a pipeline that
+  * publishes, say, a fact table AND its summary must publish BOTH or
+  * NEITHER: with independent per-table commits, a crash (or a reader)
+  * between the two observes a torn pair. The reference has this problem
+  * in miniature — sync_to_mysql.py publishes four warehouse tables in a
+  * Python loop with no transaction around them.
+  *
+  * Mechanics (manifest-pointer commit, the Iceberg/Delta idea applied to
+  * the snapshot-directory layout):
+  *
+  *  - A transaction stages every member table as a NORMAL versioned
+  *    snapshot via the per-table OCC path — published at the table level
+  *    but not yet referenced.
+  *  - The commit point is ONE write-once manifest (`_txn/t<N>.json`)
+  *    mapping table → version for every table the transaction touched,
+  *    carrying forward the prior manifest's pins for tables it didn't.
+  *    Manifests publish by temp-write + rename-if-absent, so claiming
+  *    t<N+1> is a CAS: concurrent transactions serialize, the loser
+  *    re-reads the winner's manifest, re-pins, and retries — nothing is
+  *    ever overwritten.
+  *  - Transactional readers resolve ONE manifest and read every table at
+  *    its pinned version: a consistent cross-table cut, immune to torn
+  *    pairs (a crash between table publish and manifest publish leaves
+  *    orphan versions that no manifest references — invisible to
+  *    transactional readers, collectable by vacuum).
+  *
+  * Scale shape: the manifest is O(tables) JSON resolved in one driver
+  * read; commits add one rename regardless of data size; readers pay
+  * nothing beyond the snapshot reads they were already doing.
+  */
+object Txn {
+
+  private def txnDir(root: String) = new Path(s"$root/_txn")
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestIds(spark: SparkSession, root: String): Seq[Int] = {
+    val dir = txnDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("t") && n.endsWith(".json") =>
+        n.stripPrefix("t").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  /** The latest committed manifest: (txn id, table → pinned version). */
+  def currentManifest(spark: SparkSession, root: String): Option[(Int, Map[String, Int])] =
+    manifestIds(spark, root).lastOption.map { id =>
+      val f = fs(spark, txnDir(root))
+      val in = f.open(new Path(txnDir(root), s"t$id.json"))
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(json).get("tables")
+      val pins = scala.collection.mutable.Map.empty[String, Int]
+      node.fieldNames().forEachRemaining(n => pins(n) = node.get(n).asInt())
+      id -> pins.toMap
+    }
+
+  private def writeManifest(
+      spark: SparkSession, root: String, id: Int, pins: Map[String, Int]): Boolean = {
+    val dir = txnDir(root)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val body = pins.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"${graft.GraftSession.jsonEscape(t)}: $v" }
+      .mkString("{\"tables\": {", ", ", "}}")
+    val tmp = new Path(dir, s".tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val target = new Path(dir, s"t$id.json")
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  /** Atomically publish `writes` (table name → content) as one
+    * transaction: every member table gets a new snapshot version, and ALL
+    * of them become visible to transactional readers at the single
+    * manifest rename — or none do. Returns (txn id, table → version).
+    */
+  def commit(
+      spark: SparkSession, root: String,
+      writes: Map[String, DataFrame],
+      retentionVersions: Int = 7): (Int, Map[String, Int]) = {
+    // stage each member as a normal per-table snapshot (atomic per table,
+    // unreferenced until the manifest lands)
+    val written: Map[String, Int] = writes.map { case (t, df) =>
+      t -> Lake.writeTableSnapshot(df, root, t, retentionVersions)
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"txn commit: manifest still conflicting after $attempts attempts")
+      val (lastId, carried) = currentManifest(spark, root).getOrElse(0 -> Map.empty[String, Int])
+      val pins = carried ++ written
+      if (writeManifest(spark, root, lastId + 1, pins))
+        return (lastId + 1) -> written
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Read `table` at the version pinned by the latest manifest (or a
+    * specific manifest id) — the transactionally consistent view. Reading
+    * several tables against the SAME resolved manifest id gives a
+    * cross-table consistent cut.
+    */
+  def read(
+      spark: SparkSession, root: String, table: String,
+      txnId: Option[Int] = None): DataFrame = {
+    val (id, pins) = txnId match {
+      case Some(want) =>
+        val f = fs(spark, txnDir(root))
+        require(f.exists(new Path(txnDir(root), s"t$want.json")),
+          s"txn t$want does not exist")
+        want -> currentManifestAt(spark, root, want)
+      case None => currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no transaction committed under $root"))
+    }
+    val v = pins.getOrElse(table, throw new IllegalStateException(
+      s"txn t$id does not pin table $table (pins: ${pins.keys.mkString(",")})"))
+    Lake.readTableFeed(spark, root, table, Some(v))
+  }
+
+  private def currentManifestAt(
+      spark: SparkSession, root: String, id: Int): Map[String, Int] = {
+    val f = fs(spark, txnDir(root))
+    val in = f.open(new Path(txnDir(root), s"t$id.json"))
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json).get("tables")
+    val pins = scala.collection.mutable.Map.empty[String, Int]
+    node.fieldNames().forEachRemaining(n => pins(n) = node.get(n).asInt())
+    pins.toMap
+  }
+}

@@ -858,6 +858,77 @@ object Lifecycle {
       |UNION ALL
       |SELECT o_orderkey, 'updated', 3 FROM orders WHERE o_orderkey BETWEEN 501 AND 1000""".stripMargin
 
+  /** A22 cross-table transactions: [[graft.lake.Txn]] publishes a fact
+    * table AND its summary as ONE manifest commit — transactional readers
+    * resolve a single manifest and can never observe a torn pair (the
+    * reference publishes its four warehouse tables in an unprotected
+    * Python loop). The gate commits two generations, then plants exactly
+    * the failure the layer exists for: a table-level snapshot published
+    * WITHOUT a manifest (a crashed transaction's orphan). Transactional
+    * reads of every view must still see consistent (fact, summary) pairs
+    * — the orphan is invisible — and the fact checksum must equal the
+    * summary checksum within every view, which the oracle re-derives from
+    * key-range arithmetic.
+    */
+  def txnCommit(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.Txn
+    val root = scratch("graft_txn_")
+    def slice(maxK: Int): DataFrame =
+      Tables.orders(s, d).filter(col("o_orderkey") <= maxK)
+    def fact(maxK: Int): DataFrame =
+      slice(maxK).select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    def summary(maxK: Int): DataFrame =
+      slice(maxK).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), Q.moneySum(col("o_totalprice")).as("total"))
+    Txn.commit(s, root, Map("fact" -> fact(1000), "summary" -> summary(1000)))
+    Txn.commit(s, root, Map("fact" -> fact(2000), "summary" -> summary(2000)))
+    // a crashed transaction: table snapshot published, manifest never landed
+    Lake.writeTableSnapshot(fact(3000), root, "fact")
+    def stats(view: String, txn: Option[Int]): Seq[(String, String, Long, Double)] = {
+      val f = Txn.read(s, root, "fact", txn)
+      val su = Txn.read(s, root, "summary", txn)
+      Seq(
+        (view, "fact", f.count(),
+          f.agg(Q.moneySum(col("o_totalprice"))).head.getDouble(0)),
+        (view, "summary", su.count(),
+          su.agg(sum(col("total").cast("decimal(18,2)")).cast("double")).head.getDouble(0)))
+    }
+    import s.implicits._
+    (stats("t1", Some(1)) ++ stats("t2", Some(2)) ++ stats("latest", None))
+      .toDF("view", "tbl", "n_rows", "total")
+  }
+
+  val txnCommitOracle: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN o_orderkey <= 1000 THEN 1 ELSE 2 END AS gen,
+      |         o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey <= 2000),
+      |facts AS (
+      |  SELECT gen, COUNT(*) AS n_rows,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM (SELECT 1 AS gen, o_totalprice FROM orders WHERE o_orderkey <= 1000
+      |        UNION ALL
+      |        SELECT 2, o_totalprice FROM orders WHERE o_orderkey <= 2000)
+      |  GROUP BY 1),
+      |summs AS (
+      |  SELECT gen, COUNT(*) AS n_rows,
+      |         CAST(SUM(CAST(grp_total AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM (SELECT 1 AS gen, o_orderpriority,
+      |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS grp_total
+      |        FROM orders WHERE o_orderkey <= 1000 GROUP BY 1, 2
+      |        UNION ALL
+      |        SELECT 2, o_orderpriority,
+      |               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |        FROM orders WHERE o_orderkey <= 2000 GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT v.view, v.tbl, CASE WHEN v.tbl = 'fact' THEN fa.n_rows ELSE su.n_rows END AS n_rows,
+      |       CASE WHEN v.tbl = 'fact' THEN fa.total ELSE su.total END AS total
+      |FROM (VALUES ('t1', 'fact', 1), ('t1', 'summary', 1),
+      |             ('t2', 'fact', 2), ('t2', 'summary', 2),
+      |             ('latest', 'fact', 2), ('latest', 'summary', 2)) v(view, tbl, gen)
+      |JOIN facts fa ON fa.gen = v.gen
+      |JOIN summs su ON su.gen = v.gen""".stripMargin
+
   /** C14 column-level lineage: [[graft.governance.Lineage]] walks the
     * analyzed plan of a join+aggregate report and emits one row per
     * (output_column, source_table, source_column) edge — including the
@@ -1348,6 +1419,7 @@ object Lifecycle {
     "a20_catalog_insert" -> (catalogInsert _),
     "c20_schema_contract" -> (schemaContract _),
     "a21_table_changes" -> (tableChangesGate _),
+    "a22_txn_commit" -> (txnCommit _),
     "c14_column_lineage" -> (columnLineage _),
     "w_mv_incremental" -> (mvIncremental _),
     "c15_vacuum" -> (vacuumOrphans _),
@@ -1388,6 +1460,7 @@ object Lifecycle {
     "a20_catalog_insert" -> catalogInsertOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "a21_table_changes" -> tableChangesOracle,
+    "a22_txn_commit" -> txnCommitOracle,
     "c14_column_lineage" -> columnLineageOracle,
     "w_mv_incremental" -> mvIncrementalOracle,
     "c15_vacuum" -> vacuumOrphansOracle,

@@ -371,4 +371,30 @@ class LakeSpec extends SparkSpec {
     assert(pruned.length === 2)
     assert(Lake.versions(spark, root, "t") === Seq(3, 4))
   }
+
+  test("Txn manifests: pins carry forward, unpinned tables refuse, orphans invisible") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.lake.{Lake, Txn}
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_spec_").toString
+    val (t1, w1) = Txn.commit(spark, root, Map("a" -> Seq(1, 2).toDF("k")))
+    val (t2, w2) = Txn.commit(spark, root, Map("b" -> Seq(10).toDF("k")))
+    assert(t1 === 1 && t2 === 2)
+    assert(w1("a") === 1 && w2("b") === 1)
+    // t2 did not touch `a`, but its manifest carries a's pin forward:
+    // one manifest always describes a complete consistent cut
+    assert(Txn.read(spark, root, "a", Some(2)).count() === 2)
+    // a table no manifest has ever pinned refuses (not served from "latest")
+    Lake.writeTableSnapshot(Seq(99).toDF("k"), root, "orphan")
+    intercept[IllegalStateException] { Txn.read(spark, root, "orphan").collect() }
+    // a newer UNMANIFESTED snapshot of a pinned table is invisible
+    Lake.writeTableSnapshot(Seq(1, 2, 3, 4).toDF("k"), root, "a")
+    assert(Txn.read(spark, root, "a").count() === 2)
+    // the next transactional commit of `a` picks up a fresh version and
+    // publishes it; the orphan version stays skipped
+    val (t3, w3) = Txn.commit(spark, root, Map("a" -> Seq(5, 6, 7).toDF("k")))
+    assert(t3 === 3 && w3("a") === 3)
+    assert(Txn.read(spark, root, "a").count() === 3)
+    assert(Txn.read(spark, root, "b", Some(3)).count() === 1)
+  }
 }
