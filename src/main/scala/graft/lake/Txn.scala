@@ -131,6 +131,43 @@ object Txn {
     Lake.readTableFeed(spark, root, table, Some(v))
   }
 
+  /** Transaction-aware retention: delete table versions that NO retained
+    * manifest pins — crashed transactions' orphans (published snapshots
+    * whose manifest never landed) and versions only pinned by manifests
+    * older than `keepManifests`. This is the collector for the garbage
+    * the manifest protocol makes invisible; per-table `version=vN`
+    * retention cannot do it (an orphan can be the table's NEWEST version
+    * and would be kept forever). Only safe when every writer of `root`
+    * commits through [[Txn.commit]] — a concurrent non-transactional
+    * writer's fresh snapshot looks exactly like an orphan. Old manifests
+    * beyond the retained window are deleted too (time travel window =
+    * `keepManifests`). Returns (versions deleted, manifests deleted).
+    */
+  def vacuum(
+      spark: SparkSession, root: String,
+      keepManifests: Int = 7, dryRun: Boolean = false): (Seq[(String, Int)], Seq[Int]) = {
+    val ids = manifestIds(spark, root)
+    val keep = ids.takeRight(keepManifests)
+    val dropManifests = ids.dropRight(keepManifests)
+    val pinned: Set[(String, Int)] = keep.flatMap(id =>
+      currentManifestAt(spark, root, id).toSeq).toSet
+    val tables = pinned.map(_._1)
+    val dropVersions = tables.toSeq.sorted.flatMap { t =>
+      Lake.versions(spark, root, t)
+        .filterNot(v => pinned.contains(t -> v))
+        .map(t -> _)
+    }
+    if (!dryRun) {
+      val f = fs(spark, txnDir(root))
+      dropVersions.foreach { case (t, v) =>
+        f.delete(new Path(s"${Lake.tablePath(root, t)}/version=v$v"), true)
+      }
+      dropManifests.foreach(id =>
+        f.delete(new Path(txnDir(root), s"t$id.json"), false))
+    }
+    (dropVersions, dropManifests)
+  }
+
   private def currentManifestAt(
       spark: SparkSession, root: String, id: Int): Map[String, Int] = {
     val f = fs(spark, txnDir(root))

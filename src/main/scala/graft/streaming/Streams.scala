@@ -578,6 +578,118 @@ object Streams {
       |       n_events, value_total
       |FROM latest l JOIN agg USING (user_id)""".stripMargin
 
+  /** Streaming CDC SYNC — the change-data feed ([[graft.lake.Lake.tableChanges]])
+    * consumed from a persisted version CURSOR to maintain a downstream
+    * MIRROR incrementally: each tick a new source generation commits, the
+    * tick polls only the versions past its cursor, applies the per-key
+    * changes (upsert inserted/updated keys with values semi-joined from
+    * the current snapshot, drop deleted keys) and advances the cursor.
+    * The mirror is touched only where keys changed — never a full
+    * re-read of the source — which is the entire point of a CDF at
+    * 100 TB. Four generations plant disjoint mutation bands (insert /
+    * update-by-doubling / delete / re-insert), so every per-tick change
+    * count and the running mirror checksum are pure key-range arithmetic
+    * the oracle replays; the mirror's decimal checksum equaling the
+    * source's after every tick is the sync-correctness contract.
+    */
+  def streamTableChanges(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.Lake
+    val root = Files.createTempDirectory("graft_cdc_").toString
+    val o = graft.Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val k = col("o_orderkey")
+    def gen(i: Long): DataFrame = i match {
+      case 0 => o.filter(k <= 1000)
+      case 1 => o.filter(k <= 1200).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+      case 2 => o.filter(k.between(201, 1200))
+      case _ => o.filter(k.between(201, 1400))
+    }
+    // 4 tick files drive 4 micro-batches (content irrelevant — the ticks
+    // pace the generations; a deployed pipeline is driven by a notify
+    // topic or a timer the same way)
+    val ticks = Files.createTempDirectory("graft_cdc_ticks_")
+    (0 until 4).foreach { c =>
+      s.range(c, c + 1).coalesce(1).write.parquet(s"$ticks/chunk=$c")
+    }
+    val schema = s.read.parquet(s"$ticks/chunk=0").schema
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$ticks/chunk=*")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft_cdc_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, id: Long) =>
+        val newV = Lake.writeTableSnapshot(gen(id), root, "cdc_src")
+        val cursorPath = s"$root/cursor"
+        val cursor: Int =
+          if (new java.io.File(cursorPath).exists)
+            s.read.parquet(cursorPath).head.getInt(0)
+          else 0
+        val (changed, applied) =
+          if (cursor == 0) {
+            // first consumption: the whole base snapshot is "inserted"
+            val base = Lake.readTableFeed(s, root, "cdc_src", Some(newV))
+            (base.select(col("o_orderkey"), lit("inserted").as("change")), base)
+          } else {
+            val ch = Lake.tableChanges(s, root, "cdc_src", cursor, Seq("o_orderkey"))
+              .select(col("o_orderkey"), col("change"))
+            val cur = Lake.readTableFeed(s, root, "cdc_src", Some(newV))
+            (ch, cur.join(
+              ch.filter(col("change") =!= "deleted").select(col("o_orderkey")),
+              Seq("o_orderkey"), "left_semi"))
+          }
+        val mirrorOld: DataFrame = Lake.latestVersion(s, root, "cdc_mirror") match {
+          case Some(_) => Lake.readTableFeed(s, root, "cdc_mirror")
+          case None => applied.limit(0)
+        }
+        val mirrorNew = mirrorOld
+          .join(changed.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+          .unionByName(applied)
+        Lake.writeTableSnapshot(mirrorNew, root, "cdc_mirror")
+        import s.implicits._
+        val nIns = changed.filter(col("change") === "inserted").count()
+        val nUpd = changed.filter(col("change") === "updated").count()
+        val nDel = changed.filter(col("change") === "deleted").count()
+        val chk = Lake.readTableFeed(s, root, "cdc_mirror")
+          .agg(Q.moneySum(col("o_totalprice")).as("c"), count(lit(1)).as("n")).head
+        Seq((id, nIns, nUpd, nDel, chk.getLong(1), chk.getDouble(0)))
+          .toDF("tick", "inserted", "updated", "deleted", "mirror_rows", "mirror_total")
+          .write.mode(SaveMode.Append).parquet(s"$root/stats")
+        Seq(newV).toDF("v").coalesce(1).write.mode(SaveMode.Overwrite).parquet(cursorPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$root/stats")
+  }
+
+  val streamTableChangesOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(SUM(CASE WHEN o_orderkey <= 500 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1_500,
+      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s501_1000,
+      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) END) AS DOUBLE) AS d501_1000,
+      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 1001 AND 1200 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1001_1200,
+      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 201 AND 1200 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s201_1200,
+      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 201 AND 1400 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s201_1400,
+      |         COUNT(CASE WHEN o_orderkey <= 1000 THEN 1 END) AS n1_1000,
+      |         COUNT(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN 1 END) AS n501_1000,
+      |         COUNT(CASE WHEN o_orderkey BETWEEN 1001 AND 1200 THEN 1 END) AS n1001_1200,
+      |         COUNT(CASE WHEN o_orderkey <= 200 THEN 1 END) AS n1_200,
+      |         COUNT(CASE WHEN o_orderkey <= 1200 THEN 1 END) AS n1_1200,
+      |         COUNT(CASE WHEN o_orderkey BETWEEN 201 AND 1200 THEN 1 END) AS n201_1200,
+      |         COUNT(CASE WHEN o_orderkey BETWEEN 1201 AND 1400 THEN 1 END) AS n1201_1400,
+      |         COUNT(CASE WHEN o_orderkey BETWEEN 201 AND 1400 THEN 1 END) AS n201_1400
+      |  FROM orders)
+      |SELECT CAST(0 AS BIGINT) AS tick, n1_1000 AS inserted, CAST(0 AS BIGINT) AS updated,
+      |       CAST(0 AS BIGINT) AS deleted, n1_1000 AS mirror_rows,
+      |       s1_500 + s501_1000 AS mirror_total FROM b
+      |UNION ALL
+      |SELECT 1, n1001_1200, n501_1000, 0, n1_1200,
+      |       s1_500 + d501_1000 + s1001_1200 FROM b
+      |UNION ALL
+      |SELECT 2, 0, n501_1000, n1_200, n201_1200, s201_1200 FROM b
+      |UNION ALL
+      |SELECT 3, n1201_1400, 0, 0, n201_1400, s201_1400 FROM b""".stripMargin
+
   /** Streaming-maintained materialized view: micro-batches fold into the
     * registered summary through
     * [[graft.warehouse.SummaryRewrite.refreshIncremental]] inside
@@ -1334,6 +1446,7 @@ object Streams {
     "s_stream_latest" -> (streamLatestPerUser _),
     "s_stream_upsert" -> (streamUpsertWarehouse _),
     "s_stream_fanout" -> (streamFanout _),
+    "s_stream_table_changes" -> (streamTableChanges _),
     "s_stream_multibatch" -> (streamMultiBatch _),
     "s_stream_session_timeout" -> (streamSessionTimeout _),
     "s_stream_timeout_multibatch" -> (streamSessionTimeoutMultiBatch _),
@@ -1364,6 +1477,7 @@ object Streams {
     "s_stream_latest" -> streamLatestOracle,
     "s_stream_upsert" -> streamUpsertOracle,
     "s_stream_fanout" -> streamFanoutOracle,
+    "s_stream_table_changes" -> streamTableChangesOracle,
     "s_stream_multibatch" -> streamMultiBatchOracle,
     "s_stream_session_timeout" -> streamSessionTimeoutOracle,
     "s_stream_timeout_multibatch" -> streamSessionTimeoutOracle,

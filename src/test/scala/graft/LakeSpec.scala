@@ -396,5 +396,18 @@ class LakeSpec extends SparkSpec {
     assert(t3 === 3 && w3("a") === 3)
     assert(Txn.read(spark, root, "a").count() === 3)
     assert(Txn.read(spark, root, "b", Some(3)).count() === 1)
+
+    // txn-aware vacuum: the orphan (unmanifested) version of `a` — which
+    // per-table retention would keep forever if it were newest — and
+    // versions pinned only by dropped manifests are collected; pinned
+    // versions survive and every retained manifest still resolves
+    val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 2, dryRun = true)
+    assert(dropV.contains(("a", 2)), s"orphan must be collectable: $dropV")
+    assert(dropM === Seq(1))
+    Txn.vacuum(spark, root, keepManifests = 2)
+    assert(!new java.io.File(s"$root/tables/a/version=v2").exists())
+    assert(Txn.read(spark, root, "a", Some(2)).count() === 2)  // t2 pins a@v1
+    assert(Txn.read(spark, root, "a", Some(3)).count() === 3)
+    intercept[IllegalArgumentException] { Txn.read(spark, root, "a", Some(1)) }
   }
 }
