@@ -414,9 +414,13 @@ object Lake {
       df: DataFrame, root: String, name: String,
       checks: Seq[graft.governance.Quality.Check]): WapResult = {
     val spark = df.sparkSession
-    val staged = new Path(s"${tablePath(root, name)}/.wap_staging")
+    // UUID-suffixed staging (same scheme as writeTableSnapshot): two
+    // concurrent WAP writers each audit exactly the batch they wrote —
+    // a shared fixed directory would let writer A audit-and-publish
+    // writer B's half-written or unaudited data.
+    val staged = new Path(
+      s"${tablePath(root, name)}/.wap_${java.util.UUID.randomUUID().toString.take(12)}")
     val f = fs(spark, tablePath(root, name))
-    f.delete(staged, true)
     df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
     val audit = graft.governance.Quality
       .evaluate(spark.read.parquet(staged.toString), checks)
@@ -470,24 +474,44 @@ object Lake {
     if (hits.isEmpty) return Seq.empty
     val affectedKey = col("year") * 10000 + col("month") * 100 + col("day")
     val affectedIds = hits.keySet.map { case (y, m, d) => y * 10000 + m * 100 + d }
-    val survivors = feed
+    // Stage survivors to a hidden directory FIRST, then overwrite the live
+    // partitions from the staged copy. Computing survivors directly into the
+    // overwrite would read the very files being replaced: safe only while a
+    // persist() stays fully cached (eviction or executor loss silently
+    // recomputes from half-replaced inputs). The staged copy severs that
+    // read-from/write-to overlap; dot-prefix keeps it invisible to readers.
+    val f = fs(spark, streamPath(root, name))
+    val stage = new Path(
+      s"${streamPath(root, name)}/.erase_${java.util.UUID.randomUUID().toString.take(12)}")
+    feed
       .filter(affectedKey.isin(affectedIds.toSeq: _*))
       .join(broadcast(keys), Seq(keyCol), "left_anti")
-      .persist()
-    val remaining = survivors
-      .groupBy(col("year"), col("month"), col("day"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
-      .toMap
-    survivors
       .repartition(col("year"), col("month"), col("day"))
       .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month", "day")
-      .parquet(streamPath(root, name))
-    survivors.unpersist()
-    val f = fs(spark, streamPath(root, name))
+      .parquet(stage.toString)
+    // zero survivors ⇒ no staged files to read back (dynamic partitions are
+    // only created for values present); the partition deletes below suffice
+    val anyStaged = f.exists(stage) &&
+      f.listStatus(stage).exists(_.getPath.getName.startsWith("year="))
+    val remaining =
+      if (!anyStaged) Map.empty[(Int, Int, Int), Long]
+      else {
+        val survivors = spark.read.parquet(stage.toString)
+        val rem = survivors
+          .groupBy(col("year"), col("month"), col("day"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+          .toMap
+        survivors
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("year", "month", "day")
+          .parquet(streamPath(root, name))
+        rem
+      }
+    f.delete(stage, true)
     hits.toSeq.sortBy(_._1).map { case ((y, m, d), nRemoved) =>
       val rem = remaining.getOrElse((y, m, d), 0L)
       if (rem == 0L)

@@ -89,12 +89,17 @@ object Txn {
     */
   def commit(
       spark: SparkSession, root: String,
-      writes: Map[String, DataFrame],
-      retentionVersions: Int = 7): (Int, Map[String, Int]) = {
+      writes: Map[String, DataFrame]): (Int, Map[String, Int]) = {
     // stage each member as a normal per-table snapshot (atomic per table,
-    // unreferenced until the manifest lands)
+    // unreferenced until the manifest lands). Per-table count-based
+    // retention is DISABLED here: it is blind to manifest pins, so with a
+    // keep-count smaller than the manifest window it could delete a
+    // version an older retained manifest still pins, breaking Txn.read's
+    // consistency guarantee. Under a transactional root, [[vacuum]] is the
+    // only collector — it retires exactly the versions no retained
+    // manifest references.
     val written: Map[String, Int] = writes.map { case (t, df) =>
-      t -> Lake.writeTableSnapshot(df, root, t, retentionVersions)
+      t -> Lake.writeTableSnapshot(df, root, t, retentionVersions = Int.MaxValue)
     }
     var attempts = 0
     while (true) {

@@ -834,7 +834,18 @@ class StatsCsvDataWriter(
         case LongType => sb.append(row.getLong(i))
         case IntegerType => sb.append(row.getInt(i))
         case DoubleType => sb.append(row.getDouble(i))
-        case StringType => sb.append(row.getUTF8String(i).toString)
+        case StringType =>
+          val s = row.getUTF8String(i).toString
+          // the read path is a plain split on Delim/newline (no quoting
+          // dialect), so a cell containing either would silently shift
+          // every later column — fail the write, don't corrupt the file
+          if (s.indexOf(StatsCsvFormat.Delim) >= 0 || s.indexOf('\n') >= 0 ||
+              s.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              s"graft-stats-csv: string cell in column ${schema.fields(i).name} " +
+                "contains the delimiter or a newline, which this unquoted CSV " +
+                "dialect cannot represent")
+          sb.append(s)
         case BooleanType => sb.append(row.getBoolean(i))
         case other => throw new IllegalArgumentException(
           s"graft-stats-csv: unsupported type $other")

@@ -210,8 +210,15 @@ object Streams {
           .withColumn("batch_id", lit(id))
           .withColumn("disposition", when(isLate, "late").otherwise("on_time"))
         val obs = org.apache.spark.sql.Observation()
+        // epoch-keyed DYNAMIC OVERWRITE, not append: a crash after this
+        // write commits but before the streaming checkpoint records the
+        // batch replays it — an append would duplicate the rows; an
+        // overwrite of exactly this batch's partitions converges (replays
+        // route identically because the hwm file is only advanced below)
         tagged.observe(obs, max(col("ts_us")).as("mx"))
-          .write.mode("append").partitionBy("disposition")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "disposition")
           .parquet(s"$root/routed")
         val mx = obs.get("mx").asInstanceOf[Long]
         val hwm = math.max(prev.getOrElse(Long.MinValue), mx)
@@ -229,7 +236,8 @@ object Streams {
     q.awaitTermination()
     s.read.parquet(s"$root/routed")
       .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("batch_id"), col("disposition").cast("string").as("disposition"))
+        col("batch_id").cast("long").as("batch_id"),
+        col("disposition").cast("string").as("disposition"))
   }
 
   val streamLateCaptureOracle: String =
