@@ -26,34 +26,16 @@ import graft.queries.Q.QueryFn
 object Dedup {
 
   /** Word 3-gram shingle set (distinct, first-occurrence order) of a text
-    * column. Implemented as a JVM UDF rather than the equivalent
-    * split/transform/concat_ws/array_distinct HOF chain: higher-order
-    * functions are interpreted expression trees that allocate per element,
-    * and this is the hottest scalar kernel of every dedup pipeline — the
-    * single pass below is several times cheaper and far less GC-sensitive
-    * under load. `split(" ", -1)` matches Spark's `split(text, " ")`
-    * (regex, keep trailing empties) and NULL propagates to NULL, so outputs
-    * are identical to the HOF formulation and to the DuckDB oracles built
-    * on `string_split` — including on null text.
+    * column — the hottest scalar kernel of every dedup pipeline. A native
+    * codegen'd expression ([[org.apache.spark.sql.graft.Shingles3]]): no
+    * ScalaUDF converter stack, no interpreted HOF lambda per element, stays
+    * inside whole-stage codegen (Plans.md pins the UDF-free plan).
+    * `split(" ", -1)` keeps trailing empties and NULL propagates to NULL,
+    * so outputs are identical to the former UDF, the HOF formulation, and
+    * the DuckDB oracles built on `string_split` — including on null text.
     */
-  private val shinglesUdf = udf((text: String) => {
-    if (text == null) null
-    else {
-      val words = text.split(" ", -1)
-      if (words.length < 3) Seq.empty[String]
-      else {
-        val out = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        while (i + 2 < words.length) {
-          out += (words(i) + " " + words(i + 1) + " " + words(i + 2))
-          i += 1
-        }
-        out.toSeq
-      }
-    }
-  })
-
-  def shingles(text: Column): Column = shinglesUdf(text)
+  def shingles(text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.shingles3(text)
 
   /** Exact dedup groups: fingerprint → surviving doc_id + duplicate count. */
   def exactGroups(s: SparkSession, d: String): DataFrame =
@@ -188,23 +170,14 @@ object Dedup {
   /** Scalar signature kernel: the full 32-slot min loop over a doc's shingle
     * hashes in ONE projection — no explode, no aggregation shuffle. Same
     * hash chain as [[MinHashAgg]] (splitmix64 over xxhash64), so the two
-    * paths produce identical signatures. A JVM Scala UDF (not a HOF) because
-    * the 32-way inner loop is hot; the input hashes come from the codegen'd
-    * `xxhash64` via a `transform`.
+    * paths produce identical signatures. A native codegen'd expression
+    * ([[org.apache.spark.sql.graft.MinhashSig]]) reading primitive longs
+    * straight from ArrayData — the former ScalaUDF boxed every hash into a
+    * Seq[Long] through the converter layer; the input hashes come from the
+    * codegen'd `xxhash64` via a `transform`.
     */
-  private[ext] val sigOfHashes = udf((hs: Seq[Long]) => {
-    val buf = Array.fill(NumHashes)(Long.MaxValue)
-    hs.foreach { h =>
-      var x = h
-      var i = 0
-      while (i < NumHashes) {
-        x = mix(x)
-        if (x < buf(i)) buf(i) = x
-        i += 1
-      }
-    }
-    buf
-  })
+  private[ext] def sigOfHashes(hashes: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.minhashSig(hashes)
 
   /** MinHash + LSH near-dup pairs over the documents table. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
@@ -909,9 +882,19 @@ object Dedup {
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
-    "x_dedup_minhash_lsh" -> (minhashLshContainment _),
+    // `x_dedup_minhash_lsh` / `x_dedup_simhash` are the PRODUCTION
+    // full-corpus pipelines and carry the weaker rows-only driver check on
+    // purpose (which sub-1.0 pairs banding surfaces depends on
+    // engine-specific xxhash64 DuckDB cannot recompute); their EXACTNESS is
+    // proven by the hash-green `*_containment` (0 false positives, bit-exact
+    // scores vs brute truth on a bounded slice) and `*_planted` (structural
+    // recall 1) companions. Split per round-5 review so the benched names
+    // measure the scale path, not the quadratic verification harness.
+    "x_dedup_minhash_lsh" -> (minhashLsh _),
+    "x_dedup_minhash_containment" -> (minhashLshContainment _),
     "x_dedup_minhash_planted" -> (minhashLshPlanted _),
-    "x_dedup_simhash" -> (simhashContainment _),
+    "x_dedup_simhash" -> (simhashPairs _),
+    "x_dedup_simhash_containment" -> (simhashContainment _),
     "x_dedup_simhash_planted" -> (simhashPlanted _))
 
   val oracles: Map[String, String] = Map(
@@ -923,8 +906,8 @@ object Dedup {
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
-    "x_dedup_minhash_lsh" -> minhashLshContainmentOracle,
+    "x_dedup_minhash_containment" -> minhashLshContainmentOracle,
     "x_dedup_minhash_planted" -> minhashLshPlantedOracle,
-    "x_dedup_simhash" -> simhashContainmentOracle,
+    "x_dedup_simhash_containment" -> simhashContainmentOracle,
     "x_dedup_simhash_planted" -> simhashPlantedOracle)
 }
