@@ -39,8 +39,19 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    println(line)
+    // self-recorded copy with every per-query number: the driver's captured
+    // stdout tail can truncate the (200+ key) queries map, losing per-name
+    // history; BENCH_SELF.json survives in the repo for BASELINE.md updates
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json"))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_SELF.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

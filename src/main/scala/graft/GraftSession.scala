@@ -19,6 +19,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // v2 commit: tasks rename straight into the output dir instead of a
+      // second sequential job-commit rename pass. The gates and streaming
+      // choreographies issue MANY small writes whose per-write commit cost
+      // is pure floor; correctness here does not ride on v1's
+      // all-or-nothing job commit — every multi-writer path in the lake
+      // layer commits via its own staged-directory + atomic-rename protocol
+      // (writeTableSnapshot/WAP/Txn), which v1 vs v2 does not change.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
     * a tab or CR in builder-authored SQL or a feed description would

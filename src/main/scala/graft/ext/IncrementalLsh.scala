@@ -188,7 +188,8 @@ object IncrementalLsh {
 
   val defs: Map[String, QueryFn] = Map(
     "x_dedup_lsh_incremental" -> (lshIncremental _),
-    "s_stream_lsh_index" -> (streamLshIndex _))
+    "s_stream_lsh_index" ->
+      graft.streaming.Streams.withReducedShuffle(streamLshIndex _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_lsh_incremental" -> Dedup.minhashLshPlantedOracle,

@@ -62,11 +62,38 @@ object Streams {
       df: DataFrame, keyCol: String,
       nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
     val staged = Files.createTempDirectory("graft_chunks_")
-    (0 until nChunks).foreach { c =>
-      df.filter(pmod(col(keyCol), lit(nChunks)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c")
-    }
+    writeChunksOrdered(df, pmod(col(keyCol), lit(nChunks)), staged.toString)
     (s"$staged/chunk=*", df.schema)
+  }
+
+  /** Stage `df` under `dir/chunk=N` in ONE partitioned write (the previous
+    * shape — one filtered job per chunk — paid a full job launch + commit
+    * per chunk, pure scheduling floor across every multi-batch gate), then
+    * pin each chunk file's modification time to a strictly increasing
+    * value: `FileStreamSource` orders files by modTime (ascending under the
+    * default `latestFirst=false`), so the touch makes a
+    * `maxFilesPerTrigger=1` drain process chunk 0, 1, 2, … exactly as the
+    * sequential writes did — deterministically, not by listing-order luck.
+    * Timestamps sit in the past so any file staged afterwards (watermark
+    * sentinels) sorts after every chunk.
+    */
+  private def writeChunksOrdered(
+      df: DataFrame, chunkExpr: org.apache.spark.sql.Column, dir: String): Unit = {
+    val s = df.sparkSession
+    df.withColumn("chunk", chunkExpr)
+      .repartition(col("chunk"))
+      .write.mode(SaveMode.Append).partitionBy("chunk").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val chunkDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk="))
+      .sortBy(st => st.getPath.getName.stripPrefix("chunk=").toInt)
+    val base = System.currentTimeMillis() - 3600L * 1000 // 1h ago « maxFileAge
+    chunkDirs.zipWithIndex.foreach { case (cd, i) =>
+      fs.listStatus(cd.getPath).filter(_.isFile).foreach { f =>
+        fs.setTimes(f.getPath, base + i * 2000L, -1)
+      }
+    }
   }
 
   /** The staging recipe shared by the multi-batch state, streaming-upsert
@@ -616,9 +643,7 @@ object Streams {
     // pace the generations; a deployed pipeline is driven by a notify
     // topic or a timer the same way)
     val ticks = Files.createTempDirectory("graft_cdc_ticks_")
-    (0 until 4).foreach { c =>
-      s.range(c, c + 1).coalesce(1).write.parquet(s"$ticks/chunk=$c")
-    }
+    writeChunksOrdered(s.range(4).toDF("id"), col("id").cast("int"), ticks.toString)
     val schema = s.read.parquet(s"$ticks/chunk=0").schema
     val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(s"$ticks/chunk=*")
@@ -654,9 +679,12 @@ object Streams {
           .unionByName(applied)
         Lake.writeTableSnapshot(mirrorNew, root, "cdc_mirror")
         import s.implicits._
-        val nIns = changed.filter(col("change") === "inserted").count()
-        val nUpd = changed.filter(col("change") === "updated").count()
-        val nDel = changed.filter(col("change") === "deleted").count()
+        // one job for all three change-kind counts, not three scans
+        val byKind = changed.groupBy(col("change")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nIns = byKind.getOrElse("inserted", 0L)
+        val nUpd = byKind.getOrElse("updated", 0L)
+        val nDel = byKind.getOrElse("deleted", 0L)
         val chk = Lake.readTableFeed(s, root, "cdc_mirror")
           .agg(Q.moneySum(col("o_totalprice")).as("c"), count(lit(1)).as("n")).head
         Seq((id, nIns, nUpd, nDel, chk.getLong(1), chk.getDouble(0)))
@@ -782,15 +810,12 @@ object Streams {
     val reqDir = Files.createTempDirectory("graft_serase_req_").toString
     val subjects = graft.Tables.events(s, d).select(col("user_id"))
       .filter(col("user_id") % 13 === 0).distinct()
-    (0 to 2).foreach { i =>
-      subjects.filter(col("user_id") % 3 === i)
-        .coalesce(1).write.parquet(s"$reqDir/req_$i")
-    }
+    writeChunksOrdered(subjects, pmod(col("user_id"), lit(3)).cast("int"), reqDir)
     val schema = subjects.schema
     val q = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$reqDir/req_*")
+      .parquet(s"$reqDir/chunk=*")
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
@@ -998,17 +1023,17 @@ object Streams {
     val midTs = minTs + (maxTs - minTs) / 2
     val day = 86400L * 1000000L
     val staged = Files.createTempDirectory("graft_sess_")
-    (0 until nChunks).foreach { c =>
-      ev.filter(pmod(col("user_id"), lit(nChunks)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c")
-    }
-    Seq(midTs + delayUs, maxTs + delayUs + 30 * day, maxTs + delayUs + 60 * day)
-      .zipWithIndex.foreach { case (ts, i) =>
-        s.range(1).select(
-          lit(-1L).as("user_id"), lit(-1L - i).as("event_id"),
-          lit(ts).as("ts_us"), lit(0.0).as("value"))
-          .coalesce(1).write.parquet(s"$staged/chunk=${nChunks + i}")
-      }
+    writeChunksOrdered(ev, pmod(col("user_id"), lit(nChunks)).cast("int"),
+      staged.toString)
+    val sentinels = s.range(3).select(
+      lit(-1L).as("user_id"), (lit(-1L) - col("id")).as("event_id"),
+      when(col("id") === 0, midTs + delayUs)
+        .when(col("id") === 1, maxTs + delayUs + 30 * day)
+        .otherwise(maxTs + delayUs + 60 * day).as("ts_us"),
+      lit(0.0).as("value"))
+    writeChunksOrdered(
+      sentinels, lit(nChunks) + (-col("event_id") - 1).cast("int"),
+      staged.toString)
     (s"$staged/chunk=*", ev.schema, delayMs)
   }
 
@@ -1196,18 +1221,20 @@ object Streams {
     val day = 86400L * 1000000L
     val staged = Files.createTempDirectory("graft_ssj_")
     Seq(("left", 0), ("right", 1)).foreach { case (side, parity) =>
-      val sideDf = ev.filter(pmod(col("event_id"), lit(2)) === parity)
-      (0 until nChunks).foreach { c =>
-        sideDf.filter(pmod(col("event_id"), lit(2 * nChunks)) === (2 * c + parity))
-          .coalesce(1).write.parquet(s"$staged/$side/chunk=$c")
-      }
-      Seq(maxTs + delayMs * 1000 + 2 * day, maxTs + delayMs * 1000 + 30 * day)
-        .zipWithIndex.foreach { case (ts, i) =>
-          s.range(1).select(
-            lit(-1L).as("user_id"), lit(-1L - i).as("event_id"),
-            lit(ts).as("ts_us"))
-            .coalesce(1).write.parquet(s"$staged/$side/chunk=${nChunks + i}")
-        }
+      // real chunks in one ordered write, both sentinels in a second (the
+      // re-touch inside the second call re-ladders ALL chunk dirs, so the
+      // sentinels' modTimes land strictly after every real chunk's)
+      writeChunksOrdered(
+        ev.filter(pmod(col("event_id"), lit(2)) === parity),
+        ((pmod(col("event_id"), lit(2 * nChunks)) - parity) / 2).cast("int"),
+        s"$staged/$side")
+      val sentinels = s.range(2).select(
+        lit(-1L).as("user_id"), (lit(-1L) - col("id")).as("event_id"),
+        (lit(maxTs + delayMs * 1000) +
+          when(col("id") === 0, 2 * day).otherwise(30 * day)).as("ts_us"))
+      writeChunksOrdered(
+        sentinels, lit(nChunks) + (-col("event_id") - 1).cast("int"),
+        s"$staged/$side")
     }
     (s"$staged/left/chunk=*", s"$staged/right/chunk=*", ev.schema, delayMs)
   }
@@ -1316,13 +1343,12 @@ object Streams {
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
     val delayMs = (bounds.getLong(1) - bounds.getLong(0)) / 1000 + 1
     val staged = Files.createTempDirectory("graft_ddw_")
-    (0 until 2).foreach { c =>
-      ev.filter(pmod(col("event_id"), lit(2)) === c)
-        .coalesce(1).write.parquet(s"$staged/chunk=$c")
-    }
-    // identical full-row duplicates, arriving two micro-batches later
-    ev.filter(pmod(col("event_id"), lit(10)) === 0)
-      .coalesce(1).write.parquet(s"$staged/chunk=2")
+    writeChunksOrdered(ev, pmod(col("event_id"), lit(2)).cast("int"),
+      staged.toString)
+    // identical full-row duplicates, arriving two micro-batches later (the
+    // second ordered write re-ladders modTimes so chunk 2 drains last)
+    writeChunksOrdered(ev.filter(pmod(col("event_id"), lit(10)) === 0),
+      lit(2), staged.toString)
     val deduped = s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -1437,7 +1463,27 @@ object Streams {
     """SELECT event_id, user_id, event_type, value
       |FROM events WHERE user_id BETWEEN 40 AND 90""".stripMargin
 
-  val defs: Map[String, QueryFn] = Map(
+  /** Run a streaming gate with a reduced shuffle-partition count. Stateful
+    * streaming operators create one state-store instance PER shuffle
+    * partition PER micro-batch — at the default 32, a 5-trigger gate pays
+    * 160 provider inits + delta/commit file writes for a few thousand rows,
+    * and that scheduling floor (not data) dominates the whole `s_*` bench
+    * family. Four partitions keep the same results (aggregation outputs are
+    * partitioning-invariant; batch composition is fixed by the staged
+    * files, not by shuffle fan-out) at an eighth of the state-store I/O.
+    * The production deployment sizes this knob UP for real volume — the
+    * invariant under test (streaming/batch parity) is unaffected either
+    * way. Restored after the gate body (which contains every `start()`/
+    * `awaitTermination()`), so downstream batch materialization of the
+    * returned frame runs at the session default.
+    */
+  def withReducedShuffle(fn: QueryFn): QueryFn = (s, d) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try fn(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val defs: Map[String, QueryFn] = Map[String, QueryFn](
     "a4_kafka_wire_roundtrip" -> (kafkaWireRoundtrip _),
     "a4_wire_quarantine" -> (wireQuarantine _),
     "s_stream_exactly_once" -> (streamExactlyOnce _),
@@ -1467,6 +1513,7 @@ object Streams {
     "s_stream_dsv2_sink" -> (streamDsv2Sink _),
     "s_stream_erasure" -> (streamErasure _),
     "s_stream_ingest_lake" -> (streamIngestLake _))
+    .map { case (k, fn) => k -> withReducedShuffle(fn) }
 
   val oracles: Map[String, String] = Map(
     "a4_kafka_wire_roundtrip" -> kafkaWireRoundtripOracle,
