@@ -555,8 +555,8 @@ object Lifecycle {
     * run the same code — only the installed policy set differs — and the
     * oracle recomputes both halves, so the gate hash-proves masking is
     * applied when installed and absent when cleared. Each half is
-    * collected under its own policy state (the returned local relation
-    * cannot drift if policies change later).
+    * snapshot-materialized under its own policy state (the returned
+    * policy-free scan cannot drift if policies change later).
     */
   def columnMask(s: SparkSession, d: String): DataFrame = {
     import graft.governance.ColumnMask
@@ -570,11 +570,11 @@ object Lifecycle {
       Policy(s"$root/orders_pii", "o_totalprice", Redact))
     def readAs(masked: Boolean, who: String): DataFrame = {
       if (masked) ColumnMask.install(policies)
-      try {
-        val df = s.read.parquet(s"$root/orders_pii").withColumn("who", lit(who))
-        val rows = df.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally ColumnMask.clear()
+      // distributed snapshot, not collect(): the masked plan executes while
+      // the policy is installed; the returned scan (policy-free temp path)
+      // cannot drift if policies change later, and the driver holds no rows
+      try Q.snapshot(s.read.parquet(s"$root/orders_pii").withColumn("who", lit(who)))
+      finally ColumnMask.clear()
     }
     readAs(masked = true, "analyst").unionByName(readAs(masked = false, "admin"))
   }
@@ -615,11 +615,9 @@ object Lifecycle {
       Policy(s"$root/customer_rls", "c_acctbal > 0"))
     def readAs(filteredRead: Boolean, who: String): DataFrame = {
       if (filteredRead) RowFilter.install(policies)
-      try {
-        val df = s.read.parquet(s"$root/customer_rls").withColumn("who", lit(who))
-        val rows = df.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally RowFilter.clear()
+      // distributed snapshot, not collect() — same rationale as columnMask
+      try Q.snapshot(s.read.parquet(s"$root/customer_rls").withColumn("who", lit(who)))
+      finally RowFilter.clear()
     }
     readAs(filteredRead = true, "tenant").unionByName(readAs(filteredRead = false, "admin"))
   }

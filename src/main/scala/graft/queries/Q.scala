@@ -25,5 +25,21 @@ object Q {
   def moneySumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     sum(c.cast("decimal(18,2)")).over(w).cast("double")
 
+  /** Materialize `q` NOW, distributedly, and return the frozen result.
+    *
+    * For gates whose plan must execute under transient session state (an
+    * installed governance policy, a flipped optimizer flag, a registered
+    * view about to be dropped): returning the lazy frame would re-plan
+    * after the state is restored, and `collect()`-ing pins the full result
+    * on the driver — fine at gate scale, wrong posture at 100 TB. Instead
+    * the plan executes once as a normal distributed parquet write and the
+    * caller gets a plain scan of the snapshot, driver memory O(1).
+    */
+  def snapshot(q: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+    q.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    q.sparkSession.read.parquet(dir)
+  }
+
   type QueryFn = (SparkSession, String) => DataFrame
 }

@@ -574,8 +574,9 @@ object Scale {
       val plan = q.queryExecution.optimizedPlan.toString
       require(plan.contains("might_contain"),
         s"runtime bloom filter was not injected:\n$plan")
-      val rows = q.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      // executes the bloom-injected plan under the flipped flags; the
+      // returned scan is conf-independent and the driver holds no rows
+      Q.snapshot(q)
     } finally prior.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
@@ -598,9 +599,9 @@ object Scale {
     * the fact table, so correctness here proves BOTH the rewrite fired and
     * that it is answer-preserving (oracle runs the same query on the raw
     * lineitem in DuckDB). At 100 TB the difference is a fact-table scan vs
-    * a dimension-sized summary read. The result is collected (3 rows) and
-    * returned as a local relation so the view can be dropped eagerly —
-    * later gates must never see a registered view they didn't create.
+    * a dimension-sized summary read. The result is snapshot-materialized
+    * so the view can be dropped eagerly — later gates must never see a
+    * registered view they didn't create.
     */
   def mvRewrite(s: SparkSession, d: String): DataFrame = {
     import graft.warehouse.SummaryRewrite
@@ -627,8 +628,8 @@ object Scale {
         s"materialized-view rewrite did not fire; scanned $paths")
       require(!paths.exists(_.endsWith("lineitem.parquet")),
         s"rewritten plan still scans the base table: $paths")
-      val rows = q.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      // executes the rewritten plan before the view drops; driver holds no rows
+      Q.snapshot(q)
     } finally SummaryRewrite.drop("mv_li_rfls")
   }
 
@@ -685,8 +686,8 @@ object Scale {
       val posMid = plan.indexOf("graft_cbo_mid")
       require(posSmall >= 0 && posMid >= 0 && posSmall < posMid,
         s"CBO did not reorder the selective dim ahead of the mid join:\n$plan")
-      val rows = q.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      // executes the CBO-reordered plan before the tables drop; no collect()
+      Q.snapshot(q)
     } finally {
       tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       prior.foreach {
