@@ -27,6 +27,11 @@ object GraftSession {
       // layer commits via its own staged-directory + atomic-rename protocol
       // (writeTableSnapshot/WAP/Txn), which v1 vs v2 does not change.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // money profile (Tables.MoneyDecimalConf): env-switchable so the SAME
+      // Verify/Bench binaries can be driven under the decimal(18,2) schema
+      // profile without a code change (see MoneyProfileSpec).
+      .config(Tables.MoneyDecimalConf,
+        sys.env.getOrElse("SPARK_GRAFT_MONEY_DECIMAL", "false"))
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
     * a tab or CR in builder-authored SQL or a feed description would

@@ -28,16 +28,51 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Monetary columns per table. SURVEY.md §1.4: the reference carries money
+    * as IEEE double (kafka_producer.py:33) and names DECIMAL(18,2) the
+    * principled choice. The testdata generator emits exact 2-decimal values
+    * in every one of these columns (verified: round(c,2)=c for all rows), so
+    * declaring them decimal is lossless — the profile changes the declared
+    * type, never a value.
+    */
+  val MoneyColumns: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_totalprice"),
+    "lineitem" -> Seq("l_extendedprice"),
+    "customer" -> Seq("c_acctbal"),
+    "supplier" -> Seq("s_acctbal"),
+    "part" -> Seq("p_retailprice"),
+    "events" -> Seq("value"))
+
+  /** Session conf (or env `SPARK_GRAFT_MONEY_DECIMAL=true`, read by
+    * [[GraftSession]]) that switches monetary columns to DECIMAL(18,2) at
+    * the schema layer. Downstream aggregation is profile-agnostic: money
+    * sums/averages already normalize through decimal(18,2) (queries/Q.scala),
+    * and decimal×double arithmetic promotes to double, so query results are
+    * bit-identical under either profile (MoneyProfileSpec pins this; the
+    * oracle gates stay hash-green with the flag on).
+    */
+  val MoneyDecimalConf = "spark.graft.money.decimal"
+
+  def moneyDecimal(spark: SparkSession): Boolean =
+    spark.conf.getOption(MoneyDecimalConf).exists(_.toBoolean)
+
+  private def moneyProfile(spark: SparkSession, name: String, df: DataFrame): DataFrame =
+    if (!moneyDecimal(spark)) df
+    else MoneyColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(c).cast("decimal(18,2)"))
+    }
+
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path(dir, name))
-          .withColumn("ts_us", expr("ts DIV 1000"))
+        moneyProfile(spark, name,
+          spark.read.parquet(path(dir, name))
+            .withColumn("ts_us", expr("ts DIV 1000")))
       case _ =>
-        spark.read.parquet(path(dir, name))
+        moneyProfile(spark, name, spark.read.parquet(path(dir, name)))
     }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import scala.util.Try
+
+import graft.lake.{Lake, Txn}
+
+/** Fault injection for the commit protocols (VERDICT r5 §next-round #8):
+  * racing snapshot claimants, a crashed claimant, a crashed transaction
+  * member publish, and racing manifest CAS commits. These pin the
+  * guarantees the Scaladoc claims — exactly one winner per version slot,
+  * no clobbered or torn snapshots, crashed work invisible to readers and
+  * collectable by vacuum.
+  */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(): String = Files.createTempDirectory("conc_spec_").toString
+
+  /** Run `n` thunks as simultaneously as a latch can make them. */
+  private def race[A](n: Int)(f: Int => A): Seq[Try[A]] = {
+    val pool = Executors.newFixedThreadPool(n)
+    val go = new CountDownLatch(1)
+    val futs = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Try[A]] {
+        def call(): Try[A] = { go.await(); Try(f(i)) }
+      })
+    }
+    go.countDown()
+    pool.shutdown()
+    pool.awaitTermination(120, TimeUnit.SECONDS)
+    futs.map(_.get())
+  }
+
+  test("8 racing writeTableSnapshot claimants: distinct versions, no torn snapshots") {
+    val root = scratch()
+    val results = race(8) { i =>
+      Lake.writeTableSnapshot(
+        Seq.fill(i + 1)(i).toDF("writer"), root, "t",
+        retentionVersions = Int.MaxValue)
+    }
+    val versions = results.map(_.get)
+    assert(versions.distinct.size === 8, s"version collision: $versions")
+    assert(versions.sorted === Lake.versions(spark, root, "t"))
+    // all-or-nothing per slot: each version holds exactly one writer's rows
+    for (v <- versions) {
+      val rows = Lake.readTableFeed(spark, root, "t", Some(v))
+        .as[Int].collect().toSeq
+      assert(rows.distinct.size === 1 && rows.size === rows.head + 1,
+        s"version v$v torn: $rows")
+    }
+  }
+
+  test("crashed claimant burns its slot; vacuum collects marker and staging") {
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq(1).toDF("k"), root, "t")
+    Lake.writeTableSnapshot(Seq(1, 2).toDF("k"), root, "t")
+    // writer crashed after claiming v3 and before renaming its staging dir
+    val tdir = java.nio.file.Paths.get(Lake.tablePath(root, "t"))
+    Files.createFile(tdir.resolve(".claim_v3"))
+    Files.createDirectory(tdir.resolve(".stage_deadbeef"))
+    Files.write(tdir.resolve(".stage_deadbeef/part-0.bin"), Array[Byte](1))
+
+    val v = Lake.writeTableSnapshot(Seq(1, 2, 3).toDF("k"), root, "t")
+    assert(v === 4, "live writer must skip the crashed claim, not wait or clobber")
+    assert(Lake.versions(spark, root, "t") === Seq(1, 2, 4))
+    assert(Lake.readTableFeed(spark, root, "t").count() === 3)
+
+    val collected = Lake.vacuumTable(spark, root, "t").map(_._1)
+    assert(collected.contains(".claim_v3") && collected.contains(".stage_deadbeef"))
+    assert(Lake.versions(spark, root, "t") === Seq(1, 2, 4))
+  }
+
+  test("racing conditional commits (CAS): exactly one winner per expected version") {
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq(0).toDF("k"), root, "t")
+    val results = race(2) { i =>
+      Lake.writeTableSnapshotIf(
+        Seq(i, i).toDF("k"), root, "t", expectedLatest = 1)
+    }
+    val outcomes = results.map(_.get)
+    assert(outcomes.count(_.isDefined) === 1, s"CAS must elect one winner: $outcomes")
+    assert(outcomes.flatten === Seq(2))
+    assert(Lake.versions(spark, root, "t") === Seq(1, 2))
+  }
+
+  test("crashed txn member publish: invisible to readers, collected by vacuum") {
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1, 2).toDF("k"), "b" -> Seq(9).toDF("k")))
+    // crash between member publish and manifest write: `a` gains an
+    // unmanifested version
+    Lake.writeTableSnapshot(Seq(7, 7, 7).toDF("k"), root, "a",
+      retentionVersions = Int.MaxValue)
+    assert(Lake.versions(spark, root, "a") === Seq(1, 2))
+    assert(Txn.read(spark, root, "a").count() === 2, "torn write visible to txn reader")
+
+    val (dropV, _) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(dropV === Seq("a" -> 2))
+    assert(Txn.read(spark, root, "a").count() === 2)
+    // and the root recovers: the next commit lands normally, reusing the
+    // vacuumed orphan's slot — safe, because no retained manifest ever
+    // pinned the old v2 (manifest pins, not version numbers, are the
+    // identity transactional readers resolve)
+    val (_, w) = Txn.commit(spark, root, Map("a" -> Seq(5).toDF("k")))
+    assert(Txn.read(spark, root, "a").count() === 1)
+    assert(w("a") === 2)
+  }
+
+  test("racing Txn.commit: manifest CAS serializes, both land, pins merge") {
+    val root = scratch()
+    val results = race(4) { i =>
+      Txn.commit(spark, root, Map(s"t$i" -> Seq.fill(i + 1)(i).toDF("k")))
+    }
+    val ids = results.map(_.get._1)
+    assert(ids.distinct.size === 4, s"txn id collision: $ids")
+    assert(ids.sorted === Seq(1, 2, 3, 4))
+    val (lastId, pins) = Txn.currentManifest(spark, root).get
+    assert(lastId === 4)
+    // the last manifest carries every earlier transaction's pins forward
+    assert(pins.keySet === Set("t0", "t1", "t2", "t3"))
+    for (i <- 0 until 4)
+      assert(Txn.read(spark, root, s"t$i").count() === i + 1)
+  }
+}
