@@ -9,19 +9,23 @@ import org.apache.spark.sql.functions._
   * parquet footers carry the schema, so `spark.read.parquet` is enough and
   * the vectorized reader + column pruning + predicate pushdown all apply.
   *
-  * `events.ts` is written with parquet NANOS precision, which Spark does not
-  * natively map to TimestampType. We read it as a raw long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive `ts_us` (microseconds
-  * since epoch, BIGINT) with integer division — a double intermediate would
-  * lose precision above 2^53 ns. Queries expose `ts_us` so the DuckDB oracle
-  * (`epoch_ns(ts)//1000`) compares exactly. `ts DIV 1000` truncates toward
-  * zero while DuckDB's `//` floors, so this equivalence assumes non-negative
-  * (post-1970) timestamps — true of all testdata; a floor-division expression
-  * would be needed for pre-1970 nanos.
+  * `events.ts` has shipped under TWO physical encodings across testdata
+  * generations: parquet INT64 TIMESTAMP(NANOS) (read as a raw long under
+  * `spark.sql.legacy.parquet.nanosAsLong` — Spark has no nanos timestamp
+  * type) and plain `timestamp[us]` (read as TIMESTAMP_NTZ). [[tsUsCol]]
+  * normalizes either to `ts_us` (microseconds since epoch, BIGINT) by
+  * dispatching on the loaded schema, so every downstream operator and the
+  * DuckDB oracle (`epoch_ns(ts)//1000`, valid on both DuckDB-side types)
+  * compare exactly. The nanos branch uses integer division (a double
+  * intermediate would lose precision above 2^53 ns) and truncates toward
+  * zero while DuckDB's `//` floors — equivalent for the post-1970 testdata.
+  * The µs branch casts NTZ→LTZ before `unix_micros`; the session timezone is
+  * pinned UTC ([[GraftSession]]), making that cast the identity on the wall
+  * clock, exactly matching DuckDB's naive-timestamp epoch.
   *
   * The nanosAsLong conf is also set by the Verify/Bench/test session
   * builders; the set here is a fallback for externally-built sessions and is
-  * session-global once applied (only `events` uses NANOS today).
+  * session-global once applied (harmless when no NANOS column exists).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -64,13 +68,23 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Epoch-microseconds BIGINT for an events `ts` field of either physical
+    * encoding (see class scaladoc). Schema-dispatched so it works on batch
+    * AND streaming frames (where the schema is declared, not inferred).
+    */
+  def tsUsCol(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    tsType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(path(dir, name))
         moneyProfile(spark, name,
-          spark.read.parquet(path(dir, name))
-            .withColumn("ts_us", expr("ts DIV 1000")))
+          raw.withColumn("ts_us", tsUsCol(raw.schema("ts").dataType)))
       case _ =>
         moneyProfile(spark, name, spark.read.parquet(path(dir, name)))
     }

@@ -49,7 +49,7 @@ object Streams {
     })
     val schema = s.read.parquet(path).schema
     s.readStream.schema(schema).parquet(path)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", graft.Tables.tsUsCol(schema("ts").dataType))
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
 
@@ -102,8 +102,9 @@ object Streams {
   private def stageInterleavedEventChunks(
       s: SparkSession, d: String, nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(graft.Tables.path(d, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = s.read.parquet(graft.Tables.path(d, "events"))
+    val ev = raw
+      .withColumn("ts_us", graft.Tables.tsUsCol(raw.schema("ts").dataType))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
     stageChunks(ev, "event_id", nChunks)
   }
@@ -1013,8 +1014,9 @@ object Streams {
       s: SparkSession, d: String,
       nChunks: Int): (String, org.apache.spark.sql.types.StructType, Long) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(graft.Tables.path(d, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = s.read.parquet(graft.Tables.path(d, "events"))
+    val ev = raw
+      .withColumn("ts_us", graft.Tables.tsUsCol(raw.schema("ts").dataType))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
     val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
