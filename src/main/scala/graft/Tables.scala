@@ -82,6 +82,10 @@ object Tables {
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // tsUsCol's µs branch (NTZ→LTZ cast + unix_micros) is only the
+        // identity on the wall clock under a UTC session zone; pin it here
+        // for externally-built sessions, mirroring the nanosAsLong fallback.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         val raw = spark.read.parquet(path(dir, name))
         moneyProfile(spark, name,
           raw.withColumn("ts_us", tsUsCol(raw.schema("ts").dataType)))

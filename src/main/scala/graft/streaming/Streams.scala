@@ -1214,8 +1214,9 @@ object Streams {
       s: SparkSession, d: String,
       nChunks: Int): (String, String, org.apache.spark.sql.types.StructType, Long) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(graft.Tables.path(d, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = s.read.parquet(graft.Tables.path(d, "events"))
+    val ev = raw
+      .withColumn("ts_us", graft.Tables.tsUsCol(raw.schema("ts").dataType))
       .select(col("user_id"), col("event_id"), col("ts_us"))
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
     val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
@@ -1339,8 +1340,9 @@ object Streams {
     */
   def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(graft.Tables.path(d, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = s.read.parquet(graft.Tables.path(d, "events"))
+    val ev = raw
+      .withColumn("ts_us", graft.Tables.tsUsCol(raw.schema("ts").dataType))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("value"))
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
     val delayMs = (bounds.getLong(1) - bounds.getLong(0)) / 1000 + 1
