@@ -74,9 +74,13 @@ object Analytics {
     var r = deg.withColumn("r", lit(Scale))
     val frontiers = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to 3) {
+      // the rank frontier is nodes-sized (tiny next to the edge list even
+      // at cluster scale) — broadcasting it makes the contribution join a
+      // map-side hash probe over the persisted edge partitions, leaving
+      // the groupBy(dst) as the iteration's ONE shuffle
       val contrib = e.join(
-          r.filter(col("outdeg") > 0)
-            .select(col("node"), expr("r div outdeg").as("share")),
+          broadcast(r.filter(col("outdeg") > 0)
+            .select(col("node"), expr("r div outdeg").as("share"))),
           e("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
       val dang = r.filter(col("outdeg") === 0)
@@ -128,16 +132,57 @@ object Analytics {
        |${pagerankIterSql("i2", "i3")}
        |SELECT node AS s_suppkey, r AS rank_scaled FROM i3""".stripMargin
 
+  /** Sampled-edge budget for the DOULION gates: the sample modulus is
+    * derived from the OBSERVED undirected edge count so wedge work stays
+    * bounded no matter how dense the co-occurrence graph gets (the
+    * regenerated corpus made it near-complete — a fixed 1/10 rate blew
+    * wedge work up 26×). `m = max(1, ceil(|E|/12000))` keeps the sampled
+    * graph ≈12 k edges; on a sparse graph m collapses to 1 (exact count).
+    */
+  private val EdgeBudget = 12000.0
+
+  /** Canonical undirected co-occurrence edges (u < v), deterministically
+    * hash-sampled at an adaptive 1/m rate. Returns the persisted sample and
+    * m (the estimator multiplier is m³). The full edge set is persisted
+    * only long enough to count it and materialize the sample — at 100 TB
+    * the count is a map-side-combined agg, never a driver materialization.
+    */
+  private def sampledEdges(s: SparkSession, d: String): (DataFrame, Long) = {
+    val base = coEdges(s, d).filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist()
+    val m = math.max(1L, math.ceil(base.count() / EdgeBudget).toLong)
+    val und = base
+      .filter(expr(s"((u * 2654435761 + v * 40503) % 4294967296) % $m = 0"))
+      .persist()
+    und.count() // materialize the (≤ ~budget-sized) sample …
+    base.unpersist() // … so the full edge set can be dropped immediately
+    (und, m)
+  }
+
+  /** The adaptive-m sample as SQL CTEs (`li`/`base`/`mm`/`und`) — the
+    * oracle recomputes the SAME modulus from the same observed edge count,
+    * so both engines sample identically. */
+  private val sampledEdgesSql: String =
+    s"""li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+       |base AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+       |         FROM li a JOIN li b
+       |           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+       |mm AS (SELECT GREATEST(1, CAST(CEIL(count(*) / $EdgeBudget) AS BIGINT)) AS m
+       |       FROM base),
+       |und AS (SELECT u, v FROM base, mm
+       |        WHERE ((u * 2654435761 + v * 40503) % 4294967296) % m = 0)""".stripMargin
+
   /** Triangle counting on the supplier co-occurrence graph, DOULION-style:
     * the co-occurrence graph is DENSE (near-complete at bench scale —
     * ~C(N,3) triangles), so exact whole-graph enumeration is Θ(N³) no
     * matter the algorithm. The production answer (Tsourakakis et al.,
     * DOULION) is to count triangles EXACTLY on an edge-sampled subgraph
     * and scale by p⁻³ for an unbiased estimate. Sampling here is a
-    * DETERMINISTIC edge hash (p = 1/10), so the sampled subgraph — and
-    * therefore every output number — is engine-exact and oracle-checkable:
-    * the estimator's variance is the statistical statement, the pipeline
-    * itself has no randomness.
+    * DETERMINISTIC edge hash at an adaptive 1/m rate ([[sampledEdges]]),
+    * so the sampled subgraph — and therefore every output number — is
+    * engine-exact and oracle-checkable: the estimator's variance is the
+    * statistical statement, the pipeline itself has no randomness.
     *
     * Enumeration on the sample is degree-ordered (each triangle counted
     * once at its (deg,id)-smallest vertex; wedge work Σ outdeg² = O(m^1.5)
@@ -150,12 +195,7 @@ object Analytics {
 
   private[graft] def graphTriangles(
       s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
-    val e = coEdges(s, d)
-    // canonical undirected edges u < v, hash-sampled at p = 1/10
-    val und = e.filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-      .filter(expr("((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0"))
-      .persist()
+    val (und, m) = sampledEdges(s, d)
     val degree = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -177,7 +217,7 @@ object Analytics {
       degree.agg(count(lit(1)).as("n_active_nodes")))
     val res = stats.crossJoin(tri)
       .select(col("n_active_nodes"), col("n_edges"), col("n_triangles"),
-        (col("n_triangles") * lit(1000L)).as("est_triangles"))
+        (col("n_triangles") * lit(m * m * m)).as("est_triangles"))
     if (!checkpoint) res
     else {
       val out = res.localCheckpoint()
@@ -187,12 +227,7 @@ object Analytics {
   }
 
   val graphTrianglesOracle: String =
-    """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
-      |und AS (SELECT u, v FROM (
-      |          SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |          FROM li a JOIN li b
-      |            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
-      |        WHERE ((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0),
+    s"""WITH $sampledEdgesSql,
       |degree AS (SELECT node, count(*) AS deg FROM (
       |             SELECT u AS node FROM und UNION ALL SELECT v FROM und)
       |           GROUP BY 1),
@@ -207,7 +242,7 @@ object Analytics {
       |SELECT (SELECT count(*) FROM degree) AS n_active_nodes,
       |       (SELECT count(*) FROM und) AS n_edges,
       |       n_triangles,
-      |       CAST(n_triangles * 1000 AS BIGINT) AS est_triangles
+      |       CAST(n_triangles * (SELECT m * m * m FROM mm) AS BIGINT) AS est_triangles
       |FROM tri""".stripMargin
 
   /** Conversion funnel signup → click → purchase over the event stream:
@@ -366,8 +401,8 @@ object Analytics {
 
   /** Per-node local clustering coefficient — how close each supplier's
     * co-occurrence neighborhood is to a clique: coeff = triangles_at_node /
-    * (deg·(deg−1)/2), computed on the SAME deterministic p=1/10 edge
-    * sample as [[graphTriangles]] (the co-occurrence graph is
+    * (deg·(deg−1)/2), computed on the SAME deterministic adaptive-rate
+    * edge sample as [[graphTriangles]] (the co-occurrence graph is
     * near-complete, so whole-graph enumeration is Θ(N³); on the sampled
     * graph the coefficient remains an unbiased local-density signal and
     * every output number is engine-exact). Triangles are enumerated once
@@ -377,11 +412,7 @@ object Analytics {
     * where the sampled node has fewer than 2 neighbors.
     */
   def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
-    val und = e.filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-      .filter(expr("((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0"))
-      .persist()
+    val (und, _) = sampledEdges(s, d)
     val degree = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -414,12 +445,7 @@ object Analytics {
   }
 
   val graphClusteringCoeffOracle: String =
-    """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
-      |und AS (SELECT u, v FROM (
-      |          SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |          FROM li a JOIN li b
-      |            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
-      |        WHERE ((u * 2654435761 + v * 40503) % 4294967296) % 10 = 0),
+    s"""WITH $sampledEdgesSql,
       |degree AS (SELECT node, count(*) AS deg FROM (
       |             SELECT u AS node FROM und UNION ALL SELECT v FROM und)
       |           GROUP BY 1),

@@ -302,11 +302,15 @@ object Scale {
     // still an underestimate
     val candidates = summaries.groupBy(col("term"))
       .agg(sum(col("mg_count")).as("mg_count"))
-    val verified = tokens.join(broadcast(candidates), "term")
-      .groupBy(col("term"), col("mg_count"))
-      .agg(count(lit(1)).as("true_count"))
-    val truth = tokens.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .crossJoin(tokens.agg(count(lit(1)).as("n_tokens")))
+    // the huge exploded token stream is scanned exactly TWICE (once for the
+    // MG summaries, once here) — every downstream frame derives from the
+    // vocabulary-sized exact-count table, which a persist keeps resident
+    // (at 100 TB the vocabulary is the only thing small enough to cache)
+    val freqs = tokens.groupBy(col("term")).agg(count(lit(1)).as("c")).persist()
+    val nTokens = freqs.agg(sum(col("c")).as("n_tokens"))
+    val verified = freqs.join(broadcast(candidates), "term")
+      .select(col("term"), col("mg_count"), col("c").as("true_count"))
+    val truth = freqs.crossJoin(broadcast(nTokens))
       .filter(col("c") > col("n_tokens") / (k + 1.0))
       .select(col("term").as("hh_term"), col("c"))
     truth
@@ -317,7 +321,7 @@ object Scale {
       .crossJoin(verified
         .agg(coalesce(sum(when(col("mg_count") > col("true_count"), 1)), lit(0))
           .cast("long").as("overcount")))
-      .crossJoin(tokens.agg(count(lit(1)).as("n_tokens")))
+      .crossJoin(nTokens)
       .crossJoin(truth.agg(count(lit(1)).cast("long").as("n_true_hh")))
       .select(col("n_tokens"), col("n_true_hh"),
         col("missed_true_hh"), col("overcount"))

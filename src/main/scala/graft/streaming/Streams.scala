@@ -1042,18 +1042,26 @@ object Streams {
   private def streamSessionTimeoutOver(s: SparkSession, d: String, nChunks: Int): DataFrame = {
     import s.implicits._
     val (glob, schema, delayMs) = stageUserChunksWithSentinels(s, d, nChunks)
-    val stream = s.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(glob)
-      .withColumn("event_ts", timestamp_micros(col("ts_us")))
-      .withWatermark("event_ts", s"$delayMs milliseconds")
-      .as[EvT]
-    val sessions = stream
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessRow](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionHandler)
-    drain(sessions.toDF(), OutputMode.Append())
+    // every micro-batch maintains one state store per shuffle partition;
+    // nChunks + 3 sentinel batches × 32 partitions is mostly store
+    // maintenance at gate scale — 8 keeps the stateful op parallel while
+    // quartering it (same sizing note as the stream-stream join gates)
+    val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(glob)
+        .withColumn("event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("event_ts", s"$delayMs milliseconds")
+        .as[EvT]
+      val sessions = stream
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, SessRow](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionHandler)
+      drain(sessions.toDF(), OutputMode.Append())
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
   }
 
   /** Timeout gate, single data batch: all real events in one micro-batch,

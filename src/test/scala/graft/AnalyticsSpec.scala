@@ -42,17 +42,28 @@ class AnalyticsSpec extends SparkSpec {
     } yield 1).size
   }
 
+  // same adaptive modulus as Analytics.sampledEdges: the sample rate is
+  // derived from the observed undirected edge count (budget 12 000)
+  private def sampleModulus(edges: Set[(Long, Long)]): Long =
+    math.max(1L, math.ceil(edges.size / 12000.0).toLong)
+
+  private def adaptiveSample(): (Set[(Long, Long)], Long) = {
+    val base = bruteEdges()
+    val m = sampleModulus(base)
+    (base.filter { case (u, v) =>
+      ((u * 2654435761L + v * 40503L) % 4294967296L) % m == 0
+    }, m)
+  }
+
   test("triangles: matches brute-force enumeration of the sampled subgraph") {
     val row = Analytics.graphTriangles(spark, sf).collect().head
-    val sampled = bruteEdges().filter { case (u, v) =>
-      ((u * 2654435761L + v * 40503L) % 4294967296L) % 10 == 0
-    }
+    val (sampled, m) = adaptiveSample()
     val nodes = sampled.flatMap(e => Seq(e._1, e._2))
     val tris = bruteTriangles(sampled)
     assert(row.getAs[Long]("n_active_nodes") === nodes.size)
     assert(row.getAs[Long]("n_edges") === sampled.size)
     assert(row.getAs[Long]("n_triangles") === tris)
-    assert(row.getAs[Long]("est_triangles") === tris * 1000L)
+    assert(row.getAs[Long]("est_triangles") === tris * m * m * m)
   }
 
   test("funnel: step timestamps strictly ordered, completion monotone") {
@@ -122,9 +133,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("clustering coefficient: corner counts sum to 3x triangles, coeff in [0,1]") {
     val cc = Analytics.graphClusteringCoeff(spark, sf).collect()
-    val sampled = bruteEdges().filter { case (u, v) =>
-      ((u * 2654435761L + v * 40503L) % 4294967296L) % 10 == 0
-    } // same deterministic sample as the gate
+    val (sampled, _) = adaptiveSample() // same deterministic sample as the gate
     val tri = bruteTriangles(sampled)
     assert(cc.map(_.getAs[Long]("n_tri")).sum === 3L * tri)
     cc.foreach { r =>

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Executes EVERY `SparkEntry.queries` entry end-to-end.
+  *
+  * This is the guard the round-6 regression proved necessary: four
+  * streaming gates failed analysis on the regenerated testdata while
+  * `sbt test` stayed green, because no spec actually ran the registry.
+  * Key-consistency checks (QueriesSpec) catch wiring mistakes; only
+  * execution catches schema drift in the testdata itself.
+  *
+  * Runs at sf0.01 — the driver's own Verify SF — because several gates
+  * probe fixed key ranges (`p_file_skipping`'s user_id ∈ [100, 200]) that
+  * are empty in the sf0.001 slice, and under a session carrying the
+  * GraftExtensions (custom parser, SQL-registered expressions/UDTFs, the
+  * MV rewrite rule) exactly like every runtime entry point, via the
+  * ExtensionsSpec borrow-the-context pattern.
+  *
+  * All entries run inside ONE test so a single broken gate reports every
+  * other broken gate alongside it (the driver's Verify behaves the same
+  * way), and the assertion message names each failure with its exception.
+  */
+class RegistrySmokeSpec extends SparkSpec {
+
+  test("every registry entry executes without throwing on sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    // getOrCreate would hand back the suite-shared session WITHOUT
+    // extensions; clear the default so a fresh session (reusing the JVM's
+    // SparkContext) is built with them, then restore for other suites
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .appName("graft-registry-smoke")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(s, dir).count(); None }
+          catch {
+            case e: Throwable =>
+              Some(s"$name: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage).take(200))
+          }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} registry entries failed:\n${failures.mkString("\n")}")
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+}

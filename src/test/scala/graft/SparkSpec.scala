@@ -10,10 +10,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // local[8]: the JVM-wide SparkContext is created by whichever suite runs
+  // first and its core count caps EVERY suite (sessions built later reuse
+  // it whatever master they ask for) — 8 keeps the registry smoke spec and
+  // the data-heavier specs parallel without oversubscribing the test box
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[2]")
+    .master("local[8]")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
