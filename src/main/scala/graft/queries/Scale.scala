@@ -512,29 +512,38 @@ object Scale {
       |FROM range(0, 20000) t(id)
       |GROUP BY 1""".stripMargin
 
-  /** Dynamic partition pruning: the fact copy is Hive-partitioned on the
-    * join key, and the dim side carries a NON-partition predicate
-    * (`s_acctbal > 5000`) — so static pruning is impossible and, without
-    * DPP, every partition is a candidate at planning time. Spark's DPP rule
-    * inserts a runtime `dynamicpruningexpression` on the fact scan that
-    * reuses the dim broadcast, so only partitions whose supplier survives
-    * the filter are ever opened. At 100 TB this prunes at the metadata
-    * level before a single fact byte is read — the runtime complement of
-    * the static pruning `Lake.readStreamFeed` relies on. The write
-    * repartitions by the partition column first so each Hive directory is
-    * written by one task (≤ one file per supplier, not tasks × suppliers).
+  /** Dynamic partition pruning: the fact copy is Hive-partitioned on a
+    * BOUNDED bucketing of the join key (`l_suppkey % 64`), and the dim
+    * side carries a NON-partition predicate (`s_acctbal > 5000`) — so
+    * static pruning is impossible and, without DPP, every partition is a
+    * candidate at planning time. Spark's DPP rule inserts a runtime
+    * `dynamicpruningexpression` on the fact scan that reuses the dim
+    * broadcast, so only partitions holding a surviving supplier's bucket
+    * are ever opened. At 100 TB this prunes at the metadata level before
+    * a single fact byte is read — the runtime complement of the static
+    * pruning `Lake.readStreamFeed` relies on. Bucketing (not raw
+    * `l_suppkey`) keeps the partition count CONSTANT as the key space
+    * grows — a per-key layout writes one directory per supplier, which at
+    * sf1 was already 10 000 small files (7.6× the gate's sf0.1 cost) and
+    * at warehouse scale is the classic small-files anti-pattern; pruning
+    * then works at bucket granularity exactly as production fact tables
+    * prune date × hash-bucket layouts. The write repartitions by the
+    * partition column first so each Hive directory is written by one task.
     * Oracle = the plain join on the unpartitioned table: pruning must be
     * invisible in the result.
     */
   def dppJoin(s: SparkSession, d: String): DataFrame = {
     val root = Files.createTempDirectory("graft_dpp_").toString
     Tables.lineitem(s, d)
-      .select(col("l_suppkey"), col("l_extendedprice"))
-      .repartition(col("l_suppkey"))
-      .write.partitionBy("l_suppkey").mode("overwrite").parquet(root)
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        pmod(col("l_suppkey"), lit(64)).as("sup_bucket"))
+      .repartition(col("sup_bucket"))
+      .write.partitionBy("sup_bucket").mode("overwrite").parquet(root)
     val fact = s.read.parquet(root)
     val dim = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
-    fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .withColumn("s_bucket", pmod(col("s_suppkey"), lit(64)))
+    fact.join(dim, fact("l_suppkey") === dim("s_suppkey") &&
+        fact("sup_bucket") === dim("s_bucket"))
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("lines"), Q.moneySum(col("l_extendedprice")).as("revenue"))
   }

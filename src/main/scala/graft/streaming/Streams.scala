@@ -40,11 +40,20 @@ object Streams {
 
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // stage once per sfDir — every streaming query shares the copy
+    // stage once per sfDir — every streaming query shares the copy. The
+    // source may be a single parquet file (driver testdata) or a directory
+    // of part files (ScaleUp output); stage every data file either way.
     val path = stagedDirs.computeIfAbsent(dir, { d =>
       val staged = Files.createTempDirectory("graft_src_")
-      Files.copy(java.nio.file.Paths.get(graft.Tables.path(d, "events")),
-        staged.resolve("events.parquet"))
+      val src = java.nio.file.Paths.get(graft.Tables.path(d, "events"))
+      if (Files.isDirectory(src)) {
+        val it = Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            Files.copy(f, staged.resolve(f.getFileName.toString))
+        }
+      } else Files.copy(src, staged.resolve("events.parquet"))
       staged.toString
     })
     val schema = s.read.parquet(path).schema
