@@ -374,6 +374,78 @@ object TextAnalysis {
       |                  WHEN 'src2' THEN 10 ELSE 25 END
       |GROUP BY 1""".stripMargin
 
+  /** Proportional sample allocation by the largest-remainder (Hamilton)
+    * method — the exact-budget complement of [[mixSources]]' rate-based
+    * mixing: a GLOBAL budget of K = 100 sample slots is split across
+    * sources proportional to each source's total token mass, quotas are
+    * `floor(K·mass/M)` plus one top-up for the largest remainders until
+    * exactly K slots are allocated (ties on remainder break by source
+    * name), and each source then contributes its quota of documents in
+    * deterministic pseudo-shuffle order. Quota arithmetic is pure integer
+    * div/mod, so every quota — and therefore every picked doc — is
+    * engine-exact.
+    *
+    * Scale shape: one token-count aggregation (partial-agg'd map-side), a
+    * SOURCE-cardinality allocation table (the ordered-remainder window
+    * runs over #sources rows — bounded, never data-sized) broadcast back
+    * onto the corpus, and one per-source rank window for the picks. At
+    * 100 TB the allocation table is still a handful of rows; the rank
+    * window can pre-filter by hash threshold exactly as
+    * [[sampleStratified]] notes.
+    */
+  def allocLargestRemainder(s: SparkSession, d: String): DataFrame = {
+    val k = 100L
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"))
+    val mass = toks.groupBy(col("source")).agg(sum(col("n_toks")).as("mass"))
+    val total = mass.agg(sum(col("mass")).as("m"))
+    val base = mass.crossJoin(broadcast(total))
+      .select(col("source"), col("mass"),
+        expr(s"($k * mass) div m").as("q0"),
+        expr(s"($k * mass) % m").as("rem"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val quota = base
+      .withColumn("rk", row_number().over(wRem))
+      .crossJoin(broadcast(base.agg((lit(k) - sum(col("q0"))).as("topups"))))
+      .select(col("source"), col("mass"),
+        (col("q0") + when(col("rk") <= col("topups"), 1L).otherwise(0L))
+          .as("quota"))
+    val wPick = Window.partitionBy(col("source"))
+      .orderBy(shuffleKey(col("doc_id")), col("doc_id"))
+    toks.join(broadcast(quota), "source")
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") <= col("quota"))
+      .select(col("source"), col("mass"), col("quota"), col("doc_id"), col("pick"))
+  }
+
+  val allocLargestRemainderOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |mass AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS mass
+      |         FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS m FROM mass),
+      |base AS (SELECT source, mass,
+      |                (100 * mass) // m AS q0, (100 * mass) % m AS rem
+      |         FROM mass, tot),
+      |quota AS (
+      |  SELECT source, mass,
+      |         CAST(q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |                             <= 100 - (SELECT SUM(q0) FROM base)
+      |                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM base)
+      |SELECT source, mass, quota, doc_id, pick
+      |FROM (
+      |  SELECT t.source, q.mass, q.quota, t.doc_id,
+      |         row_number() OVER (PARTITION BY t.source
+      |           ORDER BY ((t.doc_id % 2147483648) * 2654435761) % 4294967296,
+      |                    t.doc_id) AS pick
+      |  FROM toks t JOIN quota q ON q.source = t.source)
+      |WHERE pick <= quota""".stripMargin
+
   /** Token-window document chunking with overlap — the "split long documents
     * into context-sized training examples" op. Tokens are lowercase-alnum
     * runs (the same tokenizer as [[tokenStats]]); windows are 40 tokens with
@@ -1100,6 +1172,7 @@ object TextAnalysis {
     "x_text_vocab" -> (vocabCoverage _),
     "x_sample_stratified" -> (sampleStratified _),
     "x_mix_sources" -> (mixSources _),
+    "x_alloc_largest_remainder" -> (allocLargestRemainder _),
     "x_text_scrub" -> (piiScrub _),
     "x_text_tfidf" -> (tfidfTop _),
     "x_text_tokens" -> (tokenStats _),
@@ -1126,6 +1199,7 @@ object TextAnalysis {
     "x_text_vocab" -> vocabCoverageOracle,
     "x_sample_stratified" -> sampleStratifiedOracle,
     "x_mix_sources" -> mixSourcesOracle,
+    "x_alloc_largest_remainder" -> allocLargestRemainderOracle,
     "x_text_scrub" -> piiScrubOracle,
     "x_text_tfidf" -> tfidfTopOracle,
     "x_text_tokens" -> tokenStatsOracle,

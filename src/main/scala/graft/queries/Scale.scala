@@ -253,6 +253,56 @@ object Scale {
       |       TRUE AS p50_in_range, TRUE AS p95_in_range
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Approximate quantiles with the RANK-ERROR guarantee verified exactly —
+    * the stronger contract `x_sketch_bounds`'s in-range checks don't pin.
+    * `percentile_approx(accuracy = a)` (Greenwald-Khanna summaries)
+    * guarantees the returned element's rank is within `1/a` of the target
+    * quantile; since the estimate is always an OBSERVED value, both claims
+    * are checkable exactly: rank via two counts against the group's values,
+    * membership via an equality probe. The estimates themselves are
+    * engine-specific (DuckDB's reservoir quantile differs), so — as with
+    * every sketch gate — the OUTPUT is the provable booleans, which the
+    * oracle derives as constants from the guarantee.
+    *
+    * Scale shape: one grouped sketch aggregation (partial-merged map-side,
+    * summary size O(a·log n) per group independent of N), then the tiny
+    * (groups × quantiles) estimate table broadcast back onto the scan for
+    * the exact-rank verify — two scans total, no data-sized shuffle,
+    * exactly how a 100 TB quantile job validates itself.
+    */
+  def quantileRankError(s: SparkSession, d: String): DataFrame = {
+    val accuracy = 1000
+    val phis = Seq(0.5, 0.9, 0.99)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val est = li.groupBy(col("g"))
+      .agg(
+        percentile_approx(col("v"), array(phis.map(lit): _*), lit(accuracy)).as("est"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("n"), posexplode(col("est")).as(Seq("i", "est")))
+      .withColumn("phi", element_at(array(phis.map(lit): _*), col("i") + 1))
+    val checked = li.join(broadcast(est), "g")
+      .groupBy(col("g"), col("phi"), col("n"), col("est"))
+      .agg(
+        sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("at_or_below"))
+    // rank interval [below, at_or_below] must intersect phi*n ± eps*n, with
+    // one extra rank of slack for the discrete grid
+    val eps = 1.0 / accuracy
+    checked.select(
+      col("g"), col("phi"), col("n"),
+      (col("below") <= (col("phi") + eps) * col("n") + 1 &&
+        col("at_or_below") >= (col("phi") - eps) * col("n") - 1)
+        .as("rank_within_bound"),
+      (col("at_or_below") > col("below")).as("est_is_member"))
+  }
+
+  val quantileRankErrorOracle: String =
+    """SELECT g, CAST(phi AS DOUBLE) AS phi, n,
+      |       TRUE AS rank_within_bound, TRUE AS est_is_member
+      |FROM (SELECT l_returnflag AS g, COUNT(*) AS n FROM lineitem GROUP BY 1)
+      |CROSS JOIN (VALUES (0.5), (0.9), (0.99)) p(phi)""".stripMargin
+
   /** Per-partition Misra-Gries summary: at most k counters; a term beyond
     * capacity decrements every counter (dropping zeros) — the classic
     * one-pass frequent-items sketch. Guarantees used by the gate: the
@@ -799,6 +849,7 @@ object Scale {
     "p_bucketed_join" -> (bucketedJoin _),
     "p_bloom_join" -> (bloomJoin _),
     "x_sketch_bounds" -> (sketchBounds _),
+    "x_quantile_rank_error" -> (quantileRankError _),
     "x_heavy_hitters" -> (heavyHitters _),
     "x_approx_sketches" -> (approxSketches _),
     "x_sketch_exact" -> (sketchExact _),
@@ -821,6 +872,7 @@ object Scale {
     "p_bucketed_join" -> bucketedJoinOracle,
     "p_bloom_join" -> bloomJoinOracle,
     "x_sketch_bounds" -> sketchBoundsOracle,
+    "x_quantile_rank_error" -> quantileRankErrorOracle,
     "x_heavy_hitters" -> heavyHittersOracle,
     "x_sketch_exact" -> sketchExactOracle,
     "x_topk_per_key" -> topKPerKeyOracle,
