@@ -37,9 +37,10 @@ import graft.{GraftSession, Tables}
   *    perturbation) would hand every vector `factor-1` artificial
   *    near-duplicates and quadratically inflate the true near-dup pair
   *    count, mismeasuring the pipelines being scaled.
-  *  - `events.ts` is re-emitted as the same epoch-nanos int64 values (read
-  *    via `nanosAsLong`, written as plain BIGINT — `Tables.load` derives
-  *    `ts_us` identically from either physical type). The time span is NOT
+  *  - `events.ts` is re-emitted in whatever physical encoding the source
+  *    generation uses (raw nanos BIGINT under `nanosAsLong`, or
+  *    `timestamp[us]` on the regenerated corpus — `Tables.load` derives
+  *    `ts_us` identically from either type). The time span is NOT
   *    stretched: a `factor`× corpus has `factor`× events per day, which is
   *    how real traffic grows.
   */
