@@ -484,6 +484,9 @@ class StatsCsvColumnarReader(
             val b = cell.getBytes(StandardCharsets.UTF_8)
             v.putByteArray(n, b, 0, b.length)
           case BooleanType => v.putBoolean(n, java.lang.Boolean.parseBoolean(cell))
+          case d: DecimalType => v.putDecimal(n,
+            org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(cell), d.precision, d.scale), d.precision)
           case other => throw new IllegalArgumentException(
             s"graft-stats-csv: unsupported type $other")
         }
@@ -535,6 +538,8 @@ class StatsCsvPartitionReader(
         case DoubleType => java.lang.Double.parseDouble(cell)
         case StringType => UTF8String.fromString(cell)
         case BooleanType => java.lang.Boolean.parseBoolean(cell)
+        case d: DecimalType => org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(cell), d.precision, d.scale)
         case other => throw new IllegalArgumentException(
           s"graft-stats-csv: unsupported type $other")
       }
@@ -847,6 +852,11 @@ class StatsCsvDataWriter(
                 "dialect cannot represent")
           sb.append(s)
         case BooleanType => sb.append(row.getBoolean(i))
+        // toPlainString: the read path re-parses cells with BigDecimal, and
+        // scientific notation from toString would round-trip but surprise
+        // any external reader of the sidecar'd CSV
+        case d: DecimalType => sb.append(
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
         case other => throw new IllegalArgumentException(
           s"graft-stats-csv: unsupported type $other")
       }

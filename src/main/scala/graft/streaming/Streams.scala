@@ -367,6 +367,54 @@ object Streams {
       |       event_type, COUNT(*) AS cnt
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Windowed approximate-distinct in streaming state — the cardinality
+    * dashboard every 100 TB/day pipeline runs: per (day window,
+    * event_type), HLL-family sketches (`approx_count_distinct` + the
+    * DataSketches `hll_sketch_agg`) accumulate distinct users ACROSS
+    * micro-batches in the state store, where an exact distinct would hold
+    * every key in state forever. The sketch estimates are
+    * engine/merge-order specific, so — the `x_sketch_bounds` pattern —
+    * the gate joins a batch exact recompute and ships the ±5% envelope
+    * (5σ at rsd 0.01) as exact booleans the oracle derives as constants,
+    * plus the exact counts it recomputes. Complete mode keeps every
+    * window for the final emission at gate scale; production uses the
+    * same plan with Append + the declared watermark so closed windows
+    * evict and each holds O(sketch) state, not O(users).
+    */
+  def streamApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val agged = drain(
+      eventsStream(s, d)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 day"), col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users")),
+      OutputMode.Complete())
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("approx_users"), col("hll_users"))
+    val exact = graft.Tables.events(s, d)
+      .select(
+        (col("ts_us") - pmod(col("ts_us"), lit(86400000000L))).as("win_start_us"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("events"))
+    agged.join(exact, Seq("win_start_us", "event_type"))
+      .select(col("win_start_us"), col("event_type"),
+        col("exact_users"), col("events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("approx_within_5pct"),
+        (abs(col("hll_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("hll_within_5pct"))
+  }
+
+  val streamApproxDistinctOracle: String =
+    """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS win_start_us,
+      |       event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |       COUNT(*) AS events,
+      |       TRUE AS approx_within_5pct, TRUE AS hll_within_5pct
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Event-time session windows in streaming state (1-hour gap): the
     * stateful counterpart of the batch gaps-and-islands operator
     * (`d_sessionize`), which doubles as its oracle — session membership
@@ -1516,6 +1564,7 @@ object Streams {
     "s_stream_mv_refresh" -> (streamMvRefresh _),
     "s_stream_enrich" -> (streamEnrich _),
     "s_stream_window" -> (streamWindow _),
+    "s_stream_approx_distinct" -> (streamApproxDistinct _),
     "s_stream_dedup" -> (streamDedup _),
     "s_stream_sessions" -> (streamSessions _),
     "s_stream_latest" -> (streamLatestPerUser _),
@@ -1548,6 +1597,7 @@ object Streams {
     "s_stream_mv_refresh" -> streamMvRefreshOracle,
     "s_stream_enrich" -> streamEnrichOracle,
     "s_stream_window" -> streamWindowOracle,
+    "s_stream_approx_distinct" -> streamApproxDistinctOracle,
     "s_stream_dedup" -> streamDedupOracle,
     "s_stream_sessions" -> streamSessionsOracle,
     "s_stream_latest" -> streamLatestOracle,

@@ -247,7 +247,12 @@ object SummaryRewrite {
                 org.apache.spark.sql.internal.SQLConf.get))
           fn match {
             case s @ Sum(a: AttributeReference, _) =>
-              mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name && m.castTo.isEmpty)
+              // a declared castTo equal to the column's own type also
+              // matches: when the base column already carries the declared
+              // type (the decimal money profile), the query's cast is an
+              // identity the optimizer eliminates before this rule runs
+              mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name &&
+                  (m.castTo.isEmpty || m.castTo.contains(a.dataType)))
                 .map(m => reAgg(Sum(byName(m.mvCol)), s.dataType))
             case s @ Sum(Cast(a: AttributeReference, dt, _, _), _) =>
               mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name && m.castTo.contains(dt))
