@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * compare exactly. The nanos branch uses integer division (a double
   * intermediate would lose precision above 2^53 ns) and truncates toward
   * zero while DuckDB's `//` floors — equivalent for the post-1970 testdata.
-  * The µs branch casts NTZ→LTZ before `unix_micros`; the session timezone is
-  * pinned UTC ([[GraftSession]]), making that cast the identity on the wall
-  * clock, exactly matching DuckDB's naive-timestamp epoch.
+  * The µs branch measures the naive wall clock against the naive epoch with
+  * `timestampdiff` over TIMESTAMP_NTZ operands — session-timezone-
+  * independent by construction, exactly matching DuckDB's naive-timestamp
+  * epoch in any session zone.
   *
   * The nanosAsLong conf is also set by the Verify/Bench/test session
   * builders; the set here is a fallback for externally-built sessions and is
@@ -71,21 +72,29 @@ object Tables {
   /** Epoch-microseconds BIGINT for an events `ts` field of either physical
     * encoding (see class scaladoc). Schema-dispatched so it works on batch
     * AND streaming frames (where the schema is declared, not inferred).
+    *
+    * Every branch is SESSION-TIMEZONE-INDEPENDENT: the NTZ branch measures
+    * the naive wall clock against the naive epoch with `timestampdiff`
+    * (never casting through the zone-interpreting NTZ→LTZ conversion), and
+    * `unix_micros` on an LTZ value reads the stored epoch directly. An
+    * externally-built session in any zone therefore derives the same
+    * `ts_us` as the pinned-UTC runtime sessions, with no session-global
+    * conf mutation (an earlier fallback overwrote the caller's timezone
+    * for every subsequent query — a side effect no table loader should
+    * have).
     */
   def tsUsCol(tsType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
     tsType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
     }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // tsUsCol's µs branch (NTZ→LTZ cast + unix_micros) is only the
-        // identity on the wall clock under a UTC session zone; pin it here
-        // for externally-built sessions, mirroring the nanosAsLong fallback.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         val raw = spark.read.parquet(path(dir, name))
         moneyProfile(spark, name,
           raw.withColumn("ts_us", tsUsCol(raw.schema("ts").dataType)))

@@ -113,8 +113,9 @@ object Lake {
 
   /** Optimistic-concurrency snapshot commit: promote a fully-written
     * staging directory to the next free `version=vN` slot. Version numbers
-    * are claimed with an exclusive marker-file create (atomic on HDFS;
-    * best-effort on the local FS) BEFORE the rename, so two writers that
+    * are claimed with an exclusive marker-file create (atomic on HDFS via
+    * the Hadoop create; atomic on the local FS via NIO O_EXCL — see
+    * [[claimExclusive]]) BEFORE the rename, so two writers that
     * both computed next = N cannot clobber each other — the loser's create
     * fails and it retries with N+1. Lost-update prevention for concurrent
     * snapshot publishers, plus no torn reads ever: a version directory
@@ -123,6 +124,25 @@ object Lake {
     * claiming but before renaming burns its version number (readers skip
     * the gap; `vacuumTable` collects the marker and the orphaned staging).
     */
+  /** Atomically create a claim marker, returning whether WE created it.
+    * `FileSystem.create(path, overwrite = false)` is exists-then-create on
+    * the local filesystem — two racing threads can both "win", which is a
+    * double-claimed version slot (and Hadoop rename-into-existing-dir then
+    * silently nests the loser's staging inside the winner's snapshot). On
+    * `file://` go through NIO `Files.createFile` — O_CREAT|O_EXCL, atomic
+    * on POSIX; everywhere else (HDFS and object-store semantics) the
+    * Hadoop exclusive create is itself atomic.
+    */
+  private[lake] def claimExclusive(
+      f: org.apache.hadoop.fs.FileSystem, claim: Path): Boolean =
+    try {
+      val uri = f.makeQualified(claim).toUri
+      if (uri.getScheme == "file") {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        true
+      } else { f.create(claim, false).close(); true }
+    } catch { case _: java.io.IOException => false }
+
   private def commitStaged(spark: SparkSession, tdir: String, stage: Path): Int = {
     val f = fs(spark, tdir)
     val (root, name) = {
@@ -132,9 +152,7 @@ object Lake {
     var n = latestVersion(spark, root, name).getOrElse(0) + 1
     while (true) {
       val claim = new Path(s"$tdir/.claim_v$n")
-      val claimed =
-        try { f.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false }
+      val claimed = claimExclusive(f, claim)
       if (claimed) {
         val live = new Path(s"$tdir/version=v$n")
         if (f.exists(live)) {
@@ -199,9 +217,7 @@ object Lake {
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val claim = new Path(s"$tdir/.claim_v$n")
-    val claimed =
-      try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    val claimed = claimExclusive(f, claim)
     val live = new Path(s"$tdir/version=v$n")
     if (!claimed || f.exists(live) ||
         latestVersion(spark, root, name).getOrElse(0) != expectedLatest) {

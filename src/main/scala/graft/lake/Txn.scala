@@ -77,7 +77,18 @@ object Txn {
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val target = new Path(dir, s"t$id.json")
-    val won = !f.exists(target) && f.rename(tmp, target)
+    // rename-if-absent alone is exists-then-rename, and POSIX renameTo
+    // OVERWRITES an existing file — two racing committers could both
+    // "win" and one manifest would be silently lost. Claim the id with an
+    // exclusive marker first (atomic on the local FS via NIO O_EXCL, see
+    // Lake.claimExclusive); a committer that crashes between claim and
+    // rename burns the id, exactly like a crashed table-version claimant.
+    val claim = new Path(dir, s".claim_t$id")
+    val won = !f.exists(target) && Lake.claimExclusive(f, claim) && {
+      val ok = !f.exists(target) && f.rename(tmp, target)
+      f.delete(claim, false)
+      ok
+    }
     if (!won) f.delete(tmp, false)
     won
   }
@@ -102,14 +113,21 @@ object Txn {
       t -> Lake.writeTableSnapshot(df, root, t, retentionVersions = Int.MaxValue)
     }
     var attempts = 0
+    var candidate = 0
     while (true) {
       attempts += 1
       if (attempts > 20) throw new IllegalStateException(
         s"txn commit: manifest still conflicting after $attempts attempts")
       val (lastId, carried) = currentManifest(spark, root).getOrElse(0 -> Map.empty[String, Int])
       val pins = carried ++ written
-      if (writeManifest(spark, root, lastId + 1, pins))
-        return (lastId + 1) -> written
+      // max(): a racing winner advances lastId (re-read pins absorb its
+      // writes); a BURNED id — claimed by a crashed committer, never
+      // renamed — leaves lastId unchanged, so step past it with the same
+      // pins instead of retrying the dead slot forever (ids may gap,
+      // exactly like burned table-version slots)
+      candidate = math.max(candidate + 1, lastId + 1)
+      if (writeManifest(spark, root, candidate, pins))
+        return candidate -> written
     }
     throw new IllegalStateException("unreachable")
   }
@@ -169,6 +187,17 @@ object Txn {
       }
       dropManifests.foreach(id =>
         f.delete(new Path(txnDir(root), s"t$id.json"), false))
+      // orphaned claim markers from crashed committers: the burned id can
+      // never commit (writeManifest steps past it), so a marker older
+      // than the latest committed manifest is garbage by construction
+      val latest = ids.lastOption.getOrElse(0)
+      if (f.exists(txnDir(root)))
+        f.listStatus(txnDir(root)).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(".claim_t") &&
+              scala.util.Try(n.stripPrefix(".claim_t").toInt).toOption.exists(_ <= latest))
+            f.delete(st.getPath, false)
+        }
     }
     (dropVersions, dropManifests)
   }

@@ -74,13 +74,14 @@ object Analytics {
     var r = deg.withColumn("r", lit(Scale))
     val frontiers = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to 3) {
-      // the rank frontier is nodes-sized (tiny next to the edge list even
-      // at cluster scale) — broadcasting it makes the contribution join a
-      // map-side hash probe over the persisted edge partitions, leaving
-      // the groupBy(dst) as the iteration's ONE shuffle
+      // the rank frontier is nodes-sized — small enough to broadcast at
+      // most scales, but not by CONSTRUCTION (node counts grow with the
+      // corpus), so no hint: AQE sees the frontier's actual runtime size
+      // and picks a broadcast probe over the persisted edge partitions
+      // when it fits, falling back to a partitioned join when it doesn't
       val contrib = e.join(
-          broadcast(r.filter(col("outdeg") > 0)
-            .select(col("node"), expr("r div outdeg").as("share"))),
+          r.filter(col("outdeg") > 0)
+            .select(col("node"), expr("r div outdeg").as("share")),
           e("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("share")).as("in_mass"))
       val dang = r.filter(col("outdeg") === 0)
@@ -147,17 +148,31 @@ object Analytics {
     * only long enough to count it and materialize the sample — at 100 TB
     * the count is a map-side-combined agg, never a driver materialization.
     */
-  private def sampledEdges(s: SparkSession, d: String): (DataFrame, Long) = {
+  private def sampledEdges(s: SparkSession, d: String): (DataFrame, Long) =
+    sampledEdges(s, d, eager = true)
+
+  /** `eager = false` (the plan-audit path) skips the driver count actions
+    * and the persists entirely, sampling at a fixed representative modulus:
+    * the audit needs the plan SHAPE, and eager materialization would turn
+    * every audit run into two full edge-set jobs plus a leaked cache.
+    */
+  private def sampledEdges(
+      s: SparkSession, d: String, eager: Boolean): (DataFrame, Long) = {
     val base = coEdges(s, d).filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
-      .persist()
-    val m = math.max(1L, math.ceil(base.count() / EdgeBudget).toLong)
-    val und = base
-      .filter(expr(s"((u * 2654435761 + v * 40503) % 4294967296) % $m = 0"))
-      .persist()
-    und.count() // materialize the (≤ ~budget-sized) sample …
-    base.unpersist() // … so the full edge set can be dropped immediately
-    (und, m)
+    if (!eager) {
+      val m = 10L
+      (base.filter(expr(s"((u * 2654435761 + v * 40503) % 4294967296) % $m = 0")), m)
+    } else {
+      val pbase = base.persist()
+      val m = math.max(1L, math.ceil(pbase.count() / EdgeBudget).toLong)
+      val und = pbase
+        .filter(expr(s"((u * 2654435761 + v * 40503) % 4294967296) % $m = 0"))
+        .persist()
+      und.count() // materialize the (≤ ~budget-sized) sample …
+      pbase.unpersist() // … so the full edge set can be dropped immediately
+      (und, m)
+    }
   }
 
   /** The adaptive-m sample as SQL CTEs (`li`/`base`/`mm`/`und`) — the
@@ -195,7 +210,7 @@ object Analytics {
 
   private[graft] def graphTriangles(
       s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
-    val (und, m) = sampledEdges(s, d)
+    val (und, m) = sampledEdges(s, d, eager = checkpoint)
     val degree = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

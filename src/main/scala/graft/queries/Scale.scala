@@ -354,9 +354,11 @@ object Scale {
       .agg(sum(col("mg_count")).as("mg_count"))
     // the huge exploded token stream is scanned exactly TWICE (once for the
     // MG summaries, once here) — every downstream frame derives from the
-    // vocabulary-sized exact-count table, which a persist keeps resident
-    // (at 100 TB the vocabulary is the only thing small enough to cache)
-    val freqs = tokens.groupBy(col("term")).agg(count(lit(1)).as("c")).persist()
+    // vocabulary-sized exact-count table. localCheckpoint (not persist):
+    // the blocks are context-cleaned once the returned frame is dropped,
+    // where a CacheManager entry would outlive the gate forever
+    val freqs = tokens.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val nTokens = freqs.agg(sum(col("c")).as("n_tokens"))
     val verified = freqs.join(broadcast(candidates), "term")
       .select(col("term"), col("mg_count"), col("c").as("true_count"))

@@ -47,12 +47,15 @@ object Streams {
       val staged = Files.createTempDirectory("graft_src_")
       val src = java.nio.file.Paths.get(graft.Tables.path(d, "events"))
       if (Files.isDirectory(src)) {
-        val it = Files.list(src).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet"))
-            Files.copy(f, staged.resolve(f.getFileName.toString))
-        }
+        val listing = Files.list(src)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet"))
+              Files.copy(f, staged.resolve(f.getFileName.toString))
+          }
+        } finally listing.close()
       } else Files.copy(src, staged.resolve("events.parquet"))
       staged.toString
     })

@@ -25,21 +25,28 @@ class RegistrySmokeSpec extends SparkSpec {
 
   test("every registry entry executes without throwing on sf0.01") {
     val dir = "/root/testdata/sf0.01"
+    // force the suite-shared SparkContext into existence FIRST: when this
+    // suite runs before any other, clearing the (absent) default session
+    // and building master-less would otherwise throw "A master URL must
+    // be set" — and the builder's master below is ignored anyway once a
+    // context exists
+    spark.sparkContext
     // getOrCreate would hand back the suite-shared session WITHOUT
     // extensions; clear the default so a fresh session (reusing the JVM's
     // SparkContext) is built with them, then restore for other suites
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .appName("graft-registry-smoke")
-      .withExtensions(new GraftExtensions())
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
     try {
+      val s = SparkSession.builder()
+        .master("local[8]")
+        .appName("graft-registry-smoke")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
           try { fn(s, dir).count(); None }

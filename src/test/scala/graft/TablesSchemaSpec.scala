@@ -79,6 +79,19 @@ class TablesSchemaSpec extends SparkSpec {
       assert(ev.schema(c).dataType == dt, s"events.$c: expected $dt, got ${ev.schema(c).dataType}")
   }
 
+  test("ts_us derivation is session-timezone independent") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    def tsMass(): Long =
+      Tables.load(spark, sf, "events").agg(sum(col("ts_us"))).head.getLong(0)
+    val underUtc = tsMass()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(tsMass() === underUtc,
+        "ts_us shifted with the session timezone — tsUsCol must be zone-independent")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("no raw ts arithmetic outside Tables.tsUsCol (source audit)") {
     // the audit the round-6 breakage called for: every `ts DIV 1000` (the
     // nanos-encoding assumption) must live in exactly one place — tsUsCol
