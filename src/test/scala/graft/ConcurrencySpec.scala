@@ -108,6 +108,22 @@ class ConcurrencySpec extends SparkSpec {
     assert(w("a") === 2)
   }
 
+  test("crashed manifest claimant burns its id; commits skip it, vacuum collects the marker") {
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k"))) // t1
+    // crash between the manifest-id claim and the rename: t2 is burned
+    val txnDir = java.nio.file.Paths.get(root, "_txn")
+    Files.createFile(txnDir.resolve(".claim_t2"))
+    val (id, _) = Txn.commit(spark, root, Map("a" -> Seq(1, 2).toDF("k")))
+    assert(id === 3, "commit must step past the burned manifest id, not spin on it")
+    assert(Txn.read(spark, root, "a").count() === 2)
+    Txn.vacuum(spark, root, keepManifests = 7)
+    assert(!Files.exists(txnDir.resolve(".claim_t2")),
+      "orphaned manifest claim marker not collected")
+    // and the root keeps committing normally past the gap
+    assert(Txn.commit(spark, root, Map("a" -> Seq(9).toDF("k")))._1 === 4)
+  }
+
   test("racing Txn.commit: manifest CAS serializes, both land, pins merge") {
     val root = scratch()
     val results = race(4) { i =>
