@@ -65,8 +65,24 @@ object Txn {
       id -> pins.toMap
     }
 
+  /** Outcome of one manifest-claim attempt. */
+  private sealed trait ClaimOutcome
+  private case object Won extends ClaimOutcome
+  /** Someone else holds a YOUNG claim on this id — likely a live
+    * committer between claim and rename; wait and retry the same id. */
+  private case object Busy extends ClaimOutcome
+  /** The id is gone for us: target manifest already exists, or the claim
+    * marker is stale (crashed claimant — burned id). Step forward. */
+  private case object Lost extends ClaimOutcome
+
+  /** Test-only stall point between winning the id claim and renaming the
+    * manifest — lets specs reproduce the slow-committer interleavings the
+    * post-rename verification exists for. */
+  private[graft] var testStallAfterClaim: Int => Unit = _ => ()
+
   private def writeManifest(
-      spark: SparkSession, root: String, id: Int, pins: Map[String, Int]): Boolean = {
+      spark: SparkSession, root: String, id: Int, pins: Map[String, Int],
+      claimStaleMs: Long): ClaimOutcome = {
     val dir = txnDir(root)
     val f = fs(spark, dir)
     f.mkdirs(dir)
@@ -81,16 +97,28 @@ object Txn {
     // OVERWRITES an existing file — two racing committers could both
     // "win" and one manifest would be silently lost. Claim the id with an
     // exclusive marker first (atomic on the local FS via NIO O_EXCL, see
-    // Lake.claimExclusive); a committer that crashes between claim and
-    // rename burns the id, exactly like a crashed table-version claimant.
+    // Lake.claimExclusive). A marker we cannot claim is either a LIVE
+    // committer mid-rename (young → Busy: wait, don't step past, so
+    // rename order tracks commit order) or a CRASHED claimant (stale →
+    // Lost: the id is burned, step past it like a burned version slot).
     val claim = new Path(dir, s".claim_t$id")
-    val won = !f.exists(target) && Lake.claimExclusive(f, claim) && {
-      val ok = !f.exists(target) && f.rename(tmp, target)
-      f.delete(claim, false)
-      ok
-    }
-    if (!won) f.delete(tmp, false)
-    won
+    val outcome: ClaimOutcome =
+      if (f.exists(target)) Lost
+      else if (Lake.claimExclusive(f, claim)) {
+        testStallAfterClaim(id)
+        val ok = !f.exists(target) && f.rename(tmp, target)
+        f.delete(claim, false)
+        if (ok) Won else Lost
+      } else {
+        val age = scala.util.Try(
+          System.currentTimeMillis() - f.getFileStatus(claim).getModificationTime)
+        age match {
+          case scala.util.Success(ms) if ms >= claimStaleMs => Lost
+          case _ => Busy // young marker, or it vanished under us — re-check soon
+        }
+      }
+    if (outcome != Won) f.delete(tmp, false)
+    outcome
   }
 
   /** Atomically publish `writes` (table name → content) as one
@@ -100,7 +128,9 @@ object Txn {
     */
   def commit(
       spark: SparkSession, root: String,
-      writes: Map[String, DataFrame]): (Int, Map[String, Int]) = {
+      writes: Map[String, DataFrame],
+      claimStaleMs: Long = 60000L,
+      busyWaitMs: Long = 25L): (Int, Map[String, Int]) = {
     // stage each member as a normal per-table snapshot (atomic per table,
     // unreferenced until the manifest lands). Per-table count-based
     // retention is DISABLED here: it is blind to manifest pins, so with a
@@ -114,20 +144,60 @@ object Txn {
     }
     var attempts = 0
     var candidate = 0
+    // Busy-waits on a live claimant self-bound at claimStaleMs (the marker
+    // ages into Lost); cap only the CAS-conflict retries.
     while (true) {
-      attempts += 1
-      if (attempts > 20) throw new IllegalStateException(
-        s"txn commit: manifest still conflicting after $attempts attempts")
       val (lastId, carried) = currentManifest(spark, root).getOrElse(0 -> Map.empty[String, Int])
       val pins = carried ++ written
       // max(): a racing winner advances lastId (re-read pins absorb its
       // writes); a BURNED id — claimed by a crashed committer, never
-      // renamed — leaves lastId unchanged, so step past it with the same
-      // pins instead of retrying the dead slot forever (ids may gap,
-      // exactly like burned table-version slots)
+      // renamed, now stale — leaves lastId unchanged, so step past it with
+      // the same pins instead of retrying the dead slot forever (ids may
+      // gap, exactly like burned table-version slots)
       candidate = math.max(candidate + 1, lastId + 1)
-      if (writeManifest(spark, root, candidate, pins))
-        return candidate -> written
+      writeManifest(spark, root, candidate, pins, claimStaleMs) match {
+        case Won =>
+          // Post-rename verification: a committer that stalled between
+          // claim and rename can be presumed dead (stale marker) and
+          // stepped past; its late rename would otherwise land a manifest
+          // BELOW the new max whose writes no later manifest carries —
+          // commit() would return success for a transaction invisible to
+          // every transactional reader. So after winning, re-examine every
+          // manifest that landed concurrently (id above our pin base,
+          // other than our own):
+          //  - a HIGHER id is safe only if it carries (or supersedes)
+          //    every pin we just wrote — i.e. it built on our manifest;
+          //  - a LOWER id in the gap is safe only if our pins dominate
+          //    its pins — i.e. we carried everything it published.
+          // Any unsafe interloper means a racing commit and ours diverged:
+          // roll ours back and retry with re-merged pins. The domination
+          // test (not bare "am I the max") avoids falsely rolling back a
+          // manifest a descendant already built on, which would tear a
+          // legitimately-visible point of history out of the chain.
+          // (Residual window: our manifest is listable for the few ms
+          // before a rollback; it is itself a consistent cut, and our
+          // commit() has not returned yet — documented dirty-read window.)
+          val interlopers = manifestIds(spark, root)
+            .filter(i => i > lastId && i != candidate)
+          val unsafe = interlopers.exists { i =>
+            // an interloper that vanished between list and read rolled
+            // ITSELF back (its owner runs this same check) — ignore it
+            scala.util.Try(currentManifestAt(spark, root, i)).toOption.exists { ipins =>
+              if (i > candidate) !written.forall { case (t, v) => ipins.get(t).exists(_ >= v) }
+              else !ipins.forall { case (t, v) => pins.get(t).exists(_ >= v) }
+            }
+          }
+          if (!unsafe) return candidate -> written
+          fs(spark, txnDir(root)).delete(new Path(txnDir(root), s"t$candidate.json"), false)
+          attempts += 1
+        case Busy =>
+          candidate -= 1 // retry the SAME id once the live holder resolves
+          Thread.sleep(busyWaitMs)
+        case Lost =>
+          attempts += 1 // burned or taken id: step forward next iteration
+      }
+      if (attempts > 50) throw new IllegalStateException(
+        s"txn commit: manifest still conflicting after $attempts attempts")
     }
     throw new IllegalStateException("unreachable")
   }
@@ -168,7 +238,8 @@ object Txn {
     */
   def vacuum(
       spark: SparkSession, root: String,
-      keepManifests: Int = 7, dryRun: Boolean = false): (Seq[(String, Int)], Seq[Int]) = {
+      keepManifests: Int = 7, dryRun: Boolean = false,
+      staleClaimMs: Long = 60000L): (Seq[(String, Int)], Seq[Int]) = {
     val ids = manifestIds(spark, root)
     val keep = ids.takeRight(keepManifests)
     val dropManifests = ids.dropRight(keepManifests)
@@ -187,15 +258,23 @@ object Txn {
       }
       dropManifests.foreach(id =>
         f.delete(new Path(txnDir(root), s"t$id.json"), false))
-      // orphaned claim markers from crashed committers: the burned id can
-      // never commit (writeManifest steps past it), so a marker older
-      // than the latest committed manifest is garbage by construction
+      // orphaned claim markers from crashed committers. An id <= latest
+      // can still belong to a LIVE committer between claim and rename (it
+      // lost the race to a newer manifest and will roll itself forward) —
+      // deleting its marker would re-open the id to a second claimant,
+      // the double-rename the marker exists to prevent. Only collect
+      // markers whose mtime is older than staleClaimMs: past that age the
+      // committer is the same presumed-crashed claimant the commit path
+      // already steps past, and its late rename is caught by commit's
+      // post-rename verification.
       val latest = ids.lastOption.getOrElse(0)
+      val now = System.currentTimeMillis()
       if (f.exists(txnDir(root)))
         f.listStatus(txnDir(root)).foreach { st =>
           val n = st.getPath.getName
           if (n.startsWith(".claim_t") &&
-              scala.util.Try(n.stripPrefix(".claim_t").toInt).toOption.exists(_ <= latest))
+              scala.util.Try(n.stripPrefix(".claim_t").toInt).toOption.exists(_ <= latest) &&
+              now - st.getModificationTime >= staleClaimMs)
             f.delete(st.getPath, false)
         }
     }

@@ -196,19 +196,22 @@ object Reference {
       |FROM orders GROUP BY 1""".stripMargin
 
   /** B7 — product purchase counts with exact COUNT(DISTINCT)
-    * (sync_to_mysql.py:74-83). part and the slim (orderkey→custkey) side of
-    * orders are both broadcast, so the 100-TB fact table (lineitem) is
-    * shuffled exactly once — for the final aggregate, keyed on product. At
-    * cluster scale with a non-broadcastable orders side this becomes a
-    * shuffle join on l_orderkey; COUNT(DISTINCT) expands via Spark's Expand
-    * (2 passes) either way.
+    * (sync_to_mysql.py:74-83). part (a true dimension, |part| ≈ 200k×sf
+    * rows of 3 slim columns) is explicitly broadcast; the orders side is
+    * deliberately left UNHINTED. orders is fact-sized (1.5M×sf rows), so a
+    * forced broadcast() would be honored by Spark right up to the 8 GB
+    * broadcast cap / driver OOM (an explicit hint never falls back) — a
+    * scale-killer past sf≈30. Unhinted, AQE picks broadcast at small sf
+    * (the 2-column projection is tiny) and degrades to a shuffle join on
+    * l_orderkey at cluster scale. COUNT(DISTINCT) expands via Spark's
+    * Expand (2 passes) either way.
     */
   def b7ProductCounts(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_extendedprice")
     val p = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(
         p("p_partkey").as("product_id"),
         p("p_name").as("product_name"),

@@ -111,9 +111,14 @@ class ConcurrencySpec extends SparkSpec {
   test("crashed manifest claimant burns its id; commits skip it, vacuum collects the marker") {
     val root = scratch()
     Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k"))) // t1
-    // crash between the manifest-id claim and the rename: t2 is burned
+    // crash between the manifest-id claim and the rename: t2 is burned.
+    // The marker must be STALE to be stepped past — a young marker means
+    // a possibly-live committer and is waited on (see the live-claimant
+    // test below) — so age it past the stale threshold like a real crash.
     val txnDir = java.nio.file.Paths.get(root, "_txn")
     Files.createFile(txnDir.resolve(".claim_t2"))
+    Files.setLastModifiedTime(txnDir.resolve(".claim_t2"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     val (id, _) = Txn.commit(spark, root, Map("a" -> Seq(1, 2).toDF("k")))
     assert(id === 3, "commit must step past the burned manifest id, not spin on it")
     assert(Txn.read(spark, root, "a").count() === 2)
@@ -122,6 +127,73 @@ class ConcurrencySpec extends SparkSpec {
       "orphaned manifest claim marker not collected")
     // and the root keeps committing normally past the gap
     assert(Txn.commit(spark, root, Map("a" -> Seq(9).toDF("k")))._1 === 4)
+  }
+
+  test("live manifest claimant (young marker): racing commit WAITS, then lands after it") {
+    val root = scratch()
+    Txn.commit(spark, root, Map("seed" -> Seq(0).toDF("k"))) // t1
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    Txn.testStallAfterClaim = id => if (id == 2) { entered.countDown(); release.await() }
+    try {
+      val pool = Executors.newFixedThreadPool(2)
+      val fa = pool.submit(new java.util.concurrent.Callable[(Int, Map[String, Int])] {
+        def call() = Txn.commit(spark, root, Map("a" -> Seq(1, 1).toDF("k")))
+      })
+      entered.await(30, TimeUnit.SECONDS)
+      // A holds .claim_t2, stalled between claim and rename. B must treat
+      // the YOUNG marker as a live committer and wait — not step past it.
+      val fb = pool.submit(new java.util.concurrent.Callable[(Int, Map[String, Int])] {
+        def call() = Txn.commit(spark, root, Map("b" -> Seq(2).toDF("k")))
+      })
+      Thread.sleep(400)
+      assert(!fb.isDone, "commit stepped past a young (live) claim marker")
+      release.countDown()
+      val (idA, _) = fa.get(30, TimeUnit.SECONDS)
+      val (idB, _) = fb.get(30, TimeUnit.SECONDS)
+      pool.shutdown()
+      assert(idA === 2 && idB === 3, s"rename order must track commit order: A=$idA B=$idB")
+      val (_, pins) = Txn.currentManifest(spark, root).get
+      assert(pins.keySet === Set("seed", "a", "b"), "waiter dropped the stalled commit's pins")
+      assert(Txn.read(spark, root, "a").count() === 2)
+      assert(Txn.read(spark, root, "b").count() === 1)
+    } finally Txn.testStallAfterClaim = _ => ()
+  }
+
+  test("stalled committer stepped past as stale: post-rename verification rolls it forward") {
+    // The ADVICE r7 race: A claims t2 and stalls past the stale threshold;
+    // B presumes it crashed and commits t3 without A's writes. A's late
+    // rename would land t2 BELOW the max — a committed-but-invisible
+    // transaction — so A must detect the interloper, roll t2 back, and
+    // re-commit on top of t3.
+    val root = scratch()
+    Txn.commit(spark, root, Map("seed" -> Seq(0).toDF("k"))) // t1
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    Txn.testStallAfterClaim = id => if (id == 2) { entered.countDown(); release.await() }
+    try {
+      val pool = Executors.newFixedThreadPool(1)
+      val fa = pool.submit(new java.util.concurrent.Callable[(Int, Map[String, Int])] {
+        def call() = Txn.commit(spark, root, Map("a" -> Seq(1, 1).toDF("k")))
+      })
+      entered.await(30, TimeUnit.SECONDS)
+      // B treats A's marker as instantly stale (claimStaleMs = 0) — the
+      // deterministic stand-in for "A stalled longer than the threshold"
+      val (idB, _) = Txn.commit(spark, root, Map("b" -> Seq(2).toDF("k")), claimStaleMs = 0L)
+      assert(idB === 3, "B must step past the stale claim to t3")
+      release.countDown()
+      val (idA, _) = fa.get(30, TimeUnit.SECONDS)
+      pool.shutdown()
+      assert(idA === 4,
+        s"A must re-commit ABOVE the interloper, not return the rolled-back t2 (got $idA)")
+      assert(!Files.exists(java.nio.file.Paths.get(root, "_txn", "t2.json")),
+        "rolled-back manifest t2 must be deleted")
+      val (lastId, pins) = Txn.currentManifest(spark, root).get
+      assert(lastId === 4 && pins.keySet === Set("seed", "a", "b"),
+        s"final manifest must carry BOTH transactions: t$lastId pins ${pins.keySet}")
+      assert(Txn.read(spark, root, "a").count() === 2)
+      assert(Txn.read(spark, root, "b").count() === 1)
+    } finally Txn.testStallAfterClaim = _ => ()
   }
 
   test("racing Txn.commit: manifest CAS serializes, both land, pins merge") {
