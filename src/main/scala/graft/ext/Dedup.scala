@@ -179,9 +179,19 @@ object Dedup {
   private[ext] def sigOfHashes(hashes: Column): Column =
     org.apache.spark.sql.graft.TextExpressions.minhashSig(hashes)
 
-  /** MinHash + LSH near-dup pairs over the documents table. */
+  /** MinHash + LSH near-dup pairs over the documents table — the registry
+    * gate. Runs the exact production pipeline shape (exact-dup collapse →
+    * signature → capped band buckets → Jaccard verify → capped algebraic
+    * re-expansion) but with the PORTABLE hash family ([[portableH]]) in
+    * place of xxhash64/splitmix64, so the DuckDB oracle can recompute the
+    * entire pipeline from first principles and hash-verify the pair set
+    * bit-for-bit ([[minhashLshOracle]]). The xxhash64 family stays the
+    * library default ([[minhashLshOver]]) and is itself hash-verified by
+    * the planted and containment gates, whose guarantees are
+    * hash-function-independent.
+    */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashLshOver(Tables.documents(s, d))
+    minhashLshPortable(Tables.documents(s, d))
 
   /** Exact-duplicate collapse shared by the near-dup pipelines: one row per
     * distinct text (`rep_id` = min doc_id, carrying the text and member
@@ -270,17 +280,77 @@ object Dedup {
     * DISTINCT text, and the 100 TB deployment writes this intermediate to
     * the lake (checkpoint) instead of executor memory.
     */
-  def minhashLshOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
+  def minhashLshOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame =
+    minhashLshPipeline(docs0, maxBucket,
+      sign = _.withColumn("sig", sigOfHashes(transform(col("sh"), sv => xxhash64(sv)))),
+      bandKey = xxhashBandKey)
+
+  /** 60-bit portable base hashes (h0, h1) of a string from ONE md5 —
+    * reproducible bit-for-bit in DuckDB (`('0x' || substr(md5(s), …))
+    * ::BIGINT`), unlike xxhash64/splitmix64 which no other engine
+    * implements. h0 = hex chars 1-15 (60 bits), h1 = chars 16-29 (56
+    * bits); the Kirsch–Mitzenmacher double-hash family h_i = h0 + i·h1
+    * stays below 2^62 for i < 32, so there is no wrap in Spark and no
+    * checked-overflow error in DuckDB.
+    */
+  private[ext] def portableH0(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  private[ext] def portableH1(s: Column): Column =
+    conv(substring(md5(s), 16, 14), 16, 10).cast("long")
+
+  /** Portable-family signature stage: explode shingles, hash each ONCE,
+    * fold the 32 double-hash minima in a partial-aggregating groupBy.
+    * One extra rep_id shuffle vs the shuffle-free production kernel
+    * ([[sigOfHashes]]) — the price of staying inside expressions both
+    * engines evaluate identically (min partial-merges map-side, so the
+    * shuffle carries 32 longs per distinct doc, not per shingle).
+    */
+  private def portableSign(repSh0: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(col("h0") + lit(i.toLong) * col("h1")).as(s"_m$i"))
+    val sigs = repSh0
+      .select(col("rep_id"), explode(col("sh")).as("s"))
+      .select(col("rep_id"), portableH0(col("s")).as("h0"), portableH1(col("s")).as("h1"))
+      .groupBy(col("rep_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("rep_id"),
+        array((0 until NumHashes).map(i => col(s"_m$i")): _*).as("sig"))
+    repSh0.join(sigs, "rep_id")
+  }
+
+  /** The production band key: xxhash64 over the 4-minhash slice, seeded by
+    * the band index — compact 8-byte shuffle key.
+    */
+  private val xxhashBandKey: (Column, Int) => Column =
+    (sl, b) => xxhash64(sl, lit(b))
+
+  /** The portable band key: the slice VALUES joined as a string. Equality
+    * of slices is all banding needs; skipping the hash keeps the key
+    * DuckDB-recomputable (`array_to_string`) at the cost of a wider
+    * shuffle key (~80 bytes vs 8) — fine for the gate, not the default.
+    */
+  private val portableBandKey: (Column, Int) => Column =
+    (sl, _) => concat_ws(",", transform(sl, _.cast("string")))
+
+  /** [[minhashLshOver]] with the portable hash family — the registry-gate
+    * variant the DuckDB oracle recomputes end-to-end.
+    */
+  def minhashLshPortable(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame =
+    minhashLshPipeline(docs0, maxBucket, sign = portableSign, bandKey = portableBandKey)
+
+  private def minhashLshPipeline(
+      docs0: DataFrame, maxBucket: Int,
+      sign: DataFrame => DataFrame,
+      bandKey: (Column, Int) => Column): DataFrame = {
     val (groups, members) = collapseExact(docs0)
     // shingles + signature in one pass, computed once and reused: at 100 TB
     // this intermediate would be checkpointed to the lake; in one job,
     // persist() is the equivalent
-    val repSh = groups
+    val repSh = sign(groups
       .select(col("rep_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0) // shingle-less docs never signed (< 3 words)
-      .withColumn("sig", sigOfHashes(transform(col("sh"), sv => xxhash64(sv))))
+      .filter(size(col("sh")) > 0)) // shingle-less docs never signed (< 3 words)
       .persist()
-    val verified = lshCandidates(repSh, maxBucket)
+    val verified = lshCandidates(repSh, maxBucket, bandKey)
       .join(repSh.select(col("rep_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
       .join(repSh.select(col("rep_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -331,18 +401,22 @@ object Dedup {
     * applied. Exposed for the skew test (candidate counts must stay bounded
     * on a planted boilerplate cluster).
     */
-  private[graft] def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame =
-    cappedBucketPairs(bandBuckets(sigs), Seq("band_idx", "band_hash"), maxBucket)
+  private[graft] def lshCandidates(
+      sigs: DataFrame, maxBucket: Int,
+      bandKey: (Column, Int) => Column = xxhashBandKey): DataFrame =
+    cappedBucketPairs(bandBuckets(sigs, bandKey), Seq("band_idx", "band_hash"), maxBucket)
 
   /** (rep_id, band_idx, band_hash) postings of a (rep_id, sig) table — the
     * banding half of [[lshCandidates]], shared with the incremental index
     * ([[IncrementalLsh]]), which needs the postings of old and new
     * signatures separately.
     */
-  private[ext] def bandBuckets(sigs: DataFrame): DataFrame = {
+  private[ext] def bandBuckets(
+      sigs: DataFrame,
+      bandKey: (Column, Int) => Column = xxhashBandKey): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
+        bandKey(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), b)
           .as("band_hash"))
     }
     sigs
@@ -429,13 +503,20 @@ object Dedup {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** SimHash: 64-bit sketch = sign of per-bit ±1 sums over token hashes. */
-  def simhashSketches(docs: DataFrame): DataFrame = {
+  /** SimHash: 64-bit sketch = sign of per-bit ±1 sums over token hashes.
+    * `tokHash` picks the hash family: xxhash64 (production default, full
+    * 64 bits) or [[portableH0]] (registry gate — 60 bits, so sketch bits
+    * 60-63 collapse to 0 deterministically in BOTH engines: every token
+    * contributes −1 there and the sum is always negative).
+    */
+  def simhashSketches(
+      docs: DataFrame,
+      tokHash: Column => Column = xxhash64(_)): DataFrame = {
     val simhash = udaf(SimHashAgg)
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokHash(col("tok")))
       .groupBy(col("doc_id"))
       .agg(simhash(col("h")).as("simhash"))
   }
@@ -448,12 +529,21 @@ object Dedup {
     * within-group pairs re-expand at Hamming 0 by identity.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashPairsOver(Tables.documents(s, d))
+    simhashPairsOver(Tables.documents(s, d), tokHash = portableH0)
 
-  def simhashPairsOver(docs0: DataFrame, maxBucket: Int = MaxBucketDefault): DataFrame = {
+  /** SimHash pipeline. The registry gate (`x_dedup_simhash`,
+    * [[simhashPairs]]) passes `tokHash = portableH0` so the DuckDB oracle
+    * ([[simhashOracle]]) recomputes sketches, chunk banding, cap, Hamming
+    * verify and re-expansion from first principles and hash-verifies the
+    * pair set; the xxhash64 default stays the library production path,
+    * hash-verified by the planted and pigeonhole-containment gates.
+    */
+  def simhashPairsOver(
+      docs0: DataFrame, maxBucket: Int = MaxBucketDefault,
+      tokHash: Column => Column = xxhash64(_)): DataFrame = {
     val (groups, members) = collapseExact(docs0)
     val sk = simhashSketches(
-      groups.select(col("rep_id").as("doc_id"), col("text")))
+      groups.select(col("rep_id").as("doc_id"), col("text")), tokHash)
       .withColumnRenamed("doc_id", "rep_id")
       .persist()
     val chunks = sk.select(
@@ -873,6 +963,118 @@ object Dedup {
       |FROM post p JOIN own o USING (shingle)
       |GROUP BY 1""".stripMargin
 
+  /** Shared oracle prelude: exact-dup collapse (grp/mem mirror
+    * [[collapseExact]] — texts within a sha256 group are identical, so
+    * MIN(text) equals Spark's `first(text)`) and the capped member table
+    * (`cap` mirrors the `_mrn <= maxBucket` window in expandPairs).
+    */
+  private val portablePreludeSql: String =
+    """d AS (SELECT doc_id, text, sha256(text) AS fp FROM documents),
+      |grp AS (SELECT fp, MIN(doc_id) AS rep_id, MIN(text) AS text, COUNT(*) AS k
+      |        FROM d GROUP BY fp),
+      |mem AS (SELECT d.doc_id, g.rep_id, g.k FROM d JOIN grp g USING (fp)),
+      |cm AS (SELECT rep_id, doc_id, k,
+      |              ROW_NUMBER() OVER (PARTITION BY rep_id ORDER BY doc_id) AS mrn
+      |       FROM mem),
+      |cap AS (SELECT rep_id, doc_id, k FROM cm WHERE mrn <= 64)""".stripMargin
+
+  /** Full first-principles DuckDB recomputation of the portable-family
+    * MinHash+LSH pipeline ([[minhashLshPortable]]): the 32-slot
+    * double-hash signature, 8×4 banding on the slice values, per-bucket
+    * cap (rank by rep_id, ≤ 64), exact-Jaccard verify at 0.35, and the
+    * capped algebraic re-expansion of exact-duplicate groups.
+    */
+  val minhashLshOracle: String =
+    s"""WITH $portablePreludeSql,
+      |shs AS (
+      |  SELECT rep_id, sh FROM (
+      |    SELECT rep_id,
+      |           list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |             ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)] END) AS sh
+      |    FROM (SELECT rep_id, string_split(text, ' ') AS ws FROM grp))
+      |  WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT rep_id,
+      |         [list_min([('0x' || substr(md5(s), 1, 15))::BIGINT
+      |                    + i * ('0x' || substr(md5(s), 16, 14))::BIGINT
+      |                    for s in sh]) for i in range(0, 32)] AS sig
+      |  FROM shs),
+      |bk AS (
+      |  SELECT rep_id, b AS band_idx,
+      |         array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+      |  FROM sig CROSS JOIN range(0, 8) t(b)),
+      |cw AS (
+      |  SELECT rep_id, band_idx, band_key,
+      |         ROW_NUMBER() OVER (PARTITION BY band_idx, band_key ORDER BY rep_id) AS rn
+      |  FROM bk),
+      |cand AS (
+      |  SELECT DISTINCT a.rep_id AS rep_a, b.rep_id AS rep_b
+      |  FROM cw a JOIN cw b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |   AND a.rep_id < b.rep_id
+      |  WHERE a.rn <= 64 AND b.rn <= 64),
+      |ver AS (
+      |  SELECT rep_a, rep_b,
+      |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+      |  FROM cand JOIN shs x ON x.rep_id = cand.rep_a
+      |            JOIN shs y ON y.rep_id = cand.rep_b
+      |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.35)
+      |SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM cap p JOIN cap q ON p.rep_id = q.rep_id AND p.doc_id < q.doc_id
+      |JOIN shs ON shs.rep_id = p.rep_id
+      |WHERE p.k > 1
+      |UNION ALL
+      |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |       greatest(a.doc_id, b.doc_id) AS doc_b, v.jaccard
+      |FROM ver v JOIN cap a ON a.rep_id = v.rep_a
+      |           JOIN cap b ON b.rep_id = v.rep_b""".stripMargin
+
+  /** Full first-principles DuckDB recomputation of the portable-family
+    * SimHash pipeline ([[simhashPairs]]): per-bit ±1 sums over 60-bit
+    * token hashes (bits 60-63 are deterministically 0 in both engines),
+    * 4×16-bit chunk banding, per-bucket cap, Hamming ≤ 3 verify, capped
+    * re-expansion.
+    */
+  val simhashOracle: String =
+    s"""WITH $portablePreludeSql,
+      |hs AS (SELECT rep_id,
+      |              [('0x' || substr(md5(t), 1, 15))::BIGINT
+      |               for t in string_split(text, ' ')] AS hs
+      |       FROM grp),
+      |sk AS (SELECT rep_id,
+      |              CAST(list_sum([CASE WHEN list_sum(
+      |                       [CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END for x in hs]
+      |                     ) >= 0 THEN 1::BIGINT << b ELSE 0 END
+      |                     for b in range(0, 60)]) AS BIGINT) AS simhash
+      |       FROM hs),
+      |ck AS (SELECT rep_id, c AS chunk_idx, (simhash >> (c*16)) & 65535 AS chunk_val
+      |       FROM sk CROSS JOIN range(0, 4) t(c)),
+      |cw AS (SELECT rep_id, chunk_idx, chunk_val,
+      |              ROW_NUMBER() OVER (PARTITION BY chunk_idx, chunk_val ORDER BY rep_id) AS rn
+      |       FROM ck),
+      |cand AS (
+      |  SELECT DISTINCT a.rep_id AS rep_a, b.rep_id AS rep_b
+      |  FROM cw a JOIN cw b
+      |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+      |   AND a.rep_id < b.rep_id
+      |  WHERE a.rn <= 64 AND b.rn <= 64),
+      |ver AS (
+      |  SELECT rep_a, rep_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+      |  FROM cand JOIN sk x ON x.rep_id = cand.rep_a
+      |            JOIN sk y ON y.rep_id = cand.rep_b
+      |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+      |SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+      |FROM cap p JOIN cap q ON p.rep_id = q.rep_id AND p.doc_id < q.doc_id
+      |WHERE p.k > 1
+      |UNION ALL
+      |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |       greatest(a.doc_id, b.doc_id) AS doc_b, v.hamming
+      |FROM ver v JOIN cap a ON a.rep_id = v.rep_a
+      |           JOIN cap b ON b.rep_id = v.rep_b""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_substr_dedup" -> (substrDedup _),
     "x_dedup_clusters" -> (dedupClusters _),
@@ -882,14 +1084,14 @@ object Dedup {
     "x_dedup_exact_groups" -> (exactGroups _),
     "x_dedup_exact_survivors" -> (exactSurvivors _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
-    // `x_dedup_minhash_lsh` / `x_dedup_simhash` are the PRODUCTION
-    // full-corpus pipelines and carry the weaker rows-only driver check on
-    // purpose (which sub-1.0 pairs banding surfaces depends on
-    // engine-specific xxhash64 DuckDB cannot recompute); their EXACTNESS is
-    // proven by the hash-green `*_containment` (0 false positives, bit-exact
-    // scores vs brute truth on a bounded slice) and `*_planted` (structural
-    // recall 1) companions. Split per round-5 review so the benched names
-    // measure the scale path, not the quadratic verification harness.
+    // `x_dedup_minhash_lsh` / `x_dedup_simhash` run the full-corpus
+    // pipelines with the PORTABLE (md5-derived) hash family, which DuckDB
+    // recomputes from first principles — so the complete pair sets
+    // hash-verify end-to-end (collapse → sign → band → cap → verify →
+    // expand). The xxhash64 production family stays the library default,
+    // hash-verified by the `*_containment` (0 false positives, bit-exact
+    // scores vs brute truth) and `*_planted` (structural recall 1)
+    // companions, whose guarantees hold for any hash family.
     "x_dedup_minhash_lsh" -> (minhashLsh _),
     "x_dedup_minhash_containment" -> (minhashLshContainment _),
     "x_dedup_minhash_planted" -> (minhashLshPlanted _),
@@ -906,6 +1108,8 @@ object Dedup {
     "x_dedup_exact_groups" -> exactGroupsOracle,
     "x_dedup_exact_survivors" -> exactSurvivorsOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "x_dedup_minhash_lsh" -> minhashLshOracle,
+    "x_dedup_simhash" -> simhashOracle,
     "x_dedup_minhash_containment" -> minhashLshContainmentOracle,
     "x_dedup_minhash_planted" -> minhashLshPlantedOracle,
     "x_dedup_simhash_containment" -> simhashContainmentOracle,
