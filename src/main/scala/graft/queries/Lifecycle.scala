@@ -157,6 +157,63 @@ object Lifecycle {
       |       CASE WHEN c_custkey % 10 = 0 THEN DATE '2024-06-02' ELSE DATE '2024-06-01' END AS updated_at
       |FROM customer""".stripMargin
 
+  /** Incremental warehouse sync off the change-data feed
+    * ([[graft.governance.Orchestrator.syncIncremental]]) — the incremental
+    * form of the reference's full re-sync (sync_to_mysql.py:326-352). A
+    * versioned source dim goes through three ticks: full state (v1), a
+    * VIP-segment update batch plus a deletion slice (v2), a GOLD batch
+    * overriding part of the VIPs (v3). After each tick the sync consumes
+    * ONLY the changed keys (watermark + [[Lake.tableChanges]] + semi-join)
+    * and merges them; deleted keys persist at their last-seen values, like
+    * the reference's never-deleting `ON DUPLICATE KEY UPDATE` sink. The
+    * gate outputs the final warehouse table; the oracle recomputes the
+    * expected per-key end state (deletion shadows later updates for the
+    * %13 slice) and the spec pins incremental ≡ full-recompute per tick.
+    */
+  def syncIncrementalGate(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_syncinc_")
+    val day = (n: Int) => Date.valueOf(s"2024-06-0$n")
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("user_id"),
+      col("c_name").as("user_name"),
+      col("c_mktsegment").as("segment"),
+      lit(day(1)).as("updated_at"))
+    val v2 = base
+      .filter(col("user_id") % 13 =!= 0) // deletion slice
+      .withColumn("segment",
+        when(col("user_id") % 10 === 0, lit("VIP")).otherwise(col("segment")))
+      .withColumn("updated_at",
+        when(col("user_id") % 10 === 0, lit(day(2))).otherwise(col("updated_at")))
+    val v3 = v2
+      .withColumn("updated_at",
+        when(col("user_id") % 7 === 0, lit(day(3))).otherwise(col("updated_at")))
+      .withColumn("segment",
+        when(col("user_id") % 7 === 0, lit("GOLD")).otherwise(col("segment")))
+    for (snap <- Seq(base, v2, v3)) {
+      Lake.writeTableSnapshot(snap, root, "dim_src", retentionVersions = Int.MaxValue)
+      graft.governance.Orchestrator.syncIncremental(s, root,
+        srcTable = "dim_src", whTable = "dim_sync",
+        keys = Seq("user_id"), orderCols = Seq("snapshot_version"))
+    }
+    Lake.readTableFeed(s, root, "dim_sync")
+  }
+
+  val syncIncrementalOracle: String =
+    """SELECT c_custkey AS user_id, c_name AS user_name,
+      |       CASE WHEN c_custkey % 13 = 0 THEN c_mktsegment
+      |            WHEN c_custkey % 7 = 0 THEN 'GOLD'
+      |            WHEN c_custkey % 10 = 0 THEN 'VIP'
+      |            ELSE c_mktsegment END AS segment,
+      |       CASE WHEN c_custkey % 13 = 0 THEN DATE '2024-06-01'
+      |            WHEN c_custkey % 7 = 0 THEN DATE '2024-06-03'
+      |            WHEN c_custkey % 10 = 0 THEN DATE '2024-06-02'
+      |            ELSE DATE '2024-06-01' END AS updated_at,
+      |       CASE WHEN c_custkey % 13 = 0 THEN 1
+      |            WHEN c_custkey % 7 = 0 THEN 3
+      |            WHEN c_custkey % 10 = 0 THEN 2
+      |            ELSE 1 END AS snapshot_version
+      |FROM customer""".stripMargin
+
   /** A10 through a REAL JDBC database: the same dim_users merge cycle as
     * [[dimUpsert]], but the warehouse table lives in embedded Derby behind
     * `Warehouse.mergeIntoJdbc` — load, VIP update batch applied twice
@@ -1424,6 +1481,7 @@ object Lifecycle {
     "c16_restore" -> (restoreVersion _),
     "p_bloom_point" -> (bloomPoint _),
     "w_jdbc_upsert" -> (jdbcUpsert _),
+    "w_sync_incremental" -> (syncIncrementalGate _),
     "w_incremental_agg" -> (incrementalAgg _),
     "w_fact_snapshot" -> (factSnapshot _),
     "w_surrogate_keys" -> (surrogateKeys _),
@@ -1465,6 +1523,7 @@ object Lifecycle {
     "c16_restore" -> restoreVersionOracle,
     "p_bloom_point" -> bloomPointOracle,
     "w_jdbc_upsert" -> jdbcUpsertOracle,
+    "w_sync_incremental" -> syncIncrementalOracle,
     "w_incremental_agg" -> incrementalAggOracle,
     "w_fact_snapshot" -> factSnapshotOracle,
     "w_surrogate_keys" -> surrogateKeysOracle,

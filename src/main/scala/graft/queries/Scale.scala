@@ -817,8 +817,10 @@ object Scale {
 
   val orchestratorRunOracle: String =
     """SELECT * FROM (VALUES
-      |  ('export_streams', 'ok', 1), ('export_tables', 'ok', 1), ('sync_warehouse', 'ok', 1),
-      |  ('export_streams', 'ok', 2), ('export_tables', 'ok', 2), ('sync_warehouse', 'ok', 2)
+      |  ('export_streams', 'ok', 1), ('export_tables', 'ok', 1),
+      |  ('sync_warehouse', 'ok', 1), ('sync_incremental', 'ok', 1),
+      |  ('export_streams', 'ok', 2), ('export_tables', 'ok', 2),
+      |  ('sync_warehouse', 'ok', 2), ('sync_incremental', 'ok', 2)
       |) t(task, status, run)""".stripMargin
 
   /** C6 continuous operation: a ≥3-tick timed loop (the reference's
@@ -841,9 +843,12 @@ object Scale {
 
   val orchestratorScheduleOracle: String =
     """SELECT * FROM (VALUES
-      |  (1, 'export_streams', 'ok', 0), (1, 'export_tables', 'ok', 1), (1, 'sync_warehouse', 'ok', 1),
-      |  (2, 'export_streams', 'ok', 0), (2, 'export_tables', 'ok', 2), (2, 'sync_warehouse', 'ok', 2),
-      |  (3, 'export_streams', 'ok', 0), (3, 'export_tables', 'ok', 3), (3, 'sync_warehouse', 'ok', 3)
+      |  (1, 'export_streams', 'ok', 0), (1, 'export_tables', 'ok', 1),
+      |  (1, 'sync_warehouse', 'ok', 1), (1, 'sync_incremental', 'ok', 1),
+      |  (2, 'export_streams', 'ok', 0), (2, 'export_tables', 'ok', 2),
+      |  (2, 'sync_warehouse', 'ok', 2), (2, 'sync_incremental', 'ok', 2),
+      |  (3, 'export_streams', 'ok', 0), (3, 'export_tables', 'ok', 3),
+      |  (3, 'sync_warehouse', 'ok', 3), (3, 'sync_incremental', 'ok', 3)
       |) t(tick, task, status, version)""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(

@@ -74,32 +74,83 @@ object Warehouse {
     */
   def mergeIntoJdbc(
       spark: SparkSession, url: String, table: String,
-      updates: DataFrame, keys: Seq[String], orderCols: Seq[String]): Unit = {
-    val exists = {
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        // scope the probe to the CONNECTION'S catalog/schema (either may be
-        // null → that dimension is unscoped): a same-named table in another
-        // schema must not make the merge path read a table that doesn't
-        // resolve — or worse, isn't ours — in the current schema
-        val rs = conn.getMetaData.getTables(
-          conn.getCatalog, conn.getSchema, null, Array("TABLE"))
-        var found = false
-        while (!found && rs.next())
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-        found
-      } finally conn.close()
+      updates: DataFrame, keys: Seq[String], orderCols: Seq[String]): Unit =
+    withMergeLock(url, table) {
+      val exists = {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          // scope the probe to the CONNECTION'S catalog/schema (either may be
+          // null → that dimension is unscoped): a same-named table in another
+          // schema must not make the merge path read a table that doesn't
+          // resolve — or worse, isn't ours — in the current schema
+          val rs = conn.getMetaData.getTables(
+            conn.getCatalog, conn.getSchema, null, Array("TABLE"))
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          found
+        } finally conn.close()
+      }
+      val base =
+        if (exists)
+          spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+        else updates.limit(0)
+      val merged = merge(base, updates, keys, orderCols).persist()
+      merged.count()
+      merged.write.format("jdbc").mode("overwrite")
+        .option("url", url).option("dbtable", table).save()
+      merged.unpersist()
+      ()
     }
-    val base =
-      if (exists)
-        spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
-      else updates.limit(0)
-    val merged = merge(base, updates, keys, orderCols).persist()
-    merged.count()
-    merged.write.format("jdbc").mode("overwrite")
-      .option("url", url).option("dbtable", table).save()
-    merged.unpersist()
-    ()
+
+  private val MergeLockTable = "graft_merge_lock"
+
+  /** Serializes concurrent [[mergeIntoJdbc]] commits on the same table —
+    * across threads AND processes sharing the database — by holding an
+    * exclusive row lock on a one-row-per-table advisory lock table for the
+    * whole read-merge-write. The reference's per-row `ON DUPLICATE KEY
+    * UPDATE` (sync_to_mysql.py:133-144) is atomic per row, so two racing
+    * batches interleave without loss; a set-oriented read-modify-write is
+    * NOT — unserialized, both writers read the same base and the second
+    * overwrite silently drops the first batch's rows (lost update). Under
+    * the lock, commits serialize: the final table equals applying the
+    * batches in commit order (latest-wins per key, every batch's keys
+    * present). Waiters block on the row lock and fail per the engine's
+    * lock-wait timeout (Derby `derby.locks.waitTimeout`, MySQL
+    * `innodb_lock_wait_timeout`), so a crashed holder cannot wedge the
+    * sink forever — its connection death releases the lock.
+    */
+  private def withMergeLock[A](url: String, table: String)(body: => A): A = {
+    def ignoringSql(b: => Unit): Unit =
+      try b catch { case _: java.sql.SQLException => () } // exists/dup-key races
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      ignoringSql {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $MergeLockTable (tbl VARCHAR(128) PRIMARY KEY)")
+        finally st.close()
+      }
+      ignoringSql {
+        val ps = conn.prepareStatement(s"INSERT INTO $MergeLockTable VALUES (?)")
+        try { ps.setString(1, table); ps.executeUpdate(); () } finally ps.close()
+      }
+      conn.setAutoCommit(false)
+      // self-assignment UPDATE: an exclusive row lock held until commit in
+      // every engine (Derby's SELECT ... FOR UPDATE U-lock semantics vary
+      // with isolation level; a write lock does not)
+      val ps = conn.prepareStatement(
+        s"UPDATE $MergeLockTable SET tbl = tbl WHERE tbl = ?")
+      try { ps.setString(1, table); ps.executeUpdate(); () } finally ps.close()
+      val r = body
+      conn.commit()
+      r
+    } finally {
+      // a body failure leaves the lock txn open; roll it back so close()
+      // releases the lock instead of throwing "transaction still active"
+      ignoringSql { if (!conn.getAutoCommit) conn.rollback() }
+      conn.close()
+    }
   }
 
   /** SCD Type 2 dimension history — the warehouse-native upgrade of the

@@ -65,6 +65,84 @@ class WarehouseSpec extends SparkSpec {
     } catch { case _: java.sql.SQLException => () }
   }
 
+  test("concurrent JDBC merges serialize on the advisory lock: no lost update") {
+    // Two writers race the SAME table with disjoint key sets. Unserialized
+    // read-modify-write would let the second overwrite drop the first
+    // batch's keys; the advisory row lock must serialize the commits so
+    // BOTH batches land (plus latest-wins on the contended key 2).
+    System.setProperty("derby.stream.error.path", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:whc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    Warehouse.mergeIntoJdbc(spark, url, "t", base, Seq("k"), Seq("ver"))
+    val batches = Seq(
+      Seq((2L, "A", 20), (10L, "a10", 20), (11L, "a11", 20)).toDF("k", "v", "ver"),
+      Seq((2L, "B", 30), (12L, "b12", 20), (13L, "b13", 20)).toDF("k", "v", "ver"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val futs = batches.map { b =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          go.await()
+          Warehouse.mergeIntoJdbc(spark, url, "t", b, Seq("k"), Seq("ver"))
+        }
+      })
+    }
+    go.countDown()
+    pool.shutdown()
+    futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    val out = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "t").load()
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    // every key from BOTH racing batches must be present — a lost update
+    // would have dropped 10/11 or 12/13 depending on commit order
+    assert(Set(10L, 11L, 12L, 13L).subsetOf(out.keySet),
+      s"lost update: surviving keys ${out.keySet.toSeq.sorted}")
+    // contended key: ver 30 beats ver 20 regardless of commit order
+    assert(out(2L) === "B")
+    assert(out(1L) === "a" && out(3L) === "c")
+    try {
+      java.sql.DriverManager.getConnection(url.replace(";create=true", ";drop=true"))
+      ()
+    } catch { case _: java.sql.SQLException => () }
+  }
+
+  test("incremental CDF sync equals full-recompute merge at every tick") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.lake.Lake
+    import graft.governance.Orchestrator
+    val root = java.nio.file.Files.createTempDirectory("wh_sync_").toString
+    // tick 1: keys 1..40; tick 2: %13 deleted, %10 → VIP; tick 3: %7 → GOLD
+    val t1 = spark.range(1, 41).select(
+      col("id").as("k"), lit("base").as("seg"), lit(1).as("ord"))
+    val t2 = t1.filter(col("k") % 13 =!= 0)
+      .withColumn("seg", when(col("k") % 10 === 0, "VIP").otherwise(col("seg")))
+      .withColumn("ord", when(col("k") % 10 === 0, 2).otherwise(col("ord")))
+    val t3 = t2
+      .withColumn("seg", when(col("k") % 7 === 0, "GOLD").otherwise(col("seg")))
+      .withColumn("ord", when(col("k") % 7 === 0, 3).otherwise(col("ord")))
+    val changedPerTick = Seq(40L, 4L, 5L) // full load; 10,20,30,40; 7,14,21,28,35
+    for (((snap, expChanged), tick) <- Seq(t1, t2, t3).zip(changedPerTick).zipWithIndex) {
+      Lake.writeTableSnapshot(snap, root, "src", retentionVersions = Int.MaxValue)
+      val (_, n) = Orchestrator.syncIncremental(spark, root, "src", "wh_inc",
+        Seq("k"), Seq("snapshot_version"))
+      assert(n === expChanged,
+        s"tick ${tick + 1}: sync must ship only the changed keys (got $n)")
+      Warehouse.mergeIntoTable(spark, root, "wh_full",
+        snap.withColumn("snapshot_version", lit(tick + 1)),
+        Seq("k"), Seq("snapshot_version"))
+      def content(t: String) = Lake.readTableFeed(spark, root, t)
+        .select("k", "seg", "ord").as[(Long, String, Int)].collect().sortBy(_._1)
+      assert(content("wh_inc") === content("wh_full"),
+        s"tick ${tick + 1}: incremental sync diverged from full recompute")
+    }
+    // deleted keys persist at last-seen values (the ON DUPLICATE KEY UPDATE
+    // sink never deletes); later update waves never resurrect or touch them
+    val fin = Lake.readTableFeed(spark, root, "wh_inc")
+      .select("k", "seg").as[(Long, String)].collect().toMap
+    assert(fin(13L) === "base" && fin(26L) === "base" && fin(39L) === "base")
+    assert(fin(7L) === "GOLD" && fin(10L) === "VIP")
+  }
+
   test("merge: exact order-col tie goes to the update (_src tiebreak)") {
     val upd = Seq((2L, "B", 10)).toDF("k", "v", "ver") // same ver as stored
     val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
