@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * the warmup, not on whichever query happens to run first.
   */
 object Bench {
+  /** 1-minute load average (−1.0 where the JMX bean has no value). */
+  private def osLoad1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = osLoad1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -47,8 +52,14 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // record box load around the run: the shared box's external load has
+    // swung same-binary totals 105→222 s (BASELINE.md), so a bench number
+    // is only interpretable next to the load it ran under. load1_before is
+    // sampled at JVM start (before warmup), load1_after here.
+    val loadAfter = osLoad1()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+      s""""failed":$failedJson,"failed_count":${failed.size},""" +
+      s""""load1_before":$loadBefore,"load1_after":$loadAfter,"sf":"$sfDir"}"""
     println(line)
     // self-recorded copy with every per-query number: the driver's captured
     // stdout tail can truncate the (200+ key) queries map, losing per-name

@@ -16,12 +16,16 @@ import Q._
   * Catalyst gets predicate pushdown / column pruning / broadcast selection for
   * free and there is no RPC hop.
   *
-  * Scale notes (100 TB stance): every join against a dimension (customer,
-  * nation, part) is explicitly `broadcast()` — dims stay small relative to
-  * facts, so no shuffle of the fact table is ever needed for enrichment.
-  * Aggregations run as partial (map-side) + final — Spark's HashAggregate
-  * pair — so shuffled bytes are proportional to group cardinality, not input
-  * rows.
+  * Scale notes (100 TB stance): joins against BOUNDED dimensions (nation =
+  * 25 rows, region = 5 — fixed forever) are explicitly `broadcast()`; joins
+  * against corpus-scaling tables (customer = 150k×sf, the slim orders
+  * projection in b7) are left UNHINTED so AQE broadcasts them while they
+  * fit and degrades to a shuffle join at cluster scale — an explicit hint
+  * is honored all the way to the 8 GB broadcast cap and then kills the
+  * query (SCALE.md §Joins). part (200k×sf, 3 slim columns) keeps its hint:
+  * ~1.6 GB at sf100, re-evaluate only beyond that. Aggregations run as
+  * partial (map-side) + final — Spark's HashAggregate pair — so shuffled
+  * bytes are proportional to group cardinality, not input rows.
   */
 object Reference {
 
@@ -30,14 +34,18 @@ object Reference {
     Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
 
   /** B1 — projection/flatten (data_lake_config.py:55-62): nested transaction
-    * → flat columns. Dim enrichment via broadcast joins; only the projected
+    * → flat columns. nation (25 rows forever) is explicitly broadcast;
+    * customer scales with the corpus (150k×sf rows — ~15M at sf100), so
+    * its join is left UNHINTED: AQE broadcasts the 2-column projection at
+    * small sf and degrades to a shuffle join at cluster scale instead of
+    * dying at the 8 GB broadcast cap (SCALE.md §Joins). Only the projected
     * columns are read from parquet (column pruning).
     */
   def b1Flatten(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val n = Tables.nation(s, d).select("n_nationkey", "n_name")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(
         o("o_orderkey").as("transaction_id"),
@@ -57,8 +65,10 @@ object Reference {
 
   /** B2 — blacklist filter (data_lake_config.py:71-78): semantically a
     * left-semi join against a blacklist dimension, with a derived `reason`
-    * column (kafka_producer.py:52-58). The semi-join sides are broadcast so
-    * the fact scan never shuffles.
+    * column (kafka_producer.py:52-58). The nation filter side is a
+    * bounded broadcast; the blacklisted-customer set scales with customer
+    * (~20% of it), so that semi-join is UNHINTED — AQE broadcasts it at
+    * small sf, shuffles at scale (SCALE.md §Joins).
     */
   def b2Blacklist(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -68,7 +78,7 @@ object Reference {
       .join(broadcast(n.filter(n("n_name").isin(BlacklistNations: _*))),
         c("c_nationkey") === n("n_nationkey"), "left_semi")
       .select("c_custkey")
-    o.join(broadcast(blacklistedCustomers),
+    o.join(blacklistedCustomers,
         o("o_custkey") === col("c_custkey"), "left_semi")
       .select(
         col("o_orderkey").as("transaction_id"),
@@ -122,8 +132,10 @@ object Reference {
     */
   def b4UserSummary(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
+    // customer join unhinted: AQE broadcasts at small sf, shuffle join at
+    // scale — a forced hint would OOM past the 8 GB cap (SCALE.md §Joins)
     val c = Tables.customer(s, d).select("c_custkey", "c_name")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(
         c("c_custkey").as("user_id"),
         c("c_name").as("user_name"),
@@ -155,7 +167,7 @@ object Reference {
     val rate = 0.92
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d).select("c_custkey", "c_name")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey")) // unhinted, like b4
       .groupBy(
         c("c_custkey").as("user_id"),
         c("c_name").as("user_name"),
