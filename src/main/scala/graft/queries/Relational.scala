@@ -732,6 +732,14 @@ object Relational {
     * log2(max custkey) ≈ 14, far under the 100-level guard).
     */
   def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    // The walk emits ~|customer| × log2(max key) rows; Spark's runaway
+    // guard (spark.sql.cteRecursionRowLimit, default 1M) trips at sf≥1.
+    // Scale the limit to the actual input (~25 levels deep per key, ×4
+    // headroom) instead of disabling it — the guard still catches a truly
+    // non-terminating recursion. The count is one cheap scan-agg.
+    val n = Tables.customer(s, d).count()
+    s.conf.set("spark.sql.cteRecursionRowLimit",
+      math.max(1000000L, n * 100L).toString)
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     s.sql(
       """WITH RECURSIVE walk(start_key, k, depth) AS (
