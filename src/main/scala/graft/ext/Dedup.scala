@@ -1043,7 +1043,7 @@ object Dedup {
       |hs AS (SELECT rep_id,
       |              [('0x' || substr(md5(t), 1, 15))::BIGINT
       |               for t in string_split(text, ' ')] AS hs
-      |       FROM grp),
+      |       FROM grp WHERE text IS NOT NULL),
       |sk AS (SELECT rep_id,
       |              CAST(list_sum([CASE WHEN list_sum(
       |                       [CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END for x in hs]
@@ -1068,6 +1068,7 @@ object Dedup {
       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
       |SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
       |FROM cap p JOIN cap q ON p.rep_id = q.rep_id AND p.doc_id < q.doc_id
+      |JOIN sk ON sk.rep_id = p.rep_id
       |WHERE p.k > 1
       |UNION ALL
       |SELECT least(a.doc_id, b.doc_id) AS doc_a,

@@ -100,20 +100,37 @@ object Orchestrator {
         // a pruned watermark version can no longer anchor a diff — re-anchor
         if (Lake.versions(spark, lakeRoot, srcTable).contains(v)) Some(v) else None
       }
-    val snapshot = Lake.readTableFeed(spark, lakeRoot, srcTable)
+    // pin BOTH the snapshot read and the diff's upper bound to the
+    // `latest` recorded in the watermark: unpinned, a concurrent snapshot
+    // writer committing between latestVersion() and the reads would merge
+    // newer rows stamped with the older version (wrong provenance) and
+    // re-ship them next tick
+    val snapshot = Lake.readTableFeed(spark, lakeRoot, srcTable, Some(latest))
     val updates = from match {
       case None => snapshot // first load (or pruned watermark): full reload
-      case Some(v) if v >= latest => snapshot.limit(0) // idle: nothing new
+      case Some(v) if v >= latest =>
+        // idle tick: no new source version. Do NOT run the merge — it
+        // would read + rewrite the whole warehouse snapshot as a new
+        // version for nothing and age real history out of retention
+        Lake.latestVersion(spark, lakeRoot, whTable) match {
+          case Some(wv) => return (wv, 0L)
+          case None => snapshot.limit(0) // watermark without warehouse: heal
+        }
       case Some(v) =>
-        val changedKeys = Lake.tableChanges(spark, lakeRoot, srcTable, v, keys)
+        val changedKeys = Lake.tableChanges(spark, lakeRoot, srcTable, v, keys,
+            toVersion = Some(latest))
           .filter(col("change") =!= "deleted")
           .select(keys.map(col): _*).distinct()
         snapshot.join(changedKeys, keys, "left_semi")
     }
-    val stamped = updates.withColumn("snapshot_version", lit(latest))
+    // materialize ONCE: the diff (two snapshot scans + full-outer joins per
+    // new version) feeds both the count and the merge — unpersisted, the
+    // whole change computation would execute twice per tick
+    val stamped = updates.withColumn("snapshot_version", lit(latest)).persist()
     val n = stamped.count()
     val newV = Warehouse.mergeIntoTable(spark, lakeRoot, whTable,
       stamped, keys, orderCols)
+    stamped.unpersist()
     // advance the watermark via temp-write + rename (atomic on the local FS)
     fs.mkdirs(wmDir)
     val tmp = new org.apache.hadoop.fs.Path(wmDir,

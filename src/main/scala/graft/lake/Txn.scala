@@ -190,6 +190,18 @@ object Txn {
           if (!unsafe) return candidate -> written
           fs(spark, txnDir(root)).delete(new Path(txnDir(root), s"t$candidate.json"), false)
           attempts += 1
+          // Two racing committers whose manifests each miss the other's
+          // pins both judge the other unsafe and both roll back — a
+          // symmetric livelock if their retries stay in lockstep. There is
+          // no SAFE deterministic tie-break (either side may have already
+          // returned success before the other renamed, so neither manifest
+          // can unilaterally survive); jittered backoff breaks the
+          // symmetry probabilistically, and the attempts cap turns a
+          // pathological sustained tie into a loud failure, never a silent
+          // inconsistency. Seeded per-committer via identity hash — no
+          // wall-clock/PRNG dependence.
+          Thread.sleep((attempts.toLong * 13 *
+            (1 + (System.identityHashCode(written) & 7))) % 400)
         case Busy =>
           candidate -= 1 // retry the SAME id once the live holder resolves
           Thread.sleep(busyWaitMs)
@@ -241,12 +253,34 @@ object Txn {
       keepManifests: Int = 7, dryRun: Boolean = false,
       staleClaimMs: Long = 60000L): (Seq[(String, Int)], Seq[Int]) = {
     val ids = manifestIds(spark, root)
-    val keep = ids.takeRight(keepManifests)
-    val dropManifests = ids.dropRight(keepManifests)
+    val keep0 = ids.takeRight(keepManifests)
+    // DIVERGED manifests: a committer that crashed after its rename but
+    // before the post-rename verification leaves a below-max manifest
+    // whose pins no successor carries — a forked cut its own rollback
+    // would have deleted. Healthy lineage is monotone (every later
+    // manifest carries every earlier pin, possibly superseded by a higher
+    // version), so "max does not dominate it" identifies exactly these;
+    // their commit() never returned, so dropping them is the collector
+    // finishing the crashed committer's own rollback.
+    val diverged: Seq[Int] = ids.lastOption match {
+      case Some(m) =>
+        val mp = currentManifestAt(spark, root, m)
+        keep0.filter(_ != m).filter { i =>
+          val ip = currentManifestAt(spark, root, i)
+          !ip.forall { case (t, v) => mp.get(t).exists(_ >= v) }
+        }
+      case None => Seq.empty
+    }
+    val keep = keep0.filterNot(diverged.contains)
+    val dropManifests = ids.dropRight(keepManifests) ++ diverged
     val pinned: Set[(String, Int)] = keep.flatMap(id =>
       currentManifestAt(spark, root, id).toSeq).toSet
-    val tables = pinned.map(_._1)
-    val dropVersions = tables.toSeq.sorted.flatMap { t =>
+    // sweep tables named by DIVERGED manifests too: a table that only ever
+    // appeared in a forked cut has no pin in any kept manifest, so its
+    // snapshot versions would otherwise be invisible to the collector
+    val tables = pinned.map(_._1) ++
+      diverged.flatMap(i => currentManifestAt(spark, root, i).keys)
+    val dropVersions = tables.toSeq.sorted.distinct.flatMap { t =>
       Lake.versions(spark, root, t)
         .filterNot(v => pinned.contains(t -> v))
         .map(t -> _)

@@ -736,10 +736,26 @@ object Relational {
     // guard (spark.sql.cteRecursionRowLimit, default 1M) trips at sf≥1.
     // Scale the limit to the actual input (~25 levels deep per key, ×4
     // headroom) instead of disabling it — the guard still catches a truly
-    // non-terminating recursion. The count is one cheap scan-agg.
+    // non-terminating recursion. The limit is enforced at EXECUTION, so
+    // the walk is materialized here under the raised limit and the prior
+    // value restored before returning — a session-wide weakened guard
+    // would let every LATER recursion in the session run 100× too long.
     val n = Tables.customer(s, d).count()
-    s.conf.set("spark.sql.cteRecursionRowLimit",
-      math.max(1000000L, n * 100L).toString)
+    val key = "spark.sql.cteRecursionRowLimit"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, math.max(1000000L, n * 100L).toString)
+    try {
+      val out = recursiveCteQuery(s, d)
+      out.persist()
+      out.count() // execute the recursion while the scaled limit is active
+      out
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def recursiveCteQuery(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     s.sql(
       """WITH RECURSIVE walk(start_key, k, depth) AS (

@@ -138,10 +138,17 @@ object Warehouse {
       conn.setAutoCommit(false)
       // self-assignment UPDATE: an exclusive row lock held until commit in
       // every engine (Derby's SELECT ... FOR UPDATE U-lock semantics vary
-      // with isolation level; a write lock does not)
+      // with isolation level; a write lock does not). The affected-row
+      // count MUST be 1 — if the lock row is missing (e.g. the INSERT
+      // failed for a reason ignoringSql swallowed, like a >128-char table
+      // name), proceeding would mean merging with NO mutual exclusion and
+      // silently losing a racing batch.
       val ps = conn.prepareStatement(
         s"UPDATE $MergeLockTable SET tbl = tbl WHERE tbl = ?")
-      try { ps.setString(1, table); ps.executeUpdate(); () } finally ps.close()
+      val locked = try { ps.setString(1, table); ps.executeUpdate() } finally ps.close()
+      if (locked != 1) throw new IllegalStateException(
+        s"mergeIntoJdbc: could not acquire the advisory lock row for '$table' " +
+          s"($locked rows matched in $MergeLockTable) — refusing an unserialized merge")
       val r = body
       conn.commit()
       r

@@ -196,6 +196,39 @@ class ConcurrencySpec extends SparkSpec {
     } finally Txn.testStallAfterClaim = _ => ()
   }
 
+  test("vacuum collects a diverged manifest from a committer that crashed after rename") {
+    // A claims t2, stalls past the stale threshold, B steps past to t3;
+    // A's process renames t2.json and dies BEFORE the post-rename
+    // verification would have rolled it back. t2 is a forked cut (pins a
+    // table no successor carries) that nothing reconciles — vacuum must
+    // finish the crashed committer's rollback: drop the manifest AND the
+    // orphan snapshot only it referenced.
+    val root = scratch()
+    val (_, w1) = Txn.commit(spark, root, Map("seed" -> Seq(0).toDF("k"))) // t1
+    val txnDir = java.nio.file.Paths.get(root, "_txn")
+    Files.createFile(txnDir.resolve(".claim_t2"))
+    Files.setLastModifiedTime(txnDir.resolve(".claim_t2"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val (idB, _) = Txn.commit(spark, root, Map("b" -> Seq(2).toDF("k")))
+    assert(idB === 3)
+    // the crash: A's member table staged, manifest renamed, no verification
+    val vA = Lake.writeTableSnapshot(Seq(1, 1).toDF("k"), root, "a",
+      retentionVersions = Int.MaxValue)
+    Files.write(txnDir.resolve("t2.json"),
+      s"""{"tables": {"a": $vA, "seed": ${w1("seed")}}}""".getBytes("UTF-8"))
+    assert(Txn.read(spark, root, "a", Some(2)).count() === 2, "forked cut should resolve pre-vacuum")
+
+    val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(dropM.contains(2), s"diverged manifest not collected (dropped: $dropM)")
+    assert(dropV.contains("a" -> vA), s"forked orphan snapshot not collected (dropped: $dropV)")
+    assert(!Files.exists(txnDir.resolve("t2.json")))
+    // the live lineage is untouched
+    val (lastId, pins) = Txn.currentManifest(spark, root).get
+    assert(lastId === 3 && pins.keySet === Set("seed", "b"))
+    assert(Txn.read(spark, root, "b").count() === 1)
+    assert(Txn.read(spark, root, "seed").count() === 1)
+  }
+
   test("racing Txn.commit: manifest CAS serializes, both land, pins merge") {
     val root = scratch()
     val results = race(4) { i =>
