@@ -295,6 +295,70 @@ object Reference {
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** B9b — TRUE `LATEST_BY_OFFSET` (sync_to_mysql.py:42-55): per key, the
+    * payload from the delivery with the greatest Kafka offset — NOT the
+    * greatest event timestamp. SURVEY.md §7.4 sanctions `max(ts)` for the
+    * driver testdata (which carries no offsets); this gate closes the
+    * deviation where offsets DO exist, by running the full wire path on a
+    * deterministic changelog whose delivery order (the offset) deliberately
+    * disagrees with event time. A correction delivered later (higher
+    * offset) with an OLDER event timestamp must win — `max(ts)` would pick
+    * the wrong row for most keys here, so the hash check pins the real
+    * ksqlDB semantics.
+    *
+    * Kafka's ordering contract makes per-key offset order total: a key's
+    * deliveries all land in one partition (keyed partitioning), and offsets
+    * are monotone within a partition. The argmax is one `max_by` aggregate
+    * — partial-agg'd map-side, one shuffle on the key, no window, no sort.
+    */
+  def b9LatestByOffset(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val n = 10000L
+    // delivery log: offset = delivery index; ts = multiplicative-hash
+    // scramble of it, so offset order and ts order disagree per key
+    val payload = s.range(n).select(
+      col("id"),
+      (col("id") % 1000 + 1).as("user_id"),
+      (((col("id") * 37) % 49900 + 100) / 100.0).as("amount"),
+      timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00")))
+          + (col("id") * 2654435761L) % lit(n)).as("ts"),
+      when(col("id") % 10 < 8, "approved").otherwise("declined").as("status"))
+    val wire = payload.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("user_id"), col("amount"), col("ts"), col("status")))
+        .cast("binary").as("value"),
+      lit("transaction_stream").as("topic"),
+      (col("user_id") % 8).cast("int").as("partition"),
+      col("id").as("offset"),
+      col("ts").as("timestamp"),
+      lit(0).as("timestampType"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("amount", DoubleType),
+      StructField("ts", TimestampType), StructField("status", StringType)))
+    graft.streaming.KafkaIngest.parse(wire, schema)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("amount"), col("status"), unix_micros(col("ts")).as("ts_us"),
+          col("offset")),
+        col("offset")).as("last"))
+      .select(col("user_id"), col("last.amount").as("last_amount"),
+        col("last.status").as("last_status"), col("last.ts_us").as("last_ts_us"),
+        col("last.offset").as("last_offset"))
+  }
+
+  val b9OffsetOracle: String =
+    """WITH deliveries AS (
+      |  SELECT id AS off, id % 1000 + 1 AS user_id,
+      |         ((id * 37) % 49900 + 100) / 100.0 AS amount,
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_seconds((id * 2654435761) % 10000) AS ts,
+      |         CASE WHEN id % 10 < 8 THEN 'approved' ELSE 'declined' END AS status
+      |  FROM range(0, 10000) t(id))
+      |SELECT user_id, amount AS last_amount, status AS last_status,
+      |       epoch_us(ts) AS last_ts_us, off AS last_offset
+      |FROM deliveries
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY off DESC) = 1""".stripMargin
+
   /** The B4 semantics as literal SQL text through `spark.sql` — the
     * interface the reference's users actually write (ksqlDB statements).
     * Same oracle as the DataFrame formulation: the two front-ends must
@@ -333,6 +397,7 @@ object Reference {
     "b8_dim_lookup" -> (b8DimLookup _),
     "b8_fk_orphans" -> (b8Orphans _),
     "b9_latest_per_key" -> (b9LatestPerKey _),
+    "b9_latest_by_offset" -> (b9LatestByOffset _),
     "b4_sql_surface" -> (b4SqlSurface _),
     "b10_rename" -> (b10Rename _))
 
@@ -347,6 +412,7 @@ object Reference {
     "b8_dim_lookup" -> b8Oracle,
     "b8_fk_orphans" -> b8OrphansOracle,
     "b9_latest_per_key" -> b9Oracle,
+    "b9_latest_by_offset" -> b9OffsetOracle,
     "b4_sql_surface" -> b4Oracle,
     "b10_rename" -> b10Oracle)
 }

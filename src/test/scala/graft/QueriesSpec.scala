@@ -82,6 +82,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("LATEST_BY_OFFSET picks the offset-winner, not the ts-winner") {
+    val r = graft.queries.Reference.b9LatestByOffset(spark, "/root/testdata/sf0.001")
+    val rows = r.collect()
+    assert(rows.length === 1000) // one row per key
+    // ground truth straight from the generator arithmetic: per key, the
+    // highest delivery index (= offset) wins regardless of its ts
+    rows.foreach { row =>
+      val k = row.getAs[Long]("user_id")
+      val lastId = (0L until 10000L).filter(_ % 1000 + 1 == k).max
+      assert(row.getAs[Long]("last_offset") === lastId, s"key $k")
+    }
+    // the planted ts scramble must make the deviation REAL: for most keys
+    // the ts-argmax is a DIFFERENT delivery than the offset-argmax
+    val disagree = (1L to 1000L).count { k =>
+      val ids = (0L until 10000L).filter(_ % 1000 + 1 == k)
+      val tsArgmax = ids.maxBy(id => (id * 2654435761L) % 10000L)
+      tsArgmax != ids.max
+    }
+    assert(disagree > 800, s"only $disagree/1000 keys distinguish the semantics")
+    // plan shape: one partial-agg'd aggregate pair, no window/sort
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "argmax must not plan a window")
+  }
+
   test("every oracle has a matching query entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
