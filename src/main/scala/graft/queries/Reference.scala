@@ -308,8 +308,15 @@ object Reference {
     *
     * Kafka's ordering contract makes per-key offset order total: a key's
     * deliveries all land in one partition (keyed partitioning), and offsets
-    * are monotone within a partition. The argmax is one `max_by` aggregate
-    * — partial-agg'd map-side, one shuffle on the key, no window, no sort.
+    * are monotone within a partition. The argmax is two-phase: `max(offset)`
+    * per key (all-numeric buffer — a partial-agg'd HashAggregate pair, the
+    * shuffle carries one row per key) and an equi-join back on
+    * (key, offset) to fetch the winning payload. A `max_by`/`max(struct)`
+    * one-pass form would carry a struct buffer and fall back to
+    * SortAggregate (in-partition sorts of every delivery); a window
+    * row_number would shuffle AND sort every delivery. This shape keeps
+    * every operator hash-based: at 100 TB the join side built from the
+    * aggregate is |keys| rows, broadcast- or shuffle-joinable by AQE.
     */
   def b9LatestByOffset(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -336,15 +343,14 @@ object Reference {
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("amount", DoubleType),
       StructField("ts", TimestampType), StructField("status", StringType)))
-    graft.streaming.KafkaIngest.parse(wire, schema)
-      .groupBy(col("user_id"))
-      .agg(max_by(
-        struct(col("amount"), col("status"), unix_micros(col("ts")).as("ts_us"),
-          col("offset")),
-        col("offset")).as("last"))
-      .select(col("user_id"), col("last.amount").as("last_amount"),
-        col("last.status").as("last_status"), col("last.ts_us").as("last_ts_us"),
-        col("last.offset").as("last_offset"))
+    val decoded = graft.streaming.KafkaIngest.parse(wire, schema)
+    val winners = decoded.groupBy(col("user_id").as("w_user_id"))
+      .agg(max(col("offset")).as("last_offset"))
+    decoded.join(winners,
+        col("user_id") === col("w_user_id") && col("offset") === col("last_offset"))
+      .select(col("user_id"), col("amount").as("last_amount"),
+        col("status").as("last_status"), unix_micros(col("ts")).as("last_ts_us"),
+        col("last_offset"))
   }
 
   val b9OffsetOracle: String =

@@ -742,16 +742,24 @@ object Relational {
     // would let every LATER recursion in the session run 100× too long.
     val n = Tables.customer(s, d).count()
     val key = "spark.sql.cteRecursionRowLimit"
-    val prior = s.conf.getOption(key)
-    s.conf.set(key, math.max(1000000L, n * 100L).toString)
-    try {
-      val out = recursiveCteQuery(s, d)
-      out.persist()
-      out.count() // execute the recursion while the scaled limit is active
-      out
-    } finally prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    // ~25 levels per key; below the default guard the plain lazy plan is
+    // returned untouched — the eager materialize-under-raised-limit path
+    // (persist + count) costs ~2× wall-clock and is only worth paying when
+    // the walk would otherwise trip the guard
+    if (n * 25L < s.conf.getOption(key).map(_.toLong).getOrElse(1000000L)) {
+      recursiveCteQuery(s, d)
+    } else {
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, math.max(1000000L, n * 100L).toString)
+      try {
+        val out = recursiveCteQuery(s, d)
+        out.persist()
+        out.count() // execute the recursion while the scaled limit is active
+        out
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   }
 

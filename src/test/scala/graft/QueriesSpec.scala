@@ -101,9 +101,11 @@ class QueriesSpec extends SparkSpec {
       tsArgmax != ids.max
     }
     assert(disagree > 800, s"only $disagree/1000 keys distinguish the semantics")
-    // plan shape: one partial-agg'd aggregate pair, no window/sort
+    // plan shape: hash-agg + join-back — never a window, never the
+    // SortAggregate fall-back a struct-buffered max_by would plan
     val plan = r.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "argmax must not plan a window")
+    assert(!plan.contains("SortAggregate"), "argmax must stay hash-based")
   }
 
   test("every oracle has a matching query entry") {
