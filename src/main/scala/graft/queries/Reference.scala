@@ -318,11 +318,14 @@ object Reference {
     * every operator hash-based: at 100 TB the join side built from the
     * aggregate is |keys| rows, broadcast- or shuffle-joinable by AQE.
     */
-  def b9LatestByOffset(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
+  /** The deterministic out-of-order changelog on the wire, shared by the
+    * batch and streaming LATEST_BY_OFFSET gates: offset = delivery index,
+    * ts = a multiplicative-hash scramble of it (gcd(2654435761, n) = 1 ⇒ a
+    * permutation), so per key the offset-winner and the ts-winner are
+    * different deliveries for most keys.
+    */
+  private[graft] def offsetChangelogWire(s: SparkSession): DataFrame = {
     val n = 10000L
-    // delivery log: offset = delivery index; ts = multiplicative-hash
-    // scramble of it, so offset order and ts order disagree per key
     val payload = s.range(n).select(
       col("id"),
       (col("id") % 1000 + 1).as("user_id"),
@@ -331,7 +334,7 @@ object Reference {
         unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00")))
           + (col("id") * 2654435761L) % lit(n)).as("ts"),
       when(col("id") % 10 < 8, "approved").otherwise("declined").as("status"))
-    val wire = payload.select(
+    payload.select(
       col("user_id").cast("string").cast("binary").as("key"),
       to_json(struct(col("user_id"), col("amount"), col("ts"), col("status")))
         .cast("binary").as("value"),
@@ -340,10 +343,19 @@ object Reference {
       col("id").as("offset"),
       col("ts").as("timestamp"),
       lit(0).as("timestampType"))
-    val schema = StructType(Seq(
+  }
+
+  /** Payload schema of [[offsetChangelogWire]] for the wire decode. */
+  private[graft] val OffsetChangelogSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("user_id", LongType), StructField("amount", DoubleType),
       StructField("ts", TimestampType), StructField("status", StringType)))
-    val decoded = graft.streaming.KafkaIngest.parse(wire, schema)
+  }
+
+  def b9LatestByOffset(s: SparkSession, d: String): DataFrame = {
+    val decoded = graft.streaming.KafkaIngest.parse(
+      offsetChangelogWire(s), OffsetChangelogSchema)
     val winners = decoded.groupBy(col("user_id").as("w_user_id"))
       .agg(max(col("offset")).as("last_offset"))
     decoded.join(winners,

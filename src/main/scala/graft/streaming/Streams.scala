@@ -964,6 +964,60 @@ object Streams {
       |FROM range(0, 5000) t(id)
       |GROUP BY 1""".stripMargin
 
+  case class OffDelivery(
+      user_id: Long, amount: Double, status: String, ts_us: Long, offset: Long)
+
+  /** The LATEST_BY_OFFSET TABLE in its native habitat — a STREAMING
+    * per-key upsert over the wire, which is exactly what ksqlDB
+    * materializes for `LATEST_BY_OFFSET` (sync_to_mysql.py:42-55): the
+    * latest payload by Kafka offset per key, updated as records arrive.
+    * The shared out-of-order changelog (ts order scrambled against offset
+    * order) is staged as four offset-interleaved chunk files drained one
+    * per trigger, so later micro-batches deliver rows with LOWER offsets
+    * than already-seen state — the state update must compare offsets, not
+    * arrival order, and the final table must hash-equal the batch gate's
+    * oracle. State per key is one row; at 100 TB/day the state store holds
+    * |keys| entries, independent of delivery volume.
+    */
+  def streamLatestByOffset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wire = graft.queries.Reference.offsetChangelogWire(s)
+    val (glob, schema) = stageChunks(wire, "offset", nChunks = 4)
+    val raw = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(glob)
+    val decoded = KafkaIngest
+      .parse(raw, graft.queries.Reference.OffsetChangelogSchema)
+      .select(col("user_id"), col("amount"), col("status"),
+        unix_micros(col("ts")).as("ts_us"), col("offset"))
+      .as[OffDelivery]
+    val latest = decoded.groupByKey(_.user_id)
+      .mapGroupsWithState[OffDelivery, OffDelivery](GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[OffDelivery], state: GroupState[OffDelivery]) =>
+          val incoming = rows.reduce((a, b) => if (a.offset > b.offset) a else b)
+          val best = state.getOption match {
+            case Some(cur) if cur.offset > incoming.offset => cur
+            case _ => incoming
+          }
+          state.update(best)
+          best
+      }
+    // Update mode emits one row per touched key per batch; the row with
+    // the greatest offset per key is the final state
+    val emitted = drain(latest.toDF(), OutputMode.Update())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("offset").desc)
+    emitted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("amount").as("last_amount"),
+        col("status").as("last_status"), col("ts_us").as("last_ts_us"),
+        col("offset").as("last_offset"))
+  }
+
+  // deliberately the batch gate's oracle: the streaming upsert and the
+  // batch argmax must agree with DuckDB AND each other
+  val streamLatestByOffsetOracle: String = graft.queries.Reference.b9OffsetOracle
+
   /** Poison-pill quarantine: every 7th payload is corrupted (deterministic,
     * keyed on the id embedded in the Kafka key), and the wire decode splits
     * the batch into valid rows and a dead-letter disposition instead of
@@ -1560,6 +1614,7 @@ object Streams {
     "a4_wire_quarantine" -> (wireQuarantine _),
     "s_stream_exactly_once" -> (streamExactlyOnce _),
     "s_stream_kafka_wire" -> (streamKafkaWire _),
+    "s_stream_latest_by_offset" -> (streamLatestByOffset _),
     "s_stream_agg" -> (streamAgg _),
     "s_stream_observe" -> (streamObserve _),
     "s_stream_late_capture" -> (streamLateCapture _),
@@ -1593,6 +1648,7 @@ object Streams {
     "a4_wire_quarantine" -> wireQuarantineOracle,
     "s_stream_exactly_once" -> streamExactlyOnceOracle,
     "s_stream_kafka_wire" -> streamKafkaWireOracle,
+    "s_stream_latest_by_offset" -> streamLatestByOffsetOracle,
     "s_stream_agg" -> streamAggOracle,
     "s_stream_observe" -> streamObserveOracle,
     "s_stream_late_capture" -> streamLateCaptureOracle,
