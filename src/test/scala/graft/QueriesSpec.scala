@@ -108,6 +108,22 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), "argmax must stay hash-based")
   }
 
+  test("recursive CTE guard: eager raised-limit path executes and restores the conf") {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val prior = spark.conf.getOption(key)
+    // a limit the sf0.001 walk (150 keys × ~25 levels) would exceed
+    // forces the eager branch the sf1 corpus takes in production
+    spark.conf.set(key, "1000")
+    try {
+      val out = graft.queries.Relational.recursiveCte(spark, "/root/testdata/sf0.001")
+      assert(out.count() === 150) // one row per anchor key — guard did not trip
+      assert(spark.conf.get(key) === "1000", "prior limit must be restored")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("every oracle has a matching query entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
