@@ -261,9 +261,9 @@ object Dedup {
     *     lands in the same bucket in all 8 bands and yields 8·k² candidate
     *     pairs. After collapse, member pairs are re-expanded algebraically
     *     (identical texts have Jaccard exactly 1.0).
-    *  2. '''One shingle pass''': shingles and the signature are computed in
-    *     the same projection over the representatives and persisted; the
-    *     verify stage reuses the persisted arrays instead of re-shingling.
+    *  2. '''One shingle pass''': the representatives' shingle arrays are
+    *     computed once and persisted; the signature stage and the verify
+    *     stage both read that cache instead of re-shingling.
     *  3. '''Band-bucket cap''': within each (band, hash) bucket, members are
     *     ranked and only the first `maxBucket` generate pairs, bounding
     *     per-bucket work at maxBucket²/2 regardless of skew. Near-dup
@@ -304,18 +304,20 @@ object Dedup {
     * ([[sigOfHashes]]) — the price of staying inside expressions both
     * engines evaluate identically (min partial-merges map-side, so the
     * shuffle carries 32 longs per distinct doc, not per shingle).
+    * Returns (rep_id, sig) only — the pipeline keeps the shingle arrays
+    * on its own persisted table, so no join back onto the (expensive)
+    * shingle projection is needed here.
     */
   private def portableSign(repSh0: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(col("h0") + lit(i.toLong) * col("h1")).as(s"_m$i"))
-    val sigs = repSh0
+    repSh0
       .select(col("rep_id"), explode(col("sh")).as("s"))
       .select(col("rep_id"), portableH0(col("s")).as("h0"), portableH1(col("s")).as("h1"))
       .groupBy(col("rep_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("rep_id"),
         array((0 until NumHashes).map(i => col(s"_m$i")): _*).as("sig"))
-    repSh0.join(sigs, "rep_id")
   }
 
   /** The production band key: xxhash64 over the 4-minhash slice, seeded by
@@ -343,14 +345,18 @@ object Dedup {
       sign: DataFrame => DataFrame,
       bandKey: (Column, Int) => Column): DataFrame = {
     val (groups, members) = collapseExact(docs0)
-    // shingles + signature in one pass, computed once and reused: at 100 TB
-    // this intermediate would be checkpointed to the lake; in one job,
-    // persist() is the equivalent
-    val repSh = sign(groups
+    // shingles computed ONCE over the representatives and persisted; the
+    // signature stage AND the verify stage both read this cache (a sign
+    // stage that re-referenced the shingle projection — e.g. joining back
+    // onto it — would shingle every text twice). At 100 TB this
+    // intermediate would be checkpointed to the lake; in one job,
+    // persist() is the equivalent.
+    val repSh = groups
       .select(col("rep_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)) // shingle-less docs never signed (< 3 words)
+      .filter(size(col("sh")) > 0) // shingle-less docs never signed (< 3 words)
       .persist()
-    val verified = lshCandidates(repSh, maxBucket, bandKey)
+    val sigs = sign(repSh).select(col("rep_id"), col("sig"))
+    val verified = lshCandidates(sigs, maxBucket, bandKey)
       .join(repSh.select(col("rep_id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
       .join(repSh.select(col("rep_id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

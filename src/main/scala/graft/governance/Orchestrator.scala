@@ -114,7 +114,12 @@ object Orchestrator {
         // version for nothing and age real history out of retention
         Lake.latestVersion(spark, lakeRoot, whTable) match {
           case Some(wv) => return (wv, 0L)
-          case None => snapshot.limit(0) // watermark without warehouse: heal
+          // watermark without a warehouse table (lost to external cleanup):
+          // heal by re-shipping the FULL snapshot, exactly like the
+          // pruned-watermark fallback — an empty merge would materialize an
+          // empty table and every later tick would ship only changed keys,
+          // silently dropping all unchanged rows forever
+          case None => snapshot
         }
       case Some(v) =>
         val changedKeys = Lake.tableChanges(spark, lakeRoot, srcTable, v, keys,

@@ -262,12 +262,36 @@ object Txn {
     // version), so "max does not dominate it" identifies exactly these;
     // their commit() never returned, so dropping them is the collector
     // finishing the crashed committer's own rollback.
+    val fsw = fs(spark, txnDir(root))
+    val sweepNow = System.currentTimeMillis()
     val diverged: Seq[Int] = ids.lastOption match {
       case Some(m) =>
-        val mp = currentManifestAt(spark, root, m)
-        keep0.filter(_ != m).filter { i =>
-          val ip = currentManifestAt(spark, root, i)
-          !ip.forall { case (t, v) => mp.get(t).exists(_ >= v) }
+        // Try: the max manifest can vanish between list and read (its
+        // owner's post-rename verification rolled it back) — skip the
+        // diverged sweep this run rather than judge divergence against a
+        // stale max.
+        scala.util.Try(currentManifestAt(spark, root, m)).toOption match {
+          case None => Seq.empty
+          case Some(mp) =>
+            keep0.filter(_ != m).filter { i =>
+              // Age gate: a committer alive inside its documented few-ms
+              // post-rename rollback window leaves a manifest
+              // indistinguishable from a crashed one's. Sweeping it (and,
+              // below, its staged versions) while the owner is about to
+              // retry with the SAME `written` pins would let that retry
+              // commit successfully with dangling version dirs. Only a
+              // manifest older than staleClaimMs is presumed crashed —
+              // the same threshold the commit path uses to step past a
+              // claim. (Try: a manifest that vanished rolled ITSELF
+              // back — not ours to sweep.)
+              scala.util.Try {
+                val st = fsw.getFileStatus(new Path(txnDir(root), s"t$i.json"))
+                sweepNow - st.getModificationTime >= staleClaimMs && {
+                  val ip = currentManifestAt(spark, root, i)
+                  !ip.forall { case (t, v) => mp.get(t).exists(_ >= v) }
+                }
+              }.getOrElse(false)
+            }
         }
       case None => Seq.empty
     }
@@ -279,7 +303,9 @@ object Txn {
     // appeared in a forked cut has no pin in any kept manifest, so its
     // snapshot versions would otherwise be invisible to the collector
     val tables = pinned.map(_._1) ++
-      diverged.flatMap(i => currentManifestAt(spark, root, i).keys)
+      diverged.flatMap(i =>
+        scala.util.Try(currentManifestAt(spark, root, i)).toOption
+          .fold(Iterable.empty[String])(_.keys))
     val dropVersions = tables.toSeq.sorted.distinct.flatMap { t =>
       Lake.versions(spark, root, t)
         .filterNot(v => pinned.contains(t -> v))

@@ -752,10 +752,13 @@ object Relational {
       val prior = s.conf.getOption(key)
       s.conf.set(key, math.max(1000000L, n * 100L).toString)
       try {
-        val out = recursiveCteQuery(s, d)
-        out.persist()
-        out.count() // execute the recursion while the scaled limit is active
-        out
+        // Eager localCheckpoint: executes the recursion while the scaled
+        // limit is active AND severs the lineage, so no later
+        // recomputation (executor loss, re-executed plan) can re-run the
+        // recursion under the restored low limit and fail long after this
+        // returned. The checkpoint blocks are the result's only backing
+        // store — no separate persist to leak.
+        recursiveCteQuery(s, d).localCheckpoint(eager = true)
       } finally prior match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)

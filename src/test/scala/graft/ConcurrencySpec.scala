@@ -218,6 +218,18 @@ class ConcurrencySpec extends SparkSpec {
       s"""{"tables": {"a": $vA, "seed": ${w1("seed")}}}""".getBytes("UTF-8"))
     assert(Txn.read(spark, root, "a", Some(2)).count() === 2, "forked cut should resolve pre-vacuum")
 
+    // a YOUNG diverged manifest is indistinguishable from a live
+    // committer inside its post-rename rollback window — vacuum must NOT
+    // sweep it (deleting its staged versions would leave the owner's
+    // imminent retry-commit with dangling pins)
+    val (dropV0, dropM0) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(!dropM0.contains(2), s"young diverged manifest swept early (dropped: $dropM0)")
+    assert(!dropV0.contains("a" -> vA), "young forked snapshot swept early")
+    assert(Files.exists(txnDir.resolve("t2.json")))
+
+    // past the stale threshold the owner is presumed crashed: sweep
+    Files.setLastModifiedTime(txnDir.resolve("t2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
     assert(dropM.contains(2), s"diverged manifest not collected (dropped: $dropM)")
     assert(dropV.contains("a" -> vA), s"forked orphan snapshot not collected (dropped: $dropV)")

@@ -118,6 +118,12 @@ class QueriesSpec extends SparkSpec {
       val out = graft.queries.Relational.recursiveCte(spark, "/root/testdata/sf0.001")
       assert(out.count() === 150) // one row per anchor key — guard did not trip
       assert(spark.conf.get(key) === "1000", "prior limit must be restored")
+      // the eager branch must sever lineage (localCheckpoint): any later
+      // recomputation would otherwise re-run the recursion under the
+      // restored LOW limit and fail long after recursiveCte returned
+      assert(!out.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UnionLoop]),
+        "recursion must be materialized — no UnionLoop left in the returned plan")
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

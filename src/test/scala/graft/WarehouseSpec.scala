@@ -143,6 +143,33 @@ class WarehouseSpec extends SparkSpec {
     assert(fin(7L) === "GOLD" && fin(10L) === "VIP")
   }
 
+  test("syncIncremental heals a lost warehouse table with a FULL reload") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.lake.Lake
+    import graft.governance.Orchestrator
+    val root = java.nio.file.Files.createTempDirectory("wh_heal_").toString
+    val snap = spark.range(1, 21).select(
+      col("id").as("k"), lit("base").as("seg"), lit(1).as("ord"))
+    Lake.writeTableSnapshot(snap, root, "src", retentionVersions = Int.MaxValue)
+    val (_, n1) = Orchestrator.syncIncremental(spark, root, "src", "wh",
+      Seq("k"), Seq("snapshot_version"))
+    assert(n1 === 20L)
+    // lose the warehouse table (external cleanup) but keep the watermark
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(Lake.tablePath(root, "wh")))
+    assert(Lake.latestVersion(spark, root, "wh").isEmpty)
+    // watermark == latest but no warehouse: the heal must re-ship the FULL
+    // snapshot — an empty merge would materialize an empty table, and every
+    // later tick would ship only changed keys, silently dropping all
+    // unchanged rows forever
+    val (_, n2) = Orchestrator.syncIncremental(spark, root, "src", "wh",
+      Seq("k"), Seq("snapshot_version"))
+    assert(n2 === 20L, s"heal must full-reload (shipped $n2)")
+    assert(Lake.readTableFeed(spark, root, "wh").count() === 20L)
+  }
+
   test("merge: exact order-col tie goes to the update (_src tiebreak)") {
     val upd = Seq((2L, "B", 10)).toDF("k", "v", "ver") // same ver as stored
     val out = Warehouse.merge(base, upd, Seq("k"), Seq("ver"))
