@@ -242,9 +242,18 @@ object Txn {
     * older than `keepManifests`. This is the collector for the garbage
     * the manifest protocol makes invisible; per-table `version=vN`
     * retention cannot do it (an orphan can be the table's NEWEST version
-    * and would be kept forever). Only safe when every writer of `root`
-    * commits through [[Txn.commit]] — a concurrent non-transactional
-    * writer's fresh snapshot looks exactly like an orphan. Old manifests
+    * and would be kept forever). Requires every writer of `root` to
+    * commit through [[Txn.commit]] — an OLD non-transactional snapshot
+    * looks exactly like an orphan. Safe to run CONCURRENTLY with live
+    * committers: orphan versions, diverged manifests, and claim markers
+    * are age-gated at `staleClaimMs` (a just-staged version or a young
+    * in-window manifest is never swept — only state whose owner is
+    * presumed crashed; a young manifest already BELOW the retained
+    * window may be swept, but its owner provably fails post-rename
+    * verification against the ≥keepManifests newer manifests and
+    * retries, so no successful commit is lost), and if a racing
+    * rollback makes a kept manifest unreadable the whole vacuum aborts
+    * as a no-op rather than delete against unknown pins. Old manifests
     * beyond the retained window are deleted too (time travel window =
     * `keepManifests`). Returns (versions deleted, manifests deleted).
     */
@@ -297,8 +306,15 @@ object Txn {
     }
     val keep = keep0.filterNot(diverged.contains)
     val dropManifests = ids.dropRight(keepManifests) ++ diverged
-    val pinned: Set[(String, Int)] = keep.flatMap(id =>
-      currentManifestAt(spark, root, id).toSeq).toSet
+    // A KEPT manifest that cannot be read was deleted under us by its
+    // owner's post-rename rollback (the only process that deletes a young
+    // manifest). Its pins are unknown, so no deletion is provably safe —
+    // abort this vacuum cleanly and let the caller retry; maintenance is
+    // periodic, promptness is not a correctness property.
+    val pinnedTry = scala.util.Try(
+      keep.flatMap(id => currentManifestAt(spark, root, id).toSeq).toSet)
+    if (pinnedTry.isFailure) return (Seq.empty, Seq.empty)
+    val pinned: Set[(String, Int)] = pinnedTry.get
     // sweep tables named by DIVERGED manifests too: a table that only ever
     // appeared in a forked cut has no pin in any kept manifest, so its
     // snapshot versions would otherwise be invisible to the collector
@@ -306,9 +322,23 @@ object Txn {
       diverged.flatMap(i =>
         scala.util.Try(currentManifestAt(spark, root, i)).toOption
           .fold(Iterable.empty[String])(_.keys))
+    // Age gate on version dirs, same threshold as claim markers: a LIVE
+    // committer between writeTableSnapshot and its manifest rename has a
+    // staged version no manifest pins yet — indistinguishable from a
+    // crashed commit's orphan except by age. Sweeping it would land the
+    // imminent commit with dangling pins. A version younger than
+    // staleClaimMs is left for a later vacuum (deferred collection is
+    // safe; eager collection is not).
     val dropVersions = tables.toSeq.sorted.distinct.flatMap { t =>
       Lake.versions(spark, root, t)
         .filterNot(v => pinned.contains(t -> v))
+        .filter { v =>
+          scala.util.Try {
+            val st = fsw.getFileStatus(
+              new Path(s"${Lake.tablePath(root, t)}/version=v$v"))
+            sweepNow - st.getModificationTime >= staleClaimMs
+          }.getOrElse(false)
+        }
         .map(t -> _)
     }
     if (!dryRun) {

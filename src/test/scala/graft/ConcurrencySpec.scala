@@ -96,6 +96,16 @@ class ConcurrencySpec extends SparkSpec {
     assert(Lake.versions(spark, root, "a") === Seq(1, 2))
     assert(Txn.read(spark, root, "a").count() === 2, "torn write visible to txn reader")
 
+    // a YOUNG unmanifested version is indistinguishable from a LIVE
+    // committer's staged-but-not-yet-manifested snapshot — vacuum must
+    // leave it for a later sweep (eager collection would hand a racing
+    // commit dangling pins)
+    val (dropV0, _) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(dropV0.isEmpty, s"young orphan swept early: $dropV0")
+    // past the stale threshold the publisher is presumed crashed: collect
+    Files.setLastModifiedTime(
+      java.nio.file.Paths.get(Lake.tablePath(root, "a"), "version=v2"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     val (dropV, _) = Txn.vacuum(spark, root, keepManifests = 7)
     assert(dropV === Seq("a" -> 2))
     assert(Txn.read(spark, root, "a").count() === 2)
@@ -228,7 +238,11 @@ class ConcurrencySpec extends SparkSpec {
     assert(Files.exists(txnDir.resolve("t2.json")))
 
     // past the stale threshold the owner is presumed crashed: sweep
+    // (manifest AND its staged version — both carry the age gate)
     Files.setLastModifiedTime(txnDir.resolve("t2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    Files.setLastModifiedTime(
+      java.nio.file.Paths.get(Lake.tablePath(root, "a"), s"version=v$vA"),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
     assert(dropM.contains(2), s"diverged manifest not collected (dropped: $dropM)")
@@ -255,5 +269,69 @@ class ConcurrencySpec extends SparkSpec {
     assert(pins.keySet === Set("t0", "t1", "t2", "t3"))
     for (i <- 0 until 4)
       assert(Txn.read(spark, root, s"t$i").count() === i + 1)
+  }
+
+  test("chaos: racing commits with random stalls + concurrent vacuums keep every invariant") {
+    // 4 writers x 4 commits over 3 shared tables, RANDOM stalls injected
+    // between the manifest-id claim and the rename (inside the Busy-wait
+    // window), racing a maintenance thread that vacuums continuously.
+    // Seeded, so a failure replays deterministically. Invariants:
+    //  1. every vacuum call succeeds (concurrency never crashes it);
+    //  2. successful commits get DISTINCT txn ids;
+    //  3. the final manifest equals the fold of the successful commits'
+    //     writes in txn-id order — no successful commit is silently
+    //     invisible, last-committer-wins per table;
+    //  4. every pin of every RETAINED manifest still reads — no vacuum
+    //     swept a version a kept manifest pins, and no live committer's
+    //     staged version was collected out from under its commit.
+    val root = scratch()
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val stalls = Array.fill(64)(if (rnd.nextInt(3) == 0) rnd.nextInt(40) else 0)
+    Txn.testStallAfterClaim = id => Thread.sleep(stalls(math.abs(id) % 64).toLong)
+    try {
+      val writers = 4
+      val results = race(writers + 1) { i =>
+        if (i == writers) {
+          // keepManifests = 5: with 4 concurrent writers at most 3 newer
+          // manifests can land between a committer's list and read, so the
+          // manifest it resolves as max stays inside the retained window
+          (0 until 8).foreach { _ =>
+            Thread.sleep(25)
+            Txn.vacuum(spark, root, keepManifests = 5)
+          }
+          Seq.empty[(Int, Map[String, Int])]
+        } else (0 until 4).map { j =>
+          Txn.commit(spark, root,
+            Map(s"t${(i + j) % 3}" -> Seq(i * 100 + j).toDF("k")))
+        }
+      }
+      val commits = results.flatMap(_.get) // rethrows any commit/vacuum failure
+      val ids = commits.map(_._1)
+      assert(ids.distinct.size === ids.size, s"duplicate txn ids: ${ids.sorted}")
+      val expected = commits.sortBy(_._1).foldLeft(Map.empty[String, Int]) {
+        case (acc, (_, w)) => acc ++ w
+      }
+      val (lastId, pins) = Txn.currentManifest(spark, root).get
+      assert(lastId === ids.max, s"final manifest $lastId is not the max committed id ${ids.max}")
+      assert(pins === expected,
+        s"final cut diverges from the committed writes: $pins vs $expected")
+      // every retained manifest must still resolve ALL its pins: a read
+      // may refuse because the table is not pinned at that cut
+      // (IllegalStateException) — but any OTHER failure means a vacuum
+      // deleted a version a kept manifest pins (dangling pin)
+      val retained = new java.io.File(s"$root/_txn").listFiles()
+        .map(_.getName).filter(n => n.startsWith("t") && n.endsWith(".json"))
+        .map(_.stripPrefix("t").stripSuffix(".json").toInt).sorted.toSeq
+      for (id <- retained; t <- Seq("t0", "t1", "t2")) {
+        Try(Txn.read(spark, root, t, Some(id)).count()) match {
+          case scala.util.Success(n) => assert(n === 1)
+          case scala.util.Failure(_: IllegalStateException) => // not pinned at this cut
+          case scala.util.Failure(e) =>
+            fail(s"manifest t$id pin of $t dangling after vacuum: $e")
+        }
+      }
+      for (t <- Seq("t0", "t1", "t2"))
+        assert(Txn.read(spark, root, t).count() === 1, s"final read of $t failed")
+    } finally Txn.testStallAfterClaim = _ => ()
   }
 }

@@ -401,6 +401,13 @@ class LakeSpec extends SparkSpec {
     // per-table retention would keep forever if it were newest — and
     // versions pinned only by dropped manifests are collected; pinned
     // versions survive and every retained manifest still resolves
+    // vacuum age-gates version dirs (a young unpinned version could be a
+    // live committer's staged snapshot) — age everything past the
+    // threshold so this test exercises the crashed-long-ago shape
+    for (t <- Seq("a", "b"); v <- Lake.versions(spark, root, t))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(Lake.tablePath(root, t), s"version=v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 2, dryRun = true)
     assert(dropV.contains(("a", 2)), s"orphan must be collectable: $dropV")
     assert(dropM === Seq(1))
