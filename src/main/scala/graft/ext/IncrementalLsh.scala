@@ -74,11 +74,11 @@ object IncrementalLsh {
       .write.mode("overwrite").parquet(s"$root/meta")
 
   private def readIdWatermark(s: SparkSession, root: String): Long =
-    s.read.parquet(s"$root/meta").head.getLong(0)
+    s.read.parquet(s"$root/meta").head().getLong(0)
 
   /** Max doc_id of a batch; None when the batch is empty. */
   private def maxId(docs: DataFrame): Option[Long] = {
-    val row = docs.agg(max(col("doc_id")), min(col("doc_id"))).head
+    val row = docs.agg(max(col("doc_id")), min(col("doc_id"))).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
@@ -106,7 +106,7 @@ object IncrementalLsh {
       maxBucket: Int = Dedup.MaxBucketDefault): Unit = {
     val s = newDocs.sparkSession
     val maxOld = readIdWatermark(s, root)
-    val bounds = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val bounds = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     require(!bounds.isNullAt(0), "IncrementalLsh.append: append batch is empty")
     val (minNew, maxNew) = (bounds.getLong(0), bounds.getLong(1))
     require(minNew > maxOld,
