@@ -48,10 +48,12 @@ object Bench {
     // Per-query best recorded times on an idle box (committed artifact).
     // The shared box's EXTERNAL load has swung same-binary totals 105→222 s
     // (BASELINE.md); a single loaded pass misreads as a regression. Any
-    // query whose first pass exceeds 1.5× + 0.3 s of its recorded best is
+    // query whose first pass exceeds 1.3× + 0.2 s of its recorded best is
     // re-run once and the MIN reported — an idle run retries almost
     // nothing (single-pass cost unchanged), a loaded run retries only the
-    // inflated subset instead of doubling the whole bench.
+    // inflated subset instead of doubling the whole bench. Min-reporting
+    // cannot hide a real regression: a genuinely slower query reproduces
+    // its time in the retry.
     val baseline: Map[String, Double] = try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
@@ -65,7 +67,7 @@ object Bench {
       (name, fn, timeOne(name, fn))
     }
     val results = first.map { case (name, fn, t1) =>
-      val retry = t1 >= 0 && baseline.get(name).exists(b => t1 > 1.5 * b + 0.3)
+      val retry = t1 >= 0 && baseline.get(name).exists(b => t1 > 1.3 * b + 0.2)
       if (!retry) name -> (t1, false)
       else {
         val t2 = timeOne(name, fn)
