@@ -62,12 +62,25 @@ object Bench {
       val m = scala.collection.mutable.Map.empty[String, Double]
       node.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble())
       m.toMap
-    } catch { case _: Exception => Map.empty }
+    } catch { case e: Exception =>
+      // a silently-empty baseline would disable every retry while emitting
+      // output indistinguishable from a clean idle run — say so
+      System.err.println(s"[bench] no per-query baseline (${e.getMessage}): " +
+        "load-retry protection limited to the absolute threshold")
+      Map.empty
+    }
+    val unbaselined = selected.keySet -- baseline.keySet
+    if (baseline.nonEmpty && unbaselined.nonEmpty)
+      System.err.println("[bench] queries missing from BENCH_BASELINE.json " +
+        s"(regenerate it): ${unbaselined.toSeq.sorted.mkString(",")}")
     val first = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn))
     }
     val results = first.map { case (name, fn, t1) =>
-      val retry = t1 >= 0 && baseline.get(name).exists(b => t1 > 1.3 * b + 0.2)
+      // no recorded best (new query, missing artifact): fall back to an
+      // absolute guard so the newest queries aren't the unprotected ones
+      val retry = t1 >= 0 &&
+        baseline.get(name).fold(t1 > 3.0)(b => t1 > 1.3 * b + 0.2)
       if (!retry) name -> (t1, false)
       else {
         val t2 = timeOne(name, fn)

@@ -52,18 +52,31 @@ object Txn {
       .sorted
   }
 
-  /** The latest committed manifest: (txn id, table → pinned version). */
-  def currentManifest(spark: SparkSession, root: String): Option[(Int, Map[String, Int])] =
-    manifestIds(spark, root).lastOption.map { id =>
-      val f = fs(spark, txnDir(root))
-      val in = f.open(new Path(txnDir(root), s"t$id.json"))
-      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(json).get("tables")
-      val pins = scala.collection.mutable.Map.empty[String, Int]
-      node.fieldNames().forEachRemaining(n => pins(n) = node.get(n).asInt())
-      id -> pins.toMap
+  /** The latest committed manifest: (txn id, table → pinned version).
+    * The max manifest can vanish between the listing and the read — its
+    * owner's post-rename verification rolled it back (the documented
+    * dirty-read window). That is a routine race, not a failure: re-list
+    * and resolve the new max instead of surfacing FileNotFoundException
+    * into a committer's CAS loop or a reader.
+    */
+  def currentManifest(spark: SparkSession, root: String): Option[(Int, Map[String, Int])] = {
+    var attempts = 0
+    while (true) {
+      manifestIds(spark, root).lastOption match {
+        case None => return None
+        case Some(id) =>
+          scala.util.Try(currentManifestAt(spark, root, id)) match {
+            case scala.util.Success(pins) => return Some(id -> pins)
+            case scala.util.Failure(e) =>
+              attempts += 1
+              if (attempts > 20) throw new IllegalStateException(
+                s"currentManifest: max manifest unreadable after $attempts re-lists", e)
+              Thread.sleep(5L * attempts)
+          }
+      }
     }
+    None // unreachable
+  }
 
   /** Outcome of one manifest-claim attempt. */
   private sealed trait ClaimOutcome
@@ -139,14 +152,32 @@ object Txn {
     // consistency guarantee. Under a transactional root, [[vacuum]] is the
     // only collector — it retires exactly the versions no retained
     // manifest references.
-    val written: Map[String, Int] = writes.map { case (t, df) =>
+    var written: Map[String, Int] = writes.map { case (t, df) =>
       t -> Lake.writeTableSnapshot(df, root, t, retentionVersions = Int.MaxValue)
+    }
+    // Refresh the staged version dirs' mtimes so the vacuum age gate sees
+    // them as YOUNG. A multi-table transaction can spend arbitrarily long
+    // in the writes above (big Spark jobs), so the FIRST table's publish
+    // mtime may already be near staleClaimMs by the time we reach the CAS
+    // loop — touched here (and per loop iteration below, since Busy waits
+    // are bounded only by claimStaleMs), the only way a concurrent vacuum
+    // can presume these dirs crashed is a single > staleClaimMs stall
+    // inside the tiny touch→rename critical section — the same presumed-
+    // crash threshold every other part of the protocol already accepts.
+    def touchStaged(): Unit = {
+      val f = fs(spark, txnDir(root))
+      val now = System.currentTimeMillis()
+      written.foreach { case (t, v) =>
+        scala.util.Try(
+          f.setTimes(new Path(s"${Lake.tablePath(root, t)}/version=v$v"), now, -1))
+      }
     }
     var attempts = 0
     var candidate = 0
     // Busy-waits on a live claimant self-bound at claimStaleMs (the marker
     // ages into Lost); cap only the CAS-conflict retries.
     while (true) {
+      touchStaged()
       val (lastId, carried) = currentManifest(spark, root).getOrElse(0 -> Map.empty[String, Int])
       val pins = carried ++ written
       // max(): a racing winner advances lastId (re-read pins absorb its
@@ -187,8 +218,24 @@ object Txn {
               else !ipins.forall { case (t, v) => pins.get(t).exists(_ >= v) }
             }
           }
-          if (!unsafe) return candidate -> written
+          // Liveness re-checks before declaring success: if we stalled
+          // past staleClaimMs anywhere in the critical section, a
+          // concurrent vacuum may have presumed us crashed and swept our
+          // freshly-renamed manifest (diverged sweep) or a staged version
+          // (orphan sweep). Success is returned only while our manifest
+          // AND every written version dir still exist; anything swept is
+          // re-staged and the CAS retried — a beyond-threshold stall
+          // degrades to a retry, never to a successful-but-invisible or
+          // dangling-pinned commit.
+          val fck = fs(spark, txnDir(root))
+          val selfAlive = fck.exists(new Path(txnDir(root), s"t$candidate.json"))
+          val swept = written.filter { case (t, v) =>
+            !fck.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
+          if (!unsafe && selfAlive && swept.isEmpty) return candidate -> written
           fs(spark, txnDir(root)).delete(new Path(txnDir(root), s"t$candidate.json"), false)
+          if (swept.nonEmpty) written = written ++ swept.map { case (t, _) =>
+            t -> Lake.writeTableSnapshot(writes(t), root, t, retentionVersions = Int.MaxValue)
+          }
           attempts += 1
           // Two racing committers whose manifests each miss the other's
           // pins both judge the other unsafe and both roll back — a
@@ -201,7 +248,7 @@ object Txn {
           // inconsistency. Seeded per-committer via identity hash — no
           // wall-clock/PRNG dependence.
           Thread.sleep((attempts.toLong * 13 *
-            (1 + (System.identityHashCode(written) & 7))) % 400)
+            (1 + (System.identityHashCode(writes) & 7))) % 400)
         case Busy =>
           candidate -= 1 // retry the SAME id once the live holder resolves
           Thread.sleep(busyWaitMs)
@@ -273,13 +320,18 @@ object Txn {
     // finishing the crashed committer's own rollback.
     val fsw = fs(spark, txnDir(root))
     val sweepNow = System.currentTimeMillis()
+    // ONE read per in-window manifest (None = it vanished between list and
+    // read: its owner's rollback deleted it). The max pins, the diverged
+    // set, the pinned set, and the diverged-table sweep all derive from
+    // this single snapshot — fewer JSON parses and ONE list-to-read race
+    // window instead of three.
+    val pinsAt: Map[Int, Option[Map[String, Int]]] = keep0.map(i =>
+      i -> scala.util.Try(currentManifestAt(spark, root, i)).toOption).toMap
     val diverged: Seq[Int] = ids.lastOption match {
       case Some(m) =>
-        // Try: the max manifest can vanish between list and read (its
-        // owner's post-rename verification rolled it back) — skip the
-        // diverged sweep this run rather than judge divergence against a
-        // stale max.
-        scala.util.Try(currentManifestAt(spark, root, m)).toOption match {
+        pinsAt.getOrElse(m, None) match {
+          // max vanished (rolled back): skip the diverged sweep this run
+          // rather than judge divergence against a stale max
           case None => Seq.empty
           case Some(mp) =>
             keep0.filter(_ != m).filter { i =>
@@ -291,14 +343,15 @@ object Txn {
               // commit successfully with dangling version dirs. Only a
               // manifest older than staleClaimMs is presumed crashed —
               // the same threshold the commit path uses to step past a
-              // claim. (Try: a manifest that vanished rolled ITSELF
-              // back — not ours to sweep.)
+              // claim; and commit() re-checks its own manifest and staged
+              // dirs before returning success, so even a beyond-threshold
+              // straggler degrades to a retry, not a loss. (A manifest
+              // that vanished rolled ITSELF back — not ours to sweep.)
               scala.util.Try {
                 val st = fsw.getFileStatus(new Path(txnDir(root), s"t$i.json"))
-                sweepNow - st.getModificationTime >= staleClaimMs && {
-                  val ip = currentManifestAt(spark, root, i)
-                  !ip.forall { case (t, v) => mp.get(t).exists(_ >= v) }
-                }
+                sweepNow - st.getModificationTime >= staleClaimMs &&
+                  pinsAt.getOrElse(i, None).exists(ip =>
+                    !ip.forall { case (t, v) => mp.get(t).exists(_ >= v) })
               }.getOrElse(false)
             }
         }
@@ -309,19 +362,23 @@ object Txn {
     // A KEPT manifest that cannot be read was deleted under us by its
     // owner's post-rename rollback (the only process that deletes a young
     // manifest). Its pins are unknown, so no deletion is provably safe —
-    // abort this vacuum cleanly and let the caller retry; maintenance is
-    // periodic, promptness is not a correctness property.
-    val pinnedTry = scala.util.Try(
-      keep.flatMap(id => currentManifestAt(spark, root, id).toSeq).toSet)
-    if (pinnedTry.isFailure) return (Seq.empty, Seq.empty)
-    val pinned: Set[(String, Int)] = pinnedTry.get
+    // abort this vacuum cleanly (with a stderr note so repeated aborts are
+    // visible, not mistaken for "nothing to collect") and let the caller
+    // retry; maintenance is periodic, promptness is not a correctness
+    // property.
+    if (keep.exists(i => pinsAt.getOrElse(i, None).isEmpty)) {
+      System.err.println(s"[txn] vacuum aborted under $root: a kept manifest " +
+        "vanished mid-sweep (racing rollback) — nothing deleted, retry later")
+      return (Seq.empty, Seq.empty)
+    }
+    val pinned: Set[(String, Int)] =
+      keep.flatMap(i => pinsAt(i).get.toSeq).toSet
     // sweep tables named by DIVERGED manifests too: a table that only ever
     // appeared in a forked cut has no pin in any kept manifest, so its
     // snapshot versions would otherwise be invisible to the collector
     val tables = pinned.map(_._1) ++
       diverged.flatMap(i =>
-        scala.util.Try(currentManifestAt(spark, root, i)).toOption
-          .fold(Iterable.empty[String])(_.keys))
+        pinsAt.getOrElse(i, None).fold(Iterable.empty[String])(_.keys))
     // Age gate on version dirs, same threshold as claim markers: a LIVE
     // committer between writeTableSnapshot and its manifest rename has a
     // staged version no manifest pins yet — indistinguishable from a

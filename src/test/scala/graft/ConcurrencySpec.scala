@@ -271,6 +271,33 @@ class ConcurrencySpec extends SparkSpec {
       assert(Txn.read(spark, root, s"t$i").count() === i + 1)
   }
 
+  test("staged version swept mid-commit: commit re-stages and lands consistent") {
+    // A vacuum that presumed this committer crashed (stall past the age
+    // threshold) deletes its staged-but-unpinned snapshot between the
+    // manifest-id claim and the rename. The post-rename liveness re-check
+    // must catch the sweep, re-stage the table, and retry — returning
+    // success only for a fully-readable transaction, never one with
+    // dangling pins.
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k"))) // t1, a@v1
+    @volatile var fired = false
+    Txn.testStallAfterClaim = _ => if (!fired) {
+      fired = true
+      val vMax = Lake.versions(spark, root, "a").max
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(s"${Lake.tablePath(root, "a")}/version=v$vMax"))
+    }
+    try {
+      val (id, w) = Txn.commit(spark, root, Map("a" -> Seq(2, 3).toDF("k")))
+      assert(id >= 2, s"commit landed at t$id")
+      assert(Txn.read(spark, root, "a").count() === 2,
+        "committed content must be fully readable (re-staged after the sweep)")
+      assert(Lake.readTableFeed(spark, root, "a", Some(w("a"))).count() === 2)
+    } finally Txn.testStallAfterClaim = _ => ()
+  }
+
   test("chaos: racing commits with random stalls + concurrent vacuums keep every invariant") {
     // 4 writers x 4 commits over 3 shared tables, RANDOM stalls injected
     // between the manifest-id claim and the rename (inside the Busy-wait
@@ -292,9 +319,10 @@ class ConcurrencySpec extends SparkSpec {
       val writers = 4
       val results = race(writers + 1) { i =>
         if (i == writers) {
-          // keepManifests = 5: with 4 concurrent writers at most 3 newer
-          // manifests can land between a committer's list and read, so the
-          // manifest it resolves as max stays inside the retained window
+          // small retained window on purpose: an arbitrarily-preempted
+          // committer can resolve a manifest the vacuum thread deletes
+          // before the read — currentManifest must absorb that by
+          // re-listing, not crash the commit
           (0 until 8).foreach { _ =>
             Thread.sleep(25)
             Txn.vacuum(spark, root, keepManifests = 5)
