@@ -760,13 +760,18 @@ object Streams {
   }
 
   val streamTableChangesOracle: String =
+    // band sums stay DECIMAL inside the CTE and are added in decimal, with
+    // ONE cast to double at the end — casting each band to double first
+    // and adding in float arithmetic diverges from the engine's single
+    // decimal sum in the last ulp (bit-for-bit mismatch first observed at
+    // sf0.1: 450322487.1 vs ...09999996)
     """WITH b AS (
-      |  SELECT CAST(SUM(CASE WHEN o_orderkey <= 500 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1_500,
-      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s501_1000,
-      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) END) AS DOUBLE) AS d501_1000,
-      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 1001 AND 1200 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1001_1200,
-      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 201 AND 1200 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s201_1200,
-      |         CAST(SUM(CASE WHEN o_orderkey BETWEEN 201 AND 1400 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s201_1400,
+      |  SELECT SUM(CASE WHEN o_orderkey <= 500 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1_500,
+      |         SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s501_1000,
+      |         SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) END) AS d501_1000,
+      |         SUM(CASE WHEN o_orderkey BETWEEN 1001 AND 1200 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1001_1200,
+      |         SUM(CASE WHEN o_orderkey BETWEEN 201 AND 1200 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s201_1200,
+      |         SUM(CASE WHEN o_orderkey BETWEEN 201 AND 1400 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s201_1400,
       |         COUNT(CASE WHEN o_orderkey <= 1000 THEN 1 END) AS n1_1000,
       |         COUNT(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN 1 END) AS n501_1000,
       |         COUNT(CASE WHEN o_orderkey BETWEEN 1001 AND 1200 THEN 1 END) AS n1001_1200,
@@ -778,14 +783,14 @@ object Streams {
       |  FROM orders)
       |SELECT CAST(0 AS BIGINT) AS tick, n1_1000 AS inserted, CAST(0 AS BIGINT) AS updated,
       |       CAST(0 AS BIGINT) AS deleted, n1_1000 AS mirror_rows,
-      |       s1_500 + s501_1000 AS mirror_total FROM b
+      |       CAST(s1_500 + s501_1000 AS DOUBLE) AS mirror_total FROM b
       |UNION ALL
       |SELECT 1, n1001_1200, n501_1000, 0, n1_1200,
-      |       s1_500 + d501_1000 + s1001_1200 FROM b
+      |       CAST(s1_500 + d501_1000 + s1001_1200 AS DOUBLE) FROM b
       |UNION ALL
-      |SELECT 2, 0, n501_1000, n1_200, n201_1200, s201_1200 FROM b
+      |SELECT 2, 0, n501_1000, n1_200, n201_1200, CAST(s201_1200 AS DOUBLE) FROM b
       |UNION ALL
-      |SELECT 3, n1201_1400, 0, 0, n201_1400, s201_1400 FROM b""".stripMargin
+      |SELECT 3, n1201_1400, 0, 0, n201_1400, CAST(s201_1400 AS DOUBLE) FROM b""".stripMargin
 
   /** Streaming-maintained materialized view: micro-batches fold into the
     * registered summary through
