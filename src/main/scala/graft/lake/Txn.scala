@@ -67,15 +67,44 @@ object Txn {
         case Some(id) =>
           scala.util.Try(currentManifestAt(spark, root, id)) match {
             case scala.util.Success(pins) => return Some(id -> pins)
-            case scala.util.Failure(e) =>
+            // only the documented race retries — the max VANISHING between
+            // list and read (owner's rollback). Real corruption (truncated
+            // or hand-edited JSON) must fail fast, not spin 20 re-lists.
+            case scala.util.Failure(e: java.io.FileNotFoundException) =>
               attempts += 1
               if (attempts > 20) throw new IllegalStateException(
                 s"currentManifest: max manifest unreadable after $attempts re-lists", e)
               Thread.sleep(5L * attempts)
+            case scala.util.Failure(e) => throw e
           }
       }
     }
     None // unreachable
+  }
+
+  /** The newest manifest whose pins all RESOLVE to existing version dirs
+    * — the only safe base for a new commit. Pins for tables in
+    * `superseding` are exempt (the new commit replaces them anyway). A
+    * manifest with a dangling pin is a doomed cut: its owner stalled past
+    * the presumed-crash threshold and a vacuum swept its staged version;
+    * the owner's own liveness re-check rolls it forward (or vacuum's
+    * diverged sweep collects it), and carrying the dangling pin would
+    * chain the unreadable version into every descendant manifest. In the
+    * healthy steady state the max always resolves, so this is one read.
+    */
+  private def resolvableBase(
+      spark: SparkSession, root: String,
+      superseding: Set[String]): (Int, Map[String, Int]) = {
+    val f = fs(spark, txnDir(root))
+    manifestIds(spark, root).reverse.foreach { id =>
+      scala.util.Try(currentManifestAt(spark, root, id)).toOption.foreach { pins =>
+        val ok = pins.forall { case (t, v) =>
+          superseding(t) ||
+            f.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
+        if (ok) return id -> pins
+      }
+    }
+    0 -> Map.empty
   }
 
   /** Outcome of one manifest-claim attempt. */
@@ -152,9 +181,31 @@ object Txn {
     // consistency guarantee. Under a transactional root, [[vacuum]] is the
     // only collector — it retires exactly the versions no retained
     // manifest references.
-    var written: Map[String, Int] = writes.map { case (t, df) =>
-      t -> Lake.writeTableSnapshot(df, root, t, retentionVersions = Int.MaxValue)
+    // Every staged version dir carries this transaction's token
+    // (`_txn_token`, underscore-prefixed so readers ignore it). The
+    // post-rename liveness re-check compares CONTENT, not existence: a
+    // vacuum-swept slot that a racing committer re-claims with ITS OWN
+    // snapshot would pass a bare exists() and silently pin someone else's
+    // content — the token makes identity, not occupancy, the test.
+    val txnToken = java.util.UUID.randomUUID().toString
+    def versionDir(t: String, v: Int) =
+      new Path(s"${Lake.tablePath(root, t)}/version=v$v")
+    def stampToken(t: String, v: Int): Unit = scala.util.Try {
+      val f = fs(spark, txnDir(root))
+      val out = f.create(new Path(versionDir(t, v), "_txn_token"), true)
+      try out.write(txnToken.getBytes("UTF-8")) finally out.close()
     }
+    def tokenOk(t: String, v: Int): Boolean = scala.util.Try {
+      val f = fs(spark, txnDir(root))
+      val in = f.open(new Path(versionDir(t, v), "_txn_token"))
+      try new String(in.readAllBytes(), "UTF-8") == txnToken finally in.close()
+    }.getOrElse(false)
+    def stage(t: String): Int = {
+      val v = Lake.writeTableSnapshot(writes(t), root, t, retentionVersions = Int.MaxValue)
+      stampToken(t, v)
+      v
+    }
+    var written: Map[String, Int] = writes.keys.map(t => t -> stage(t)).toMap
     // Refresh the staged version dirs' mtimes so the vacuum age gate sees
     // them as YOUNG. A multi-table transaction can spend arbitrarily long
     // in the writes above (big Spark jobs), so the FIRST table's publish
@@ -168,8 +219,7 @@ object Txn {
       val f = fs(spark, txnDir(root))
       val now = System.currentTimeMillis()
       written.foreach { case (t, v) =>
-        scala.util.Try(
-          f.setTimes(new Path(s"${Lake.tablePath(root, t)}/version=v$v"), now, -1))
+        scala.util.Try(f.setTimes(versionDir(t, v), now, -1))
       }
     }
     var attempts = 0
@@ -178,7 +228,12 @@ object Txn {
     // ages into Lost); cap only the CAS-conflict retries.
     while (true) {
       touchStaged()
-      val (lastId, carried) = currentManifest(spark, root).getOrElse(0 -> Map.empty[String, Int])
+      // Base = the newest manifest whose carried pins all RESOLVE (pins
+      // for tables this transaction supersedes don't matter). A max
+      // manifest with a dangling pin — its owner's staged version swept
+      // while it stalled — is a doomed cut: building on it would chain
+      // the dangling pin into our own manifest forever.
+      val (lastId, carried) = resolvableBase(spark, root, writes.keySet)
       val pins = carried ++ written
       // max(): a racing winner advances lastId (re-read pins absorb its
       // writes); a BURNED id — claimed by a crashed committer, never
@@ -215,27 +270,41 @@ object Txn {
             // ITSELF back (its owner runs this same check) — ignore it
             scala.util.Try(currentManifestAt(spark, root, i)).toOption.exists { ipins =>
               if (i > candidate) !written.forall { case (t, v) => ipins.get(t).exists(_ >= v) }
-              else !ipins.forall { case (t, v) => pins.get(t).exists(_ >= v) }
+              else {
+                // A DANGLING pin of the interloper (version dir swept by
+                // vacuum while its owner stalled) is unreadable in any
+                // case: superseding it cannot lose data, and its owner's
+                // own liveness re-check rolls the transaction forward.
+                // Only resolvable pins we fail to dominate make us unsafe.
+                val f = fs(spark, txnDir(root))
+                !ipins.filter { case (t, v) => f.exists(versionDir(t, v)) }
+                  .forall { case (t, v) => pins.get(t).exists(_ >= v) }
+              }
             }
           }
           // Liveness re-checks before declaring success: if we stalled
           // past staleClaimMs anywhere in the critical section, a
           // concurrent vacuum may have presumed us crashed and swept our
           // freshly-renamed manifest (diverged sweep) or a staged version
-          // (orphan sweep). Success is returned only while our manifest
-          // AND every written version dir still exist; anything swept is
-          // re-staged and the CAS retried — a beyond-threshold stall
-          // degrades to a retry, never to a successful-but-invisible or
-          // dangling-pinned commit.
+          // (orphan sweep). Success requires our manifest to still exist,
+          // every written version dir to still carry OUR token (bare
+          // existence would accept a re-claimed slot holding another
+          // writer's content), and every CARRIED pin to still resolve (a
+          // dangling carried pin means we built on a cut that was being
+          // torn down under us). Swept writes are re-staged; a dangling
+          // carried base re-resolves on the next loop — a beyond-threshold
+          // stall degrades to a retry, never to a successful-but-invisible
+          // or dangling-pinned commit.
           val fck = fs(spark, txnDir(root))
           val selfAlive = fck.exists(new Path(txnDir(root), s"t$candidate.json"))
-          val swept = written.filter { case (t, v) =>
-            !fck.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
-          if (!unsafe && selfAlive && swept.isEmpty) return candidate -> written
+          val swept = written.filter { case (t, v) => !tokenOk(t, v) }
+          val carriedStale = (pins -- written.keys).exists { case (t, v) =>
+            !fck.exists(versionDir(t, v)) }
+          if (!unsafe && selfAlive && swept.isEmpty && !carriedStale)
+            return candidate -> written
           fs(spark, txnDir(root)).delete(new Path(txnDir(root), s"t$candidate.json"), false)
-          if (swept.nonEmpty) written = written ++ swept.map { case (t, _) =>
-            t -> Lake.writeTableSnapshot(writes(t), root, t, retentionVersions = Int.MaxValue)
-          }
+          if (swept.nonEmpty)
+            written = written ++ swept.keys.map(t => t -> stage(t))
           attempts += 1
           // Two racing committers whose manifests each miss the other's
           // pins both judge the other unsafe and both roll back — a

@@ -298,6 +298,34 @@ class ConcurrencySpec extends SparkSpec {
     } finally Txn.testStallAfterClaim = _ => ()
   }
 
+  test("swept slot re-claimed by ANOTHER writer: token identity forces re-stage") {
+    // Nastier variant: after the vacuum sweep, a racing writer re-claims
+    // the freed version slot with ITS OWN content. A bare existence check
+    // would see the dir back and return success pinning the interloper's
+    // rows — the per-transaction token in the staged dir makes identity,
+    // not occupancy, the test.
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k"))) // t1, a@v1
+    @volatile var fired = false
+    Txn.testStallAfterClaim = _ => if (!fired) {
+      fired = true
+      val vMax = Lake.versions(spark, root, "a").max // our staged snapshot
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(s"${Lake.tablePath(root, "a")}/version=v$vMax"))
+      val reclaimed = Lake.writeTableSnapshot(
+        Seq(97, 98, 99).toDF("k"), root, "a", retentionVersions = Int.MaxValue)
+      assert(reclaimed === vMax, "interloper must re-claim the freed slot")
+    }
+    try {
+      Txn.commit(spark, root, Map("a" -> Seq(2, 3).toDF("k")))
+      val rows = Txn.read(spark, root, "a").as[Int].collect().toSet
+      assert(rows === Set(2, 3),
+        s"final cut must pin OUR content, not the interloper's: $rows")
+    } finally Txn.testStallAfterClaim = _ => ()
+  }
+
   test("chaos: racing commits with random stalls + concurrent vacuums keep every invariant") {
     // 4 writers x 4 commits over 3 shared tables, RANDOM stalls injected
     // between the manifest-id claim and the rename (inside the Busy-wait

@@ -4,11 +4,19 @@
 Usage: python3 tools/merge_bench_baseline.py [BENCH_SELF.json ...]
 
 Each argument is a bench output file (the one-line JSON graft.Bench emits,
-possibly wrapped in sbt's `[info] ` prefix). Every successful per-query time
-that beats the current recorded best replaces it; new queries are added.
-Failed queries (-1.0) are ignored. Writes BENCH_BASELINE.json in place and
-prints a summary. Run this after a clean idle-box bench so the retry
-thresholds track the binary's true bests.
+possibly wrapped in sbt's `[info] ` prefix or followed by trailing sbt
+output). Every successful per-query time that beats the current recorded
+best replaces it; new queries are added. Failed queries (-1.0) are ignored.
+
+Guards (a poisoned baseline can never self-heal, the merge only lowers):
+- a run whose "sf" doesn't match the baseline's recorded sf is refused —
+  merging an sf0.01 smoke run would record ~10x-too-fast bests and make
+  every future full run retry everything;
+- a run covering less than 90% of the baseline's queries is refused
+  (SPARK_GRAFT_BENCH_ONLY subset runs are not representative).
+
+Writes BENCH_BASELINE.json in place and prints a summary. Run after a
+clean idle-box bench so the retry thresholds track the binary's bests.
 """
 import json
 import sys
@@ -19,16 +27,32 @@ BASELINE = Path(__file__).resolve().parent.parent / "BENCH_BASELINE.json"
 
 def load_run(path):
     text = Path(path).read_text()
-    return json.loads(text[text.index("{"):])["queries"]
+    start = text.find("{")
+    if start < 0:
+        raise SystemExit(f"{path}: no JSON object found (failed run?)")
+    obj, _ = json.JSONDecoder().raw_decode(text[start:])
+    return obj
 
 
 def main():
     runs = sys.argv[1:] or ["BENCH_SELF.json"]
     base = json.loads(BASELINE.read_text())
     queries = base["queries"]
+    base_sf = base.get("sf", "/root/testdata/sf0.1")
     updated = added = 0
-    for run in runs:
-        for name, secs in load_run(run).items():
+    for run_path in runs:
+        run = load_run(run_path)
+        run_sf = run.get("sf")
+        if run_sf != base_sf:
+            raise SystemExit(
+                f"{run_path}: sf mismatch ({run_sf!r} vs baseline {base_sf!r}) "
+                "— refusing to merge a different-scale run")
+        run_queries = run.get("queries", {})
+        if queries and len(run_queries) < 0.9 * len(queries):
+            raise SystemExit(
+                f"{run_path}: covers only {len(run_queries)}/{len(queries)} "
+                "queries — refusing to merge a subset run")
+        for name, secs in run_queries.items():
             if secs is None or secs < 0:
                 continue
             if name not in queries:
@@ -37,6 +61,7 @@ def main():
             elif secs < queries[name]:
                 queries[name] = round(secs, 4)
                 updated += 1
+    base["sf"] = base_sf
     base["queries"] = dict(sorted(queries.items()))
     BASELINE.write_text(json.dumps(base, indent=1) + "\n")
     total = sum(queries.values())
