@@ -67,10 +67,12 @@ object Txn {
         case Some(id) =>
           scala.util.Try(currentManifestAt(spark, root, id)) match {
             case scala.util.Success(pins) => return Some(id -> pins)
-            // only the documented race retries — the max VANISHING between
-            // list and read (owner's rollback). Real corruption (truncated
-            // or hand-edited JSON) must fail fast, not spin 20 re-lists.
-            case scala.util.Failure(e: java.io.FileNotFoundException) =>
+            // only IO-shaped failures retry — the max VANISHING between
+            // list and read (owner's rollback; FNFE locally, possibly
+            // another IOException flavor on HDFS/object stores). Real
+            // corruption (truncated or hand-edited JSON → parse errors,
+            // which are NOT IOExceptions) must fail fast, not spin.
+            case scala.util.Failure(e: java.io.IOException) =>
               attempts += 1
               if (attempts > 20) throw new IllegalStateException(
                 s"currentManifest: max manifest unreadable after $attempts re-lists", e)
@@ -97,11 +99,20 @@ object Txn {
       superseding: Set[String]): (Int, Map[String, Int]) = {
     val f = fs(spark, txnDir(root))
     manifestIds(spark, root).reverse.foreach { id =>
-      scala.util.Try(currentManifestAt(spark, root, id)).toOption.foreach { pins =>
-        val ok = pins.forall { case (t, v) =>
-          superseding(t) ||
-            f.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
-        if (ok) return id -> pins
+      // ONLY a vanished manifest (owner's rollback deleted it between
+      // list and read) may be skipped. A corrupt or otherwise-unreadable
+      // manifest must FAIL the commit loudly: silently superseding it
+      // would drop a possibly-successful transaction from the lineage
+      // and let a later vacuum collect its versions as diverged garbage.
+      scala.util.Try(currentManifestAt(spark, root, id)) match {
+        case scala.util.Success(pins) =>
+          val ok = pins.forall { case (t, v) =>
+            superseding(t) ||
+              f.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
+          if (ok) return id -> pins
+        case scala.util.Failure(_: java.io.FileNotFoundException) => // rolled back
+        case scala.util.Failure(e) => throw new IllegalStateException(
+          s"txn commit: manifest t$id unreadable (corrupt?) — refusing to build past it", e)
       }
     }
     0 -> Map.empty
@@ -190,15 +201,32 @@ object Txn {
     val txnToken = java.util.UUID.randomUUID().toString
     def versionDir(t: String, v: Int) =
       new Path(s"${Lake.tablePath(root, t)}/version=v$v")
-    def stampToken(t: String, v: Int): Unit = scala.util.Try {
+    // Stamp failures THROW: a silently-missing token would make every CAS
+    // win look swept and burn the 50-attempt budget on full re-stages
+    // before dying with a misleading "still conflicting" error. The
+    // dir-exists precheck keeps create() (which auto-creates parents)
+    // from resurrecting a concurrently-swept dir as an empty shell.
+    def stampToken(t: String, v: Int): Unit = {
       val f = fs(spark, txnDir(root))
+      if (!f.exists(versionDir(t, v))) throw new IllegalStateException(
+        s"txn commit: staged $t version=v$v vanished before token stamp")
       val out = f.create(new Path(versionDir(t, v), "_txn_token"), true)
       try out.write(txnToken.getBytes("UTF-8")) finally out.close()
     }
+    // Identity AND substance: the token content must match, and the dir
+    // must hold at least one data file — a swept dir resurrected by a
+    // racing parent-creating write (or holding only metadata) must read
+    // as swept, or commit() could return success pinning an empty,
+    // unreadable version.
     def tokenOk(t: String, v: Int): Boolean = scala.util.Try {
       val f = fs(spark, txnDir(root))
       val in = f.open(new Path(versionDir(t, v), "_txn_token"))
-      try new String(in.readAllBytes(), "UTF-8") == txnToken finally in.close()
+      val matches =
+        try new String(in.readAllBytes(), "UTF-8") == txnToken finally in.close()
+      matches && f.listStatus(versionDir(t, v)).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     }.getOrElse(false)
     def stage(t: String): Int = {
       val v = Lake.writeTableSnapshot(writes(t), root, t, retentionVersions = Int.MaxValue)
@@ -224,6 +252,13 @@ object Txn {
     }
     var attempts = 0
     var candidate = 0
+    // Base resolution is cached on the observed max id: the Busy spin
+    // re-loops every 25 ms for up to claimStaleMs, and re-parsing
+    // manifests + O(tables) exists() probes per spin is thousands of
+    // needless FS calls on an object store. Manifests are immutable, so
+    // the base only changes when the max id moves — or when our own
+    // rollback invalidates what we knew (cache cleared there).
+    var cachedBase: Option[(Int, (Int, Map[String, Int]))] = None
     // Busy-waits on a live claimant self-bound at claimStaleMs (the marker
     // ages into Lost); cap only the CAS-conflict retries.
     while (true) {
@@ -233,7 +268,14 @@ object Txn {
       // manifest with a dangling pin — its owner's staged version swept
       // while it stalled — is a doomed cut: building on it would chain
       // the dangling pin into our own manifest forever.
-      val (lastId, carried) = resolvableBase(spark, root, writes.keySet)
+      val curMax = manifestIds(spark, root).lastOption.getOrElse(0)
+      val (lastId, carried) = cachedBase match {
+        case Some((m, base)) if m == curMax => base
+        case _ =>
+          val base = resolvableBase(spark, root, writes.keySet)
+          cachedBase = Some(curMax -> base)
+          base
+      }
       val pins = carried ++ written
       // max(): a racing winner advances lastId (re-read pins absorb its
       // writes); a BURNED id — claimed by a crashed committer, never
@@ -266,9 +308,17 @@ object Txn {
           val interlopers = manifestIds(spark, root)
             .filter(i => i > lastId && i != candidate)
           val unsafe = interlopers.exists { i =>
-            // an interloper that vanished between list and read rolled
-            // ITSELF back (its owner runs this same check) — ignore it
-            scala.util.Try(currentManifestAt(spark, root, i)).toOption.exists { ipins =>
+            // an interloper that VANISHED between list and read rolled
+            // ITSELF back (its owner runs this same check) — ignore it.
+            // Any other read failure is corruption: fail loudly rather
+            // than silently supersede a possibly-successful transaction.
+            val read = scala.util.Try(currentManifestAt(spark, root, i))
+            read.failed.foreach {
+              case _: java.io.FileNotFoundException => ()
+              case e => throw new IllegalStateException(
+                s"txn commit: interloper manifest t$i unreadable (corrupt?)", e)
+            }
+            read.toOption.exists { ipins =>
               if (i > candidate) !written.forall { case (t, v) => ipins.get(t).exists(_ >= v) }
               else {
                 // A DANGLING pin of the interloper (version dir swept by
@@ -305,6 +355,9 @@ object Txn {
           fs(spark, txnDir(root)).delete(new Path(txnDir(root), s"t$candidate.json"), false)
           if (swept.nonEmpty)
             written = written ++ swept.keys.map(t => t -> stage(t))
+          // what we knew about the base may be why we failed (e.g. a
+          // carried pin went dangling under an unchanged max) — re-resolve
+          cachedBase = None
           attempts += 1
           // Two racing committers whose manifests each miss the other's
           // pins both judge the other unsafe and both roll back — a

@@ -39,14 +39,20 @@ def main():
     base = json.loads(BASELINE.read_text())
     queries = base["queries"]
     base_sf = base.get("sf", "/root/testdata/sf0.1")
+    # compare the SCALE token (path basename, e.g. "sf0.1"), not the
+    # absolute path — the same-scale data mounted elsewhere is a valid
+    # merge source; a missing "sf" in the run is still refused (unknown
+    # scale could poison the baseline irreversibly)
+    base_scale = Path(base_sf).name
     updated = added = 0
     for run_path in runs:
         run = load_run(run_path)
         run_sf = run.get("sf")
-        if run_sf != base_sf:
+        run_scale = Path(run_sf).name if run_sf else None
+        if run_scale != base_scale:
             raise SystemExit(
-                f"{run_path}: sf mismatch ({run_sf!r} vs baseline {base_sf!r}) "
-                "— refusing to merge a different-scale run")
+                f"{run_path}: scale mismatch ({run_scale!r} vs baseline "
+                f"{base_scale!r}) — refusing to merge a different-scale run")
         run_queries = run.get("queries", {})
         if queries and len(run_queries) < 0.9 * len(queries):
             raise SystemExit(
