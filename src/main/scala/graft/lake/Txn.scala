@@ -70,8 +70,14 @@ object Txn {
             // only IO-shaped failures retry — the max VANISHING between
             // list and read (owner's rollback; FNFE locally, possibly
             // another IOException flavor on HDFS/object stores). Real
-            // corruption (truncated or hand-edited JSON → parse errors,
-            // which are NOT IOExceptions) must fail fast, not spin.
+            // corruption must fail fast, not spin: Jackson's parse errors
+            // EXTEND IOException, and on the checksummed local FS
+            // out-of-band corruption surfaces as ChecksumException before
+            // the parser even runs — both are matched first.
+            case scala.util.Failure(e: com.fasterxml.jackson.core.JsonProcessingException) =>
+              throw e
+            case scala.util.Failure(e: org.apache.hadoop.fs.ChecksumException) =>
+              throw e
             case scala.util.Failure(e: java.io.IOException) =>
               attempts += 1
               if (attempts > 20) throw new IllegalStateException(

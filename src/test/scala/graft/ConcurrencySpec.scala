@@ -326,6 +326,26 @@ class ConcurrencySpec extends SparkSpec {
     } finally Txn.testStallAfterClaim = _ => ()
   }
 
+  test("corrupt manifest fails fast everywhere — never silently superseded") {
+    // A truncated manifest is CORRUPTION, not the vanished-file rollback
+    // race: readers must throw promptly (no 20-retry spin — Jackson parse
+    // errors extend IOException and must not match the IO-retry), and a
+    // new commit must refuse to build past it — silently superseding a
+    // possibly-successful transaction would let vacuum later collect its
+    // versions as diverged garbage.
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k")))
+    Files.write(java.nio.file.Paths.get(root, "_txn", "t1.json"),
+      "{\"tab".getBytes("UTF-8")) // truncated mid-token
+    val t0 = System.nanoTime()
+    intercept[Exception] { Txn.currentManifest(spark, root) }
+    assert((System.nanoTime() - t0) / 1e9 < 0.5,
+      "corrupt manifest must fail fast, not spin the IO-retry loop")
+    intercept[IllegalStateException] {
+      Txn.commit(spark, root, Map("a" -> Seq(2).toDF("k")))
+    }
+  }
+
   test("chaos: racing commits with random stalls + concurrent vacuums keep every invariant") {
     // 4 writers x 4 commits over 3 shared tables, RANDOM stalls injected
     // between the manifest-id claim and the rename (inside the Busy-wait
