@@ -326,6 +326,50 @@ class ConcurrencySpec extends SparkSpec {
     } finally Txn.testStallAfterClaim = _ => ()
   }
 
+  test("chaos under AGGRESSIVE staleness: presumed-crash sweeps still lose nothing") {
+    // The harsher regime: stalls (up to 500 ms) routinely EXCEED
+    // staleClaimMs (150 ms), so racing committers and the vacuum thread
+    // genuinely presume live peers crashed — claim markers are stepped
+    // past, staged versions swept, diverged manifests collected — while
+    // everyone is actually alive. The round-8 machinery (token identity,
+    // carried-pin re-check, resolvable base, re-stage/roll-forward) must
+    // still deliver the absolute invariants: every commit() that RETURNED
+    // is fully readable in the final cut per the fold order, and nothing
+    // dangles. Seeded; 3 writers × 3 commits over 2 shared tables.
+    val root = scratch()
+    val rnd = new scala.util.Random(0xBEEF)
+    val stalls = Array.fill(64)(if (rnd.nextInt(2) == 0) rnd.nextInt(500) else 0)
+    Txn.testStallAfterClaim = id => Thread.sleep(stalls(math.abs(id) % 64).toLong)
+    try {
+      val writers = 3
+      val results = race(writers + 1) { i =>
+        if (i == writers) {
+          (0 until 10).foreach { _ =>
+            Thread.sleep(60)
+            Txn.vacuum(spark, root, keepManifests = 4, staleClaimMs = 150)
+          }
+          Seq.empty[(Int, Map[String, Int])]
+        } else (0 until 3).map { j =>
+          Txn.commit(spark, root,
+            Map(s"t${(i + j) % 2}" -> Seq(i * 10 + j).toDF("k")),
+            claimStaleMs = 150)
+        }
+      }
+      val commits = results.flatMap(_.get)
+      val ids = commits.map(_._1)
+      assert(ids.distinct.size === ids.size, s"duplicate txn ids: ${ids.sorted}")
+      val expected = commits.sortBy(_._1).foldLeft(Map.empty[String, Int]) {
+        case (acc, (_, w)) => acc ++ w
+      }
+      val (lastId, pins) = Txn.currentManifest(spark, root).get
+      assert(lastId === ids.max)
+      assert(pins === expected,
+        s"final cut diverges from the committed writes: $pins vs $expected")
+      for (t <- pins.keys)
+        assert(Txn.read(spark, root, t).count() === 1, s"final read of $t failed")
+    } finally Txn.testStallAfterClaim = _ => ()
+  }
+
   test("corrupt manifest fails fast everywhere — never silently superseded") {
     // A truncated manifest is CORRUPTION, not the vanished-file rollback
     // race: readers must throw promptly (no 20-retry spin — Jackson parse
