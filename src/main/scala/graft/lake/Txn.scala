@@ -39,6 +39,25 @@ object Txn {
 
   private def txnDir(root: String) = new Path(s"$root/_txn")
 
+  /** Marker file written inside a staged version dir when directory
+    * setTimes is not honored (object stores) — its mtime stands in for the
+    * dir's in the vacuum age gate. Underscore-prefixed: invisible to
+    * parquet readers and to tokenOk's data-file check.
+    */
+  private val heartbeatName = "_txn_heartbeat"
+
+  /** Effective age basis of a version dir for the presumed-crash gate:
+    * the newer of the dir's own mtime and its heartbeat marker's (if any).
+    */
+  private def versionDirMtime(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
+    val own = f.getFileStatus(dir).getModificationTime
+    val hb = scala.util.Try(
+      f.getFileStatus(new Path(dir, heartbeatName)).getModificationTime
+    ).getOrElse(0L)
+    math.max(own, hb)
+  }
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -99,11 +118,19 @@ object Txn {
     * diverged sweep collects it), and carrying the dangling pin would
     * chain the unreadable version into every descendant manifest. In the
     * healthy steady state the max always resolves, so this is one read.
+    *
+    * Also returns the ids SKIPPED for dangling pins (all above the
+    * returned base): the commit loop age-gates and rolls those back —
+    * without that, a torn max whose owner crashed between rename and its
+    * post-rename rollback wedges every commit that does not supersede the
+    * torn manifest's surviving tables (the interloper domination check
+    * keeps judging it unsafe, to the attempts cap).
     */
   private def resolvableBase(
       spark: SparkSession, root: String,
-      superseding: Set[String]): (Int, Map[String, Int]) = {
+      superseding: Set[String]): (Int, Map[String, Int], Seq[Int]) = {
     val f = fs(spark, txnDir(root))
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[Int]
     manifestIds(spark, root).reverse.foreach { id =>
       // ONLY a vanished manifest (owner's rollback deleted it between
       // list and read) may be skipped. A corrupt or otherwise-unreadable
@@ -115,13 +142,14 @@ object Txn {
           val ok = pins.forall { case (t, v) =>
             superseding(t) ||
               f.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
-          if (ok) return id -> pins
+          if (ok) return (id, pins, skipped.toSeq)
+          else skipped += id
         case scala.util.Failure(_: java.io.FileNotFoundException) => // rolled back
         case scala.util.Failure(e) => throw new IllegalStateException(
           s"txn commit: manifest t$id unreadable (corrupt?) — refusing to build past it", e)
       }
     }
-    0 -> Map.empty
+    (0, Map.empty, skipped.toSeq)
   }
 
   /** Outcome of one manifest-claim attempt. */
@@ -249,11 +277,36 @@ object Txn {
     // can presume these dirs crashed is a single > staleClaimMs stall
     // inside the tiny touch→rename critical section — the same presumed-
     // crash threshold every other part of the protocol already accepts.
+    // setTimes on a DIRECTORY is a silent no-op on object stores and some
+    // HDFS configs: the vacuum age gate would then see long-staging live
+    // dirs as old and sweep them — safe (the token check catches it) but
+    // it burns the attempts budget on full re-stages with no diagnostic.
+    // So verify the mtime actually moved; if not, write a `_txn_heartbeat`
+    // marker INSIDE the dir (file mtimes are reliable everywhere; vacuum's
+    // age gate reads it as the dir's effective age) and warn once so
+    // operators can see the gate is running on the fallback.
+    var touchWarned = false
     def touchStaged(): Unit = {
       val f = fs(spark, txnDir(root))
       val now = System.currentTimeMillis()
       written.foreach { case (t, v) =>
-        scala.util.Try(f.setTimes(versionDir(t, v), now, -1))
+        val dir = versionDir(t, v)
+        val honored = scala.util.Try {
+          f.setTimes(dir, now, -1)
+          f.getFileStatus(dir).getModificationTime >= now - 5000L
+        }.getOrElse(false)
+        if (!honored) {
+          scala.util.Try {
+            val out = f.create(new Path(dir, heartbeatName), true)
+            try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+          }
+          if (!touchWarned) {
+            touchWarned = true
+            System.err.println(s"[txn] directory setTimes not honored under " +
+              s"$root — staged-dir mtimes are stale on this filesystem; " +
+              s"falling back to $heartbeatName markers for the vacuum age gate")
+          }
+        }
       }
     }
     var attempts = 0
@@ -278,7 +331,31 @@ object Txn {
       val (lastId, carried) = cachedBase match {
         case Some((m, base)) if m == curMax => base
         case _ =>
-          val base = resolvableBase(spark, root, writes.keySet)
+          val (id, pins0, torn) = resolvableBase(spark, root, writes.keySet)
+          // SELF-HEAL (round 9): a manifest skipped for dangling pins is a
+          // torn cut whose owner either (a) is about to fail its own
+          // post-rename verification and roll back, or (b) crashed between
+          // rename and that rollback. Case (b) would wedge this commit
+          // forever: the torn manifest's SURVIVING pins that we neither
+          // carry nor supersede keep tripping the interloper domination
+          // check below. Finish the crashed owner's rollback here, gated
+          // at the same presumed-crash age every other part of the
+          // protocol uses (a younger torn manifest is case (a) — its
+          // owner is alive in the documented rollback window; leave it,
+          // this attempt degrades to a bounded retry). A slow-not-dead
+          // owner whose manifest we delete past the threshold fails its
+          // selfAlive re-check and retries — a retry, never a lost commit.
+          val fh = fs(spark, txnDir(root))
+          torn.foreach { i =>
+            val p = new Path(txnDir(root), s"t$i.json")
+            val stale = scala.util.Try(
+              System.currentTimeMillis() - fh.getFileStatus(p).getModificationTime
+            ).toOption.exists(_ >= claimStaleMs)
+            if (stale && fh.delete(p, false))
+              System.err.println(s"[txn] rolled back torn manifest t$i under " +
+                s"$root (dangling pins, owner presumed crashed)")
+          }
+          val base = id -> pins0
           cachedBase = Some(curMax -> base)
           base
       }
@@ -485,8 +562,28 @@ object Txn {
         }
       case None => Seq.empty
     }
-    val keep = keep0.filterNot(diverged.contains)
-    val dropManifests = ids.dropRight(keepManifests) ++ diverged
+    // TORN max (round 9): the diverged test above never examines the max
+    // itself, but a committer that crashed between its rename and its
+    // post-rename rollback can leave the MAX manifest with a dangling pin
+    // (its staged version was swept while it stalled past the threshold).
+    // That cut is unreadable and wedges every later commit that does not
+    // supersede its surviving tables — collect it like a diverged
+    // manifest, age-gated at the same presumed-crash threshold (a young
+    // torn max belongs to an owner still inside its own rollback window;
+    // commit()'s selfAlive re-check makes a late sweep a retry, not a
+    // loss). Its surviving versions become unpinned and age out below.
+    val tornMax: Seq[Int] = ids.lastOption.toSeq.filter { m =>
+      pinsAt.getOrElse(m, None).exists { mp =>
+        scala.util.Try {
+          val st = fsw.getFileStatus(new Path(txnDir(root), s"t$m.json"))
+          sweepNow - st.getModificationTime >= staleClaimMs &&
+            mp.exists { case (t, v) =>
+              !fsw.exists(new Path(s"${Lake.tablePath(root, t)}/version=v$v")) }
+        }.getOrElse(false)
+      }
+    }
+    val keep = keep0.filterNot(i => diverged.contains(i) || tornMax.contains(i))
+    val dropManifests = ids.dropRight(keepManifests) ++ diverged ++ tornMax
     // A KEPT manifest that cannot be read was deleted under us by its
     // owner's post-rename rollback (the only process that deletes a young
     // manifest). Its pins are unknown, so no deletion is provably safe —
@@ -505,7 +602,7 @@ object Txn {
     // appeared in a forked cut has no pin in any kept manifest, so its
     // snapshot versions would otherwise be invisible to the collector
     val tables = pinned.map(_._1) ++
-      diverged.flatMap(i =>
+      (diverged ++ tornMax).flatMap(i =>
         pinsAt.getOrElse(i, None).fold(Iterable.empty[String])(_.keys))
     // Age gate on version dirs, same threshold as claim markers: a LIVE
     // committer between writeTableSnapshot and its manifest rename has a
@@ -519,9 +616,8 @@ object Txn {
         .filterNot(v => pinned.contains(t -> v))
         .filter { v =>
           scala.util.Try {
-            val st = fsw.getFileStatus(
-              new Path(s"${Lake.tablePath(root, t)}/version=v$v"))
-            sweepNow - st.getModificationTime >= staleClaimMs
+            val dir = new Path(s"${Lake.tablePath(root, t)}/version=v$v")
+            sweepNow - versionDirMtime(fsw, dir) >= staleClaimMs
           }.getOrElse(false)
         }
         .map(t -> _)

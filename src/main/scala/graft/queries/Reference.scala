@@ -22,8 +22,10 @@ import Q._
   * projection in b7) are left UNHINTED so AQE broadcasts them while they
   * fit and degrades to a shuffle join at cluster scale — an explicit hint
   * is honored all the way to the 8 GB broadcast cap and then kills the
-  * query (SCALE.md §Joins). part (200k×sf, 3 slim columns) keeps its hint:
-  * ~1.6 GB at sf100, re-evaluate only beyond that. Aggregations run as
+  * query (SCALE.md §Joins). part (200k×sf) is corpus-scaling too — its
+  * slim projections clear the 8 GB cap only up to ~sf300, far short of
+  * the 100 TB (~sf100k) target — so b7/b8's part joins are likewise
+  * AQE-chosen (round 9; broadcast at every tested sf). Aggregations run as
   * partial (map-side) + final — Spark's HashAggregate pair — so shuffled
   * bytes are proportional to group cardinality, not input rows.
   */
@@ -208,21 +210,21 @@ object Reference {
       |FROM orders GROUP BY 1""".stripMargin
 
   /** B7 — product purchase counts with exact COUNT(DISTINCT)
-    * (sync_to_mysql.py:74-83). part (a true dimension, |part| ≈ 200k×sf
-    * rows of 3 slim columns) is explicitly broadcast; the orders side is
-    * deliberately left UNHINTED. orders is fact-sized (1.5M×sf rows), so a
-    * forced broadcast() would be honored by Spark right up to the 8 GB
-    * broadcast cap / driver OOM (an explicit hint never falls back) — a
-    * scale-killer past sf≈30. Unhinted, AQE picks broadcast at small sf
-    * (the 2-column projection is tiny) and degrades to a shuffle join on
-    * l_orderkey at cluster scale. COUNT(DISTINCT) expands via Spark's
-    * Expand (2 passes) either way.
+    * (sync_to_mysql.py:74-83). BOTH joins are deliberately UNHINTED
+    * (round 9): orders is fact-sized (1.5M×sf), and part (200k×sf) clears
+    * the 8 GB broadcast cap only to ~sf300 — a forced broadcast() on
+    * either is honored right up to the cap / driver OOM (an explicit hint
+    * never falls back). Unhinted, AQE picks broadcast at small sf (both
+    * projections are tiny) and degrades each join independently to a
+    * shuffle at the scale where it stops fitting (the fallback is PROVEN
+    * working for the orders side at sf1, SCALE.md). COUNT(DISTINCT)
+    * expands via Spark's Expand (2 passes) either way.
     */
   def b7ProductCounts(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_extendedprice")
     val p = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(
         p("p_partkey").as("product_id"),
@@ -247,12 +249,14 @@ object Reference {
       |GROUP BY 1, 2, 3""".stripMargin
 
   /** B8 — FK dimension-lookup join (sync_to_mysql.py:146-152): inner
-    * equi-join against a small broadcast dimension.
+    * equi-join against a dimension small enough that AQE broadcasts it at
+    * every tested sf; unhinted so it shuffle-degrades past the cap
+    * (part scales with the corpus — SCALE.md §Joins).
     */
   def b8DimLookup(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("p_name"), col("p_brand"), col("l_extendedprice"))
@@ -268,7 +272,7 @@ object Reference {
   def b8Orphans(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d).select("p_partkey")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_anti")
+    li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")
       .select(col("l_orderkey"), col("l_partkey"))
   }
 

@@ -753,11 +753,16 @@ object Relational {
       s.conf.set(key, math.max(1000000L, n * 100L).toString)
       try {
         // Eager localCheckpoint: executes the recursion while the scaled
-        // limit is active AND severs the lineage, so no later
-        // recomputation (executor loss, re-executed plan) can re-run the
-        // recursion under the restored low limit and fail long after this
-        // returned. The checkpoint blocks are the result's only backing
-        // store — no separate persist to leak.
+        // limit is active AND severs the lineage, so a re-executed plan
+        // cannot re-run the recursion under the restored low limit and
+        // fail long after this returned. Trade-offs taken knowingly: the
+        // checkpoint blocks are NOT replicated, so on a real cluster an
+        // executor loss makes downstream reads FAIL outright (severed
+        // lineage cannot recompute) — fine in this single-JVM deployment,
+        // but a cluster caller with a configured checkpoint dir should
+        // use reliable checkpoint() instead; and the blocks live for the
+        // app lifetime (the persist didn't disappear, it moved into the
+        // checkpoint), bounded here by the walk's own output size.
         recursiveCteQuery(s, d).localCheckpoint(eager = true)
       } finally prior match {
         case Some(v) => s.conf.set(key, v)

@@ -18,9 +18,21 @@ import graft.Tables
   * top-10 is engine-deterministic including ties.
   *
   * Scale shape: Q1 is one partial-agg'd scan with the date filter pushed
-  * to parquet; Q3/Q5 broadcast every dimension (customer/nation/region —
-  * the fact side never shuffles for those joins) and aggregate with
-  * map-side partials; Q3's top-10 compiles to TakeOrderedAndProject.
+  * to parquet; aggregations carry map-side partials; Q3's top-10 compiles
+  * to TakeOrderedAndProject.
+  *
+  * Broadcast-hint policy (growth classes, SCALE.md §Joins): explicit
+  * `broadcast()` appears ONLY on sides whose size is bounded by the data
+  * model forever — nation (25 rows), region (5), and 1-row scalar
+  * aggregates (q11 total, q15 max, q22 average). Everything that scales
+  * with the corpus — customer, supplier, part, and any per-part /
+  * per-supplier aggregate — is deliberately UNHINTED: AQE broadcasts it
+  * while it fits `autoBroadcastJoinThreshold` (so the sf0.1 plan is
+  * unchanged) and degrades to a shuffle join at cluster scale. An
+  * explicit hint never falls back — Spark honors it up to the 8 GB
+  * broadcast cap and then the query dies — so hinting a scaling input is
+  * a scale-killer, not an optimization. Per-query hint counts are pinned
+  * by graft.Plans (PLANS.md).
   */
 object Tpch {
 
@@ -63,7 +75,7 @@ object Tpch {
     val cust = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -106,7 +118,7 @@ object Tpch {
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey") &&
         col("s_nationkey") === col("c_nationkey"))
@@ -139,8 +151,8 @@ object Tpch {
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -216,10 +228,12 @@ object Tpch {
       |  GROUP BY 1)
       |GROUP BY 1""".stripMargin
 
-  /** Q14: promo-revenue share for one ship-month. Part is broadcast (the
-    * fact side never shuffles); both the promo and total revenue are exact
-    * decimal sums, and the percentage is ONE double division of two exact
-    * values — identical in any engine.
+  /** Q14: promo-revenue share for one ship-month. The part join is
+    * unhinted — AQE broadcasts the slim 2-column projection while it fits
+    * and degrades to shuffle past the threshold (part scales with the
+    * corpus). Both the promo and total revenue are exact decimal sums,
+    * and the percentage is ONE double division of two exact values —
+    * identical in any engine.
     */
   def q14(s: SparkSession, d: String): DataFrame = {
     val term = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
@@ -227,7 +241,7 @@ object Tpch {
       .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", term).otherwise(lit(0).cast("decimal(12,2)")))
@@ -265,11 +279,11 @@ object Tpch {
       .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
       .select(col("p_partkey"))
     val li = Tables.lineitem(s, d)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
-    li.join(broadcast(stats), col("l_partkey") === col("sp_partkey"))
+    li.join(stats, col("l_partkey") === col("sp_partkey"))
       .filter(lit(5.0) * col("l_quantity") * col("cnt_qty") < col("sum_qty"))
       .agg(
         (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
@@ -294,7 +308,8 @@ object Tpch {
     * semi-join. The big-order set (sum qty > 300) is a partial-agg'd
     * aggregate that shrinks 600k lineitems to ~50 orderkeys BEFORE any
     * join; orders joins that tiny side (AQE broadcasts it at runtime) and
-    * customer is broadcast by hint. Top-20 has a total order
+    * the customer join is likewise AQE-chosen (customer scales with the
+    * corpus — unhinted, broadcast-while-fits). Top-20 has a total order
     * (o_totalprice DESC, o_orderkey) so the LIMIT is deterministic.
     */
   def q18(s: SparkSession, d: String): DataFrame = {
@@ -305,7 +320,7 @@ object Tpch {
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_name"))),
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -383,8 +398,9 @@ object Tpch {
     * grouped aggregate joined back by (part, exact max value). The
     * part/supplier relation (TPC-H's partsupp) is derived as the DISTINCT
     * (l_partkey, l_suppkey) pairs of the fact table, SHRUNK before the
-    * distinct by broadcasting the filtered part dim into the fact scan, so
-    * the dedup shuffle carries only the ~3% of pairs that can qualify.
+    * distinct by joining the filtered part dim into the fact scan first
+    * (AQE broadcasts it while it fits), so the dedup shuffle carries only
+    * the ~3% of pairs that can qualify.
     * Output keeps ALL tying suppliers (no arbitrary pick) and the LIMIT
     * has a total order, so the result is engine-deterministic.
     */
@@ -400,12 +416,12 @@ object Tpch {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val cand = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(esup), col("l_suppkey") === col("s_suppkey"))
+      .join(esup, col("l_suppkey") === col("s_suppkey"))
     val mx = cand.groupBy(col("p_partkey").as("m_partkey"))
       .agg(max(col("s_acctbal")).as("max_bal"))
-    cand.join(broadcast(mx),
+    cand.join(mx,
         col("p_partkey") === col("m_partkey") && col("s_acctbal") === col("max_bal"))
       .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
         col("s_acctbal"), col("n_name"))
@@ -455,11 +471,11 @@ object Tpch {
       |GROUP BY 1""".stripMargin
 
   /** Q7: volume shipping between two nations, by direction and ship year.
-    * Both nation dims are pre-filtered to the two trading nations and
-    * broadcast into their fact sides (supplier side onto lineitem,
-    * customer side onto orders), so the only shuffle is the final
-    * orderkey join — which AQE shrinks further because both inputs are
-    * already nation-filtered.
+    * The nation dim (bounded, 2 rows after the filter) is broadcast by
+    * hint into supplier and customer; the resulting supN/custN sides are
+    * nation-FILTERED but still corpus-scaling, so their fact joins are
+    * unhinted — AQE broadcasts them while they fit and the final orderkey
+    * join shrinks because both inputs are already nation-filtered.
     */
   def q7(s: SparkSession, d: String): DataFrame = {
     val nat = Tables.nation(s, d)
@@ -472,14 +488,14 @@ object Tpch {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("cust_nation"))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey") &&
         ((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")))
@@ -523,16 +539,16 @@ object Tpch {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
     val supN = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(
@@ -577,11 +593,11 @@ object Tpch {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
+      .join(Tables.part(s, d)
         .filter(col("p_name").contains("widget"))
-        .select(col("p_partkey"), col("p_retailprice"))),
+        .select(col("p_partkey"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
@@ -617,7 +633,7 @@ object Tpch {
       .select(col("s_suppkey"))
     val perPart = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sval"))
     val tot = perPart.agg(sum(col("sval")).as("tot"))
@@ -670,7 +686,9 @@ object Tpch {
     * max is taken over the DECIMAL revenue (not its double projection) and
     * compared decimal-to-decimal, so "equals the max" is engine-exact;
     * ties all survive, making the result deterministic without arbitrary
-    * picks. The max is one broadcast row; supplier is a broadcast dim.
+    * picks. The max is one broadcast row (bounded forever, hinted); the
+    * supplier join is unhinted — AQE broadcasts the 2-column projection
+    * while it fits (supplier scales with the corpus).
     */
   def q15(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
@@ -682,7 +700,7 @@ object Tpch {
     val mx = rev.agg(max(col("total_rev")).as("max_rev"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("max_rev"))
-      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
@@ -703,9 +721,11 @@ object Tpch {
   /** Q16: supplier count by part attributes — the part/supplier relation
     * derived from the fact table, suppliers with negative balances
     * excluded (the driver schema's stand-in for the complaints filter) via
-    * a broadcast ANTI join, then COUNT(DISTINCT) per attribute triple.
-    * The filtered part dim is broadcast so the fact side never shuffles
-    * before the distinct-count's own exchange.
+    * an ANTI join, then COUNT(DISTINCT) per attribute triple. Both the
+    * filtered part dim and the bad-supplier set scale with the corpus, so
+    * both joins are unhinted — AQE broadcasts them while they fit, and at
+    * that size the fact side still never shuffles before the
+    * distinct-count's own exchange.
     */
   def q16(s: SparkSession, d: String): DataFrame = {
     val parts = Tables.part(s, d)
@@ -715,8 +735,8 @@ object Tpch {
     val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -747,8 +767,8 @@ object Tpch {
     Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      .join(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
         col("l_partkey") === col("p_partkey") && (arm1 || arm2 || arm3))
       .agg(revenue.cast("double").as("revenue"), count(lit(1)).as("n_lines"))
   }
@@ -774,13 +794,13 @@ object Tpch {
     val pq = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "SMALL")
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d).filter(col("p_type") === "SMALL")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("sq"))
     val tot = pq.groupBy(col("l_partkey").as("t_partkey"))
       .agg(sum(col("sq")).as("tq"))
-    val dominant = pq.join(broadcast(tot), col("l_partkey") === col("t_partkey"))
+    val dominant = pq.join(tot, col("l_partkey") === col("t_partkey"))
       .filter(lit(2.0) * col("sq") > col("tq"))
       .select(col("l_suppkey")).distinct()
     Tables.supplier(s, d)
@@ -788,7 +808,7 @@ object Tpch {
         .filter(col("n_name").isin("NATION_7", "NATION_8", "NATION_9"))
         .select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
   }
 
@@ -832,7 +852,7 @@ object Tpch {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
     lateLines
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey")),
         col("o2_orderkey") === col("l_orderkey") && col("o2_suppkey") =!= col("l_suppkey"),
         "left_semi")

@@ -329,16 +329,21 @@ object Streams {
     * micro-batch — no watermark and no join state (only stream-stream
     * joins buffer rows; the static side is re-planned per batch, so dim
     * updates are picked up at the next trigger). This is the "attach user
-    * attributes to the clickstream" shape: at 100 TB/day the broadcast dim
-    * means the stream never shuffles for the join, and the per-key
-    * aggregate state stays bounded by the dim's cardinality.
+    * attributes to the clickstream" shape. The dim join is UNHINTED:
+    * customer scales with the corpus, and stream-static joins re-plan
+    * per micro-batch, so the size-based broadcast choice is made fresh
+    * each trigger — the batch never shuffles while the slim 2-column
+    * projection fits `autoBroadcastJoinThreshold`, and degrades to a
+    * shuffle join (never an 8 GB-cap failure) when the dim outgrows it.
+    * The per-key aggregate state stays bounded by the dim's segment
+    * cardinality either way.
     */
   def streamEnrich(s: SparkSession, d: String): DataFrame = {
     val dim = graft.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"))
     drain(
       eventsStream(s, d)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("events"), Q.moneySum(col("value")).as("total")),
       OutputMode.Complete())

@@ -454,4 +454,99 @@ class ConcurrencySpec extends SparkSpec {
         assert(Txn.read(spark, root, t).count() === 1, s"final read of $t failed")
     } finally Txn.testStallAfterClaim = _ => ()
   }
+
+  /** Build the torn-max wedge: a multi-table committer's manifest becomes
+    * max with one pin's version dir swept (dangling) and the other
+    * surviving, and the owner crashes before its post-rename rollback.
+    * Returns (root, torn manifest id, surviving pins of the torn cut).
+    */
+  private def tornMaxWedge(): (String, Int, Map[String, Int]) = {
+    val root = scratch()
+    Txn.commit(spark, root, Map(
+      "a" -> Seq(1).toDF("k"), "b" -> Seq(1).toDF("k")))          // t1: a1, b1
+    val (id2, w2) = Txn.commit(spark, root, Map(
+      "a" -> Seq(1, 2).toDF("k"), "b" -> Seq(1, 2).toDF("k")))    // t2: a2, b2
+    // the sweep that hit the stalled owner: a's staged version is gone,
+    // b's survives; the owner dies before its selfAlive/tokenOk re-check
+    // would have rolled t2 back
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"${Lake.tablePath(root, "a")}/version=v${w2("a")}"))
+    (root, id2, w2)
+  }
+
+  test("torn max manifest: an unrelated commit self-heals instead of wedging at the attempts cap") {
+    val (root, id2, w2) = tornMaxWedge()
+    // claimStaleMs = 0: the torn max is instantly past the presumed-crash
+    // threshold (a YOUNG torn max belongs to an owner still inside its
+    // own rollback window and must be left alone — vacuum test covers
+    // that gate). Pre-fix this commit looped to the 50-attempt cap: base
+    // resolution skipped t2 (dangling a-pin) while the interloper
+    // domination check kept judging t2's surviving b2 pin unsafe.
+    val (idC, _) = Txn.commit(spark, root,
+      Map("c" -> Seq(9).toDF("k")), claimStaleMs = 0L)
+    // the torn manifest was rolled back; its freed id may be legitimately
+    // re-claimed by the healing commit itself (rolled-back ids re-open,
+    // same as the post-rename self-rollback path), so pin CONTENT — not
+    // file absence — is the invariant
+    val (cur, pins) = Txn.currentManifest(spark, root).get
+    assert(cur === idC)
+    // the new cut builds on the last RESOLVABLE base: t1's pins + c —
+    // the torn transaction (which never returned success) is invisible
+    assert(pins("a") === 1 && pins("b") === 1 && pins.contains("c"))
+    assert(Txn.read(spark, root, "a").count() === 1)
+    assert(Txn.read(spark, root, "b").count() === 1)
+    assert(Txn.read(spark, root, "c").count() === 1)
+  }
+
+  test("vacuum collects a torn MAX manifest (age-gated) and its surviving orphan version") {
+    val (root, id2, w2) = tornMaxWedge()
+    val txnDir = java.nio.file.Paths.get(root, "_txn")
+    // young torn max: owner may be alive inside its post-rename rollback
+    // window — vacuum must not touch it
+    val (_, dropM0) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(!dropM0.contains(id2), s"young torn max swept early (dropped: $dropM0)")
+    assert(Files.exists(txnDir.resolve(s"t$id2.json")))
+    // past the threshold the owner is presumed crashed: the manifest goes,
+    // and the surviving (now unpinned) b version ages out with it
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(txnDir.resolve(s"t$id2.json"), old)
+    Files.setLastModifiedTime(java.nio.file.Paths.get(
+      Lake.tablePath(root, "b"), s"version=v${w2("b")}"), old)
+    val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(dropM.contains(id2), s"torn max not collected (dropped: $dropM)")
+    assert(dropV.contains("b" -> w2("b")),
+      s"torn cut's surviving orphan version not collected (dropped: $dropV)")
+    // the wedge is gone: an unrelated commit lands first try on t1's base
+    val (idC, _) = Txn.commit(spark, root, Map("c" -> Seq(9).toDF("k")))
+    val (_, pins) = Txn.currentManifest(spark, root).get
+    assert(pins("a") === 1 && pins("b") === 1 && pins.contains("c"))
+    assert(Txn.read(spark, root, "b").count() === 1)
+  }
+
+  test("a fresh _txn_heartbeat marker shields an old-mtime version dir from the vacuum age gate") {
+    // object-store stand-in: directory setTimes is a no-op there, so the
+    // commit path heartbeats a marker file instead — vacuum's age basis
+    // must be max(dir mtime, heartbeat mtime), else long-staging live
+    // versions get swept on such filesystems
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k")))
+    // an unreferenced version, as if staged by a slow committer whose
+    // manifest hasn't landed: old dir mtime, fresh heartbeat
+    val vz = Lake.writeTableSnapshot(Seq(7).toDF("k"), root, "a",
+      retentionVersions = Int.MaxValue)
+    val vdir = java.nio.file.Paths.get(Lake.tablePath(root, "a"), s"version=v$vz")
+    Files.write(vdir.resolve("_txn_heartbeat"),
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    Files.setLastModifiedTime(vdir, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L))
+    val (dropV1, _) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(!dropV1.contains("a" -> vz),
+      "fresh heartbeat must keep the staged version alive under the age gate")
+    // heartbeat aged too → the orphan is collectable
+    Files.setLastModifiedTime(vdir.resolve("_txn_heartbeat"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val (dropV2, _) = Txn.vacuum(spark, root, keepManifests = 7)
+    assert(dropV2.contains("a" -> vz), s"aged orphan not collected: $dropV2")
+  }
 }

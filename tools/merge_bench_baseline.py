@@ -38,7 +38,16 @@ def main():
     runs = sys.argv[1:] or ["BENCH_SELF.json"]
     base = json.loads(BASELINE.read_text())
     queries = base["queries"]
-    base_sf = base.get("sf", "/root/testdata/sf0.1")
+    base_sf = base.get("sf")
+    if not base_sf:
+        # same poison-guard as the run side: a baseline of unknown scale
+        # (hand-edited / pre-"sf" vintage) must not silently accept merges
+        # against an ASSUMED scale — re-record it with an "sf" field first
+        raise SystemExit(
+            f"{BASELINE}: baseline lacks 'sf' — refusing to merge against "
+            "an assumed scale; add the field (e.g. \"sf\": "
+            "\"/root/testdata/sf0.1\") after confirming what it was "
+            "recorded at")
     # compare the SCALE token (path basename, e.g. "sf0.1"), not the
     # absolute path — the same-scale data mounted elsewhere is a valid
     # merge source; a missing "sf" in the run is still refused (unknown
