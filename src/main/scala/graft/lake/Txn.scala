@@ -532,6 +532,19 @@ object Txn {
     // window instead of three.
     val pinsAt: Map[Int, Option[Map[String, Int]]] = keep0.map(i =>
       i -> scala.util.Try(currentManifestAt(spark, root, i)).toOption).toMap
+    // mtime of every manifest AT ENTRY: rolled-back ids are re-claimable
+    // by later committers (candidate = lastId+1 can re-issue a freed id),
+    // so a manifest judged collectable here must only be deleted if the
+    // file is still the SAME file — a re-claimed id is a new file with a
+    // new mtime (round 9; see the guarded deletes below)
+    val mtimeAt: Map[Int, Long] =
+      if (!fsw.exists(txnDir(root))) Map.empty
+      else fsw.listStatus(txnDir(root)).toSeq.collect {
+        case st if st.getPath.getName.startsWith("t") &&
+            st.getPath.getName.endsWith(".json") =>
+          st.getPath.getName.stripPrefix("t").stripSuffix(".json").toInt ->
+            st.getModificationTime
+      }.toMap
     val diverged: Seq[Int] = ids.lastOption match {
       case Some(m) =>
         pinsAt.getOrElse(m, None) match {
@@ -622,13 +635,42 @@ object Txn {
         }
         .map(t -> _)
     }
-    if (!dryRun) {
+    if (dryRun) (dropVersions, dropManifests)
+    else {
       val f = fs(spark, txnDir(root))
-      dropVersions.foreach { case (t, v) =>
-        f.delete(new Path(s"${Lake.tablePath(root, t)}/version=v$v"), true)
+      // LATE-PIN recheck (round 9): `pinned` derives from the manifest
+      // listing taken at entry. A manifest renamed SINCE then — by a
+      // committer whose staged (old-mtime) versions we just judged
+      // orphans — may pin exactly those versions, and that committer may
+      // already have verified and returned: deleting them would tear a
+      // successful commit, the one unrecoverable mistake. Re-list, read
+      // only the NEW ids, and exclude their pins. Versions whose slot was
+      // re-claimed since judgment are caught by the fresh age re-stat (a
+      // re-claimed dir is young). Residual window: rename-after-this-
+      // re-list — microseconds instead of the whole vacuum runtime, and
+      // only overlapping a committer stalled past the presumed-crash
+      // threshold mid-verification.
+      val latePinned: Set[(String, Int)] =
+        manifestIds(spark, root).filterNot(ids.contains).flatMap(i =>
+          scala.util.Try(currentManifestAt(spark, root, i)).toOption
+            .fold(Iterable.empty[(String, Int)])(_.toSeq)).toSet
+      val deletedVersions = dropVersions.filter { case (t, v) =>
+        !latePinned.contains(t -> v) && {
+          val dir = new Path(s"${Lake.tablePath(root, t)}/version=v$v")
+          scala.util.Try(
+            sweepNow - versionDirMtime(f, dir) >= staleClaimMs
+          ).getOrElse(false) && f.delete(dir, true)
+        }
       }
-      dropManifests.foreach(id =>
-        f.delete(new Path(txnDir(root), s"t$id.json"), false))
+      // guarded manifest deletes: same file ⇒ same mtime as at entry; a
+      // re-claimed id (owner rolled back, new committer re-used the slot)
+      // is a NEW file with a new mtime and must survive this run
+      val deletedManifests = dropManifests.filter { id =>
+        val p = new Path(txnDir(root), s"t$id.json")
+        scala.util.Try(f.getFileStatus(p).getModificationTime).toOption
+          .exists(cur => mtimeAt.get(id).contains(cur)) &&
+          f.delete(p, false)
+      }
       // orphaned claim markers from crashed committers. An id <= latest
       // can still belong to a LIVE committer between claim and rename (it
       // lost the race to a newer manifest and will roll itself forward) —
@@ -648,8 +690,8 @@ object Txn {
               now - st.getModificationTime >= staleClaimMs)
             f.delete(st.getPath, false)
         }
+      (deletedVersions, deletedManifests)
     }
-    (dropVersions, dropManifests)
   }
 
   private def currentManifestAt(

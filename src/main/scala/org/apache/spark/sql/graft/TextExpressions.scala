@@ -5,10 +5,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expressions for the two hottest scalar kernels of the dedup
@@ -50,6 +50,93 @@ object TextKernels {
       while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
       new GenericArrayData(arr)
     }
+  }
+
+  /** Distinct deletion neighborhood of `text` up to `maxDist` codepoint
+    * removals, the string itself first — the blocking-key kernel of the
+    * fuzzy join (graft.ext.FuzzyJoin). BFS with a global seen-set: depth-k
+    * variants of already-seen strings are subsets of what their first
+    * discovery generates, so each distinct variant is expanded once.
+    * Codepoint-based deletion matches Spark's `levenshtein` (UTF8String
+    * codepoint distance), so the necessary-condition proof (distance ≤ d
+    * ⇒ shared key) holds beyond the BMP too.
+    */
+  def deletionNeighborhood(text: UTF8String, maxDist: Int): ArrayData = {
+    val s = text.toString
+    val seen = new java.util.LinkedHashSet[String]
+    seen.add(s)
+    var frontier = new java.util.ArrayList[String]
+    frontier.add(s)
+    var depth = 0
+    while (depth < maxDist && !frontier.isEmpty) {
+      val next = new java.util.ArrayList[String]
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val cps = f.codePoints().toArray
+        var i = 0
+        while (i < cps.length) {
+          val sb = new java.lang.StringBuilder(f.length)
+          var j = 0
+          while (j < cps.length) {
+            if (j != i) sb.appendCodePoint(cps(j)); j += 1
+          }
+          val v = sb.toString
+          if (seen.add(v)) next.add(v)
+          i += 1
+        }
+      }
+      frontier = next
+      depth += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val sit = seen.iterator()
+    var j = 0
+    while (sit.hasNext) { arr(j) = UTF8String.fromString(sit.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Levenshtein distance of `a`/`b` CAPPED at `d`: returns the exact
+    * distance when ≤ d, else d+1. Ukkonen's band — only the 2d+1 diagonal
+    * strip of the DP matrix is computed (O(n·d) instead of the full O(n·m)
+    * of the built-in `levenshtein`), with an early exit once a whole row
+    * of the band exceeds d. Codepoint-based like the built-in, so capped
+    * values agree with `levenshtein(a, b)` exactly wherever ≤ d — the
+    * fuzzy join's verify stage only ever needs that range.
+    */
+  def editDistanceCapped(a: UTF8String, b: UTF8String, d: Int): Int = {
+    val x = a.toString.codePoints().toArray
+    val y = b.toString.codePoints().toArray
+    val n = x.length
+    val m = y.length
+    if (math.abs(n - m) > d) return d + 1
+    val INF = d + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j = 0
+    while (j <= math.min(m, d)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      if (i <= d) cur(0) = i
+      var best = cur(0)
+      val lo = math.max(1, i - d)
+      val hi = math.min(m, i + d)
+      j = lo
+      while (j <= hi) {
+        var c = prev(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1)
+        if (prev(j) + 1 < c) c = prev(j) + 1
+        if (cur(j - 1) + 1 < c) c = cur(j - 1) + 1
+        cur(j) = if (c < INF) c else INF
+        if (cur(j) < best) best = cur(j)
+        j += 1
+      }
+      if (best >= INF) return INF
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) < INF) prev(m) else INF
   }
 
   private final val NumHashes = 32
@@ -122,9 +209,61 @@ case class MinhashSig(child: Expression)
     copy(child = newChild)
 }
 
+/** `deletionNeighborhood(text, maxDist)` as a codegen'd unary expression
+  * (`maxDist` is a plan-time constant, not a child).
+  */
+case class DeletionNeighborhood(child: Expression, maxDist: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_deletion_neighborhood"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.deletionNeighborhood(a.asInstanceOf[UTF8String], maxDist)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.TextKernels.deletionNeighborhood($a, $maxDist)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhood =
+    copy(child = newChild)
+}
+
+/** `editDistanceCapped(a, b, maxDist)` as a codegen'd binary expression:
+  * the exact Levenshtein distance when ≤ maxDist, else maxDist+1.
+  */
+case class EditDistanceCapped(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_edit_distance_capped"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.editDistanceCapped(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.TextKernels.editDistanceCapped($a, $b, $maxDist)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditDistanceCapped =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def shingles3(text: Column): Column =
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(text)))
   def minhashSig(hashes: Column): Column =
     ExpressionUtils.column(MinhashSig(ExpressionUtils.expression(hashes)))
+  def deletionNeighborhood(text: Column, maxDist: Int): Column =
+    ExpressionUtils.column(
+      DeletionNeighborhood(ExpressionUtils.expression(text), maxDist))
+  def editDistanceCapped(a: Column, b: Column, maxDist: Int): Column =
+    ExpressionUtils.column(EditDistanceCapped(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), maxDist))
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, FuzzyJoin, Multimodal, Similarity}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -479,6 +479,81 @@ class ExtSpec extends SparkSpec {
       val keep = r.getAs[Boolean]("keep")
       if (r.isNullAt(r.fieldIndex("margin"))) assert(!keep, s"null margin kept: $r")
       else assert(keep === (r.getAs[Double]("margin") > 0.0), s"keep != margin>0: $r")
+    }
+  }
+
+  test("edSelfJoin d=1: blocked pair set equals brute force across sub/ins/del edits") {
+    // variants of different LENGTHS so the neighborhood covers insertions
+    // and deletions, not just the substitutions the customer gate exercises
+    val names = Seq(
+      1L -> "kitten", 2L -> "sitten", // substitution
+      3L -> "kitte", // deletion
+      4L -> "kittens", // insertion
+      5L -> "ktiten", // transposition = 2 edits: must NOT pair with kitten
+      6L -> "ab", 7L -> "ba", // share deletion key "b" at distance 2: verify must reject
+      8L -> "", 9L -> "a", // empty-string edge
+      10L -> "kitten" // exact duplicate of 1
+    ).toDF("id", "s")
+    val got = FuzzyJoin.edSelfJoin(names, "id", "s", maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val brute = names.as[(Long, String)].collect()
+    val want = (for {
+      (ia, sa) <- brute; (ib, sb) <- brute if ia < ib
+      d = {
+        // reference Levenshtein
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1)) &&
+      got.contains((1L, 4L, 1)) && got.contains((1L, 10L, 0)))
+    // the shared-deletion-key false candidates are rejected by verify:
+    // "ab"/"ba" share key "b" but sit at distance 2, and the transposed
+    // "ktiten" is 2 edits from "kitten"
+    assert(!got.exists(p => p._1 == 6L && p._2 == 7L))
+    assert(!got.exists(p => Set(p._1, p._2).contains(5L) && Set(p._1, p._2).contains(1L)))
+  }
+
+  test("edSelfJoin d=2: depth-2 neighborhood finds two-edit pairs, still exact") {
+    val names = Seq(
+      1L -> "abcdef", 2L -> "abXdYf", // two substitutions
+      3L -> "abcd", // two deletions
+      4L -> "zbcdez", // sub at both ends
+      5L -> "qqqqqq" // unrelated
+    ).toDF("id", "s")
+    val got = FuzzyJoin.edSelfJoin(names, "id", "s", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 2), (1L, 3L, 2), (1L, 4L, 2)))
+  }
+
+  test("editDistanceCapped: agrees with full Levenshtein wherever <= cap, else cap+1") {
+    val rnd = new scala.util.Random(42)
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.TextKernels
+    val alphabet = "abc"
+    val cases = Seq(("", ""), ("", "a"), ("abc", "abc"), ("ab", "ba"),
+      ("kitten", "sitting")) ++
+      Seq.fill(500)((
+        Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(3))).mkString,
+        Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(3))).mkString))
+    for ((a, b) <- cases; d <- 0 to 3) {
+      val want = math.min(lev(a, b), d + 1)
+      val got = TextKernels.editDistanceCapped(
+        UTF8String.fromString(a), UTF8String.fromString(b), d)
+      assert(got === want, s"editDistanceCapped('$a','$b',$d)")
     }
   }
 }
