@@ -94,6 +94,33 @@ object FuzzyJoin {
     cross.unionByName(dup)
   }
 
+  /** Two-relation fuzzy lookup: every (leftId, rightId, dist) with
+    * Levenshtein(leftStr, rightStr) ≤ `maxDist` — the A-to-B entity
+    * resolution shape (dirty feed keys against a clean dimension). Same
+    * construction as [[edSelfJoin]]: each side's DISTINCT strings emit
+    * deletion-neighborhood keys, candidates come from the one equi-join
+    * on keys, the banded kernel verifies, and two output-sized joins
+    * expand back to members. Equal strings surface as dist 0.
+    */
+  def edJoin(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int): DataFrame = {
+    val lRows = left.select(col(leftId).as("_lid"), col(leftStr).as("_ls"))
+    val rRows = right.select(col(rightId).as("_rid"), col(rightStr).as("_rs"))
+    val lKeys = lRows.select(col("_ls")).distinct()
+      .withColumn("_k", explode(neighborhood(col("_ls"), maxDist)))
+    val rKeys = rRows.select(col("_rs")).distinct()
+      .withColumn("_k", explode(neighborhood(col("_rs"), maxDist)))
+    val strPairs = lKeys.join(rKeys, Seq("_k"))
+      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
+        .editDistanceCapped(col("_ls"), col("_rs"), maxDist))
+      .filter(col("dist") <= maxDist)
+      .select("_ls", "_rs", "dist").distinct()
+    strPairs.join(lRows, Seq("_ls")).join(rRows, Seq("_rs"))
+      .select(col("_lid").as("left_id"), col("_rid").as("right_id"), col("dist"))
+  }
+
   /** Gate: near-identical customer names (one edit apart) — the zero-padded
     * synthetic names make every single-digit substitution a planted match,
     * so the true pair set is dense enough to exercise candidate dedup and
@@ -111,9 +138,33 @@ object FuzzyJoin {
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Gate: dirty-key lookup — part names with their first character
+    * dropped (a deterministic in-query corruption) resolved back against
+    * the clean part dimension at distance ≤ 1. Part names are HEAVILY
+    * duplicated (64 distinct among 2000×sf rows), so this exercises the
+    * pre-collapse + expansion path hard: all candidate work runs on 64
+    * strings while the output fans out to every member pair.
+    */
+  def fuzzyPartLookup(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val dirty = parts.select(col("p_partkey").as("query_id"),
+      expr("substring(p_name, 2)").as("q"))
+    edJoin(dirty, "query_id", "q", parts, "p_partkey", "p_name", maxDist = 1)
+      .select(col("left_id").as("query_id"), col("right_id").as("part_id"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  val fuzzyPartLookupOracle: String =
+    """WITH q AS (SELECT p_partkey AS query_id, substr(p_name, 2) AS qs FROM part)
+      |SELECT q.query_id, p.p_partkey AS part_id,
+      |       CAST(levenshtein(q.qs, p.p_name) AS BIGINT) AS dist
+      |FROM q JOIN part p ON levenshtein(q.qs, p.p_name) <= 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
-    "x_fuzzy_join" -> (fuzzyCustomerPairs _))
+    "x_fuzzy_join" -> (fuzzyCustomerPairs _),
+    "x_fuzzy_lookup" -> (fuzzyPartLookup _))
 
   val oracles: Map[String, String] = Map(
-    "x_fuzzy_join" -> fuzzyCustomerPairsOracle)
+    "x_fuzzy_join" -> fuzzyCustomerPairsOracle,
+    "x_fuzzy_lookup" -> fuzzyPartLookupOracle)
 }

@@ -167,6 +167,12 @@ object Txn {
     * post-rename verification exists for. */
   private[graft] var testStallAfterClaim: Int => Unit = _ => ()
 
+  /** Test-only stall point inside [[vacuum]], after its entry manifest
+    * listing/judgments but before any deletion — lets specs
+    * deterministically land a commit (or re-claim a rolled-back id) in
+    * the window the round-9 late-pin / mtime-identity guards close. */
+  private[graft] var testStallBeforeSweep: () => Unit = () => ()
+
   private def writeManifest(
       spark: SparkSession, root: String, id: Int, pins: Map[String, Int],
       claimStaleMs: Long): ClaimOutcome = {
@@ -637,6 +643,7 @@ object Txn {
     }
     if (dryRun) (dropVersions, dropManifests)
     else {
+      testStallBeforeSweep()
       val f = fs(spark, txnDir(root))
       // LATE-PIN recheck (round 9): `pinned` derives from the manifest
       // listing taken at entry. A manifest renamed SINCE then — by a
@@ -693,6 +700,10 @@ object Txn {
       (deletedVersions, deletedManifests)
     }
   }
+
+  private[graft] def currentManifestAtForTest(
+      spark: SparkSession, root: String, id: Int): Map[String, Int] =
+    currentManifestAt(spark, root, id)
 
   private def currentManifestAt(
       spark: SparkSession, root: String, id: Int): Map[String, Int] = {

@@ -549,4 +549,73 @@ class ConcurrencySpec extends SparkSpec {
     val (dropV2, _) = Txn.vacuum(spark, root, keepManifests = 7)
     assert(dropV2.contains("a" -> vz), s"aged orphan not collected: $dropV2")
   }
+
+  test("commit renamed mid-vacuum keeps its pins (late-pin recheck)") {
+    // Committer C staged a@v2 long ago (old mtime — a slow multi-table
+    // write), vacuum takes its entry listing BEFORE C's manifest rename,
+    // C renames t2 pinning a@2 and returns success while vacuum is still
+    // judging. Pre-round-9 the sweep deleted a@2 as an aged orphan —
+    // tearing a commit that RETURNED. The late-pin recheck re-lists
+    // manifests immediately before version deletion and keeps it.
+    val root = scratch()
+    Txn.commit(spark, root, Map("a" -> Seq(1).toDF("k"))) // t1: a@1
+    val v2 = Lake.writeTableSnapshot(Seq(7, 7).toDF("k"), root, "a",
+      retentionVersions = Int.MaxValue)
+    val vdir = java.nio.file.Paths.get(Lake.tablePath(root, "a"), s"version=v$v2")
+    Files.setLastModifiedTime(vdir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val txnDir = java.nio.file.Paths.get(root, "_txn")
+    Txn.testStallBeforeSweep = () => {
+      // C's rename lands INSIDE vacuum's judgment-to-sweep window
+      Files.write(txnDir.resolve("t2.json"),
+        s"""{"tables": {"a": $v2}}""".getBytes("UTF-8"))
+      Txn.testStallBeforeSweep = () => ()
+    }
+    try {
+      val (dropV, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
+      assert(!dropV.contains("a" -> v2),
+        s"version pinned by the mid-vacuum commit was swept: $dropV")
+      assert(!dropM.contains(2))
+      assert(Files.exists(vdir.resolve("..").resolve(s"version=v$v2").normalize()))
+      assert(Txn.read(spark, root, "a").count() === 2, "the landed commit must stay readable")
+    } finally Txn.testStallBeforeSweep = () => ()
+  }
+
+  test("re-claimed manifest id survives the sweep that judged its predecessor (mtime guard)") {
+    // Vacuum judges diverged manifest t2 collectable; in the window
+    // before its delete, t2's owner rolls it back and a NEW committer
+    // re-claims id 2 with a valid manifest. Pre-round-9 vacuum deleted
+    // the file at the judged PATH — killing the new commit. The
+    // mtime-identity guard skips a file that changed since judgment.
+    val root = scratch()
+    val (_, w1) = Txn.commit(spark, root, Map("seed" -> Seq(0).toDF("k"))) // t1
+    val txnDir = java.nio.file.Paths.get(root, "_txn")
+    // a crashed committer's diverged manifest at t2 (aged past stale)
+    val vA = Lake.writeTableSnapshot(Seq(1, 1).toDF("k"), root, "a",
+      retentionVersions = Int.MaxValue)
+    Files.write(txnDir.resolve("t2.json"),
+      s"""{"tables": {"a": $vA, "seed": ${w1("seed")}}}""".getBytes("UTF-8"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(txnDir.resolve("t2.json"), old)
+    // make it diverged: a later manifest t3 that does NOT carry a@vA
+    Files.write(txnDir.resolve("t3.json"),
+      s"""{"tables": {"seed": ${w1("seed")}}}""".getBytes("UTF-8"))
+    Txn.testStallBeforeSweep = () => {
+      // owner's rollback + a new committer re-claiming id 2 (fresh file)
+      Files.delete(txnDir.resolve("t2.json"))
+      Files.write(txnDir.resolve("t2.json"),
+        s"""{"tables": {"seed": ${w1("seed")}, "b": 1}}""".getBytes("UTF-8"))
+      Txn.testStallBeforeSweep = () => ()
+    }
+    try {
+      val (_, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
+      assert(!dropM.contains(2),
+        s"re-claimed manifest id deleted by a stale judgment: $dropM")
+      assert(Files.exists(txnDir.resolve("t2.json")),
+        "the NEW manifest at the re-claimed id must survive")
+      val pins = Txn.currentManifestAtForTest(spark, root, 2)
+      assert(pins.contains("b"), "surviving t2 must be the re-claimed content")
+    } finally Txn.testStallBeforeSweep = () => ()
+  }
 }

@@ -556,4 +556,17 @@ class ExtSpec extends SparkSpec {
       assert(got === want, s"editDistanceCapped('$a','$b',$d)")
     }
   }
+
+  test("edJoin (two-relation): blocked result equals brute force, members expand") {
+    val left = Seq(1L -> "itten", 2L -> "xyz", 3L -> "red gea").toDF("id", "s")
+    val right = Seq(
+      10L -> "kitten", 11L -> "kitten", // duplicated dimension rows
+      12L -> "itten", 13L -> "red gear", 14L -> "blue bolt").toDF("id", "s")
+    val got = FuzzyJoin.edJoin(left, "id", "s", right, "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 1), (1L, 11L, 1), // insertion resolves to BOTH dup members
+      (1L, 12L, 0), // exact match at dist 0
+      (3L, 13L, 1))) // trailing deletion
+  }
 }
