@@ -138,27 +138,76 @@ object FuzzyJoin {
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Resolve every left row to its BEST right match within `maxDist`:
+    * (left_id, n_matches, best_dist, best_right_id) — n_matches counts
+    * all qualifying right MEMBERS, best = smallest distance with ties
+    * broken by smallest right id. Unlike [[edJoin]] (whose output is the
+    * full pair set and therefore grows with duplication²), everything
+    * here aggregates at the DISTINCT-STRING level before any member
+    * expansion — member counts and min-ids fold into the string pairs,
+    * so intermediates and output stay linear in the inputs no matter how
+    * duplicated either side is. (First cut expanded pairs then
+    * aggregated: 43× runtime at 10× corpus, purely from the quadratic
+    * pair materialization this formulation removes.)
+    */
+  def edLookupBest(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int): DataFrame = {
+    val lRows = left.select(col(leftId).as("_lid"), col(leftStr).as("_ls"))
+    val rRows = right.select(col(rightId).as("_rid"), col(rightStr).as("_rs"))
+    val lKeys = lRows.select(col("_ls")).distinct()
+      .withColumn("_k", explode(neighborhood(col("_ls"), maxDist)))
+    val rKeys = rRows.select(col("_rs")).distinct()
+      .withColumn("_k", explode(neighborhood(col("_rs"), maxDist)))
+    val strPairs = lKeys.join(rKeys, Seq("_k"))
+      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
+        .editDistanceCapped(col("_ls"), col("_rs"), maxDist))
+      .filter(col("dist") <= maxDist)
+      .select("_ls", "_rs", "dist").distinct()
+    val rStats = rRows.groupBy(col("_rs"))
+      .agg(count(lit(1)).as("_rn"), min(col("_rid")).as("_rmin"))
+    val strAgg = strPairs.join(rStats, Seq("_rs"))
+      .groupBy(col("_ls"))
+      .agg(
+        sum(col("_rn")).as("n_matches"),
+        min(col("dist")).cast("long").as("best_dist"),
+        min(struct(col("dist").as("d"), col("_rmin").as("id"))).as("_best"))
+    lRows.join(strAgg, Seq("_ls"))
+      .select(col("_lid").as("left_id"), col("n_matches"),
+        col("best_dist"), col("_best.id").as("best_right_id"))
+  }
+
   /** Gate: dirty-key lookup — part names with their first character
     * dropped (a deterministic in-query corruption) resolved back against
-    * the clean part dimension at distance ≤ 1. Part names are HEAVILY
-    * duplicated (64 distinct among 2000×sf rows), so this exercises the
-    * pre-collapse + expansion path hard: all candidate work runs on 64
-    * strings while the output fans out to every member pair.
+    * the clean part dimension at distance ≤ 1, each query reduced to its
+    * best match + candidate count. Part names are HEAVILY duplicated (64
+    * distinct among 2000×sf rows), so this exercises the string-level
+    * aggregation path hard: all candidate work runs on 64 strings and no
+    * member-level pair set is ever materialized.
     */
   def fuzzyPartLookup(s: SparkSession, d: String): DataFrame = {
     val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
     val dirty = parts.select(col("p_partkey").as("query_id"),
       expr("substring(p_name, 2)").as("q"))
-    edJoin(dirty, "query_id", "q", parts, "p_partkey", "p_name", maxDist = 1)
-      .select(col("left_id").as("query_id"), col("right_id").as("part_id"),
-        col("dist").cast("long").as("dist"))
+    edLookupBest(dirty, "query_id", "q", parts, "p_partkey", "p_name", maxDist = 1)
+      .select(col("left_id").as("query_id"), col("n_matches"),
+        col("best_dist"), col("best_right_id").as("best_part_id"))
   }
 
   val fuzzyPartLookupOracle: String =
-    """WITH q AS (SELECT p_partkey AS query_id, substr(p_name, 2) AS qs FROM part)
-      |SELECT q.query_id, p.p_partkey AS part_id,
-      |       CAST(levenshtein(q.qs, p.p_name) AS BIGINT) AS dist
-      |FROM q JOIN part p ON levenshtein(q.qs, p.p_name) <= 1""".stripMargin
+    """WITH q AS (SELECT p_partkey AS query_id, substr(p_name, 2) AS qs FROM part),
+      |m AS (SELECT q.query_id, p.p_partkey AS part_id,
+      |             levenshtein(q.qs, p.p_name) AS dist
+      |      FROM q JOIN part p ON levenshtein(q.qs, p.p_name) <= 1),
+      |agg AS (SELECT query_id, COUNT(*) AS n_matches, MIN(dist) AS best_dist
+      |        FROM m GROUP BY 1),
+      |best AS (SELECT m.query_id, MIN(m.part_id) AS best_part_id
+      |         FROM m JOIN agg USING (query_id)
+      |         WHERE m.dist = agg.best_dist GROUP BY 1)
+      |SELECT agg.query_id, agg.n_matches,
+      |       CAST(agg.best_dist AS BIGINT) AS best_dist, best.best_part_id
+      |FROM agg JOIN best USING (query_id)""".stripMargin
 
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_join" -> (fuzzyCustomerPairs _),

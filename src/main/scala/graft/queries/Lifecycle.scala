@@ -1306,6 +1306,68 @@ object Lifecycle {
       |          (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) = 0
       |FROM orders""".stripMargin
 
+  /** C21 k-anonymity audit (round 9) — re-identification risk over
+    * quasi-identifiers, the governance check the reference's anonymizing
+    * export (export_to_data_lake.py's anonymized feed) implicitly assumes
+    * but never verifies: masking direct identifiers is NOT enough when
+    * quasi-identifier combinations (nation × segment × balance band)
+    * isolate individuals into classes smaller than k. Reports, per
+    * generalization level of a fixed ladder (band 1000 → band 5000 →
+    * band dropped), the equivalence-class count, the classes below k=10,
+    * the rows they expose, and the smallest class — the standard
+    * "generalize until every class reaches k" audit, entirely
+    * integer-exact. Scale shape: one partial-agg'd groupBy per level
+    * (shuffled bytes ∝ class cardinality, bounded by nations × segments ×
+    * bands), then 1-row aggregates.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    def level(lv: Int, quasi: Seq[org.apache.spark.sql.Column]): DataFrame =
+      c.groupBy(quasi: _*).agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as("risky_classes"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("risky_rows"),
+          min(col("sz")).as("min_class"))
+        .select(lit(lv.toLong).as("level"), col("n_classes"),
+          col("risky_classes"), col("risky_rows"), col("min_class"))
+    val l0 = level(0, Seq(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000)))
+    val l1 = level(1, Seq(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 5000)))
+    val l2 = level(2, Seq(col("c_nationkey"), col("c_mktsegment")))
+    l0.unionByName(l1).unionByName(l2)
+      .withColumn("k_satisfied", col("risky_classes") === 0L)
+  }
+
+  val kAnonymityOracle: String =
+    """WITH l0 AS (SELECT COUNT(*) AS sz FROM customer
+      |            GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000)),
+      |l1 AS (SELECT COUNT(*) AS sz FROM customer
+      |       GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 5000)),
+      |l2 AS (SELECT COUNT(*) AS sz FROM customer
+      |       GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(0 AS BIGINT) AS level, COUNT(*) AS n_classes,
+      |       CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+      |       CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+      |       MIN(sz) AS min_class,
+      |       SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) = 0 AS k_satisfied
+      |FROM l0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT),
+      |       MIN(sz), SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) = 0
+      |FROM l1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT),
+      |       MIN(sz), SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) = 0
+      |FROM l2""".stripMargin
+
   /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a
     * VALUES oracle.
     */
@@ -1473,6 +1535,7 @@ object Lifecycle {
     "a19_catalog_sql" -> (catalogSql _),
     "a20_catalog_insert" -> (catalogInsert _),
     "c20_schema_contract" -> (schemaContract _),
+    "c21_k_anonymity" -> (kAnonymity _),
     "a21_table_changes" -> (tableChangesGate _),
     "a22_txn_commit" -> (txnCommit _),
     "c14_column_lineage" -> (columnLineage _),
@@ -1515,6 +1578,7 @@ object Lifecycle {
     "a19_catalog_sql" -> catalogSqlOracle,
     "a20_catalog_insert" -> catalogInsertOracle,
     "c20_schema_contract" -> schemaContractOracle,
+    "c21_k_anonymity" -> kAnonymityOracle,
     "a21_table_changes" -> tableChangesOracle,
     "a22_txn_commit" -> txnCommitOracle,
     "c14_column_lineage" -> columnLineageOracle,

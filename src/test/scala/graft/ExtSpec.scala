@@ -569,4 +569,21 @@ class ExtSpec extends SparkSpec {
       (1L, 12L, 0), // exact match at dist 0
       (3L, 13L, 1))) // trailing deletion
   }
+
+  test("edLookupBest: best match per left row, ties to lowest id, counts all members") {
+    val dirty = Seq(1L -> "itten", 2L -> "zzz", 3L -> "gear").toDF("id", "s")
+    val dim = Seq(
+      10L -> "kitten", 11L -> "kitten", // dup members, dist 1 from "itten"
+      12L -> "itten",                   // dist 0 — must win over dist-1 strings
+      13L -> "bitten",                  // dist 1
+      14L -> "gears", 15L -> "gearx", 16L -> "gears" // two dist-1 strings tie
+    ).toDF("id", "s")
+    val got = FuzzyJoin.edLookupBest(dirty, "id", "s", dim, "id", "s", maxDist = 1)
+      .select("left_id", "n_matches", "best_dist", "best_right_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 0L, 12L),  // kitten×2 + itten + bitten = 4 matches; exact wins
+      (3L, 3L, 1L, 14L))) // gears×2 + gearx; tie between strings → lowest member id
+    // left rows with no match within maxDist are absent (inner semantics)
+  }
 }
