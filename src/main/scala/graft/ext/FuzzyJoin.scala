@@ -46,6 +46,28 @@ object FuzzyJoin {
   private[ext] def neighborhood(s: Column, maxDist: Int): Column =
     org.apache.spark.sql.graft.TextExpressions.deletionNeighborhood(s, maxDist)
 
+  /** The shared candidate pipeline all three operators build on:
+    * DISTINCT strings of each side → deletion-neighborhood keys →
+    * ONE equi-join on the keys → banded capped-distance verify →
+    * one row per qualifying unordered string pair: (`lCol`, `rCol`,
+    * dist). The verify runs before the distinct, so only true pairs
+    * reach an exchange.
+    */
+  private def verifiedStringPairs(
+      lStrs: DataFrame, lCol: String, rStrs: DataFrame, rCol: String,
+      maxDist: Int, filter: Column = lit(true)): DataFrame = {
+    val lKeys = lStrs.select(col(lCol)).distinct()
+      .withColumn("_k", explode(neighborhood(col(lCol), maxDist)))
+    val rKeys = rStrs.select(col(rCol)).distinct()
+      .withColumn("_k", explode(neighborhood(col(rCol), maxDist)))
+    lKeys.join(rKeys, Seq("_k"))
+      .filter(filter)
+      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
+        .editDistanceCapped(col(lCol), col(rCol), maxDist))
+      .filter(col("dist") <= maxDist)
+      .select(lCol, rCol, "dist").distinct()
+  }
+
   /** Self-join `names` on Levenshtein distance ≤ `maxDist` between
     * `strCol` values: (id_a, id_b, dist) with id_a < id_b. Exactly the
     * all-pairs answer, computed without the all-pairs scan.
@@ -67,18 +89,13 @@ object FuzzyJoin {
       names: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     val rows = names.select(col(idCol).as("_id"), col(strCol).as("_s"))
-    val reps = rows.groupBy(col("_s")).agg(min(col("_id")).as("_rep"))
-    val keyed = reps.withColumn("_k", explode(neighborhood(col("_s"), maxDist)))
-    val a = keyed.select(col("_rep").as("rep_a"), col("_s").as("s_a"), col("_k"))
-    val b = keyed.select(col("_rep").as("rep_b"), col("_s").as("s_b"), col("_k"))
-    // distinct-string pairs: rep_a < rep_b gives ONE orientation per
-    // unordered pair; dist ≥ 1 holds because the strings differ
-    val strPairs = a.join(b, Seq("_k"))
-      .filter(col("rep_a") < col("rep_b"))
-      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
-        .editDistanceCapped(col("s_a"), col("s_b"), maxDist))
-      .filter(col("dist") <= maxDist)
-      .select("s_a", "s_b", "dist").distinct()
+    // distinct-string pairs, ONE orientation per unordered pair by string
+    // order (the strings of a candidate pair always differ, so s_a < s_b
+    // is a total tie-break and dist ≥ 1 holds)
+    val a = rows.select(col("_s").as("s_a"))
+    val b = rows.select(col("_s").as("s_b"))
+    val strPairs = verifiedStringPairs(a, "s_a", b, "s_b", maxDist,
+      filter = col("s_a") < col("s_b"))
     // expand each qualifying string pair to all member id pairs
     val memA = rows.select(col("_id").as("id_x"), col("_s").as("s_a"))
     val memB = rows.select(col("_id").as("id_y"), col("_s").as("s_b"))
@@ -108,15 +125,7 @@ object FuzzyJoin {
       maxDist: Int): DataFrame = {
     val lRows = left.select(col(leftId).as("_lid"), col(leftStr).as("_ls"))
     val rRows = right.select(col(rightId).as("_rid"), col(rightStr).as("_rs"))
-    val lKeys = lRows.select(col("_ls")).distinct()
-      .withColumn("_k", explode(neighborhood(col("_ls"), maxDist)))
-    val rKeys = rRows.select(col("_rs")).distinct()
-      .withColumn("_k", explode(neighborhood(col("_rs"), maxDist)))
-    val strPairs = lKeys.join(rKeys, Seq("_k"))
-      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
-        .editDistanceCapped(col("_ls"), col("_rs"), maxDist))
-      .filter(col("dist") <= maxDist)
-      .select("_ls", "_rs", "dist").distinct()
+    val strPairs = verifiedStringPairs(lRows, "_ls", rRows, "_rs", maxDist)
     strPairs.join(lRows, Seq("_ls")).join(rRows, Seq("_rs"))
       .select(col("_lid").as("left_id"), col("_rid").as("right_id"), col("dist"))
   }
@@ -156,15 +165,7 @@ object FuzzyJoin {
       maxDist: Int): DataFrame = {
     val lRows = left.select(col(leftId).as("_lid"), col(leftStr).as("_ls"))
     val rRows = right.select(col(rightId).as("_rid"), col(rightStr).as("_rs"))
-    val lKeys = lRows.select(col("_ls")).distinct()
-      .withColumn("_k", explode(neighborhood(col("_ls"), maxDist)))
-    val rKeys = rRows.select(col("_rs")).distinct()
-      .withColumn("_k", explode(neighborhood(col("_rs"), maxDist)))
-    val strPairs = lKeys.join(rKeys, Seq("_k"))
-      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
-        .editDistanceCapped(col("_ls"), col("_rs"), maxDist))
-      .filter(col("dist") <= maxDist)
-      .select("_ls", "_rs", "dist").distinct()
+    val strPairs = verifiedStringPairs(lRows, "_ls", rRows, "_rs", maxDist)
     val rStats = rRows.groupBy(col("_rs"))
       .agg(count(lit(1)).as("_rn"), min(col("_rid")).as("_rmin"))
     val strAgg = strPairs.join(rStats, Seq("_rs"))

@@ -290,11 +290,18 @@ object Txn {
     // So verify the mtime actually moved; if not, write a `_txn_heartbeat`
     // marker INSIDE the dir (file mtimes are reliable everywhere; vacuum's
     // age gate reads it as the dir's effective age) and warn once so
-    // operators can see the gate is running on the fallback.
+    // operators can see the gate is running on the fallback. The touch is
+    // THROTTLED to staleClaimMs/4: the gate only needs freshness within
+    // staleClaimMs, and the Busy spin re-enters every 25 ms — per-spin
+    // stat+PUT per table (on exactly the object stores the fallback
+    // targets) would be thousands of needless calls.
     var touchWarned = false
+    var lastTouch = 0L
     def touchStaged(): Unit = {
-      val f = fs(spark, txnDir(root))
       val now = System.currentTimeMillis()
+      if (now - lastTouch < math.max(1L, claimStaleMs / 4)) return
+      lastTouch = now
+      val f = fs(spark, txnDir(root))
       written.foreach { case (t, v) =>
         val dir = versionDir(t, v)
         val honored = scala.util.Try {
@@ -302,9 +309,16 @@ object Txn {
           f.getFileStatus(dir).getModificationTime >= now - 5000L
         }.getOrElse(false)
         if (!honored) {
+          // exists() precheck, same reason as stampToken: create() auto-
+          // creates parents, so heartbeating a concurrently-swept dir
+          // would resurrect it as an empty shell that every exists()-
+          // based pin check then mistakes for a live version — and the
+          // fresh marker would shield the shell from the age gate too
           scala.util.Try {
-            val out = f.create(new Path(dir, heartbeatName), true)
-            try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+            if (f.exists(dir)) {
+              val out = f.create(new Path(dir, heartbeatName), true)
+              try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+            }
           }
           if (!touchWarned) {
             touchWarned = true
