@@ -1,0 +1,180 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Q.QueryFn
+
+/** Incremental maintenance of the edit-distance (fuzzy) match index — the
+  * growing-corpus form of [[FuzzyJoin.edSelfJoin]]: a continuously-ingested
+  * entity stream keeps its ≤`maxDist` pair set current without ever
+  * re-blocking the corpus.
+  *
+  * State on disk (lake-style parquet under a root):
+  *  - `members`:  (id, s) every ingested row — appended.
+  *  - `strs`:     the DISTINCT strings ever indexed — appended.
+  *  - `keys`:     (k, s) deletion-neighborhood postings of those strings —
+  *    appended; the blocking index.
+  *  - `strpairs`: (s_a, s_b, dist) verified distinct-string pairs, one
+  *    orientation (s_a < s_b) — append-only.
+  *
+  * An append batch costs O(new strings): only strings NEW to the index are
+  * neighborhood-expanded; candidates come from joining the new postings
+  * against the full posting table (one equi-join keyed on the short
+  * deletion key — never a rescan of stored pairs), and only pairs touching
+  * a new string can be generated, so the stored pair set is never
+  * re-verified or duplicated. Because ALL state is at the distinct-string
+  * level, appends are ORDER-INDEPENDENT — no monotone-id contract (the
+  * LSH index needs one for its id-ranked bucket cap; nothing here ranks by
+  * id), and duplicated strings cost one `strs` membership probe, never
+  * re-blocking.
+  *
+  * Member-level pairs are EXPANDED AT READ TIME from the linear state
+  * ([[pairs]]): cross-string pairs via two output-sized joins, dist-0
+  * pairs from identical-string members directly — exactly
+  * [[FuzzyJoin.edSelfJoin]]'s construction, so
+  * '''append-then-incremental ≡ full recompute''', which the gates verify
+  * hash-exactly against the same DuckDB all-pairs oracle as the batch
+  * operator.
+  */
+object IncrementalFuzzy {
+
+  private def distinctStrs(df: DataFrame): DataFrame =
+    df.select(col("s")).filter(col("s").isNotNull).distinct()
+
+  private def postings(strs: DataFrame, maxDist: Int): DataFrame =
+    strs.withColumn("k", explode(FuzzyJoin.neighborhood(col("s"), maxDist)))
+
+  /** Verified string pairs between `probe` postings and `all` postings,
+    * normalized to one orientation; only pairs touching a probe string
+    * can emerge, which is exactly the new-pair frontier on an append.
+    */
+  private def newStringPairs(
+      probe: DataFrame, all: DataFrame, maxDist: Int): DataFrame =
+    probe.select(col("k"), col("s").as("_p"))
+      .join(all.select(col("k"), col("s").as("_q")), Seq("k"))
+      .filter(col("_p") =!= col("_q"))
+      .select(least(col("_p"), col("_q")).as("s_a"),
+        greatest(col("_p"), col("_q")).as("s_b")).distinct()
+      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
+        .editDistanceCapped(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") <= maxDist)
+
+  /** Build the index from an initial batch of (id, s) rows. */
+  def init(rows: DataFrame, root: String, maxDist: Int): Unit = {
+    val s = rows.sparkSession
+    rows.select(col("id"), col("s")).write.mode("overwrite").parquet(s"$root/members")
+    val strs = distinctStrs(rows)
+    strs.write.mode("overwrite").parquet(s"$root/strs")
+    postings(s.read.parquet(s"$root/strs"), maxDist)
+      .write.mode("overwrite").parquet(s"$root/keys")
+    val keys = s.read.parquet(s"$root/keys")
+    newStringPairs(keys, keys, maxDist)
+      .write.mode("overwrite").parquet(s"$root/pairs_str")
+  }
+
+  /** Absorb an append batch: index only strings new to the corpus, verify
+    * only pairs touching them, append. No id ordering required.
+    */
+  def append(rows: DataFrame, root: String, maxDist: Int): Unit = {
+    val s = rows.sparkSession
+    rows.select(col("id"), col("s")).write.mode("append").parquet(s"$root/members")
+    val newStrs = distinctStrs(rows)
+      .join(s.read.parquet(s"$root/strs"), Seq("s"), "left_anti")
+      .persist()
+    if (newStrs.isEmpty) { newStrs.unpersist(); return }
+    val newKeys = postings(newStrs, maxDist).persist()
+    // probe BEFORE appending the new postings, against old ∪ new — the
+    // union keeps new-new pairs discoverable while the left side restricts
+    // generation to the new frontier
+    val oldKeys = s.read.parquet(s"$root/keys")
+    newStringPairs(newKeys, oldKeys.unionByName(newKeys), maxDist)
+      .write.mode("append").parquet(s"$root/pairs_str")
+    newKeys.write.mode("append").parquet(s"$root/keys")
+    newStrs.write.mode("append").parquet(s"$root/strs")
+    newKeys.unpersist()
+    newStrs.unpersist()
+  }
+
+  /** The maintained member-level pair set (id_a, id_b, dist), id_a < id_b
+    * — expanded from the string-level state at read time.
+    */
+  def pairs(s: SparkSession, root: String): DataFrame = {
+    val members = s.read.parquet(s"$root/members")
+    val sp = s.read.parquet(s"$root/pairs_str")
+    val memA = members.select(col("id").as("id_x"), col("s").as("s_a"))
+    val memB = members.select(col("id").as("id_y"), col("s").as("s_b"))
+    val cross = sp.join(memA, Seq("s_a")).join(memB, Seq("s_b"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("dist"))
+    val l = members.select(col("id").as("id_a"), col("s"))
+    val r = members.select(col("id").as("id_b"), col("s"))
+    val dup = l.join(r, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    cross.unionByName(dup)
+  }
+
+  private def customerRows(s: SparkSession, d: String): DataFrame =
+    graft.Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+
+  /** Gate: init on customers with key < 500, two appends for the rest —
+    * the final maintained pair set must hash-match the batch operator's
+    * all-pairs oracle, proving append-then-incremental ≡ full recompute
+    * (the split points are arbitrary: string-level state makes appends
+    * order-independent).
+    */
+  def fuzzyIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_ifuzzy_").toString
+    val rows = customerRows(s, d)
+    init(rows.filter(col("id") < 500), root, maxDist = 1)
+    append(rows.filter(col("id") >= 500 && col("id") < 1000), root, maxDist = 1)
+    append(rows.filter(col("id") >= 1000), root, maxDist = 1)
+    pairs(s, root)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Gate: the same maintenance driven by Structured Streaming micro-
+    * batches (`maxFilesPerTrigger=1` + `foreachBatch`) — a continuously
+    * ingested entity feed keeping its fuzzy-match index current; batch
+    * boundaries must be invisible in the final pair set.
+    */
+  def streamFuzzyIndex(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sfuzzy_").toString
+    val rows = customerRows(s, d).persist()
+    init(rows.filter(col("id") < 500), root, maxDist = 1)
+    val staged = Files.createTempDirectory("graft_sfuzzy_src_")
+    rows.filter(col("id") >= 500 && col("id") < 1000)
+      .coalesce(1).write.parquet(s"$staged/chunk=0")
+    rows.filter(col("id") >= 1000)
+      .coalesce(1).write.parquet(s"$staged/chunk=1")
+    val schema = rows.schema
+    rows.unpersist()
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_sfuzzy_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch, root, maxDist = 1)
+      }
+      .start()
+    q.awaitTermination()
+    pairs(s, root)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "x_fuzzy_incremental" -> (fuzzyIncremental _),
+    "s_stream_fuzzy_index" ->
+      graft.streaming.Streams.withReducedShuffle(streamFuzzyIndex _))
+
+  val oracles: Map[String, String] = Map(
+    "x_fuzzy_incremental" -> FuzzyJoin.fuzzyCustomerPairsOracle,
+    "s_stream_fuzzy_index" -> FuzzyJoin.fuzzyCustomerPairsOracle)
+}

@@ -586,4 +586,23 @@ class ExtSpec extends SparkSpec {
       (3L, 3L, 1L, 14L))) // gears×2 + gearx; tie between strings → lowest member id
     // left rows with no match within maxDist are absent (inner semantics)
   }
+
+  test("IncrementalFuzzy: appends equal batch edSelfJoin, incl. re-ingested strings") {
+    import graft.ext.IncrementalFuzzy
+    val all = Seq(1L -> "kitten", 2L -> "sitten", 3L -> "kitte",
+      4L -> "kitten", 5L -> "ba", 6L -> "ab").toDF("id", "s")
+    val root = java.nio.file.Files.createTempDirectory("ifz_spec_").toString
+    IncrementalFuzzy.init(all.filter(col("id") <= 2), root, maxDist = 1)
+    IncrementalFuzzy.append(all.filter(col("id") === 3 || col("id") === 5), root, maxDist = 1)
+    // batch 3 re-ingests "kitten" (already indexed) — the string index must
+    // not re-block it, but its member pairs (incl. dist-0 with id 1) must
+    // still appear at read time
+    IncrementalFuzzy.append(all.filter(col("id") === 4 || col("id") === 6), root, maxDist = 1)
+    val got = IncrementalFuzzy.pairs(spark, root)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = FuzzyJoin.edSelfJoin(all, "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.contains((1L, 4L, 0)) && got.contains((2L, 4L, 1)))
+  }
 }
