@@ -210,11 +210,48 @@ object FuzzyJoin {
       |       CAST(agg.best_dist AS BIGINT) AS best_dist, best.best_part_id
       |FROM agg JOIN best USING (query_id)""".stripMargin
 
+  /** Gate: Jaro-Winkler rerank of the fuzzy pair set — the two-stage
+    * shape real entity resolution uses (cheap bounded-edit-distance
+    * blocking, then a finer similarity to rank candidates). Every score
+    * comes from the native [[org.apache.spark.sql.graft.JaroWinkler]]
+    * kernel, which reproduces DuckDB's `jaro_winkler_similarity` variant
+    * bit-for-bit (byte-level Jaro, 0.7 boost threshold, prefix cap 4,
+    * same FP evaluation order — fuzz-verified on 5 000 pairs), so the
+    * DOUBLE scores and the rank order they induce hash-match the oracle
+    * with no rounding contract. Per-id rank ties break on id_b.
+    */
+  def fuzzyJwRerank(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val pairs = edSelfJoin(names, "c_custkey", "c_name", maxDist = 1)
+    val nA = names.select(col("c_custkey").as("id_a"), col("c_name").as("n_a"))
+    val nB = names.select(col("c_custkey").as("id_b"), col("c_name").as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("jw").desc, col("id_b"))
+    pairs.join(nA, Seq("id_a")).join(nB, Seq("id_b"))
+      .withColumn("jw", org.apache.spark.sql.graft.TextExpressions
+        .jaroWinkler(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+        col("jw"), row_number().over(w).cast("long").as("rk"))
+  }
+
+  val fuzzyJwRerankOracle: String =
+    """WITH pairs AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+      |         jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+      |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1)
+      |SELECT id_a, id_b, dist, jw,
+      |       row_number() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS rk
+      |FROM pairs""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_join" -> (fuzzyCustomerPairs _),
-    "x_fuzzy_lookup" -> (fuzzyPartLookup _))
+    "x_fuzzy_lookup" -> (fuzzyPartLookup _),
+    "x_fuzzy_jw_rerank" -> (fuzzyJwRerank _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_join" -> fuzzyCustomerPairsOracle,
-    "x_fuzzy_lookup" -> fuzzyPartLookupOracle)
+    "x_fuzzy_lookup" -> fuzzyPartLookupOracle,
+    "x_fuzzy_jw_rerank" -> fuzzyJwRerankOracle)
 }

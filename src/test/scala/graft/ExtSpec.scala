@@ -605,4 +605,24 @@ class ExtSpec extends SparkSpec {
     assert(got === want)
     assert(got.contains((1L, 4L, 0)) && got.contains((2L, 4L, 1)))
   }
+
+  test("jaroWinkler kernel: reference values, boost threshold, byte-level unicode, empty edge") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.TextKernels
+    def jw(a: String, b: String): Double =
+      TextKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(jw("martha", "marhta") === 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") === 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") === 0.8962962962962964)
+    assert(jw("kitten", "sitting") === 0.746031746031746)
+    assert(jw("a", "a") === 1.0)
+    assert(jw("ab", "ba") === 0.0)
+    // DuckDB variant edges the textbook form gets wrong:
+    assert(jw("", "") === 0.0) // empty-empty is 0, not 1
+    // boost threshold: shared prefix but jaro < 0.7 -> NO Winkler bonus
+    assert(jw("beaceaabe", "bccecd") === 0.5)
+    // byte-level: 'é' is 2 UTF-8 bytes, so the 2-byte prefix of "é∂a"/"é"
+    // counts as prefix length 2 in the boost
+    assert(jw("é∂a", "é") === 0.8222222222222222)
+  }
 }
