@@ -55,15 +55,16 @@ object FuzzyJoin {
     */
   private def verifiedStringPairs(
       lStrs: DataFrame, lCol: String, rStrs: DataFrame, rCol: String,
-      maxDist: Int, filter: Column = lit(true)): DataFrame = {
+      maxDist: Int, filter: Column = lit(true),
+      metric: (Column, Column, Int) => Column =
+        org.apache.spark.sql.graft.TextExpressions.editDistanceCapped): DataFrame = {
     val lKeys = lStrs.select(col(lCol)).distinct()
       .withColumn("_k", explode(neighborhood(col(lCol), maxDist)))
     val rKeys = rStrs.select(col(rCol)).distinct()
       .withColumn("_k", explode(neighborhood(col(rCol), maxDist)))
     lKeys.join(rKeys, Seq("_k"))
       .filter(filter)
-      .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
-        .editDistanceCapped(col(lCol), col(rCol), maxDist))
+      .withColumn("dist", metric(col(lCol), col(rCol), maxDist))
       .filter(col("dist") <= maxDist)
       .select(lCol, rCol, "dist").distinct()
   }
@@ -87,7 +88,9 @@ object FuzzyJoin {
     */
   def edSelfJoin(
       names: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      metric: (Column, Column, Int) => Column =
+        org.apache.spark.sql.graft.TextExpressions.editDistanceCapped): DataFrame = {
     val rows = names.select(col(idCol).as("_id"), col(strCol).as("_s"))
     // distinct-string pairs, ONE orientation per unordered pair by string
     // order (the strings of a candidate pair always differ, so s_a < s_b
@@ -95,7 +98,7 @@ object FuzzyJoin {
     val a = rows.select(col("_s").as("s_a"))
     val b = rows.select(col("_s").as("s_b"))
     val strPairs = verifiedStringPairs(a, "s_a", b, "s_b", maxDist,
-      filter = col("s_a") < col("s_b"))
+      filter = col("s_a") < col("s_b"), metric = metric)
     // expand each qualifying string pair to all member id pairs
     val memA = rows.select(col("_id").as("id_x"), col("_s").as("s_a"))
     val memB = rows.select(col("_id").as("id_y"), col("_s").as("s_b"))
@@ -245,13 +248,38 @@ object FuzzyJoin {
       |       row_number() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS rk
       |FROM pairs""".stripMargin
 
+  /** Gate: the same customer pair set under OSA (restricted
+    * Damerau-Levenshtein) at distance ≤ 1 — adjacent transpositions count
+    * as ONE edit, so digit-swap typos ("…012"/"…021", two edits to plain
+    * Levenshtein) now pair. The deletion-neighborhood blocking stays
+    * lossless: a transposition pair shares the key obtained by deleting
+    * either transposed character from both strings. At cap 1, OSA equals
+    * full Damerau-Levenshtein (their divergence needs ≥ 2 ops), which is
+    * what makes the gate hash-comparable against DuckDB's
+    * `damerau_levenshtein`.
+    */
+  def fuzzyCustomerPairsOsa(s: SparkSession, d: String): DataFrame =
+    edSelfJoin(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", maxDist = 1,
+      metric = org.apache.spark.sql.graft.TextExpressions.osaDistanceCapped)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+  val fuzzyCustomerPairsOsaOracle: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_join" -> (fuzzyCustomerPairs _),
     "x_fuzzy_lookup" -> (fuzzyPartLookup _),
-    "x_fuzzy_jw_rerank" -> (fuzzyJwRerank _))
+    "x_fuzzy_jw_rerank" -> (fuzzyJwRerank _),
+    "x_fuzzy_osa" -> (fuzzyCustomerPairsOsa _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_join" -> fuzzyCustomerPairsOracle,
     "x_fuzzy_lookup" -> fuzzyPartLookupOracle,
-    "x_fuzzy_jw_rerank" -> fuzzyJwRerankOracle)
+    "x_fuzzy_jw_rerank" -> fuzzyJwRerankOracle,
+    "x_fuzzy_osa" -> fuzzyCustomerPairsOsaOracle)
 }

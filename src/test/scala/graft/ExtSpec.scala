@@ -625,4 +625,36 @@ class ExtSpec extends SparkSpec {
     // counts as prefix length 2 in the boost
     assert(jw("é∂a", "é") === 0.8222222222222222)
   }
+
+  test("osaDistanceCapped: agrees with reference OSA wherever <= cap, transpositions = 1 edit") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.TextKernels
+    def osa(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          m(i)(j) = math.min(m(i)(j), m(i - 2)(j - 2) + 1)
+      }
+      m(a.length)(b.length)
+    }
+    def k(a: String, b: String, d: Int): Int = TextKernels.osaDistanceCapped(
+      UTF8String.fromString(a), UTF8String.fromString(b), d)
+    assert(k("ab", "ba", 1) === 1) // transposition is ONE edit (lev says 2)
+    assert(k("abcdef", "abcdfe", 1) === 1)
+    // OSA("ca","abc") = 3 (restricted: no edits inside a transposed pair),
+    // full Damerau = 2 — the divergence needs >= 2 ops, which is why the
+    // gate caps at 1 where the two coincide
+    assert(k("ca", "abc", 2) === 3)
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abc"
+    val cases = Seq(("", ""), ("", "a"), ("abc", "abc"), ("kitten", "sitting")) ++
+      Seq.fill(500)((
+        Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(3))).mkString,
+        Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(3))).mkString))
+    for ((a, b) <- cases; d <- 0 to 3)
+      assert(k(a, b, d) === math.min(osa(a, b), d + 1), s"osa('$a','$b',$d)")
+  }
 }
