@@ -16,7 +16,7 @@ import graft.queries.Q.QueryFn
   *  - `strs`:     the DISTINCT strings ever indexed — appended.
   *  - `keys`:     (k, s) deletion-neighborhood postings of those strings —
   *    appended; the blocking index.
-  *  - `strpairs`: (s_a, s_b, dist) verified distinct-string pairs, one
+  *  - `pairs_str`: (s_a, s_b, dist) verified distinct-string pairs, one
   *    orientation (s_a < s_b) — append-only.
   *
   * An append batch costs O(new strings): only strings NEW to the index are
@@ -56,10 +56,13 @@ object IncrementalFuzzy {
       .join(all.select(col("k"), col("s").as("_q")), Seq("k"))
       .filter(col("_p") =!= col("_q"))
       .select(least(col("_p"), col("_q")).as("s_a"),
-        greatest(col("_p"), col("_q")).as("s_b")).distinct()
+        greatest(col("_p"), col("_q")).as("s_b"))
+      // verify BEFORE the pair dedup, same as the batch pipeline: only
+      // true pairs reach the distinct's exchange
       .withColumn("dist", org.apache.spark.sql.graft.TextExpressions
         .editDistanceCapped(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") <= maxDist)
+      .distinct()
 
   /** Build the index from an initial batch of (id, s) rows. */
   def init(rows: DataFrame, root: String, maxDist: Int): Unit = {
