@@ -93,7 +93,11 @@ object Permissions {
 
   /** Set-oriented check: evaluate many (user_email, path, ptype) requests in
     * ONE broadcast join against the permissions table — the scalable form of
-    * `check` (no per-request driver round-trip).
+    * `check` (no per-request driver round-trip). The explicit hint is a
+    * growth-class call (SCALE.md §Joins): grants scale with the ORG (users ×
+    * feeds — administrative metadata), not with the corpus, so the table
+    * stays broadcast-sized at any data volume; the non-equi path-prefix
+    * condition would otherwise fall to a nested-loop join.
     */
   def checkBatch(perms: DataFrame, requests: DataFrame, asOf: Date): DataFrame = {
     val p = perms.filter(col("is_active"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * All row-level checks for one table evaluate in a SINGLE aggregation pass
   * (conditional sums over one scan — at 100 TB you cannot afford a scan per
   * rule); uniqueness rides the same pass via count vs approx-free exact
-  * distinct, and referential checks are broadcast anti-join counts.
+  * distinct, and referential checks are AQE-planned anti-join counts.
   */
 object Quality {
 
@@ -57,13 +57,18 @@ object Quality {
     }.toDF("check", "violations", "total", "passed")
   }
 
-  /** FK values in `fact` with no match in `dim` (broadcast anti-join) —
-    * the single implementation behind both the count-style check here and
-    * Warehouse.requireFkIntact's fail-fast audit.
+  /** FK values in `fact` with no match in `dim` — the single
+    * implementation behind both the count-style check here and
+    * Warehouse.requireFkIntact's fail-fast audit. The anti-join is
+    * UNHINTED (SCALE.md §Joins growth classes): `dim` is caller-supplied
+    * and may scale with the corpus (c8 checks orders→customer), so a
+    * forced broadcast would be honored to the 8 GB cap and die; AQE
+    * broadcasts the single-column key projection while it fits and
+    * degrades to a shuffled anti-join past that.
     */
   def orphans(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
     fact.select(col(factKey))
-      .join(broadcast(dim.select(col(dimKey))), col(factKey) === col(dimKey), "left_anti")
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_anti")
 
   /** Referential check as a row: FK values in `fact` missing from `dim`. */
   def fkCheck(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String): (String, Long, Long, Boolean) = {
