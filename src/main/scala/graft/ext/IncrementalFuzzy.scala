@@ -102,10 +102,19 @@ object IncrementalFuzzy {
 
   /** The maintained member-level pair set (id_a, id_b, dist), id_a < id_b
     * — expanded from the string-level state at read time.
+    *
+    * Replay tolerance: every stored row is a DETERMINISTIC function of the
+    * corpus (member rows verbatim; string pairs of the distinct strings),
+    * so a re-delivered append — Structured Streaming is at-least-once into
+    * `foreachBatch`, and a crash between [[append]]'s sequential writes
+    * re-runs the whole batch — can only duplicate rows verbatim, never
+    * diverge them. The `distinct()` on both reads restores set semantics,
+    * making a replayed or half-replayed batch invisible here (on clean
+    * state it deduplicates an already-distinct set — a no-op for results).
     */
   def pairs(s: SparkSession, root: String): DataFrame = {
-    val members = s.read.parquet(s"$root/members")
-    val sp = s.read.parquet(s"$root/pairs_str")
+    val members = s.read.parquet(s"$root/members").distinct()
+    val sp = s.read.parquet(s"$root/pairs_str").distinct()
     val memA = members.select(col("id").as("id_x"), col("s").as("s_a"))
     val memB = members.select(col("id").as("id_y"), col("s").as("s_b"))
     val cross = sp.join(memA, Seq("s_a")).join(memB, Seq("s_b"))
@@ -163,8 +172,20 @@ object IncrementalFuzzy {
       .outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory("graft_sfuzzy_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        append(batch, root, maxDist = 1)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // At-least-once guard: a batch whose append fully committed but
+        // whose checkpoint write failed is RE-DELIVERED after restart —
+        // the marker (written only after append returns) makes that
+        // re-delivery a no-op instead of a double append. A batch that
+        // died MID-append re-runs with no marker; the read-time set
+        // semantics of [[pairs]] absorb whatever the first attempt
+        // half-wrote, so either way replay ≡ exactly-once.
+        val marker = new java.io.File(s"$root/_applied_batch_$batchId")
+        if (!marker.exists()) {
+          append(batch, root, maxDist = 1)
+          marker.createNewFile()
+        }
+        ()
       }
       .start()
     q.awaitTermination()

@@ -113,7 +113,12 @@ object IncrementalLsh {
       s"IncrementalLsh.append: new ids must exceed all ingested ids ($minNew <= $maxOld)")
     val newSigs = signatures(newDocs).persist()
     newSigs.write.mode("append").parquet(s"$root/sigs")
-    val all = s.read.parquet(s"$root/sigs")
+    // distinct: signatures are a deterministic function of (doc_id, text),
+    // so the only possible duplicates are verbatim rows from a replayed
+    // half-committed append (crash after the sigs write, before the
+    // watermark) — dedup here keeps the bucket cap and the verify joins
+    // exact under at-least-once redelivery; on clean state it is a no-op
+    val all = s.read.parquet(s"$root/sigs").distinct()
     val touched = Dedup.bandBuckets(
       newSigs.select(col("doc_id").as("rep_id"), col("sig")))
       .select(col("band_idx"), col("band_hash")).distinct()
@@ -131,9 +136,15 @@ object IncrementalLsh {
     writeIdWatermark(s, root, maxNew)
   }
 
-  /** The maintained near-dup pair table. */
+  /** The maintained near-dup pair table. Verified pairs are deterministic
+    * per (doc_a, doc_b), so the read-time distinct restores set semantics
+    * if a replayed half-committed append double-appended a batch's pairs
+    * (see the foreachBatch marker in [[streamLshIndex]] for the
+    * common-case guard); on clean state it deduplicates an
+    * already-distinct set.
+    */
   def pairs(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/pairs")
+    s.read.parquet(s"$root/pairs").distinct()
 
   /** Gate: init on the 100 planted base docs, then TWO incremental appends
     * of 10 exact duplicates each — the final maintained pair table must
@@ -178,8 +189,17 @@ object IncrementalLsh {
       .outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory("graft_slsh_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        append(batch, root)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // at-least-once guard (same contract as IncrementalFuzzy's gate):
+        // a fully-committed batch re-delivered after a checkpoint-write
+        // failure must be a no-op — without the marker the re-run would
+        // trip the monotone-id require and kill the query on restart
+        val marker = new java.io.File(s"$root/_applied_batch_$batchId")
+        if (!marker.exists()) {
+          append(batch, root)
+          marker.createNewFile()
+        }
+        ()
       }
       .start()
     q.awaitTermination()

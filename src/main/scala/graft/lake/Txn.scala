@@ -61,6 +61,28 @@ object Txn {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Stable identity of a manifest FILE (not the id slot): the embedded
+    * per-claim UUID when present, else a (mtime, length) composite for
+    * manifests written before the UUID field existed. None = unreadable
+    * or vanished. [[vacuum]] compares this at entry vs immediately before
+    * each delete, so a slot re-claimed by a new committer — a different
+    * file even when coarse mtime granularity makes timestamps collide —
+    * is never deleted on a stale judgment.
+    */
+  private def manifestIdent(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+    scala.util.Try {
+      val in = f.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json).get("uuid")
+      if (node != null) s"uuid:${node.asText()}"
+      else {
+        val st = f.getFileStatus(p)
+        s"legacy:${st.getModificationTime}:${st.getLen}"
+      }
+    }.toOption
+
   private def manifestIds(spark: SparkSession, root: String): Seq[Int] = {
     val dir = txnDir(root)
     val f = fs(spark, dir)
@@ -179,9 +201,19 @@ object Txn {
     val dir = txnDir(root)
     val f = fs(spark, dir)
     f.mkdirs(dir)
+    // per-claim UUID: the identity [[vacuum]]'s guarded deletes compare —
+    // a re-claimed id is a NEW file, but on filesystems with coarse (1 s)
+    // mtime granularity a re-claim landing in the same tick is
+    // mtime-identical to the file judged collectable; the embedded UUID
+    // makes identity content-based, immune to timestamp resolution.
+    // (currentManifestAt reads only the "tables" node, so old manifests
+    // without the field parse unchanged.)
     val body = pins.toSeq.sortBy(_._1)
       .map { case (t, v) => s"${graft.GraftSession.jsonEscape(t)}: $v" }
-      .mkString("{\"tables\": {", ", ", "}}")
+      .mkString(
+        s"""{"uuid": ${graft.GraftSession.jsonEscape(
+          java.util.UUID.randomUUID().toString)}, "tables": {""",
+        ", ", "}}")
     val tmp = new Path(dir, s".tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -318,6 +350,21 @@ object Txn {
             if (f.exists(dir)) {
               val out = f.create(new Path(dir, heartbeatName), true)
               try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+              // TOCTOU (round 10): a vacuum can sweep `dir` between the
+              // exists() above and the create() — create() auto-creates
+              // parents, so the marker would resurrect an empty shell
+              // whose FRESH heartbeat shields it from the age gate while
+              // exists()-based pin checks mistake it for a live version.
+              // Re-check substance AFTER the write: a staged dir always
+              // holds ≥1 data file (writeTableSnapshot wrote it; vacuum
+              // only deletes whole dirs), so no data file ⇒ we resurrected
+              // a swept dir — remove the shell; tokenOk then reads the
+              // sweep and the commit loop re-stages.
+              val hasData = f.listStatus(dir).exists { st =>
+                val n = st.getPath.getName
+                st.isFile && !n.startsWith("_") && !n.startsWith(".")
+              }
+              if (!hasData) f.delete(dir, true)
             }
           }
           if (!touchWarned) {
@@ -552,19 +599,15 @@ object Txn {
     // window instead of three.
     val pinsAt: Map[Int, Option[Map[String, Int]]] = keep0.map(i =>
       i -> scala.util.Try(currentManifestAt(spark, root, i)).toOption).toMap
-    // mtime of every manifest AT ENTRY: rolled-back ids are re-claimable
+    // identity of every manifest AT ENTRY: rolled-back ids are re-claimable
     // by later committers (candidate = lastId+1 can re-issue a freed id),
     // so a manifest judged collectable here must only be deleted if the
-    // file is still the SAME file — a re-claimed id is a new file with a
-    // new mtime (round 9; see the guarded deletes below)
-    val mtimeAt: Map[Int, Long] =
-      if (!fsw.exists(txnDir(root))) Map.empty
-      else fsw.listStatus(txnDir(root)).toSeq.collect {
-        case st if st.getPath.getName.startsWith("t") &&
-            st.getPath.getName.endsWith(".json") =>
-          st.getPath.getName.stripPrefix("t").stripSuffix(".json").toInt ->
-            st.getModificationTime
-      }.toMap
+    // file is still the SAME file. Identity is the embedded per-claim UUID
+    // (round 10 — mtime alone is not identity on filesystems with coarse
+    // granularity, where a re-claim landing in the same tick collides),
+    // with a (mtime, length) composite for pre-UUID manifests.
+    val identAt: Map[Int, Option[String]] = ids.map(i =>
+      i -> manifestIdent(fsw, new Path(txnDir(root), s"t$i.json"))).toMap
     val diverged: Seq[Int] = ids.lastOption match {
       case Some(m) =>
         pinsAt.getOrElse(m, None) match {
@@ -683,14 +726,15 @@ object Txn {
           ).getOrElse(false) && f.delete(dir, true)
         }
       }
-      // guarded manifest deletes: same file ⇒ same mtime as at entry; a
+      // guarded manifest deletes: re-read the identity immediately before
+      // each delete and require it to equal the entry-time identity — a
       // re-claimed id (owner rolled back, new committer re-used the slot)
-      // is a NEW file with a new mtime and must survive this run
+      // is a NEW file with a new UUID and must survive this run even when
+      // its mtime tick collides with the judged file's
       val deletedManifests = dropManifests.filter { id =>
         val p = new Path(txnDir(root), s"t$id.json")
-        scala.util.Try(f.getFileStatus(p).getModificationTime).toOption
-          .exists(cur => mtimeAt.get(id).contains(cur)) &&
-          f.delete(p, false)
+        val entry = identAt.get(id).flatten
+        entry.isDefined && manifestIdent(f, p) == entry && f.delete(p, false)
       }
       // orphaned claim markers from crashed committers. An id <= latest
       // can still belong to a LIVE committer between claim and rename (it
