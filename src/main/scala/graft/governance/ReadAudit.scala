@@ -48,6 +48,43 @@ object ReadAudit {
     buf.asScala.toSeq.toDF()
   }
 
+  /** Flush the buffered entries to the versioned lake: drain the queue and
+    * write the drained window as ONE new snapshot version of `table` under
+    * `root` (the per-table OCC claim path — concurrent flushers serialize
+    * like any other snapshot writers). This is what keeps a multi-day
+    * 100 TB deployment's driver memory bounded: the in-memory queue only
+    * ever holds the entries since the last flush, and the monotone `seq`
+    * makes the trail's total order independent of where flush boundaries
+    * fall. Entries recorded DURING the drain simply land in the next
+    * flush — nothing is lost or reordered (the queue is FIFO and seq is
+    * assigned at record time, not flush time). Returns the version
+    * written, or None when there was nothing to flush (no empty snapshot
+    * versions are minted).
+    */
+  def flush(session: SparkSession, root: String,
+      table: String = "audit_log"): Option[Int] = {
+    import session.implicits._
+    val drained = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var e = buf.poll()
+    while (e != null) { drained += e; e = buf.poll() }
+    if (drained.isEmpty) None
+    else Some(graft.lake.Lake.writeTableSnapshot(drained.toSeq.toDF(), root, table))
+  }
+
+  /** The flushed trail: the union of every snapshot version of the audit
+    * table (each version is one flush window; `seq` splices them into the
+    * global order). O(flush count) snapshot reads — a periodic compaction
+    * can fold old versions into one, exactly like any other lake table.
+    */
+  def flushed(session: SparkSession, root: String,
+      table: String = "audit_log"): DataFrame = {
+    import session.implicits._
+    graft.lake.Lake.versions(session, root, table)
+      .map(v => graft.lake.Lake.readTableFeed(session, root, table, Some(v)))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(session.emptyDataset[Entry].toDF())
+  }
+
   /** The injected check rule (see [[graft.GraftExtensions]]). The walk is
     * the shared [[RelationPaths]] extractor, so the audit sees exactly
     * what [[ReadGuard]] enforces on — v1 relations, v2 relations

@@ -728,6 +728,55 @@ object Lifecycle {
       |  ('bob@corp',  'ds_b', CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
       |  t(principal, dataset, n_reads, first_seq)""".stripMargin
 
+  /** C19b audit-log flush: the at-scale half of read auditing — the
+    * in-memory buffer drains to a VERSIONED lake table
+    * ([[graft.governance.ReadAudit.flush]]), so a multi-day deployment's
+    * driver memory holds only the entries since the last flush. The gate
+    * records reads as three principals with TWO flushes interleaved, then
+    * splices the flushed snapshots with the still-buffered tail and emits
+    * the exact (seq, principal, dataset, src) sequence: hash-verifying it
+    * proves (a) each flush drained precisely its window into its own
+    * snapshot version, (b) the monotone seq survives flush boundaries
+    * unchanged, and (c) nothing was lost, duplicated, or reordered across
+    * the memory→lake transition.
+    */
+  def auditFlush(s: SparkSession, d: String): DataFrame = {
+    import graft.governance.ReadAudit
+    val root = scratch("graft_auditf_")
+    Tables.nation(s, d).write.mode(SaveMode.Overwrite).parquet(s"$root/ds_a")
+    Tables.region(s, d).write.mode(SaveMode.Overwrite).parquet(s"$root/ds_b")
+    ReadAudit.reset()
+    ReadAudit.install("alice@corp")
+    try {
+      s.read.parquet(s"$root/ds_a")
+      s.read.parquet(s"$root/ds_b")
+    } finally ReadAudit.clear()
+    val v1 = ReadAudit.flush(s, s"$root/lake") // drains alice's window
+    ReadAudit.install("bob@corp")
+    try s.read.parquet(s"$root/ds_a") finally ReadAudit.clear()
+    val v2 = ReadAudit.flush(s, s"$root/lake") // drains bob's window
+    require(v1.exists(_ < v2.getOrElse(0)),
+      s"flushes must mint increasing snapshot versions ($v1, $v2)")
+    require(ReadAudit.flush(s, s"$root/lake").isEmpty,
+      "an empty buffer must not mint a snapshot version")
+    ReadAudit.install("carol@corp")
+    try s.read.parquet(s"$root/ds_b") finally ReadAudit.clear()
+    val lake = ReadAudit.flushed(s, s"$root/lake").withColumn("src", lit("lake"))
+    val mem = ReadAudit.log(s).withColumn("src", lit("mem"))
+    lake.unionByName(mem)
+      .withColumn("dataset", element_at(split(col("path"), "/"), -1))
+      .filter(col("dataset").isin("ds_a", "ds_b"))
+      .select(col("seq"), col("principal"), col("dataset"), col("src"))
+  }
+
+  val auditFlushOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'alice@corp', 'ds_a', 'lake'),
+      |  (CAST(1 AS BIGINT), 'alice@corp', 'ds_b', 'lake'),
+      |  (CAST(2 AS BIGINT), 'bob@corp',   'ds_a', 'lake'),
+      |  (CAST(3 AS BIGINT), 'carol@corp', 'ds_b', 'mem'))
+      |  t(seq, principal, dataset, src)""".stripMargin
+
   private val catalogN = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** A19 catalog SQL + time travel: the versioned lake exposed through a
@@ -1532,6 +1581,7 @@ object Lifecycle {
     "c13_column_mask" -> (columnMask _),
     "c18_row_filter" -> (rowFilter _),
     "c19_read_audit" -> (readAudit _),
+    "c19b_audit_flush" -> (auditFlush _),
     "a19_catalog_sql" -> (catalogSql _),
     "a20_catalog_insert" -> (catalogInsert _),
     "c20_schema_contract" -> (schemaContract _),
@@ -1575,6 +1625,7 @@ object Lifecycle {
     "c13_column_mask" -> columnMaskOracle,
     "c18_row_filter" -> rowFilterOracle,
     "c19_read_audit" -> readAuditOracle,
+    "c19b_audit_flush" -> auditFlushOracle,
     "a19_catalog_sql" -> catalogSqlOracle,
     "a20_catalog_insert" -> catalogInsertOracle,
     "c20_schema_contract" -> schemaContractOracle,

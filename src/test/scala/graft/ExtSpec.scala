@@ -292,6 +292,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF multi-probe: recall@4 ≥ recall@1 per query, strictly better in aggregate") {
+    // sf0.01: 500 vectors, 5 queries — dense enough that single-probe IVF
+    // provably misses near-boundary truth neighbors on this corpus, so the
+    // aggregate improvement must be STRICT, not just monotone
+    val rows = Similarity.annIvfRecall(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tk, h1, h4) = (r.getAs[Long]("truth_k"),
+        r.getAs[Long]("hits_np1"), r.getAs[Long]("hits_np4"))
+      assert(tk === 3L, s"brute-force truth should be top-3: $r")
+      assert(h1 >= 0L && h4 <= tk, s"hits outside [0, truth_k]: $r")
+      // candidates@1 ⊆ candidates@4 and a truth neighbor in any probed
+      // cell is always retrieved (at most 2 vectors beat it anywhere), so
+      // per-query monotonicity is a THEOREM of the construction — any
+      // violation is an implementation bug, not a data property
+      assert(h4 >= h1, s"recall not monotone in nprobe: $r")
+    }
+    val (s1, s4) = (rows.map(_.getAs[Long]("hits_np1")).sum,
+      rows.map(_.getAs[Long]("hits_np4")).sum)
+    assert(s4 > s1,
+      s"multi-probe must strictly improve aggregate recall here ($s1 vs $s4)")
+    // and the retrieved sets agree: multiprobe top-3 at nprobe=4 must
+    // contain every single-probe hit's neighbor (same cells probed first)
+    val mp = Similarity.annIvfMultiprobe(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val sp = Similarity.annIvf(spark, "/root/testdata/sf0.01")
+      .filter(col("rk") <= 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    // single-probe's top-3 comes from a candidate subset; anything it
+    // found that survives the larger candidate pool's top-3 must appear —
+    // spot-check the containment direction that is guaranteed: every
+    // multiprobe rank-1 neighbor at least ties single-probe's rank-1
+    val mpTop = Similarity.annIvfMultiprobe(spark, "/root/testdata/sf0.01")
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val spTop = Similarity.annIvf(spark, "/root/testdata/sf0.01")
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    spTop.foreach { case (q, c1) =>
+      assert(mpTop.getOrElse(q, Double.MinValue) >= c1 - 1e-12,
+        s"multiprobe rank-1 cosine regressed vs single-probe for query $q")
+    }
+    assert(mp.nonEmpty && sp.nonEmpty)
+  }
+
   test("repetition signals: fraction bounds and planted degenerate doc") {
     import spark.implicits._
     // route a tiny planted corpus through the same aggregation shape by
