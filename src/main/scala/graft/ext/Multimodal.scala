@@ -142,13 +142,116 @@ object Multimodal {
       |       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT) AS n_frames
       |FROM documents""".stripMargin
 
+  /** Deterministic image spec derived from a media id — the generation
+    * parameters the oracle recomputes pixel math from.
+    */
+  case class ImageSpec(media_id: Long, width: Int, height: Int)
+
+  /** Codec-decoded image facts: dimensions parsed from the BMP header by
+    * the decoder, channel sums folded over the DECODED pixel matrix.
+    */
+  case class DecodedImage(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The deterministic pixel function: RGB at (x, y) of image `id`. Pure
+    * integer arithmetic, so DuckDB can recompute every channel sum from
+    * (media_id, width, height) alone — which is what lets a REAL
+    * encode→decode round trip be hash-verified end-to-end.
+    */
+  def pixel(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 3 + x * 5L + y * 7L) % 256).toInt
+    val g = ((id * 11 + x * 13L + y * 17L) % 256).toInt
+    val b = ((id + x + y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode one spec as REAL BMP bytes via `javax.imageio` — the
+    * in-query deterministic source standing in for media files on disk.
+    */
+  def encodeBmp(spec: ImageSpec): MediaRow = {
+    val img = new java.awt.image.BufferedImage(
+      spec.width, spec.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < spec.height) {
+      var x = 0
+      while (x < spec.width) { img.setRGB(x, y, pixel(spec.media_id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    MediaRow(spec.media_id, bos.toByteArray, "image/bmp")
+  }
+
+  /** Decode REAL BMP bytes with the JDK codec and fold channel sums over
+    * the decoded pixels — the genuine byte→pixel stage the stub decoder
+    * simulates. Runs inside the same typed mapPartitions shape as
+    * [[decodeAll]]; width/height come from the PARSED header, so any
+    * codec drift (padding, row order, channel order) breaks the hash.
+    */
+  def decodeBmp(r: MediaRow): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null, s"undecodable image payload for media ${r.media_id}")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(r.media_id, img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** Gate: full encode→decode round trip through a real codec. Specs
+    * derive from doc ids; BMP bytes are written and re-parsed by
+    * `javax.imageio` per partition (encode and decode chain inside ONE
+    * stage — the payload never crosses an exchange, the design rule for
+    * 100 TB media: extract features where the bytes are, shuffle only the
+    * features). The oracle recomputes dimensions and channel sums from
+    * the generation parameters with pure SQL, so a hash match proves the
+    * decoded pixel matrix — not just the plumbing — is faithful.
+    */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 8).cast("int").as("width"),
+        (col("doc_id") % 12 + 8).cast("int").as("height"))
+      .as[ImageSpec]
+      .mapPartitions(_.map(encodeBmp))
+      .mapPartitions(_.map(decodeBmp))
+      .toDF()
+  }
+
+  val mediaDecodeOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |                  CAST(doc_id % 16 + 8 AS INT) AS width,
+      |                  CAST(doc_id % 12 + 8 AS INT) AS height
+      |           FROM documents),
+      |xs AS (SELECT media_id, width, height,
+      |              unnest(range(0, width)) AS x FROM m),
+      |px AS (SELECT media_id, width, height, x,
+      |              unnest(range(0, height)) AS y FROM xs)
+      |SELECT media_id, width, height,
+      |       CAST(SUM((media_id * 3 + x * 5 + y * 7) % 256) AS BIGINT) AS sum_r,
+      |       CAST(SUM((media_id * 11 + x * 13 + y * 17) % 256) AS BIGINT) AS sum_g,
+      |       CAST(SUM((media_id + x + y) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_media_meta" -> (mediaMeta _),
     "x_media_features" -> (mediaFeatures _),
-    "x_media_frames" -> (frameSample _))
+    "x_media_frames" -> (frameSample _),
+    "x_media_decode" -> (mediaDecode _))
 
   val oracles: Map[String, String] = Map(
     "x_media_meta" -> mediaMetaOracle,
     "x_media_features" -> mediaFeaturesOracle,
-    "x_media_frames" -> frameSampleOracle)
+    "x_media_frames" -> frameSampleOracle,
+    "x_media_decode" -> mediaDecodeOracle)
 }
