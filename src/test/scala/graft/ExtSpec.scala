@@ -258,6 +258,37 @@ class ExtSpec extends SparkSpec {
     assert(f1.width === 11 % 640 + 64 && f1.height === 11 % 480 + 48)
   }
 
+  test("incremental SimHash: append-then-incremental ≡ brute force on real docs") {
+    import graft.ext.IncrementalSimhash
+    val root = java.nio.file.Files.createTempDirectory("graft_isim_t_").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id") < 200)
+    IncrementalSimhash.init(docs.filter(col("doc_id") < 80), root)
+    IncrementalSimhash.append(
+      docs.filter(col("doc_id") >= 80 && col("doc_id") < 150), root)
+    IncrementalSimhash.append(docs.filter(col("doc_id") >= 150), root)
+    val got = IncrementalSimhash.pairs(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force truth over the same sketches: all doc pairs within
+    // Hamming 3 (identical sketches included, at 0)
+    val sk = graft.ext.Dedup.simhashSketches(
+      docs.select(col("doc_id"), col("text")))
+    val truth = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === truth,
+      s"incremental pair set diverges from brute force: " +
+        s"missing=${(truth.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- truth.keySet).take(5)}")
+    // replayed append is invisible: re-appending an already-ingested
+    // slice duplicates nothing in the read-time pair set
+    IncrementalSimhash.append(docs.filter(col("doc_id") >= 150), root)
+    val replayed = IncrementalSimhash.pairs(spark, root).collect()
+    assert(replayed.length === got.size, "replayed append changed the pair set")
+  }
+
   test("BMP codec round trip: real ImageIO bytes, exact pixel recovery") {
     val spec = Multimodal.ImageSpec(42L, 9, 11)
     val row = Multimodal.encodeBmp(spec)
