@@ -271,15 +271,111 @@ object FuzzyJoin {
       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Record-level entity resolution: id pairs whose records are within
+    * edit distance `maxDist` on ANY of `blockFields` — the union of one
+    * [[edSelfJoin]] PER FIELD (so every field's candidate work runs at
+    * that field's DISTINCT-VALUE granularity with the measured skew
+    * bounds: a record-level posting join would instead pay bucket² in the
+    * multiplicity of popular field values — segments, area codes — which
+    * is exactly the quadratic blowup the per-field pre-collapse removes),
+    * deduped at the id-pair level, with BOTH records' block fields
+    * attached (`a_`/`b_` prefixes) for downstream scoring. Union blocking
+    * is lossless for the "any field near" predicate: a qualifying pair is
+    * produced in full by its qualifying field's channel.
+    *
+    * Scale: intermediates are linear in the per-field TRUE pair sets; the
+    * OUTPUT necessarily contains every same-value record pair per field
+    * (that is the predicate), so like [[edJoin]] it grows with value
+    * multiplicity² — pipelines that only need resolution, not the pair
+    * set, should aggregate at value level first ([[edLookupBest]] shape).
+    */
+  def recordLinkPairs(
+      records: DataFrame, idCol: String, blockFields: Seq[String],
+      maxDist: Int): DataFrame = {
+    val idPairs = blockFields.map(f =>
+      edSelfJoin(records, idCol, f, maxDist).select(col("id_a"), col("id_b")))
+      .reduce(_.unionByName(_))
+      .distinct()
+    val a = records.select(
+      (col(idCol).as("id_a") +: blockFields.map(f => col(f).as(s"a_$f"))): _*)
+    val b = records.select(
+      (col(idCol).as("id_b") +: blockFields.map(f => col(f).as(s"b_$f"))): _*)
+    idPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+  }
+
+  /** Gate: weighted multi-field customer linkage — the record-matching
+    * shape real ER uses (the reference's dim lookups assume exact keys;
+    * sync_to_mysql.py:146-152): block on name OR a secondary string
+    * attribute within one edit, then score each surviving pair with fixed
+    * field weights — a 0/1 near-name agreement (weight 4), the CONTINUOUS
+    * Jaro-Winkler similarity of the secondary field (weight 2; the native
+    * kernel is bit-identical to DuckDB's variant, so the double scores
+    * hash-match with no rounding contract), and exact nation agreement
+    * (weight 1). The secondary field (`code` = mktsegment + 3-digit
+    * account code) is synthesized IN-QUERY from deterministic arithmetic
+    * — the same planted-attribute trick as `x_fuzzy_lookup` — so the
+    * oracle rebuilds it and recomputes the identical weighted score
+    * ALL-PAIRS, proving the union blocking lost nothing. The fixed
+    * left-to-right float evaluation order makes `score` engine-exact.
+    */
+  def fuzzyRecordLink(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      concat(col("c_mktsegment"), lit("#"),
+        lpad((col("c_custkey") % 1000).cast("string"), 3, "0")).as("code"),
+      col("c_nationkey").as("nat"))
+    // nation is a SCORING field, not a blocking field (exact agreement on
+    // a 25-value attribute blocks nothing) — attach it to both sides of
+    // the blocked pairs
+    val natA = c.select(col("id").as("id_a"), col("nat").as("a_nat"))
+    val natB = c.select(col("id").as("id_b"), col("nat").as("b_nat"))
+    recordLinkPairs(c, "id", Seq("name", "code"), maxDist = 1)
+      .join(natA, Seq("id_a")).join(natB, Seq("id_b"))
+      .withColumn("name_match",
+        (org.apache.spark.sql.graft.TextExpressions
+          .editDistanceCapped(col("a_name"), col("b_name"), 1) <= 1).cast("int"))
+      .withColumn("jw_code", org.apache.spark.sql.graft.TextExpressions
+        .jaroWinkler(col("a_code"), col("b_code")))
+      .withColumn("same_nation", (col("a_nat") === col("b_nat")).cast("int"))
+      .withColumn("score",
+        lit(4.0) * col("name_match") + lit(2.0) * col("jw_code")
+          + lit(1.0) * col("same_nation"))
+      .select(col("id_a"), col("id_b"), col("name_match"), col("jw_code"),
+        col("same_nation"), col("score"))
+  }
+
+  val fuzzyRecordLinkOracle: String =
+    """WITH c AS (SELECT c_custkey, c_name,
+      |                  c_mktsegment || '#' ||
+      |                    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') AS code,
+      |                  c_nationkey
+      |           FROM customer)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+      |                 THEN 1 ELSE 0 END AS INT) AS name_match,
+      |       jaro_winkler_similarity(a.code, b.code) AS jw_code,
+      |       CAST(CASE WHEN a.c_nationkey = b.c_nationkey
+      |                 THEN 1 ELSE 0 END AS INT) AS same_nation,
+      |       4.0 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+      |              THEN 1 ELSE 0 END)
+      |         + 2.0 * jaro_winkler_similarity(a.code, b.code)
+      |         + 1.0 * (CASE WHEN a.c_nationkey = b.c_nationkey
+      |                  THEN 1 ELSE 0 END) AS score
+      |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |   OR levenshtein(a.code, b.code) <= 1""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_join" -> (fuzzyCustomerPairs _),
     "x_fuzzy_lookup" -> (fuzzyPartLookup _),
     "x_fuzzy_jw_rerank" -> (fuzzyJwRerank _),
-    "x_fuzzy_osa" -> (fuzzyCustomerPairsOsa _))
+    "x_fuzzy_osa" -> (fuzzyCustomerPairsOsa _),
+    "x_fuzzy_record_link" -> (fuzzyRecordLink _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_join" -> fuzzyCustomerPairsOracle,
     "x_fuzzy_lookup" -> fuzzyPartLookupOracle,
     "x_fuzzy_jw_rerank" -> fuzzyJwRerankOracle,
-    "x_fuzzy_osa" -> fuzzyCustomerPairsOsaOracle)
+    "x_fuzzy_osa" -> fuzzyCustomerPairsOsaOracle,
+    "x_fuzzy_record_link" -> fuzzyRecordLinkOracle)
 }
