@@ -809,6 +809,100 @@ object Dedup {
       |SELECT id AS doc_id, MIN(r) AS cluster
       |FROM reach GROUP BY 1""".stripMargin
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same interface and answer as [[dedupClusters]], but the
+    * round count is O(log n) REGARDLESS of component diameter, where
+    * min-label propagation needs the eccentricity of each component's
+    * min vertex: near-dup clusters are dense (diameter ~2) so label
+    * propagation is fine there, but a fuzzy pair graph under heavy
+    * duplication can CHAIN (A≈B≈C≈…), and a 10⁶-long chain means 10⁶
+    * label rounds vs ~20 star rounds.
+    *
+    * Per round, both operations are one groupBy-min + one equi-join on
+    * node id (partial-aggregated shuffles, no windows, no collects):
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: edges oriented large→small, every node connects its
+    *    smaller neighbors (and itself) to that minimum.
+    * Both preserve connectivity; their composition contracts every
+    * component onto its minimum id geometrically. Convergence is an EXACT
+    * edge-set fixpoint test (two set-difference probes per round — same
+    * complexity class as the round itself, no probabilistic checksum),
+    * and like [[dedupClusters]] a non-converged run throws rather than
+    * return partial labels. At the fixpoint the edge set is a star
+    * forest (member → component min), which IS the label assignment.
+    */
+  private[graft] def ccStarWithStats(
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    // Canonical form throughout: distinct edges oriented large → small.
+    // Each round is localCheckpoint'ed (not just persisted): the round's
+    // plan references the previous round's edge frame several times, so
+    // an un-truncated lineage grows geometrically and a ~7-round run OOMs
+    // just STRINGIFYING the plan. Same executor-loss trade-off as the
+    // streaming dedup path (Relational.scala localCheckpoint note): on a
+    // cluster, a lost executor forces a rerun from the last checkpoint —
+    // acceptable for an iterative algorithm that is itself restartable.
+    var e = edges0
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // LARGE-STAR: for each u over its full (bidirected) neighborhood,
+      // m = min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u
+      val bidir = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bidir.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ large→small
+        .filter(col("u") =!= col("v"))
+      // SMALL-STAR on the large→small edges: m = min(Γ(u) ∪ {u}) over the
+      // smaller neighbors; connect each of them AND u itself to m
+      val oriented = ls.distinct()
+      val ssMin = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = oriented.join(ssMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v ≥ m, equality dropped below
+        .filter(col("u") =!= col("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint: same count and next ⊆ e ⇒ equal sets
+      val sameSize = next.count() == e.count()
+      converged = sameSize && next.except(e).limit(1).count() == 0
+      e = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccStar: not converged in $iter rounds (raise maxIter)")
+    val roots = e.select(col("v")).distinct()
+      .join(e.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
+      .select(col("v").as("id"), col("v").as("cluster"))
+    (e.select(col("u").as("id"), col("v").as("cluster")).unionByName(roots), iter)
+  }
+
+  /** [[ccStarWithStats]] without the round count. */
+  def ccStar(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    ccStarWithStats(edges, srcCol, dstCol)._1
+
+  /** Gate: star connected components over the SAME ground-truth edge set
+    * as `x_dedup_clusters` — must produce the identical (doc_id, cluster)
+    * labeling, hash-verified against the same recursive-CTE oracle; the
+    * ExtSpec chain test pins the logarithmic round count that justifies
+    * the second algorithm's existence.
+    */
+  def dedupClustersStar(s: SparkSession, d: String): DataFrame =
+    ccStar(ngramJaccard(s, d).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster"))
+
   /** Quality-aware survivor selection over near-dup clusters: each cluster
     * keeps its HIGHEST-quality member (ties broken by lowest doc_id), not
     * the lowest id — the selection a real training pipeline makes when
@@ -1085,6 +1179,7 @@ object Dedup {
   val defs: Map[String, QueryFn] = Map(
     "x_substr_dedup" -> (substrDedup _),
     "x_dedup_clusters" -> (dedupClusters _),
+    "x_dedup_cc_star" -> (dedupClustersStar _),
     "x_dedup_quality_survivors" -> (qualitySurvivors _),
     "x_split_leakfree" -> (leakFreeSplit _),
     "x_decontaminate" -> (decontaminate _),
@@ -1109,6 +1204,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "x_substr_dedup" -> substrDedupOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
+    "x_dedup_cc_star" -> dedupClustersOracle,
     "x_dedup_quality_survivors" -> qualitySurvivorsOracle,
     "x_split_leakfree" -> leakFreeSplitOracle,
     "x_decontaminate" -> decontaminateOracle,

@@ -258,6 +258,33 @@ class ExtSpec extends SparkSpec {
     assert(f1.width === 11 % 640 + 64 && f1.height === 11 % 480 + 48)
   }
 
+  test("star CC: logarithmic rounds on a planted chain; labels equal min-label's") {
+    import spark.implicits._
+    // a 100-vertex path: min-label propagation needs ~99 rounds (the
+    // eccentricity of vertex 0) — dedupClusters' 20-round bound would
+    // throw; the star algorithm must finish in O(log n)
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, iters) = Dedup.ccStarWithStats(chain, "a", "b")
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.size === 100)
+    assert(lab.values.forall(_ === 0L), "every chain vertex joins component 0")
+    assert(iters <= 8, s"star CC took $iters rounds on a 100-chain (want O(log n))")
+    // two disjoint components + a singleton-free check: labels partition
+    val two = (Seq((10L, 11L), (11L, 12L), (20L, 21L))).toDF("a", "b")
+    val lab2 = Dedup.ccStar(two, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab2 === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // on the real gate edges, star CC and min-label propagation agree row
+    // for row (both match the recursive-CTE oracle; this pins them to
+    // each other directly as well)
+    val d = "/root/testdata/sf0.001"
+    val star = Dedup.dedupClustersStar(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.dedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+  }
+
   test("incremental SimHash: append-then-incremental ≡ brute force on real docs") {
     import graft.ext.IncrementalSimhash
     val root = java.nio.file.Files.createTempDirectory("graft_isim_t_").toString
