@@ -193,12 +193,64 @@ object IncrementalFuzzy {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  private val catalogN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Gate (a23): the fuzzy index's maintained state published through the
+    * versioned-lake CATALOG — `SELECT … FROM cat.tables.fuzzy_pairs
+    * VERSION AS OF n` reads the index exactly as it stood after each
+    * maintenance point, proving index state is time-travel auditable like
+    * every other lake table (the `pairs_str` layout stops being a private
+    * parquet detail). Each generation is one `Lake.writeTableSnapshot` of
+    * the string-level pair state — O(index) at gate scale; a 100 TB
+    * deployment publishes via the same snapshot API with the incremental
+    * layout staying the working store, auditing generations at whatever
+    * cadence governance needs (the pair state is ~output-sized, orders of
+    * magnitude below the corpus). The oracle recomputes BOTH generations'
+    * expected string-pair sets from the raw table, so a hash match proves
+    * the v1 cut contains exactly the pre-append pairs — appends never
+    * rewrote history.
+    */
+  def fuzzyIndexSql(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_ifuzzy_cat_").toString
+    val lakeRoot = Files.createTempDirectory("graft_ifuzzy_lakecat_").toString
+    val rows = customerRows(s, d)
+    init(rows.filter(col("id") < 1000), root, maxDist = 1)
+    graft.lake.Lake.writeTableSnapshot(
+      s.read.parquet(s"$root/pairs_str"), lakeRoot, "fuzzy_pairs")
+    append(rows.filter(col("id") >= 1000), root, maxDist = 1)
+    graft.lake.Lake.writeTableSnapshot(
+      s.read.parquet(s"$root/pairs_str"), lakeRoot, "fuzzy_pairs")
+    val cat = s"gfcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", lakeRoot)
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, s_a, s_b, CAST(dist AS BIGINT) AS dist " +
+        s"FROM $cat.tables.fuzzy_pairs$suffix")
+    q("v1", " VERSION AS OF 1").unionByName(q("v2", " VERSION AS OF 2"))
+  }
+
+  val fuzzyIndexSqlOracle: String =
+    """WITH dn AS (SELECT c_name, BOOL_OR(c_custkey < 1000) AS in_v1
+      |            FROM customer GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.c_name AS s_a, b.c_name AS s_b,
+      |         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+      |         a.in_v1 AND b.in_v1 AS in_v1
+      |  FROM dn a JOIN dn b ON a.c_name < b.c_name
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1)
+      |SELECT 'v1' AS gen, s_a, s_b, dist FROM pairs WHERE in_v1
+      |UNION ALL
+      |SELECT 'v2' AS gen, s_a, s_b, dist FROM pairs""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_incremental" -> (fuzzyIncremental _),
+    "a23_fuzzy_index_sql" -> (fuzzyIndexSql _),
     "s_stream_fuzzy_index" ->
       graft.streaming.Streams.withReducedShuffle(streamFuzzyIndex _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_incremental" -> FuzzyJoin.fuzzyCustomerPairsOracle,
-    "s_stream_fuzzy_index" -> FuzzyJoin.fuzzyCustomerPairsOracle)
+    "s_stream_fuzzy_index" -> FuzzyJoin.fuzzyCustomerPairsOracle,
+    "a23_fuzzy_index_sql" -> fuzzyIndexSqlOracle)
 }
