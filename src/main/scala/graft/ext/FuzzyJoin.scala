@@ -311,8 +311,13 @@ object FuzzyJoin {
     * Jaro-Winkler similarity of the secondary field (weight 2; the native
     * kernel is bit-identical to DuckDB's variant, so the double scores
     * hash-match with no rounding contract), and exact nation agreement
-    * (weight 1). The secondary field (`code` = mktsegment + 3-digit
-    * account code) is synthesized IN-QUERY from deterministic arithmetic
+    * (weight 1). The secondary field (`code` = mktsegment + 7-digit
+    * account code — wide enough that code values stay ~distinct per
+    * customer at ANY corpus size, so the true pair set grows linearly in
+    * N; the first cut used a 3-digit code whose 5000-value space
+    * saturates, making same-value groups grow with N and the output
+    * quadratic — 33x runtime at 10x rows in the sf1 measurement,
+    * SCALE.md §round 10) is synthesized IN-QUERY from deterministic arithmetic
     * — the same planted-attribute trick as `x_fuzzy_lookup` — so the
     * oracle rebuilds it and recomputes the identical weighted score
     * ALL-PAIRS, proving the union blocking lost nothing. The fixed
@@ -322,7 +327,7 @@ object FuzzyJoin {
     val c = Tables.customer(s, d).select(
       col("c_custkey").as("id"), col("c_name").as("name"),
       concat(col("c_mktsegment"), lit("#"),
-        lpad((col("c_custkey") % 1000).cast("string"), 3, "0")).as("code"),
+        lpad((col("c_custkey") % 10000000).cast("string"), 7, "0")).as("code"),
       col("c_nationkey").as("nat"))
     // nation is a SCORING field, not a blocking field (exact agreement on
     // a 25-value attribute blocks nothing) — attach it to both sides of
@@ -347,7 +352,7 @@ object FuzzyJoin {
   val fuzzyRecordLinkOracle: String =
     """WITH c AS (SELECT c_custkey, c_name,
       |                  c_mktsegment || '#' ||
-      |                    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') AS code,
+      |                    lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') AS code,
       |                  c_nationkey
       |           FROM customer)
       |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -258,6 +258,22 @@ class ExtSpec extends SparkSpec {
     assert(f1.width === 11 % 640 + 64 && f1.height === 11 % 480 + 48)
   }
 
+  test("record link: union blocking finds pairs matching via EITHER field alone") {
+    import spark.implicits._
+    // on the customer gate both fields derive from custkey digits, so this
+    // planted frame is what proves the second channel independently: (1,2)
+    // match ONLY on code, (1,3) ONLY on name, (2,3) on neither
+    val recs = Seq(
+      (1L, "alpha corporation", "555-0101"),
+      (2L, "beta industries", "555-0102"),
+      (3L, "alpha corporatien", "999-9999")).toDF("id", "name", "code")
+    val pairs = graft.ext.FuzzyJoin
+      .recordLinkPairs(recs, "id", Seq("name", "code"), maxDist = 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L)))
+  }
+
   test("star CC: logarithmic rounds on a planted chain; labels equal min-label's") {
     import spark.implicits._
     // a 100-vertex path: min-label propagation needs ~99 rounds (the
