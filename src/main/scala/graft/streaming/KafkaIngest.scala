@@ -93,13 +93,25 @@ object KafkaIngest {
     */
   def toWire(
       payload: DataFrame, keyCol: String, topic: String,
-      tsCol: String): DataFrame =
+      tsCol: String): DataFrame = {
+    // Kafka offsets are PER-PARTITION, dense, append-ordered. The stand-in
+    // derives them as row_number − 1 over an explicit total order
+    // ((tsCol, keyCol) within the simulated partition) — a pure function
+    // of the data, identical under any physical partitioning (the earlier
+    // monotonically_increasing_id was deterministic only under a pinned
+    // input layout) and per-partition like the real thing. One bounded
+    // window shuffle keyed on the 8 simulated partitions — the simulator's
+    // cost, not a production path.
+    val part = pmod(xxhash64(col(keyCol)), lit(8)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part).orderBy(col(tsCol), col(keyCol))
     payload.select(
       col(keyCol).cast("string").cast("binary").as("key"),
       to_json(struct(payload.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"),
       lit(topic).as("topic"),
-      pmod(xxhash64(col(keyCol)), lit(8)).cast("int").as("partition"),
-      monotonically_increasing_id().as("offset"),
+      part.as("partition"),
+      (row_number().over(w) - 1).cast("long").as("offset"),
       col(tsCol).as("timestamp"),
       lit(0).as("timestampType"))
+  }
 }
