@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Lifecycle, Reference, Relational, Scale, Tpch}
-import graft.ext.{Dedup, FuzzyJoin, IncrementalFuzzy, IncrementalLsh, IncrementalSimhash, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FuzzyJoin, IncrementalFuzzy, IncrementalIvf, IncrementalLsh, IncrementalSimhash, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,13 +22,13 @@ object SparkEntry {
     Reference.defs ++ Relational.defs ++ Lifecycle.defs ++ Streams.defs ++
       Scale.defs ++ Analytics.defs ++ Tpch.defs ++
       TextAnalysis.defs ++ Dedup.defs ++ FuzzyJoin.defs ++
-      IncrementalFuzzy.defs ++ IncrementalLsh.defs ++ IncrementalSimhash.defs ++
+      IncrementalFuzzy.defs ++ IncrementalIvf.defs ++ IncrementalLsh.defs ++ IncrementalSimhash.defs ++
       Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Lifecycle.oracles ++ Streams.oracles ++
       Scale.oracles ++ Analytics.oracles ++ Tpch.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ FuzzyJoin.oracles ++
-      IncrementalFuzzy.oracles ++ IncrementalLsh.oracles ++
+      IncrementalFuzzy.oracles ++ IncrementalIvf.oracles ++ IncrementalLsh.oracles ++
       IncrementalSimhash.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

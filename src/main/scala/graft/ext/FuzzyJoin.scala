@@ -370,17 +370,71 @@ object FuzzyJoin {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |   OR levenshtein(a.code, b.code) <= 1""".stripMargin
 
+  /** Gate: record RESOLUTION — the production consumption of
+    * [[fuzzyRecordLink]]'s pair set: every record reduced to its single
+    * best-scoring counterpart (ties → lowest id) plus its candidate
+    * count. Output is one row per linked record — LINEAR — and the only
+    * intermediate is the already-blocked pair set, so this is the shape
+    * pipelines should end with when they need resolution rather than the
+    * full pair graph (the [[edLookupBest]] lesson applied to records).
+    * The argmax is a `max_by` aggregate over a mirrored pair view, not a
+    * window over raw records: partial aggregation folds map-side.
+    */
+  def fuzzyRecordResolve(s: SparkSession, d: String): DataFrame = {
+    val p = fuzzyRecordLink(s, d)
+    val both = p.select(col("id_a").as("id"), col("id_b").as("other"), col("score"))
+      .unionByName(
+        p.select(col("id_b").as("id"), col("id_a").as("other"), col("score")))
+    both.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(col("score")).as("best_score"),
+        max_by(col("other"), struct(col("score"), -col("other"))).as("best_match"))
+  }
+
+  val fuzzyRecordResolveOracle: String =
+    """WITH c AS (SELECT c_custkey, c_name,
+      |                  c_mktsegment || '#' ||
+      |                    lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') AS code,
+      |                  c_nationkey
+      |           FROM customer),
+      |pairs AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |         4.0 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+      |                THEN 1 ELSE 0 END)
+      |           + 2.0 * jaro_winkler_similarity(a.code, b.code)
+      |           + 1.0 * (CASE WHEN a.c_nationkey = b.c_nationkey
+      |                    THEN 1 ELSE 0 END) AS score
+      |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |     OR levenshtein(a.code, b.code) <= 1),
+      |mirrored AS (
+      |  SELECT id_a AS id, id_b AS other, score FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS id, id_a AS other, score FROM pairs),
+      |best AS (
+      |  SELECT id, other FROM mirrored
+      |  QUALIFY row_number() OVER (PARTITION BY id
+      |                             ORDER BY score DESC, other) = 1),
+      |agg AS (SELECT id, COUNT(*) AS n_candidates, MAX(score) AS best_score
+      |        FROM mirrored GROUP BY 1)
+      |SELECT agg.id, agg.n_candidates, agg.best_score,
+      |       best.other AS best_match
+      |FROM agg JOIN best USING (id)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_join" -> (fuzzyCustomerPairs _),
     "x_fuzzy_lookup" -> (fuzzyPartLookup _),
     "x_fuzzy_jw_rerank" -> (fuzzyJwRerank _),
     "x_fuzzy_osa" -> (fuzzyCustomerPairsOsa _),
-    "x_fuzzy_record_link" -> (fuzzyRecordLink _))
+    "x_fuzzy_record_link" -> (fuzzyRecordLink _),
+    "x_fuzzy_record_resolve" -> (fuzzyRecordResolve _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_join" -> fuzzyCustomerPairsOracle,
     "x_fuzzy_lookup" -> fuzzyPartLookupOracle,
     "x_fuzzy_jw_rerank" -> fuzzyJwRerankOracle,
     "x_fuzzy_osa" -> fuzzyCustomerPairsOsaOracle,
-    "x_fuzzy_record_link" -> fuzzyRecordLinkOracle)
+    "x_fuzzy_record_link" -> fuzzyRecordLinkOracle,
+    "x_fuzzy_record_resolve" -> fuzzyRecordResolveOracle)
 }

@@ -1,0 +1,141 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q.QueryFn
+
+/** Incremental maintenance of the IVF ANN index — the growing-corpus form
+  * of [[Similarity.annIvfMultiprobe]], completing incremental maintenance
+  * across all four index families (minhash: [[IncrementalLsh]];
+  * edit-distance: [[IncrementalFuzzy]]; simhash: [[IncrementalSimhash]];
+  * embeddings: here).
+  *
+  * The IVF contract makes appends trivially sound: the codebook is
+  * trained ONCE at init and frozen (the production posture — retraining
+  * centroids would invalidate every stored assignment), and a vector's
+  * cell assignment depends only on (vector, codebook), so an append batch
+  * costs exactly one O(batch × K) broadcast-scored assignment pass with
+  * no interaction with previously indexed vectors: append-then-incremental
+  * ≡ full recompute BY CONSTRUCTION, and the gates verify it hash-exactly
+  * against the one-shot multiprobe oracle.
+  *
+  * State on disk (lake-style parquet under a root):
+  *  - `cents`:    (cent_id, cv, cn) the frozen codebook — written once.
+  *  - `assigned`: (vec_id, v, nrm, cent_id) — appended per batch.
+  *
+  * Reads dedup with `dropDuplicates(vec_id)` — assignment is a pure
+  * function of the frozen codebook, so replayed (or half-replayed) append
+  * batches can only duplicate rows verbatim; the streaming gate
+  * additionally keys applied batches by batchId.
+  */
+object IncrementalIvf {
+
+  private def centsOf(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/cents")
+
+  /** Train (= deterministically sample, like the batch operator) the
+    * codebook from the init batch and assign it.
+    */
+  def init(vecs: DataFrame, root: String): Unit = {
+    val s = vecs.sparkSession
+    val e = Similarity.withNorm(vecs)
+    e.orderBy(col("vec_id")).limit(Similarity.IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .write.mode("overwrite").parquet(s"$root/cents")
+    Similarity.ivfAssigned(e, centsOf(s, root))
+      .write.mode("overwrite").parquet(s"$root/assigned")
+  }
+
+  /** Assign an append batch against the FROZEN codebook and append — one
+    * broadcast-scored pass over the batch, nothing else touched.
+    */
+  def append(vecs: DataFrame, root: String): Unit = {
+    val s = vecs.sparkSession
+    Similarity.ivfAssigned(Similarity.withNorm(vecs), centsOf(s, root))
+      .write.mode("append").parquet(s"$root/assigned")
+  }
+
+  /** Multi-probe top-3 for the standard query batch over the maintained
+    * index — identical plan shape to [[Similarity.annIvfMultiprobe]]:
+    * probe table broadcast, candidates one equi-join on cell id.
+    */
+  def query(s: SparkSession, root: String, nprobe: Int = 4): DataFrame = {
+    val assigned = s.read.parquet(s"$root/assigned").dropDuplicates("vec_id")
+    val cents = centsOf(s, root)
+    val e = assigned.select(col("vec_id"), col("v"), col("nrm"))
+    val qp = Similarity.queryProbes(e, cents, nprobe).drop("prk")
+      .join(e.filter(Similarity.isQuery(col("vec_id"))).select(
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), Seq("q_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(qp),
+        col("cent_id") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  /** Gate: init on vec_id < 250 (which contains all 64 codebook ids, so
+    * the frozen codebook equals the one-shot operator's), two appends for
+    * the rest — query results over the incrementally built index must
+    * hash-match the one-shot [[Similarity.annIvfMultiprobe]] oracle:
+    * append-then-incremental ≡ full recompute.
+    */
+  def ivfIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_iivf_").toString
+    val vecs = Tables.embeddings(s, d)
+    init(vecs.filter(col("vec_id") < 250), root)
+    append(vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375), root)
+    append(vecs.filter(col("vec_id") >= 375), root)
+    query(s, root)
+  }
+
+  /** Gate: the same maintenance driven by Structured Streaming with the
+    * at-least-once replay guard — batch boundaries invisible in the
+    * query results.
+    */
+  def streamIvfIndex(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sivf_").toString
+    val vecs = Tables.embeddings(s, d).persist()
+    init(vecs.filter(col("vec_id") < 250), root)
+    val staged = Files.createTempDirectory("graft_sivf_src_")
+    vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375)
+      .coalesce(1).write.parquet(s"$staged/chunk=0")
+    vecs.filter(col("vec_id") >= 375)
+      .coalesce(1).write.parquet(s"$staged/chunk=1")
+    val schema = vecs.schema
+    vecs.unpersist()
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/chunk=*")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_sivf_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$root/_applied_batch_$batchId")
+        if (!marker.exists()) {
+          append(batch, root)
+          marker.createNewFile()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    query(s, root)
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    "x_ann_ivf_incremental" -> (ivfIncremental _),
+    "s_stream_ivf_index" ->
+      graft.streaming.Streams.withReducedShuffle(streamIvfIndex _))
+
+  val oracles: Map[String, String] = Map(
+    "x_ann_ivf_incremental" -> Similarity.annIvfMultiprobeOracle,
+    "s_stream_ivf_index" -> Similarity.annIvfMultiprobeOracle)
+}

@@ -61,7 +61,7 @@ object Similarity {
     * grow with N made the benched scans O(N²/100) (measured exponent 1.9
     * on `x_ann_pq` at 30× before this bound; linear after).
     */
-  private def isQuery(id: Column): Column = id % 100 === 0 && id < 2000
+  private[ext] def isQuery(id: Column): Column = id % 100 === 0 && id < 2000
 
   /** Brute-force cosine top-k neighbors for a deterministic query subset
     * ([[isQuery]]), ties broken by neighbor id.
@@ -184,7 +184,7 @@ object Similarity {
     * O(K) table, folded to N rows by partial aggregation before the one
     * shuffle, vectors re-attached by a plain join.
     */
-  private def ivfAssigned(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[ext] def ivfAssigned(e: DataFrame, cents: DataFrame): DataFrame = {
     val assignedIds = e.join(broadcast(cents), lit(true))
       .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
       .select(col("vec_id"), col("cent_id"), col("ccos"))
@@ -200,7 +200,7 @@ object Similarity {
     * broadcast codebook; the rank window partitions by query, K rows per
     * partition — bounded by the constant codebook size, never by N.
     */
-  private def queryProbes(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private[ext] def queryProbes(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
     e.filter(isQuery(col("vec_id")))
