@@ -243,15 +243,100 @@ object Multimodal {
       |       CAST(SUM((media_id + x + y) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY 1, 2, 3""".stripMargin
 
+  /** 2× box-downsampled image facts: output dims (floor — a trailing odd
+    * row/column is dropped) and channel sums over the DOWNSAMPLED pixel
+    * matrix, each output pixel the floor-average of its 2×2 source block.
+    */
+  case class DownsampledImage(
+      media_id: Long, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decode with the real codec, then 2×2 box-downsample the decoded
+    * pixels — the resize/thumbnail stage of a media pipeline, on genuine
+    * byte→pixel data. Integer floor arithmetic throughout so the oracle
+    * can replay every block average exactly.
+    */
+  def downsampleBmp(r: MediaRow): DownsampledImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null, s"undecodable image payload for media ${r.media_id}")
+    val (ow, oh) = (img.getWidth / 2, img.getHeight / 2)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var by = 0
+    while (by < oh) {
+      var bx = 0
+      while (bx < ow) {
+        var (br, bg, bb) = (0, 0, 0)
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val p = img.getRGB(bx * 2 + dx, by * 2 + dy)
+            br += (p >> 16) & 0xff; bg += (p >> 8) & 0xff; bb += p & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        sr += br / 4; sg += bg / 4; sb += bb / 4
+        bx += 1
+      }
+      by += 1
+    }
+    DownsampledImage(r.media_id, ow, oh, sr, sg, sb)
+  }
+
+  /** Gate: encode → decode → downsample through the real codec, one
+    * stage, payload never shuffled; the oracle replays the 2×2 floor
+    * block averages from the generation parameters in pure SQL.
+    */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 8).cast("int").as("width"),
+        (col("doc_id") % 12 + 8).cast("int").as("height"))
+      .as[ImageSpec]
+      .mapPartitions(_.map(encodeBmp))
+      .mapPartitions(_.map(downsampleBmp))
+      .toDF()
+  }
+
+  val mediaResizeOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |                  CAST(doc_id % 16 + 8 AS INT) AS width,
+      |                  CAST(doc_id % 12 + 8 AS INT) AS height
+      |           FROM documents),
+      |xs AS (SELECT media_id, width, height,
+      |              unnest(range(0, width)) AS x FROM m),
+      |px AS (SELECT media_id, width, height, x,
+      |              unnest(range(0, height)) AS y FROM xs),
+      |blocks AS (
+      |  SELECT media_id, width, height, x // 2 AS bx, y // 2 AS by,
+      |         SUM((media_id * 3 + x * 5 + y * 7) % 256) // 4 AS br,
+      |         SUM((media_id * 11 + x * 13 + y * 17) % 256) // 4 AS bg,
+      |         SUM((media_id + x + y) % 256) // 4 AS bb
+      |  FROM px
+      |  WHERE x < (width // 2) * 2 AND y < (height // 2) * 2
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT media_id,
+      |       CAST(width // 2 AS INT) AS out_w,
+      |       CAST(height // 2 AS INT) AS out_h,
+      |       CAST(SUM(br) AS BIGINT) AS sum_r,
+      |       CAST(SUM(bg) AS BIGINT) AS sum_g,
+      |       CAST(SUM(bb) AS BIGINT) AS sum_b
+      |FROM blocks GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_media_meta" -> (mediaMeta _),
     "x_media_features" -> (mediaFeatures _),
     "x_media_frames" -> (frameSample _),
-    "x_media_decode" -> (mediaDecode _))
+    "x_media_decode" -> (mediaDecode _),
+    "x_media_resize" -> (mediaResize _))
 
   val oracles: Map[String, String] = Map(
     "x_media_meta" -> mediaMetaOracle,
     "x_media_features" -> mediaFeaturesOracle,
     "x_media_frames" -> frameSampleOracle,
-    "x_media_decode" -> mediaDecodeOracle)
+    "x_media_decode" -> mediaDecodeOracle,
+    "x_media_resize" -> mediaResizeOracle)
 }
