@@ -193,6 +193,51 @@ object IncrementalFuzzy {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Compact the index state: rewrite each state table deduplicated and
+    * coalesced to `filesPerTable` files. Append-only maintenance
+    * accumulates one small file batch per append — at crawl cadence that
+    * is the classic small-files problem (every index read lists and opens
+    * O(appends) files); compaction is the periodic maintenance op that
+    * restores O(1) file counts, and because EVERY state table is a
+    * deterministic SET (members verbatim, distinct strings, their
+    * postings, verified string pairs), `distinct + rewrite` is exactly
+    * equivalence-preserving — the gate proves pairs() is hash-identical
+    * across a compaction. Each table is materialized (localCheckpoint)
+    * BEFORE its directory is swapped, so the rewrite never reads its own
+    * output; the swap is delete-then-rename of the table directory —
+    * index-level atomicity at 100 TB would ride the versioned-lake
+    * publish path (`a23_fuzzy_index_sql`) instead of raw dirs.
+    */
+  def compact(s: SparkSession, root: String, filesPerTable: Int = 1): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("members", "strs", "keys", "pairs_str").foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$t")
+      val fs = dir.getFileSystem(conf)
+      val compacted = s.read.parquet(dir.toString)
+        .distinct().coalesce(filesPerTable).localCheckpoint()
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/.compact_$t")
+      compacted.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"compact: rename failed for $t")
+    }
+  }
+
+  /** Gate: the incremental build of [[fuzzyIncremental]] followed by a
+    * compaction — the maintained pair set must still hash-match the batch
+    * all-pairs oracle, proving compaction is invisible in results while
+    * the ExtSpec pin proves it actually collapsed the file counts.
+    */
+  def fuzzyCompact(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_cfuzzy_").toString
+    val rows = customerRows(s, d)
+    init(rows.filter(col("id") < 500), root, maxDist = 1)
+    append(rows.filter(col("id") >= 500 && col("id") < 1000), root, maxDist = 1)
+    append(rows.filter(col("id") >= 1000), root, maxDist = 1)
+    compact(s, root)
+    pairs(s, root)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   private val catalogN = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Gate (a23): the fuzzy index's maintained state published through the
@@ -246,11 +291,13 @@ object IncrementalFuzzy {
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_incremental" -> (fuzzyIncremental _),
     "a23_fuzzy_index_sql" -> (fuzzyIndexSql _),
+    "x_fuzzy_compact" -> (fuzzyCompact _),
     "s_stream_fuzzy_index" ->
       graft.streaming.Streams.withReducedShuffle(streamFuzzyIndex _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_incremental" -> FuzzyJoin.fuzzyCustomerPairsOracle,
     "s_stream_fuzzy_index" -> FuzzyJoin.fuzzyCustomerPairsOracle,
-    "a23_fuzzy_index_sql" -> fuzzyIndexSqlOracle)
+    "a23_fuzzy_index_sql" -> fuzzyIndexSqlOracle,
+    "x_fuzzy_compact" -> FuzzyJoin.fuzzyCustomerPairsOracle)
 }

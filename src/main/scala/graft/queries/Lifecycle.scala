@@ -1417,6 +1417,59 @@ object Lifecycle {
       |       MIN(sz), SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) = 0
       |FROM l2""".stripMargin
 
+  /** C22 l-diversity audit — k-anonymity's companion: a class of ≥ k rows
+    * still re-identifies its members' SENSITIVE attribute if they all
+    * share one value (homogeneity attack), so the audit measures, per
+    * quasi-identifier generalization level, how many equivalence classes
+    * carry fewer than `l` distinct sensitive values and how many rows sit
+    * in them. Sensitive attribute here: the account-balance band. Same
+    * scale shape as [[kAnonymity]]: one partial-agg'd groupBy per level
+    * over the QI domain (bounded by construction), the exact
+    * COUNT(DISTINCT) per class riding Spark's two-phase distinct rewrite;
+    * shuffled bytes bounded by |QI domain| × |sensitive domain|, never by
+    * corpus rows.
+    */
+  def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val l = 3
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("sens"))
+    def level(lv: Int, quasi: Seq[org.apache.spark.sql.Column]): DataFrame =
+      c.groupBy(quasi: _*)
+        .agg(countDistinct(col("sens")).as("div"), count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("div") < l, 1L).otherwise(0L)).as("risky_classes"),
+          sum(when(col("div") < l, col("sz")).otherwise(0L)).as("risky_rows"),
+          min(col("div")).as("min_diversity"))
+        .select(lit(lv.toLong).as("level"), col("n_classes"),
+          col("risky_classes"), col("risky_rows"), col("min_diversity"))
+    val l0 = level(0, Seq(col("c_nationkey"), col("c_mktsegment")))
+    val l1 = level(1, Seq(col("c_mktsegment")))
+    l0.unionByName(l1)
+      .withColumn("l_satisfied", col("risky_classes") === 0L)
+  }
+
+  val lDiversityOracle: String =
+    """WITH base AS (SELECT c_nationkey, c_mktsegment,
+      |                     floor(c_acctbal / 1000) AS sens FROM customer),
+      |l0 AS (SELECT COUNT(DISTINCT sens) AS div, COUNT(*) AS sz FROM base
+      |       GROUP BY c_nationkey, c_mktsegment),
+      |l1 AS (SELECT COUNT(DISTINCT sens) AS div, COUNT(*) AS sz FROM base
+      |       GROUP BY c_mktsegment)
+      |SELECT CAST(0 AS BIGINT) AS level, COUNT(*) AS n_classes,
+      |       CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+      |       CAST(SUM(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+      |       MIN(div) AS min_diversity,
+      |       SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) = 0 AS l_satisfied
+      |FROM l0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), COUNT(*),
+      |       CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(SUM(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT),
+      |       MIN(div), SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) = 0
+      |FROM l1""".stripMargin
+
   /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a
     * VALUES oracle.
     */
@@ -1586,6 +1639,7 @@ object Lifecycle {
     "a20_catalog_insert" -> (catalogInsert _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
+    "c22_l_diversity" -> (lDiversity _),
     "a21_table_changes" -> (tableChangesGate _),
     "a22_txn_commit" -> (txnCommit _),
     "c14_column_lineage" -> (columnLineage _),
@@ -1630,6 +1684,7 @@ object Lifecycle {
     "a20_catalog_insert" -> catalogInsertOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
+    "c22_l_diversity" -> lDiversityOracle,
     "a21_table_changes" -> tableChangesOracle,
     "a22_txn_commit" -> txnCommitOracle,
     "c14_column_lineage" -> columnLineageOracle,

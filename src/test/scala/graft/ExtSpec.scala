@@ -258,6 +258,33 @@ class ExtSpec extends SparkSpec {
     assert(f1.width === 11 % 640 + 64 && f1.height === 11 % 480 + 48)
   }
 
+  test("fuzzy index compaction collapses file counts and preserves the pair set") {
+    import graft.ext.IncrementalFuzzy
+    val root = java.nio.file.Files.createTempDirectory("graft_cfz_t_").toString
+    val rows = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    IncrementalFuzzy.init(rows.filter(col("id") < 50), root, maxDist = 1)
+    IncrementalFuzzy.append(rows.filter(col("id") >= 50 && col("id") < 100), root, 1)
+    IncrementalFuzzy.append(rows.filter(col("id") >= 100), root, 1)
+    def partFiles(t: String): Int =
+      new java.io.File(s"$root/$t").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = IncrementalFuzzy.pairs(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val filesBefore = partFiles("members")
+    assert(filesBefore > 1, "appends should have accumulated multiple files")
+    IncrementalFuzzy.compact(spark, root)
+    Seq("members", "strs", "keys", "pairs_str").foreach { t =>
+      assert(partFiles(t) === 1, s"$t not compacted to one file")
+    }
+    val after = IncrementalFuzzy.pairs(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after === before, "compaction changed the maintained pair set")
+    // and the index still absorbs appends after a compaction
+    IncrementalFuzzy.append(rows.limit(0), root, 1) // empty append is a no-op
+    assert(IncrementalFuzzy.pairs(spark, root).count() === before.size)
+  }
+
   test("record link: union blocking finds pairs matching via EITHER field alone") {
     import spark.implicits._
     // on the customer gate both fields derive from custkey digits, so this
