@@ -618,4 +618,42 @@ class ConcurrencySpec extends SparkSpec {
       assert(pins.contains("b"), "surviving t2 must be the re-claimed content")
     } finally Txn.testStallBeforeSweep = () => ()
   }
+
+  test("re-claim landing in the SAME mtime tick survives (uuid identity, round 10)") {
+    // The adversarial case the bare mtime guard missed: on a filesystem
+    // with coarse (1 s) timestamp granularity, a re-claim can land with an
+    // mtime IDENTICAL to the judged file's. Forced here by pinning the new
+    // file's mtime to the old value — only the embedded per-claim UUID
+    // (content identity) distinguishes the two files.
+    val root = scratch()
+    val (_, w1) = Txn.commit(spark, root, Map("seed" -> Seq(0).toDF("k"))) // t1
+    val txnDir = java.nio.file.Paths.get(root, "_txn")
+    val vA = Lake.writeTableSnapshot(Seq(1, 1).toDF("k"), root, "a",
+      retentionVersions = Int.MaxValue)
+    Files.write(txnDir.resolve("t2.json"),
+      s"""{"tables": {"a": $vA, "seed": ${w1("seed")}}}""".getBytes("UTF-8"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(txnDir.resolve("t2.json"), old)
+    Files.write(txnDir.resolve("t3.json"),
+      s"""{"tables": {"seed": ${w1("seed")}}}""".getBytes("UTF-8"))
+    Txn.testStallBeforeSweep = () => {
+      Files.delete(txnDir.resolve("t2.json"))
+      // new committer's manifest (uuid-bearing, as writeManifest emits)
+      // with the SAME mtime as the judged file — the coarse-tick collision
+      Files.write(txnDir.resolve("t2.json"),
+        s"""{"uuid": "reclaim-same-tick", "tables": {"seed": ${w1("seed")}, "b": 1}}"""
+          .getBytes("UTF-8"))
+      Files.setLastModifiedTime(txnDir.resolve("t2.json"), old)
+      Txn.testStallBeforeSweep = () => ()
+    }
+    try {
+      val (_, dropM) = Txn.vacuum(spark, root, keepManifests = 7)
+      assert(!dropM.contains(2),
+        s"mtime-colliding re-claim deleted on a stale judgment: $dropM")
+      assert(Files.exists(txnDir.resolve("t2.json")))
+      val pins = Txn.currentManifestAtForTest(spark, root, 2)
+      assert(pins.contains("b"), "surviving t2 must be the re-claimed content")
+    } finally Txn.testStallBeforeSweep = () => ()
+  }
 }
