@@ -422,13 +422,66 @@ object FuzzyJoin {
       |       best.other AS best_match
       |FROM agg JOIN best USING (id)""".stripMargin
 
+  /** Gate: ENTITY CANONICALIZATION — the full ER pipeline end to end:
+    * blocked multi-field linkage ([[fuzzyRecordLink]]) → strong-match
+    * edges (score ≥ 5.0: near-name AND same nation at minimum) →
+    * connected components via the star algorithm ([[Dedup.ccStar]], the
+    * diameter-robust choice precisely because ER link graphs chain) →
+    * every record stamped with its component-min canonical entity id;
+    * records with no strong match are their own entity. The oracle
+    * recomputes the same edges all-pairs and closes them with a recursive
+    * CTE — hash-matching proves blocking, scoring, thresholding, and the
+    * O(log n) clustering compose losslessly.
+    */
+  def entityIds(s: SparkSession, d: String): DataFrame = {
+    val edges = fuzzyRecordLink(s, d)
+      .filter(col("score") >= 5.0)
+      .select(col("id_a"), col("id_b"))
+    val clustered = Dedup.ccStar(edges, "id_a", "id_b")
+      .select(col("id"), col("cluster"))
+    Tables.customer(s, d).select(col("c_custkey").as("id"))
+      .join(clustered, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("entity_id"))
+  }
+
+  val entityIdsOracle: String =
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey, c_name,
+      |         c_mktsegment || '#' ||
+      |           lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') AS code,
+      |         c_nationkey
+      |  FROM customer),
+      |pairs AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      |  WHERE (levenshtein(a.c_name, b.c_name) <= 1
+      |         OR levenshtein(a.code, b.code) <= 1)
+      |    AND 4.0 * (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+      |               THEN 1 ELSE 0 END)
+      |          + 2.0 * jaro_winkler_similarity(a.code, b.code)
+      |          + 1.0 * (CASE WHEN a.c_nationkey = b.c_nationkey
+      |                   THEN 1 ELSE 0 END) >= 5.0),
+      |edges AS (SELECT id_a, id_b FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |verts AS (SELECT DISTINCT id_a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM verts
+      |  UNION
+      |  SELECT e.id_a AS id, reach.r
+      |  FROM reach JOIN edges e ON e.id_b = reach.id),
+      |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY 1)
+      |SELECT cu.c_custkey AS id,
+      |       COALESCE(lab.cluster, cu.c_custkey) AS entity_id
+      |FROM customer cu LEFT JOIN lab ON lab.id = cu.c_custkey""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_fuzzy_join" -> (fuzzyCustomerPairs _),
     "x_fuzzy_lookup" -> (fuzzyPartLookup _),
     "x_fuzzy_jw_rerank" -> (fuzzyJwRerank _),
     "x_fuzzy_osa" -> (fuzzyCustomerPairsOsa _),
     "x_fuzzy_record_link" -> (fuzzyRecordLink _),
-    "x_fuzzy_record_resolve" -> (fuzzyRecordResolve _))
+    "x_fuzzy_record_resolve" -> (fuzzyRecordResolve _),
+    "x_entity_ids" -> (entityIds _))
 
   val oracles: Map[String, String] = Map(
     "x_fuzzy_join" -> fuzzyCustomerPairsOracle,
@@ -436,5 +489,6 @@ object FuzzyJoin {
     "x_fuzzy_jw_rerank" -> fuzzyJwRerankOracle,
     "x_fuzzy_osa" -> fuzzyCustomerPairsOsaOracle,
     "x_fuzzy_record_link" -> fuzzyRecordLinkOracle,
-    "x_fuzzy_record_resolve" -> fuzzyRecordResolveOracle)
+    "x_fuzzy_record_resolve" -> fuzzyRecordResolveOracle,
+    "x_entity_ids" -> entityIdsOracle)
 }
