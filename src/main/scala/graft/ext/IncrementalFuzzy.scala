@@ -238,6 +238,76 @@ object IncrementalFuzzy {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** ERASE members from the index — right-to-be-forgotten applied to
+    * DERIVED state, the compliance requirement `c9_gdpr_erasure` covers
+    * for lake tables and this op extends to the index: deleting a person
+    * from the corpus is not enough when their name still sits in the
+    * index's string/posting/pair tables. Two-stage swap-rewrite (same
+    * mechanics as [[compact]]):
+    *
+    *  1. `members` rewritten without the erased ids — output-level
+    *     forgetting ([[pairs]] expands only through member rows, so every
+    *     pair touching an erased id vanishes immediately).
+    *  2. Strings no remaining member carries are ORPHANS — PII with no
+    *     surviving subject — and are purged from `strs`, `keys`, and
+    *     `pairs_str` too (state-level forgetting: the erased name is gone
+    *     from every byte of index state, not just unreachable).
+    *
+    * A string shared with surviving members stays — it is still those
+    * members' data. Cost: one anti-join rewrite per table, O(index); runs
+    * at erasure cadence, not ingest cadence.
+    */
+  def erase(s: SparkSession, root: String, ids: DataFrame): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def swapIn(t: String, df: DataFrame): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$t")
+      val fs = dir.getFileSystem(conf)
+      val next = df.localCheckpoint()
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/.erase_$t")
+      next.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"erase: rename failed for $t")
+    }
+    val gone = ids.select(col("id")).distinct()
+    swapIn("members",
+      s.read.parquet(s"$root/members").join(gone, Seq("id"), "left_anti"))
+    val orphans = s.read.parquet(s"$root/strs")
+      .join(s.read.parquet(s"$root/members").select(col("s")).distinct(),
+        Seq("s"), "left_anti")
+      .localCheckpoint()
+    swapIn("strs",
+      s.read.parquet(s"$root/strs").join(orphans, Seq("s"), "left_anti"))
+    swapIn("keys",
+      s.read.parquet(s"$root/keys").join(orphans, Seq("s"), "left_anti"))
+    val sp = s.read.parquet(s"$root/pairs_str")
+    swapIn("pairs_str", sp
+      .join(orphans.select(col("s").as("s_a")), Seq("s_a"), "left_anti")
+      .join(orphans.select(col("s").as("s_b")), Seq("s_b"), "left_anti"))
+  }
+
+  /** Gate (c23): incremental build, then erasure of every id divisible by
+    * 100 — the maintained pair set must equal the all-pairs oracle over
+    * the SURVIVING customers only (derived data forgets too), and the
+    * ExtSpec pin proves fully-orphaned strings vanish from every state
+    * table, not merely from results.
+    */
+  def fuzzyIndexErasure(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_efuzzy_").toString
+    val rows = customerRows(s, d)
+    init(rows.filter(col("id") < 1000), root, maxDist = 1)
+    append(rows.filter(col("id") >= 1000), root, maxDist = 1)
+    erase(s, root, rows.filter(col("id") % 100 === 0).select(col("id")))
+    pairs(s, root)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  val fuzzyIndexErasureOracle: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |  AND a.c_custkey % 100 <> 0 AND b.c_custkey % 100 <> 0""".stripMargin
+
   private val catalogN = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Gate (a23): the fuzzy index's maintained state published through the
@@ -292,6 +362,7 @@ object IncrementalFuzzy {
     "x_fuzzy_incremental" -> (fuzzyIncremental _),
     "a23_fuzzy_index_sql" -> (fuzzyIndexSql _),
     "x_fuzzy_compact" -> (fuzzyCompact _),
+    "c23_index_erasure" -> (fuzzyIndexErasure _),
     "s_stream_fuzzy_index" ->
       graft.streaming.Streams.withReducedShuffle(streamFuzzyIndex _))
 
@@ -299,5 +370,6 @@ object IncrementalFuzzy {
     "x_fuzzy_incremental" -> FuzzyJoin.fuzzyCustomerPairsOracle,
     "s_stream_fuzzy_index" -> FuzzyJoin.fuzzyCustomerPairsOracle,
     "a23_fuzzy_index_sql" -> fuzzyIndexSqlOracle,
-    "x_fuzzy_compact" -> FuzzyJoin.fuzzyCustomerPairsOracle)
+    "x_fuzzy_compact" -> FuzzyJoin.fuzzyCustomerPairsOracle,
+    "c23_index_erasure" -> fuzzyIndexErasureOracle)
 }

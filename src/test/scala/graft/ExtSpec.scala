@@ -285,6 +285,40 @@ class ExtSpec extends SparkSpec {
     assert(IncrementalFuzzy.pairs(spark, root).count() === before.size)
   }
 
+  test("index erasure purges orphaned strings from every state table") {
+    import spark.implicits._
+    import graft.ext.IncrementalFuzzy
+    val root = java.nio.file.Files.createTempDirectory("graft_efz_t_").toString
+    val rows = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    IncrementalFuzzy.init(rows, root, maxDist = 1)
+    val name7 = rows.filter(col("id") === 7).head().getString(1)
+    val strsBefore = spark.read.parquet(s"$root/strs").count()
+    IncrementalFuzzy.erase(spark, root, Seq(7L).toDF("id"))
+    // output-level: the member is gone and no pair touches it
+    assert(spark.read.parquet(s"$root/members")
+      .filter(col("id") === 7).count() === 0)
+    assert(IncrementalFuzzy.pairs(spark, root)
+      .filter(col("id_a") === 7 || col("id_b") === 7).count() === 0)
+    // state-level: the orphaned NAME is purged from every table — the
+    // PII is gone from the index bytes, not merely unreachable
+    assert(spark.read.parquet(s"$root/strs")
+      .filter(col("s") === name7).count() === 0)
+    assert(spark.read.parquet(s"$root/keys")
+      .filter(col("s") === name7).count() === 0)
+    assert(spark.read.parquet(s"$root/pairs_str")
+      .filter(col("s_a") === name7 || col("s_b") === name7).count() === 0)
+    // strings with surviving members are untouched (names are unique per
+    // id here, so exactly one string disappears)
+    assert(spark.read.parquet(s"$root/strs").count() === strsBefore - 1)
+    // and the index still works: remaining pairs equal brute force over
+    // the surviving members
+    val got = IncrementalFuzzy.pairs(spark, root).count()
+    val brute = graft.ext.FuzzyJoin.edSelfJoin(
+      rows.filter(col("id") =!= 7), "id", "s", maxDist = 1).count()
+    assert(got === brute)
+  }
+
   test("record link: union blocking finds pairs matching via EITHER field alone") {
     import spark.implicits._
     // on the customer gate both fields derive from custkey digits, so this
