@@ -54,6 +54,26 @@ class KafkaSpec extends SparkSpec {
       "org.apache.spark.sql.kafka010.KafkaSourceProvider",
       false, getClass.getClassLoader)).isSuccess
 
+  test("toWire offsets are a pure function of the data — layout-independent, per-partition Kafka shape") {
+    val payload = graft.ingest.Ingest.transactions(spark, 500)
+    def offsets(df: org.apache.spark.sql.DataFrame): Map[String, (Int, Long)] =
+      KafkaIngest.toWire(df, "transaction_id", "t", "ts")
+        .select(col("key").cast("string"), col("partition"), col("offset"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // identical offsets whatever the physical input layout (the previous
+    // monotonically_increasing_id stand-in broke exactly here)
+    val a = offsets(payload.repartition(1))
+    val b = offsets(payload.repartition(13))
+    assert(a === b, "offsets must not depend on input partitioning")
+    // Kafka shape: per partition, offsets are dense 0..n-1
+    a.toSeq.groupBy(_._2._1).foreach { case (p, rows) =>
+      val offs = rows.map(_._2._2).sorted
+      assert(offs === (0L until offs.length.toLong),
+        s"partition $p offsets not dense from 0: ${offs.take(5)}")
+    }
+  }
+
   test("source() builds the real kafka plan; connector absence is the documented boundary") {
     assume(!kafkaConnectorPresent,
       "connector present — the live round-trip test covers this path")
