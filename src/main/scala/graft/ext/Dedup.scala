@@ -660,7 +660,7 @@ object Dedup {
     * cross-doc token sets are disjoint) plus exact copies of the first 20
     * (ids 1000+i). Reproducible in SQL with pure integer arithmetic.
     */
-  private[ext] def plantedDocs(s: SparkSession): DataFrame = {
+  private[graft] def plantedDocs(s: SparkSession): DataFrame = {
     val text = concat_ws(" ", transform(sequence(lit(0), lit(9)),
       k => concat(lit("w"), (col("src") * 17 + k).cast("string"))))
     s.range(100).select(col("id").as("doc_id"), col("id").as("src"))

@@ -208,19 +208,9 @@ object IncrementalFuzzy {
     * index-level atomicity at 100 TB would ride the versioned-lake
     * publish path (`a23_fuzzy_index_sql`) instead of raw dirs.
     */
-  def compact(s: SparkSession, root: String, filesPerTable: Int = 1): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    Seq("members", "strs", "keys", "pairs_str").foreach { t =>
-      val dir = new org.apache.hadoop.fs.Path(s"$root/$t")
-      val fs = dir.getFileSystem(conf)
-      val compacted = s.read.parquet(dir.toString)
-        .distinct().coalesce(filesPerTable).localCheckpoint()
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/.compact_$t")
-      compacted.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      require(fs.rename(tmp, dir), s"compact: rename failed for $t")
-    }
-  }
+  def compact(s: SparkSession, root: String, filesPerTable: Int = 1): Unit =
+    IndexMaintenance.compactTables(
+      s, root, Seq("members", "strs", "keys", "pairs_str"), filesPerTable)
 
   /** Gate: the incremental build of [[fuzzyIncremental]] followed by a
     * compaction — the maintained pair set must still hash-match the batch
@@ -258,16 +248,8 @@ object IncrementalFuzzy {
     * at erasure cadence, not ingest cadence.
     */
   def erase(s: SparkSession, root: String, ids: DataFrame): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    def swapIn(t: String, df: DataFrame): Unit = {
-      val dir = new org.apache.hadoop.fs.Path(s"$root/$t")
-      val fs = dir.getFileSystem(conf)
-      val next = df.localCheckpoint()
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/.erase_$t")
-      next.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      require(fs.rename(tmp, dir), s"erase: rename failed for $t")
-    }
+    def swapIn(t: String, df: DataFrame): Unit =
+      IndexMaintenance.swapIn(s, root, t, df)
     val gone = ids.select(col("id")).distinct()
     swapIn("members",
       s.read.parquet(s"$root/members").join(gone, Seq("id"), "left_anti"))

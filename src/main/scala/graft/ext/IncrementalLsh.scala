@@ -136,6 +136,14 @@ object IncrementalLsh {
     writeIdWatermark(s, root, maxNew)
   }
 
+  /** Compact the index state (see [[IndexMaintenance]]): sigs and pairs
+    * are deterministic sets, so distinct + rewrite preserves the index
+    * exactly; the 1-row id watermark (`meta`) is overwrite-maintained and
+    * needs no compaction.
+    */
+  def compact(s: SparkSession, root: String, filesPerTable: Int = 1): Unit =
+    IndexMaintenance.compactTables(s, root, Seq("sigs", "pairs"), filesPerTable)
+
   /** The maintained near-dup pair table. Verified pairs are deterministic
     * per (doc_a, doc_b), so the read-time distinct restores set semantics
     * if a replayed half-committed append double-appended a batch's pairs

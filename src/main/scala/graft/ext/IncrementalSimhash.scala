@@ -115,6 +115,13 @@ object IncrementalSimhash {
     newChunks.unpersist(); newSks.unpersist(); batchSk.unpersist()
   }
 
+  /** Compact the index state (see [[IndexMaintenance]]): every table is a
+    * deterministic set, so distinct + rewrite preserves the index exactly.
+    */
+  def compact(s: SparkSession, root: String, filesPerTable: Int = 1): Unit =
+    IndexMaintenance.compactTables(
+      s, root, Seq("members", "sks", "chunks", "pairs_sk"), filesPerTable)
+
   /** The maintained member-level pair set (doc_a, doc_b, hamming),
     * doc_a < doc_b — expanded from sketch-level state at read time.
     * Replay tolerance as in [[IncrementalFuzzy.pairs]]: all stored rows

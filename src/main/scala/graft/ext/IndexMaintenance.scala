@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared maintenance mechanics for the incremental-index family
+  * ([[IncrementalFuzzy]], [[IncrementalLsh]], [[IncrementalSimhash]],
+  * [[IncrementalIvf]]): append-only maintenance accumulates one small
+  * file batch per append, and every index state table is a DETERMINISTIC
+  * function of the corpus — so `distinct + coalesced rewrite` is an
+  * equivalence-preserving compaction for all of them, and a
+  * swap-rewrite (write aside, delete, rename) is the shared primitive
+  * both compaction and targeted rewrites (erasure) build on.
+  *
+  * Single-writer ops: compaction/erasure run at maintenance cadence under
+  * the same exclusive-writer assumption as the appends themselves; a
+  * deployment needing concurrent maintenance publishes through the
+  * versioned-lake path (`a23_fuzzy_index_sql`) whose OCC commits
+  * serialize writers.
+  */
+object IndexMaintenance {
+
+  /** Replace table directory `root/table` with `df`, materialized first
+    * (localCheckpoint) so the rewrite never reads its own output.
+    */
+  def swapIn(s: SparkSession, root: String, table: String, df: DataFrame): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val fs = dir.getFileSystem(conf)
+    val next = df.localCheckpoint()
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.swap_$table")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    require(fs.rename(tmp, dir), s"swapIn: rename failed for $table")
+  }
+
+  /** Compact `tables` under `root`: deduplicate and rewrite each as
+    * `filesPerTable` files. Correct exactly when every table has set
+    * semantics with deterministic rows — the incremental-index contract.
+    */
+  def compactTables(
+      s: SparkSession, root: String, tables: Seq[String],
+      filesPerTable: Int = 1): Unit =
+    tables.foreach { t =>
+      swapIn(s, root, t,
+        s.read.parquet(s"$root/$t").distinct().coalesce(filesPerTable))
+    }
+}

@@ -285,6 +285,36 @@ class ExtSpec extends SparkSpec {
     assert(IncrementalFuzzy.pairs(spark, root).count() === before.size)
   }
 
+  test("LSH and SimHash index compaction preserve their pair sets") {
+    import graft.ext.{IncrementalLsh, IncrementalSimhash}
+    val docs = Dedup.plantedDocs(spark)
+    // LSH
+    val lshRoot = java.nio.file.Files.createTempDirectory("graft_clsh_t_").toString
+    IncrementalLsh.init(docs.filter(col("doc_id") < 100), lshRoot)
+    IncrementalLsh.append(docs.filter(col("doc_id") >= 1000), lshRoot)
+    val lshBefore = IncrementalLsh.pairs(spark, lshRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    IncrementalLsh.compact(spark, lshRoot)
+    val lshAfter = IncrementalLsh.pairs(spark, lshRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshAfter === lshBefore)
+    // the watermark survives compaction (meta is not touched): further
+    // appends still enforce the monotone-id contract
+    intercept[IllegalArgumentException] {
+      IncrementalLsh.append(docs.filter(col("doc_id") < 100), lshRoot)
+    }
+    // SimHash
+    val simRoot = java.nio.file.Files.createTempDirectory("graft_csim_t_").toString
+    IncrementalSimhash.init(docs.filter(col("doc_id") < 60), simRoot)
+    IncrementalSimhash.append(docs.filter(col("doc_id") >= 60), simRoot)
+    val simBefore = IncrementalSimhash.pairs(spark, simRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    IncrementalSimhash.compact(spark, simRoot)
+    val simAfter = IncrementalSimhash.pairs(spark, simRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(simAfter === simBefore)
+  }
+
   test("index erasure purges orphaned strings from every state table") {
     import spark.implicits._
     import graft.ext.IncrementalFuzzy
