@@ -220,8 +220,7 @@ object IncrementalFuzzy {
   def fuzzyCompact(s: SparkSession, d: String): DataFrame = {
     val root = Files.createTempDirectory("graft_cfuzzy_").toString
     val rows = customerRows(s, d)
-    init(rows.filter(col("id") < 500), root, maxDist = 1)
-    append(rows.filter(col("id") >= 500 && col("id") < 1000), root, maxDist = 1)
+    init(rows.filter(col("id") < 1000), root, maxDist = 1)
     append(rows.filter(col("id") >= 1000), root, maxDist = 1)
     compact(s, root)
     pairs(s, root)
