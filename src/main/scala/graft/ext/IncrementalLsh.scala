@@ -136,6 +136,23 @@ object IncrementalLsh {
     writeIdWatermark(s, root, maxNew)
   }
 
+  /** Erase docs from the index: `sigs` rows (which carry the
+    * content-derived shingle arrays — the PII-bearing state) and every
+    * stored pair touching an erased id are rewritten away. The id
+    * WATERMARK is deliberately untouched: erased ids stay SPENT — freeing
+    * them for reuse would let a future append violate the id-ranked
+    * bucket-cap stability the whole append contract rests on.
+    */
+  def erase(s: SparkSession, root: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col("doc_id")).distinct()
+    IndexMaintenance.swapIn(s, root, "sigs",
+      s.read.parquet(s"$root/sigs").join(gone, Seq("doc_id"), "left_anti"))
+    val p = s.read.parquet(s"$root/pairs")
+    IndexMaintenance.swapIn(s, root, "pairs", p
+      .join(gone.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(gone.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
+  }
+
   /** Compact the index state (see [[IndexMaintenance]]): sigs and pairs
     * are deterministic sets, so distinct + rewrite preserves the index
     * exactly; the 1-row id watermark (`meta`) is overwrite-maintained and

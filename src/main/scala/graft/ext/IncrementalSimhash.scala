@@ -122,6 +122,32 @@ object IncrementalSimhash {
     IndexMaintenance.compactTables(
       s, root, Seq("members", "sks", "chunks", "pairs_sk"), filesPerTable)
 
+  /** Erase members (right-to-be-forgotten for derived state — the
+    * [[IncrementalFuzzy.erase]] contract applied here): members are
+    * rewritten without the erased ids, then sketches no surviving member
+    * carries are purged from `sks`, `chunks`, and `pairs_sk`. A sketch is
+    * a lossy content digest, but it is still DERIVED from the erased
+    * text — compliance postures that treat digests as personal data get
+    * state-level forgetting, everyone gets output-level forgetting.
+    */
+  def erase(s: SparkSession, root: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col("doc_id")).distinct()
+    IndexMaintenance.swapIn(s, root, "members",
+      s.read.parquet(s"$root/members").join(gone, Seq("doc_id"), "left_anti"))
+    val orphans = s.read.parquet(s"$root/sks")
+      .join(s.read.parquet(s"$root/members").select(col("simhash")).distinct(),
+        Seq("simhash"), "left_anti")
+      .localCheckpoint()
+    IndexMaintenance.swapIn(s, root, "sks",
+      s.read.parquet(s"$root/sks").join(orphans, Seq("simhash"), "left_anti"))
+    IndexMaintenance.swapIn(s, root, "chunks",
+      s.read.parquet(s"$root/chunks").join(orphans, Seq("simhash"), "left_anti"))
+    val sp = s.read.parquet(s"$root/pairs_sk")
+    IndexMaintenance.swapIn(s, root, "pairs_sk", sp
+      .join(orphans.select(col("simhash").as("sk_a")), Seq("sk_a"), "left_anti")
+      .join(orphans.select(col("simhash").as("sk_b")), Seq("sk_b"), "left_anti"))
+  }
+
   /** The maintained member-level pair set (doc_a, doc_b, hamming),
     * doc_a < doc_b — expanded from sketch-level state at read time.
     * Replay tolerance as in [[IncrementalFuzzy.pairs]]: all stored rows

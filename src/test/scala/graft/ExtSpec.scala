@@ -315,6 +315,42 @@ class ExtSpec extends SparkSpec {
     assert(simAfter === simBefore)
   }
 
+  test("LSH and SimHash index erasure forget at state level too") {
+    import spark.implicits._
+    import graft.ext.{IncrementalLsh, IncrementalSimhash}
+    val docs = Dedup.plantedDocs(spark)
+    // LSH: erase one side of a planted exact-dup pair (0, 1000)
+    val lshRoot = java.nio.file.Files.createTempDirectory("graft_elsh_t_").toString
+    IncrementalLsh.init(docs.filter(col("doc_id") < 100), lshRoot)
+    IncrementalLsh.append(docs.filter(col("doc_id") >= 1000), lshRoot)
+    assert(IncrementalLsh.pairs(spark, lshRoot)
+      .filter(col("doc_a") === 0 && col("doc_b") === 1000).count() === 1)
+    IncrementalLsh.erase(spark, lshRoot, Seq(1000L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$lshRoot/sigs")
+      .filter(col("doc_id") === 1000).count() === 0,
+      "content-derived signature row must be purged")
+    assert(IncrementalLsh.pairs(spark, lshRoot)
+      .filter(col("doc_a") === 1000 || col("doc_b") === 1000).count() === 0)
+    // erased ids stay SPENT: re-appending the same id is rejected
+    intercept[IllegalArgumentException] {
+      IncrementalLsh.append(docs.filter(col("doc_id") === 1000), lshRoot)
+    }
+    // SimHash: erasing BOTH members of an identical-text pair orphans
+    // their sketch, which must leave every state table
+    val simRoot = java.nio.file.Files.createTempDirectory("graft_esim_t_").toString
+    IncrementalSimhash.init(docs, simRoot)
+    val sk0 = spark.read.parquet(s"$simRoot/members")
+      .filter(col("doc_id") === 0).head().getLong(1)
+    IncrementalSimhash.erase(spark, simRoot, Seq(0L, 1000L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$simRoot/sks")
+      .filter(col("simhash") === sk0).count() === 0, "orphaned sketch must be purged")
+    assert(spark.read.parquet(s"$simRoot/chunks")
+      .filter(col("simhash") === sk0).count() === 0)
+    assert(IncrementalSimhash.pairs(spark, simRoot)
+      .filter(col("doc_a").isin(0L, 1000L) || col("doc_b").isin(0L, 1000L))
+      .count() === 0)
+  }
+
   test("index erasure purges orphaned strings from every state table") {
     import spark.implicits._
     import graft.ext.IncrementalFuzzy
