@@ -231,12 +231,36 @@ object IncrementalLsh {
     pairs(s, root)
   }
 
+  /** Gate (c24): build incrementally, then [[erase]] every doc with
+    * id % 7 == 3 — the erased set hits base docs AND planted twins, so
+    * the maintained pair table must equal brute-force Jaccard over the
+    * SURVIVORS only (sound because removing docs can never create pairs:
+    * the survivor-restricted truth is exactly the full truth minus pairs
+    * touching an erased id, which is what the anti-join rewrite keeps).
+    * The ExtSpec pin proves the state side: signature rows purged, erased
+    * ids stay spent.
+    */
+  def lshErasure(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_elsh_").toString
+    val docs = Dedup.plantedDocs(s)
+    init(docs.filter(col("doc_id") < 100), root)
+    append(docs.filter(col("doc_id") >= 1000), root)
+    erase(s, root, docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    pairs(s, root)
+  }
+
+  val lshErasureOracle: String =
+    s"""SELECT * FROM (${Dedup.minhashLshPlantedOracle})
+      |WHERE doc_a % 7 <> 3 AND doc_b % 7 <> 3""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_dedup_lsh_incremental" -> (lshIncremental _),
+    "c24_lsh_erasure" -> (lshErasure _),
     "s_stream_lsh_index" ->
       graft.streaming.Streams.withReducedShuffle(streamLshIndex _))
 
   val oracles: Map[String, String] = Map(
     "x_dedup_lsh_incremental" -> Dedup.minhashLshPlantedOracle,
+    "c24_lsh_erasure" -> lshErasureOracle,
     "s_stream_lsh_index" -> Dedup.minhashLshPlantedOracle)
 }

@@ -225,12 +225,36 @@ object IncrementalSimhash {
     pairs(s, root)
   }
 
+  /** Gate (c25): build incrementally, then [[erase]] every doc with
+    * id % 7 == 3. A planted pair (i, 1000+i) survives iff BOTH members
+    * do, and a group whose two members are both erased (i ≡ 3 mod 7 has
+    * no twin surviving when 1000+i ≡ 3 mod 7 never coincides — but
+    * i = 3, 10, 17 lose the base while i = 4, 11, 18 lose the twin) gets
+    * its sketch orphan-purged, which the ExtSpec pin checks at the state
+    * level; here the oracle checks the output level exactly.
+    */
+  def simhashErasure(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_esim_").toString
+    val docs = Dedup.plantedDocs(s)
+    init(docs.filter(col("doc_id") < 50), root)
+    append(docs.filter(col("doc_id") >= 50), root)
+    erase(s, root, docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    pairs(s, root)
+  }
+
+  val simhashErasureOracle: String =
+    """SELECT id AS doc_a, id + 1000 AS doc_b, 0 AS hamming
+      |FROM range(0, 20) t(id)
+      |WHERE id % 7 <> 3 AND (id + 1000) % 7 <> 3""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "x_simhash_incremental" -> (simhashIncremental _),
+    "c25_simhash_erasure" -> (simhashErasure _),
     "s_stream_simhash_index" ->
       graft.streaming.Streams.withReducedShuffle(streamSimhashIndex _))
 
   val oracles: Map[String, String] = Map(
     "x_simhash_incremental" -> Dedup.simhashPlantedOracle,
+    "c25_simhash_erasure" -> simhashErasureOracle,
     "s_stream_simhash_index" -> Dedup.simhashPlantedOracle)
 }
