@@ -863,6 +863,52 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'latest', n_nationkey, n_name FROM nation WHERE n_nationkey >= 20""".stripMargin
 
+  /** A24 catalog SQL DELETE / TRUNCATE: the destructive half of the SQL
+    * write surface, implemented as `SupportsDelete` on the catalog table
+    * (GraftCatalog.scala `deleteWhere`) — Spark pushes the WHERE clause
+    * down as source filters, the catalog translates them back to an
+    * expression and COMMITS THE SURVIVORS AS A NEW VERSION via the same
+    * compare-and-swap claim `INSERT INTO` uses. Nothing is mutated in
+    * place: after two predicate deletes (a comparison/OR mix, then a
+    * LIKE-prefix that arrives as `StringStartsWith`) and a TRUNCATE (the
+    * `TruncatableTable` default = delete-all), all four generations are
+    * read back via time travel — v1 must still be the full table, each
+    * delete must subtract exactly its predicate, and latest (v4, post-
+    * truncate) must be empty. Physical byte retirement stays vacuum's
+    * job (`c15_vacuum`); DELETE here is the logical, versioned,
+    * auditable operation a governed lake wants.
+    */
+  def catalogDelete(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_catd_")
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    Lake.writeTableSnapshot(nat, root, "nations_del")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DELETE FROM $cat.tables.nations_del " +
+      "WHERE n_regionkey = 2 OR n_nationkey >= 20")
+    s.sql(s"DELETE FROM $cat.tables.nations_del WHERE n_name LIKE 'A%'")
+    s.sql(s"TRUNCATE TABLE $cat.tables.nations_del")
+    def q(asof: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$asof' AS asof, n_nationkey, n_name, n_regionkey " +
+        s"FROM $cat.tables.nations_del$suffix")
+    q("v1", " VERSION AS OF 1")
+      .unionByName(q("v2", " VERSION AS OF 2"))
+      .unionByName(q("v3", " VERSION AS OF 3"))
+      .unionByName(q("latest", ""))
+  }
+
+  val catalogDeleteOracle: String =
+    """SELECT 'v1' AS asof, n_nationkey, n_name, n_regionkey FROM nation
+      |UNION ALL
+      |SELECT 'v2', n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE NOT (n_regionkey = 2 OR n_nationkey >= 20)
+      |UNION ALL
+      |SELECT 'v3', n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE NOT (n_regionkey = 2 OR n_nationkey >= 20) AND n_name NOT LIKE 'A%'""".stripMargin
+
   /** C20 schema contracts on feed appends: the write-side guard the
     * reference's pandas-inferred lake lacks — a malformed producer batch
     * forks the feed schema silently and downstream readers break later,
@@ -1637,6 +1683,7 @@ object Lifecycle {
     "c19b_audit_flush" -> (auditFlush _),
     "a19_catalog_sql" -> (catalogSql _),
     "a20_catalog_insert" -> (catalogInsert _),
+    "a24_catalog_delete" -> (catalogDelete _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -1682,6 +1729,7 @@ object Lifecycle {
     "c19b_audit_flush" -> auditFlushOracle,
     "a19_catalog_sql" -> catalogSqlOracle,
     "a20_catalog_insert" -> catalogInsertOracle,
+    "a24_catalog_delete" -> catalogDeleteOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

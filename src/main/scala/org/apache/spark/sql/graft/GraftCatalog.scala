@@ -5,15 +5,16 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -52,8 +53,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `INSERT INTO` commits current ∪ new rows as a new version (old
   * versions stay time-travel readable; concurrent writers get distinct
   * versions via the OCC claim protocol; readers never observe a partial
-  * append), and `CREATE TABLE` / CTAS commit an empty v1 carrying the
-  * declared schema. Time-traveled relations are read-only by
+  * append), `DELETE FROM` / `TRUNCATE TABLE` commit the surviving rows
+  * as a new version (see `deleteWhere`), and `CREATE TABLE` / CTAS
+  * commit an empty v1 carrying the declared schema. Time-traveled
+  * relations are read-only by
   * construction. Destructive DDL (`DROP`/`ALTER`/`RENAME`) still refuses:
   * version retirement belongs to Retention/vacuum, which know what is
   * safe to delete.
@@ -66,6 +69,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * bypass every policy covering the table's files.
   */
 trait GovernedPath { def governedPath: String }
+
+object GraftCatalog {
+  /** V1 source `Filter` → `Column`, for the `DELETE FROM` path: Spark
+    * hands `SupportsDelete.deleteWhere` the WHERE clause as pushed-down
+    * source filters, and the snapshot rewrite needs them back as an
+    * expression to keep the survivors. `None` marks a filter this
+    * translator (and therefore `canDeleteWhere`) does not handle — Spark
+    * then refuses the DELETE at analysis instead of silently deleting
+    * too much or too little.
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -160,7 +196,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * parquet write, one rename.
     */
   private final class GraftTable(ident: Identifier, version: Int)
-      extends Table with SupportsRead with SupportsWrite with GovernedPath {
+      extends Table with SupportsRead with SupportsWrite with SupportsDelete
+      with GovernedPath {
     override def governedPath: String =
       new Path(s"${tableDir(ident)}/version=v$version").toUri.getPath
     private val delegate = parquetTable(ident, version)
@@ -214,6 +251,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             }
         }
       }
+
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
+
+    /** `DELETE FROM` (and, via the `TruncatableTable` default,
+      * `TRUNCATE TABLE`) COMMITS THE SURVIVORS AS A NEW VERSION — delete
+      * is a snapshot commit like every other write, never an in-place
+      * mutation: old versions stay time-travel readable (and vacuum, not
+      * DELETE, is what physically retires bytes — the `c9_gdpr_erasure` /
+      * `c15_vacuum` pair owns true destruction). SQL three-valued
+      * semantics: a row is deleted only where the predicate IS TRUE, so
+      * NULL-predicate rows survive (`!coalesce(pred, false)`). The
+      * read-modify-write races concurrent writers exactly like
+      * `INSERT INTO`, so it rides the same compare-and-swap loop.
+      */
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val spark = SparkSession.active
+      val pred = filters.toIndexedSeq
+        .map(f => GraftCatalog.filterToColumn(f).getOrElse(
+          throw new UnsupportedOperationException(s"untranslatable delete filter: $f")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        if (attempts > 20) throw new java.io.IOException(
+          s"DELETE FROM ${ident.name()}: still conflicting after $attempts attempts")
+        val base = graft.lake.Lake
+          .latestVersion(spark, root, ident.name()).getOrElse(0)
+        if (base == 0) throw new NoSuchTableException(ident)
+        val current = graft.lake.Lake.readTableFeed(spark, root, ident.name(), Some(base))
+        done = graft.lake.Lake.writeTableSnapshotIf(
+          current.filter(not(coalesce(pred, lit(false)))), root, ident.name(),
+          expectedLatest = base).isDefined
+      }
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {

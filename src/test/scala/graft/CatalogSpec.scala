@@ -134,6 +134,33 @@ class CatalogSpec extends SparkSpec {
       .columns.toSeq === snap(6).columns.toSeq)
   }
 
+  test("DELETE versions survivors, keeps NULL-predicate rows, refuses untranslatable filters") {
+    spark.sql(s"CREATE TABLE $cat.tables.del_t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.tables.del_t VALUES (1, 'a'), (2, NULL), (3, 'b')")
+    // predicate TRUE deletes; NULL predicate (row 2: NULL = 'a' is NULL,
+    // not false) must KEEP the row — SQL three-valued delete semantics
+    spark.sql(s"DELETE FROM $cat.tables.del_t WHERE v = 'a'")
+    assert(spark.sql(s"SELECT k FROM $cat.tables.del_t").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // the delete COMMITTED a version; pre-delete rows stay readable
+    assert(Lake.versions(spark, root, "del_t") === Seq(1, 2, 3))
+    assert(spark.sql(s"SELECT * FROM $cat.tables.del_t VERSION AS OF 2").count() === 3)
+    // IS NULL arrives as a translatable source filter
+    spark.sql(s"DELETE FROM $cat.tables.del_t WHERE v IS NULL")
+    assert(spark.sql(s"SELECT k FROM $cat.tables.del_t").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    // a predicate that cannot reach the source-filter form must REFUSE,
+    // not over- or under-delete
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.tables.del_t WHERE length(v) > 1")
+    }
+    assert(spark.sql(s"SELECT * FROM $cat.tables.del_t").count() === 1)
+    // TRUNCATE rides the delete path: one more version, empty latest
+    spark.sql(s"TRUNCATE TABLE $cat.tables.del_t")
+    assert(spark.sql(s"SELECT * FROM $cat.tables.del_t").count() === 0)
+    assert(spark.sql(s"SELECT * FROM $cat.tables.del_t VERSION AS OF 4").count() === 1)
+  }
+
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
     spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT, v STRING)")
     assert(Lake.versions(spark, root, "created") === Seq(1))
