@@ -243,7 +243,95 @@ object Lake {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root, name))
       .getOrElse(throw new IllegalStateException(s"no versions for table feed $name"))
-    spark.read.parquet(s"${tablePath(root, name)}/version=v$v")
+    spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
+  }
+
+  /** SHALLOW CLONE: commit a new table (or a new version of an existing
+    * one) whose snapshot is a METADATA POINTER to another table's
+    * physical snapshot — branching a 100 TB table costs one marker file
+    * and one directory rename, zero data movement (the scale story: an
+    * experiment branch, a reproducible training-data cut, a what-if
+    * migration all start as O(1) operations instead of a 100 TB copy).
+    *
+    * Mechanics:
+    *  - the clone's `version=vN` dir contains only a `_clone` JSON pointer
+    *    `{"src": <table>, "version": <v>}`; every reader resolves through
+    *    [[resolveSnapshotDir]] (clone-of-clone chains resolve to the
+    *    PHYSICAL dir at clone time, so chains never deepen past one hop);
+    *  - the pointer version commits through the SAME claim protocol as a
+    *    data snapshot — concurrent cloners/writers serialize, `_commit` is
+    *    stamped, `TIMESTAMP AS OF` works;
+    *  - the physical source version gets a `_pin_<dst>` marker, which
+    *    [[Retention.pruneTableVersions]] honors: the source's retention
+    *    can no longer delete bytes a branch still references (the
+    *    dangling-pointer failure shallow clones are notorious for);
+    *    underscore-prefixed, so readers of the source ignore it;
+    *  - writes to the clone are ordinary snapshot commits (copy-on-write:
+    *    the branch's own versions are physical; divergence never touches
+    *    the source), and source writes never touch the branch.
+    *
+    * Governance note: a clone READ is governed by the PHYSICAL path (the
+    * catalog's `GovernedPath` resolves pointers), so a deny on the source
+    * cannot be laundered by cloning it.
+    *
+    * Returns the clone's committed version number.
+    */
+  def cloneTable(
+      spark: SparkSession, root: String, src: String, dst: String,
+      srcVersion: Option[Int] = None): Int = {
+    require(src != dst, "cloneTable: src and dst must differ")
+    val v = srcVersion.orElse(latestVersion(spark, root, src))
+      .getOrElse(throw new IllegalStateException(s"no versions for table feed $src"))
+    // resolve to the physical snapshot NOW: pins land on real bytes, and
+    // pointer chains stay one hop deep no matter how branches branch
+    val physDir = new Path(resolveSnapshotDir(spark, root, src, v))
+    val physTable = physDir.getParent.getName
+    val physVersion = physDir.getName.stripPrefix("version=v").toInt
+    val f = fs(spark, physDir.toString)
+    require(f.exists(physDir), s"cloneTable: $physDir does not exist")
+    f.create(new Path(physDir, s"_pin_$dst"), true).close()
+    val tdir = tablePath(root, dst)
+    val stage = new Path(
+      s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    f.mkdirs(stage)
+    val ptr = f.create(new Path(stage, "_clone"), true)
+    ptr.write(s"""{"src":"$physTable","version":$physVersion}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ptr.close()
+    commitStaged(spark, tdir, stage)
+  }
+
+  private val ClonePtr = raw"""\{"src":"([^"]+)","version":(\d+)\}""".r
+
+  /** The PHYSICAL directory behind a snapshot: follows `_clone` pointers
+    * (at most a short chain — [[cloneTable]] flattens at creation; the
+    * bound only guards hand-built cycles). Every snapshot reader — library
+    * ([[readTableFeed]]) and catalog SQL alike — resolves through here, so
+    * a clone is indistinguishable from a data snapshot downstream.
+    */
+  def resolveSnapshotDir(
+      spark: SparkSession, root: String, name: String, version: Int): String = {
+    var n = name
+    var v = version
+    var hops = 0
+    while (true) {
+      val dir = s"${tablePath(root, n)}/version=v$v"
+      val ptrPath = new Path(dir, "_clone")
+      val f = fs(spark, dir)
+      if (!f.exists(ptrPath)) return dir
+      hops += 1
+      if (hops > 8) throw new IllegalStateException(
+        s"resolveSnapshotDir: clone chain from $name@v$version exceeds 8 hops (cycle?)")
+      val in = f.open(ptrPath)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      txt match {
+        case ClonePtr(src, sv) => n = src; v = sv.toInt
+        case _ => throw new IllegalStateException(
+          s"resolveSnapshotDir: malformed _clone pointer in $dir: $txt")
+      }
+    }
+    "" // unreachable
   }
 
   /** Change-data view between two snapshots of a versioned table: rows

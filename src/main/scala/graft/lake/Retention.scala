@@ -61,6 +61,10 @@ object Retention {
 
   /** Keep the newest `keep` versions of a table feed, delete the rest (C2,
     * data_retention.py:54-78). No-op when versions ≤ keep (:65-67).
+    * Versions carrying a `_pin_*` marker (a shallow clone references their
+    * bytes — [[Lake.cloneTable]]) are NOT prunable: deleting them would
+    * dangle every branch pointing here. They are excluded from the result
+    * entirely — they are not "kept by recency", they are ineligible.
     */
   def pruneTableVersions(
       spark: SparkSession, root: String, name: String,
@@ -68,10 +72,14 @@ object Retention {
     val vs = Lake.versions(spark, root, name)
     if (vs.size <= keep) return Seq.empty
     val f = fs(spark, Lake.tablePath(root, name))
-    vs.dropRight(keep).map { v =>
+    vs.dropRight(keep).flatMap { v =>
       val p = new Path(s"${Lake.tablePath(root, name)}/version=v$v")
-      if (!dryRun) f.delete(p, true)
-      Pruned(p.toString, deleted = !dryRun)
+      val pinned = f.listStatus(p).exists(_.getPath.getName.startsWith("_pin_"))
+      if (pinned) None
+      else {
+        if (!dryRun) f.delete(p, true)
+        Some(Pruned(p.toString, deleted = !dryRun))
+      }
     }
   }
 }

@@ -909,6 +909,56 @@ object Lifecycle {
       |SELECT 'v3', n_nationkey, n_name, n_regionkey FROM nation
       |WHERE NOT (n_regionkey = 2 OR n_nationkey >= 20) AND n_name NOT LIKE 'A%'""".stripMargin
 
+  /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
+    * METADATA-POINTER version — branching a table is O(1) regardless of
+    * data size (at 100 TB: one marker file + one rename, zero bytes
+    * copied). The gate builds the full branch lifecycle: source v1/v2,
+    * branch cloned AT v1, branch does its own copy-on-write commit
+    * (v1 rows ∪ a disjoint slice), source moves on to v3 — then reads
+    * all three lineages back through CATALOG SQL (clone pointers resolve
+    * inside the catalog, so SQL cannot tell a branch from a data
+    * snapshot): source latest must show v3, the branch's pinned v1 must
+    * still equal the source AS IT WAS, and branch latest must show the
+    * divergent work without any v3 rows — full isolation both ways.
+    * LakeSpec pins the physical side: the pointer version holds no
+    * parquet, and the source's pinned v1 survives a retention sweep that
+    * would otherwise delete it.
+    */
+  def shallowClone(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_clone_")
+    def snap(lo: Int, hi: Int): DataFrame =
+      Tables.orders(s, d).filter(col("o_orderkey").between(lo, hi))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    Lake.writeTableSnapshot(snap(1, 5000), root, "src_orders")
+    Lake.writeTableSnapshot(snap(1, 10000), root, "src_orders")
+    Lake.cloneTable(s, root, "src_orders", "branch_orders", Some(1))
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(s, root, "branch_orders").unionByName(snap(20001, 25000)),
+      root, "branch_orders")
+    Lake.writeTableSnapshot(snap(1, 15000), root, "src_orders")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def q(label: String, table: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$label' AS branch, o_orderkey, o_totalprice, o_orderpriority " +
+        s"FROM $cat.tables.$table$suffix")
+    q("src_latest", "src_orders", "")
+      .unionByName(q("branch_v1", "branch_orders", " VERSION AS OF 1"))
+      .unionByName(q("branch_latest", "branch_orders", ""))
+  }
+
+  val shallowCloneOracle: String =
+    """SELECT 'src_latest' AS branch, o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 15000
+      |UNION ALL
+      |SELECT 'branch_v1', o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 5000
+      |UNION ALL
+      |SELECT 'branch_latest', o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1 AND 5000 OR o_orderkey BETWEEN 20001 AND 25000""".stripMargin
+
   /** C20 schema contracts on feed appends: the write-side guard the
     * reference's pandas-inferred lake lacks — a malformed producer batch
     * forks the feed schema silently and downstream readers break later,
@@ -1684,6 +1734,7 @@ object Lifecycle {
     "a19_catalog_sql" -> (catalogSql _),
     "a20_catalog_insert" -> (catalogInsert _),
     "a24_catalog_delete" -> (catalogDelete _),
+    "a25_shallow_clone" -> (shallowClone _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -1730,6 +1781,7 @@ object Lifecycle {
     "a19_catalog_sql" -> catalogSqlOracle,
     "a20_catalog_insert" -> catalogInsertOracle,
     "a24_catalog_delete" -> catalogDeleteOracle,
+    "a25_shallow_clone" -> shallowCloneOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

@@ -173,7 +173,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = snapshots(ident).nonEmpty
 
   private def parquetTable(ident: Identifier, version: Int): ParquetTable = {
-    val dir = s"${tableDir(ident)}/version=v$version"
+    // resolve shallow-clone pointer versions to their physical snapshot —
+    // catalog SQL reads branches exactly like data snapshots
+    val dir = graft.lake.Lake.resolveSnapshotDir(
+      SparkSession.active, root, ident.name(), version)
     ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$version",
       SparkSession.active,
@@ -199,7 +202,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
       with GovernedPath {
     override def governedPath: String =
-      new Path(s"${tableDir(ident)}/version=v$version").toUri.getPath
+      // PHYSICAL path: a clone read is governed by the snapshot it actually
+      // scans, so a deny on the source is not laundered by cloning
+      new Path(graft.lake.Lake.resolveSnapshotDir(
+        SparkSession.active, root, ident.name(), version)).toUri.getPath
     private val delegate = parquetTable(ident, version)
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
@@ -301,7 +307,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private final class FrozenTable(ident: Identifier, version: Int)
       extends Table with SupportsRead with GovernedPath {
     override def governedPath: String =
-      new Path(s"${tableDir(ident)}/version=v$version").toUri.getPath
+      // PHYSICAL path: a clone read is governed by the snapshot it actually
+      // scans, so a deny on the source is not laundered by cloning
+      new Path(graft.lake.Lake.resolveSnapshotDir(
+        SparkSession.active, root, ident.name(), version)).toUri.getPath
     private val delegate = parquetTable(ident, version)
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema

@@ -58,6 +58,46 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readTableFeed(spark, root, "t", Some(2)).select("k").as[Int].head() === 2)
   }
 
+  test("shallow clone is zero-copy, pins its source against retention, flattens chains") {
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "x"), root, "src")
+    Lake.writeTableSnapshot(Seq((3, "c")).toDF("k", "x"), root, "src")
+    assert(Lake.cloneTable(spark, root, "src", "branch", Some(1)) === 1)
+    // zero-copy: the pointer version holds NO parquet, only the pointer
+    val ptrDir = new java.io.File(s"$root/tables/branch/version=v1")
+    assert(ptrDir.listFiles().map(_.getName).count(_.endsWith(".parquet")) === 0)
+    assert(new java.io.File(ptrDir, "_clone").exists())
+    // reads resolve to the source's v1 content
+    assert(Lake.readTableFeed(spark, root, "branch").select("k").as[Int]
+      .collect().sorted === Array(1, 2))
+    // clone-of-clone flattens: its pointer names the PHYSICAL snapshot
+    Lake.cloneTable(spark, root, "branch", "branch2", Some(1))
+    assert(Lake.resolveSnapshotDir(spark, root, "branch2", 1)
+      === s"$root/tables/src/version=v1")
+    // the pinned source version is ineligible for retention while newer
+    // unpinned versions still prune
+    (1 to 8).foreach(i =>
+      Lake.writeTableSnapshot(Seq((100 + i, "z")).toDF("k", "x"), root, "src", 3))
+    assert(Lake.versions(spark, root, "src").contains(1),
+      "pinned v1 must survive a keep=3 sweep")
+    assert(!Lake.versions(spark, root, "src").contains(2),
+      "unpinned old versions must still prune")
+    assert(Lake.readTableFeed(spark, root, "branch").count() === 2)
+    // copy-on-write: branch commits its own physical version; src untouched
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(spark, root, "branch")
+        .unionByName(Seq((9, "q")).toDF("k", "x")), root, "branch")
+    assert(Lake.readTableFeed(spark, root, "branch").count() === 3)
+    assert(Lake.readTableFeed(spark, root, "src", Some(1)).count() === 2)
+    // self-clone refuses; cloning a missing table refuses
+    intercept[IllegalArgumentException] {
+      Lake.cloneTable(spark, root, "src", "src")
+    }
+    intercept[IllegalStateException] {
+      Lake.cloneTable(spark, root, "nope", "b3")
+    }
+  }
+
   test("snapshot commit is claim-based: no clobber, no torn version dirs") {
     val root = scratch()
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
