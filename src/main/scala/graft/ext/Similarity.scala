@@ -874,7 +874,63 @@ object Similarity {
       |                          ORDER BY d0 + d1 + d2 + d3, vec_id) AS rk
       |FROM adc QUALIFY rk <= 5""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each anchor in
+    * the fixed query batch, emit a TRIPLET SET — the single most-similar
+    * SAME-label vector (the positive) joined with the 3 most-similar
+    * DIFFERENT-label vectors (the hard negatives: high cosine but wrong
+    * class, exactly the examples a contrastive loss learns most from;
+    * random negatives are trivially separable and teach nothing). One
+    * broadcast of the fixed query batch scores both sides in a single
+    * pass; anchors lacking a same-label peer drop (no positive → no
+    * triplet). Brute-force over the corpus is the verification baseline —
+    * at 100 TB the candidate set comes from the multiprobe IVF index
+    * (`x_ann_ivf_multiprobe`) with the label filter applied post-probe,
+    * same top-k shape per anchor.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val negs = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"), col("rk"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("prk", row_number().over(w))
+      .filter(col("prk") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    negs.join(pos, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("rk"))
+  }
+
+  val hardNegativesOracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings
+      |           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, q.label AS q_label, e.vec_id, e.label,
+      |         list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos
+      |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0 AND vec_id < 2000) q
+      |  JOIN e ON e.vec_id <> q.vec_id),
+      |negs AS (
+      |  SELECT q_id, vec_id AS neg_id, cos AS neg_cos,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored WHERE label <> q_label QUALIFY rk <= 3),
+      |pos AS (
+      |  SELECT q_id, vec_id AS pos_id, cos AS pos_cos
+      |  FROM scored WHERE label = q_label
+      |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) = 1)
+      |SELECT n.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.rk
+      |FROM negs n JOIN pos p USING (q_id)""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "x_hard_negatives" -> (hardNegatives _),
     "x_kmeans" -> (kmeansTrain _),
     "x_semdedup" -> (semDedup _),
     "x_ann_pq" -> (annPq _),
@@ -889,6 +945,7 @@ object Similarity {
     "x_ann_ivf_recall" -> (annIvfRecall _))
 
   val oracles: Map[String, String] = Map(
+    "x_hard_negatives" -> hardNegativesOracle,
     "x_kmeans" -> kmeansTrainOracle,
     "x_semdedup" -> semDedupOracle,
     "x_ann_pq" -> annPqOracle,
