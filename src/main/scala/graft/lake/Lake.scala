@@ -211,11 +211,26 @@ object Lake {
       retentionVersions: Int = 7): Option[Int] = {
     val spark = df.sparkSession
     val tdir = tablePath(root, name)
-    val f = fs(spark, tdir)
-    val n = expectedLatest + 1
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    promoteStagedIf(spark, root, name, stage, expectedLatest, retentionVersions)
+  }
+
+  /** The conditional-commit tail of [[writeTableSnapshotIf]] for callers
+    * that staged the snapshot THEMSELVES (e.g. the catalog's row-level
+    * UPDATE/MERGE, whose executors write the staging dir through Spark's
+    * DSv2 parquet writer): claim `expectedLatest+1`, promote the staged
+    * dir only if no other writer committed past `expectedLatest`, else
+    * clean up and return None.
+    */
+  def promoteStagedIf(
+      spark: SparkSession, root: String, name: String, stage: Path,
+      expectedLatest: Int,
+      retentionVersions: Int = 7): Option[Int] = {
+    val tdir = tablePath(root, name)
+    val f = fs(spark, tdir)
+    val n = expectedLatest + 1
     val claim = new Path(s"$tdir/.claim_v$n")
     val claimed = claimExclusive(f, claim)
     val live = new Path(s"$tdir/version=v$n")

@@ -909,6 +909,72 @@ object Lifecycle {
       |SELECT 'v3', n_nationkey, n_name, n_regionkey FROM nation
       |WHERE NOT (n_regionkey = 2 OR n_nationkey >= 20) AND n_name NOT LIKE 'A%'""".stripMargin
 
+  /** A26 catalog SQL UPDATE + MERGE INTO: the last third of the SQL write
+    * surface, via Spark's GROUP-BASED row-level framework
+    * (`SupportsRowLevelOperations` on the catalog table — GraftCatalog
+    * `newRowLevelOperationBuilder`): the analyzer rewrites each command
+    * into a ReplaceData over our full-snapshot scan, executors write the
+    * replacement through Spark's own DSv2 parquet writer into a staging
+    * dir, and commit promotes it as the NEXT VERSION iff the base the
+    * statement read is still latest. The gate runs an UPDATE (computed
+    * SET over a predicate), then a 3-clause MERGE (matched-and-condition
+    * DELETE, matched UPDATE, not-matched INSERT) from an overlapping
+    * source slice, and reads v1/v2/latest back via time travel — every
+    * generation must equal DuckDB recomputing the same mutations from
+    * raw `customer` arithmetic, and the pre-mutation history must be
+    * byte-identical untouched.
+    */
+  def catalogUpdateMerge(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_catum_")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    Lake.writeTableSnapshot(cust.filter(col("c_custkey").between(1, 1000)), root, "cust_rl")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"UPDATE $cat.tables.cust_rl SET c_acctbal = c_acctbal + 100 " +
+      "WHERE c_nationkey = 5")
+    cust.filter(col("c_custkey").between(800, 1300)).createOrReplaceTempView("a26_src")
+    s.sql(s"""MERGE INTO $cat.tables.cust_rl t USING a26_src s
+      |ON t.c_custkey = s.c_custkey
+      |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET t.c_acctbal = s.c_acctbal
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, c_custkey, c_name, c_acctbal, c_nationkey " +
+        s"FROM $cat.tables.cust_rl$suffix")
+    q("v1", " VERSION AS OF 1")
+      .unionByName(q("v2", " VERSION AS OF 2"))
+      .unionByName(q("latest", ""))
+  }
+
+  val catalogUpdateMergeOracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      |  WHERE c_custkey BETWEEN 1 AND 1000),
+      |v2 AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_nationkey = 5 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+      |         c_nationkey
+      |  FROM v1),
+      |src AS (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_custkey BETWEEN 800 AND 1300),
+      |v3 AS (
+      |  SELECT t.c_custkey, t.c_name,
+      |         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+      |              ELSE t.c_acctbal END AS c_acctbal,
+      |         t.c_nationkey
+      |  FROM v2 t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      |  WHERE s.c_custkey IS NULL OR s.c_acctbal >= 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      |  WHERE c_custkey BETWEEN 1001 AND 1300)
+      |SELECT 'v1' AS gen, * FROM v1
+      |UNION ALL SELECT 'v2', * FROM v2
+      |UNION ALL SELECT 'latest', * FROM v3""".stripMargin
+
   /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
     * METADATA-POINTER version — branching a table is O(1) regardless of
     * data size (at 100 TB: one marker file + one rename, zero bytes
@@ -1735,6 +1801,7 @@ object Lifecycle {
     "a20_catalog_insert" -> (catalogInsert _),
     "a24_catalog_delete" -> (catalogDelete _),
     "a25_shallow_clone" -> (shallowClone _),
+    "a26_catalog_update_merge" -> (catalogUpdateMerge _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -1782,6 +1849,7 @@ object Lifecycle {
     "a20_catalog_insert" -> catalogInsertOracle,
     "a24_catalog_delete" -> catalogDeleteOracle,
     "a25_shallow_clone" -> shallowCloneOracle,
+    "a26_catalog_update_merge" -> catalogUpdateMergeOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

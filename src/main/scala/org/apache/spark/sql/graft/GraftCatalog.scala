@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
@@ -71,6 +71,38 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 trait GovernedPath { def governedPath: String }
 
 object GraftCatalog {
+  /** Executor-side shim for the group-based row-level write: if a row
+    * arrives one field WIDER than the data schema, its leading field is
+    * the `__row_operation` routing column the exec did not project away
+    * (see `newRowLevelOperationBuilder`) — project it off with the same
+    * `ProjectingInternalRow` Spark's metadata-aware task uses; width-exact
+    * rows pass through untouched.
+    */
+  private[graft] final case class DropRoutingColumnFactory(
+      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+      dataSchema: StructType)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long):
+        org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+      val delegate = inner.createWriter(partitionId, taskId)
+      val width = dataSchema.length
+      val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, 1 to width)
+      new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+        override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+          if (row.numFields == width) delegate.write(row)
+          else { proj.project(row); delegate.write(proj) }
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+          delegate.commit()
+        override def abort(): Unit = delegate.abort()
+        override def close(): Unit = delegate.close()
+        override def currentMetricsValues():
+            Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          delegate.currentMetricsValues()
+      }
+    }
+  }
+
   /** V1 source `Filter` → `Column`, for the `DELETE FROM` path: Spark
     * hands `SupportsDelete.deleteWhere` the WHERE clause as pushed-down
     * source filters, and the snapshot rewrite needs them back as an
@@ -200,7 +232,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   private final class GraftTable(ident: Identifier, version: Int)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
-      with GovernedPath {
+      with SupportsRowLevelOperations with GovernedPath {
     override def governedPath: String =
       // PHYSICAL path: a clone read is governed by the snapshot it actually
       // scans, so a deny on the source is not laundered by cloning
@@ -251,6 +283,94 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                     done = graft.lake.Lake.writeTableSnapshotIf(
                       current.unionByName(aligned), root, ident.name(),
                       expectedLatest = base).isDefined
+                  }
+                }
+              }
+            }
+        }
+      }
+
+    /** `UPDATE` / `MERGE INTO` (and `DELETE` with predicates the filter
+      * translator can't express) via Spark's GROUP-BASED row-level
+      * framework: the analyzer rewrites the command into a ReplaceData
+      * plan — read the table through our scan, apply the
+      * changes, write every surviving row back — and this operation
+      * supplies both halves. The write half delegates the distributed
+      * parquet write to Spark's own DSv2 `ParquetTable` writer aimed at a
+      * STAGING dir inside the table (executors write through the normal
+      * file commit protocol), and our `commit` then promotes the staged
+      * dir as the next version IF the base snapshot this operation read
+      * is still latest (`Lake.promoteStagedIf` — the same CAS the other
+      * read-modify-write SQL paths use). A lost race cannot retry here
+      * (the query already executed against the stale base), so it
+      * surfaces as `ConcurrentModificationException` and the statement is
+      * re-run — first-writer-wins OCC, never lost updates. Replacing the
+      * WHOLE snapshot per statement is exactly the snapshot contract
+      * (finer-grained replacement is the compaction/file-level layout's
+      * job, which snapshot tables deliberately do not have).
+      */
+    override def newRowLevelOperationBuilder(
+        info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation = new RowLevelOperation {
+          override def command: RowLevelOperation.Command = info.command
+          // the scan feeding a group-based replace must NOT let the
+          // command's WHERE clause prune ROWS: every row of the snapshot
+          // has to reach the replacement write (the rewritten plan applies
+          // the condition per row itself — a filter-pushing scan would
+          // silently DROP all non-matching rows from the new version).
+          // Wrapping the delegate builder so it exposes no pushdown
+          // interfaces keeps the read a full-snapshot scan by construction.
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+            val inner = delegate.newScanBuilder(options)
+            new ScanBuilder { override def build() = inner.build() }
+          }
+          override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                private val stage = new Path(s"${tableDir(ident)}/.stage_" +
+                  java.util.UUID.randomUUID().toString.replace("-", ""))
+                private val stagingWrite = ParquetTable(
+                  s"${delegate.name}-rowlevel-staging",
+                  SparkSession.active,
+                  CaseInsensitiveStringMap.empty(),
+                  Seq(stage.toString),
+                  Some(winfo.schema()),
+                  classOf[ParquetFileFormat]).newWriteBuilder(winfo).build()
+                override def toBatch: BatchWrite = new BatchWrite {
+                  private val db = stagingWrite.toBatch
+                  // the file committer coordinates task commits itself —
+                  // double authorization via the V2 coordinator path denies
+                  // every task ("driver did not authorize commit")
+                  override def useCommitCoordinator(): Boolean =
+                    db.useCommitCoordinator()
+                  override def onDataWriterCommit(
+                      message: WriterCommitMessage): Unit =
+                    db.onDataWriterCommit(message)
+                  override def createBatchWriterFactory(
+                      pi: PhysicalWriteInfo): DataWriterFactory =
+                    // ReplaceData's no-metadata write path hands the writer
+                    // rows still PREFIXED with the __row_operation routing
+                    // column (the projecting task runs only when the
+                    // operation requires metadata attributes, which a file
+                    // table cannot supply) — apply the dropped projection
+                    // ourselves before Spark's parquet writer sees the row
+                    GraftCatalog.DropRoutingColumnFactory(
+                      db.createBatchWriterFactory(pi), winfo.schema())
+                  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                    db.commit(messages)
+                    val spark = SparkSession.active
+                    if (graft.lake.Lake.promoteStagedIf(
+                        spark, root, ident.name(), stage,
+                        expectedLatest = version).isEmpty)
+                      throw new java.util.ConcurrentModificationException(
+                        s"row-level operation on ${ident.name()}: base version " +
+                          s"v$version is no longer latest — re-run the statement")
+                  }
+                  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+                    db.abort(messages)
+                    val f = fs(stage)
+                    if (f.exists(stage)) f.delete(stage, true)
                   }
                 }
               }

@@ -134,7 +134,7 @@ class CatalogSpec extends SparkSpec {
       .columns.toSeq === snap(6).columns.toSeq)
   }
 
-  test("DELETE versions survivors, keeps NULL-predicate rows, refuses untranslatable filters") {
+  test("DELETE versions survivors, keeps NULL-predicate rows, falls back to group-based") {
     spark.sql(s"CREATE TABLE $cat.tables.del_t (k BIGINT, v STRING)")
     spark.sql(s"INSERT INTO $cat.tables.del_t VALUES (1, 'a'), (2, NULL), (3, 'b')")
     // predicate TRUE deletes; NULL predicate (row 2: NULL = 'a' is NULL,
@@ -149,16 +149,43 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $cat.tables.del_t WHERE v IS NULL")
     assert(spark.sql(s"SELECT k FROM $cat.tables.del_t").collect()
       .map(_.getLong(0)).toSeq === Seq(3L))
-    // a predicate that cannot reach the source-filter form must REFUSE,
-    // not over- or under-delete
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.tables.del_t WHERE length(v) > 1")
-    }
-    assert(spark.sql(s"SELECT * FROM $cat.tables.del_t").count() === 1)
+    // a predicate beyond the source-filter form falls through to the
+    // GROUP-BASED row-level path (full-snapshot replace) and still
+    // versions correctly — 'bb' matches, 'b' does not
+    spark.sql(s"INSERT INTO $cat.tables.del_t VALUES (5, 'bb')")
+    spark.sql(s"DELETE FROM $cat.tables.del_t WHERE length(v) > 1")
+    assert(spark.sql(s"SELECT k FROM $cat.tables.del_t").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
     // TRUNCATE rides the delete path: one more version, empty latest
     spark.sql(s"TRUNCATE TABLE $cat.tables.del_t")
     assert(spark.sql(s"SELECT * FROM $cat.tables.del_t").count() === 0)
-    assert(spark.sql(s"SELECT * FROM $cat.tables.del_t VERSION AS OF 4").count() === 1)
+    assert(spark.sql(s"SELECT k FROM $cat.tables.del_t VERSION AS OF 6").count() === 1)
+  }
+
+  test("UPDATE and MERGE INTO commit new versions; non-matching rows are never lost") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.tables.um_t (k BIGINT, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.tables.um_t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    // UPDATE must carry UNTOUCHED rows into the new version (the scan
+    // must not let the WHERE clause prune rows out of the replacement)
+    spark.sql(s"UPDATE $cat.tables.um_t SET amt = amt * 2 WHERE k >= 2")
+    assert(spark.sql(s"SELECT amt FROM $cat.tables.um_t ORDER BY k").collect()
+      .map(_.getDouble(0)).toSeq === Seq(10.0, 40.0, 60.0))
+    assert(Lake.versions(spark, root, "um_t") === Seq(1, 2, 3))
+    // pre-update generation intact
+    assert(spark.sql(s"SELECT amt FROM $cat.tables.um_t VERSION AS OF 2 ORDER BY k")
+      .collect().map(_.getDouble(0)).toSeq === Seq(10.0, 20.0, 30.0))
+    // 3-clause MERGE: delete, update, insert in one statement
+    Seq((2L, -1.0), (3L, 99.0), (4L, 40.0)).toDF("k", "amt")
+      .createOrReplaceTempView("um_src")
+    spark.sql(s"""MERGE INTO $cat.tables.um_t t USING um_src s ON t.k = s.k
+      WHEN MATCHED AND s.amt < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(s"SELECT k, amt FROM $cat.tables.um_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((1L, 10.0), (3L, 99.0), (4L, 40.0)))
+    assert(Lake.versions(spark, root, "um_t") === Seq(1, 2, 3, 4))
   }
 
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
