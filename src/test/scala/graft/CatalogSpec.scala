@@ -186,6 +186,15 @@ class CatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((1L, 10.0), (3L, 99.0), (4L, 40.0)))
     assert(Lake.versions(spark, root, "um_t") === Seq(1, 2, 3, 4))
+    // NOT MATCHED BY SOURCE: rows absent from the source get their own clause
+    Seq((3L, 0.0)).toDF("k", "amt").createOrReplaceTempView("um_src2")
+    spark.sql(s"""MERGE INTO $cat.tables.um_t t USING um_src2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+      WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.amt = t.amt + 1""")
+    assert(spark.sql(s"SELECT k, amt FROM $cat.tables.um_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((3L, 0.0), (4L, 41.0)))
   }
 
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {

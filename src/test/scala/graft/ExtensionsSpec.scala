@@ -162,6 +162,58 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ReadGuard: a deny on the source cannot be laundered through a shallow clone") {
+    import graft.governance.{Permissions, ReadGuard}
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-clone-guard-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_cguard_").toString
+      graft.lake.Lake.writeTableSnapshot(
+        Seq((1, "s")).toDF("k", "x"), root, "secret")
+      graft.lake.Lake.cloneTable(spark, root, "secret", "branch")
+      spark.conf.set("spark.sql.catalog.cg",
+        classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.cg.root", root)
+      val at = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      // grant covers only the CLONE's directory — not the source it points at
+      val branchOnly = Permissions.grant(Permissions.empty(spark),
+        "eve@corp", s"$root/tables/branch", "read", "root@corp", at)
+      ReadGuard.install(branchOnly, "eve@corp", java.sql.Date.valueOf("2024-06-01"))
+      try {
+        // the branch read scans the SOURCE's physical snapshot; governedPath
+        // resolves the pointer, so the branch-scoped grant must NOT suffice
+        intercept[SecurityException] {
+          spark.sql("SELECT * FROM cg.tables.branch").count()
+        }
+      } finally ReadGuard.clear()
+      // with the physical table covered, the same read is fine
+      val withSource = Permissions.grant(branchOnly,
+        "eve@corp", s"$root/tables/secret", "read", "root@corp", at)
+      ReadGuard.install(withSource, "eve@corp", java.sql.Date.valueOf("2024-06-01"))
+      try {
+        assert(spark.sql("SELECT * FROM cg.tables.branch").count() === 1)
+      } finally ReadGuard.clear()
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+
   test("RewriteDotProduct rewrites the HOF fold to graft_dot, preserving results") {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
