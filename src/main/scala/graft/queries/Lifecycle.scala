@@ -933,7 +933,11 @@ object Lifecycle {
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s.sql(s"UPDATE $cat.tables.cust_rl SET c_acctbal = c_acctbal + 100 " +
+    // money arithmetic normalizes through decimal(18,2) (the Q.moneySum
+    // convention): raw double +100 would carry IEEE dust that the decimal
+    // money profile (exact addition) does not, splitting the two profiles
+    s.sql(s"UPDATE $cat.tables.cust_rl " +
+      "SET c_acctbal = CAST(c_acctbal + 100 AS DECIMAL(18,2)) " +
       "WHERE c_nationkey = 5")
     cust.filter(col("c_custkey").between(800, 1300)).createOrReplaceTempView("a26_src")
     s.sql(s"""MERGE INTO $cat.tables.cust_rl t USING a26_src s
@@ -955,7 +959,9 @@ object Lifecycle {
       |  WHERE c_custkey BETWEEN 1 AND 1000),
       |v2 AS (
       |  SELECT c_custkey, c_name,
-      |         CASE WHEN c_nationkey = 5 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+      |         CASE WHEN c_nationkey = 5
+      |              THEN CAST(CAST(c_acctbal + 100 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE c_acctbal END AS c_acctbal,
       |         c_nationkey
       |  FROM v1),
       |src AS (
