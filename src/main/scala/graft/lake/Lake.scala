@@ -318,6 +318,98 @@ object Lake {
 
   private val ClonePtr = raw"""\{"src":"([^"]+)","version":(\d+)\}""".r
 
+  /** The `(physical table, version)` a pointer version references, or None
+    * for a data snapshot.
+    */
+  def clonePointer(
+      spark: SparkSession, root: String, name: String,
+      version: Int): Option[(String, Int)] = {
+    val dir = s"${tablePath(root, name)}/version=v$version"
+    val ptrPath = new Path(dir, "_clone")
+    val f = fs(spark, dir)
+    if (!f.exists(ptrPath)) None
+    else {
+      val in = f.open(ptrPath)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      txt match {
+        case ClonePtr(src, sv) => Some((src, sv.toInt))
+        case _ => throw new IllegalStateException(
+          s"clonePointer: malformed _clone pointer in $dir: $txt")
+      }
+    }
+  }
+
+  /** MERGE A BRANCH BACK into its source — the git-style completion of
+    * [[cloneTable]]'s branching story: a three-way, per-key, set-oriented
+    * merge of (base = the snapshot the branch was cut at, branch latest,
+    * source latest), committed as a NEW source version.
+    *
+    * Per key (non-key columns compared as canonical JSON payloads, the
+    * [[versionDiff]] convention):
+    *  - changed only on the branch → the branch's row (or deletion) wins;
+    *  - changed only on the source → the source's row stands;
+    *  - changed on BOTH sides → CONFLICT, unless both sides made the
+    *    IDENTICAL change (including both deleting) — the merge throws with
+    *    a key sample and commits nothing, because silently picking a side
+    *    is how data diverges un-auditably (a caller that wants
+    *    branch-wins can rebase: re-clone and replay).
+    *
+    * Cost shape: one full-outer join across the three snapshots keyed on
+    * the merge key — each side shuffles once; with bucketed snapshots it
+    * would be exchange-free. The commit is the CAS conditional
+    * ([[writeTableSnapshotIf]] against the source version the merge read),
+    * so a concurrent source writer surfaces as
+    * `ConcurrentModificationException` — re-run the merge against the new
+    * latest; nothing is lost or half-applied.
+    *
+    * Returns the new source version.
+    */
+  def mergeBranch(
+      spark: SparkSession, root: String, src: String, branch: String,
+      keys: Seq[String],
+      retentionVersions: Int = 7): Int = {
+    val (psrc, _) = clonePointer(spark, root, branch, 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeBranch: $branch v1 is not a clone pointer — not a branch"))
+    require(psrc == src,
+      s"mergeBranch: $branch was cut from $psrc, not $src")
+    val srcLatest = latestVersion(spark, root, src).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $src"))
+    val base = readTableFeed(spark, root, branch, Some(1))
+    val b = readTableFeed(spark, root, branch)
+    val s = readTableFeed(spark, root, src, Some(srcLatest))
+    val valueCols = s.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, side: String) = df.select(
+      keys.map(col) ++ Seq(
+        to_json(struct(valueCols.map(col): _*)).as(s"_p_$side"),
+        struct(valueCols.map(col): _*).as(s"_row_$side")): _*)
+    val j = tagged(base, "base").drop("_row_base")
+      .join(tagged(b, "b"), keys.toSeq, "full_outer")
+      .join(tagged(s, "s"), keys.toSeq, "full_outer")
+      .withColumn("_b_changed", !(col("_p_b") <=> col("_p_base")))
+      .withColumn("_s_changed", !(col("_p_s") <=> col("_p_base")))
+      .localCheckpoint() // two consumers below; don't recompute the 3-way join
+    val conflicts = j.filter(
+      col("_b_changed") && col("_s_changed") && !(col("_p_b") <=> col("_p_s")))
+    val sample = conflicts.select(keys.map(col): _*).limit(5).collect()
+    if (sample.nonEmpty) throw new IllegalStateException(
+      s"mergeBranch: $branch and $src both changed key(s) " +
+        sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
+        " (and possibly more) since the branch point — resolve by rebasing")
+    val merged = j
+      .withColumn("_row",
+        when(col("_b_changed"), col("_row_b")).otherwise(col("_row_s")))
+      .filter(col("_row").isNotNull &&
+        when(col("_b_changed"), col("_p_b").isNotNull)
+          .otherwise(col("_p_s").isNotNull))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"_row.$c").as(c)): _*)
+    writeTableSnapshotIf(merged, root, src, expectedLatest = srcLatest,
+      retentionVersions = retentionVersions).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"mergeBranch: $src moved past v$srcLatest during the merge — re-run"))
+  }
+
   /** The PHYSICAL directory behind a snapshot: follows `_clone` pointers
     * (at most a short chain — [[cloneTable]] flattens at creation; the
     * bound only guards hand-built cycles). Every snapshot reader — library

@@ -1031,6 +1031,83 @@ object Lifecycle {
       |FROM orders
       |WHERE o_orderkey BETWEEN 1 AND 5000 OR o_orderkey BETWEEN 20001 AND 25000""".stripMargin
 
+  /** A27 branch merge-back: the completion of A25's branching story —
+    * [[Lake.mergeBranch]] three-way-merges a branch into a source that has
+    * MOVED ON since the branch point (per key: branch-only changes win,
+    * source-only changes stand, both-changed conflicts refuse; here the
+    * two sides' edits are planted DISJOINT so the merge commits). The
+    * gate drives the full lifecycle — clone at v1, divergent edits on
+    * both lineages (branch: delete low keys / re-prefix a priority band /
+    * insert a new key range; source: delete a high band / re-prefix a
+    * different band / insert a different range), merge — and reads back
+    * all three lineage points; the oracle rebuilds each from raw `orders`
+    * arithmetic, so a hash match proves deletes, updates and inserts from
+    * BOTH sides landed exactly once and nothing else changed. All planted
+    * edits are string mutations: money stays untouched, so the gate is
+    * identical under both money profiles.
+    */
+  def branchMerge(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_bmerge_")
+    val slice = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+    def keysIn(lo: Int, hi: Int): DataFrame =
+      slice.filter(col("o_orderkey").between(lo, hi))
+    Lake.writeTableSnapshot(keysIn(1, 1000), root, "m_src")
+    Lake.cloneTable(s, root, "m_src", "m_br", Some(1))
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(s, root, "m_br")
+        .filter(col("o_orderkey") > 100)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey").between(500, 600),
+            concat(lit("B-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(keysIn(2001, 2200)),
+      root, "m_br")
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(s, root, "m_src")
+        .filter(!col("o_orderkey").between(900, 1000))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey").between(700, 800),
+            concat(lit("S-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(keysIn(3001, 3200)),
+      root, "m_src")
+    Lake.mergeBranch(s, root, "m_src", "m_br", Seq("o_orderkey"))
+    def q(gen: String, table: String, v: Option[Int]): DataFrame =
+      Lake.readTableFeed(s, root, table, v)
+        .select(lit(gen).as("gen"), col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus"))
+    q("base", "m_src", Some(1))
+      .unionByName(q("src_v2", "m_src", Some(2)))
+      .unionByName(q("merged", "m_src", None))
+  }
+
+  val branchMergeOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 1000),
+      |srcv2 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 700 AND 800
+      |              THEN 'S-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+      |         o_orderstatus
+      |  FROM base WHERE o_orderkey NOT BETWEEN 900 AND 1000
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderkey BETWEEN 3001 AND 3200),
+      |merged AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 500 AND 600
+      |              THEN 'B-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+      |         o_orderstatus
+      |  FROM srcv2 WHERE o_orderkey > 100
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderkey BETWEEN 2001 AND 2200)
+      |SELECT 'base' AS gen, * FROM base
+      |UNION ALL SELECT 'src_v2', * FROM srcv2
+      |UNION ALL SELECT 'merged', * FROM merged""".stripMargin
+
   /** C20 schema contracts on feed appends: the write-side guard the
     * reference's pandas-inferred lake lacks — a malformed producer batch
     * forks the feed schema silently and downstream readers break later,
@@ -1808,6 +1885,7 @@ object Lifecycle {
     "a24_catalog_delete" -> (catalogDelete _),
     "a25_shallow_clone" -> (shallowClone _),
     "a26_catalog_update_merge" -> (catalogUpdateMerge _),
+    "a27_branch_merge" -> (branchMerge _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -1856,6 +1934,7 @@ object Lifecycle {
     "a24_catalog_delete" -> catalogDeleteOracle,
     "a25_shallow_clone" -> shallowCloneOracle,
     "a26_catalog_update_merge" -> catalogUpdateMergeOracle,
+    "a27_branch_merge" -> branchMergeOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

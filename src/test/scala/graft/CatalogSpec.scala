@@ -197,6 +197,23 @@ class CatalogSpec extends SparkSpec {
       === Seq((3L, 0.0), (4L, 41.0)))
   }
 
+  test("SQL mutations on a shallow-cloned branch are copy-on-write") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"), root, "cow_src")
+    Lake.cloneTable(spark, root, "cow_src", "cow_branch")
+    // UPDATE through the catalog on a table whose latest version is a
+    // POINTER: the scan resolves to the source's bytes, the replacement
+    // commits a physical version on the BRANCH, the source never changes
+    spark.sql(s"UPDATE $cat.tables.cow_branch SET amt = amt + 5 WHERE k = 1")
+    assert(spark.sql(s"SELECT amt FROM $cat.tables.cow_branch ORDER BY k").collect()
+      .map(_.getDouble(0)).toSeq === Seq(15.0, 20.0))
+    assert(spark.sql(s"SELECT amt FROM $cat.tables.cow_src ORDER BY k").collect()
+      .map(_.getDouble(0)).toSeq === Seq(10.0, 20.0))
+    assert(Lake.versions(spark, root, "cow_branch") === Seq(1, 2))
+    assert(Lake.versions(spark, root, "cow_src") === Seq(1))
+  }
+
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
     spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT, v STRING)")
     assert(Lake.versions(spark, root, "created") === Seq(1))

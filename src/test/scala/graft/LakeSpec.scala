@@ -98,6 +98,61 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("mergeBranch: three-way merge applies both sides' changes, conflicts refuse") {
+    val root = scratch()
+    Lake.writeTableSnapshot(
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "x"), root, "mb_src")
+    Lake.cloneTable(spark, root, "mb_src", "mb_br")
+    // branch: update k=1, delete k=2, insert k=5
+    Lake.writeTableSnapshot(
+      Seq((1, "A"), (3, "c"), (4, "d"), (5, "e")).toDF("k", "x"), root, "mb_br")
+    // source moves on: update k=3, insert k=6
+    Lake.writeTableSnapshot(
+      Seq((1, "a"), (2, "b"), (3, "C"), (4, "d"), (6, "f")).toDF("k", "x"), root, "mb_src")
+    val v = Lake.mergeBranch(spark, root, "mb_src", "mb_br", Seq("k"))
+    assert(v === 3)
+    assert(Lake.readTableFeed(spark, root, "mb_src").as[(Int, String)].collect().sorted
+      === Array((1, "A"), (3, "C"), (4, "d"), (5, "e"), (6, "f")))
+    // pre-merge source history intact
+    assert(Lake.readTableFeed(spark, root, "mb_src", Some(2)).count() === 5)
+
+    // conflict: both sides change the same key differently → refuse, commit nothing
+    Lake.cloneTable(spark, root, "mb_src", "mb_br2")
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(spark, root, "mb_br2")
+        .withColumn("x", when(col("k") === 4, lit("branch")).otherwise(col("x"))),
+      root, "mb_br2")
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(spark, root, "mb_src")
+        .withColumn("x", when(col("k") === 4, lit("source")).otherwise(col("x"))),
+      root, "mb_src")
+    val before = Lake.versions(spark, root, "mb_src")
+    val ex = intercept[IllegalStateException] {
+      Lake.mergeBranch(spark, root, "mb_src", "mb_br2", Seq("k"))
+    }
+    assert(ex.getMessage.contains("both changed"))
+    assert(Lake.versions(spark, root, "mb_src") === before, "conflict must commit nothing")
+
+    // identical change on both sides is NOT a conflict (incl. both deleting)
+    Lake.cloneTable(spark, root, "mb_src", "mb_br3")
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(spark, root, "mb_br3").filter(col("k") =!= 6)
+        .withColumn("x", when(col("k") === 5, lit("same")).otherwise(col("x"))),
+      root, "mb_br3")
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(spark, root, "mb_src").filter(col("k") =!= 6)
+        .withColumn("x", when(col("k") === 5, lit("same")).otherwise(col("x"))),
+      root, "mb_src")
+    Lake.mergeBranch(spark, root, "mb_src", "mb_br3", Seq("k"))
+    val after = Lake.readTableFeed(spark, root, "mb_src").as[(Int, String)].collect().sorted
+    assert(!after.map(_._1).contains(6) && after.find(_._1 == 5).get._2 === "same")
+
+    // a non-branch (data-snapshot v1) table refuses
+    intercept[IllegalArgumentException] {
+      Lake.mergeBranch(spark, root, "mb_src", "mb_src", Seq("k"))
+    }
+  }
+
   test("snapshot commit is claim-based: no clobber, no torn version dirs") {
     val root = scratch()
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
