@@ -135,7 +135,8 @@ object GraftCatalog {
   }
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -148,9 +149,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  // -- namespaces: the single `tables` namespace of the Lake layout --
+  // -- namespaces: the `tables` namespace of the Lake layout, plus the
+  // data-free `system` namespace holding maintenance procedures --
 
-  override def listNamespaces(): Array[Array[String]] = Array(Array("tables"))
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("tables"), Array("system"))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -158,7 +161,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.sameElements(Array("tables"))
+    namespace.sameElements(Array("tables")) || namespace.sameElements(Array("system"))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) util.Collections.emptyMap()
@@ -498,4 +501,105 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft tables are written via Lake.writeTableSnapshot (snapshot+OCC contract)")
+
+  // -- maintenance procedures: `CALL <cat>.system.<proc>(...)` --
+  // The lake's lifecycle operations (branching, merge-back, restore,
+  // retention, vacuum) exposed through Spark's ProcedureCatalog API, so
+  // the SQL surface covers MAINTENANCE as well as reads and writes — the
+  // operational posture a SQL-only user needs (Iceberg's `CALL
+  // system.*` shape). Each procedure delegates to the same library entry
+  // point the programmatic API uses and returns its outcome as rows.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def procedure(
+      pname: String, params: Array[ProcedureParameter],
+      outSchema: StructType)(body: InternalRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft lake maintenance: $pname"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graft lake maintenance: $pname"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val out = body(input)
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = outSchema
+          }).iterator()
+        }
+      }
+    }
+
+  private def versionRow(v: Int): Array[InternalRow] =
+    Array(new GenericInternalRow(Array[Any](v)))
+
+  private val versionSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", IntegerType)))
+
+  private val sweepSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("entry", StringType),
+    org.apache.spark.sql.types.StructField("deleted", BooleanType)))
+
+  private def in(n: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, t).build()
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("clone", "merge_branch", "restore", "prune_versions", "vacuum")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"procedures live in the system namespace, not ${ident.namespace().mkString(".")}")
+    def str(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
+    val spark = SparkSession.active
+    ident.name() match {
+      case "clone" => procedure("clone",
+        Array(in("src", StringType), in("dst", StringType)),
+        versionSchema) { row =>
+        versionRow(graft.lake.Lake.cloneTable(spark, root, str(row, 0), str(row, 1)))
+      }
+      case "merge_branch" => procedure("merge_branch",
+        Array(in("src", StringType), in("branch", StringType), in("key", StringType)),
+        versionSchema) { row =>
+        versionRow(graft.lake.Lake.mergeBranch(
+          spark, root, str(row, 0), str(row, 1),
+          str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      }
+      case "restore" => procedure("restore",
+        Array(in("table", StringType), in("version", IntegerType)),
+        versionSchema) { row =>
+        versionRow(graft.lake.Lake.restoreTable(spark, root, str(row, 0), row.getInt(1)))
+      }
+      case "prune_versions" => procedure("prune_versions",
+        Array(in("table", StringType), in("keep", IntegerType)),
+        sweepSchema) { row =>
+        graft.lake.Retention.pruneTableVersions(
+          spark, root, str(row, 0), keep = row.getInt(1)).toArray.map(p =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(p.path), p.deleted)): InternalRow)
+      }
+      case "vacuum" => procedure("vacuum",
+        Array(in("table", StringType)),
+        sweepSchema) { row =>
+        graft.lake.Lake.vacuumTable(spark, root, str(row, 0)).toArray.map {
+          case (entry, deleted) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(entry), deleted)): InternalRow
+        }
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure: $other (have: clone, merge_branch, restore, prune_versions, vacuum)")
+    }
+  }
 }

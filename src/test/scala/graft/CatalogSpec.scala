@@ -214,6 +214,30 @@ class CatalogSpec extends SparkSpec {
     assert(Lake.versions(spark, root, "cow_src") === Seq(1))
   }
 
+  test("CALL procedures drive the lake lifecycle from SQL") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "pr_t")
+    // clone → branch, mutate the branch in SQL, merge back, restore
+    assert(spark.sql(s"CALL $cat.system.clone('pr_t', 'pr_b')")
+      .head().getInt(0) === 1)
+    spark.sql(s"UPDATE $cat.tables.pr_b SET v = 'A' WHERE k = 1")
+    assert(spark.sql(s"CALL $cat.system.merge_branch('pr_t', 'pr_b', 'k')")
+      .head().getInt(0) === 2)
+    assert(spark.sql(s"SELECT v FROM $cat.tables.pr_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("A", "b"))
+    assert(spark.sql(s"CALL $cat.system.restore('pr_t', 1)").head().getInt(0) === 3)
+    assert(spark.sql(s"SELECT v FROM $cat.tables.pr_t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b"))
+    // prune respects the clone pin: v1 is ineligible, so keep=2 (of 3
+    // versions) has nothing eligible to delete
+    assert(spark.sql(s"CALL $cat.system.prune_versions('pr_t', 2)").count() === 0)
+    assert(Lake.versions(spark, root, "pr_t") === Seq(1, 2, 3))
+    // vacuum on a clean table reports nothing; unknown procedure refuses
+    assert(spark.sql(s"CALL $cat.system.vacuum('pr_t')").count() === 0)
+    intercept[Exception] { spark.sql(s"CALL $cat.system.nope('x')").collect() }
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 5)
+  }
+
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
     spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT, v STRING)")
     assert(Lake.versions(spark, root, "created") === Seq(1))
