@@ -68,7 +68,14 @@ object ReadAudit {
     var e = buf.poll()
     while (e != null) { drained += e; e = buf.poll() }
     if (drained.isEmpty) None
-    else Some(graft.lake.Lake.writeTableSnapshot(drained.toSeq.toDF(), root, table))
+    // retentionVersions = MaxValue (the Txn.stage convention): unlike a
+    // normal snapshot table where old versions are superseded copies, each
+    // audit version holds a UNIQUE flush window — the default keep=7 would
+    // silently delete the oldest windows after the 8th flush, truncating a
+    // compliance trail. Audit history is never auto-pruned; a deliberate
+    // compaction can fold old windows if the version count ever matters.
+    else Some(graft.lake.Lake.writeTableSnapshot(
+      drained.toSeq.toDF(), root, table, retentionVersions = Int.MaxValue))
   }
 
   /** The flushed trail: the union of every snapshot version of the audit

@@ -141,11 +141,13 @@ object FileStats {
   * Delta's bloom file indexes).
   *
   * Build is ONE scan with map-side partial merges (a kryo-buffered
-  * `Aggregator` over `spark.util.sketch.BloomFilter`); the probe
-  * deserializes the candidate blooms driver-side — O(files × bloom bytes),
-  * the same bounded-driver-state contract as the min/max sidecar — and the
-  * opened files keep the residual equality filter, so a false positive can
-  * cost IO but never correctness.
+  * `Aggregator` over `spark.util.sketch.BloomFilter`); the probe runs ON
+  * EXECUTORS (the keys broadcast, each partition deserializing only its own
+  * blooms) and collects just the ADMITTED file names — O(admitted) driver
+  * state, not O(files × bloom bytes), so a 100 TB table's million-file
+  * bloom sidecar never transits the driver. The opened files keep the
+  * residual equality filter, so a false positive can cost IO but never
+  * correctness.
   */
 object BloomIndex {
   import org.apache.spark.sql.{Encoder, Encoders}
@@ -180,14 +182,35 @@ object BloomIndex {
       .write.mode(SaveMode.Overwrite).parquet(indexPath)
   }
 
-  /** Files whose bloom admits ANY of `keys` (no false negatives). */
+  /** The admitted-files plan: one row per file whose bloom admits ANY of
+    * `keys` (no false negatives). The probe is a distributed filter — keys
+    * ride the closure (broadcast by Spark's task serialization; a probe key
+    * set is bounded), each executor partition deserializes only the bloom
+    * rows it holds, and only the admitted NAMES flow back. Exposed as a
+    * DataFrame so LakeSpec can pin the shape: a single-column plan with the
+    * bloom bytes consumed executor-side, never collected whole.
+    */
+  def candidateFilesDF(
+      spark: SparkSession, indexPath: String, keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val ks = keys.toArray
+    spark.read.parquet(indexPath)
+      .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.filter { case (_, bytes) =>
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          ks.exists(bf.mightContainLong)
+        }.map(_._1)
+      }.toDF("file")
+  }
+
+  /** Files whose bloom admits ANY of `keys` — collects ONLY the admitted
+    * names (the executor-side probe above), O(admitted) driver state.
+    */
   def candidateFiles(
       spark: SparkSession, indexPath: String, keys: Seq[Long]): Seq[String] =
-    spark.read.parquet(indexPath).collect().iterator.filter { r =>
-      val bf = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      keys.exists(bf.mightContainLong)
-    }.map(_.getString(0)).toSeq
+    candidateFilesDF(spark, indexPath, keys)
+      .collect().iterator.map(_.getString(0)).toSeq
 
   /** Point lookup through the index: open only admitted files; the
     * residual IN filter keeps results identical to a full scan. `dataPath`

@@ -46,6 +46,41 @@ object Txn {
     */
   private val heartbeatName = "_txn_heartbeat"
 
+  /** Test-only stall point inside [[heartbeatStaged]], between the
+    * exists() precheck and the marker create() — the TOCTOU window where
+    * a concurrent vacuum can sweep the dir. Lets ConcurrencySpec land the
+    * sweep deterministically and pin that no empty shell survives. */
+  private[graft] var testStallBeforeHeartbeat: Path => Unit = _ => ()
+
+  /** Write the heartbeat marker into a staged version dir (the fallback
+    * age-freshness signal when directory setTimes is a silent no-op —
+    * object stores, some HDFS configs). Guards the resurrect-a-swept-dir
+    * TOCTOU: a vacuum can sweep `dir` between the exists() precheck and
+    * the create(), and create() auto-creates parents, so the marker would
+    * resurrect an EMPTY shell whose fresh heartbeat shields it from the
+    * age gate while exists()-based pin checks mistake it for a live
+    * version. Re-check substance AFTER the write: a staged dir always
+    * holds ≥1 data file (writeTableSnapshot wrote it; vacuum only deletes
+    * whole dirs), so no data file ⇒ we resurrected a swept dir — remove
+    * the shell; tokenOk then reads the sweep and the commit loop
+    * re-stages. Extracted from commit() so the race is unit-testable
+    * (ConcurrencySpec drives the sweep through the stall hook).
+    */
+  private[graft] def heartbeatStaged(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path, now: Long): Unit =
+    scala.util.Try {
+      if (f.exists(dir)) {
+        testStallBeforeHeartbeat(dir)
+        val out = f.create(new Path(dir, heartbeatName), true)
+        try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+        val hasData = f.listStatus(dir).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (!hasData) f.delete(dir, true)
+      }
+    }
+
   /** Effective age basis of a version dir for the presumed-crash gate:
     * the newer of the dir's own mtime and its heartbeat marker's (if any).
     */
@@ -341,32 +376,9 @@ object Txn {
           f.getFileStatus(dir).getModificationTime >= now - 5000L
         }.getOrElse(false)
         if (!honored) {
-          // exists() precheck, same reason as stampToken: create() auto-
-          // creates parents, so heartbeating a concurrently-swept dir
-          // would resurrect it as an empty shell that every exists()-
-          // based pin check then mistakes for a live version — and the
-          // fresh marker would shield the shell from the age gate too
-          scala.util.Try {
-            if (f.exists(dir)) {
-              val out = f.create(new Path(dir, heartbeatName), true)
-              try out.write(now.toString.getBytes("UTF-8")) finally out.close()
-              // TOCTOU (round 10): a vacuum can sweep `dir` between the
-              // exists() above and the create() — create() auto-creates
-              // parents, so the marker would resurrect an empty shell
-              // whose FRESH heartbeat shields it from the age gate while
-              // exists()-based pin checks mistake it for a live version.
-              // Re-check substance AFTER the write: a staged dir always
-              // holds ≥1 data file (writeTableSnapshot wrote it; vacuum
-              // only deletes whole dirs), so no data file ⇒ we resurrected
-              // a swept dir — remove the shell; tokenOk then reads the
-              // sweep and the commit loop re-stages.
-              val hasData = f.listStatus(dir).exists { st =>
-                val n = st.getPath.getName
-                st.isFile && !n.startsWith("_") && !n.startsWith(".")
-              }
-              if (!hasData) f.delete(dir, true)
-            }
-          }
+          // heartbeat marker fallback — TOCTOU-guarded (swept-dir
+          // resurrection removes its own shell; see heartbeatStaged)
+          heartbeatStaged(f, dir, now)
           if (!touchWarned) {
             touchWarned = true
             System.err.println(s"[txn] directory setTimes not honored under " +

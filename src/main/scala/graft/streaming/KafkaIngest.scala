@@ -96,15 +96,19 @@ object KafkaIngest {
       tsCol: String): DataFrame = {
     // Kafka offsets are PER-PARTITION, dense, append-ordered. The stand-in
     // derives them as row_number − 1 over an explicit total order
-    // ((tsCol, keyCol) within the simulated partition) — a pure function
-    // of the data, identical under any physical partitioning (the earlier
-    // monotonically_increasing_id was deterministic only under a pinned
-    // input layout) and per-partition like the real thing. One bounded
-    // window shuffle keyed on the 8 simulated partitions — the simulator's
-    // cost, not a production path.
+    // ((tsCol, keyCol, serialized value) within the simulated partition) —
+    // a pure function of the data, identical under any physical
+    // partitioning (the earlier monotonically_increasing_id was
+    // deterministic only under a pinned input layout) and per-partition
+    // like the real thing. The serialized-payload tiebreaker matters: two
+    // distinct rows sharing (key, ts) would otherwise tie in the window
+    // order and get nondeterministic relative offsets across runs. One
+    // bounded window shuffle keyed on the 8 simulated partitions — the
+    // simulator's cost, not a production path.
     val part = pmod(xxhash64(col(keyCol)), lit(8)).cast("int")
+    val serialized = to_json(struct(payload.columns.map(col).toIndexedSeq: _*))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(part).orderBy(col(tsCol), col(keyCol))
+      .partitionBy(part).orderBy(col(tsCol), col(keyCol), serialized)
     payload.select(
       col(keyCol).cast("string").cast("binary").as("key"),
       to_json(struct(payload.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"),

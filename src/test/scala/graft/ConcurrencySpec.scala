@@ -656,4 +656,42 @@ class ConcurrencySpec extends SparkSpec {
       assert(pins.contains("b"), "surviving t2 must be the re-claimed content")
     } finally Txn.testStallBeforeSweep = () => ()
   }
+
+  test("heartbeat racing a sweep never resurrects the swept dir (TOCTOU, round 11)") {
+    // The fallback path for filesystems where directory setTimes is a
+    // silent no-op: commit() heartbeats a marker INSIDE each staged dir.
+    // The race: a vacuum sweeps the dir between heartbeatStaged's
+    // exists() precheck and its create() — create() auto-creates parents,
+    // so the marker would resurrect an EMPTY version-dir shell that (a)
+    // exists()-based pin checks mistake for a live version and (b) the
+    // fresh marker shields from the vacuum age gate. Landed
+    // deterministically via the stall hook; the guard must detect the
+    // substance-free dir and remove its own shell.
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq(1, 2).toDF("k"), root, "hb_t",
+      retentionVersions = Int.MaxValue)
+    val vdir = new org.apache.hadoop.fs.Path(
+      s"${Lake.tablePath(root, "hb_t")}/version=v1")
+    val f = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Txn.testStallBeforeHeartbeat = dir => {
+      // the concurrent vacuum: whole-dir sweep inside the TOCTOU window
+      f.delete(dir, true)
+      Txn.testStallBeforeHeartbeat = _ => ()
+    }
+    try {
+      Txn.heartbeatStaged(f, vdir, System.currentTimeMillis())
+      assert(!f.exists(vdir),
+        "heartbeat on a concurrently-swept dir must not leave an empty shell " +
+          "(a resurrected shell passes exists() pin checks and its fresh " +
+          "marker shields it from the age gate)")
+    } finally Txn.testStallBeforeHeartbeat = _ => ()
+    // and the non-racing path still works: marker written, dir intact
+    Lake.writeTableSnapshot(Seq(3).toDF("k"), root, "hb_t2",
+      retentionVersions = Int.MaxValue)
+    val vdir2 = new org.apache.hadoop.fs.Path(
+      s"${Lake.tablePath(root, "hb_t2")}/version=v1")
+    Txn.heartbeatStaged(f, vdir2, System.currentTimeMillis())
+    assert(f.exists(new org.apache.hadoop.fs.Path(vdir2, "_txn_heartbeat")))
+    assert(spark.read.parquet(vdir2.toString).count() === 1)
+  }
 }

@@ -158,4 +158,28 @@ class GovernanceSpec extends SparkSpec {
     val lits = left.select(col("id"), lit(42).as("answer"))
     assert(edges(lits) === Set(("id", "left", "id"), ("answer", null, null)))
   }
+
+  test("audit flush windows are never retention-pruned: the trail survives many flushes") {
+    import graft.governance.ReadAudit
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_keep_").toString
+    spark.range(3).write.mode("overwrite").parquet(s"$root/ds")
+    ReadAudit.reset()
+    // 9 flush windows (more than the default keep=7 a snapshot table
+    // prunes to): each holds UNIQUE entries, so losing any window is
+    // silent audit truncation — every one must survive
+    // the shared test session has no GraftExtensions — drive the injected
+    // rule directly on the analyzed plan (the subject here is flush
+    // retention, not rule injection, which ExtensionsSpec covers)
+    val rule = ReadAudit.checkRule(spark)
+    (1 to 9).foreach { _ =>
+      ReadAudit.install("auditor@x")
+      try rule(spark.read.parquet(s"$root/ds").queryExecution.analyzed)
+      finally ReadAudit.clear()
+      assert(ReadAudit.flush(spark, s"$root/lake").isDefined)
+    }
+    val trail = ReadAudit.flushed(spark, s"$root/lake")
+    assert(trail.select("seq").distinct().count() === 9,
+      "all 9 flush windows must be readable — no window auto-pruned")
+    assert(graft.lake.Lake.versions(spark, s"$root/lake", "audit_log").size === 9)
+  }
 }
