@@ -1,0 +1,229 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FILE-GRANULAR copy-on-write mutations over the versioned snapshot
+  * layout — the scale completion of the catalog's row-level SQL surface.
+  *
+  * The group-based ReplaceData path (GraftCatalog `newRowLevelOperationBuilder`)
+  * rewrites the WHOLE snapshot per statement: correct, but at 100 TB an
+  * UPDATE touching 0.01% of rows must not rewrite 100 TB. These operators
+  * rewrite ONLY the files that contain affected rows and carry every other
+  * file BY REFERENCE in the new version's [[Lake.manifestName]] manifest
+  * (the Iceberg/Delta copy-on-write idea applied to the version-directory
+  * layout):
+  *
+  *  1. PROBE — one column-pruned, filter-pushed scan computes the distinct
+  *     `_metadata.file_path` set containing matched rows (parquet footer
+  *     stats skip non-matching row groups; only matched FILE NAMES reach
+  *     the driver — O(touched files), never row data).
+  *  2. REWRITE — only the touched files are re-read; the mutation is
+  *     applied; survivors (plus MERGE inserts) are written physically into
+  *     the staged version dir.
+  *  3. CARRY — untouched files are listed root-relative in the staged
+  *     `_manifest`; readers resolve them via [[Lake.snapshotFiles]], and
+  *     [[Retention.pruneTableVersions]] keeps referenced version dirs
+  *     alive transitively. Files carried from ANOTHER table's dirs (a
+  *     mutation on a shallow-cloned branch) pin those foreign version dirs
+  *     with the same `_pin_<table>` marker the clone protocol uses
+  *     ([[Lake.dropTable]] releases them when the table is retired).
+  *  4. COMMIT — the staged dir promotes through the same CAS
+  *     ([[Lake.promoteStagedIf]]) every other read-modify-write uses;
+  *     a lost race re-probes against the new latest and retries, so
+  *     concurrent writers serialize with no lost updates.
+  *
+  * Semantics mirror the SQL statements exactly (three-valued logic: a row
+  * matches only where the predicate IS TRUE), so the a26b gate hashes
+  * against the same DuckDB oracle as the whole-snapshot a26 path.
+  */
+object CopyOnWrite {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  private def relToRoot(root: String, abs: String): String = {
+    val r = norm(root).stripSuffix("/")
+    val a = norm(abs)
+    require(a.startsWith(r + "/"),
+      s"carried file $a is outside the lake root $r — cannot manifest it")
+    a.stripPrefix(r + "/")
+  }
+
+  /** Distinct files (of `files`) holding at least one row where `pred` IS
+    * TRUE. Filter-pushed, column-pruned; collects file names only.
+    */
+  private def touchedFiles(
+      spark: SparkSession, files: Seq[String], pred: Column): Seq[String] =
+    spark.read.parquet(files: _*)
+      .filter(pred)
+      .select(col("_metadata.file_path").as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Stage `rewritten` + a manifest carrying `carried`, pin foreign dirs,
+    * CAS-commit. None = lost the race (caller re-probes and retries).
+    */
+  private def commitCow(
+      spark: SparkSession, root: String, name: String, expectedLatest: Int,
+      rewritten: DataFrame, carried: Seq[String],
+      retentionVersions: Int): Option[Int] = {
+    val tdir = Lake.tablePath(root, name)
+    val stage = new Path(
+      s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    rewritten.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val f = fs(spark, tdir)
+    val rels = carried.map(relToRoot(root, _))
+    // foreign carried files (branch COW over a clone): pin their version
+    // dirs so the SOURCE table's retention cannot delete bytes this
+    // version references — the same marker protocol cloneTable uses,
+    // released by Lake.dropTable when this table is retired. Stamped
+    // before the commit so there is no window where the reference is live
+    // but unpinned; a lost CAS leaves the pin (another of our committed
+    // versions may share it — conservative, reclaimed at dropTable).
+    val ownPrefix = s"tables/$name/"
+    rels.filterNot(_.startsWith(ownPrefix))
+      .map(rel => new Path(s"$root/$rel").getParent).distinct
+      .foreach { vdir => f.create(new Path(vdir, s"_pin_$name"), true).close() }
+    if (rels.nonEmpty) {
+      val out = f.create(new Path(stage, Lake.manifestName), true)
+      try out.write(rels.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    Lake.promoteStagedIf(spark, root, name, stage, expectedLatest, retentionVersions)
+  }
+
+  private def retryLoop(name: String, op: String)(attempt: () => Option[Int]): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      attempt() match {
+        case Some(v) => return v
+        case None => () // lost the CAS: re-probe against the new latest
+      }
+    }
+    throw new java.io.IOException(
+      s"$op $name: still conflicting after $attempts attempts")
+  }
+
+  /** File-granular DELETE: rows where `pred` IS TRUE are removed; files
+    * without matches are carried by reference. Returns the new version.
+    */
+  def deleteWhere(
+      spark: SparkSession, root: String, name: String, pred: Column,
+      retentionVersions: Int = 7): Int = retryLoop(name, "deleteWhere") { () =>
+    val base = Lake.latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val files = Lake.snapshotFiles(spark, root, name, base)
+    val touched = touchedFiles(spark, files, pred)
+    val touchedSet = touched.map(norm).toSet
+    val carried = files.filterNot(p => touchedSet.contains(norm(p)))
+    val survivors =
+      if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
+      else spark.read.parquet(touched: _*).filter(!coalesce(pred, lit(false)))
+    commitCow(spark, root, name, base, survivors, carried, retentionVersions)
+  }
+
+  /** File-granular UPDATE: where `pred` IS TRUE, each `(column, expr)` in
+    * `set` is assigned (cast to the column's existing type, the SQL UPDATE
+    * convention); all other rows and all untouched files are unchanged.
+    */
+  def updateWhere(
+      spark: SparkSession, root: String, name: String, pred: Column,
+      set: Seq[(String, Column)],
+      retentionVersions: Int = 7): Int = retryLoop(name, "updateWhere") { () =>
+    val base = Lake.latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val files = Lake.snapshotFiles(spark, root, name, base)
+    val touched = touchedFiles(spark, files, pred)
+    val touchedSet = touched.map(norm).toSet
+    val carried = files.filterNot(p => touchedSet.contains(norm(p)))
+    val assign = set.toMap
+    val rewritten =
+      if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
+      else {
+        val t = spark.read.parquet(touched: _*)
+        val cols = t.schema.fields.map { fld =>
+          assign.get(fld.name) match {
+            case Some(e) => when(coalesce(pred, lit(false)),
+              e.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name)
+            case None => col(fld.name)
+          }
+        }
+        t.select(cols.toIndexedSeq: _*)
+      }
+    commitCow(spark, root, name, base, rewritten, carried, retentionVersions)
+  }
+
+  /** File-granular MERGE (the catalog a26 clause shapes):
+    * {{{
+    * WHEN MATCHED AND <matchedDeleteCond> THEN DELETE
+    * WHEN MATCHED                         THEN UPDATE SET <matchedSet>
+    * WHEN NOT MATCHED                     THEN INSERT *      (if insertNotMatched)
+    * }}}
+    * `matchedDeleteCond` and `matchedSet` expressions reference the target
+    * as `t.<col>` and the source as `s.<col>`. Files containing no matched
+    * key are carried by reference; inserts land in the rewritten part.
+    * `source` must be key-unique (the SQL MERGE cardinality contract) and,
+    * when inserting, must contain every target column.
+    */
+  def mergeInto(
+      spark: SparkSession, root: String, name: String,
+      source: DataFrame, keys: Seq[String],
+      matchedDeleteCond: Option[Column] = None,
+      matchedSet: Seq[(String, Column)] = Seq.empty,
+      insertNotMatched: Boolean = false,
+      retentionVersions: Int = 7): Int = retryLoop(name, "mergeInto") { () =>
+    val base = Lake.latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val files = Lake.snapshotFiles(spark, root, name, base)
+    val srcKeys = source.select(keys.map(col).toIndexedSeq: _*).distinct()
+    // probe: files holding ≥1 target row whose key appears in the source —
+    // key-column-pruned scan, semi-join (AQE broadcasts a small source)
+    val touched = spark.read.parquet(files: _*)
+      .select((col("_metadata.file_path").as("_gf") +: keys.map(col)).toIndexedSeq: _*)
+      .join(srcKeys, keys.toIndexedSeq, "left_semi")
+      .select("_gf").distinct().collect().map(_.getString(0)).toSeq
+    val touchedSet = touched.map(norm).toSet
+    val carried = files.filterNot(p => touchedSet.contains(norm(p)))
+    val targetSchema = spark.read.parquet(files.head).schema
+    val matched = col("s._s_matched").isNotNull
+    val deleteCond = matchedDeleteCond
+      .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
+    val updateCond = matched && !deleteCond
+    val assign = matchedSet.toMap
+    val survivors =
+      if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
+      else {
+        val t = spark.read.parquet(touched: _*).alias("t")
+        val s = source.withColumn("_s_matched", lit(true)).alias("s")
+        val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+        t.join(s, joinCond, "left_outer")
+          .filter(!deleteCond)
+          .select(targetSchema.fields.map { fld =>
+            assign.get(fld.name) match {
+              case Some(e) => when(updateCond, e.cast(fld.dataType))
+                .otherwise(col(s"t.${fld.name}")).as(fld.name)
+              case None => col(s"t.${fld.name}").as(fld.name)
+            }
+          }.toIndexedSeq: _*)
+      }
+    val rewritten =
+      if (!insertNotMatched) survivors
+      else {
+        // NOT MATCHED inserts: a matched source key necessarily lives in a
+        // touched file, so anti-joining against the full target key set
+        // equals anti-joining against the touched files' keys — the scan
+        // is key-column-pruned either way
+        val targetKeys = spark.read.parquet(files: _*)
+          .select(keys.map(col).toIndexedSeq: _*).distinct()
+        val inserts = source.join(targetKeys, keys.toIndexedSeq, "left_anti")
+          .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
+        survivors.unionByName(inserts)
+      }
+    commitCow(spark, root, name, base, rewritten, carried, retentionVersions)
+  }
+}

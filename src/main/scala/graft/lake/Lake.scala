@@ -252,13 +252,74 @@ object Lake {
     }
   }
 
-  /** Read a table snapshot: latest version, or a specific one (A3). */
+  /** Name of the optional per-version FILE MANIFEST: a text file (one
+    * ROOT-relative path per line) listing data files this version CARRIES
+    * BY REFERENCE from earlier version dirs, in addition to the physical
+    * parquet files in its own dir. Written by the file-granular
+    * copy-on-write ops ([[CopyOnWrite]]): an UPDATE touching 3 of 10,000
+    * files rewrites 3 files physically and lists the other 9,997 here —
+    * at 100 TB that is the difference between a 30 MB commit and a 100 TB
+    * one. References are FLATTENED at creation (they always point at the
+    * dir that physically holds the file, never at another manifest), so
+    * resolution is one hop. [[Retention.pruneTableVersions]] keeps
+    * referenced version dirs alive transitively.
+    */
+  val manifestName = "_manifest"
+
+  /** All data files of a snapshot, absolute: the version dir's own
+    * physical parquet files plus any manifest-carried references. Resolves
+    * clone pointers first, so it works uniformly on branches.
+    */
+  def snapshotFiles(
+      spark: SparkSession, root: String, name: String, version: Int): Seq[String] = {
+    val dir = new Path(resolveSnapshotDir(spark, root, name, version))
+    val f = fs(spark, dir.toString)
+    // scheme-normalized (bare URI paths): own files come from listStatus
+    // ("file:/..."), carried ones from root-relative manifest entries —
+    // a consistent spelling makes set operations over versions' file
+    // lists (the COW probe, spec pins) behave
+    val own = f.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toUri.getPath)
+    val mf = new Path(dir, manifestName)
+    if (!f.exists(mf)) own
+    else {
+      val in = f.open(mf)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      own ++ txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(rel => new Path(s"$root/$rel").toUri.getPath).toSeq
+    }
+  }
+
+  /** Does this version carry a file manifest? (resolved past clone
+    * pointers, like every snapshot read)
+    */
+  def hasManifest(
+      spark: SparkSession, root: String, name: String, version: Int): Boolean = {
+    val dir = resolveSnapshotDir(spark, root, name, version)
+    fs(spark, dir).exists(new Path(dir, manifestName))
+  }
+
+  /** Read a table snapshot: latest version, or a specific one (A3).
+    * Manifest-carrying versions read their full resolved file list; plain
+    * versions read the directory (identical plan — a parquet scan over
+    * the same files).
+    */
   def readTableFeed(
       spark: SparkSession, root: String, name: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root, name))
       .getOrElse(throw new IllegalStateException(s"no versions for table feed $name"))
-    spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
+    if (hasManifest(spark, root, name, v)) {
+      val files = snapshotFiles(spark, root, name, v)
+      if (files.isEmpty)
+        throw new IllegalStateException(s"$name v$v: manifest resolves to zero files")
+      spark.read.parquet(files: _*)
+    } else spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
   }
 
   /** SHALLOW CLONE: commit a new table (or a new version of an existing
@@ -305,6 +366,19 @@ object Lake {
     val f = fs(spark, physDir.toString)
     require(f.exists(physDir), s"cloneTable: $physDir does not exist")
     f.create(new Path(physDir, s"_pin_$dst"), true).close()
+    // TOCTOU guard (the Txn-heartbeat pattern): a retention prune racing
+    // between the exists() check and the pin create() can delete the
+    // version dir, and create() auto-creating parents resurrects an EMPTY
+    // shell that versions() would list as live. Re-check the dir still
+    // holds at least one data file now that the pin blocks further prunes;
+    // if not, remove the resurrected shell and fail the clone.
+    val hasData = f.listStatus(physDir)
+      .exists(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (!hasData) {
+      f.delete(physDir, true)
+      throw new IllegalStateException(
+        s"cloneTable: $physDir was pruned concurrently — re-run against the current latest")
+    }
     val tdir = tablePath(root, dst)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
@@ -314,6 +388,61 @@ object Lake {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ptr.close()
     commitStaged(spark, tdir, stage)
+  }
+
+  /** DROP a table feed — the branch-retirement half of the clone/pin
+    * protocol: pins must be RELEASED when the pointing table is retired,
+    * or the source version they guard stays unprunable forever.
+    *
+    *  - REFUSES while any of this table's own physical versions carries a
+    *    `_pin_<other>` marker for a LIVE table `other` (a branch still
+    *    references these bytes — dropping would dangle it). A pin whose
+    *    pointing table no longer exists is STALE (e.g. the branch dir was
+    *    removed out-of-band): it is cleaned up here rather than blocking
+    *    the drop forever.
+    *  - Releases this table's own `_pin_<name>` markers on every source
+    *    version its `_clone` pointer versions reference, making those
+    *    source versions retention-eligible again.
+    *  - Then deletes the table directory. Returns false if the table
+    *    didn't exist.
+    */
+  def dropTable(spark: SparkSession, root: String, name: String): Boolean = {
+    val tdir = new Path(tablePath(root, name))
+    val f = fs(spark, tdir.toString)
+    if (!f.exists(tdir)) return false
+    val vs = versions(spark, root, name)
+    vs.foreach { v =>
+      val p = new Path(s"${tablePath(root, name)}/version=v$v")
+      f.listStatus(p).map(_.getPath.getName).filter(_.startsWith("_pin_"))
+        .foreach { m =>
+          val pinner = m.stripPrefix("_pin_")
+          if (f.exists(new Path(tablePath(root, pinner))))
+            throw new IllegalStateException(
+              s"dropTable: $name version=v$v is pinned by live branch '$pinner' — drop that branch first")
+          else f.delete(new Path(p, m), false) // stale pin: pointing table gone
+        }
+    }
+    vs.foreach { v =>
+      clonePointer(spark, root, name, v).foreach { case (psrc, pv) =>
+        f.delete(
+          new Path(s"${tablePath(root, psrc)}/version=v$pv/_pin_$name"), false)
+      }
+      // release pins stamped by copy-on-write commits that carried FOREIGN
+      // files (a mutation on a cloned branch references source-version
+      // dirs — CopyOnWrite.commitCow pins them under this table's name)
+      val mf = new Path(s"${tablePath(root, name)}/version=v$v/$manifestName")
+      if (f.exists(mf)) {
+        val in = f.open(mf)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+          .filterNot(_.startsWith(s"tables/$name/"))
+          .map(rel => new Path(s"$root/$rel").getParent).toSeq.distinct
+          .foreach(vdir => f.delete(new Path(vdir, s"_pin_$name"), false))
+      }
+    }
+    f.delete(tdir, true)
+    true
   }
 
   private val ClonePtr = raw"""\{"src":"([^"]+)","version":(\d+)\}""".r

@@ -61,24 +61,64 @@ object Retention {
 
   /** Keep the newest `keep` versions of a table feed, delete the rest (C2,
     * data_retention.py:54-78). No-op when versions ≤ keep (:65-67).
-    * Versions carrying a `_pin_*` marker (a shallow clone references their
-    * bytes — [[Lake.cloneTable]]) are NOT prunable: deleting them would
-    * dangle every branch pointing here. They are excluded from the result
-    * entirely — they are not "kept by recency", they are ineligible.
+    * Three classes of version are NOT prunable — excluded from the result
+    * entirely (not "kept by recency", ineligible):
+    *  - versions carrying a `_pin_*` marker (a shallow clone references
+    *    their bytes — [[Lake.cloneTable]]): deleting them would dangle
+    *    every branch pointing here;
+    *  - versions that ARE a `_clone` pointer: a branch's v1 pointer is
+    *    what [[Lake.mergeBranch]] resolves the branch point from, so
+    *    pruning it makes merge-back permanently impossible — and it is
+    *    O(1) metadata, so pruning it reclaims nothing anyway;
+    *  - versions whose PHYSICAL FILES a surviving version still carries by
+    *    reference ([[Lake.manifestName]], the file-granular copy-on-write
+    *    layout): deleting the dir that holds a referenced file would tear
+    *    every newer manifest pointing into it. Computed TRANSITIVELY to a
+    *    fixpoint — a kept manifest version must itself stay readable, so
+    *    the versions IT references survive, and so on down the chain
+    *    (references are flattened at creation, but an old kept version's
+    *    own manifest still needs its own targets).
     */
   def pruneTableVersions(
       spark: SparkSession, root: String, name: String,
       keep: Int, dryRun: Boolean = false): Seq[Pruned] = {
     val vs = Lake.versions(spark, root, name)
     if (vs.size <= keep) return Seq.empty
-    val f = fs(spark, Lake.tablePath(root, name))
-    vs.dropRight(keep).flatMap { v =>
-      val p = new Path(s"${Lake.tablePath(root, name)}/version=v$v")
-      val pinned = f.listStatus(p).exists(_.getPath.getName.startsWith("_pin_"))
-      if (pinned) None
+    val tdir = Lake.tablePath(root, name)
+    val f = fs(spark, tdir)
+    def dir(v: Int) = new Path(s"$tdir/version=v$v")
+    // same-table versions referenced by a version's manifest (root-relative
+    // entries "tables/<name>/version=vK/<file>"); cross-table references
+    // are protected by the `_pin_` markers the COW commit stamps instead
+    val RefV = (raw"tables/" + java.util.regex.Pattern.quote(name) +
+      raw"/version=v(\d+)/.*").r
+    def manifestRefs(v: Int): Set[Int] = {
+      val mf = new Path(dir(v), Lake.manifestName)
+      if (!f.exists(mf)) Set.empty
       else {
-        if (!dryRun) f.delete(p, true)
-        Some(Pruned(p.toString, deleted = !dryRun))
+        val in = f.open(mf)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').iterator.map(_.trim).collect {
+          case RefV(k) => k.toInt
+        }.toSet
+      }
+    }
+    val ineligibleBase = vs.filter { v =>
+      val entries = f.listStatus(dir(v)).map(_.getPath.getName)
+      entries.exists(_.startsWith("_pin_")) || entries.contains("_clone")
+    }.toSet
+    var survivors = vs.takeRight(keep).toSet ++ ineligibleBase
+    var frontier = survivors
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(manifestRefs) -- survivors
+      survivors ++= next
+      frontier = next
+    }
+    vs.dropRight(keep).flatMap { v =>
+      if (survivors.contains(v)) None
+      else {
+        if (!dryRun) f.delete(dir(v), true)
+        Some(Pruned(dir(v).toString, deleted = !dryRun))
       }
     }
   }

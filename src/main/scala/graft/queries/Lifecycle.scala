@@ -981,6 +981,58 @@ object Lifecycle {
       |UNION ALL SELECT 'v2', * FROM v2
       |UNION ALL SELECT 'latest', * FROM v3""".stripMargin
 
+  /** A26b FILE-GRANULAR copy-on-write UPDATE + MERGE
+    * ([[graft.lake.CopyOnWrite]]): the same mutations as a26 — computed-SET
+    * UPDATE over a predicate, then the 3-clause MERGE (matched-conditional
+    * DELETE / matched UPDATE / not-matched INSERT) — but through the
+    * file-granular path: only files CONTAINING affected rows are
+    * rewritten; every other file of the base version is carried BY
+    * REFERENCE in the new version's `_manifest` (at 100 TB, a 0.01%
+    * UPDATE must not rewrite 100 TB — this is the Iceberg/Delta
+    * copy-on-write shape over the version-directory layout). All three
+    * generations are read back through CATALOG SQL time travel, so the
+    * catalog's manifest resolution is itself under test, and the result
+    * hashes against the SAME DuckDB mutation arithmetic as a26 — proof
+    * the rewrite-boundary optimization never changes semantics. LakeSpec
+    * pins the physical side: untouched files survive by reference (same
+    * absolute path, never rewritten), and retention keeps referenced
+    * version dirs alive transitively.
+    */
+  def cowUpdateMerge(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_cowum_")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    // multi-file base (range-clustered on the key) so file granularity is
+    // real: the MERGE's key slice [800, 1300] touches only the top files
+    Lake.writeTableSnapshot(
+      cust.filter(col("c_custkey").between(1, 1000))
+        .repartitionByRange(8, col("c_custkey")), root, "cust_cow")
+    graft.lake.CopyOnWrite.updateWhere(s, root, "cust_cow",
+      col("c_nationkey") === 5,
+      Seq("c_acctbal" ->
+        (col("c_acctbal") + 100).cast("decimal(18,2)").cast("double")))
+    graft.lake.CopyOnWrite.mergeInto(s, root, "cust_cow",
+      cust.filter(col("c_custkey").between(800, 1300)), Seq("c_custkey"),
+      matchedDeleteCond = Some(col("s.c_acctbal") < 0),
+      matchedSet = Seq("c_acctbal" -> col("s.c_acctbal")),
+      insertNotMatched = true)
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, c_custkey, c_name, c_acctbal, c_nationkey " +
+        s"FROM $cat.tables.cust_cow$suffix")
+    q("v1", " VERSION AS OF 1")
+      .unionByName(q("v2", " VERSION AS OF 2"))
+      .unionByName(q("latest", ""))
+  }
+
+  /** Same arithmetic as [[catalogUpdateMergeOracle]]: the file-granular
+    * path must be observationally identical to the whole-snapshot one.
+    */
+  val cowUpdateMergeOracle: String = catalogUpdateMergeOracle
+
   /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
     * METADATA-POINTER version — branching a table is O(1) regardless of
     * data size (at 100 TB: one marker file + one rename, zero bytes
@@ -1107,6 +1159,82 @@ object Lifecycle {
       |SELECT 'base' AS gen, * FROM base
       |UNION ALL SELECT 'src_v2', * FROM srcv2
       |UNION ALL SELECT 'merged', * FROM merged""".stripMargin
+
+  /** A28 maintenance procedures via SQL: the full lake lifecycle — branch,
+    * diverge, merge back, restore, prune, vacuum — driven through
+    * `CALL <cat>.system.<proc>(...)` (GraftCatalog's `ProcedureCatalog`,
+    * the Iceberg `CALL system.*` operational shape), with each procedure's
+    * RESULT ROW (the committed version number / the sweep ledger)
+    * require-pinned so the version arithmetic is itself under test, and
+    * the final state read back via time travel. Also pins the safety
+    * rails: `prune_versions(t, 0)` must REFUSE (keep=0 would delete every
+    * unpinned version including latest), the prune must skip the
+    * clone-pinned v1 while deleting the unpinned v2, and the restored
+    * latest must still read correctly AFTER its restore-from version was
+    * pruned (restore is a physical re-publish, not a pointer). The oracle
+    * rebuilds all three lineage points from raw `orders`, so a hash match
+    * proves the whole SQL-driven maintenance session left exactly the
+    * right bytes.
+    */
+  def catalogCall(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_call_")
+    val slice = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+    def keysIn(lo: Int, hi: Int): DataFrame =
+      slice.filter(col("o_orderkey").between(lo, hi))
+    Lake.writeTableSnapshot(keysIn(1, 1000), root, "co_src")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def call1(sql: String): Int = s.sql(sql).head().getInt(0)
+    require(call1(s"CALL $cat.system.clone('co_src', 'co_br')") == 1,
+      "clone must commit branch v1")
+    // divergent edits: the branch deletes keys<=100 and inserts 2001-2200;
+    // the source deletes 900-1000 and inserts 3001-3200 (disjoint key
+    // sets, so the three-way merge commits without conflict)
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(s, root, "co_br").filter(col("o_orderkey") > 100)
+        .unionByName(keysIn(2001, 2200)), root, "co_br")
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(s, root, "co_src")
+        .filter(!col("o_orderkey").between(900, 1000))
+        .unionByName(keysIn(3001, 3200)), root, "co_src")
+    require(
+      call1(s"CALL $cat.system.merge_branch('co_src', 'co_br', 'o_orderkey')") == 3,
+      "merge_branch must commit src v3")
+    require(call1(s"CALL $cat.system.restore('co_src', 2)") == 4,
+      "restore must re-publish v2 as v4")
+    require(
+      scala.util.Try(s.sql(s"CALL $cat.system.prune_versions('co_src', 0)")
+        .collect()).isFailure,
+      "prune_versions(keep=0) must refuse — it would destroy the table")
+    val pruned = s.sql(s"CALL $cat.system.prune_versions('co_src', 2)").collect()
+    require(pruned.length == 1 && pruned(0).getString(0).endsWith("version=v2")
+      && pruned(0).getBoolean(1),
+      s"prune keep=2 must delete exactly the unpinned v2, got: ${pruned.mkString(",")}")
+    require(s.sql(s"CALL $cat.system.vacuum('co_src')").collect()
+      .forall(!_.getBoolean(1)), "vacuum must find nothing live to sweep")
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, o_orderkey, o_orderpriority, o_orderstatus " +
+        s"FROM $cat.tables.co_src$suffix")
+    q("base", " VERSION AS OF 1")
+      .unionByName(q("merged", " VERSION AS OF 3"))
+      .unionByName(q("restored", ""))
+  }
+
+  val catalogCallOracle: String =
+    """SELECT 'base' AS gen, o_orderkey, o_orderpriority, o_orderstatus
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 1000
+      |UNION ALL
+      |SELECT 'merged', o_orderkey, o_orderpriority, o_orderstatus FROM orders
+      |WHERE o_orderkey BETWEEN 101 AND 899
+      |   OR o_orderkey BETWEEN 2001 AND 2200
+      |   OR o_orderkey BETWEEN 3001 AND 3200
+      |UNION ALL
+      |SELECT 'restored', o_orderkey, o_orderpriority, o_orderstatus FROM orders
+      |WHERE o_orderkey BETWEEN 1 AND 899
+      |   OR o_orderkey BETWEEN 3001 AND 3200""".stripMargin
 
   /** C20 schema contracts on feed appends: the write-side guard the
     * reference's pandas-inferred lake lacks — a malformed producer batch
@@ -1885,7 +2013,9 @@ object Lifecycle {
     "a24_catalog_delete" -> (catalogDelete _),
     "a25_shallow_clone" -> (shallowClone _),
     "a26_catalog_update_merge" -> (catalogUpdateMerge _),
+    "a26b_cow_update_merge" -> (cowUpdateMerge _),
     "a27_branch_merge" -> (branchMerge _),
+    "a28_catalog_call" -> (catalogCall _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -1934,7 +2064,9 @@ object Lifecycle {
     "a24_catalog_delete" -> catalogDeleteOracle,
     "a25_shallow_clone" -> shallowCloneOracle,
     "a26_catalog_update_merge" -> catalogUpdateMergeOracle,
+    "a26b_cow_update_merge" -> cowUpdateMergeOracle,
     "a27_branch_merge" -> branchMergeOracle,
+    "a28_catalog_call" -> catalogCallOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

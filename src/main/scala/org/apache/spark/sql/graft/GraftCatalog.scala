@@ -209,14 +209,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def parquetTable(ident: Identifier, version: Int): ParquetTable = {
     // resolve shallow-clone pointer versions to their physical snapshot —
-    // catalog SQL reads branches exactly like data snapshots
-    val dir = graft.lake.Lake.resolveSnapshotDir(
-      SparkSession.active, root, ident.name(), version)
+    // catalog SQL reads branches exactly like data snapshots — and
+    // file-manifest versions (copy-on-write commits) to their full file
+    // list, so SQL cannot tell a carried file from a physical one
+    val spark = SparkSession.active
+    val paths =
+      if (graft.lake.Lake.hasManifest(spark, root, ident.name(), version))
+        graft.lake.Lake.snapshotFiles(spark, root, ident.name(), version)
+      else Seq(graft.lake.Lake.resolveSnapshotDir(spark, root, ident.name(), version))
     ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$version",
-      SparkSession.active,
+      spark,
       CaseInsensitiveStringMap.empty(),
-      Seq(dir),
+      paths,
       None,
       classOf[ParquetFileFormat])
   }
@@ -401,20 +406,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(f => GraftCatalog.filterToColumn(f).getOrElse(
           throw new UnsupportedOperationException(s"untranslatable delete filter: $f")))
         .reduceOption(_ && _).getOrElse(lit(true))
-      var attempts = 0
-      var done = false
-      while (!done) {
-        attempts += 1
-        if (attempts > 20) throw new java.io.IOException(
-          s"DELETE FROM ${ident.name()}: still conflicting after $attempts attempts")
-        val base = graft.lake.Lake
-          .latestVersion(spark, root, ident.name()).getOrElse(0)
-        if (base == 0) throw new NoSuchTableException(ident)
-        val current = graft.lake.Lake.readTableFeed(spark, root, ident.name(), Some(base))
-        done = graft.lake.Lake.writeTableSnapshotIf(
-          current.filter(not(coalesce(pred, lit(false)))), root, ident.name(),
-          expectedLatest = base).isDefined
-      }
+      if (graft.lake.Lake.latestVersion(spark, root, ident.name()).isEmpty)
+        throw new NoSuchTableException(ident)
+      // FILE-GRANULAR copy-on-write (round 11): only files containing
+      // matched rows are rewritten; the rest are carried by reference in
+      // the new version's manifest. Same visible semantics (survivors as
+      // a new version, NULL-predicate rows survive, CAS vs concurrent
+      // writers — the retry loop lives in CopyOnWrite.deleteWhere).
+      graft.lake.CopyOnWrite.deleteWhere(spark, root, ident.name(), pred)
+      ()
     }
   }
 
@@ -494,9 +494,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       "graft tables are written via Lake.writeTableSnapshot (snapshot+OCC contract)")
 
+  /** `DROP TABLE` retires the whole feed through [[graft.lake.Lake.dropTable]]:
+    * refuses while a live branch pins any of its versions, and releases the
+    * table's own clone pins on its sources so their retention unblocks.
+    */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft tables are retired via Retention.pruneTableVersions / Lake.vacuumTable")
+    graft.lake.Lake.dropTable(SparkSession.active, root, ident.name())
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -584,6 +587,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "prune_versions" => procedure("prune_versions",
         Array(in("table", StringType), in("keep", IntegerType)),
         sweepSchema) { row =>
+        // keep=0 would delete every unpinned version including the latest —
+        // a maintenance procedure must never be able to destroy the table.
+        require(row.getInt(1) >= 1,
+          s"prune_versions: keep must be >= 1, got ${row.getInt(1)}")
         graft.lake.Retention.pruneTableVersions(
           spark, root, str(row, 0), keep = row.getInt(1)).toArray.map(p =>
           new GenericInternalRow(Array[Any](

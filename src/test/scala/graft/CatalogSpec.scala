@@ -56,7 +56,7 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $cat.tables").collect()
       .map(_.getString(1)).contains("listed"))
     assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
-      .map(_.getString(0)) === Array("tables"))
+      .map(_.getString(0)).sorted === Array("system", "tables"))
     intercept[AnalysisException] {
       spark.sql(s"SELECT * FROM $cat.tables.no_such_table").collect()
     }
@@ -81,16 +81,25 @@ class CatalogSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
   }
 
-  test("destructive DDL refuses; reads and versions unaffected") {
+  test("ALTER refuses; DROP TABLE retires the feed but never danglies a live branch") {
     Lake.writeTableSnapshot(snap(3), root, "guarded")
-    intercept[Exception] {
-      spark.sql(s"DROP TABLE $cat.tables.guarded")
-    }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.tables.guarded ADD COLUMN extra BIGINT")
     }
-    // the refusals changed nothing
+    // the refusal changed nothing
     assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").count() === 3)
+    // while a live branch pins a version, DROP refuses (dangling-branch
+    // guard); after the branch is dropped — releasing its pin — it works
+    Lake.cloneTable(spark, root, "guarded", "guarded_br")
+    intercept[Exception] { spark.sql(s"DROP TABLE $cat.tables.guarded") }
+    assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").count() === 3)
+    spark.sql(s"DROP TABLE $cat.tables.guarded_br")
+    assert(!new java.io.File(s"$root/tables/guarded/version=v1/_pin_guarded_br").exists(),
+      "SQL DROP of the branch must release its pin on the source")
+    spark.sql(s"DROP TABLE $cat.tables.guarded")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.tables.guarded").collect()
+    }
   }
 
   test("SQL writes commit new versions through the snapshot contract") {
@@ -231,6 +240,11 @@ class CatalogSpec extends SparkSpec {
     // prune respects the clone pin: v1 is ineligible, so keep=2 (of 3
     // versions) has nothing eligible to delete
     assert(spark.sql(s"CALL $cat.system.prune_versions('pr_t', 2)").count() === 0)
+    assert(Lake.versions(spark, root, "pr_t") === Seq(1, 2, 3))
+    // keep=0 would delete every unpinned version incl. latest — must refuse
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.prune_versions('pr_t', 0)").collect()
+    }
     assert(Lake.versions(spark, root, "pr_t") === Seq(1, 2, 3))
     // vacuum on a clean table reports nothing; unknown procedure refuses
     assert(spark.sql(s"CALL $cat.system.vacuum('pr_t')").count() === 0)

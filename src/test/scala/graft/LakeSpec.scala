@@ -98,6 +98,128 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("branch v1 clone pointer is never retention-pruned; merge-back survives many branch commits") {
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "x"), root, "p_src")
+    Lake.cloneTable(spark, root, "p_src", "p_br")
+    // many copy-on-write commits on the branch with an aggressive inline
+    // retention: the _clone pointer at v1 (the merge anchor) must be
+    // INELIGIBLE for the sweep, not merely lucky-by-recency
+    (1 to 6).foreach { i =>
+      Lake.writeTableSnapshot(
+        Lake.readTableFeed(spark, root, "p_br")
+          .unionByName(Seq((100 + i, "z")).toDF("k", "x")),
+        root, "p_br", retentionVersions = 2)
+    }
+    val vs = Lake.versions(spark, root, "p_br")
+    assert(vs.contains(1), s"branch v1 pointer must survive retention (have $vs)")
+    assert(Lake.clonePointer(spark, root, "p_br", 1).isDefined)
+    // and because the anchor survived, merge-back still resolves the base
+    val merged = Lake.mergeBranch(spark, root, "p_src", "p_br", Seq("k"))
+    assert(Lake.readTableFeed(spark, root, "p_src", Some(merged)).count() === 8)
+  }
+
+  test("copy-on-write: untouched files carried by reference; retention keeps referenced dirs") {
+    import graft.lake.CopyOnWrite
+    val root = scratch()
+    val df = (1 to 800).map(i => (i, i % 10, s"row$i")).toDF("k", "g", "x")
+    Lake.writeTableSnapshot(df.repartitionByRange(8, col("k")), root, "cow_t")
+    val v1Files = Lake.snapshotFiles(spark, root, "cow_t", 1).toSet
+    assert(v1Files.size >= 8)
+    // UPDATE touching only the low key range: of 8 range-clustered files,
+    // only the one(s) holding k<=100 may be rewritten
+    assert(CopyOnWrite.updateWhere(spark, root, "cow_t",
+      col("k") <= 100, Seq("x" -> lit("upd"))) === 2)
+    val v2Files = Lake.snapshotFiles(spark, root, "cow_t", 2).toSet
+    val carried = v2Files intersect v1Files
+    assert(carried.size >= 6,
+      s"untouched files must be carried by reference (carried ${carried.size} of ${v1Files.size})")
+    assert(carried.forall(_.contains("version=v1")),
+      "carried files keep their ORIGINAL names/paths — never copied or rewritten")
+    // the new version dir physically holds only the rewritten file(s)
+    assert((v2Files -- v1Files).forall(_.contains("version=v2")))
+    assert((v2Files -- v1Files).size < v1Files.size)
+    // semantics equal a full rewrite
+    val v2back = Lake.readTableFeed(spark, root, "cow_t")
+    assert(v2back.count() === 800)
+    assert(v2back.filter(col("k") <= 100 && col("x") =!= "upd").count() === 0)
+    assert(v2back.filter(col("k") > 100 && col("x") === "upd").count() === 0)
+    // a second COW op (delete in a different range) flattens references:
+    // v3's manifest points straight at v1 and v2 physical dirs
+    assert(CopyOnWrite.deleteWhere(spark, root, "cow_t", col("k") > 700) === 3)
+    assert(Lake.readTableFeed(spark, root, "cow_t").count() === 700)
+    // retention with keep=1: v1 and v2 are NOT prunable — the kept v3
+    // still references their physical files (transitive protection)
+    assert(graft.lake.Retention.pruneTableVersions(spark, root, "cow_t", keep = 1).isEmpty)
+    assert(Lake.versions(spark, root, "cow_t") === Seq(1, 2, 3))
+    // after a PHYSICAL snapshot supersedes the chain, the old dirs become
+    // prunable again and time-traveling the kept version still reads
+    Lake.writeTableSnapshot(Lake.readTableFeed(spark, root, "cow_t"), root, "cow_t")
+    val sweep = graft.lake.Retention.pruneTableVersions(spark, root, "cow_t", keep = 1)
+    assert(sweep.map(_.path).size === 3 && Lake.versions(spark, root, "cow_t") === Seq(4))
+    assert(Lake.readTableFeed(spark, root, "cow_t").count() === 700)
+  }
+
+  test("copy-on-write merge: 3-clause semantics, inserts land, untouched files by reference") {
+    import graft.lake.CopyOnWrite
+    val root = scratch()
+    val base = (1 to 400).map(i => (i, s"n$i", i.toDouble)).toDF("k", "nm", "bal")
+    Lake.writeTableSnapshot(base.repartitionByRange(4, col("k")), root, "cow_m")
+    // source: updates 380..400 (one negative → DELETE clause), inserts 401..410
+    val src = ((380 to 410).map(i =>
+      (i, s"s$i", if (i == 385) -5.0 else i * 2.0))).toDF("k", "nm", "bal")
+    assert(CopyOnWrite.mergeInto(spark, root, "cow_m", src, Seq("k"),
+      matchedDeleteCond = Some(col("s.bal") < 0),
+      matchedSet = Seq("bal" -> col("s.bal")),
+      insertNotMatched = true) === 2)
+    val got = Lake.readTableFeed(spark, root, "cow_m")
+    assert(got.count() === 400 - 1 + 10) // one matched-delete, ten inserts
+    assert(got.filter(col("k") === 385).count() === 0, "matched-and-negative row deleted")
+    assert(got.filter(col("k") === 390).select("bal").head().getDouble(0) === 780.0)
+    assert(got.filter(col("k") === 390).select("nm").head().getString(0) === "n390",
+      "non-SET columns keep the TARGET value on update")
+    assert(got.filter(col("k") === 405).select("nm").head().getString(0) === "s405",
+      "inserted rows take the source value")
+    assert(got.filter(col("k") === 50).select("bal").head().getDouble(0) === 50.0)
+    // only the file(s) holding keys >= 380 were rewritten
+    val v1Files = Lake.snapshotFiles(spark, root, "cow_m", 1).toSet
+    val v2Files = Lake.snapshotFiles(spark, root, "cow_m", 2).toSet
+    assert((v2Files intersect v1Files).size >= 2,
+      "files without matched keys must be carried by reference")
+  }
+
+  test("dropTable releases clone pins; refuses while a live branch pins the source") {
+    val root = scratch()
+    Lake.writeTableSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "x"), root, "dp_src")
+    Lake.writeTableSnapshot(Seq((1, "a"), (3, "c")).toDF("k", "x"), root, "dp_src")
+    Lake.cloneTable(spark, root, "dp_src", "dp_br", srcVersion = Some(1))
+    val pin = new java.io.File(s"$root/tables/dp_src/version=v1/_pin_dp_br")
+    assert(pin.exists())
+    // the source cannot be dropped out from under a live branch
+    intercept[IllegalStateException] { Lake.dropTable(spark, root, "dp_src") }
+    assert(Lake.versions(spark, root, "dp_src") === Seq(1, 2))
+    // dropping the BRANCH releases its pin on the source version...
+    assert(Lake.dropTable(spark, root, "dp_br"))
+    assert(!pin.exists(), "retiring the branch must release its retention pin")
+    assert(!new java.io.File(s"$root/tables/dp_br").exists())
+    // ...so the source version is retention-eligible again and the source
+    // itself droppable
+    assert(graft.lake.Retention.pruneTableVersions(spark, root, "dp_src", keep = 1)
+      .map(_.path).exists(_.endsWith("version=v1")))
+    assert(Lake.dropTable(spark, root, "dp_src"))
+    // a STALE pin (pointing table removed out-of-band) is cleaned, not a
+    // permanent drop blocker
+    Lake.writeTableSnapshot(Seq((9, "z")).toDF("k", "x"), root, "dp_s2")
+    Lake.cloneTable(spark, root, "dp_s2", "dp_gone")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$root/tables/dp_gone"))
+    assert(Lake.dropTable(spark, root, "dp_s2"))
+    // and a missing table is a false, not an error
+    assert(!Lake.dropTable(spark, root, "dp_never"))
+  }
+
   test("mergeBranch: three-way merge applies both sides' changes, conflicts refuse") {
     val root = scratch()
     Lake.writeTableSnapshot(
@@ -441,6 +563,16 @@ class LakeSpec extends SparkSpec {
       spark, s"$root/ev", s"$root/bloom", "event_id", Seq(-12345L))
     assert(none.count() === 0)
     assert(none.columns.toSeq === Seq("event_id", "user_id", "value"))
+    // scale pin: the probe is a distributed Spark filter — the plan returns
+    // ONE string column (admitted names), with the bloom bytes consumed
+    // executor-side inside the mapPartitions, never collected whole to the
+    // driver (O(admitted) driver state on a million-file index)
+    val probe = graft.lake.BloomIndex.candidateFilesDF(spark, s"$root/bloom", keys)
+    assert(probe.schema.map(_.name) === Seq("file"),
+      "probe plan must surface only admitted file names, not bloom bytes")
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("SerializeFromObject") || planStr.contains("MapPartitions"),
+      s"probe must run as an executor-side operator, got:\n$planStr")
   }
 
   test("WAP: a rejected batch leaves no staging and the live version untouched") {
