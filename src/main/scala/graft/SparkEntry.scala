@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Lifecycle, Reference, Relational, Scale, Tpch}
-import graft.ext.{Dedup, FuzzyJoin, IncrementalFuzzy, IncrementalIvf, IncrementalLsh, IncrementalSimhash, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FuzzyJoin, IncrementalFuzzy, IncrementalIvf, IncrementalLsh, IncrementalPq, IncrementalSimhash, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
     Reference.defs ++ Relational.defs ++ Lifecycle.defs ++ Streams.defs ++
       Scale.defs ++ Analytics.defs ++ Tpch.defs ++
       TextAnalysis.defs ++ Dedup.defs ++ FuzzyJoin.defs ++
-      IncrementalFuzzy.defs ++ IncrementalIvf.defs ++ IncrementalLsh.defs ++ IncrementalSimhash.defs ++
+      IncrementalFuzzy.defs ++ IncrementalIvf.defs ++ IncrementalLsh.defs ++ IncrementalPq.defs ++ IncrementalSimhash.defs ++
       Similarity.defs ++ Multimodal.defs
 
   def oracleSql: Map[String, String] =
@@ -30,5 +30,5 @@ object SparkEntry {
       Scale.oracles ++ Analytics.oracles ++ Tpch.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ FuzzyJoin.oracles ++
       IncrementalFuzzy.oracles ++ IncrementalIvf.oracles ++ IncrementalLsh.oracles ++
-      IncrementalSimhash.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      IncrementalPq.oracles ++ IncrementalSimhash.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

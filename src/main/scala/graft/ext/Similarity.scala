@@ -763,15 +763,15 @@ object Similarity {
     * sample (subvectors of the 16 lowest vec_ids) so the oracle can
     * rebuild it in SQL — same move as the IVF codebook.
     */
-  private val PqM = 4
-  private val PqSub = 16
-  private val PqK = 16
+  private[ext] val PqM = 4
+  private[ext] val PqSub = 16
+  private[ext] val PqK = 16
 
   /** Squared L2 via the dot identity, in a FIXED expression order —
     * `|a|² − 2a·c + |c|²` — so both engines run the identical IEEE op
     * sequence and distances (hence codes and rankings) are bit-exact.
     */
-  private def l2sq(a: Column, c: Column): Column =
+  private[ext] def l2sq(a: Column, c: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, c) + dot(c, c)
 
   /** Product-quantization encode + asymmetric-distance (ADC) top-k search —
