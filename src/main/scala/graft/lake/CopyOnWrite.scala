@@ -45,7 +45,7 @@ object CopyOnWrite {
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
-  private def relToRoot(root: String, abs: String): String = {
+  private[lake] def relToRoot(root: String, abs: String): String = {
     val r = norm(root).stripSuffix("/")
     val a = norm(abs)
     require(a.startsWith(r + "/"),
@@ -63,17 +63,24 @@ object CopyOnWrite {
       .select(col("_metadata.file_path").as("f"))
       .distinct().collect().map(_.getString(0)).toSeq
 
-  /** Stage `rewritten` + a manifest carrying `carried`, pin foreign dirs,
-    * CAS-commit. None = lost the race (caller re-probes and retries).
+  /** Stage `rewritten` + a manifest carrying `carried` (+ the base's
+    * position-delete entries for carried files, when mutating a
+    * merge-on-read base — rewritten files' entries are dropped because
+    * their positions changed and the rewrite applied them physically),
+    * pin foreign dirs, CAS-commit. None = lost the race (caller re-probes
+    * and retries).
     */
   private def commitCow(
       spark: SparkSession, root: String, name: String, expectedLatest: Int,
       rewritten: DataFrame, carried: Seq[String],
-      retentionVersions: Int): Option[Int] = {
+      retentionVersions: Int,
+      carriedDeletes: Option[DataFrame] = None): Option[Int] = {
     val tdir = Lake.tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     rewritten.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    carriedDeletes.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(stage, MergeOnRead.deletesName).toString))
     val f = fs(spark, tdir)
     val rels = carried.map(relToRoot(root, _))
     // foreign carried files (branch COW over a clone): pin their version
@@ -96,7 +103,7 @@ object CopyOnWrite {
     Lake.promoteStagedIf(spark, root, name, stage, expectedLatest, retentionVersions)
   }
 
-  private def retryLoop(name: String, op: String)(attempt: () => Option[Int]): Int = {
+  private[lake] def retryLoop(name: String, op: String)(attempt: () => Option[Int]): Int = {
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
@@ -118,13 +125,29 @@ object CopyOnWrite {
     val base = Lake.latestVersion(spark, root, name).getOrElse(
       throw new IllegalStateException(s"no versions for table feed $name"))
     val files = Lake.snapshotFiles(spark, root, name, base)
+    val del = MergeOnRead.deletesOf(spark, root, name, base)
     val touched = touchedFiles(spark, files, pred)
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val survivors =
       if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
-      else spark.read.parquet(touched: _*).filter(!coalesce(pred, lit(false)))
-    commitCow(spark, root, name, base, survivors, carried, retentionVersions)
+      else MergeOnRead.readWithDeletes(spark, touched, del)
+        .filter(!coalesce(pred, lit(false)))
+    commitCow(spark, root, name, base, survivors, carried, retentionVersions,
+      carriedDeletes(root, del, touched))
+  }
+
+  /** A merge-on-read base's sidecar entries for files this commit carries
+    * by reference (the rewritten files' entries are obsolete — positions
+    * changed — and the rewrite applied them physically). The restriction
+    * anti-matches the TOUCHED set because that is the small side by the
+    * COW premise.
+    */
+  private def carriedDeletes(
+      root: String, del: Option[DataFrame],
+      touched: Seq[String]): Option[DataFrame] = del.map { d =>
+    val touchedRels = touched.map(relToRoot(root, _))
+    if (touchedRels.isEmpty) d else d.filter(!col("file").isin(touchedRels: _*))
   }
 
   /** File-granular UPDATE: where `pred` IS TRUE, each `(column, expr)` in
@@ -138,6 +161,7 @@ object CopyOnWrite {
     val base = Lake.latestVersion(spark, root, name).getOrElse(
       throw new IllegalStateException(s"no versions for table feed $name"))
     val files = Lake.snapshotFiles(spark, root, name, base)
+    val del = MergeOnRead.deletesOf(spark, root, name, base)
     val touched = touchedFiles(spark, files, pred)
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
@@ -145,7 +169,7 @@ object CopyOnWrite {
     val rewritten =
       if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
       else {
-        val t = spark.read.parquet(touched: _*)
+        val t = MergeOnRead.readWithDeletes(spark, touched, del)
         val cols = t.schema.fields.map { fld =>
           assign.get(fld.name) match {
             case Some(e) => when(coalesce(pred, lit(false)),
@@ -155,7 +179,8 @@ object CopyOnWrite {
         }
         t.select(cols.toIndexedSeq: _*)
       }
-    commitCow(spark, root, name, base, rewritten, carried, retentionVersions)
+    commitCow(spark, root, name, base, rewritten, carried, retentionVersions,
+      carriedDeletes(root, del, touched))
   }
 
   /** File-granular MERGE (the catalog a26 clause shapes):
@@ -180,6 +205,7 @@ object CopyOnWrite {
     val base = Lake.latestVersion(spark, root, name).getOrElse(
       throw new IllegalStateException(s"no versions for table feed $name"))
     val files = Lake.snapshotFiles(spark, root, name, base)
+    val del = MergeOnRead.deletesOf(spark, root, name, base)
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*).distinct()
     // probe: files holding ≥1 target row whose key appears in the source —
     // key-column-pruned scan, semi-join (AQE broadcasts a small source)
@@ -198,7 +224,7 @@ object CopyOnWrite {
     val survivors =
       if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
       else {
-        val t = spark.read.parquet(touched: _*).alias("t")
+        val t = MergeOnRead.readWithDeletes(spark, touched, del).alias("t")
         val s = source.withColumn("_s_matched", lit(true)).alias("s")
         val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
         t.join(s, joinCond, "left_outer")
@@ -217,13 +243,15 @@ object CopyOnWrite {
         // NOT MATCHED inserts: a matched source key necessarily lives in a
         // touched file, so anti-joining against the full target key set
         // equals anti-joining against the touched files' keys — the scan
-        // is key-column-pruned either way
-        val targetKeys = spark.read.parquet(files: _*)
+        // is key-column-pruned either way. Deletes applied: a key whose
+        // only target rows are MOR-deleted is NOT MATCHED and must insert.
+        val targetKeys = MergeOnRead.readWithDeletes(spark, files, del)
           .select(keys.map(col).toIndexedSeq: _*).distinct()
         val inserts = source.join(targetKeys, keys.toIndexedSeq, "left_anti")
           .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
         survivors.unionByName(inserts)
       }
-    commitCow(spark, root, name, base, rewritten, carried, retentionVersions)
+    commitCow(spark, root, name, base, rewritten, carried, retentionVersions,
+      carriedDeletes(root, del, touched))
   }
 }

@@ -307,20 +307,52 @@ object Lake {
   /** Read a table snapshot: latest version, or a specific one (A3).
     * Manifest-carrying versions read their full resolved file list; plain
     * versions read the directory (identical plan — a parquet scan over
-    * the same files).
+    * the same files). Versions carrying a merge-on-read position-delete
+    * sidecar ([[MergeOnRead]]) get the sidecar applied as one anti-join.
     */
   def readTableFeed(
       spark: SparkSession, root: String, name: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root, name))
       .getOrElse(throw new IllegalStateException(s"no versions for table feed $name"))
-    if (hasManifest(spark, root, name, v)) {
+    val del = MergeOnRead.deletesOf(spark, root, name, v)
+    if (hasManifest(spark, root, name, v) || del.isDefined) {
       val files = snapshotFiles(spark, root, name, v)
       if (files.isEmpty)
         throw new IllegalStateException(s"$name v$v: manifest resolves to zero files")
-      spark.read.parquet(files: _*)
+      MergeOnRead.readWithDeletes(spark, files, del)
     } else spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
   }
+
+  /** COMPACT a table: re-publish the latest snapshot's RESOLVED content —
+    * manifest references followed, merge-on-read delete sidecars applied —
+    * as a plain physical version with size-targeted files (small appended
+    * files bin-packed toward `targetFileBytes`). This is the maintenance
+    * op that (a) restores full parquet pushdown after merge-on-read
+    * deletes, (b) unchains copy-on-write manifests so retention can
+    * reclaim old version dirs once the chain ages out, and (c) fixes the
+    * small-files problem of high-frequency appends. CAS-committed: a
+    * concurrent writer wins and the compaction retries against the new
+    * latest (compaction is content-preserving, so retrying is always
+    * sound). Returns the new version.
+    */
+  def compactTable(
+      spark: SparkSession, root: String, name: String,
+      targetFileBytes: Long = 128L << 20,
+      retentionVersions: Int = 7): Int =
+    CopyOnWrite.retryLoop(name, "compactTable") { () =>
+      val base = latestVersion(spark, root, name).getOrElse(
+        throw new IllegalStateException(s"no versions for table feed $name"))
+      val files = snapshotFiles(spark, root, name, base)
+      val f = fs(spark, tablePath(root, name))
+      val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      // coalesce, not repartition: compaction must not pay a full shuffle —
+      // narrow merge of neighbors into ~target-sized outputs
+      writeTableSnapshotIf(
+        readTableFeed(spark, root, name, Some(base)).coalesce(parts),
+        root, name, expectedLatest = base, retentionVersions)
+    }
 
   /** SHALLOW CLONE: commit a new table (or a new version of an existing
     * one) whose snapshot is a METADATA POINTER to another table's
@@ -372,8 +404,12 @@ object Lake {
     // shell that versions() would list as live. Re-check the dir still
     // holds at least one data file now that the pin blocks further prunes;
     // if not, remove the resurrected shell and fail the clone.
-    val hasData = f.listStatus(physDir)
-      .exists(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    // substance = a data file OR a manifest (a merge-on-read / pure-COW
+    // version dir legitimately holds no physical parquet of its own)
+    val hasData = f.listStatus(physDir).exists { s =>
+      val n = s.getPath.getName
+      (s.isFile && !n.startsWith("_")) || n == manifestName
+    }
     if (!hasData) {
       f.delete(physDir, true)
       throw new IllegalStateException(

@@ -1033,6 +1033,77 @@ object Lifecycle {
     */
   val cowUpdateMergeOracle: String = catalogUpdateMergeOracle
 
+  /** A29 MERGE-ON-READ delete + compaction ([[graft.lake.MergeOnRead]]):
+    * the delete-heavy complement of the a26b copy-on-write path. SQL
+    * `DELETE FROM` commits a POSITION-DELETE SIDECAR — `(file, pos)` rows
+    * plus a manifest carrying every base file by reference, NO data file
+    * read back or rewritten, so the commit is O(deleted rows) even when
+    * matches span every file (the case that degenerates copy-on-write to
+    * a full rewrite; at 100 TB, a sparse GDPR-style delete commits KBs).
+    * Two deletes prove sidecars FOLD (cumulative, one hop); a group-based
+    * SQL UPDATE on the delete-carrying base proves deleted rows never
+    * resurrect through the row-level framework; `CALL system.compact`
+    * folds sidecars + manifests back into plain size-targeted physical
+    * files, restoring full scan pushdown (merge-on-read's documented
+    * price) and unchaining retention. All three lineage points read back
+    * via catalog SQL time travel — the delete-carrying generation serves
+    * SQL through the V1Scan fallback — and hash against DuckDB
+    * recomputing the same mutations from raw `customer`.
+    */
+  def morDeleteCompact(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_mor_")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    Lake.writeTableSnapshot(
+      cust.filter(col("c_custkey").between(1, 1000))
+        .repartitionByRange(8, col("c_custkey")), root, "cust_mor")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DELETE FROM $cat.tables.cust_mor WHERE c_nationkey = 5")
+    s.sql(s"DELETE FROM $cat.tables.cust_mor WHERE c_acctbal < 0")
+    // shape pins: v3 is sidecar + manifest only — zero data files written
+    require(graft.lake.MergeOnRead.hasDeletes(s, root, "cust_mor", 3),
+      "MOR delete must commit a position sidecar")
+    require(Lake.snapshotFiles(s, root, "cust_mor", 3)
+      .forall(_.contains("version=v1")),
+      "every data file of the MOR version must be carried from v1 by reference")
+    // money arithmetic normalizes through decimal(18,2) (the Q.moneySum
+    // convention, same as a26) so both money profiles hash identically
+    s.sql(s"UPDATE $cat.tables.cust_mor " +
+      "SET c_acctbal = CAST(c_acctbal + 100 AS DECIMAL(18,2)) " +
+      "WHERE c_custkey <= 200")
+    val v = s.sql(s"CALL $cat.system.compact('cust_mor')").head().getInt(0)
+    require(v == 5, s"compact must commit v5, got v$v")
+    require(!Lake.hasManifest(s, root, "cust_mor", v) &&
+      !graft.lake.MergeOnRead.hasDeletes(s, root, "cust_mor", v),
+      "compaction must fold sidecars and manifests into physical files")
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, c_custkey, c_name, c_acctbal, c_nationkey " +
+        s"FROM $cat.tables.cust_mor$suffix")
+    q("base", " VERSION AS OF 1")
+      .unionByName(q("mor", " VERSION AS OF 3"))
+      .unionByName(q("latest", ""))
+  }
+
+  val morDeleteCompactOracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      |  WHERE c_custkey BETWEEN 1 AND 1000),
+      |v3 AS (
+      |  SELECT * FROM v1 WHERE NOT (c_nationkey = 5) AND NOT (c_acctbal < 0)),
+      |v5 AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_custkey <= 200
+      |              THEN CAST(CAST(c_acctbal + 100 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE c_acctbal END AS c_acctbal,
+      |         c_nationkey
+      |  FROM v3)
+      |SELECT 'base' AS gen, * FROM v1
+      |UNION ALL SELECT 'mor', * FROM v3
+      |UNION ALL SELECT 'latest', * FROM v5""".stripMargin
+
   /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
     * METADATA-POINTER version — branching a table is O(1) regardless of
     * data size (at 100 TB: one marker file + one rename, zero bytes
@@ -2016,6 +2087,7 @@ object Lifecycle {
     "a26b_cow_update_merge" -> (cowUpdateMerge _),
     "a27_branch_merge" -> (branchMerge _),
     "a28_catalog_call" -> (catalogCall _),
+    "a29_mor_delete_compact" -> (morDeleteCompact _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -2067,6 +2139,7 @@ object Lifecycle {
     "a26b_cow_update_merge" -> cowUpdateMergeOracle,
     "a27_branch_merge" -> branchMergeOracle,
     "a28_catalog_call" -> catalogCallOracle,
+    "a29_mor_delete_compact" -> morDeleteCompactOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

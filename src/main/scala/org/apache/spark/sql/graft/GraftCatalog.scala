@@ -226,6 +226,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       classOf[ParquetFileFormat])
   }
 
+  /** V1Scan fallback for MERGE-ON-READ versions: a position-delete
+    * sidecar ([[graft.lake.MergeOnRead]]) must be anti-joined into the
+    * scan, which a bare `ParquetTable` cannot express — so delete-carrying
+    * versions serve SQL through Spark's V1 read bridge over the library's
+    * resolved read (`Lake.readTableFeed`, the single place delete
+    * semantics live). The relation hands back the resolved plan's
+    * `InternalRow` RDD with `needConversion = false` (the JDBCRelation
+    * contract), so no external-Row round-trip. The documented trade: a
+    * MOR version loses parquet filter pushdown on the SQL path until
+    * `CALL system.compact` folds the sidecar back to physical files.
+    */
+  private def morScanBuilder(
+      ident: Identifier, version: Int, tableSchema: StructType): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = tableSchema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            (new BaseRelation with TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override val schema: StructType = tableSchema
+              override def needConversion: Boolean = false
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                graft.lake.Lake
+                  .readTableFeed(SparkSession.active, root, ident.name(), Some(version))
+                  .queryExecution.toRdd
+                  .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+            }).asInstanceOf[T]
+        }
+    }
+
+  private def hasMorDeletes(ident: Identifier, version: Int): Boolean =
+    graft.lake.MergeOnRead.hasDeletes(
+      SparkSession.active, root, ident.name(), version)
+
   /** The writable latest-snapshot table: reads delegate to Spark's
     * ParquetTable over the current `version=vN` dir; INSERTs route through
     * [[graft.lake.Lake.writeTableSnapshot]] — every SQL write COMMITS A
@@ -253,7 +289,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
+      if (hasMorDeletes(ident, version)) morScanBuilder(ident, version, schema())
+      else delegate.newScanBuilder(options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
         private var overwrite = false
@@ -322,6 +359,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new RowLevelOperationBuilder {
         override def build(): RowLevelOperation = new RowLevelOperation {
           override def command: RowLevelOperation.Command = info.command
+          // merge-on-read scan staging this operation materialized (cleaned
+          // up by the write's commit/abort — the scan is fully consumed
+          // before either runs; a crash strands it for vacuumTable)
+          private val morStaging = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
           // the scan feeding a group-based replace must NOT let the
           // command's WHERE clause prune ROWS: every row of the snapshot
           // has to reach the replacement write (the rewritten plan applies
@@ -329,10 +370,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // silently DROP all non-matching rows from the new version).
           // Wrapping the delegate builder so it exposes no pushdown
           // interfaces keeps the read a full-snapshot scan by construction.
-          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-            val inner = delegate.newScanBuilder(options)
-            new ScanBuilder { override def build() = inner.build() }
-          }
+          //
+          // A MERGE-ON-READ base cannot ride the V1Scan fallback here —
+          // Spark's GroupBasedRowLevelOperationScanPlanning builds the
+          // row-level scan relation itself and (unlike the SELECT path's
+          // V2ScanRelationPushDown) never wraps a V1Scan, so the physical
+          // strategy would demand toBatch. Instead the scan MATERIALIZES
+          // the resolved content (sidecar anti-joined — deleted rows must
+          // never resurrect into the replacement) once into a `.stage_`
+          // temp dir at batch-planning time and serves a genuine
+          // ParquetTable batch over it. Cost class is unchanged: the
+          // group-based replace already rewrites the full snapshot.
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            if (hasMorDeletes(ident, version)) new ScanBuilder {
+              override def build(): org.apache.spark.sql.connector.read.Scan =
+                new org.apache.spark.sql.connector.read.Scan {
+                  override def readSchema(): StructType = schema()
+                  private lazy val inner = {
+                    val spark = SparkSession.active
+                    val tmp = new Path(s"${tableDir(ident)}/.stage_morscan_" +
+                      java.util.UUID.randomUUID().toString.replace("-", ""))
+                    graft.lake.Lake
+                      .readTableFeed(spark, root, ident.name(), Some(version))
+                      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                      .parquet(tmp.toString)
+                    morStaging.add(tmp)
+                    ParquetTable(s"${delegate.name}-mor-resolved", spark,
+                      CaseInsensitiveStringMap.empty(), Seq(tmp.toString),
+                      None, classOf[ParquetFileFormat])
+                      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+                  }
+                  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+                    inner.toBatch
+                }
+            } else {
+              val inner = delegate.newScanBuilder(options)
+              new ScanBuilder { override def build() = inner.build() }
+            }
           override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
             new WriteBuilder {
               override def build(): Write = new Write {
@@ -365,12 +439,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     // ourselves before Spark's parquet writer sees the row
                     GraftCatalog.DropRoutingColumnFactory(
                       db.createBatchWriterFactory(pi), winfo.schema())
+                  private def dropMorStaging(): Unit = {
+                    var d = morStaging.poll()
+                    while (d != null) {
+                      scala.util.Try { val f = fs(d); if (f.exists(d)) f.delete(d, true) }
+                      d = morStaging.poll()
+                    }
+                  }
                   override def commit(messages: Array[WriterCommitMessage]): Unit = {
                     db.commit(messages)
                     val spark = SparkSession.active
-                    if (graft.lake.Lake.promoteStagedIf(
-                        spark, root, ident.name(), stage,
-                        expectedLatest = version).isEmpty)
+                    val promoted = graft.lake.Lake.promoteStagedIf(
+                      spark, root, ident.name(), stage, expectedLatest = version)
+                    dropMorStaging()
+                    if (promoted.isEmpty)
                       throw new java.util.ConcurrentModificationException(
                         s"row-level operation on ${ident.name()}: base version " +
                           s"v$version is no longer latest — re-run the statement")
@@ -379,6 +461,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     db.abort(messages)
                     val f = fs(stage)
                     if (f.exists(stage)) f.delete(stage, true)
+                    dropMorStaging()
                   }
                 }
               }
@@ -402,18 +485,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       */
     override def deleteWhere(filters: Array[Filter]): Unit = {
       val spark = SparkSession.active
-      val pred = filters.toIndexedSeq
-        .map(f => GraftCatalog.filterToColumn(f).getOrElse(
-          throw new UnsupportedOperationException(s"untranslatable delete filter: $f")))
-        .reduceOption(_ && _).getOrElse(lit(true))
       if (graft.lake.Lake.latestVersion(spark, root, ident.name()).isEmpty)
         throw new NoSuchTableException(ident)
-      // FILE-GRANULAR copy-on-write (round 11): only files containing
-      // matched rows are rewritten; the rest are carried by reference in
-      // the new version's manifest. Same visible semantics (survivors as
-      // a new version, NULL-predicate rows survive, CAS vs concurrent
-      // writers — the retry loop lives in CopyOnWrite.deleteWhere).
-      graft.lake.CopyOnWrite.deleteWhere(spark, root, ident.name(), pred)
+      if (filters.isEmpty) {
+        // TRUNCATE (and unconditional DELETE): an empty snapshot is O(1) —
+        // never a sidecar covering every row or a survivor rewrite
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          if (attempts > 20) throw new java.io.IOException(
+            s"TRUNCATE ${ident.name()}: still conflicting after $attempts attempts")
+          val base = graft.lake.Lake.latestVersion(spark, root, ident.name()).get
+          done = graft.lake.Lake.writeTableSnapshotIf(
+            graft.lake.Lake.readTableFeed(spark, root, ident.name(), Some(base)).limit(0),
+            root, ident.name(), expectedLatest = base).isDefined
+        }
+      } else {
+        val pred = filters.toIndexedSeq
+          .map(f => GraftCatalog.filterToColumn(f).getOrElse(
+            throw new UnsupportedOperationException(s"untranslatable delete filter: $f")))
+          .reduce(_ && _)
+        // MERGE-ON-READ (round 11): the commit is a position-delete sidecar
+        // + manifest — O(deleted rows), zero data files rewritten, the right
+        // default for DELETE whose matches can span every file. Reads apply
+        // the sidecar (library + SQL via the V1Scan fallback); CALL
+        // system.compact folds it back to physical files. Same visible
+        // semantics: survivors as a new version, NULL-predicate rows
+        // survive (position capture filters on pred IS TRUE), CAS vs
+        // concurrent writers. CopyOnWrite.deleteWhere remains the
+        // library-level copy-on-write alternative for read-heavy tables.
+        graft.lake.MergeOnRead.deleteWhere(spark, root, ident.name(), pred)
+      }
       ()
     }
   }
@@ -440,7 +543,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
+      if (hasMorDeletes(ident, version)) morScanBuilder(ident, version, schema())
+      else delegate.newScanBuilder(options)
   }
 
   /** `VERSION AS OF n` (also accepts `vn`). */
@@ -556,7 +660,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("clone", "merge_branch", "restore", "prune_versions", "vacuum")
+      Array("clone", "compact", "merge_branch", "restore", "prune_versions", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -578,6 +682,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         versionRow(graft.lake.Lake.mergeBranch(
           spark, root, str(row, 0), str(row, 1),
           str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      }
+      case "compact" => procedure("compact",
+        Array(in("table", StringType)),
+        versionSchema) { row =>
+        // re-publish the resolved latest (manifests followed, merge-on-read
+        // sidecars applied) as plain size-targeted physical files — restores
+        // full pushdown and unchains COW/MOR versions for retention
+        versionRow(graft.lake.Lake.compactTable(spark, root, str(row, 0)))
       }
       case "restore" => procedure("restore",
         Array(in("table", StringType), in("version", IntegerType)),
@@ -606,7 +718,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure: $other (have: clone, merge_branch, restore, prune_versions, vacuum)")
+        s"unknown procedure: $other (have: clone, compact, merge_branch, restore, prune_versions, vacuum)")
     }
   }
 }

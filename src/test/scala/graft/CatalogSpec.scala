@@ -171,6 +171,38 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k FROM $cat.tables.del_t VERSION AS OF 6").count() === 1)
   }
 
+  test("DELETE FROM is merge-on-read: sidecar commit, V1Scan reads, compact folds") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(
+      (1 to 400).map(i => (i.toLong, i * 1.0)).toDF("k", "amt")
+        .repartitionByRange(4, col("k")), root, "mor_sql")
+    spark.sql(s"DELETE FROM $cat.tables.mor_sql WHERE k <= 50")
+    // the commit is a position sidecar — no data files in the new version
+    val v2dir = new java.io.File(s"$root/tables/mor_sql/version=v2")
+    assert(new java.io.File(v2dir, "_deletes").isDirectory,
+      "SQL DELETE must commit a merge-on-read sidecar")
+    assert(v2dir.listFiles().forall(f =>
+      !f.isFile || f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "no data file is rewritten by a MOR delete")
+    // SQL reads of the MOR version (V1Scan fallback) apply the sidecar —
+    // latest, aggregates, and time travel all agree with the library read
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.mor_sql").head().getLong(0) === 350)
+    assert(spark.sql(s"SELECT min(k) FROM $cat.tables.mor_sql").head().getLong(0) === 51)
+    assert(spark.sql(s"SELECT * FROM $cat.tables.mor_sql VERSION AS OF 1").count() === 400)
+    assert(Lake.readTableFeed(spark, root, "mor_sql").count() === 350)
+    // a group-based UPDATE on the MOR base reads through the fallback too:
+    // deleted rows must not resurrect into the replacement
+    spark.sql(s"UPDATE $cat.tables.mor_sql SET amt = 0.0 WHERE k <= 60")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.mor_sql").head().getLong(0) === 350)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.tables.mor_sql WHERE amt = 0.0").head().getLong(0) === 10)
+    // CALL system.compact folds sidecars + manifests into physical files
+    val v = spark.sql(s"CALL $cat.system.compact('mor_sql')").head().getInt(0)
+    assert(!Lake.hasManifest(spark, root, "mor_sql", v))
+    assert(!graft.lake.MergeOnRead.hasDeletes(spark, root, "mor_sql", v))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.mor_sql").head().getLong(0) === 350)
+  }
+
   test("UPDATE and MERGE INTO commit new versions; non-matching rows are never lost") {
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.tables.um_t (k BIGINT, amt DOUBLE)")
@@ -249,7 +281,7 @@ class CatalogSpec extends SparkSpec {
     // vacuum on a clean table reports nothing; unknown procedure refuses
     assert(spark.sql(s"CALL $cat.system.vacuum('pr_t')").count() === 0)
     intercept[Exception] { spark.sql(s"CALL $cat.system.nope('x')").collect() }
-    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 5)
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 6)
   }
 
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {

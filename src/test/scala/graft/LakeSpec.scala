@@ -188,6 +188,65 @@ class LakeSpec extends SparkSpec {
       "files without matched keys must be carried by reference")
   }
 
+  test("merge-on-read: sidecar-only commits, cumulative folding, COW composition, compaction") {
+    import graft.lake.{CopyOnWrite, MergeOnRead}
+    val root = scratch()
+    val df = (1 to 800).map(i => (i, s"row$i")).toDF("k", "x")
+    Lake.writeTableSnapshot(df.repartitionByRange(8, col("k")), root, "mor_t")
+    // v2: MOR delete — the commit is a position sidecar + manifest, NO
+    // data file is read back or rewritten (the O(deleted-rows) contract)
+    assert(MergeOnRead.deleteWhere(spark, root, "mor_t", col("k") <= 100) === 2)
+    val v2dir = new java.io.File(s"$root/tables/mor_t/version=v2")
+    assert(v2dir.listFiles().forall(f =>
+      !f.isFile || f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "a MOR commit holds no data files — only a sidecar + manifest")
+    assert(new java.io.File(v2dir, "_deletes").isDirectory)
+    assert(Lake.readTableFeed(spark, root, "mor_t").count() === 700)
+    assert(Lake.readTableFeed(spark, root, "mor_t", Some(1)).count() === 800,
+      "time travel to the pre-delete snapshot is unaffected")
+    // v3: a second MOR delete FOLDS the first sidecar — cumulative, one hop
+    assert(MergeOnRead.deleteWhere(spark, root, "mor_t", col("k") > 700) === 3)
+    assert(Lake.readTableFeed(spark, root, "mor_t").count() === 600)
+    assert(MergeOnRead.deletesOf(spark, root, "mor_t", 3).get.count() === 200)
+    // v4: COW UPDATE on the MOR base — deleted rows must NOT resurrect;
+    // rewritten files' sidecar entries are dropped (their positions
+    // changed; the rewrite applied them physically), carried files' kept
+    assert(CopyOnWrite.updateWhere(spark, root, "mor_t",
+      col("k").between(101, 150), Seq("x" -> lit("upd"))) === 4)
+    val v4 = Lake.readTableFeed(spark, root, "mor_t")
+    assert(v4.count() === 600,
+      "a COW mutation on a MOR base must not resurrect sidecar-deleted rows")
+    assert(v4.filter(col("k") <= 100 || col("k") > 700).count() === 0)
+    assert(v4.filter(col("x") === "upd").count() === 50)
+    // sidecar/file consistency: every surviving sidecar entry references a
+    // file the version actually carries
+    val v4files = Lake.snapshotFiles(spark, root, "mor_t", 4)
+      .map(p => p.split('/').takeRight(4).mkString("/")).toSet
+    val v4refs = MergeOnRead.deletesOf(spark, root, "mor_t", 4).get
+      .select("file").distinct().collect().map(_.getString(0))
+    assert(v4refs.nonEmpty && v4refs.forall(v4files.contains),
+      s"sidecar entries must reference carried files only")
+    // NULL-predicate three-valued semantics: rows where pred is NULL survive
+    Lake.writeTableSnapshot(
+      Seq((1, Some(1.0)), (2, None), (3, Some(-1.0))).toDF("k", "v"),
+      root, "mor_null")
+    MergeOnRead.deleteWhere(spark, root, "mor_null", col("v") < 0)
+    assert(Lake.readTableFeed(spark, root, "mor_null")
+      .select("k").as[Int].collect().sorted === Array(1, 2))
+    // v5: compaction folds everything back to plain physical files —
+    // no manifest, no sidecar, retention can finally reclaim the chain
+    assert(Lake.compactTable(spark, root, "mor_t") === 5)
+    assert(!Lake.hasManifest(spark, root, "mor_t", 5))
+    assert(!MergeOnRead.hasDeletes(spark, root, "mor_t", 5))
+    val compacted = Lake.readTableFeed(spark, root, "mor_t")
+    assert(compacted.count() === 600)
+    assert(compacted.filter(col("x") === "upd").count() === 50)
+    Retention.pruneTableVersions(spark, root, "mor_t", keep = 1)
+    assert(Lake.versions(spark, root, "mor_t") === Seq(5),
+      "after compaction the COW/MOR chain is prunable")
+    assert(Lake.readTableFeed(spark, root, "mor_t").count() === 600)
+  }
+
   test("dropTable releases clone pins; refuses while a live branch pins the source") {
     val root = scratch()
     Lake.writeTableSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "x"), root, "dp_src")
