@@ -53,6 +53,25 @@ object CopyOnWrite {
     a.stripPrefix(r + "/")
   }
 
+  /** Pin the version dirs of FOREIGN carried files (a mutation on a
+    * shallow-cloned branch references source-table dirs) so the SOURCE
+    * table's retention cannot delete bytes this version references — the
+    * same marker protocol cloneTable uses, released by [[Lake.dropTable]]
+    * when this table is retired. Stamped BEFORE the commit so there is no
+    * window where the reference is live but unpinned; a lost CAS leaves
+    * the pin (another of our committed versions may share it —
+    * conservative, reclaimed at dropTable). Shared by every
+    * manifest-writing commit (COW rewrites AND merge-on-read sidecars).
+    */
+  private[lake] def pinForeign(
+      f: org.apache.hadoop.fs.FileSystem, root: String, name: String,
+      rels: Seq[String]): Unit = {
+    val ownPrefix = s"tables/$name/"
+    rels.filterNot(_.startsWith(ownPrefix))
+      .map(rel => new Path(s"$root/$rel").getParent).distinct
+      .foreach { vdir => f.create(new Path(vdir, s"_pin_$name"), true).close() }
+  }
+
   /** Distinct files (of `files`) holding at least one row where `pred` IS
     * TRUE. Filter-pushed, column-pruned; collects file names only.
     */
@@ -83,17 +102,7 @@ object CopyOnWrite {
       .parquet(new Path(stage, MergeOnRead.deletesName).toString))
     val f = fs(spark, tdir)
     val rels = carried.map(relToRoot(root, _))
-    // foreign carried files (branch COW over a clone): pin their version
-    // dirs so the SOURCE table's retention cannot delete bytes this
-    // version references — the same marker protocol cloneTable uses,
-    // released by Lake.dropTable when this table is retired. Stamped
-    // before the commit so there is no window where the reference is live
-    // but unpinned; a lost CAS leaves the pin (another of our committed
-    // versions may share it — conservative, reclaimed at dropTable).
-    val ownPrefix = s"tables/$name/"
-    rels.filterNot(_.startsWith(ownPrefix))
-      .map(rel => new Path(s"$root/$rel").getParent).distinct
-      .foreach { vdir => f.create(new Path(vdir, s"_pin_$name"), true).close() }
+    pinForeign(f, root, name, rels)
     if (rels.nonEmpty) {
       val out = f.create(new Path(stage, Lake.manifestName), true)
       try out.write(rels.mkString("\n").getBytes(

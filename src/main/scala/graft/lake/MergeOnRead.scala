@@ -136,6 +136,10 @@ object MergeOnRead {
         .parquet(new Path(stage, deletesName).toString)
       val f = fs(spark, tdir)
       val rels = files.map(CopyOnWrite.relToRoot(root, _))
+      // a MOR delete on a shallow-cloned branch carries the SOURCE's files:
+      // pin their dirs against the source's retention, like every other
+      // manifest-writing commit
+      CopyOnWrite.pinForeign(f, root, name, rels)
       val out = f.create(new Path(stage, Lake.manifestName), true)
       try out.write(rels.mkString("\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))

@@ -247,6 +247,31 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readTableFeed(spark, root, "mor_t").count() === 600)
   }
 
+  test("merge-on-read delete on a cloned branch pins the source's version dirs") {
+    import graft.lake.MergeOnRead
+    val root = scratch()
+    Lake.writeTableSnapshot(
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "x"), root, "mb_src2")
+    Lake.cloneTable(spark, root, "mb_src2", "mb_br2")
+    // MOR delete on the branch: the sidecar version's manifest references
+    // the SOURCE's physical files — those dirs must be pinned or the
+    // source's retention could delete bytes the branch still reads
+    MergeOnRead.deleteWhere(spark, root, "mb_br2", col("k") <= 10)
+    assert(new java.io.File(
+      s"$root/tables/mb_src2/version=v1/_pin_mb_br2").exists(),
+      "a MOR sidecar carrying foreign files must pin their version dirs")
+    // source moves on; keep=1 retention cannot prune the pinned v1
+    Lake.writeTableSnapshot(
+      (1 to 50).map(i => (i, "new")).toDF("k", "x"), root, "mb_src2")
+    graft.lake.Retention.pruneTableVersions(spark, root, "mb_src2", keep = 1)
+    assert(Lake.readTableFeed(spark, root, "mb_br2").count() === 90,
+      "branch content survives source retention")
+    // retiring the branch releases the pin
+    assert(Lake.dropTable(spark, root, "mb_br2"))
+    assert(!new java.io.File(
+      s"$root/tables/mb_src2/version=v1/_pin_mb_br2").exists())
+  }
+
   test("dropTable releases clone pins; refuses while a live branch pins the source") {
     val root = scratch()
     Lake.writeTableSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "x"), root, "dp_src")
