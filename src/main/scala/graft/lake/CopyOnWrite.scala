@@ -125,6 +125,43 @@ object CopyOnWrite {
       s"$op $name: still conflicting after $attempts attempts")
   }
 
+  /** INCREMENTAL small-file compaction — the maintenance companion to
+    * [[Lake.compactTable]] that stays viable at 100 TB: a full-table
+    * compact rewrites everything, but the small-files problem (streaming
+    * appends, frequent tiny COW commits) lives in a sliver of the data.
+    * This rewrites ONLY files under `smallBytes`, bin-packed toward
+    * `targetFileBytes`, and carries every already-target-sized file by
+    * reference — commit cost ∝ small bytes, not table bytes. Sidecar
+    * deletes are applied to the rewritten files (their entries fold away)
+    * and carried for the untouched ones, exactly like a mutation. Returns
+    * the new version, or the CURRENT version unchanged when fewer than
+    * two small files exist (nothing to pack — committing would churn a
+    * version for no layout gain).
+    */
+  def compactSmallFiles(
+      spark: SparkSession, root: String, name: String,
+      smallBytes: Long = 32L << 20, targetFileBytes: Long = 128L << 20,
+      retentionVersions: Int = 7): Int = retryLoop(name, "compactSmallFiles") { () =>
+    val base = Lake.latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val files = Lake.snapshotFiles(spark, root, name, base)
+    val f = fs(spark, Lake.tablePath(root, name))
+    val sized = files.map(p => p -> f.getFileStatus(new Path(p)).getLen)
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) Some(base)
+    else {
+      val del = MergeOnRead.deletesOf(spark, root, name, base)
+      val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
+      val parts = math.max(1,
+        math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+      val rewritten = MergeOnRead
+        .readWithDeletes(spark, small.map(_._1), del, eq).coalesce(parts)
+      commitCow(spark, root, name, base, rewritten, big.map(_._1),
+        retentionVersions,
+        carriedDeletes(spark, root, del, eq, small.map(_._1), big.map(_._1)))
+    }
+  }
+
   /** File-granular DELETE: rows where `pred` IS TRUE are removed; files
     * without matches are carried by reference. Returns the new version.
     */
@@ -135,28 +172,42 @@ object CopyOnWrite {
       throw new IllegalStateException(s"no versions for table feed $name"))
     val files = Lake.snapshotFiles(spark, root, name, base)
     val del = MergeOnRead.deletesOf(spark, root, name, base)
+    val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
     val touched = touchedFiles(spark, files, pred)
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val survivors =
       if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
-      else MergeOnRead.readWithDeletes(spark, touched, del)
+      else MergeOnRead.readWithDeletes(spark, touched, del, eq)
         .filter(!coalesce(pred, lit(false)))
     commitCow(spark, root, name, base, survivors, carried, retentionVersions,
-      carriedDeletes(root, del, touched))
+      carriedDeletes(spark, root, del, eq, touched, carried))
   }
 
   /** A merge-on-read base's sidecar entries for files this commit carries
     * by reference (the rewritten files' entries are obsolete — positions
-    * changed — and the rewrite applied them physically). The restriction
-    * anti-matches the TOUCHED set because that is the small side by the
-    * COW premise.
+    * changed — and the rewrite applied them physically). Position entries
+    * anti-match the TOUCHED set (the small side by the COW premise);
+    * EQUALITY entries cannot carry verbatim through a mutation — the
+    * rewrite may legitimately write rows that reuse a deleted key, which
+    * a value match would swallow — so they fold to POSITIONS over the
+    * carried files (one key-column-pruned scan). The committed version
+    * therefore always carries a position-only sidecar.
     */
   private def carriedDeletes(
-      root: String, del: Option[DataFrame],
-      touched: Seq[String]): Option[DataFrame] = del.map { d =>
+      spark: SparkSession, root: String,
+      del: Option[DataFrame], eq: Option[DataFrame],
+      touched: Seq[String], carried: Seq[String]): Option[DataFrame] = {
     val touchedRels = touched.map(relToRoot(root, _))
-    if (touchedRels.isEmpty) d else d.filter(!col("file").isin(touchedRels: _*))
+    val posCarried = del.map { d =>
+      if (touchedRels.isEmpty) d else d.filter(!col("file").isin(touchedRels: _*))
+    }
+    val eqFolded = eq.filter(_ => carried.nonEmpty)
+      .map(e => MergeOnRead.eqToPositions(spark, carried, e))
+    (posCarried, eqFolded) match {
+      case (Some(p), Some(q)) => Some(p.unionByName(q).distinct())
+      case (p, q) => p.orElse(q)
+    }
   }
 
   /** File-granular UPDATE: where `pred` IS TRUE, each `(column, expr)` in
@@ -171,6 +222,7 @@ object CopyOnWrite {
       throw new IllegalStateException(s"no versions for table feed $name"))
     val files = Lake.snapshotFiles(spark, root, name, base)
     val del = MergeOnRead.deletesOf(spark, root, name, base)
+    val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
     val touched = touchedFiles(spark, files, pred)
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
@@ -178,7 +230,7 @@ object CopyOnWrite {
     val rewritten =
       if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
       else {
-        val t = MergeOnRead.readWithDeletes(spark, touched, del)
+        val t = MergeOnRead.readWithDeletes(spark, touched, del, eq)
         val cols = t.schema.fields.map { fld =>
           assign.get(fld.name) match {
             case Some(e) => when(coalesce(pred, lit(false)),
@@ -189,7 +241,7 @@ object CopyOnWrite {
         t.select(cols.toIndexedSeq: _*)
       }
     commitCow(spark, root, name, base, rewritten, carried, retentionVersions,
-      carriedDeletes(root, del, touched))
+      carriedDeletes(spark, root, del, eq, touched, carried))
   }
 
   /** File-granular MERGE (the catalog a26 clause shapes):
@@ -215,6 +267,7 @@ object CopyOnWrite {
       throw new IllegalStateException(s"no versions for table feed $name"))
     val files = Lake.snapshotFiles(spark, root, name, base)
     val del = MergeOnRead.deletesOf(spark, root, name, base)
+    val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*).distinct()
     // probe: files holding ≥1 target row whose key appears in the source —
     // key-column-pruned scan, semi-join (AQE broadcasts a small source)
@@ -233,7 +286,7 @@ object CopyOnWrite {
     val survivors =
       if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
       else {
-        val t = MergeOnRead.readWithDeletes(spark, touched, del).alias("t")
+        val t = MergeOnRead.readWithDeletes(spark, touched, del, eq).alias("t")
         val s = source.withColumn("_s_matched", lit(true)).alias("s")
         val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
         t.join(s, joinCond, "left_outer")
@@ -254,13 +307,13 @@ object CopyOnWrite {
         // equals anti-joining against the touched files' keys — the scan
         // is key-column-pruned either way. Deletes applied: a key whose
         // only target rows are MOR-deleted is NOT MATCHED and must insert.
-        val targetKeys = MergeOnRead.readWithDeletes(spark, files, del)
+        val targetKeys = MergeOnRead.readWithDeletes(spark, files, del, eq)
           .select(keys.map(col).toIndexedSeq: _*).distinct()
         val inserts = source.join(targetKeys, keys.toIndexedSeq, "left_anti")
           .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
         survivors.unionByName(inserts)
       }
     commitCow(spark, root, name, base, rewritten, carried, retentionVersions,
-      carriedDeletes(root, del, touched))
+      carriedDeletes(spark, root, del, eq, touched, carried))
   }
 }

@@ -316,11 +316,12 @@ object Lake {
     val v = version.orElse(latestVersion(spark, root, name))
       .getOrElse(throw new IllegalStateException(s"no versions for table feed $name"))
     val del = MergeOnRead.deletesOf(spark, root, name, v)
-    if (hasManifest(spark, root, name, v) || del.isDefined) {
+    val eq = MergeOnRead.eqDeletesOf(spark, root, name, v)
+    if (hasManifest(spark, root, name, v) || del.isDefined || eq.isDefined) {
       val files = snapshotFiles(spark, root, name, v)
       if (files.isEmpty)
         throw new IllegalStateException(s"$name v$v: manifest resolves to zero files")
-      MergeOnRead.readWithDeletes(spark, files, del)
+      MergeOnRead.readWithDeletes(spark, files, del, eq)
     } else spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
   }
 
@@ -352,6 +353,52 @@ object Lake {
       writeTableSnapshotIf(
         readTableFeed(spark, root, name, Some(base)).coalesce(parts),
         root, name, expectedLatest = base, retentionVersions)
+    }
+
+  /** One version's ledger entry for [[tableHistory]]. `kind`: `physical`
+    * (plain snapshot), `clone` (pointer version), `cow` (manifest-carrying
+    * rewrite), `mor` (delete-sidecar version; `cow+mor` when a rewrite
+    * also carries sidecar entries).
+    */
+  case class VersionInfo(
+      version: Int, committedAtMillis: Long, kind: String,
+      dataFiles: Int, carriedFiles: Int)
+
+  /** The table's version ledger — `DESCRIBE HISTORY` for the snapshot
+    * layout (SQL: `CALL <cat>.system.history(t)`). Driver-side FS
+    * listings only, zero jobs: O(versions) metadata reads regardless of
+    * table bytes.
+    */
+  def tableHistory(
+      spark: SparkSession, root: String, name: String): Seq[VersionInfo] =
+    versions(spark, root, name).map { v =>
+      val dir = new Path(s"${tablePath(root, name)}/version=v$v")
+      val f = fs(spark, dir.toString)
+      val entries = f.listStatus(dir).toSeq
+      val own = entries.count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val isClone = entries.exists(_.getPath.getName == "_clone")
+      val hasMf = entries.exists(_.getPath.getName == manifestName)
+      val hasDel = entries.exists { st =>
+        val n = st.getPath.getName
+        n == MergeOnRead.deletesName || n == MergeOnRead.eqDeletesName
+      }
+      val carried =
+        if (!hasMf) 0
+        else {
+          val in = f.open(new Path(dir, manifestName))
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          txt.split('\n').count(_.trim.nonEmpty)
+        }
+      val kind =
+        if (isClone) "clone"
+        else if (hasDel && own > 0) "cow+mor"
+        else if (hasDel) "mor"
+        else if (hasMf) "cow"
+        else "physical"
+      VersionInfo(v, commitInstantMillis(spark, root, name, v), kind, own, carried)
     }
 
   /** SHALLOW CLONE: commit a new table (or a new version of an existing

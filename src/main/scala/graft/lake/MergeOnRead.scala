@@ -48,6 +48,17 @@ object MergeOnRead {
     */
   val deletesName = "_deletes"
 
+  /** Per-version EQUALITY-delete sidecar directory: a parquet of key
+    * VALUES whose columns ARE the key columns (no extra metadata needed —
+    * the sidecar's schema is the contract). Written by [[deleteByKeys]]:
+    * a key-addressed delete (the GDPR shape: `user_id IN (...)`) commits
+    * WITHOUT SCANNING THE TABLE AT ALL — O(keys) bytes, zero jobs over
+    * the data — because matching is deferred to the read-side anti-join.
+    * Keys match with `=` (a NULL key value never matches, the SQL DELETE
+    * three-valued contract).
+    */
+  val eqDeletesName = "_eq_deletes"
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -79,6 +90,50 @@ object MergeOnRead {
       s"${Lake.resolveSnapshotDir(spark, root, name, version)}/$deletesName"))
   }
 
+  /** Does this version carry an equality-delete sidecar? */
+  def hasEqDeletes(
+      spark: SparkSession, root: String, name: String, version: Int): Boolean = {
+    val dir = Lake.resolveSnapshotDir(spark, root, name, version)
+    fs(spark, dir).exists(new Path(dir, eqDeletesName))
+  }
+
+  /** The version's equality-delete key tuples, if any (columns = keys). */
+  def eqDeletesOf(
+      spark: SparkSession, root: String, name: String,
+      version: Int): Option[DataFrame] = {
+    if (!hasEqDeletes(spark, root, name, version)) None
+    else Some(spark.read.parquet(
+      s"${Lake.resolveSnapshotDir(spark, root, name, version)}/$eqDeletesName"))
+  }
+
+  /** Any merge-on-read sidecar present (position or equality)? The gate
+    * the catalog uses to route reads through the resolving fallback.
+    */
+  def hasAnyDeletes(
+      spark: SparkSession, root: String, name: String, version: Int): Boolean =
+    hasDeletes(spark, root, name, version) ||
+      hasEqDeletes(spark, root, name, version)
+
+  /** Convert equality-delete keys to POSITION entries over `files`: one
+    * key-column-pruned scan (parquet reads only the key columns) emitting
+    * the `(file, pos)` of every matching row. Used when a later commit
+    * must SCOPE value-keyed deletes to specific files — a mutation that
+    * writes new rows cannot carry an equality sidecar verbatim, because
+    * the read-side value match would also swallow freshly-written rows
+    * that legitimately reuse a deleted key.
+    */
+  private[lake] def eqToPositions(
+      spark: SparkSession, files: Seq[String], eq: DataFrame): DataFrame = {
+    val keyCols = eq.columns.toSeq
+    spark.read.parquet(files: _*)
+      .select(
+        relFile(col("_metadata.file_path")).as("file") +:
+          col("_metadata.row_index").as("pos") +:
+          keyCols.map(col): _*)
+      .join(eq.distinct(), keyCols, "left_semi")
+      .select(col("file"), col("pos"))
+  }
+
   /** Apply a position-delete sidecar to a raw parquet read of data
     * `files`: one anti-join on `(root-relative file, row ordinal)`. The
     * sidecar side is O(deleted rows) and deliberately UNHINTED — AQE
@@ -87,17 +142,27 @@ object MergeOnRead {
     */
   private[lake] def readWithDeletes(
       spark: SparkSession, files: Seq[String],
-      deletes: Option[DataFrame]): DataFrame = {
+      deletes: Option[DataFrame],
+      eqDeletes: Option[DataFrame] = None): DataFrame = {
     val base = spark.read.parquet(files: _*)
-    deletes match {
+    val cols = base.columns.map(col).toIndexedSeq
+    val posApplied = deletes match {
       case None => base
       case Some(d) =>
-        val cols = base.columns.map(col).toIndexedSeq
         base
           .withColumn("_g_file", relFile(col("_metadata.file_path")))
           .withColumn("_g_pos", col("_metadata.row_index"))
           .join(d, col("_g_file") === d("file") && col("_g_pos") === d("pos"),
             "left_anti")
+          .select(cols: _*)
+    }
+    eqDeletes match {
+      case None => posApplied
+      case Some(e) =>
+        // plain-equality anti-join: a row with a NULL key never matches —
+        // the SQL DELETE three-valued contract, same as the position path's
+        // pred-IS-TRUE capture
+        posApplied.join(e.distinct(), e.columns.toIndexedSeq, "left_anti")
           .select(cols: _*)
     }
   }
@@ -129,21 +194,80 @@ object MergeOnRead {
       val cumulative = baseDel
         .map(d => matched.unionByName(d)).getOrElse(matched)
         .distinct()
-      val tdir = Lake.tablePath(root, name)
-      val stage = new Path(
-        s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      cumulative.write.mode(SaveMode.Overwrite)
-        .parquet(new Path(stage, deletesName).toString)
-      val f = fs(spark, tdir)
-      val rels = files.map(CopyOnWrite.relToRoot(root, _))
-      // a MOR delete on a shallow-cloned branch carries the SOURCE's files:
-      // pin their dirs against the source's retention, like every other
-      // manifest-writing commit
-      CopyOnWrite.pinForeign(f, root, name, rels)
-      val out = f.create(new Path(stage, Lake.manifestName), true)
-      try out.write(rels.mkString("\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      Lake.promoteStagedIf(spark, root, name, stage, base, retentionVersions)
+      // a positional delete writes no new rows, so the base's EQUALITY
+      // sidecar (if any) carries VERBATIM — value-keyed matching stays
+      // sound because no freshly-written row can reuse a deleted key
+      commitMor(spark, root, name, base, files,
+        pos = Some(cumulative),
+        eq = eqDeletesOf(spark, root, name, base),
+        retentionVersions)
     }
+
+  /** EQUALITY DELETE — the zero-scan commit: rows whose key tuple equals
+    * any row of `keys` (columns of `keys` name the table's key columns)
+    * are deleted BY VALUE; the commit writes only the key tuples + a
+    * manifest — O(keys) bytes, no job ever touches the table data (the
+    * 100 TB GDPR shape: erasing a user commits in milliseconds; the match
+    * runs inside every subsequent read's anti-join and is physically
+    * applied at the next compaction). Folding keeps resolution one-hop:
+    *  - a base POSITION sidecar carries verbatim (disjoint mechanisms);
+    *  - a base EQUALITY sidecar with the SAME key columns unions in;
+    *  - a base EQUALITY sidecar with DIFFERENT key columns is first
+    *    materialized to positions (one key-column-pruned scan — the only
+    *    case this operator scans anything), so a version never carries
+    *    two value-keyed sidecars with conflicting schemas.
+    * NULL key values never match (`=` semantics); delete NULLs with the
+    * predicate form. Returns the new version.
+    */
+  def deleteByKeys(
+      spark: SparkSession, root: String, name: String, keys: DataFrame,
+      retentionVersions: Int = 7): Int =
+    CopyOnWrite.retryLoop(name, "mor.deleteByKeys") { () =>
+      val base = Lake.latestVersion(spark, root, name).getOrElse(
+        throw new IllegalStateException(s"no versions for table feed $name"))
+      val files = Lake.snapshotFiles(spark, root, name, base)
+      val tableCols = spark.read.parquet(files.head).columns.toSet
+      require(keys.columns.forall(tableCols.contains),
+        s"deleteByKeys: key columns ${keys.columns.mkString(",")} must all " +
+          s"exist in $name's schema")
+      val newKeys = keys.distinct()
+      val basePos = deletesOf(spark, root, name, base)
+      val (eqOut, posOut) = eqDeletesOf(spark, root, name, base) match {
+        case Some(e) if e.columns.sorted.sameElements(keys.columns.sorted) =>
+          (newKeys.unionByName(e).distinct(), basePos)
+        case Some(e) =>
+          val folded = eqToPositions(spark, files, e)
+          (newKeys,
+            Some(basePos.map(_.unionByName(folded).distinct()).getOrElse(folded)))
+        case None => (newKeys, basePos)
+      }
+      commitMor(spark, root, name, base, files,
+        pos = posOut, eq = Some(eqOut), retentionVersions)
+    }
+
+  /** Stage sidecars + a full-carry manifest and CAS-commit — the common
+    * tail of both merge-on-read delete forms. Foreign carried files (a
+    * delete on a cloned branch references the source's dirs) are pinned
+    * like every other manifest-writing commit.
+    */
+  private def commitMor(
+      spark: SparkSession, root: String, name: String, base: Int,
+      files: Seq[String], pos: Option[DataFrame], eq: Option[DataFrame],
+      retentionVersions: Int): Option[Int] = {
+    val tdir = Lake.tablePath(root, name)
+    val stage = new Path(
+      s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    pos.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(stage, deletesName).toString))
+    eq.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(stage, eqDeletesName).toString))
+    val f = fs(spark, tdir)
+    val rels = files.map(CopyOnWrite.relToRoot(root, _))
+    CopyOnWrite.pinForeign(f, root, name, rels)
+    val out = f.create(new Path(stage, Lake.manifestName), true)
+    try out.write(rels.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    Lake.promoteStagedIf(spark, root, name, stage, base, retentionVersions)
+  }
 }

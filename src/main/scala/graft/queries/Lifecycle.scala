@@ -1104,6 +1104,78 @@ object Lifecycle {
       |UNION ALL SELECT 'mor', * FROM v3
       |UNION ALL SELECT 'latest', * FROM v5""".stripMargin
 
+  /** A30 EQUALITY deletes ([[graft.lake.MergeOnRead.deleteByKeys]]): the
+    * ZERO-SCAN delete commit — a key-addressed delete (`WHERE user_id IN
+    * (...)`, the GDPR shape) writes only the key VALUES + a manifest;
+    * no job ever touches table data, so erasing a user from a 100 TB
+    * table commits in milliseconds, with the value match deferred to the
+    * read-side anti-join and physically applied at the next compaction.
+    * The gate drives the full lifecycle through catalog SQL: two
+    * key-equality DELETEs (the router sends single-column `IN`/`=`
+    * predicates to the equality path; sidecars with the same key column
+    * FOLD by union), a range DELETE (positional — the equality sidecar
+    * carries verbatim, sound because a positional delete writes no new
+    * rows), a file-granular COW UPDATE (which must FOLD all value-keyed
+    * deletes to positions — a later insert reusing a deleted key must
+    * never be swallowed), and `CALL system.compact`. Four generations
+    * read back via time travel hash against DuckDB recomputing the same
+    * mutations.
+    */
+  def eqDelete(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_eqd_")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    Lake.writeTableSnapshot(
+      cust.filter(col("c_custkey").between(1, 1000))
+        .repartitionByRange(8, col("c_custkey")), root, "cust_eq")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DELETE FROM $cat.tables.cust_eq WHERE c_nationkey IN (3, 7)")
+    require(graft.lake.MergeOnRead.hasEqDeletes(s, root, "cust_eq", 2) &&
+      !graft.lake.MergeOnRead.hasDeletes(s, root, "cust_eq", 2),
+      "a key-equality DELETE must commit an equality sidecar and never scan for positions")
+    s.sql(s"DELETE FROM $cat.tables.cust_eq WHERE c_nationkey = 11")
+    require(graft.lake.MergeOnRead.eqDeletesOf(s, root, "cust_eq", 3)
+      .get.count() == 3, "same-column equality sidecars must fold by union")
+    s.sql(s"DELETE FROM $cat.tables.cust_eq WHERE c_acctbal < 0")
+    require(graft.lake.MergeOnRead.hasEqDeletes(s, root, "cust_eq", 4),
+      "a positional delete must carry the equality sidecar verbatim")
+    graft.lake.CopyOnWrite.updateWhere(s, root, "cust_eq",
+      col("c_custkey") <= 100,
+      Seq("c_acctbal" ->
+        (col("c_acctbal") + 50).cast("decimal(18,2)").cast("double")))
+    require(!graft.lake.MergeOnRead.hasEqDeletes(s, root, "cust_eq", 5),
+      "a mutation must fold value-keyed deletes to positions")
+    s.sql(s"CALL $cat.system.compact('cust_eq')").collect()
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, c_custkey, c_name, c_acctbal, c_nationkey " +
+        s"FROM $cat.tables.cust_eq$suffix")
+    q("base", " VERSION AS OF 1")
+      .unionByName(q("eq", " VERSION AS OF 3"))
+      .unionByName(q("mixed", " VERSION AS OF 4"))
+      .unionByName(q("latest", ""))
+  }
+
+  val eqDeleteOracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      |  WHERE c_custkey BETWEEN 1 AND 1000),
+      |v3 AS (SELECT * FROM v1 WHERE c_nationkey NOT IN (3, 7, 11)),
+      |v4 AS (SELECT * FROM v3 WHERE NOT (c_acctbal < 0)),
+      |v6 AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_custkey <= 100
+      |              THEN CAST(CAST(c_acctbal + 50 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE c_acctbal END AS c_acctbal,
+      |         c_nationkey
+      |  FROM v4)
+      |SELECT 'base' AS gen, * FROM v1
+      |UNION ALL SELECT 'eq', * FROM v3
+      |UNION ALL SELECT 'mixed', * FROM v4
+      |UNION ALL SELECT 'latest', * FROM v6""".stripMargin
+
   /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
     * METADATA-POINTER version — branching a table is O(1) regardless of
     * data size (at 100 TB: one marker file + one rename, zero bytes
@@ -2088,6 +2160,7 @@ object Lifecycle {
     "a27_branch_merge" -> (branchMerge _),
     "a28_catalog_call" -> (catalogCall _),
     "a29_mor_delete_compact" -> (morDeleteCompact _),
+    "a30_eq_delete" -> (eqDelete _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -2140,6 +2213,7 @@ object Lifecycle {
     "a27_branch_merge" -> branchMergeOracle,
     "a28_catalog_call" -> catalogCallOracle,
     "a29_mor_delete_compact" -> morDeleteCompactOracle,
+    "a30_eq_delete" -> eqDeleteOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

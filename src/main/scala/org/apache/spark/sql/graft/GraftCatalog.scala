@@ -259,7 +259,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   private def hasMorDeletes(ident: Identifier, version: Int): Boolean =
-    graft.lake.MergeOnRead.hasDeletes(
+    graft.lake.MergeOnRead.hasAnyDeletes(
       SparkSession.active, root, ident.name(), version)
 
   /** The writable latest-snapshot table: reads delegate to Spark's
@@ -502,20 +502,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             root, ident.name(), expectedLatest = base).isDefined
         }
       } else {
-        val pred = filters.toIndexedSeq
-          .map(f => GraftCatalog.filterToColumn(f).getOrElse(
-            throw new UnsupportedOperationException(s"untranslatable delete filter: $f")))
-          .reduce(_ && _)
-        // MERGE-ON-READ (round 11): the commit is a position-delete sidecar
-        // + manifest — O(deleted rows), zero data files rewritten, the right
-        // default for DELETE whose matches can span every file. Reads apply
-        // the sidecar (library + SQL via the V1Scan fallback); CALL
-        // system.compact folds it back to physical files. Same visible
-        // semantics: survivors as a new version, NULL-predicate rows
-        // survive (position capture filters on pred IS TRUE), CAS vs
-        // concurrent writers. CopyOnWrite.deleteWhere remains the
-        // library-level copy-on-write alternative for read-heavy tables.
-        graft.lake.MergeOnRead.deleteWhere(spark, root, ident.name(), pred)
+        // a pure single-column key-equality predicate (the GDPR shape:
+        // `WHERE user_id = v` / `WHERE user_id IN (...)`, no NULLs) routes
+        // to the EQUALITY-delete path — the commit writes only the key
+        // values, O(keys) bytes, ZERO jobs over the table data
+        val eqKeyed: Option[(String, Seq[Any])] = filters match {
+          case Array(EqualTo(c, v)) if v != null => Some((c, Seq(v)))
+          case Array(In(c, vs)) if vs.nonEmpty && !vs.contains(null) =>
+            Some((c, vs.toIndexedSeq))
+          case _ => None
+        }
+        eqKeyed match {
+          case Some((c, vs)) =>
+            import scala.jdk.CollectionConverters._
+            val field = loadTable(ident).schema().apply(c)
+            val keys = spark.createDataFrame(
+              vs.map(v => org.apache.spark.sql.Row(v)).asJava,
+              StructType(Seq(field.copy(nullable = true))))
+            graft.lake.MergeOnRead.deleteByKeys(spark, root, ident.name(), keys)
+          case None =>
+            // MERGE-ON-READ (round 11): the commit is a position-delete
+            // sidecar + manifest — O(deleted rows), zero data files
+            // rewritten, the right default for DELETE whose matches can
+            // span every file. Reads apply the sidecar (library + SQL via
+            // the V1Scan fallback); CALL system.compact folds it back to
+            // physical files. Same visible semantics: survivors as a new
+            // version, NULL-predicate rows survive (position capture
+            // filters on pred IS TRUE), CAS vs concurrent writers.
+            // CopyOnWrite.deleteWhere remains the library-level
+            // copy-on-write alternative for read-heavy tables.
+            val pred = filters.toIndexedSeq
+              .map(f => GraftCatalog.filterToColumn(f).getOrElse(
+                throw new UnsupportedOperationException(s"untranslatable delete filter: $f")))
+              .reduce(_ && _)
+            graft.lake.MergeOnRead.deleteWhere(spark, root, ident.name(), pred)
+        }
       }
       ()
     }
@@ -655,12 +676,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     org.apache.spark.sql.types.StructField("entry", StringType),
     org.apache.spark.sql.types.StructField("deleted", BooleanType)))
 
+  private val historySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", IntegerType),
+    org.apache.spark.sql.types.StructField("committed_at_ms",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("kind", StringType),
+    org.apache.spark.sql.types.StructField("data_files", IntegerType),
+    org.apache.spark.sql.types.StructField("carried_files", IntegerType)))
+
   private def in(n: String, t: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, t).build()
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("clone", "compact", "merge_branch", "restore", "prune_versions", "vacuum")
+      Array("clone", "compact", "history", "merge_branch", "restore",
+        "prune_versions", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -691,6 +721,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // full pushdown and unchains COW/MOR versions for retention
         versionRow(graft.lake.Lake.compactTable(spark, root, str(row, 0)))
       }
+      case "history" => procedure("history",
+        Array(in("table", StringType)),
+        historySchema) { row =>
+        // DESCRIBE HISTORY for the snapshot layout: O(versions) driver FS
+        // metadata, zero jobs
+        graft.lake.Lake.tableHistory(spark, root, str(row, 0)).toArray.map(i =>
+          new GenericInternalRow(Array[Any](
+            i.version, i.committedAtMillis, UTF8String.fromString(i.kind),
+            i.dataFiles, i.carriedFiles)): InternalRow)
+      }
       case "restore" => procedure("restore",
         Array(in("table", StringType), in("version", IntegerType)),
         versionSchema) { row =>
@@ -718,7 +758,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure: $other (have: clone, compact, merge_branch, restore, prune_versions, vacuum)")
+        s"unknown procedure: $other (have: clone, compact, history, " +
+          "merge_branch, restore, prune_versions, vacuum)")
     }
   }
 }

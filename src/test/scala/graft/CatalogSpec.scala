@@ -203,6 +203,30 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.tables.mor_sql").head().getLong(0) === 350)
   }
 
+  test("key-equality DELETE routes to the zero-scan equality sidecar") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(
+      (1 to 200).map(i => (i.toLong, (i % 10).toLong)).toDF("k", "u"), root, "eq_sql")
+    spark.sql(s"DELETE FROM $cat.tables.eq_sql WHERE u IN (2, 5)")
+    val v2dir = new java.io.File(s"$root/tables/eq_sql/version=v2")
+    assert(new java.io.File(v2dir, "_eq_deletes").isDirectory,
+      "IN-list key delete must commit an equality sidecar")
+    assert(!new java.io.File(v2dir, "_deletes").exists(),
+      "a key delete must not scan for positions")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eq_sql").head().getLong(0) === 160)
+    // single-value form too
+    spark.sql(s"DELETE FROM $cat.tables.eq_sql WHERE u = 7")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eq_sql").head().getLong(0) === 140)
+    // a non-equality predicate still routes to the positional path
+    spark.sql(s"DELETE FROM $cat.tables.eq_sql WHERE k <= 20")
+    assert(new java.io.File(s"$root/tables/eq_sql/version=v4/_deletes").isDirectory)
+    // 14 live rows in k=1..20 (u∈{2,5,7} already value-deleted: k=2,5,7,12,15,17)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eq_sql").head().getLong(0) === 126)
+    val v = spark.sql(s"CALL $cat.system.compact('eq_sql')").head().getInt(0)
+    assert(!graft.lake.MergeOnRead.hasAnyDeletes(spark, root, "eq_sql", v))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eq_sql").head().getLong(0) === 126)
+  }
+
   test("UPDATE and MERGE INTO commit new versions; non-matching rows are never lost") {
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.tables.um_t (k BIGINT, amt DOUBLE)")
@@ -281,7 +305,12 @@ class CatalogSpec extends SparkSpec {
     // vacuum on a clean table reports nothing; unknown procedure refuses
     assert(spark.sql(s"CALL $cat.system.vacuum('pr_t')").count() === 0)
     intercept[Exception] { spark.sql(s"CALL $cat.system.nope('x')").collect() }
-    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 6)
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 7)
+    // the version ledger: one row per version, kind classified, no jobs
+    val hist = spark.sql(s"CALL $cat.system.history('pr_t')").collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(hist.map(_.getString(2)).forall(Set("physical", "clone", "cow", "mor", "cow+mor")))
+    assert(hist.head.getString(2) === "physical")
   }
 
   test("CREATE TABLE commits an empty v1; CTAS-style insert lands v2") {
