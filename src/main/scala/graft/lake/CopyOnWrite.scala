@@ -76,8 +76,9 @@ object CopyOnWrite {
     * TRUE. Filter-pushed, column-pruned; collects file names only.
     */
   private def touchedFiles(
-      spark: SparkSession, files: Seq[String], pred: Column): Seq[String] =
-    spark.read.parquet(files: _*)
+      spark: SparkSession, files: Seq[String], pred: Column,
+      declared: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
+    declared.fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
       .filter(pred)
       .select(col("_metadata.file_path").as("f"))
       .distinct().collect().map(_.getString(0)).toSeq
@@ -93,7 +94,8 @@ object CopyOnWrite {
       spark: SparkSession, root: String, name: String, expectedLatest: Int,
       rewritten: DataFrame, carried: Seq[String],
       retentionVersions: Int,
-      carriedDeletes: Option[DataFrame] = None): Option[Int] = {
+      carriedDeletes: Option[DataFrame] = None,
+      declared: Option[org.apache.spark.sql.types.StructType] = None): Option[Int] = {
     val tdir = Lake.tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
@@ -101,6 +103,13 @@ object CopyOnWrite {
     carriedDeletes.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(stage, MergeOnRead.deletesName).toString))
     val f = fs(spark, tdir)
+    // an evolved base's declared schema carries forward (one-hop): the
+    // rewritten files hold the column physically, the carried ones do not
+    declared.foreach { s =>
+      val so = f.create(new Path(stage, Lake.schemaName), true)
+      try so.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally so.close()
+    }
     val rels = carried.map(relToRoot(root, _))
     pinForeign(f, root, name, rels)
     if (rels.nonEmpty) {
@@ -152,13 +161,16 @@ object CopyOnWrite {
     else {
       val del = MergeOnRead.deletesOf(spark, root, name, base)
       val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
+      val declared = Lake.declaredSchema(spark, root, name, base)
       val parts = math.max(1,
         math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
       val rewritten = MergeOnRead
-        .readWithDeletes(spark, small.map(_._1), del, eq).coalesce(parts)
+        .readWithDeletes(spark, small.map(_._1), del, eq, declared).coalesce(parts)
       commitCow(spark, root, name, base, rewritten, big.map(_._1),
         retentionVersions,
-        carriedDeletes(spark, root, del, eq, small.map(_._1), big.map(_._1)))
+        carriedDeletes(spark, root, del, eq, small.map(_._1), big.map(_._1),
+          declared),
+        declared = if (big.nonEmpty) declared else None)
     }
   }
 
@@ -173,15 +185,18 @@ object CopyOnWrite {
     val files = Lake.snapshotFiles(spark, root, name, base)
     val del = MergeOnRead.deletesOf(spark, root, name, base)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
-    val touched = touchedFiles(spark, files, pred)
+    val declared = Lake.declaredSchema(spark, root, name, base)
+    val touched = touchedFiles(spark, files, pred, declared)
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val survivors =
-      if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
-      else MergeOnRead.readWithDeletes(spark, touched, del, eq)
+      if (touched.isEmpty) MergeOnRead
+        .readWithDeletes(spark, Seq(files.head), None, None, declared).limit(0)
+      else MergeOnRead.readWithDeletes(spark, touched, del, eq, declared)
         .filter(!coalesce(pred, lit(false)))
     commitCow(spark, root, name, base, survivors, carried, retentionVersions,
-      carriedDeletes(spark, root, del, eq, touched, carried))
+      carriedDeletes(spark, root, del, eq, touched, carried, declared),
+      declared = if (carried.nonEmpty) declared else None)
   }
 
   /** A merge-on-read base's sidecar entries for files this commit carries
@@ -197,13 +212,15 @@ object CopyOnWrite {
   private def carriedDeletes(
       spark: SparkSession, root: String,
       del: Option[DataFrame], eq: Option[DataFrame],
-      touched: Seq[String], carried: Seq[String]): Option[DataFrame] = {
+      touched: Seq[String], carried: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     val touchedRels = touched.map(relToRoot(root, _))
     val posCarried = del.map { d =>
       if (touchedRels.isEmpty) d else d.filter(!col("file").isin(touchedRels: _*))
     }
     val eqFolded = eq.filter(_ => carried.nonEmpty)
-      .map(e => MergeOnRead.eqToPositions(spark, carried, e))
+      .map(e => MergeOnRead.eqToPositions(spark, carried, e, declared))
     (posCarried, eqFolded) match {
       case (Some(p), Some(q)) => Some(p.unionByName(q).distinct())
       case (p, q) => p.orElse(q)
@@ -223,14 +240,16 @@ object CopyOnWrite {
     val files = Lake.snapshotFiles(spark, root, name, base)
     val del = MergeOnRead.deletesOf(spark, root, name, base)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
-    val touched = touchedFiles(spark, files, pred)
+    val declared = Lake.declaredSchema(spark, root, name, base)
+    val touched = touchedFiles(spark, files, pred, declared)
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val assign = set.toMap
     val rewritten =
-      if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
+      if (touched.isEmpty) MergeOnRead
+        .readWithDeletes(spark, Seq(files.head), None, None, declared).limit(0)
       else {
-        val t = MergeOnRead.readWithDeletes(spark, touched, del, eq)
+        val t = MergeOnRead.readWithDeletes(spark, touched, del, eq, declared)
         val cols = t.schema.fields.map { fld =>
           assign.get(fld.name) match {
             case Some(e) => when(coalesce(pred, lit(false)),
@@ -241,7 +260,8 @@ object CopyOnWrite {
         t.select(cols.toIndexedSeq: _*)
       }
     commitCow(spark, root, name, base, rewritten, carried, retentionVersions,
-      carriedDeletes(spark, root, del, eq, touched, carried))
+      carriedDeletes(spark, root, del, eq, touched, carried, declared),
+      declared = if (carried.nonEmpty) declared else None)
   }
 
   /** File-granular MERGE (the catalog a26 clause shapes):
@@ -268,6 +288,7 @@ object CopyOnWrite {
     val files = Lake.snapshotFiles(spark, root, name, base)
     val del = MergeOnRead.deletesOf(spark, root, name, base)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
+    val declared = Lake.declaredSchema(spark, root, name, base)
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*).distinct()
     // probe: files holding ≥1 target row whose key appears in the source —
     // key-column-pruned scan, semi-join (AQE broadcasts a small source)
@@ -277,16 +298,17 @@ object CopyOnWrite {
       .select("_gf").distinct().collect().map(_.getString(0)).toSeq
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
-    val targetSchema = spark.read.parquet(files.head).schema
+    val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
     val matched = col("s._s_matched").isNotNull
     val deleteCond = matchedDeleteCond
       .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
     val updateCond = matched && !deleteCond
     val assign = matchedSet.toMap
     val survivors =
-      if (touched.isEmpty) spark.read.parquet(files.head).limit(0)
+      if (touched.isEmpty) MergeOnRead
+        .readWithDeletes(spark, Seq(files.head), None, None, declared).limit(0)
       else {
-        val t = MergeOnRead.readWithDeletes(spark, touched, del, eq).alias("t")
+        val t = MergeOnRead.readWithDeletes(spark, touched, del, eq, declared).alias("t")
         val s = source.withColumn("_s_matched", lit(true)).alias("s")
         val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
         t.join(s, joinCond, "left_outer")
@@ -307,13 +329,14 @@ object CopyOnWrite {
         // equals anti-joining against the touched files' keys — the scan
         // is key-column-pruned either way. Deletes applied: a key whose
         // only target rows are MOR-deleted is NOT MATCHED and must insert.
-        val targetKeys = MergeOnRead.readWithDeletes(spark, files, del, eq)
+        val targetKeys = MergeOnRead.readWithDeletes(spark, files, del, eq, declared)
           .select(keys.map(col).toIndexedSeq: _*).distinct()
         val inserts = source.join(targetKeys, keys.toIndexedSeq, "left_anti")
           .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)
         survivors.unionByName(inserts)
       }
     commitCow(spark, root, name, base, rewritten, carried, retentionVersions,
-      carriedDeletes(spark, root, del, eq, touched, carried))
+      carriedDeletes(spark, root, del, eq, touched, carried, declared),
+      declared = if (carried.nonEmpty) declared else None)
   }
 }

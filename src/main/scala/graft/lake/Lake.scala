@@ -266,6 +266,84 @@ object Lake {
     */
   val manifestName = "_manifest"
 
+  /** Name of the optional per-version DECLARED-SCHEMA sidecar: a JSON
+    * StructType written by metadata-only schema evolution
+    * ([[addColumn]]). A version carrying `_schema` is read with that
+    * schema — parquet readers null-fill requested columns absent from a
+    * file, so adding a column to a 100 TB table commits one JSON + one
+    * manifest, zero rewrite. Carried forward by every manifest-writing
+    * commit (one-hop, like manifests and sidecars); a physical re-publish
+    * (compaction, INSERT OVERWRITE) bakes the column into the files and
+    * drops the sidecar.
+    */
+  val schemaName = "_schema"
+
+  /** The version's declared schema, if evolution has occurred since its
+    * files were written. Resolved past clone pointers like every read.
+    */
+  def declaredSchema(
+      spark: SparkSession, root: String, name: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val dir = resolveSnapshotDir(spark, root, name, version)
+    val f = fs(spark, dir)
+    val p = new Path(dir, schemaName)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** METADATA-ONLY `ADD COLUMN`: commit a new version whose dir holds a
+    * `_schema` JSON (base schema + the new nullable field) and a manifest
+    * carrying every base file by reference — no data file is read or
+    * written, so evolving a 100 TB table is O(1). Readers null-fill the
+    * column for pre-evolution files (the parquet missing-column
+    * contract); subsequent writes carry it physically. Sidecar deletes
+    * carry verbatim (adding a column changes no row identity or value).
+    * Only nullable top-level adds are expressible without rewrite —
+    * anything else (rename, drop, type change) still refuses.
+    */
+  def addColumn(
+      spark: SparkSession, root: String, name: String,
+      field: org.apache.spark.sql.types.StructField,
+      retentionVersions: Int = 7): Int = {
+    require(field.nullable,
+      s"addColumn: only NULLABLE columns can be added without a rewrite (${field.name})")
+    CopyOnWrite.retryLoop(name, "addColumn") { () =>
+      val base = latestVersion(spark, root, name).getOrElse(
+        throw new IllegalStateException(s"no versions for table feed $name"))
+      val current = declaredSchema(spark, root, name, base)
+        .getOrElse(readTableFeed(spark, root, name, Some(base)).schema)
+      require(!current.fieldNames.contains(field.name),
+        s"addColumn: $name already has a column '${field.name}'")
+      val files = snapshotFiles(spark, root, name, base)
+      val evolved = org.apache.spark.sql.types.StructType(current.fields :+ field)
+      val tdir = tablePath(root, name)
+      val stage = new Path(
+        s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val f = fs(spark, tdir)
+      // sidecars carry verbatim: no row identity or value changes
+      MergeOnRead.deletesOf(spark, root, name, base).foreach(
+        _.write.parquet(new Path(stage, MergeOnRead.deletesName).toString))
+      MergeOnRead.eqDeletesOf(spark, root, name, base).foreach(
+        _.write.parquet(new Path(stage, MergeOnRead.eqDeletesName).toString))
+      val so = f.create(new Path(stage, schemaName), true)
+      try so.write(evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally so.close()
+      val rels = files.map(CopyOnWrite.relToRoot(root, _))
+      CopyOnWrite.pinForeign(f, root, name, rels)
+      val out = f.create(new Path(stage, manifestName), true)
+      try out.write(rels.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      promoteStagedIf(spark, root, name, stage, base, retentionVersions)
+    }
+  }
+
   /** All data files of a snapshot, absolute: the version dir's own
     * physical parquet files plus any manifest-carried references. Resolves
     * clone pointers first, so it works uniformly on branches.
@@ -317,11 +395,12 @@ object Lake {
       .getOrElse(throw new IllegalStateException(s"no versions for table feed $name"))
     val del = MergeOnRead.deletesOf(spark, root, name, v)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, v)
+    val declared = declaredSchema(spark, root, name, v)
     if (hasManifest(spark, root, name, v) || del.isDefined || eq.isDefined) {
       val files = snapshotFiles(spark, root, name, v)
       if (files.isEmpty)
         throw new IllegalStateException(s"$name v$v: manifest resolves to zero files")
-      MergeOnRead.readWithDeletes(spark, files, del, eq)
+      MergeOnRead.readWithDeletes(spark, files, del, eq, declared)
     } else spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
   }
 

@@ -123,9 +123,10 @@ object MergeOnRead {
     * that legitimately reuse a deleted key.
     */
   private[lake] def eqToPositions(
-      spark: SparkSession, files: Seq[String], eq: DataFrame): DataFrame = {
+      spark: SparkSession, files: Seq[String], eq: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val keyCols = eq.columns.toSeq
-    spark.read.parquet(files: _*)
+    declared.fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
       .select(
         relFile(col("_metadata.file_path")).as("file") +:
           col("_metadata.row_index").as("pos") +:
@@ -143,8 +144,12 @@ object MergeOnRead {
   private[lake] def readWithDeletes(
       spark: SparkSession, files: Seq[String],
       deletes: Option[DataFrame],
-      eqDeletes: Option[DataFrame] = None): DataFrame = {
-    val base = spark.read.parquet(files: _*)
+      eqDeletes: Option[DataFrame] = None,
+      declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // a declared (evolved) schema null-fills columns absent from
+    // pre-evolution files — the parquet missing-column contract
+    val reader = declared.fold(spark.read)(s => spark.read.schema(s))
+    val base = reader.parquet(files: _*)
     val cols = base.columns.map(col).toIndexedSeq
     val posApplied = deletes match {
       case None => base
@@ -183,10 +188,12 @@ object MergeOnRead {
         throw new IllegalStateException(s"no versions for table feed $name"))
       val files = Lake.snapshotFiles(spark, root, name, base)
       val baseDel = deletesOf(spark, root, name, base)
+      val declared = Lake.declaredSchema(spark, root, name, base)
       // positions to delete: filter-pushed scan emitting ONLY (file, pos) —
       // a row already in the base sidecar that re-matches pred duplicates
       // an existing entry verbatim, so the union dedups structurally
-      val matched = spark.read.parquet(files: _*)
+      val matched = declared.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(files: _*)
         .filter(pred)
         .select(
           relFile(col("_metadata.file_path")).as("file"),
@@ -200,7 +207,7 @@ object MergeOnRead {
       commitMor(spark, root, name, base, files,
         pos = Some(cumulative),
         eq = eqDeletesOf(spark, root, name, base),
-        retentionVersions)
+        retentionVersions, declared)
     }
 
   /** EQUALITY DELETE — the zero-scan commit: rows whose key tuple equals
@@ -226,7 +233,9 @@ object MergeOnRead {
       val base = Lake.latestVersion(spark, root, name).getOrElse(
         throw new IllegalStateException(s"no versions for table feed $name"))
       val files = Lake.snapshotFiles(spark, root, name, base)
-      val tableCols = spark.read.parquet(files.head).columns.toSet
+      val declared = Lake.declaredSchema(spark, root, name, base)
+      val tableCols = declared
+        .getOrElse(spark.read.parquet(files.head).schema).fieldNames.toSet
       require(keys.columns.forall(tableCols.contains),
         s"deleteByKeys: key columns ${keys.columns.mkString(",")} must all " +
           s"exist in $name's schema")
@@ -236,13 +245,13 @@ object MergeOnRead {
         case Some(e) if e.columns.sorted.sameElements(keys.columns.sorted) =>
           (newKeys.unionByName(e).distinct(), basePos)
         case Some(e) =>
-          val folded = eqToPositions(spark, files, e)
+          val folded = eqToPositions(spark, files, e, declared)
           (newKeys,
             Some(basePos.map(_.unionByName(folded).distinct()).getOrElse(folded)))
         case None => (newKeys, basePos)
       }
       commitMor(spark, root, name, base, files,
-        pos = posOut, eq = Some(eqOut), retentionVersions)
+        pos = posOut, eq = Some(eqOut), retentionVersions, declared)
     }
 
   /** Stage sidecars + a full-carry manifest and CAS-commit — the common
@@ -253,7 +262,9 @@ object MergeOnRead {
   private def commitMor(
       spark: SparkSession, root: String, name: String, base: Int,
       files: Seq[String], pos: Option[DataFrame], eq: Option[DataFrame],
-      retentionVersions: Int): Option[Int] = {
+      retentionVersions: Int,
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[Int] = {
     val tdir = Lake.tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
@@ -262,6 +273,12 @@ object MergeOnRead {
     eq.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(stage, eqDeletesName).toString))
     val f = fs(spark, tdir)
+    // an evolved base's declared schema carries forward (one-hop)
+    declared.foreach { s =>
+      val so = f.create(new Path(stage, Lake.schemaName), true)
+      try so.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally so.close()
+    }
     val rels = files.map(CopyOnWrite.relToRoot(root, _))
     CopyOnWrite.pinForeign(f, root, name, rels)
     val out = f.create(new Path(stage, Lake.manifestName), true)

@@ -1176,6 +1176,72 @@ object Lifecycle {
       |UNION ALL SELECT 'mixed', * FROM v4
       |UNION ALL SELECT 'latest', * FROM v6""".stripMargin
 
+  /** A31 METADATA-ONLY schema evolution ([[Lake.addColumn]], SQL
+    * `ALTER TABLE ... ADD COLUMN`): the commit is one `_schema` JSON + a
+    * manifest carrying every file by reference — evolving a 100 TB table
+    * is O(1), no data file read or written; readers null-fill the column
+    * for pre-evolution files (the parquet missing-column contract) while
+    * subsequent writes carry it physically, so one snapshot can mix
+    * old-schema and new-schema files transparently. The gate evolves via
+    * SQL, appends rows that CARRY the column, runs a file-granular COW
+    * UPDATE whose SET targets the evolved column (carried files keep
+    * null-filling — the declared schema travels one-hop with every
+    * manifest commit), and reads three generations back via time travel:
+    * the pre-evolution schema must be exactly the old one, and every
+    * generation hashes against DuckDB recomputing the lineage.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_evo_")
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    Lake.writeTableSnapshot(
+      ord.select(col("o_orderkey"), col("o_orderstatus"))
+        .filter(col("o_orderkey").between(1, 500))
+        .repartitionByRange(4, col("o_orderkey")), root, "ord_evo")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"ALTER TABLE $cat.tables.ord_evo ADD COLUMN o_orderpriority STRING")
+    require(Lake.declaredSchema(s, root, "ord_evo", 2).exists(
+      _.fieldNames.sameElements(Array("o_orderkey", "o_orderstatus", "o_orderpriority"))),
+      "evolution must commit a declared-schema sidecar")
+    require(Lake.snapshotFiles(s, root, "ord_evo", 2).forall(_.contains("version=v1")),
+      "evolution must write zero data files — all carried from v1")
+    ord.filter(col("o_orderkey").between(501, 600))
+      .createOrReplaceTempView("a31_src")
+    s.sql(s"INSERT INTO $cat.tables.ord_evo " +
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM a31_src")
+    graft.lake.CopyOnWrite.updateWhere(s, root, "ord_evo",
+      col("o_orderkey") <= 100, Seq("o_orderpriority" -> lit("LEGACY")))
+    def q(gen: String, suffix: String, cols: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, $cols FROM $cat.tables.ord_evo$suffix")
+    q("base", " VERSION AS OF 1",
+      "o_orderkey, o_orderstatus, CAST(NULL AS STRING) AS o_orderpriority")
+      .unionByName(q("evolved", " VERSION AS OF 2",
+        "o_orderkey, o_orderstatus, o_orderpriority"))
+      .unionByName(q("latest", "",
+        "o_orderkey, o_orderstatus, o_orderpriority"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 500),
+      |latest AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey <= 100 THEN 'LEGACY' END AS o_orderpriority
+      |  FROM v1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      |  WHERE o_orderkey BETWEEN 501 AND 600)
+      |SELECT 'base' AS gen, o_orderkey, o_orderstatus,
+      |       CAST(NULL AS VARCHAR) AS o_orderpriority FROM v1
+      |UNION ALL
+      |SELECT 'evolved', o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) FROM v1
+      |UNION ALL
+      |SELECT 'latest', * FROM latest""".stripMargin
+
   /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
     * METADATA-POINTER version — branching a table is O(1) regardless of
     * data size (at 100 TB: one marker file + one rename, zero bytes
@@ -2161,6 +2227,7 @@ object Lifecycle {
     "a28_catalog_call" -> (catalogCall _),
     "a29_mor_delete_compact" -> (morDeleteCompact _),
     "a30_eq_delete" -> (eqDelete _),
+    "a31_schema_evolution" -> (schemaEvolution _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -2214,6 +2281,7 @@ object Lifecycle {
     "a28_catalog_call" -> catalogCallOracle,
     "a29_mor_delete_compact" -> morDeleteCompactOracle,
     "a30_eq_delete" -> eqDeleteOracle,
+    "a31_schema_evolution" -> schemaEvolutionOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

@@ -222,7 +222,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       spark,
       CaseInsensitiveStringMap.empty(),
       paths,
-      None,
+      // a metadata-only ADD COLUMN leaves a declared schema the files do
+      // not yet carry — hand it to the parquet table so scans null-fill
+      graft.lake.Lake.declaredSchema(spark, root, ident.name(), version),
       classOf[ParquetFileFormat])
   }
 
@@ -615,9 +617,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(ident, snapshots(ident).last._1)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are written via Lake.writeTableSnapshot (snapshot+OCC contract)")
+  /** `ALTER TABLE ... ADD COLUMN` commits METADATA-ONLY schema evolution
+    * ([[graft.lake.Lake.addColumn]]): a `_schema` sidecar + a manifest
+    * carrying every file by reference — adding a column to a 100 TB table
+    * is O(1), readers null-fill pre-evolution files. Only nullable
+    * top-level adds are expressible without a rewrite; every other change
+    * (rename, drop, type change, nested adds) still refuses — those
+    * require rewriting data the snapshot contract owns.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        graft.lake.Lake.addColumn(SparkSession.active, root, ident.name(),
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = add.isNullable))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER ($other): only top-level nullable ADD COLUMN is " +
+          "expressible without rewriting the snapshot")
+    }
+    loadTable(ident)
+  }
 
   /** `DROP TABLE` retires the whole feed through [[graft.lake.Lake.dropTable]]:
     * refuses while a live branch pins any of its versions, and releases the

@@ -83,10 +83,15 @@ class CatalogSpec extends SparkSpec {
 
   test("ALTER refuses; DROP TABLE retires the feed but never danglies a live branch") {
     Lake.writeTableSnapshot(snap(3), root, "guarded")
+    // ADD COLUMN is metadata-only evolution (own test); everything else
+    // would need a rewrite and refuses
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.tables.guarded ADD COLUMN extra BIGINT")
+      spark.sql(s"ALTER TABLE $cat.tables.guarded DROP COLUMN n_name")
     }
-    // the refusal changed nothing
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.tables.guarded RENAME COLUMN n_name TO nm")
+    }
+    // the refusals changed nothing
     assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").count() === 3)
     // while a live branch pins a version, DROP refuses (dangling-branch
     // guard); after the branch is dropped — releasing its pin — it works
@@ -201,6 +206,51 @@ class CatalogSpec extends SparkSpec {
     assert(!Lake.hasManifest(spark, root, "mor_sql", v))
     assert(!graft.lake.MergeOnRead.hasDeletes(spark, root, "mor_sql", v))
     assert(spark.sql(s"SELECT count(*) FROM $cat.tables.mor_sql").head().getLong(0) === 350)
+  }
+
+  test("ADD COLUMN is metadata-only; reads null-fill; writes carry it physically") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(
+      (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "nm")
+        .repartitionByRange(4, col("k")), root, "evo_t")
+    spark.sql(s"ALTER TABLE $cat.tables.evo_t ADD COLUMN score DOUBLE")
+    // the evolution commit wrote NO data files — schema sidecar + manifest
+    val v2dir = new java.io.File(s"$root/tables/evo_t/version=v2")
+    assert(new java.io.File(v2dir, "_schema").isFile)
+    assert(v2dir.listFiles().forall(f =>
+      !f.isFile || f.getName.startsWith("_") || f.getName.startsWith(".")))
+    assert(Lake.snapshotFiles(spark, root, "evo_t", 2)
+      .forall(_.contains("version=v1")), "all data files carried from v1")
+    // reads null-fill; schema shows the column; old version unchanged
+    assert(spark.sql(s"SELECT * FROM $cat.tables.evo_t").columns.toSeq
+      === Seq("k", "nm", "score"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.tables.evo_t WHERE score IS NULL")
+      .head().getLong(0) === 100)
+    assert(spark.sql(s"SELECT * FROM $cat.tables.evo_t VERSION AS OF 1")
+      .columns.toSeq === Seq("k", "nm"))
+    // a second add of the same name refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.tables.evo_t ADD COLUMN score DOUBLE")
+    }
+    // INSERT INTO carries the column physically
+    spark.sql(s"INSERT INTO $cat.tables.evo_t VALUES (101, 'new', 9.5)")
+    assert(spark.sql(
+      s"SELECT score FROM $cat.tables.evo_t WHERE k = 101").head().getDouble(0) === 9.5)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.tables.evo_t WHERE score IS NULL")
+      .head().getLong(0) === 100)
+    // a COW mutation on the evolved base: predicate and SET may reference
+    // the new column; carried old-schema files keep null-filling
+    graft.lake.CopyOnWrite.updateWhere(spark, root, "evo_t",
+      col("k") <= 10, Seq("score" -> lit(1.0)))
+    val after = spark.sql(s"SELECT * FROM $cat.tables.evo_t")
+    assert(after.filter(col("score") === 1.0).count() === 10)
+    assert(after.filter(col("score").isNull).count() === 90)
+    assert(after.count() === 101)
+    // and a MOR delete keyed on the evolved column works (null never matches)
+    spark.sql(s"DELETE FROM $cat.tables.evo_t WHERE score = 9.5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.evo_t").head().getLong(0) === 100)
   }
 
   test("key-equality DELETE routes to the zero-scan equality sidecar") {
