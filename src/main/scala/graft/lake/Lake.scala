@@ -434,6 +434,57 @@ object Lake {
         root, name, expectedLatest = base, retentionVersions)
     }
 
+  /** VERSION TAGS — named refs over the version ledger (the Iceberg
+    * tag idea on the snapshot layout): `tagVersion` drops a
+    * `_tag_<tag>` marker INSIDE the tagged version dir, so
+    *  - resolution is one dir listing ([[tagVersion]]/[[tagOf]]),
+    *  - [[Retention.pruneTableVersions]]'s existing `_tag_`-aware
+    *    ineligibility keeps tagged versions alive forever (a tag is a
+    *    retention pin by construction — "the v2026-01 training cut" can
+    *    never be aged out from under a reproducibility contract),
+    *  - SQL time travel accepts tags: `VERSION AS OF 'stable'` resolves
+    *    through the same catalog hook as numbers.
+    * Tag names: `[A-Za-z][A-Za-z0-9_.-]*` (never all-digits, so numeric
+    * version travel stays unambiguous). One version per tag; retagging
+    * requires removing the old tag first (tags are contracts, not
+    * pointers to move silently).
+    */
+  private val TagName = raw"[A-Za-z][A-Za-z0-9_.-]*".r
+
+  def tagVersion(
+      spark: SparkSession, root: String, name: String, tag: String,
+      version: Option[Int] = None): Int = {
+    require(TagName.matches(tag), s"invalid tag '$tag' (must match ${TagName.regex})")
+    val v = version.orElse(latestVersion(spark, root, name)).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    require(versions(spark, root, name).contains(v),
+      s"tagVersion: $name has no version v$v")
+    tagOf(spark, root, name, tag).foreach(existing => throw new IllegalStateException(
+      s"tag '$tag' already points at $name v$existing — remove it first"))
+    val dir = new Path(s"${tablePath(root, name)}/version=v$v")
+    fs(spark, dir.toString).create(new Path(dir, s"_tag_$tag"), true).close()
+    v
+  }
+
+  /** The version a tag points at, or None. One dir listing per version. */
+  def tagOf(
+      spark: SparkSession, root: String, name: String,
+      tag: String): Option[Int] =
+    versions(spark, root, name).find { v =>
+      val dir = new Path(s"${tablePath(root, name)}/version=v$v")
+      fs(spark, dir.toString).exists(new Path(dir, s"_tag_$tag"))
+    }
+
+  /** Remove a tag; the version becomes retention-eligible again. Returns
+    * whether the tag existed.
+    */
+  def removeTag(
+      spark: SparkSession, root: String, name: String, tag: String): Boolean =
+    tagOf(spark, root, name, tag).exists { v =>
+      val dir = new Path(s"${tablePath(root, name)}/version=v$v")
+      fs(spark, dir.toString).delete(new Path(dir, s"_tag_$tag"), false)
+    }
+
   /** One version's ledger entry for [[tableHistory]]. `kind`: `physical`
     * (plain snapshot), `clone` (pointer version), `cow` (manifest-carrying
     * rewrite), `mor` (delete-sidecar version; `cow+mor` when a rewrite

@@ -61,8 +61,11 @@ object Retention {
 
   /** Keep the newest `keep` versions of a table feed, delete the rest (C2,
     * data_retention.py:54-78). No-op when versions ≤ keep (:65-67).
-    * Three classes of version are NOT prunable — excluded from the result
+    * Four classes of version are NOT prunable — excluded from the result
     * entirely (not "kept by recency", ineligible):
+    *  - versions carrying a `_tag_*` marker ([[Lake.tagVersion]]): a tag
+    *    is a named reproducibility contract and holds its version alive
+    *    until the tag is removed;
     *  - versions carrying a `_pin_*` marker (a shallow clone references
     *    their bytes — [[Lake.cloneTable]]): deleting them would dangle
     *    every branch pointing here;
@@ -105,7 +108,10 @@ object Retention {
     }
     val ineligibleBase = vs.filter { v =>
       val entries = f.listStatus(dir(v)).map(_.getPath.getName)
-      entries.exists(_.startsWith("_pin_")) || entries.contains("_clone")
+      entries.exists(_.startsWith("_pin_")) || entries.contains("_clone") ||
+        // a TAGGED version is a named contract ("the v2026-01 training
+        // cut") — never age it out; remove the tag to release it
+        entries.exists(_.startsWith("_tag_"))
     }.toSet
     var survivors = vs.takeRight(keep).toSet ++ ineligibleBase
     var frontier = survivors

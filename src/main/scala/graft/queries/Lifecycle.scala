@@ -1242,6 +1242,61 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'latest', * FROM latest""".stripMargin
 
+  /** A32 VERSION TAGS ([[Lake.tagVersion]], SQL `CALL system.tag` /
+    * `VERSION AS OF '<tag>'`): named refs over the version ledger — "the
+    * v2026-01 training cut" as a reproducibility contract. A tag is a
+    * `_tag_<name>` marker inside the tagged version dir, which makes it
+    * a retention pin BY CONSTRUCTION: `prune_versions` must skip tagged
+    * versions however old they get, and releasing the tag (`untag`)
+    * makes the version age-eligible again. The gate pins the whole
+    * contract: tag v1 via SQL, commit two more generations, prune to
+    * keep=1 — v1 must survive ONLY because of its tag while the untagged
+    * middle version is deleted — then read the tag back by NAME via SQL
+    * time travel and hash both generations against DuckDB. A second
+    * throwaway table proves the release half (untag → prune deletes it)
+    * and the no-silent-retag refusal.
+    */
+  def versionTags(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_tag_")
+    val slice = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def keysTo(hi: Int) = slice.filter(col("o_orderkey").between(1, hi))
+    Lake.writeTableSnapshot(keysTo(300), root, "ord_tag")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    require(s.sql(s"CALL $cat.system.tag('ord_tag', 'cut_a', 0)")
+      .head().getInt(0) == 1, "tag(version<=0) must tag the current latest")
+    Lake.writeTableSnapshot(keysTo(200), root, "ord_tag")
+    Lake.writeTableSnapshot(keysTo(100), root, "ord_tag")
+    s.sql(s"CALL $cat.system.prune_versions('ord_tag', 1)").collect()
+    require(Lake.versions(s, root, "ord_tag") == Seq(1, 3),
+      "prune keep=1 must delete the untagged v2 and keep the tagged v1")
+    // release contract, on a throwaway table so the returned frames'
+    // lineage never points at pruned bytes
+    Lake.writeTableSnapshot(keysTo(10), root, "ord_tag2")
+    Lake.tagVersion(s, root, "ord_tag2", "tmp")
+    require(scala.util.Try(Lake.tagVersion(s, root, "ord_tag2", "tmp")).isFailure,
+      "retagging an existing tag must refuse")
+    Lake.writeTableSnapshot(keysTo(5), root, "ord_tag2")
+    require(s.sql(s"CALL $cat.system.untag('ord_tag2', 'tmp')").head().getInt(0) == 1)
+    s.sql(s"CALL $cat.system.prune_versions('ord_tag2', 1)").collect()
+    require(Lake.versions(s, root, "ord_tag2") == Seq(2),
+      "untag must make the version age-eligible again")
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM $cat.tables.ord_tag$suffix")
+    q("tagged", " VERSION AS OF 'cut_a'").unionByName(q("latest", ""))
+  }
+
+  val versionTagsOracle: String =
+    """SELECT 'tagged' AS gen, o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 300
+      |UNION ALL
+      |SELECT 'latest', o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 100""".stripMargin
+
   /** A25 shallow clone / branching: [[Lake.cloneTable]] commits a
     * METADATA-POINTER version — branching a table is O(1) regardless of
     * data size (at 100 TB: one marker file + one rename, zero bytes
@@ -2228,6 +2283,7 @@ object Lifecycle {
     "a29_mor_delete_compact" -> (morDeleteCompact _),
     "a30_eq_delete" -> (eqDelete _),
     "a31_schema_evolution" -> (schemaEvolution _),
+    "a32_version_tags" -> (versionTags _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
@@ -2282,6 +2338,7 @@ object Lifecycle {
     "a29_mor_delete_compact" -> morDeleteCompactOracle,
     "a30_eq_delete" -> eqDeleteOracle,
     "a31_schema_evolution" -> schemaEvolutionOracle,
+    "a32_version_tags" -> versionTagsOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,

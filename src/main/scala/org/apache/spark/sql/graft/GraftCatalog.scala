@@ -570,11 +570,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else delegate.newScanBuilder(options)
   }
 
-  /** `VERSION AS OF n` (also accepts `vn`). */
+  /** `VERSION AS OF n` (also accepts `vn`) — or a TAG NAME: `VERSION AS
+    * OF 'stable'` resolves through [[graft.lake.Lake.tagOf]] (tag names
+    * never parse as integers by construction, so the forms are
+    * unambiguous).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.stripPrefix("v").toInt
     val snaps = snapshots(ident)
     if (snaps.isEmpty) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.stripPrefix("v").toInt).getOrElse {
+      graft.lake.Lake.tagOf(SparkSession.active, root, ident.name(), version)
+        .getOrElse(throw new NoSuchTableException(
+          Seq(s"${ident.name()} (no tag '$version')")))
+    }
     if (!snaps.exists(_._1 == v)) throw new NoSuchTableException(
       Seq(s"${ident.name()} (has versions ${snaps.map(_._1).mkString(",")}, not v$v)"))
     new FrozenTable(ident, v)
@@ -709,7 +717,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("clone", "compact", "history", "merge_branch", "restore",
-        "prune_versions", "vacuum")
+        "prune_versions", "tag", "untag", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -767,6 +775,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           new GenericInternalRow(Array[Any](
             UTF8String.fromString(p.path), p.deleted)): InternalRow)
       }
+      case "tag" => procedure("tag",
+        Array(in("table", StringType), in("tag", StringType),
+          in("version", IntegerType)),
+        versionSchema) { row =>
+        // version <= 0 tags the current latest
+        val v = if (row.getInt(2) > 0) Some(row.getInt(2)) else None
+        versionRow(graft.lake.Lake.tagVersion(spark, root, str(row, 0), str(row, 1), v))
+      }
+      case "untag" => procedure("untag",
+        Array(in("table", StringType), in("tag", StringType)),
+        versionSchema) { row =>
+        val t = str(row, 0); val tg = str(row, 1)
+        val v = graft.lake.Lake.tagOf(spark, root, t, tg).getOrElse(
+          throw new IllegalArgumentException(s"no tag '$tg' on $t"))
+        graft.lake.Lake.removeTag(spark, root, t, tg)
+        versionRow(v)
+      }
       case "vacuum" => procedure("vacuum",
         Array(in("table", StringType)),
         sweepSchema) { row =>
@@ -778,7 +803,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure: $other (have: clone, compact, history, " +
-          "merge_branch, restore, prune_versions, vacuum)")
+          "merge_branch, restore, prune_versions, tag, untag, vacuum)")
     }
   }
 }
