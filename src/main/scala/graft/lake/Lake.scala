@@ -419,7 +419,8 @@ object Lake {
   def compactTable(
       spark: SparkSession, root: String, name: String,
       targetFileBytes: Long = 128L << 20,
-      retentionVersions: Int = 7): Int =
+      retentionVersions: Int = 7,
+      clusterBy: Seq[String] = Nil): Int =
     CopyOnWrite.retryLoop(name, "compactTable") { () =>
       val base = latestVersion(spark, root, name).getOrElse(
         throw new IllegalStateException(s"no versions for table feed $name"))
@@ -427,11 +428,19 @@ object Lake {
       val f = fs(spark, tablePath(root, name))
       val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
       val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      // coalesce, not repartition: compaction must not pay a full shuffle —
-      // narrow merge of neighbors into ~target-sized outputs
-      writeTableSnapshotIf(
-        readTableFeed(spark, root, name, Some(base)).coalesce(parts),
-        root, name, expectedLatest = base, retentionVersions)
+      val resolved = readTableFeed(spark, root, name, Some(base))
+      // plain compaction is SHUFFLE-FREE (coalesce merges neighbors into
+      // ~target-sized outputs); CLUSTERED compaction deliberately pays one
+      // range shuffle + in-partition sort so each output file covers a
+      // disjoint slice of the cluster key — parquet footer min/max then
+      // prunes whole files for key-range queries (the OPTIMIZE ... ZORDER
+      // trade: rewrite cost now, scan cost forever after)
+      val shaped =
+        if (clusterBy.isEmpty) resolved.coalesce(parts)
+        else resolved
+          .repartitionByRange(parts, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      writeTableSnapshotIf(shaped, root, name, expectedLatest = base, retentionVersions)
     }
 
   /** VERSION TAGS — named refs over the version ledger (the Iceberg

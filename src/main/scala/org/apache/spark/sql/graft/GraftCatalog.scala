@@ -716,8 +716,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("clone", "compact", "history", "merge_branch", "restore",
-        "prune_versions", "tag", "untag", "vacuum")
+      Array("clone", "cluster", "compact", "history", "merge_branch",
+        "restore", "prune_versions", "tag", "untag", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -757,6 +757,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           new GenericInternalRow(Array[Any](
             i.version, i.committedAtMillis, UTF8String.fromString(i.kind),
             i.dataFiles, i.carriedFiles)): InternalRow)
+      }
+      case "cluster" => procedure("cluster",
+        Array(in("table", StringType), in("columns", StringType)),
+        versionSchema) { row =>
+        // clustered rewrite: one range shuffle buys per-file min/max
+        // skipping on the cluster key for every read after
+        versionRow(graft.lake.Lake.compactTable(spark, root, str(row, 0),
+          clusterBy = str(row, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       }
       case "restore" => procedure("restore",
         Array(in("table", StringType), in("version", IntegerType)),
@@ -802,7 +810,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure: $other (have: clone, compact, history, " +
+        s"unknown procedure: $other (have: clone, cluster, compact, history, " +
           "merge_branch, restore, prune_versions, tag, untag, vacuum)")
     }
   }

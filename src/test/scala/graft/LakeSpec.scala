@@ -328,6 +328,30 @@ class LakeSpec extends SparkSpec {
       smallBytes = 1L) === v)
   }
 
+  test("clustered compaction: output files cover disjoint cluster-key ranges") {
+    val root = scratch()
+    // deliberately scrambled layout: every file spans the whole key range
+    Lake.writeTableSnapshot(
+      (1 to 4000).map(i => (i, s"pad${i * 2654435761L}%${i * 40503L}")).toDF("k", "x")
+        .repartition(6), root, "cl_t")
+    val v = Lake.compactTable(spark, root, "cl_t",
+      targetFileBytes = 16L << 10, clusterBy = Seq("k"))
+    val files = Lake.snapshotFiles(spark, root, "cl_t", v)
+    assert(files.size >= 2, s"expected multiple output files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file key ranges must be disjoint after clustering: $ranges")
+      case _ => ()
+    }
+    val back = Lake.readTableFeed(spark, root, "cl_t")
+    assert(back.count() === 4000)
+    assert(back.agg(sum(col("k"))).head().getLong(0) === 4000L * 4001 / 2)
+  }
+
   test("merge-on-read delete on a cloned branch pins the source's version dirs") {
     import graft.lake.MergeOnRead
     val root = scratch()
