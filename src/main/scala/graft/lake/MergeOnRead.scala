@@ -62,6 +62,13 @@ object MergeOnRead {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-only stall point between a delete's base probe and its CAS
+    * commit — the lost-update window. Lets ConcurrencySpec land a
+    * conflicting writer deterministically and pin that the delete
+    * RETRIES against the new base instead of clobbering or losing it.
+    */
+  private[graft] var testStallBeforeCommit: () => Unit = () => ()
+
   /** Root-relative data-file spelling from `_metadata.file_path` (a URI
     * string): the last four `/`-components are exactly
     * `tables/<t>/version=vN/<file>` — root-independent, so sidecars
@@ -201,6 +208,7 @@ object MergeOnRead {
       val cumulative = baseDel
         .map(d => matched.unionByName(d)).getOrElse(matched)
         .distinct()
+      testStallBeforeCommit()
       // a positional delete writes no new rows, so the base's EQUALITY
       // sidecar (if any) carries VERBATIM — value-keyed matching stays
       // sound because no freshly-written row can reuse a deleted key

@@ -657,6 +657,35 @@ class ConcurrencySpec extends SparkSpec {
     } finally Txn.testStallBeforeSweep = () => ()
   }
 
+  test("merge-on-read delete racing a snapshot writer retries on the new base (no lost update)") {
+    import graft.lake.MergeOnRead
+    import org.apache.spark.sql.functions.col
+    val root = scratch()
+    Lake.writeTableSnapshot(
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "x"), root, "race_t")
+    // the conflicting writer lands INSIDE the delete's probe→commit
+    // window: it appends rows 101..120 as v2, so the delete's CAS on
+    // base=v1 must LOSE and the retry must re-probe v2 — the appended
+    // rows that match the predicate are deleted too, and the ones that
+    // don't are never lost
+    MergeOnRead.testStallBeforeCommit = () => {
+      MergeOnRead.testStallBeforeCommit = () => ()
+      Lake.writeTableSnapshot(
+        Lake.readTableFeed(spark, root, "race_t")
+          .unionByName((101 to 120).map(i => (i, s"v$i")).toDF("k", "x")),
+        root, "race_t")
+    }
+    try {
+      val v = MergeOnRead.deleteWhere(spark, root, "race_t", col("k") % 2 === 0)
+      assert(v === 3, "the delete must land AFTER the conflicting append")
+      val got = Lake.readTableFeed(spark, root, "race_t")
+      assert(got.count() === 60, "retry must apply to the NEW base: 120 rows / 2")
+      assert(got.filter(col("k") > 100).count() === 10,
+        "the concurrent append's surviving rows must not be lost")
+      assert(got.filter(col("k") % 2 === 0).count() === 0)
+    } finally MergeOnRead.testStallBeforeCommit = () => ()
+  }
+
   test("heartbeat racing a sweep never resurrects the swept dir (TOCTOU, round 11)") {
     // The fallback path for filesystems where directory setTimes is a
     // silent no-op: commit() heartbeats a marker INSIDE each staged dir.

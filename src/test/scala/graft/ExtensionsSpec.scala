@@ -162,6 +162,57 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ReadGuard: the merge-on-read V1Scan fallback cannot bypass a table deny") {
+    import graft.governance.{Permissions, ReadGuard}
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-mor-guard-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("graft_mguard_").toString
+      graft.lake.Lake.writeTableSnapshot(
+        (1 to 20).map(i => (i, s"s$i")).toDF("k", "x"), root, "mor_sec")
+      // a sidecar version: catalog reads now route through the V1Scan
+      // fallback, whose inner plan must STILL pass the guard
+      graft.lake.MergeOnRead.deleteWhere(spark, root, "mor_sec", col("k") <= 5)
+      spark.conf.set("spark.sql.catalog.mg",
+        classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.mg.root", root)
+      val at = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val noGrant = Permissions.grant(Permissions.empty(spark),
+        "eve@corp", s"$root/elsewhere", "read", "root@corp", at)
+      ReadGuard.install(noGrant, "eve@corp", java.sql.Date.valueOf("2024-06-01"))
+      try {
+        intercept[SecurityException] {
+          spark.sql("SELECT * FROM mg.tables.mor_sec").count()
+        }
+      } finally ReadGuard.clear()
+      val withGrant = Permissions.grant(noGrant,
+        "eve@corp", s"$root/tables/mor_sec", "read", "root@corp", at)
+      ReadGuard.install(withGrant, "eve@corp", java.sql.Date.valueOf("2024-06-01"))
+      try {
+        assert(spark.sql("SELECT * FROM mg.tables.mor_sec").count() === 15)
+      } finally ReadGuard.clear()
+    } finally {
+      prior match {
+        case Some(p) =>
+          SparkSession.setDefaultSession(p)
+          SparkSession.setActiveSession(p)
+        case None =>
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+      }
+    }
+  }
+
   test("ReadGuard: a deny on the source cannot be laundered through a shallow clone") {
     import graft.governance.{Permissions, ReadGuard}
     val prior = SparkSession.getDefaultSession
