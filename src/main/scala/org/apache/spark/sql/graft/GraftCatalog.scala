@@ -241,21 +241,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def morScanBuilder(
       ident: Identifier, version: Int, tableSchema: StructType): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // pruning + pushdown SURVIVE the fallback: the pruned columns and
+      // translatable filters are applied to the INNER resolved plan, where
+      // Catalyst pushes them into the data-file parquet scans underneath
+      // the sidecar anti-joins — a MOR version costs the anti-join, not
+      // the loss of scan pushdown. Pushed filters are also kept as
+      // residuals above (returning `filters` unchanged — the conservative
+      // parquet contract), so a translation gap can cost IO, never rows.
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => GraftCatalog.filterToColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): org.apache.spark.sql.connector.read.Scan =
         new org.apache.spark.sql.connector.read.V1Scan {
-          override def readSchema(): StructType = tableSchema
+          private val outSchema = required
+          private val filters = pushed
+          override def readSchema(): StructType = outSchema
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: org.apache.spark.sql.SQLContext): T =
             (new BaseRelation with TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext = context
-              override val schema: StructType = tableSchema
+              override val schema: StructType = outSchema
               override def needConversion: Boolean = false
-              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-                graft.lake.Lake
-                  .readTableFeed(SparkSession.active, root, ident.name(), Some(version))
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                val spark = SparkSession.active
+                val resolved = graft.lake.Lake
+                  .readTableFeed(spark, root, ident.name(), Some(version))
+                val filtered = filters.foldLeft(resolved)((df, f) =>
+                  df.filter(GraftCatalog.filterToColumn(f).get))
+                filtered
+                  .select(outSchema.fieldNames.toIndexedSeq.map(
+                    org.apache.spark.sql.functions.col): _*)
                   .queryExecution.toRdd
                   .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+              }
             }).asInstanceOf[T]
         }
     }

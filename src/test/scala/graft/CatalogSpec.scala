@@ -201,6 +201,14 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.tables.mor_sql").head().getLong(0) === 350)
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.tables.mor_sql WHERE amt = 0.0").head().getLong(0) === 10)
+    // pruning + pushdown survive the V1Scan fallback: the pushed filter is
+    // visible on the fallback scan node and the projection narrows it
+    val morPlan = spark.sql(
+      s"SELECT k FROM $cat.tables.mor_sql WHERE k > 300")
+    assert(morPlan.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "translatable predicates must be pushed through the MOR fallback")
+    assert(morPlan.count() === 100)
+    assert(morPlan.columns.toSeq === Seq("k"))
     // CALL system.compact folds sidecars + manifests into physical files
     val v = spark.sql(s"CALL $cat.system.compact('mor_sql')").head().getInt(0)
     assert(!Lake.hasManifest(spark, root, "mor_sql", v))
