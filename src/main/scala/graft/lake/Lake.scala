@@ -497,7 +497,8 @@ object Lake {
   /** One version's ledger entry for [[tableHistory]]. `kind`: `physical`
     * (plain snapshot), `clone` (pointer version), `cow` (manifest-carrying
     * rewrite), `mor` (delete-sidecar version; `cow+mor` when a rewrite
-    * also carries sidecar entries).
+    * also carries sidecar entries), `evolve` (metadata-only schema
+    * evolution — manifest + `_schema`, zero data files).
     */
   case class VersionInfo(
       version: Int, committedAtMillis: Long, kind: String,
@@ -531,10 +532,12 @@ object Lake {
           val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           txt.split('\n').count(_.trim.nonEmpty)
         }
+      val hasSchema = entries.exists(_.getPath.getName == schemaName)
       val kind =
         if (isClone) "clone"
         else if (hasDel && own > 0) "cow+mor"
         else if (hasDel) "mor"
+        else if (hasMf && own == 0 && hasSchema) "evolve"
         else if (hasMf) "cow"
         else "physical"
       VersionInfo(v, commitInstantMillis(spark, root, name, v), kind, own, carried)

@@ -367,7 +367,8 @@ class CatalogSpec extends SparkSpec {
     // the version ledger: one row per version, kind classified, no jobs
     val hist = spark.sql(s"CALL $cat.system.history('pr_t')").collect()
     assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
-    assert(hist.map(_.getString(2)).forall(Set("physical", "clone", "cow", "mor", "cow+mor")))
+    assert(hist.map(_.getString(2)).forall(
+      Set("physical", "clone", "cow", "mor", "cow+mor", "evolve")))
     assert(hist.head.getString(2) === "physical")
   }
 
