@@ -743,8 +743,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("clone", "cluster", "compact", "history", "merge_branch",
-        "restore", "prune_versions", "tag", "untag", "vacuum")
+      Array("clone", "cluster", "compact", "compact_files", "history",
+        "merge_branch", "restore", "prune_versions", "tag", "untag", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -774,6 +774,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // sidecars applied) as plain size-targeted physical files — restores
         // full pushdown and unchains COW/MOR versions for retention
         versionRow(graft.lake.Lake.compactTable(spark, root, str(row, 0)))
+      }
+      case "compact_files" => procedure("compact_files",
+        Array(in("table", StringType), in("small_mb", IntegerType)),
+        versionSchema) { row =>
+        // incremental bin-pack: only files under small_mb are rewritten;
+        // target-sized files carry by reference — the maintenance loop for
+        // streaming appends and frequent tiny COW commits
+        require(row.getInt(1) >= 1,
+          s"compact_files: small_mb must be >= 1, got ${row.getInt(1)}")
+        versionRow(graft.lake.CopyOnWrite.compactSmallFiles(
+          spark, root, str(row, 0), smallBytes = row.getInt(1).toLong << 20))
       }
       case "history" => procedure("history",
         Array(in("table", StringType)),
@@ -837,8 +848,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure: $other (have: clone, cluster, compact, history, " +
-          "merge_branch, restore, prune_versions, tag, untag, vacuum)")
+        s"unknown procedure: $other (have: clone, cluster, compact, " +
+          "compact_files, history, merge_branch, restore, prune_versions, " +
+          "tag, untag, vacuum)")
     }
   }
 }

@@ -283,6 +283,13 @@ class CatalogSpec extends SparkSpec {
     val v = spark.sql(s"CALL $cat.system.compact('eq_sql')").head().getInt(0)
     assert(!graft.lake.MergeOnRead.hasAnyDeletes(spark, root, "eq_sql", v))
     assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eq_sql").head().getLong(0) === 126)
+    // incremental small-file compaction via SQL: the full compact left a
+    // single file, so the bin-pack is a NO-OP (same version, no churn)
+    assert(spark.sql(s"CALL $cat.system.compact_files('eq_sql', 32)")
+      .head().getInt(0) === v)
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact_files('eq_sql', 0)").collect()
+    }
   }
 
   test("UPDATE and MERGE INTO commit new versions; non-matching rows are never lost") {
@@ -363,7 +370,7 @@ class CatalogSpec extends SparkSpec {
     // vacuum on a clean table reports nothing; unknown procedure refuses
     assert(spark.sql(s"CALL $cat.system.vacuum('pr_t')").count() === 0)
     intercept[Exception] { spark.sql(s"CALL $cat.system.nope('x')").collect() }
-    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 10)
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 11)
     // the version ledger: one row per version, kind classified, no jobs
     val hist = spark.sql(s"CALL $cat.system.history('pr_t')").collect()
     assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
