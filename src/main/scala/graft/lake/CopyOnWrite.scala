@@ -291,8 +291,11 @@ object CopyOnWrite {
     val declared = Lake.declaredSchema(spark, root, name, base)
     val srcKeys = source.select(keys.map(col).toIndexedSeq: _*).distinct()
     // probe: files holding ≥1 target row whose key appears in the source —
-    // key-column-pruned scan, semi-join (AQE broadcasts a small source)
-    val touched = spark.read.parquet(files: _*)
+    // key-column-pruned scan, semi-join (AQE broadcasts a small source);
+    // the declared (evolved) schema applies like every other mutation
+    // probe, so a MERGE keyed on a metadata-only-added column resolves
+    val touched = declared.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(files: _*)
       .select((col("_metadata.file_path").as("_gf") +: keys.map(col)).toIndexedSeq: _*)
       .join(srcKeys, keys.toIndexedSeq, "left_semi")
       .select("_gf").distinct().collect().map(_.getString(0)).toSeq
@@ -310,7 +313,11 @@ object CopyOnWrite {
       else {
         val t = MergeOnRead.readWithDeletes(spark, touched, del, eq, declared).alias("t")
         val s = source.withColumn("_s_matched", lit(true)).alias("s")
-        val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+        // PLAIN equality, never <=>: SQL MERGE ON t.k = s.k means a NULL
+        // key matches nothing — a NULL-key source row is NOT MATCHED (and
+        // inserts, consistent with the probe and the insert anti-join),
+        // a NULL-key target row is never updated or deleted
+        val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         t.join(s, joinCond, "left_outer")
           .filter(!deleteCond)
           .select(targetSchema.fields.map { fld =>

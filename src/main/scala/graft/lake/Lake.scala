@@ -352,16 +352,18 @@ object Lake {
       spark: SparkSession, root: String, name: String, version: Int): Seq[String] = {
     val dir = new Path(resolveSnapshotDir(spark, root, name, version))
     val f = fs(spark, dir.toString)
-    // scheme-normalized (bare URI paths): own files come from listStatus
-    // ("file:/..."), carried ones from root-relative manifest entries —
-    // a consistent spelling makes set operations over versions' file
-    // lists (the COW probe, spec pins) behave
+    // FULLY-QUALIFIED URIs, all through the same filesystem: own files
+    // from listStatus, carried ones resolved root-relative — one spelling,
+    // WITH scheme/authority, so `spark.read.parquet` over the list hits
+    // the lake's filesystem even when it is not the session default
+    // (object stores); set operations over versions' file lists (the COW
+    // probe, spec pins) normalize both sides identically instead
     val own = f.listStatus(dir).toSeq
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      .map(_.getPath.toUri.getPath)
+      .map(st => f.makeQualified(st.getPath).toString)
     val mf = new Path(dir, manifestName)
     if (!f.exists(mf)) own
     else {
@@ -369,7 +371,7 @@ object Lake {
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       own ++ txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-        .map(rel => new Path(s"$root/$rel").toUri.getPath).toSeq
+        .map(rel => f.makeQualified(new Path(s"$root/$rel")).toString).toSeq
     }
   }
 
@@ -453,17 +455,23 @@ object Lake {
     *    never be aged out from under a reproducibility contract),
     *  - SQL time travel accepts tags: `VERSION AS OF 'stable'` resolves
     *    through the same catalog hook as numbers.
-    * Tag names: `[A-Za-z][A-Za-z0-9_.-]*` (never all-digits, so numeric
-    * version travel stays unambiguous). One version per tag; retagging
+    * Tag names: `[A-Za-z][A-Za-z0-9_.-]*`, excluding the `v<digits>`
+    * spellings — `VERSION AS OF` tries `v2`/`2` as a NUMBER first, so a
+    * tag literally named `v2` would silently resolve to numeric version 2
+    * instead of the tag; refusing those names at creation keeps numeric
+    * and tag travel genuinely unambiguous. One version per tag; retagging
     * requires removing the old tag first (tags are contracts, not
     * pointers to move silently).
     */
   private val TagName = raw"[A-Za-z][A-Za-z0-9_.-]*".r
+  private val NumericLike = raw"v\d+".r
 
   def tagVersion(
       spark: SparkSession, root: String, name: String, tag: String,
       version: Option[Int] = None): Int = {
     require(TagName.matches(tag), s"invalid tag '$tag' (must match ${TagName.regex})")
+    require(!NumericLike.matches(tag),
+      s"invalid tag '$tag': v<digits> names collide with numeric VERSION AS OF travel")
     val v = version.orElse(latestVersion(spark, root, name)).getOrElse(
       throw new IllegalStateException(s"no versions for table feed $name"))
     require(versions(spark, root, name).contains(v),

@@ -598,9 +598,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `VERSION AS OF n` (also accepts `vn`) — or a TAG NAME: `VERSION AS
-    * OF 'stable'` resolves through [[graft.lake.Lake.tagOf]] (tag names
-    * never parse as integers by construction, so the forms are
-    * unambiguous).
+    * OF 'stable'` resolves through [[graft.lake.Lake.tagOf]]. The numeric
+    * parse runs first, so unambiguity rests on [[graft.lake.Lake.tagVersion]]
+    * refusing both all-digit AND `v<digits>` tag names at creation.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val snaps = snapshots(ident)

@@ -313,13 +313,13 @@ class LakeSpec extends SparkSpec {
     // make the threshold split real: the 4000-row file is > 64KB? use sizes
     val files = Lake.snapshotFiles(spark, root, "sf_t",
       Lake.versions(spark, root, "sf_t").max)
-    val sizes = files.map(p => new java.io.File(p).length())
+    val sizes = files.map(p => new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath).length())
     val thresh = sizes.max // everything strictly under the biggest is "small"
     val before = Lake.readTableFeed(spark, root, "sf_t").count()
     val v = CopyOnWrite.compactSmallFiles(spark, root, "sf_t",
       smallBytes = thresh, targetFileBytes = 1L << 30)
     val vFiles = Lake.snapshotFiles(spark, root, "sf_t", v)
-    assert(vFiles.exists(f => new java.io.File(f).length() == thresh),
+    assert(vFiles.exists(f => new java.io.File(new org.apache.hadoop.fs.Path(f).toUri.getPath).length() == thresh),
       "the biggest file must be carried by reference, not rewritten")
     assert(vFiles.size < files.size, "small files must be packed together")
     assert(Lake.readTableFeed(spark, root, "sf_t").count() === before)
