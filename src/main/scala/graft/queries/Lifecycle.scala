@@ -1176,6 +1176,72 @@ object Lifecycle {
       |UNION ALL SELECT 'mixed', * FROM v4
       |UNION ALL SELECT 'latest', * FROM v6""".stripMargin
 
+  /** A30b MULTI-COLUMN equality-delete routing (round 12): the catalog's
+    * DELETE router also sends CONJUNCTIONS of equalities on distinct
+    * columns (`WHERE tenant = 't1' AND user_id IN (...)` — the
+    * composite-key GDPR shape) to [[graft.lake.MergeOnRead.deleteByKeys]]:
+    * the commit is the key TUPLES (sidecar columns = both key columns) +
+    * a manifest — still O(keys) bytes, zero jobs over table data. An
+    * IN×IN conjunction expands to the bounded value cross product and
+    * folds into the same-key-columns sidecar by union; a conjunction with
+    * any non-equality member stays positional (the equality sidecar
+    * carries verbatim). Three generations read back via time travel hash
+    * against DuckDB recomputing the same mutations.
+    */
+  def eqDeleteMulti(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_eqm_")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"), col("c_mktsegment"))
+    Lake.writeTableSnapshot(
+      cust.filter(col("c_custkey").between(1, 1200))
+        .repartitionByRange(8, col("c_custkey")), root, "cust_eqm")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // two-column = AND = : one key tuple, equality sidecar, zero scans
+    s.sql(s"DELETE FROM $cat.tables.cust_eqm " +
+      "WHERE c_nationkey = 5 AND c_mktsegment = 'BUILDING'")
+    val eq2 = graft.lake.MergeOnRead.eqDeletesOf(s, root, "cust_eqm", 2)
+    require(eq2.isDefined && !graft.lake.MergeOnRead.hasDeletes(s, root, "cust_eqm", 2),
+      "a conjunction of equalities must commit an equality sidecar, not scan positions")
+    require(eq2.get.columns.sorted.sameElements(Array("c_mktsegment", "c_nationkey")) &&
+      eq2.get.count() == 1,
+      "the sidecar's columns must be the composite key, one tuple per key")
+    // IN × IN cross product on the SAME key columns: folds by union (1+4)
+    s.sql(s"DELETE FROM $cat.tables.cust_eqm WHERE c_nationkey IN (8, 9) " +
+      "AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')")
+    require(graft.lake.MergeOnRead.eqDeletesOf(s, root, "cust_eqm", 3)
+      .get.count() == 5, "same-key-columns composite sidecars must fold by union")
+    // a non-equality conjunct keeps the statement POSITIONAL; the
+    // composite equality sidecar carries verbatim
+    s.sql(s"DELETE FROM $cat.tables.cust_eqm " +
+      "WHERE c_acctbal > 9000 AND c_nationkey = 2")
+    require(graft.lake.MergeOnRead.hasDeletes(s, root, "cust_eqm", 4) &&
+      graft.lake.MergeOnRead.eqDeletesOf(s, root, "cust_eqm", 4).get.count() == 5,
+      "a mixed conjunction is positional; the equality sidecar carries verbatim")
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, c_custkey, c_name, c_acctbal, c_nationkey, " +
+        s"c_mktsegment FROM $cat.tables.cust_eqm$suffix")
+    q("base", " VERSION AS OF 1")
+      .unionByName(q("multi", " VERSION AS OF 3"))
+      .unionByName(q("latest", ""))
+  }
+
+  val eqDeleteMultiOracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey, c_mktsegment
+      |  FROM customer WHERE c_custkey BETWEEN 1 AND 1200),
+      |v3 AS (SELECT * FROM v1
+      |  WHERE NOT (c_nationkey = 5 AND c_mktsegment = 'BUILDING')
+      |    AND NOT (c_nationkey IN (8, 9)
+      |             AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))),
+      |v4 AS (SELECT * FROM v3 WHERE NOT (c_acctbal > 9000 AND c_nationkey = 2))
+      |SELECT 'base' AS gen, * FROM v1
+      |UNION ALL SELECT 'multi', * FROM v3
+      |UNION ALL SELECT 'latest', * FROM v4""".stripMargin
+
   /** A31 METADATA-ONLY schema evolution ([[Lake.addColumn]], SQL
     * `ALTER TABLE ... ADD COLUMN`): the commit is one `_schema` JSON + a
     * manifest carrying every file by reference — evolving a 100 TB table
@@ -2282,6 +2348,7 @@ object Lifecycle {
     "a28_catalog_call" -> (catalogCall _),
     "a29_mor_delete_compact" -> (morDeleteCompact _),
     "a30_eq_delete" -> (eqDelete _),
+    "a30b_eq_delete_multi" -> (eqDeleteMulti _),
     "a31_schema_evolution" -> (schemaEvolution _),
     "a32_version_tags" -> (versionTags _),
     "c20_schema_contract" -> (schemaContract _),
@@ -2337,6 +2404,7 @@ object Lifecycle {
     "a28_catalog_call" -> catalogCallOracle,
     "a29_mor_delete_compact" -> morDeleteCompactOracle,
     "a30_eq_delete" -> eqDeleteOracle,
+    "a30b_eq_delete_multi" -> eqDeleteMultiOracle,
     "a31_schema_evolution" -> schemaEvolutionOracle,
     "a32_version_tags" -> versionTagsOracle,
     "c20_schema_contract" -> schemaContractOracle,

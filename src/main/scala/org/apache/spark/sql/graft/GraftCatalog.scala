@@ -531,23 +531,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             root, ident.name(), expectedLatest = base).isDefined
         }
       } else {
-        // a pure single-column key-equality predicate (the GDPR shape:
-        // `WHERE user_id = v` / `WHERE user_id IN (...)`, no NULLs) routes
-        // to the EQUALITY-delete path — the commit writes only the key
-        // values, O(keys) bytes, ZERO jobs over the table data
-        val eqKeyed: Option[(String, Seq[Any])] = filters match {
-          case Array(EqualTo(c, v)) if v != null => Some((c, Seq(v)))
-          case Array(In(c, vs)) if vs.nonEmpty && !vs.contains(null) =>
-            Some((c, vs.toIndexedSeq))
-          case _ => None
+        // a pure key-equality predicate (the GDPR shape: `WHERE user_id =
+        // v` / `WHERE user_id IN (...)`, and conjunctions of those on
+        // DISTINCT columns — `WHERE tenant = 't1' AND user_id IN (...)` is
+        // a composite-key erasure) routes to the EQUALITY-delete path —
+        // the commit writes only the key tuples, O(keys) bytes, ZERO jobs
+        // over the table data. An IN×IN conjunction expands to the value
+        // cross product (bounded below — past the bound the positional
+        // path is the better cost class anyway); any NULL, repeated
+        // column, or non-equality conjunct falls through to positional.
+        def conj(f: Filter): Seq[Filter] = f match {
+          case And(l, r) => conj(l) ++ conj(r)
+          case other => Seq(other)
         }
+        val eqKeyed: Option[Seq[(String, Seq[Any])]] = filters
+          .toIndexedSeq.flatMap(conj)
+          .foldLeft(Option(Vector.empty[(String, Seq[Any])])) {
+            case (Some(acc), EqualTo(c, v)) if v != null =>
+              Some(acc :+ (c -> Seq(v)))
+            case (Some(acc), In(c, vs)) if vs.nonEmpty && !vs.contains(null) =>
+              Some(acc :+ (c -> vs.toIndexedSeq))
+            case _ => None
+          }
+          .filter(ps => ps.map(_._1).distinct.size == ps.size)
+          .filter(ps => ps.map(_._2.size.toLong).product <= 10000L)
         eqKeyed match {
-          case Some((c, vs)) =>
+          case Some(parts) =>
             import scala.jdk.CollectionConverters._
-            val field = loadTable(ident).schema().apply(c)
+            val tblSchema = loadTable(ident).schema()
+            val keySchema = StructType(
+              parts.map { case (c, _) => tblSchema.apply(c).copy(nullable = true) })
+            val tuples = parts.map(_._2)
+              .foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
+                for { t <- acc; v <- vs } yield t :+ v)
             val keys = spark.createDataFrame(
-              vs.map(v => org.apache.spark.sql.Row(v)).asJava,
-              StructType(Seq(field.copy(nullable = true))))
+              tuples.map(t => org.apache.spark.sql.Row(t: _*)).asJava, keySchema)
             graft.lake.MergeOnRead.deleteByKeys(spark, root, ident.name(), keys)
           case None =>
             // MERGE-ON-READ (round 11): the commit is a position-delete

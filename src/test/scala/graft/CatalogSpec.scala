@@ -292,6 +292,33 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("multi-column equality conjunctions route to the composite-key sidecar") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(
+      (1 to 200).map(i => (i.toLong, (i % 10).toLong, s"t${i % 4}"))
+        .toDF("k", "u", "tn"), root, "eqm_sql")
+    // = AND IN on distinct columns: composite equality sidecar, zero scans
+    spark.sql(s"DELETE FROM $cat.tables.eqm_sql WHERE tn = 't1' AND u IN (1, 5)")
+    val eq = graft.lake.MergeOnRead.eqDeletesOf(spark, root, "eqm_sql", 2)
+    assert(eq.isDefined, "composite key delete must commit an equality sidecar")
+    assert(eq.get.columns.sorted.sameElements(Array("tn", "u")),
+      "sidecar columns must be the composite key")
+    assert(eq.get.count() === 2, "IN expands to the value cross product")
+    assert(!graft.lake.MergeOnRead.hasDeletes(spark, root, "eqm_sql", 2),
+      "a composite key delete must not scan for positions")
+    // i%4==1 && i%10∈{1,5} → i ≡ 1 or 5 (mod 20) → 20 of 200 rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eqm_sql")
+      .head().getLong(0) === 180)
+    // a conjunction with a non-equality member stays positional; the
+    // composite equality sidecar carries verbatim
+    spark.sql(s"DELETE FROM $cat.tables.eqm_sql WHERE u = 2 AND k <= 40")
+    assert(graft.lake.MergeOnRead.hasDeletes(spark, root, "eqm_sql", 3))
+    assert(graft.lake.MergeOnRead.eqDeletesOf(spark, root, "eqm_sql", 3)
+      .get.count() === 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.eqm_sql")
+      .head().getLong(0) === 176)
+  }
+
   test("UPDATE and MERGE INTO commit new versions; non-matching rows are never lost") {
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.tables.um_t (k BIGINT, amt DOUBLE)")
