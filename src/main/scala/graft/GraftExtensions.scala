@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row-level security: reads of protected paths get the policy predicate
     // appended at the scan leaf (no-op until installed via RowFilter.install)
     ext.injectOptimizerRule(session => graft.governance.RowFilter.rule(session))
+    // file-granular routing for SQL UPDATE/MERGE on graft catalog tables:
+    // supported shapes commit through CopyOnWrite (touched files only);
+    // everything else falls through to the group-based replace
+    // the early half marks UPDATE/MERGE before resolution starts (hint
+    // stage) so the built-in group-based rewrite cannot claim a routable
+    // statement first; the late half strips the mark and routes or falls
+    // back — see CowRoutePending for the ordering story
+    ext.injectHintResolutionRule(session =>
+      org.apache.spark.sql.graft.CowRouteMark(session))
+    ext.injectResolutionRule(session =>
+      org.apache.spark.sql.graft.CowRowLevelRewrite(session))
     // parser extension: SHOW GRAFT VIEWS (everything else delegated verbatim)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

@@ -78,7 +78,7 @@ object CopyOnWrite {
   private def touchedFiles(
       spark: SparkSession, files: Seq[String], pred: Column,
       declared: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
-    declared.fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
+    Lake.readFiles(spark, files, declared, withMeta = true)
       .filter(pred)
       .select(col("_metadata.file_path").as("f"))
       .distinct().collect().map(_.getString(0)).toSeq
@@ -95,7 +95,8 @@ object CopyOnWrite {
       rewritten: DataFrame, carried: Seq[String],
       retentionVersions: Int,
       carriedDeletes: Option[DataFrame] = None,
-      declared: Option[org.apache.spark.sql.types.StructType] = None): Option[Int] = {
+      declared: Option[org.apache.spark.sql.types.StructType] = None,
+      markers: Seq[String] = Nil): Option[Int] = {
     val tdir = Lake.tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
@@ -103,6 +104,11 @@ object CopyOnWrite {
     carriedDeletes.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(stage, MergeOnRead.deletesName).toString))
     val f = fs(spark, tdir)
+    // commit-scoped markers (the streaming sinks' epoch-receipt
+    // FRONTIER): staged BEFORE the rename, so they exist in the version
+    // dir exactly when the commit is visible — never a window where the
+    // version is live but unmarked
+    markers.foreach(m => f.create(new Path(stage, m), true).close())
     // an evolved base's declared schema carries forward (one-hop): the
     // rewritten files hold the column physically, the carried ones do not
     declared.foreach { s =>
@@ -166,12 +172,96 @@ object CopyOnWrite {
         math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
       val rewritten = MergeOnRead
         .readWithDeletes(spark, small.map(_._1), del, eq, declared).coalesce(parts)
+      // the epoch-receipt frontier survives maintenance: without the
+      // carry, pruning the last receipt-bearing dir after a compact would
+      // let a late replay re-append an already-committed epoch
       commitCow(spark, root, name, base, rewritten, big.map(_._1),
         retentionVersions,
         carriedDeletes(spark, root, del, eq, small.map(_._1), big.map(_._1),
           declared),
-        declared = if (big.nonEmpty) declared else None)
+        declared = if (big.nonEmpty) declared else None,
+        markers = epochMarkersOf(spark, root, name, base))
     }
+  }
+
+  /** EPOCH-IDEMPOTENT snapshot APPEND — the streaming sink's commit into a
+    * VERSIONED catalog table. Each micro-batch commits its rows as the
+    * next version's own physical files plus a manifest carrying every
+    * base file by reference — O(batch) bytes per epoch, never a snapshot
+    * rewrite (the small files it mints are [[compactSmallFiles]]' job,
+    * `CALL system.compact_files` as the maintenance loop). Exactly-once
+    * across failures rides an `_epoch_<sinkId>_<epochId>` receipt staged
+    * INTO the committed version dir: a foreachBatch replay (crash after
+    * commit, before the checkpoint advanced) finds the receipt and
+    * RETURNS instead of re-appending — epochs of one sink commit in
+    * order, so the newest receipt bounds everything already applied.
+    * Sidecars: position deletes carry verbatim (base files unchanged);
+    * equality deletes FOLD to positions over the base files (an appended
+    * row legitimately reusing a deleted key must never be swallowed — the
+    * same rule every mutation applies). Concurrent writers (other sinks,
+    * batch commits) serialize through the usual CAS retry.
+    */
+  def appendEpoch(
+      batch: DataFrame, root: String, name: String,
+      sinkId: String, epochId: Long,
+      retentionVersions: Int = 7): Int = {
+    require(sinkId.matches("[A-Za-z0-9_.-]+"),
+      s"appendEpoch: sinkId '$sinkId' must match [A-Za-z0-9_.-]+ (it names marker files)")
+    val spark = batch.sparkSession
+    retryLoop(name, "appendEpoch") { () =>
+      latestEpochOf(spark, root, name, sinkId) match {
+        case Some((v, committed)) if committed >= epochId => Some(v) // replay
+        case _ => Lake.latestVersion(spark, root, name) match {
+          case None =>
+            commitCow(spark, root, name, expectedLatest = 0,
+              rewritten = batch, carried = Seq.empty, retentionVersions,
+              markers = Seq(s"_epoch_${sinkId}_$epochId"))
+          case Some(base) =>
+            val files = Lake.snapshotFiles(spark, root, name, base)
+            val del = MergeOnRead.deletesOf(spark, root, name, base)
+            val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
+            val declared = Lake.declaredSchema(spark, root, name, base)
+            val visible = declared.map(Lake.visibleSchema)
+              .getOrElse(spark.read.parquet(files.head).schema)
+            val aligned = batch.select(
+              visible.fieldNames.toIndexedSeq.map(col): _*)
+            // the receipt FRONTIER carries forward: this commit re-stamps
+            // every OTHER sink's newest receipt plus its own, so the
+            // LATEST version always answers the replay probe in one
+            // listing and receipts survive pruning of older dirs
+            commitCow(spark, root, name, base, aligned, files, retentionVersions,
+              carriedDeletes(spark, root, del, eq, Nil, files, declared),
+              declared = declared,
+              markers = epochMarkersOf(spark, root, name, base)
+                .filterNot(_.startsWith(s"_epoch_${sinkId}_")) :+
+                s"_epoch_${sinkId}_$epochId")
+        }
+      }
+    }
+  }
+
+  /** The newest committed `(version, epoch)` receipt of `sinkId`, scanning
+    * versions newest-first. Because every appendEpoch commit re-stamps the
+    * full receipt frontier, the newest APPENDED version answers for every
+    * sink — the scan past it only covers interleaved non-append commits.
+    */
+  private def latestEpochOf(
+      spark: SparkSession, root: String, name: String,
+      sinkId: String): Option[(Int, Long)] = {
+    val prefix = s"_epoch_${sinkId}_"
+    Lake.versions(spark, root, name).reverseIterator.flatMap { v =>
+      epochMarkersOf(spark, root, name, v)
+        .collectFirst { case n if n.startsWith(prefix) =>
+          (v, n.stripPrefix(prefix).toLong) }
+    }.nextOption()
+  }
+
+  /** All `_epoch_*` receipt marker names of a version dir. */
+  private def epochMarkersOf(
+      spark: SparkSession, root: String, name: String, version: Int): Seq[String] = {
+    val dir = new Path(s"${Lake.tablePath(root, name)}/version=v$version")
+    fs(spark, Lake.tablePath(root, name)).listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_epoch_"))
   }
 
   /** File-granular DELETE: rows where `pred` IS TRUE are removed; files
@@ -293,15 +383,16 @@ object CopyOnWrite {
     // probe: files holding ≥1 target row whose key appears in the source —
     // key-column-pruned scan, semi-join (AQE broadcasts a small source);
     // the declared (evolved) schema applies like every other mutation
-    // probe, so a MERGE keyed on a metadata-only-added column resolves
-    val touched = declared.fold(spark.read)(s => spark.read.schema(s))
-      .parquet(files: _*)
+    // probe, so a MERGE keyed on a metadata-only-added/renamed column
+    // resolves
+    val touched = Lake.readFiles(spark, files, declared, withMeta = true)
       .select((col("_metadata.file_path").as("_gf") +: keys.map(col)).toIndexedSeq: _*)
       .join(srcKeys, keys.toIndexedSeq, "left_semi")
       .select("_gf").distinct().collect().map(_.getString(0)).toSeq
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
-    val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
+    val targetSchema = declared.map(Lake.visibleSchema)
+      .getOrElse(spark.read.parquet(files.head).schema)
     val matched = col("s._s_matched").isNotNull
     val deleteCond = matchedDeleteCond
       .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))

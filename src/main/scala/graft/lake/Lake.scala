@@ -278,8 +278,106 @@ object Lake {
     */
   val schemaName = "_schema"
 
+  /** Field-metadata keys of the `_schema` sidecar's FIELD MAPPING — the
+    * Iceberg field-ID idea expressed with names, which the snapshot layout
+    * can afford because every physical spelling a column ever had is
+    * recorded on the field itself:
+    *  - `graft.from`: prior PHYSICAL spellings of a renamed column, newest
+    *    first — readers project pre-rename files through
+    *    `coalesce(current, prior...)`, so a RENAME commits one JSON;
+    *  - `graft.dropped`: the field was DROPPED — it stays in the RAW
+    *    sidecar (so its name, and its own prior spellings, remain RESERVED
+    *    against re-adding, which would resurrect old file data) but is
+    *    stripped from every read and from the visible schema.
+    * The RAW sidecar travels verbatim with every manifest-writing commit;
+    * a physical re-publish (compaction, INSERT OVERWRITE) bakes current
+    * names into the files and drops the sidecar — and with it the
+    * reservations, which is then safe because the old spellings no longer
+    * exist in any live file.
+    */
+  private val FromKey = "graft.from"
+  private val DroppedKey = "graft.dropped"
+
+  /** Prior physical spellings of a (renamed) field, newest first. */
+  def priorNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(FromKey)) f.metadata.getStringArray(FromKey).toSeq
+    else Seq.empty
+
+  def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The READER-facing schema: dropped fields removed, mapping metadata
+    * stripped (it is commit bookkeeping, not user schema).
+    */
+  def visibleSchema(
+      raw: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      raw.fields.filterNot(isDropped).map { f =>
+        if (priorNames(f).isEmpty) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(FromKey).build())
+      })
+
+  /** Does this declared schema need the mapping-aware read path? */
+  def hasFieldMapping(raw: org.apache.spark.sql.types.StructType): Boolean =
+    raw.fields.exists(f => priorNames(f).nonEmpty || isDropped(f))
+
+  /** Every name a new or renamed column may NOT take: current names,
+    * dropped names, and every prior physical spelling of either — a file
+    * written under any of these spellings may still be carried by a live
+    * version, and a fresh column under the same name would resurrect it.
+    */
+  private def reservedNames(
+      raw: org.apache.spark.sql.types.StructType): Set[String] =
+    raw.fields.flatMap(f => f.name +: priorNames(f)).toSet
+
+  /** Read data `files` under a declared (raw) schema: dropped fields are
+    * never requested, renamed fields read every physical spelling and
+    * coalesce to the current name (exactly one spelling exists per file,
+    * so coalesce picks the value the file holds, or NULL when the file
+    * predates the column entirely). `withMeta` additionally exposes the
+    * scan's `_metadata` struct as a REGULAR column — the sidecar/probe
+    * machinery needs `file_path`/`row_index` THROUGH the mapping
+    * projection, and hidden metadata columns do not survive a projection.
+    * Without a mapping this is a plain (optionally schema'd) parquet read
+    * — zero overhead on the common path.
+    */
+  private[graft] def readFiles(
+      spark: SparkSession, files: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType],
+      withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    declared match {
+      case Some(raw) if hasFieldMapping(raw) =>
+        val visible = visibleSchema(raw)
+        val extra = raw.fields.filterNot(isDropped).flatMap(f =>
+          priorNames(f).map(n => StructField(n, f.dataType, nullable = true)))
+        val readSchema = StructType(
+          visible.fields.map(_.copy(nullable = true)) ++ extra)
+        val rawDf = spark.read.schema(readSchema).parquet(files: _*)
+        val mapped = visible.fields.map { f =>
+          val spellings = f.name +: priorNames(raw.fields.find(r =>
+            !isDropped(r) && r.name == f.name).get)
+          if (spellings.size == 1) col(f.name)
+          else coalesce(spellings.map(col): _*).as(f.name)
+        }
+        val cols = if (withMeta) mapped :+ col("_metadata") else mapped
+        rawDf.select(cols.toIndexedSeq: _*)
+      case Some(raw) =>
+        val df = spark.read.schema(raw).parquet(files: _*)
+        if (withMeta) df.select(col("*"), col("_metadata")) else df
+      case None =>
+        val df = spark.read.parquet(files: _*)
+        if (withMeta) df.select(col("*"), col("_metadata")) else df
+    }
+  }
+
   /** The version's declared schema, if evolution has occurred since its
-    * files were written. Resolved past clone pointers like every read.
+    * files were written — RAW: renamed fields carry their prior physical
+    * spellings as metadata and dropped fields are still present (marked),
+    * because commits carry this sidecar verbatim. Use [[visibleSchema]]
+    * for the reader/user-facing shape; [[readFiles]] applies the mapping.
+    * Resolved past clone pointers like every read.
     */
   def declaredSchema(
       spark: SparkSession, root: String, name: String,
@@ -314,34 +412,123 @@ object Lake {
     require(field.nullable,
       s"addColumn: only NULLABLE columns can be added without a rewrite (${field.name})")
     CopyOnWrite.retryLoop(name, "addColumn") { () =>
-      val base = latestVersion(spark, root, name).getOrElse(
-        throw new IllegalStateException(s"no versions for table feed $name"))
-      val current = declaredSchema(spark, root, name, base)
-        .getOrElse(readTableFeed(spark, root, name, Some(base)).schema)
-      require(!current.fieldNames.contains(field.name),
-        s"addColumn: $name already has a column '${field.name}'")
-      val files = snapshotFiles(spark, root, name, base)
+      val (base, current) = rawSchemaOf(spark, root, name)
+      require(!reservedNames(current).contains(field.name),
+        s"addColumn: '${field.name}' is taken on $name — a current column, a " +
+          "DROPPED column, or a prior spelling of a renamed one (re-adding " +
+          "would resurrect old file data; compact first to release the name)")
       val evolved = org.apache.spark.sql.types.StructType(current.fields :+ field)
-      val tdir = tablePath(root, name)
-      val stage = new Path(
-        s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      val f = fs(spark, tdir)
       // sidecars carry verbatim: no row identity or value changes
-      MergeOnRead.deletesOf(spark, root, name, base).foreach(
-        _.write.parquet(new Path(stage, MergeOnRead.deletesName).toString))
-      MergeOnRead.eqDeletesOf(spark, root, name, base).foreach(
-        _.write.parquet(new Path(stage, MergeOnRead.eqDeletesName).toString))
-      val so = f.create(new Path(stage, schemaName), true)
-      try so.write(evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally so.close()
-      val rels = files.map(CopyOnWrite.relToRoot(root, _))
-      CopyOnWrite.pinForeign(f, root, name, rels)
-      val out = f.create(new Path(stage, manifestName), true)
-      try out.write(rels.mkString("\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      promoteStagedIf(spark, root, name, stage, base, retentionVersions)
+      stageMetadataOnly(spark, root, name, base, evolved, retentionVersions)
     }
+  }
+
+  /** METADATA-ONLY `RENAME COLUMN` — the commit is one `_schema` JSON + a
+    * full-carry manifest, zero data files touched: the renamed field
+    * records its prior physical spellings (`graft.from`), and every
+    * reader projects pre-rename files through `coalesce(new, prior...)`
+    * ([[readFiles]]). Position sidecars carry verbatim (identity and
+    * values unchanged); an EQUALITY sidecar keyed on the renamed column
+    * carries with its key column renamed (values unchanged — the read
+    * anti-join runs post-mapping, where only the new name exists). The
+    * new name must not collide with any reserved spelling
+    * ([[reservedNames]]); renaming to a dropped or prior name would
+    * resurrect old file data. Chained renames accumulate spellings, so a
+    * twice-renamed column still reads files from every generation.
+    */
+  def renameColumn(
+      spark: SparkSession, root: String, name: String,
+      from: String, to: String,
+      retentionVersions: Int = 7): Int =
+    CopyOnWrite.retryLoop(name, "renameColumn") { () =>
+      val (base, current) = rawSchemaOf(spark, root, name)
+      val idx = current.fields.indexWhere(f => !isDropped(f) && f.name == from)
+      require(idx >= 0, s"renameColumn: $name has no column '$from'")
+      require(!reservedNames(current).contains(to),
+        s"renameColumn: '$to' is taken on $name — a current column, a dropped " +
+          "column, or a prior spelling (compact first to release the name)")
+      val f = current.fields(idx)
+      val evolved = org.apache.spark.sql.types.StructType(current.fields.updated(idx,
+        f.copy(name = to, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putStringArray(FromKey, (from +: priorNames(f)).toArray).build())))
+      stageMetadataOnly(spark, root, name, base, evolved, retentionVersions,
+        eqTransform = e =>
+          if (e.columns.contains(from)) e.withColumnRenamed(from, to) else e)
+    }
+
+  /** METADATA-ONLY `DROP COLUMN`: the field is MARKED dropped in the raw
+    * `_schema` (one JSON + full-carry manifest, zero data files touched)
+    * and stripped from every read — parquet readers simply never request
+    * it from old files. The name (and the field's prior spellings) stays
+    * RESERVED until a physical re-publish bakes the schema, because a
+    * fresh column under a spelling old files still carry would resurrect
+    * their data. Refuses while an EQUALITY-delete sidecar is keyed on the
+    * column (its value match needs the column at read time — compact
+    * first, which applies the sidecar physically and releases everything).
+    */
+  def dropColumn(
+      spark: SparkSession, root: String, name: String, colName: String,
+      retentionVersions: Int = 7): Int =
+    CopyOnWrite.retryLoop(name, "dropColumn") { () =>
+      val (base, current) = rawSchemaOf(spark, root, name)
+      val idx = current.fields.indexWhere(f => !isDropped(f) && f.name == colName)
+      require(idx >= 0, s"dropColumn: $name has no column '$colName'")
+      require(current.fields.count(!isDropped(_)) > 1,
+        s"dropColumn: cannot drop $name's last column")
+      MergeOnRead.eqDeletesOf(spark, root, name, base).foreach(e =>
+        require(!e.columns.contains(colName),
+          s"dropColumn: an equality-delete sidecar is keyed on '$colName' — " +
+            "CALL system.compact first to apply it physically"))
+      val f = current.fields(idx)
+      val evolved = org.apache.spark.sql.types.StructType(current.fields.updated(idx,
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putBoolean(DroppedKey, true).build())))
+      stageMetadataOnly(spark, root, name, base, evolved, retentionVersions)
+    }
+
+  /** (base version, RAW declared-or-physical schema) of the current
+    * latest — the starting point of every metadata-only evolution.
+    */
+  private def rawSchemaOf(
+      spark: SparkSession, root: String,
+      name: String): (Int, org.apache.spark.sql.types.StructType) = {
+    val base = latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val raw = declaredSchema(spark, root, name, base).getOrElse(
+      spark.read.parquet(
+        snapshotFiles(spark, root, name, base).head).schema)
+    (base, raw)
+  }
+
+  /** Stage + CAS-commit a METADATA-ONLY evolution: the new raw `_schema`,
+    * a manifest carrying every base file by reference, and the base's
+    * sidecars (position verbatim; equality through `eqTransform`, identity
+    * except for a rename of its key column). Zero jobs over table data.
+    */
+  private def stageMetadataOnly(
+      spark: SparkSession, root: String, name: String, base: Int,
+      newRaw: org.apache.spark.sql.types.StructType, retentionVersions: Int,
+      eqTransform: DataFrame => DataFrame = identity): Option[Int] = {
+    val files = snapshotFiles(spark, root, name, base)
+    val tdir = tablePath(root, name)
+    val stage = new Path(
+      s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val f = fs(spark, tdir)
+    MergeOnRead.deletesOf(spark, root, name, base).foreach(
+      _.write.parquet(new Path(stage, MergeOnRead.deletesName).toString))
+    MergeOnRead.eqDeletesOf(spark, root, name, base).map(eqTransform).foreach(
+      _.write.parquet(new Path(stage, MergeOnRead.eqDeletesName).toString))
+    val so = f.create(new Path(stage, schemaName), true)
+    try so.write(newRaw.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally so.close()
+    val rels = files.map(CopyOnWrite.relToRoot(root, _))
+    CopyOnWrite.pinForeign(f, root, name, rels)
+    val out = f.create(new Path(stage, manifestName), true)
+    try out.write(rels.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    promoteStagedIf(spark, root, name, stage, base, retentionVersions)
   }
 
   /** All data files of a snapshot, absolute: the version dir's own

@@ -133,7 +133,7 @@ object MergeOnRead {
       spark: SparkSession, files: Seq[String], eq: DataFrame,
       declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val keyCols = eq.columns.toSeq
-    declared.fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
+    Lake.readFiles(spark, files, declared, withMeta = true)
       .select(
         relFile(col("_metadata.file_path")).as("file") +:
           col("_metadata.row_index").as("pos") +:
@@ -153,11 +153,13 @@ object MergeOnRead {
       deletes: Option[DataFrame],
       eqDeletes: Option[DataFrame] = None,
       declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    // a declared (evolved) schema null-fills columns absent from
-    // pre-evolution files — the parquet missing-column contract
-    val reader = declared.fold(spark.read)(s => spark.read.schema(s))
-    val base = reader.parquet(files: _*)
-    val cols = base.columns.map(col).toIndexedSeq
+    // a declared (evolved) RAW schema null-fills columns absent from
+    // pre-evolution files, projects renamed columns through their prior
+    // physical spellings, and never requests dropped ones — the
+    // mapping-aware read ([[Lake.readFiles]]); `_metadata` is exposed as
+    // a regular column exactly when the position anti-join needs it
+    val base = Lake.readFiles(spark, files, declared, withMeta = deletes.isDefined)
+    val cols = base.columns.filterNot(_ == "_metadata").map(col).toIndexedSeq
     val posApplied = deletes match {
       case None => base
       case Some(d) =>
@@ -199,8 +201,7 @@ object MergeOnRead {
       // positions to delete: filter-pushed scan emitting ONLY (file, pos) —
       // a row already in the base sidecar that re-matches pred duplicates
       // an existing entry verbatim, so the union dedups structurally
-      val matched = declared.fold(spark.read)(s => spark.read.schema(s))
-        .parquet(files: _*)
+      val matched = Lake.readFiles(spark, files, declared, withMeta = true)
         .filter(pred)
         .select(
           relFile(col("_metadata.file_path")).as("file"),
@@ -242,7 +243,7 @@ object MergeOnRead {
         throw new IllegalStateException(s"no versions for table feed $name"))
       val files = Lake.snapshotFiles(spark, root, name, base)
       val declared = Lake.declaredSchema(spark, root, name, base)
-      val tableCols = declared
+      val tableCols = declared.map(Lake.visibleSchema)
         .getOrElse(spark.read.parquet(files.head).schema).fieldNames.toSet
       require(keys.columns.forall(tableCols.contains),
         s"deleteByKeys: key columns ${keys.columns.mkString(",")} must all " +

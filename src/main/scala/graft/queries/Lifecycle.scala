@@ -1104,6 +1104,101 @@ object Lifecycle {
       |UNION ALL SELECT 'mor', * FROM v3
       |UNION ALL SELECT 'latest', * FROM v5""".stripMargin
 
+  /** A29b FILE-GRANULAR SQL UPDATE / MERGE ON A MERGE-ON-READ BASE
+    * (round 12): the composition the round-11 surface lacked. SQL
+    * UPDATE/MERGE used to ride the group-based whole-snapshot replace
+    * (Spark's row-level planning never wraps V1Scans, so a MOR base even
+    * paid a materialize-then-scan staging); the
+    * [[org.apache.spark.sql.graft.CowRowLevelRewrite]] routing now sends
+    * supported shapes through [[graft.lake.CopyOnWrite]], which applies
+    * the delete sidecar when rewriting touched files and carries forward
+    * entries for untouched ones — a delete-heavy MOR table is exactly
+    * where users then run UPDATEs, and those must stay O(touched files).
+    * The gate drives DELETE (positional sidecar) → UPDATE → 3-clause
+    * MERGE entirely through catalog SQL, pins the file-granular shape
+    * (every post-mutation version carries a manifest; most base files
+    * survive by reference; sidecar entries survive for carried files),
+    * and hashes four generations against DuckDB recomputing the lineage —
+    * including the MERGE re-inserting source rows whose target rows the
+    * sidecar had deleted (deleted keys are NOT MATCHED by contract).
+    */
+  def cowOnMor(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a29b_")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    Lake.writeTableSnapshot(
+      cust.filter(col("c_custkey").between(1, 1000))
+        .repartitionByRange(8, col("c_custkey")), root, "cust_a29b")
+    val v1Files = Lake.snapshotFiles(s, root, "cust_a29b", 1).toSet
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DELETE FROM $cat.tables.cust_a29b WHERE c_acctbal < 0")
+    require(graft.lake.MergeOnRead.hasDeletes(s, root, "cust_a29b", 2),
+      "the range DELETE must commit a positional MOR sidecar")
+    s.sql(s"UPDATE $cat.tables.cust_a29b " +
+      "SET c_acctbal = CAST(c_acctbal + 25 AS DECIMAL(18,2)) " +
+      "WHERE c_custkey <= 150")
+    require(Lake.hasManifest(s, root, "cust_a29b", 3),
+      "SQL UPDATE on a MOR base must be file-granular (manifest-carrying), not whole-snapshot")
+    def carriedFromV1(v: Int): Int =
+      Lake.snapshotFiles(s, root, "cust_a29b", v).toSet.intersect(v1Files).size
+    require(carriedFromV1(3) >= 6,
+      s"the UPDATE touches only the low key range: most of the 8 base files must carry by reference (got ${carriedFromV1(3)})")
+    require(graft.lake.MergeOnRead.hasDeletes(s, root, "cust_a29b", 3),
+      "carried files' sidecar entries must survive the rewrite")
+    cust.filter(col("c_custkey").between(900, 1100))
+      .createOrReplaceTempView("a29b_src")
+    s.sql(s"""MERGE INTO $cat.tables.cust_a29b t USING a29b_src s
+      |ON t.c_custkey = s.c_custkey
+      |WHEN MATCHED AND s.c_nationkey = 9 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET
+      |  t.c_acctbal = CAST(s.c_acctbal + 1 AS DECIMAL(18,2))
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(Lake.hasManifest(s, root, "cust_a29b", 4) && carriedFromV1(4) >= 5,
+      "SQL MERGE on a MOR base must be file-granular too")
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, c_custkey, c_name, c_acctbal, c_nationkey " +
+        s"FROM $cat.tables.cust_a29b$suffix")
+    q("base", " VERSION AS OF 1")
+      .unionByName(q("mor", " VERSION AS OF 2"))
+      .unionByName(q("upd", " VERSION AS OF 3"))
+      .unionByName(q("latest", ""))
+  }
+
+  val cowOnMorOracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      |  WHERE c_custkey BETWEEN 1 AND 1000),
+      |v2 AS (SELECT * FROM v1 WHERE NOT (c_acctbal < 0)),
+      |v3 AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_custkey <= 150
+      |              THEN CAST(CAST(c_acctbal + 25 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE c_acctbal END AS c_acctbal,
+      |         c_nationkey
+      |  FROM v2),
+      |src AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      |  WHERE c_custkey BETWEEN 900 AND 1100),
+      |v4 AS (
+      |  SELECT t.c_custkey, t.c_name,
+      |         CASE WHEN s.c_custkey IS NOT NULL
+      |              THEN CAST(CAST(s.c_acctbal + 1 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE t.c_acctbal END AS c_acctbal,
+      |         t.c_nationkey
+      |  FROM v3 t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      |  WHERE s.c_custkey IS NULL OR NOT (s.c_nationkey = 9)
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_nationkey
+      |  FROM src s LEFT JOIN v3 t ON s.c_custkey = t.c_custkey
+      |  WHERE t.c_custkey IS NULL)
+      |SELECT 'base' AS gen, * FROM v1
+      |UNION ALL SELECT 'mor', * FROM v2
+      |UNION ALL SELECT 'upd', * FROM v3
+      |UNION ALL SELECT 'latest', * FROM v4""".stripMargin
+
   /** A30 EQUALITY deletes ([[graft.lake.MergeOnRead.deleteByKeys]]): the
     * ZERO-SCAN delete commit — a key-addressed delete (`WHERE user_id IN
     * (...)`, the GDPR shape) writes only the key VALUES + a manifest;
@@ -1307,6 +1402,92 @@ object Lifecycle {
       |SELECT 'evolved', o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) FROM v1
       |UNION ALL
       |SELECT 'latest', * FROM latest""".stripMargin
+
+  /** A31b METADATA-ONLY RENAME / DROP COLUMN (round 12): the completion
+    * of a31's evolution story — [[Lake.renameColumn]] / [[Lake.dropColumn]]
+    * (SQL `ALTER TABLE ... RENAME COLUMN / DROP COLUMN`) commit ONE
+    * `_schema` JSON + a full-carry manifest, zero data files read or
+    * written. A rename records the prior physical spelling as field
+    * metadata (`graft.from`) and readers project pre-rename files through
+    * `coalesce(new, prior)` ([[Lake.readFiles]]); a drop MARKS the field
+    * in the raw sidecar (name + spellings stay reserved against
+    * resurrection) and strips it from every read. The gate drives both
+    * through catalog SQL, pins the zero-data-file commit shape and the
+    * refusals (retype, re-ADD of a dropped name, rename onto a reserved
+    * spelling), runs a file-granular COW UPDATE that SETs the RENAMED
+    * column (rewritten files bake the new name; carried files keep
+    * reading through the mapping), and reads three generations back via
+    * time travel — the pre-evolution shape pinned exactly — hash-verified
+    * against DuckDB recomputing the lineage.
+    */
+  def renameDrop(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a31b_")
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .filter(col("o_orderkey").between(1, 600))
+    Lake.writeTableSnapshot(
+      ord.repartitionByRange(4, col("o_orderkey")), root, "ord_rd")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"ALTER TABLE $cat.tables.ord_rd RENAME COLUMN o_orderstatus TO status")
+    s.sql(s"ALTER TABLE $cat.tables.ord_rd DROP COLUMN o_orderpriority")
+    // both commits are metadata-only: zero data files of their own, every
+    // base file carried by reference
+    Seq(2, 3).foreach { v =>
+      require(Lake.snapshotFiles(s, root, "ord_rd", v)
+        .forall(_.contains("version=v1")),
+        s"v$v must carry every data file from v1 by reference")
+    }
+    require(s.table(s"$cat.tables.ord_rd").schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "status", "o_totalprice"),
+      "the visible schema must show the renamed column and hide the dropped one")
+    // pre-evolution time travel shows the OLD shape exactly
+    require(s.sql(s"SELECT * FROM $cat.tables.ord_rd VERSION AS OF 1")
+      .schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      "time travel to v1 must show the pre-evolution shape")
+    // refusals: retype, re-ADD of a dropped name, rename onto a reserved one
+    require(scala.util.Try(s.sql(
+      s"ALTER TABLE $cat.tables.ord_rd ALTER COLUMN o_totalprice TYPE STRING"
+    )).isFailure, "retype must refuse — it requires a rewrite")
+    require(scala.util.Try(s.sql(
+      s"ALTER TABLE $cat.tables.ord_rd ADD COLUMN o_orderpriority STRING"
+    )).isFailure, "re-adding a DROPPED name must refuse (resurrection hazard)")
+    require(scala.util.Try(s.sql(
+      s"ALTER TABLE $cat.tables.ord_rd RENAME COLUMN o_totalprice TO o_orderstatus"
+    )).isFailure, "renaming onto a prior spelling must refuse")
+    // file-granular COW UPDATE SETting the RENAMED column: rewritten
+    // files bake the new name; carried files keep the mapping read
+    s.sql(s"UPDATE $cat.tables.ord_rd SET status = 'X' WHERE o_orderkey <= 100")
+    require(Lake.hasManifest(s, root, "ord_rd", 4),
+      "the UPDATE must stay file-granular on an evolved base")
+    require(Lake.snapshotFiles(s, root, "ord_rd", 4)
+      .count(_.contains("version=v1")) >= 2,
+      "most base files must carry by reference through the mapping")
+    def q(gen: String, suffix: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, o_orderkey, status, o_totalprice " +
+        s"FROM $cat.tables.ord_rd$suffix")
+    s.sql(s"SELECT 'v1' AS gen, o_orderkey, o_orderstatus AS status, " +
+        s"o_totalprice FROM $cat.tables.ord_rd VERSION AS OF 1")
+      .unionByName(q("evolved", " VERSION AS OF 3"))
+      .unionByName(q("latest", ""))
+  }
+
+  val renameDropOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 600),
+      |v4 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey <= 100 THEN 'X' ELSE status END AS status,
+      |         o_totalprice
+      |  FROM v1)
+      |SELECT 'v1' AS gen, * FROM v1
+      |UNION ALL SELECT 'evolved', * FROM v1
+      |UNION ALL SELECT 'latest', * FROM v4""".stripMargin
 
   /** A32 VERSION TAGS ([[Lake.tagVersion]], SQL `CALL system.tag` /
     * `VERSION AS OF '<tag>'`): named refs over the version ledger — "the
@@ -2347,9 +2528,11 @@ object Lifecycle {
     "a27_branch_merge" -> (branchMerge _),
     "a28_catalog_call" -> (catalogCall _),
     "a29_mor_delete_compact" -> (morDeleteCompact _),
+    "a29b_cow_on_mor" -> (cowOnMor _),
     "a30_eq_delete" -> (eqDelete _),
     "a30b_eq_delete_multi" -> (eqDeleteMulti _),
     "a31_schema_evolution" -> (schemaEvolution _),
+    "a31b_rename_drop" -> (renameDrop _),
     "a32_version_tags" -> (versionTags _),
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
@@ -2403,9 +2586,11 @@ object Lifecycle {
     "a27_branch_merge" -> branchMergeOracle,
     "a28_catalog_call" -> catalogCallOracle,
     "a29_mor_delete_compact" -> morDeleteCompactOracle,
+    "a29b_cow_on_mor" -> cowOnMorOracle,
     "a30_eq_delete" -> eqDeleteOracle,
     "a30b_eq_delete_multi" -> eqDeleteMultiOracle,
     "a31_schema_evolution" -> schemaEvolutionOracle,
+    "a31b_rename_drop" -> renameDropOracle,
     "a32_version_tags" -> versionTagsOracle,
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,

@@ -578,6 +578,81 @@ object Streams {
       .agg(count(lit(1)).as("cnt"), Q.moneySum(col("value")).as("total"))
   }
 
+  /** Streaming sink into a VERSIONED CATALOG TABLE — the lake story's
+    * closing piece: `writeStream` commits each micro-batch as a new
+    * snapshot version through [[graft.lake.CopyOnWrite.appendEpoch]]
+    * (O(batch) small-file COW append + full-carry manifest; the
+    * `_epoch_<sinkId>_<n>` receipt staged into the version dir makes a
+    * foreachBatch replay exactly-once — the crash-after-commit replay
+    * finds its receipt and returns instead of re-appending). Maintenance
+    * is `CALL system.compact_files` — the incremental bin-pack that
+    * absorbs the small files streaming appends mint. Every committed
+    * version stays time-travel readable SQL, so a stream's history is a
+    * first-class version ledger.
+    */
+  def streamToCatalogTable(
+      df: DataFrame, root: String, name: String, sinkId: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.lake.CopyOnWrite.appendEpoch(batch, root, name, sinkId, epochId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** The `s_stream_catalog_sink` gate: 4 interleaved micro-batches stream
+    * into a versioned table (one snapshot version per epoch, every append
+    * carrying prior files by reference), a REPLAYED epoch is pinned as a
+    * no-op, `CALL system.compact_files` bin-packs the epoch files, and the
+    * result aggregates through catalog SQL against the DuckDB oracle over
+    * raw events.
+    */
+  def streamCatalogSink(s: SparkSession, d: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_scat_").toString
+    val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
+    val q = streamToCatalogTable(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(glob),
+      root, "ev_cat", "sinkA",
+      Files.createTempDirectory("graft_ckpt_").toString)
+    q.awaitTermination()
+    val vs = graft.lake.Lake.versions(s, root, "ev_cat")
+    require(vs.size >= 4, s"one version per micro-batch epoch (got ${vs.size})")
+    require(vs.drop(1).forall(v =>
+      graft.lake.Lake.hasManifest(s, root, "ev_cat", v)),
+      "every append must carry prior files by reference — O(batch) commits")
+    // a replayed epoch (crash after commit, before the checkpoint
+    // advanced) must be swallowed by its receipt, never re-appended
+    val latestBefore = vs.max
+    graft.lake.CopyOnWrite.appendEpoch(
+      s.read.schema(schema).parquet(glob).limit(25),
+      root, "ev_cat", "sinkA", 0)
+    require(graft.lake.Lake.versions(s, root, "ev_cat").max == latestBefore,
+      "a replayed epoch must be a no-op")
+    val cat = s"gscat${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the maintenance loop: incremental bin-pack of the per-epoch files
+    val packed = s.sql(s"CALL $cat.system.compact_files('ev_cat', 64)")
+      .head().getInt(0)
+    require(graft.lake.Lake.readTableFeed(s, root, "ev_cat", Some(packed))
+      .count() == graft.lake.Lake.readTableFeed(s, root, "ev_cat", Some(latestBefore))
+      .count(), "compaction is content-preserving")
+    s.sql(s"SELECT user_id % 16 AS ug, value FROM $cat.tables.ev_cat")
+      .groupBy("ug")
+      .agg(count(lit(1)).as("cnt"),
+        graft.queries.Q.moneySum(col("value")).as("total"))
+  }
+
+  val streamCatalogSinkOracle: String =
+    """SELECT user_id % 16 AS ug, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
   /** foreachBatch → warehouse MERGE: the canonical streaming-upsert pattern
     * (kafka_consumer_warehouse.py's consume→flush→upsert loop, §3.4, done
     * Spark-native). The events file is split into four time-INTERLEAVED
@@ -1650,7 +1725,8 @@ object Streams {
     "s_stream_dsv2" -> (streamDsv2 _),
     "s_stream_dsv2_sink" -> (streamDsv2Sink _),
     "s_stream_erasure" -> (streamErasure _),
-    "s_stream_ingest_lake" -> (streamIngestLake _))
+    "s_stream_ingest_lake" -> (streamIngestLake _),
+    "s_stream_catalog_sink" -> (streamCatalogSink _))
     .map { case (k, fn) => k -> withReducedShuffle(fn) }
 
   val oracles: Map[String, String] = Map(
@@ -1684,5 +1760,6 @@ object Streams {
     "s_stream_dsv2" -> streamDsv2Oracle,
     "s_stream_dsv2_sink" -> streamDsv2SinkOracle,
     "s_stream_erasure" -> streamErasureOracle,
-    "s_stream_ingest_lake" -> streamIngestOracle)
+    "s_stream_ingest_lake" -> streamIngestOracle,
+    "s_stream_catalog_sink" -> streamCatalogSinkOracle)
 }

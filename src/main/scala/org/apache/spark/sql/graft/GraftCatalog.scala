@@ -70,6 +70,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 trait GovernedPath { def governedPath: String }
 
+/** Implemented by the catalog's WRITABLE latest-snapshot tables so the
+  * file-granular mutation rewrite ([[CowRowLevelRewrite]]) can resolve
+  * the lake root + table name behind a name-addressed relation and route
+  * supported UPDATE / MERGE shapes through [[graft.lake.CopyOnWrite]]
+  * instead of the whole-snapshot group-based replace.
+  */
+trait GraftMutableTable { def lakeRoot: String; def lakeTableName: String }
+
 object GraftCatalog {
   /** Executor-side shim for the group-based row-level write: if a row
     * arrives one field WIDER than the data schema, its leading field is
@@ -223,10 +231,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       CaseInsensitiveStringMap.empty(),
       paths,
       // a metadata-only ADD COLUMN leaves a declared schema the files do
-      // not yet carry — hand it to the parquet table so scans null-fill
-      graft.lake.Lake.declaredSchema(spark, root, ident.name(), version),
+      // not yet carry — hand the VISIBLE shape to the parquet table so
+      // scans null-fill (rename/drop-mapped versions never scan through
+      // this delegate — newScanBuilder routes them to the resolving
+      // fallback — but its schema() is still the catalog's answer)
+      graft.lake.Lake.declaredSchema(spark, root, ident.name(), version)
+        .map(graft.lake.Lake.visibleSchema),
       classOf[ParquetFileFormat])
   }
+
+  /** Does this version's declared schema carry a field mapping (renamed
+    * or dropped columns)? Such versions must read through the resolving
+    * fallback — a plain parquet scan under the visible schema would
+    * null-fill renamed columns in pre-rename files instead of projecting
+    * their prior spellings.
+    */
+  private def hasMapping(ident: Identifier, version: Int): Boolean =
+    graft.lake.Lake.declaredSchema(
+      SparkSession.active, root, ident.name(), version)
+      .exists(graft.lake.Lake.hasFieldMapping)
 
   /** V1Scan fallback for MERGE-ON-READ versions: a position-delete
     * sidecar ([[graft.lake.MergeOnRead]]) must be anti-joined into the
@@ -305,7 +328,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private final class GraftTable(ident: Identifier, version: Int)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
-      with SupportsRowLevelOperations with GovernedPath {
+      with SupportsRowLevelOperations with GovernedPath with GraftMutableTable {
+    override def lakeRoot: String = root
+    override def lakeTableName: String = ident.name()
     override def governedPath: String =
       // PHYSICAL path: a clone read is governed by the snapshot it actually
       // scans, so a deny on the source is not laundered by cloning
@@ -318,7 +343,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (hasMorDeletes(ident, version)) morScanBuilder(ident, version, schema())
+      if (hasMorDeletes(ident, version) || hasMapping(ident, version))
+        morScanBuilder(ident, version, schema())
       else delegate.newScanBuilder(options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
@@ -611,7 +637,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (hasMorDeletes(ident, version)) morScanBuilder(ident, version, schema())
+      if (hasMorDeletes(ident, version) || hasMapping(ident, version))
+        morScanBuilder(ident, version, schema())
       else delegate.newScanBuilder(options)
   }
 
@@ -684,9 +711,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         graft.lake.Lake.addColumn(SparkSession.active, root, ident.name(),
           org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType(), nullable = add.isNullable))
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        // metadata-only: one `_schema` JSON recording the prior physical
+        // spelling; readers coalesce old files through the mapping
+        graft.lake.Lake.renameColumn(SparkSession.active, root, ident.name(),
+          rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        // metadata-only: the field is marked dropped in the raw sidecar
+        // (its spellings stay reserved) and stripped from every read
+        graft.lake.Lake.dropColumn(SparkSession.active, root, ident.name(),
+          del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER ($other): only top-level nullable ADD COLUMN is " +
-          "expressible without rewriting the snapshot")
+        s"unsupported ALTER ($other): only top-level nullable ADD COLUMN, " +
+          "RENAME COLUMN and DROP COLUMN are expressible without rewriting " +
+          "the snapshot (retype still requires a rewrite)")
     }
     loadTable(ident)
   }

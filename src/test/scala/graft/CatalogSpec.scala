@@ -81,18 +81,22 @@ class CatalogSpec extends SparkSpec {
       Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
   }
 
-  test("ALTER refuses; DROP TABLE retires the feed but never danglies a live branch") {
+  test("ALTER retype refuses; rename/drop evolve; DROP TABLE never danglies a live branch") {
     Lake.writeTableSnapshot(snap(3), root, "guarded")
-    // ADD COLUMN is metadata-only evolution (own test); everything else
-    // would need a rewrite and refuses
+    // ADD/RENAME/DROP COLUMN are metadata-only evolution (own tests +
+    // a31/a31b gates); a TYPE change would need a rewrite and refuses
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.tables.guarded DROP COLUMN n_name")
+      spark.sql(s"ALTER TABLE $cat.tables.guarded ALTER COLUMN n_name TYPE BINARY")
     }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.tables.guarded RENAME COLUMN n_name TO nm")
-    }
-    // the refusals changed nothing
+    // rename + drop are metadata-only commits: zero data files, content intact
+    spark.sql(s"ALTER TABLE $cat.tables.guarded RENAME COLUMN n_name TO nm")
+    spark.sql(s"ALTER TABLE $cat.tables.guarded DROP COLUMN n_regionkey")
+    assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").columns.toSeq
+      === Seq("n_nationkey", "nm"))
     assert(spark.sql(s"SELECT * FROM $cat.tables.guarded").count() === 3)
+    assert(spark.sql(s"SELECT nm FROM $cat.tables.guarded WHERE n_nationkey = 0")
+      .head().getString(0) === "NATION_0",
+      "pre-rename files must read through the mapping")
     // while a live branch pins a version, DROP refuses (dangling-branch
     // guard); after the branch is dropped — releasing its pin — it works
     Lake.cloneTable(spark, root, "guarded", "guarded_br")
@@ -352,6 +356,60 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k, amt FROM $cat.tables.um_t ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((3L, 0.0), (4L, 41.0)))
+  }
+
+  test("SQL UPDATE and MERGE are FILE-GRANULAR: untouched files carried by reference") {
+    import spark.implicits._
+    Lake.writeTableSnapshot(
+      (1 to 800).map(i => (i.toLong, s"row$i")).toDF("k", "x")
+        .repartitionByRange(8, col("k")), root, "cowsql_t")
+    val v1Files = Lake.snapshotFiles(spark, root, "cowsql_t", 1).toSet
+    assert(v1Files.size >= 8)
+    // SQL UPDATE touching only the low key range routes through
+    // CopyOnWrite: only the file(s) holding k <= 100 are rewritten
+    spark.sql(s"UPDATE $cat.tables.cowsql_t SET x = 'upd' WHERE k <= 100")
+    assert(Lake.hasManifest(spark, root, "cowsql_t", 2),
+      "a routed UPDATE must commit a manifest-carrying COW version")
+    val v2Files = Lake.snapshotFiles(spark, root, "cowsql_t", 2).toSet
+    assert((v2Files intersect v1Files).size >= 6,
+      "untouched files must be carried by reference")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.cowsql_t WHERE x = 'upd'")
+      .head().getLong(0) === 100)
+    // ... including on a DELETE-CARRYING (merge-on-read) base: the
+    // round-11 gap — SQL UPDATE on a MOR base was whole-snapshot
+    spark.sql(s"DELETE FROM $cat.tables.cowsql_t WHERE k > 790")
+    assert(graft.lake.MergeOnRead.hasDeletes(spark, root, "cowsql_t", 3))
+    spark.sql(s"UPDATE $cat.tables.cowsql_t SET x = 'upd2' WHERE k BETWEEN 101 AND 150")
+    assert(Lake.hasManifest(spark, root, "cowsql_t", 4),
+      "UPDATE on a MOR base must stay file-granular, not whole-snapshot")
+    val v4Files = Lake.snapshotFiles(spark, root, "cowsql_t", 4).toSet
+    assert((v4Files intersect v1Files).size >= 5,
+      "untouched files stay carried by reference across an UPDATE on a MOR base")
+    assert(graft.lake.MergeOnRead.hasDeletes(spark, root, "cowsql_t", 4),
+      "carried files' sidecar entries must survive the rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.cowsql_t")
+      .head().getLong(0) === 790, "deleted rows must not resurrect")
+    // MERGE with the 3-clause shape routes too
+    Seq((120L, "merged"), (801L, "ins")).toDF("k", "x")
+      .createOrReplaceTempView("cowsql_src")
+    spark.sql(s"""MERGE INTO $cat.tables.cowsql_t t USING cowsql_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.x = s.x
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(Lake.hasManifest(spark, root, "cowsql_t", 5),
+      "a routed MERGE must commit a manifest-carrying COW version")
+    assert(spark.sql(s"SELECT x FROM $cat.tables.cowsql_t WHERE k IN (120, 801) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq === Seq("merged", "ins"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.cowsql_t")
+      .head().getLong(0) === 791)
+    // the escape hatch restores the group-based whole-snapshot path
+    spark.conf.set("spark.graft.sql.cowRouting", "false")
+    try {
+      spark.sql(s"UPDATE $cat.tables.cowsql_t SET x = 'gb' WHERE k = 1")
+      assert(!Lake.hasManifest(spark, root, "cowsql_t", 6),
+        "with routing off the group-based path rewrites the whole snapshot")
+      assert(spark.sql(s"SELECT x FROM $cat.tables.cowsql_t WHERE k = 1")
+        .head().getString(0) === "gb")
+    } finally spark.conf.unset("spark.graft.sql.cowRouting")
   }
 
   test("SQL mutations on a shallow-cloned branch are copy-on-write") {

@@ -166,20 +166,22 @@ class GovernanceSpec extends SparkSpec {
     ReadAudit.reset()
     // 9 flush windows (more than the default keep=7 a snapshot table
     // prunes to): each holds UNIQUE entries, so losing any window is
-    // silent audit truncation — every one must survive
-    // the shared test session has no GraftExtensions — drive the injected
-    // rule directly on the analyzed plan (the subject here is flush
-    // retention, not rule injection, which ExtensionsSpec covers)
-    val rule = ReadAudit.checkRule(spark)
+    // silent audit truncation — every one must survive. The shared
+    // session carries GraftExtensions, so the INJECTED check rule audits
+    // the read at analysis time; entry COUNT per window is therefore an
+    // injection detail — the retention subject pins windows and the
+    // uniqueness/order of seqs, not entries-per-read
     (1 to 9).foreach { _ =>
       ReadAudit.install("auditor@x")
-      try rule(spark.read.parquet(s"$root/ds").queryExecution.analyzed)
+      try spark.read.parquet(s"$root/ds").queryExecution.analyzed
       finally ReadAudit.clear()
       assert(ReadAudit.flush(spark, s"$root/lake").isDefined)
     }
     val trail = ReadAudit.flushed(spark, s"$root/lake")
-    assert(trail.select("seq").distinct().count() === 9,
-      "all 9 flush windows must be readable — no window auto-pruned")
-    assert(graft.lake.Lake.versions(spark, s"$root/lake", "audit_log").size === 9)
+    assert(graft.lake.Lake.versions(spark, s"$root/lake", "audit_log").size === 9,
+      "all 9 flush windows must survive — no window auto-pruned")
+    assert(trail.count() >= 9 &&
+      trail.select("seq").distinct().count() === trail.count(),
+      "every flushed entry is unique and none is lost")
   }
 }

@@ -296,6 +296,95 @@ class LakeSpec extends SparkSpec {
       "old value-keyed deletes still hold for original rows")
   }
 
+  test("epoch-idempotent appends: replays replace, sinks interleave, receipts survive compaction") {
+    import graft.lake.{CopyOnWrite, MergeOnRead}
+    val root = scratch()
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"r$i")).toDF("k", "x")
+    assert(CopyOnWrite.appendEpoch(batch(1, 100), root, "ep_t", "sinkA", 0) === 1)
+    assert(CopyOnWrite.appendEpoch(batch(101, 200), root, "ep_t", "sinkA", 1) === 2)
+    assert(Lake.hasManifest(spark, root, "ep_t", 2),
+      "an append carries the base files by reference — O(batch) commit")
+    // replay of the LAST epoch (crash after commit, before checkpoint
+    // advance) and of an older one: both no-ops, content unchanged
+    assert(CopyOnWrite.appendEpoch(batch(101, 200), root, "ep_t", "sinkA", 1) === 2)
+    assert(CopyOnWrite.appendEpoch(batch(1, 100), root, "ep_t", "sinkA", 0) === 2)
+    assert(Lake.readTableFeed(spark, root, "ep_t").count() === 200)
+    // an independent sink interleaves under its own receipt sequence
+    assert(CopyOnWrite.appendEpoch(batch(201, 250), root, "ep_t", "sinkB", 0) === 3)
+    assert(CopyOnWrite.appendEpoch(batch(251, 300), root, "ep_t", "sinkA", 2) === 4)
+    assert(CopyOnWrite.appendEpoch(batch(201, 250), root, "ep_t", "sinkB", 0) === 4,
+      "sinkB's replay is judged by sinkB's receipts, not sinkA's")
+    assert(Lake.readTableFeed(spark, root, "ep_t").count() === 300)
+    // appends compose with MOR deletes: the sidecar carries; a new row
+    // reusing a value-deleted key must NOT be swallowed (eq folds to pos)
+    MergeOnRead.deleteByKeys(spark, root, "ep_t", Seq(42L).toDF("k"))
+    assert(CopyOnWrite.appendEpoch(
+      Seq((42L, "again")).toDF("k", "x"), root, "ep_t", "sinkA", 3) === 6)
+    val latest = Lake.readTableFeed(spark, root, "ep_t")
+    assert(latest.count() === 300, "one deleted, one re-appended")
+    assert(latest.filter(col("k") === 42).select("x").head().getString(0) === "again")
+    // receipts SURVIVE incremental compaction: pack everything, then a
+    // replay of the last epoch must still be recognized
+    val packed = CopyOnWrite.compactSmallFiles(spark, root, "ep_t",
+      smallBytes = 1L << 30, targetFileBytes = 1L << 30)
+    assert(CopyOnWrite.appendEpoch(
+      Seq((42L, "dup")).toDF("k", "x"), root, "ep_t", "sinkA", 3) === packed,
+      "the receipt frontier must carry through compaction — replays stay no-ops")
+    assert(Lake.readTableFeed(spark, root, "ep_t").count() === 300)
+  }
+
+  test("metadata-only RENAME/DROP: mapping reads, reservations, sidecar interplay") {
+    import graft.lake.MergeOnRead
+    val root = scratch()
+    val df = (1 to 300).map(i => (i.toLong, (i % 10).toLong, s"n$i")).toDF("k", "u", "nm")
+    Lake.writeTableSnapshot(df.repartitionByRange(3, col("k")), root, "rd_t")
+    // v2: equality delete keyed on u; v3: RENAME u -> uid is metadata-only
+    // and carries the sidecar with its key column RENAMED
+    assert(MergeOnRead.deleteByKeys(spark, root, "rd_t", Seq(3L).toDF("u")) === 2)
+    assert(Lake.renameColumn(spark, root, "rd_t", "u", "uid") === 3)
+    val v3dir = new java.io.File(s"$root/tables/rd_t/version=v3")
+    assert(v3dir.listFiles().forall(f =>
+      !f.isFile || f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "a rename commit holds no data files")
+    assert(MergeOnRead.eqDeletesOf(spark, root, "rd_t", 3).get.columns.toSeq
+      === Seq("uid"), "the equality sidecar's key column renames with the schema")
+    val v3 = Lake.readTableFeed(spark, root, "rd_t")
+    assert(v3.columns.toSeq === Seq("k", "uid", "nm"))
+    assert(v3.count() === 270, "the value-keyed delete still applies post-rename")
+    // chained rename: pre-rename files resolve through BOTH prior spellings
+    assert(Lake.renameColumn(spark, root, "rd_t", "uid", "user_id") === 4)
+    assert(Lake.readTableFeed(spark, root, "rd_t")
+      .filter(col("user_id") === 5).count() === 30)
+    // reservations: dropped/prior spellings cannot be re-taken
+    intercept[Exception] { Lake.renameColumn(spark, root, "rd_t", "nm", "u") }
+    intercept[Exception] {
+      Lake.dropColumn(spark, root, "rd_t", "user_id") // eq sidecar keyed on it
+    }
+    // compaction bakes the mapping physically and releases everything
+    val v5 = Lake.compactTable(spark, root, "rd_t")
+    assert(!Lake.hasManifest(spark, root, "rd_t", v5) &&
+      Lake.declaredSchema(spark, root, "rd_t", v5).isEmpty)
+    assert(spark.read.parquet(
+      Lake.resolveSnapshotDir(spark, root, "rd_t", v5)).columns.toSeq
+      === Seq("k", "user_id", "nm"), "compaction bakes the renamed column in")
+    assert(Lake.dropColumn(spark, root, "rd_t", "nm") === v5 + 1)
+    assert(Lake.readTableFeed(spark, root, "rd_t").columns.toSeq === Seq("k", "user_id"))
+    intercept[Exception] { // re-add of a dropped name: resurrection hazard
+      Lake.addColumn(spark, root, "rd_t",
+        org.apache.spark.sql.types.StructField("nm",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    }
+    val v7 = Lake.compactTable(spark, root, "rd_t")
+    // post-bake the name is free again
+    assert(Lake.addColumn(spark, root, "rd_t",
+      org.apache.spark.sql.types.StructField("nm",
+        org.apache.spark.sql.types.StringType, nullable = true)) === v7 + 1)
+    val fin = Lake.readTableFeed(spark, root, "rd_t")
+    assert(fin.columns.toSeq === Seq("k", "user_id", "nm"))
+    assert(fin.filter(col("nm").isNotNull).count() === 0,
+      "a re-added column after bake must NOT resurrect old values")
+  }
+
   test("compactSmallFiles rewrites only sub-threshold files; big files carried") {
     import graft.lake.CopyOnWrite
     val root = scratch()

@@ -14,9 +14,15 @@ object SparkSpec {
   // first and its core count caps EVERY suite (sessions built later reuse
   // it whatever master they ask for) — 8 keeps the registry smoke spec and
   // the data-heavier specs parallel without oversubscribing the test box
+  // withExtensions (not the conf): the conf is only honored at
+  // SparkContext creation, and suite ordering makes that nondeterministic
+  // in the test JVM. The shared fixture carries the SAME extensions as the
+  // production session (GraftSession), so specs exercise the planner the
+  // way gates see it — incl. the CowRowLevelRewrite UPDATE/MERGE routing.
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .withExtensions(new GraftExtensions())
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
