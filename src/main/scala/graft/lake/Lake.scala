@@ -179,9 +179,181 @@ object Lake {
     * by (monotone per table because commits serialize through the claim).
     * Underscore-prefixed, so Spark readers ignore it.
     */
-  private def stampCommit(f: org.apache.hadoop.fs.FileSystem, live: Path): Unit =
+  private def stampCommit(f: org.apache.hadoop.fs.FileSystem, live: Path): Unit = {
     try f.create(new Path(live, "_commit"), true).close()
     catch { case _: java.io.IOException => () } // receipt is best-effort metadata
+    // append the version's LEDGER ENTRY (also best-effort — readers fall
+    // back to probing the version dir when an entry is missing); folding
+    // keeps the ledger dir small as versions accumulate
+    try writeLedgerEntry(f, live)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Per-table VERSION LEDGER: `_versions/` next to the version dirs holds
+    * one tiny JSON per commit (`v<N>.json`, written by [[stampCommit]] at
+    * claim-rename time) recording what [[tableHistory]] would otherwise
+    * re-derive with a listing + manifest read PER VERSION DIR — commit
+    * instant, kind, file counts. History over 10⁴ versions then costs one
+    * `_versions` listing + one compacted read instead of 10⁴ dir probes
+    * (a streaming-append table minting a version per minute reaches that
+    * in a week). Loose entries FOLD into `compact_<upToN>.json` past a
+    * threshold (exclusive-create guarded, so racing folders cannot
+    * corrupt; the loser skips). Entries are best-effort CACHE, never
+    * truth: [[versions]]/[[latestVersion]] stay on the version-dir
+    * listing — the OCC claim protocol's correctness anchor — and every
+    * ledger read INTERSECTS with the live version list, so a pruned
+    * version whose folded entry survives is simply ignored and a missing
+    * entry falls back to the probing path ([[probeVersion]]).
+    */
+  private[lake] val ledgerDirName = "_versions"
+  private val ledgerFoldThreshold = 256
+
+  private def ledgerDir(root: String, name: String) =
+    new Path(s"${tablePath(root, name)}/$ledgerDirName")
+
+  private val LedgerEntry =
+    raw"""\{"version":(\d+),"committedAtMillis":(\d+),"kind":"([^"]+)","dataFiles":(\d+),"carriedFiles":(\d+)\}""".r
+
+  private def entryJson(i: VersionInfo): String =
+    s"""{"version":${i.version},"committedAtMillis":${i.committedAtMillis},""" +
+      s""""kind":"${i.kind}","dataFiles":${i.dataFiles},"carriedFiles":${i.carriedFiles}}"""
+
+  private def parseEntry(line: String): Option[VersionInfo] = line.trim match {
+    case LedgerEntry(v, at, kind, own, carried) =>
+      Some(VersionInfo(v.toInt, at.toLong, kind, own.toInt, carried.toInt))
+    case _ => None
+  }
+
+  /** Classify a LIVE version dir by probing it — the pre-ledger path and
+    * the fallback for versions missing an entry.
+    */
+  private def probeVersion(
+      f: org.apache.hadoop.fs.FileSystem, dir: Path, version: Int,
+      committedAtMillis: Long): VersionInfo = {
+    val entries = f.listStatus(dir).toSeq
+    val own = entries.count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val isClone = entries.exists(_.getPath.getName == "_clone")
+    val hasMf = entries.exists(_.getPath.getName == manifestName)
+    val hasDel = entries.exists { st =>
+      val n = st.getPath.getName
+      n == MergeOnRead.deletesName || n == MergeOnRead.eqDeletesName
+    }
+    val carried =
+      if (!hasMf) 0
+      else {
+        val in = f.open(new Path(dir, manifestName))
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').count(_.trim.nonEmpty)
+      }
+    val hasSchema = entries.exists(_.getPath.getName == schemaName)
+    val kind =
+      if (isClone) "clone"
+      else if (hasDel && own > 0) "cow+mor"
+      else if (hasDel) "mor"
+      else if (hasMf && own == 0 && hasSchema) "evolve"
+      else if (hasMf) "cow"
+      else "physical"
+    VersionInfo(version, committedAtMillis, kind, own, carried)
+  }
+
+  private def writeLedgerEntry(
+      f: org.apache.hadoop.fs.FileSystem, live: Path): Unit = {
+    val version = live.getName.stripPrefix("version=v").toInt
+    val tdir = live.getParent
+    val receipt = new Path(live, "_commit")
+    val at =
+      if (f.exists(receipt)) f.getFileStatus(receipt).getModificationTime
+      else f.getFileStatus(live).getModificationTime
+    val info = probeVersion(f, live, version, at)
+    val ldir = new Path(tdir, ledgerDirName)
+    val out = f.create(new Path(ldir, s"v$version.json"), true)
+    try out.write(entryJson(info).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    foldLedgerIfNeeded(f, ldir)
+  }
+
+  /** Fold loose entries into one `compact_<upToN>.json` once the loose
+    * count passes the threshold. Exclusive-create on the compact file is
+    * the race guard (two committers folding the same range: one wins, the
+    * loser's create fails and it skips); loose files are deleted only
+    * AFTER the compact file holding them exists, so no entry is ever
+    * lost mid-fold.
+    */
+  private def foldLedgerIfNeeded(
+      f: org.apache.hadoop.fs.FileSystem, ldir: Path): Unit = {
+    val all = f.listStatus(ldir).toSeq.filter(_.isFile)
+    val loose = all.filter(st => st.getPath.getName.startsWith("v") &&
+      st.getPath.getName.endsWith(".json"))
+    if (loose.size <= ledgerFoldThreshold) return
+    val oldCompacts = all.filter(_.getPath.getName.startsWith("compact_"))
+    def readAll(p: Path): Seq[VersionInfo] =
+      scala.util.Try { // a racing folder may delete files under us: skip
+        val in = f.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').toSeq.flatMap(parseEntry)
+      }.getOrElse(Seq.empty)
+    // fold EVERYTHING — prior compacts included — into one file, so the
+    // steady state is 1 compact + up to `threshold` loose entries
+    val infos = (oldCompacts ++ loose).flatMap(st => readAll(st.getPath))
+      .groupBy(_.version).map(_._2.head).toSeq.sortBy(_.version)
+    if (infos.isEmpty) return
+    val upTo = infos.map(_.version).max
+    val compact = new Path(ldir, s"compact_$upTo.json")
+    if (f.exists(compact) || !claimExclusive(f, compact))
+      return // another folder won this range
+    val tmp = new Path(ldir, s".fold_$upTo")
+    val out = f.create(tmp, true)
+    try out.write(infos.map(entryJson).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // the claim file is empty — replace it with the folded content via
+    // delete+rename (safe: we own the claim; readers treat an empty or
+    // half-written compact file as absent entries and fall back)
+    f.delete(compact, false)
+    if (f.rename(tmp, compact)) {
+      loose.foreach(st => f.delete(st.getPath, false))
+      oldCompacts.foreach(st => f.delete(st.getPath, false))
+    } else f.delete(tmp, false)
+  }
+
+  /** Every ledger entry (folded + loose), keyed by version. Loose entries
+    * win over folded duplicates (they are immutable, so either is right).
+    */
+  private[lake] def readLedger(
+      spark: SparkSession, root: String, name: String): Map[Int, VersionInfo] = {
+    val ldir = ledgerDir(root, name)
+    val f = fs(spark, ldir.toString)
+    if (!f.exists(ldir)) return Map.empty
+    val entries = f.listStatus(ldir).toSeq.filter(_.isFile)
+    def readAll(p: Path): Seq[VersionInfo] =
+      scala.util.Try { // a racing fold may delete files under us: the
+        // entries live on in the new compact; missing ones fall back to
+        // the probing path, so skipping here is always safe
+        val in = f.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').toSeq.flatMap(parseEntry)
+      }.getOrElse(Seq.empty)
+    val folded = entries.filter(_.getPath.getName.startsWith("compact_"))
+      .flatMap(st => readAll(st.getPath))
+    val loose = entries.filter(st => st.getPath.getName.startsWith("v") &&
+      st.getPath.getName.endsWith(".json"))
+      .flatMap(st => readAll(st.getPath))
+    (folded ++ loose).map(i => i.version -> i).toMap
+  }
+
+  /** Drop a pruned version's loose ledger entry (folded entries are left —
+    * readers intersect with the live version list, so a stale folded
+    * entry is ignored until the next fold cycles it out).
+    */
+  private[lake] def dropLedgerEntry(
+      spark: SparkSession, root: String, name: String, version: Int): Unit = {
+    val p = new Path(ledgerDir(root, name), s"v$version.json")
+    try { val f = fs(spark, p.toString); if (f.exists(p)) f.delete(p, false); () }
+    catch { case _: java.io.IOException => () }
+  }
 
   /** Commit instant of a snapshot: the `_commit` receipt's mtime when
     * present (claim-rename time), else the directory mtime (pre-receipt
@@ -700,43 +872,25 @@ object Lake {
       dataFiles: Int, carriedFiles: Int)
 
   /** The table's version ledger — `DESCRIBE HISTORY` for the snapshot
-    * layout (SQL: `CALL <cat>.system.history(t)`). Driver-side FS
-    * listings only, zero jobs: O(versions) metadata reads regardless of
-    * table bytes.
+    * layout (SQL: `CALL <cat>.system.history(t)`). Served from the
+    * `_versions` ledger where entries exist — ONE ledger read regardless
+    * of version count — with a per-version probing fallback for entries
+    * the best-effort commit stamp missed (pre-ledger tables, crashed
+    * stamps). The version LIST itself still comes from the dir listing
+    * (the correctness anchor), so a pruned version can never resurrect
+    * through a stale folded ledger entry.
     */
   def tableHistory(
-      spark: SparkSession, root: String, name: String): Seq[VersionInfo] =
+      spark: SparkSession, root: String, name: String): Seq[VersionInfo] = {
+    val ledger = readLedger(spark, root, name)
     versions(spark, root, name).map { v =>
-      val dir = new Path(s"${tablePath(root, name)}/version=v$v")
-      val f = fs(spark, dir.toString)
-      val entries = f.listStatus(dir).toSeq
-      val own = entries.count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      val isClone = entries.exists(_.getPath.getName == "_clone")
-      val hasMf = entries.exists(_.getPath.getName == manifestName)
-      val hasDel = entries.exists { st =>
-        val n = st.getPath.getName
-        n == MergeOnRead.deletesName || n == MergeOnRead.eqDeletesName
-      }
-      val carried =
-        if (!hasMf) 0
-        else {
-          val in = f.open(new Path(dir, manifestName))
-          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          txt.split('\n').count(_.trim.nonEmpty)
-        }
-      val hasSchema = entries.exists(_.getPath.getName == schemaName)
-      val kind =
-        if (isClone) "clone"
-        else if (hasDel && own > 0) "cow+mor"
-        else if (hasDel) "mor"
-        else if (hasMf && own == 0 && hasSchema) "evolve"
-        else if (hasMf) "cow"
-        else "physical"
-      VersionInfo(v, commitInstantMillis(spark, root, name, v), kind, own, carried)
+      ledger.getOrElse(v, {
+        val dir = new Path(s"${tablePath(root, name)}/version=v$v")
+        probeVersion(fs(spark, dir.toString), dir, v,
+          commitInstantMillis(spark, root, name, v))
+      })
     }
+  }
 
   /** SHALLOW CLONE: commit a new table (or a new version of an existing
     * one) whose snapshot is a METADATA POINTER to another table's
@@ -1382,7 +1536,9 @@ object Lake {
     val f = fs(spark, tablePath(root, name))
     if (!f.exists(base)) Seq.empty
     else {
-      val live = versions(spark, root, name).map(v => s"version=v$v").toSet
+      // the version ledger dir is committed metadata, not a crashed write
+      val live = versions(spark, root, name).map(v => s"version=v$v").toSet +
+        ledgerDirName
       f.listStatus(base).toSeq
         .filterNot(st => live.contains(st.getPath.getName))
         .map { st =>

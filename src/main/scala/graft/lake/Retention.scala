@@ -123,7 +123,11 @@ object Retention {
     vs.dropRight(keep).flatMap { v =>
       if (survivors.contains(v)) None
       else {
-        if (!dryRun) f.delete(dir(v), true)
+        if (!dryRun) {
+          f.delete(dir(v), true)
+          // keep the version ledger consistent with the dir listing
+          Lake.dropLedgerEntry(spark, root, name, v)
+        }
         Some(Pruned(dir(v).toString, deleted = !dryRun))
       }
     }

@@ -657,6 +657,51 @@ class ConcurrencySpec extends SparkSpec {
     } finally Txn.testStallBeforeSweep = () => ()
   }
 
+  test("version ledger: parity with probing under concurrent commits and prunes (round 12)") {
+    import org.apache.spark.sql.functions.col
+    val root = scratch()
+    // 8 racing committers, then one of each other commit kind so every
+    // ledger `kind` classification is exercised
+    race(8) { i =>
+      Lake.writeTableSnapshot(
+        (1 to 50).map(k => (k.toLong, s"w$i-$k")).toDF("k", "x"), root, "led_t",
+        retentionVersions = Int.MaxValue)
+    }
+    graft.lake.CopyOnWrite.updateWhere(spark, root, "led_t",
+      col("k") <= 5, Seq("x" -> org.apache.spark.sql.functions.lit("u")),
+      retentionVersions = Int.MaxValue)
+    graft.lake.MergeOnRead.deleteWhere(spark, root, "led_t", col("k") > 45,
+      retentionVersions = Int.MaxValue)
+    Lake.addColumn(spark, root, "led_t",
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      retentionVersions = Int.MaxValue)
+    // prune a slice (the newest metadata commits reference the rest, so
+    // only unreferenced old dirs go) — ledger entries must follow
+    graft.lake.Retention.pruneTableVersions(spark, root, "led_t", keep = 6)
+    val viaLedger = Lake.tableHistory(spark, root, "led_t")
+    assert(viaLedger.map(_.version) === Lake.versions(spark, root, "led_t"),
+      "the ledger-served history covers exactly the live version list")
+    assert(viaLedger.map(_.kind).toSet.intersect(
+      Set("physical", "cow", "mor", "evolve")).size >= 3)
+    // force the probing fallback by moving the ledger aside: both paths
+    // must derive the IDENTICAL history (ledger = cache, never truth)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ldir = new org.apache.hadoop.fs.Path(s"$root/tables/led_t/_versions")
+    val aside = new org.apache.hadoop.fs.Path(s"$root/tables/led_t/.led_aside")
+    assert(fs.exists(ldir), "commits must have stamped ledger entries")
+    assert(fs.rename(ldir, aside))
+    val viaProbe = Lake.tableHistory(spark, root, "led_t")
+    assert(fs.rename(aside, ldir))
+    assert(viaLedger === viaProbe,
+      "ledger-served and probe-derived history must agree exactly")
+    // vacuum must treat the ledger as committed metadata, not an orphan
+    Lake.vacuumTable(spark, root, "led_t")
+    assert(fs.exists(ldir), "vacuum must never collect the version ledger")
+    assert(Lake.tableHistory(spark, root, "led_t") === viaLedger)
+  }
+
   test("merge-on-read delete racing a snapshot writer retries on the new base (no lost update)") {
     import graft.lake.MergeOnRead
     import org.apache.spark.sql.functions.col

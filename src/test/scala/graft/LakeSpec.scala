@@ -576,7 +576,10 @@ class LakeSpec extends SparkSpec {
     // vacuum collects the stale claim marker; version-named dirs are live
     Lake.vacuumTable(spark, root, "t")
     val names = f.listStatus(new org.apache.hadoop.fs.Path(tdir)).map(_.getPath.getName).sorted.toSeq
-    assert(names === Seq("version=v1", "version=v2", "version=v4", "version=v5", "version=v6"))
+    // `_versions` is the commit-stamped version ledger (round 12) — live
+    // metadata, deliberately NOT collected by vacuum
+    assert(names === Seq("_versions", "version=v1", "version=v2", "version=v4",
+      "version=v5", "version=v6"))
   }
 
   test("restoreTable republishes an old snapshot as a new version, history intact") {
