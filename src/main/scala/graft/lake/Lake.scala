@@ -368,6 +368,21 @@ object Lake {
     else f.getFileStatus(dir).getModificationTime
   }
 
+  /** Commit instants for EVERY live version in one pass — one ledger read
+    * plus per-version receipt probes only for entries the best-effort
+    * stamp missed. `TIMESTAMP AS OF` resolution needs all of them, and
+    * probing each (`commitInstantMillis` in a loop) is O(versions) RPCs —
+    * the cost class the `_versions` ledger exists to remove.
+    */
+  def commitInstants(
+      spark: SparkSession, root: String, name: String): Map[Int, Long] = {
+    val ledger = readLedger(spark, root, name)
+    versions(spark, root, name).map { v =>
+      v -> ledger.get(v).map(_.committedAtMillis)
+        .getOrElse(commitInstantMillis(spark, root, name, v))
+    }.toMap
+  }
+
   /** Conditional snapshot commit: publish `df` as version `expectedLatest+1`
     * ONLY IF no other writer has committed past `expectedLatest` — the
     * compare-and-swap a read-modify-write (e.g. the catalog's INSERT INTO,

@@ -668,10 +668,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (snaps.isEmpty) throw new NoSuchTableException(ident)
     // order by COMMIT instant (the _commit receipt's mtime — POSIX rename
     // preserves dir mtimes, so the directory timestamp is the staging
-    // instant, which is NOT monotone across concurrent writers)
+    // instant, which is NOT monotone across concurrent writers). Bulk
+    // resolution via the version ledger: one read, not a probe per version
+    val instants = graft.lake.Lake.commitInstants(
+      SparkSession.active, root, ident.name())
     val eligible = snaps.map(_._1).filter(v =>
-      graft.lake.Lake.commitInstantMillis(
-        SparkSession.active, root, ident.name(), v) * 1000L <= timestampMicros)
+      instants.getOrElse(v, Long.MaxValue) * 1000L <= timestampMicros)
     if (eligible.isEmpty) throw new NoSuchTableException(
       Seq(s"${ident.name()} (no snapshot at or before timestamp $timestampMicros)"))
     new FrozenTable(ident, eligible.max)

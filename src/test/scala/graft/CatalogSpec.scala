@@ -401,11 +401,26 @@ class CatalogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq === Seq("merged", "ins"))
     assert(spark.sql(s"SELECT count(*) FROM $cat.tables.cowsql_t")
       .head().getLong(0) === 791)
+    // condition-LESS UPDATE (the synthetic-marker path): every row of
+    // every file matches, so all files rewrite — still a valid COW commit
+    spark.sql(s"UPDATE $cat.tables.cowsql_t SET x = concat(x, '!')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.cowsql_t WHERE x NOT LIKE '%!'")
+      .head().getLong(0) === 0, "an unconditional UPDATE must hit every row")
+    // MERGE with UPDATE SET * (star expansion) routes too
+    Seq((130L, "star")).toDF("k", "x").createOrReplaceTempView("cowsql_src2")
+    spark.sql(s"""MERGE INTO $cat.tables.cowsql_t t USING cowsql_src2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql(s"SELECT x FROM $cat.tables.cowsql_t WHERE k = 130")
+      .head().getString(0) === "star")
+    assert(Lake.hasManifest(spark, root, "cowsql_t",
+      Lake.versions(spark, root, "cowsql_t").max),
+      "the star-merge must ride the file-granular path")
     // the escape hatch restores the group-based whole-snapshot path
     spark.conf.set("spark.graft.sql.cowRouting", "false")
     try {
       spark.sql(s"UPDATE $cat.tables.cowsql_t SET x = 'gb' WHERE k = 1")
-      assert(!Lake.hasManifest(spark, root, "cowsql_t", 6),
+      assert(!Lake.hasManifest(spark, root, "cowsql_t",
+        Lake.versions(spark, root, "cowsql_t").max),
         "with routing off the group-based path rewrites the whole snapshot")
       assert(spark.sql(s"SELECT x FROM $cat.tables.cowsql_t WHERE k = 1")
         .head().getString(0) === "gb")
