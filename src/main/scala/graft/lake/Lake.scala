@@ -187,6 +187,11 @@ object Lake {
     // keeps the ledger dir small as versions accumulate
     try writeLedgerEntry(f, live)
     catch { case _: java.io.IOException => () }
+    // per-file MIN/MAX stats sidecar over the version's OWN files (footer
+    // reads only — O(new files), no data re-read); best-effort CACHE like
+    // the receipt: a missing sidecar costs scan IO, never correctness
+    try StatsSidecar.stamp(f, live)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Per-table VERSION LEDGER: `_versions/` next to the version dirs holds

@@ -1,0 +1,489 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file MIN/MAX/NULL-COUNT statistics sidecar for the versioned lake
+  * table — Iceberg-manifest-style FILE pruning for catalog SQL scans.
+  *
+  * Spark's parquet scan already skips ROW GROUPS via footer stats, but it
+  * must OPEN every file's footer first: a predicate scan over a 100 TB
+  * table with a million files pays a million footer reads (object-store
+  * GETs) even when the predicate admits three files. This sidecar lifts
+  * the same stats one level up: each commit stamps `_filestats.json` into
+  * its version dir covering the files the commit physically wrote
+  * (footer reads of just-written files — O(new files), no data re-read),
+  * and the catalog's scan builder evaluates pushed data filters against
+  * the stats to shrink the FILE LIST before the parquet scan is built.
+  * Carried files (COW manifests) keep their stats in the dir that
+  * physically holds them, so resolution is one sidecar read per distinct
+  * version dir in the snapshot's file list.
+  *
+  * The sidecar is best-effort CACHE, never truth: a missing sidecar or a
+  * missing/unknown column entry makes the file a candidate (pruning is
+  * always CONSERVATIVE — a kept row can never be lost, only IO saved).
+  * Supported domains: integral types + DATE (long), FLOAT/DOUBLE (double,
+  * NaN-poisoned stats are dropped), TIMESTAMP/TIMESTAMP_NTZ (micros, unit
+  * converted with outward rounding), and STRING (unsigned UTF-8 byte
+  * order — the same total order parquet binary stats use, so prefix and
+  * range pruning are sound even for truncated stats, which parquet
+  * truncates outward). Everything else — nested, decimal, boolean,
+  * unsigned — records an UNKNOWN entry: present (so `IS NOT NULL` cannot
+  * misread absence as "file predates the column") but never pruned on.
+  */
+object StatsSidecar {
+
+  val sidecarName = "_filestats.json"
+
+  /** Past this many files a commit computes footer stats as a Spark job
+    * (executors read footers in parallel, the driver collects O(files)
+    * tiny rows); below it a driver-side loop is cheaper than a job.
+    */
+  private val driverFooterThreshold = 256
+
+  /** One column's aggregated file-level stats. `typ`: 'l' long domain,
+    * 'd' double, 's' UTF-8 bytes, 'u' unknown (present but unprunable).
+    * `min`/`max` are None when the column holds no non-null value in the
+    * file. `nulls` is -1 when any row group left the null count unset.
+    */
+  final case class ColStat(
+      typ: Char, min: Option[Any], max: Option[Any], nulls: Long)
+
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  // ---------------------------------------------------------------- stamp
+
+  /** Read one parquet footer into a FileStat (no data pages touched). */
+  private[lake] def footerStat(conf: Configuration, file: Path): FileStat = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val footer = try reader.getFooter finally reader.close()
+    val blocks = {
+      import scala.jdk.CollectionConverters._
+      footer.getBlocks.asScala.toSeq
+    }
+    val rows = blocks.map(_.getRowCount).sum
+    // per top-level column name: fold row-group chunks
+    val byCol = scala.collection.mutable.LinkedHashMap.empty[String, ColStat]
+    for (block <- blocks) {
+      import scala.jdk.CollectionConverters._
+      for (chunk <- block.getColumns.asScala) {
+        val pathParts = chunk.getPath.toArray
+        val name = pathParts.head
+        val nested = pathParts.length > 1
+        val prev = byCol.get(name)
+        val next =
+          if (nested) ColStat('u', None, None, -1L)
+          else mergeChunk(prev, chunk, block.getRowCount)
+        byCol.update(name, prev match {
+          case Some(p) if p.typ == 'u' => p
+          case _ => next
+        })
+      }
+    }
+    FileStat(rows, byCol.toMap)
+  }
+
+  /** Fold one column chunk's statistics into the running ColStat. Any
+    * unusable aspect degrades conservatively ('u' for values, -1 for
+    * nulls) — the file then simply stays a candidate.
+    */
+  private def mergeChunk(
+      prev: Option[ColStat],
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      blockRows: Long): ColStat = {
+    val stats = chunk.getStatistics
+    val prim = chunk.getPrimitiveType
+    val dom = domainOf(prim)
+    if (dom == 'u' || stats == null) return ColStat('u', None, None, -1L)
+    val nulls: Long =
+      if (stats.isNumNullsSet) stats.getNumNulls else -1L
+    val (mn, mx): (Option[Any], Option[Any]) =
+      if (stats.hasNonNullValue)
+        (chunkValue(prim, dom, stats.genericGetMin.asInstanceOf[AnyRef], roundUp = false),
+         chunkValue(prim, dom, stats.genericGetMax.asInstanceOf[AnyRef], roundUp = true)) match {
+          case (Some(a), Some(b)) => (Some(a), Some(b))
+          case _ => return ColStat('u', None, None, nulls max -1L)
+        }
+      else if (nulls == blockRows) (None, None) // all-null block: sound
+      else return ColStat('u', None, None, -1L) // values exist, stats don't
+    prev match {
+      case None => ColStat(dom, mn, mx, nulls)
+      case Some(p) if p.typ != dom => ColStat('u', None, None, -1L)
+      case Some(p) =>
+        val nn = if (p.nulls < 0 || nulls < 0) -1L else p.nulls + nulls
+        ColStat(dom,
+          minOf(dom, p.min, mn), maxOf(dom, p.max, mx), nn)
+    }
+  }
+
+  private def minOf(t: Char, a: Option[Any], b: Option[Any]): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(t, x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+  private def maxOf(t: Char, a: Option[Any], b: Option[Any]): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(t, x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  /** Which stat domain a parquet primitive maps to. */
+  private def domainOf(prim: PrimitiveType): Char = {
+    val logical = prim.getLogicalTypeAnnotation
+    prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 => logical match {
+        case null => 'l'
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'l'
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          if (i.isSigned) 'l' else 'u'
+        case _ => 'u'
+      }
+      case PrimitiveTypeName.INT64 => logical match {
+        case null => 'l'
+        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => 'l'
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          if (i.isSigned) 'l' else 'u'
+        case _ => 'u'
+      }
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => 'd'
+      case PrimitiveTypeName.BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => 's'
+        case _ => 'u'
+      }
+      case _ => 'u' // INT96, FIXED_LEN_BYTE_ARRAY, BOOLEAN
+    }
+  }
+
+  /** Normalize a footer stat value into its domain representation.
+    * Timestamps convert to MICROS with outward rounding (`roundUp` for
+    * max) so unit conversion can only widen the bound, never tighten it.
+    */
+  private def chunkValue(
+      prim: PrimitiveType, dom: Char, v: AnyRef,
+      roundUp: Boolean): Option[Any] = dom match {
+    case 'l' =>
+      val raw = v match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long => l.longValue
+        case _ => return None
+      }
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          import LogicalTypeAnnotation.TimeUnit
+          t.getUnit match {
+            case TimeUnit.MICROS => Some(raw)
+            case TimeUnit.MILLIS =>
+              try Some(Math.multiplyExact(raw, 1000L))
+              catch { case _: ArithmeticException => None }
+            case TimeUnit.NANOS =>
+              Some(if (roundUp) Math.floorDiv(raw + 999L, 1000L)
+                   else Math.floorDiv(raw, 1000L))
+            case _ => None
+          }
+        case _ => Some(raw)
+      }
+    case 'd' => v match {
+      case f: java.lang.Float =>
+        val d = f.doubleValue; if (d.isNaN) None else Some(d)
+      case d: java.lang.Double =>
+        if (d.isNaN) None else Some(d.doubleValue)
+      case _ => None
+    }
+    case 's' => v match {
+      case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Stamp `_filestats.json` into a freshly committed version dir —
+    * footer reads of the dir's own parquet files only. Driver loop for
+    * small commits; a parallelize job past [[driverFooterThreshold]] so a
+    * large physical republish never serializes a million footer reads
+    * through one thread. Best-effort: callers swallow failures (a missing
+    * sidecar only costs IO on later scans).
+    */
+  def stamp(f: FileSystem, dir: Path): Unit = {
+    val files = f.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => st.getPath)
+    if (files.isEmpty) return
+    val conf = f.getConf
+    val stats: Seq[(String, FileStat)] =
+      if (files.size <= driverFooterThreshold || SparkSession.getActiveSession.isEmpty)
+        files.map(p => p.getName -> footerStat(conf, p))
+      else {
+        val spark = SparkSession.active
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.SerializableWritable(conf))
+        spark.sparkContext
+          .parallelize(files.map(_.toString), math.min(files.size, 32))
+          .map { p =>
+            val path = new Path(p)
+            path.getName -> footerStat(confB.value.value, path)
+          }
+          .collect().toSeq
+      }
+    writeSidecar(f, new Path(dir, sidecarName), stats)
+  }
+
+  // ----------------------------------------------------------- JSON codec
+
+  private def encValue(t: Char, v: Any): String = t match {
+    case 'l' => v.asInstanceOf[Long].toString
+    case 'd' => v.asInstanceOf[Double].toString // shortest round-trip
+    case 's' => java.util.Base64.getEncoder
+      .encodeToString(v.asInstanceOf[Array[Byte]])
+  }
+
+  private def decValue(t: Char, s: String): Any = t match {
+    case 'l' => s.toLong
+    case 'd' => s.toDouble
+    case 's' => java.util.Base64.getDecoder.decode(s)
+  }
+
+  private def writeSidecar(
+      f: FileSystem, path: Path, stats: Seq[(String, FileStat)]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val ast: JObject = "files" -> JObject(stats.map { case (name, fsStat) =>
+      name -> (
+        ("rows" -> JString(fsStat.rows.toString)) ~
+        ("cols" -> JObject(fsStat.cols.toSeq.map { case (c, cs) =>
+          val fields = List[Option[JField]](
+            Some("t" -> JString(cs.typ.toString)),
+            cs.min.map(v => "min" -> JString(encValue(cs.typ, v))),
+            cs.max.map(v => "max" -> JString(encValue(cs.typ, v))),
+            Some("n" -> JString(cs.nulls.toString))).flatten
+          c -> JObject(fields)
+        }.toList)))
+    }.toList)
+    val out = f.create(path, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(ast))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Version dirs are immutable after commit, so parsed sidecars cache by
+    * dir path; the map is cleared wholesale past a bound (tests churn
+    * tmp dirs — this is not an LRU, just a leak stop).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, FileStat]]]()
+
+  private[graft] def clearCache(): Unit = cache.clear()
+
+  /** The sidecar of one version dir, or None when absent/unreadable. */
+  def readSidecar(
+      f: FileSystem, dir: Path): Option[Map[String, FileStat]] = {
+    val key = f.makeQualified(dir).toString
+    if (cache.size > 1024) cache.clear()
+    cache.computeIfAbsent(key, _ => readSidecarUncached(f, dir))
+  }
+
+  private def readSidecarUncached(
+      f: FileSystem, dir: Path): Option[Map[String, FileStat]] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val p = new Path(dir, sidecarName)
+      if (!f.exists(p)) return None
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val ast = JsonMethods.parse(txt)
+      val files = ast \ "files" match {
+        case JObject(fs) => fs
+        case _ => return None
+      }
+      Some(files.map { case (name, body) =>
+        val rows = body \ "rows" match {
+          case JString(s) => s.toLong; case _ => -1L
+        }
+        val cols = body \ "cols" match {
+          case JObject(cs) => cs.map { case (c, cbody) =>
+            val t = (cbody \ "t") match {
+              case JString(s) if s.nonEmpty => s.charAt(0); case _ => 'u'
+            }
+            def opt(k: String): Option[Any] = (cbody \ k) match {
+              case JString(s) if t != 'u' => Some(decValue(t, s))
+              case _ => None
+            }
+            val n = (cbody \ "n") match {
+              case JString(s) => s.toLong; case _ => -1L
+            }
+            c -> ColStat(t, opt("min"), opt("max"), n)
+          }.toMap
+          case _ => Map.empty[String, ColStat]
+        }
+        name -> FileStat(rows, cols)
+      }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------- pruning
+
+  /** Prune a snapshot's resolved file list against pushed v1 data
+    * filters: one sidecar read per distinct version dir, conservative
+    * everywhere stats are missing. Returns the admitted subset (order
+    * preserved).
+    */
+  def candidateFiles(
+      spark: SparkSession, files: Seq[String], schema: StructType,
+      filters: Seq[Filter]): Seq[String] = {
+    if (filters.isEmpty) return files
+    val byDir = scala.collection.mutable.HashMap.empty[String, Option[Map[String, FileStat]]]
+    files.filter { file =>
+      val p = new Path(file)
+      val dirStats = byDir.getOrElseUpdate(p.getParent.toString, {
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        readSidecar(f, p.getParent)
+      })
+      dirStats.flatMap(_.get(p.getName)) match {
+        case None => true // no stats recorded: always a candidate
+        case Some(st) => filters.forall(mightMatch(_, st, schema))
+      }
+    }
+  }
+
+  /** Convert an EXTERNAL v1-Filter literal into the column's stat
+    * domain. None = not comparable here → no pruning on this leaf.
+    */
+  private def toDomain(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      Some(n.longValue)
+    case (DateType, d: java.sql.Date) =>
+      Some(DateTimeUtils.fromJavaDate(d).toLong)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(DateTimeUtils.instantToMicros(i))
+    case (TimestampNTZType, l: java.time.LocalDateTime) =>
+      Some(DateTimeUtils.localDateTimeToMicros(l))
+    case (FloatType | DoubleType, n: Number) =>
+      val d = n.doubleValue; if (d.isNaN) None else Some(d)
+    case (StringType, s: String) => Some(UTF8String.fromString(s).getBytes)
+    case _ => None
+  }
+
+  private def domainFor(dt: DataType): Char = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => 'l'
+    case FloatType | DoubleType => 'd'
+    case StringType => 's'
+    case _ => 'u'
+  }
+
+  private def cmp(t: Char, a: Any, b: Any): Int = t match {
+    case 'l' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'd' =>
+      val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
+      if (x < y) -1 else if (x > y) 1 else 0 // primitive compare: -0.0 == 0.0
+    case 's' => cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+
+  /** Unsigned lexicographic byte order — parquet's binary stat order AND
+    * Spark's UTF8String order, so string bounds compare soundly.
+    */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Could any row of a file with these stats satisfy the filter?
+    * Conservative: anything not understood answers true.
+    */
+  private[graft] def mightMatch(
+      filter: Filter, st: FileStat, schema: StructType): Boolean = {
+    def colOf(name: String): Option[(ColStat, DataType)] = {
+      if (name.contains(".")) return None // nested attr: never prune
+      val field = schema.fields.find(_.name == name)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+      field.flatMap { fd =>
+        st.cols.get(fd.name)
+          .orElse(st.cols.find(_._1.equalsIgnoreCase(fd.name)).map(_._2))
+          .map(cs => (cs, fd.dataType))
+      }
+    }
+    // value-domain guard: the stat domain must agree with the catalyst
+    // type's domain, else never prune (e.g. schema drift)
+    def usable(cs: ColStat, dt: DataType): Boolean =
+      cs.typ != 'u' && cs.typ == domainFor(dt)
+    def valuePredicate(name: String)(
+        test: (ColStat, DataType) => Boolean): Boolean =
+      colOf(name) match {
+        case Some((cs, dt)) if usable(cs, dt) =>
+          (cs.min, cs.max) match {
+            case (Some(_), Some(_)) => test(cs, dt)
+            case _ => false // no non-null value in the file: = / < / > miss
+          }
+        case _ => true
+      }
+    filter match {
+      case And(l, r) => mightMatch(l, st, schema) && mightMatch(r, st, schema)
+      case Or(l, r) => mightMatch(l, st, schema) || mightMatch(r, st, schema)
+      case EqualTo(a, v) => valuePredicate(a) { (cs, dt) =>
+        toDomain(dt, v) match {
+          case Some(x) =>
+            cmp(cs.typ, cs.min.get, x) <= 0 && cmp(cs.typ, cs.max.get, x) >= 0
+          case None => true
+        }
+      }
+      case EqualNullSafe(a, null) =>
+        colOf(a).forall { case (cs, _) => cs.nulls != 0 }
+      case EqualNullSafe(a, v) => mightMatch(EqualTo(a, v), st, schema)
+      case In(a, vs) => valuePredicate(a) { (cs, dt) =>
+        val ds = vs.toSeq.flatMap(v => toDomain(dt, v))
+        if (ds.size != vs.count(_ != null)) true // some value incomparable
+        else ds.exists(x =>
+          cmp(cs.typ, cs.min.get, x) <= 0 && cmp(cs.typ, cs.max.get, x) >= 0)
+      }
+      case GreaterThan(a, v) => valuePredicate(a) { (cs, dt) =>
+        toDomain(dt, v).forall(x => cmp(cs.typ, cs.max.get, x) > 0)
+      }
+      case GreaterThanOrEqual(a, v) => valuePredicate(a) { (cs, dt) =>
+        toDomain(dt, v).forall(x => cmp(cs.typ, cs.max.get, x) >= 0)
+      }
+      case LessThan(a, v) => valuePredicate(a) { (cs, dt) =>
+        toDomain(dt, v).forall(x => cmp(cs.typ, cs.min.get, x) < 0)
+      }
+      case LessThanOrEqual(a, v) => valuePredicate(a) { (cs, dt) =>
+        toDomain(dt, v).forall(x => cmp(cs.typ, cs.min.get, x) <= 0)
+      }
+      case StringStartsWith(a, p) => valuePredicate(a) { (cs, dt) =>
+        if (domainFor(dt) != 's') true
+        else {
+          val pb = UTF8String.fromString(p).getBytes
+          val mn = cs.min.get.asInstanceOf[Array[Byte]]
+          val mx = cs.max.get.asInstanceOf[Array[Byte]]
+          // keep iff min's prefix <= p <= max's prefix
+          cmpBytes(mn.take(pb.length), pb) <= 0 &&
+            cmpBytes(mx.take(pb.length), pb) >= 0
+        }
+      }
+      case IsNull(a) => colOf(a).forall { case (cs, _) => cs.nulls != 0 }
+      case IsNotNull(a) => colOf(a).forall { case (cs, _) =>
+        cs.typ == 'u' || cs.nulls < 0 || st.rows < 0 || cs.nulls < st.rows
+      }
+      case _ => true // Not, Contains, EndsWith, AlwaysTrue, ...
+    }
+  }
+}

@@ -2496,7 +2496,77 @@ object Lifecycle {
       |       'inserted' AS change
       |FROM range(0, 3) t(id)""".stripMargin
 
+  /** A35 STATS-BACKED FILE PRUNING for catalog SQL scans (round 12):
+    * every snapshot commit stamps a per-file min/max/null-count sidecar
+    * (`_filestats.json`, parquet FOOTER reads of the version's own files —
+    * O(new files), no data re-read), and the catalog's scan builder
+    * evaluates pushed data filters against it, rebuilding the parquet
+    * scan over only the admitted files. Spark's scan skips ROW GROUPS
+    * from footers it has opened; this skips the FOOTER OPENS — at a
+    * million files per 100 TB snapshot, a predicate that admits two
+    * files costs two footer GETs, not a million. The gate writes orders
+    * range-clustered on o_orderkey into a catalog table, runs a range, a
+    * point, and a string-equality scan, REQUIRES each to have admitted
+    * the expected file subset (the decision is invisible in results, by
+    * design — the counter is the observability), and hash-verifies the
+    * union against DuckDB running the same slices on the raw table.
+    */
+  def statsPruning(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a35_")
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_orderkey") <= 2000)
+    Lake.writeTableSnapshot(
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, "ord_sp")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val counter = org.apache.spark.sql.graft.GraftCatalog.lastStatsPrune
+
+    def slice(gen: String, where: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM $cat.tables.ord_sp WHERE $where")
+    def prunePin(df: DataFrame, maxKept: Int, label: String): DataFrame = {
+      counter.set((-1, -1))
+      df.queryExecution.executedPlan // planning alone decides the file list
+      val (kept, total) = counter.get()
+      require(total == 8, s"$label: expected 8 files in the snapshot, saw $total")
+      require(kept <= maxKept,
+        s"$label: stats must admit <= $maxKept of 8 range-clustered files, admitted $kept")
+      df
+    }
+    val range = prunePin(
+      slice("range", "o_orderkey BETWEEN 100 AND 199"), maxKept = 2, "range")
+    val point = prunePin(slice("point", "o_orderkey = 32"), 1, "point")
+    val none = prunePin(slice("none", "o_orderkey = -1"), 0, "none")
+    // string equality prunes on UTF-8 byte order only when the value
+    // falls outside a file's [min, max] — priorities span every file, so
+    // this slice checks VALUE correctness through the pruning path, not a
+    // prune count
+    val str = slice("str", "o_orderpriority = '1-URGENT' AND o_orderkey < 500")
+    range.unionByName(point).unionByName(none).unionByName(str)
+  }
+
+  val statsPruningOracle: String =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |           FROM orders WHERE o_orderkey <= 2000)
+      |SELECT 'range' AS gen, o_orderkey, o_orderstatus, o_totalprice FROM t
+      |WHERE o_orderkey BETWEEN 100 AND 199
+      |UNION ALL
+      |SELECT 'point', o_orderkey, o_orderstatus, o_totalprice FROM t
+      |WHERE o_orderkey = 32
+      |UNION ALL
+      |SELECT 'none', o_orderkey, o_orderstatus, o_totalprice FROM t
+      |WHERE o_orderkey = -1
+      |UNION ALL
+      |SELECT 'str', o_orderkey, o_orderstatus, o_totalprice FROM t
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 500""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a35_stats_pruning" -> (statsPruning _),
     "a12_feed_descriptor" -> (feedDescriptor _),
     "a7_version_diff" -> (versionDiffGate _),
     "a6_lake_roundtrip" -> (lakeRoundtrip _),
@@ -2555,6 +2625,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a35_stats_pruning" -> statsPruningOracle,
     "a12_feed_descriptor" -> feedDescriptorOracle,
     "a7_version_diff" -> versionDiffOracle,
     "a6_lake_roundtrip" -> lakeRoundtripOracle,

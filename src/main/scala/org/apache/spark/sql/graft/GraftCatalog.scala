@@ -79,6 +79,13 @@ trait GovernedPath { def governedPath: String }
 trait GraftMutableTable { def lakeRoot: String; def lakeTableName: String }
 
 object GraftCatalog {
+  /** `(admitted, total)` of the most recent stats-pruned catalog scan
+    * build — observability for specs and the correctness gate (the prune
+    * decision itself is invisible in results, by design).
+    */
+  val lastStatsPrune =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
   /** Executor-side shim for the group-based row-level write: if a row
     * arrives one field WIDER than the data schema, its leading field is
     * the `__row_operation` routing column the exec did not project away
@@ -215,18 +222,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = snapshots(ident).nonEmpty
 
-  private def parquetTable(ident: Identifier, version: Int): ParquetTable = {
+  private def parquetTable(
+      ident: Identifier, version: Int,
+      pathsOverride: Option[Seq[String]] = None,
+      nameSuffix: String = ""): ParquetTable = {
     // resolve shallow-clone pointer versions to their physical snapshot —
     // catalog SQL reads branches exactly like data snapshots — and
     // file-manifest versions (copy-on-write commits) to their full file
     // list, so SQL cannot tell a carried file from a physical one
     val spark = SparkSession.active
-    val paths =
+    val paths = pathsOverride.getOrElse {
       if (graft.lake.Lake.hasManifest(spark, root, ident.name(), version))
         graft.lake.Lake.snapshotFiles(spark, root, ident.name(), version)
       else Seq(graft.lake.Lake.resolveSnapshotDir(spark, root, ident.name(), version))
+    }
     ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$version",
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$version$nameSuffix",
       spark,
       CaseInsensitiveStringMap.empty(),
       paths,
@@ -326,6 +337,112 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * which is precisely what the snapshot contract wants — one staged
     * parquet write, one rename.
     */
+  /** The read-side scan builder for a plain (no MOR sidecar, no field
+    * mapping) snapshot: wraps the delegate `ParquetTable`'s builder with
+    * STATS-BASED FILE PRUNING — pushed data filters are evaluated against
+    * the per-file min/max sidecar ([[graft.lake.StatsSidecar]], stamped
+    * at commit) and, when they admit a strict subset, the scan is rebuilt
+    * over only the admitted files. Spark's parquet scan skips ROW GROUPS
+    * from footers it has already opened; this skips the FOOTER OPENS — at
+    * a million files per snapshot, the difference between a million
+    * object-store GETs and a driver-side sidecar read per version dir.
+    * Pruning is conservative (missing stats → candidate) and purely an
+    * IO optimization: the rebuilt scan keeps every pushed filter, so a
+    * false admit costs one footer read, never a wrong row.
+    * `spark.graft.sql.statsPruning=false` is the escape hatch.
+    */
+  private final class StatsPruningScanBuilder(
+      ident: Identifier, version: Int, tableSchema: StructType,
+      options: CaseInsensitiveStringMap)
+      extends ScanBuilder
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+    import org.apache.spark.sql.connector.read.{Scan, SupportsPushDownAggregates}
+    import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+
+    private val spark = SparkSession.active
+    private val inner: FileScanBuilder = parquetTable(ident, version)
+      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+    private var required: Option[StructType] = None
+    private var aggPushed = false
+    // FileScanBuilder.pushFilters RETURNS the data-filter split (the
+    // post-scan subset); its internal `dataFilters` var is protected
+    private var pushedData: Seq[Expression] = Nil
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      val post = inner.pushFilters(filters)
+      pushedData = post
+      post
+    }
+    override def pushedFilters:
+        Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      inner.pushedFilters
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      required = Some(requiredSchema)
+      inner.pruneColumns(requiredSchema)
+    }
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      val ok = inner match {
+        case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+        case _ => false
+      }
+      if (ok) aggPushed = true
+      ok
+    }
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      inner match {
+        case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+        case _ => false
+      }
+
+    override def build(): Scan = {
+      val dataFilters = pushedData
+      // a pushed-down aggregate answers from footers of the listed files —
+      // only safe to combine with pruning when no filters exist, and
+      // Spark only pushes aggregates when none do; keep the guard anyway
+      if (aggPushed || dataFilters.isEmpty) return inner.build()
+      val v1 = dataFilters.flatMap(e =>
+        org.apache.spark.sql.execution.datasources.DataSourceStrategy
+          .translateFilter(e, supportNestedPredicatePushdown = true))
+      if (v1.isEmpty) return inner.build()
+      val all = graft.lake.Lake.snapshotFiles(spark, root, ident.name(), version)
+      val admitted = graft.lake.StatsSidecar.candidateFiles(
+        spark, all, tableSchema, v1)
+      GraftCatalog.lastStatsPrune.set((admitted.size, all.size))
+      if (admitted.size >= all.size) inner.build()
+      else {
+        // zero admitted files still needs a valid (empty-result) scan:
+        // keep one file — every pushed filter survives, so it yields rows
+        // for no file the stats excluded, by the conservative contract
+        val keep = if (admitted.isEmpty) all.take(1) else admitted
+        val b = parquetTable(ident, version, Some(keep),
+            s" [stats-pruned ${keep.size}/${all.size} files]")
+          .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+        b.pushFilters(dataFilters)
+        required.foreach(b.pruneColumns)
+        b.build()
+      }
+    }
+  }
+
+  /** Scan-builder selection shared by the live table and time-traveled
+    * [[FrozenTable]]: sidecar/mapping versions read through the resolving
+    * V1 fallback, plain versions through the stats-pruning parquet path
+    * (or the bare delegate when pruning is disabled).
+    */
+  private def readScanBuilder(
+      ident: Identifier, version: Int, schema: StructType,
+      delegate: ParquetTable, options: CaseInsensitiveStringMap): ScanBuilder =
+    if (hasMorDeletes(ident, version) || hasMapping(ident, version))
+      morScanBuilder(ident, version, schema)
+    else if (SparkSession.active.conf
+        .get("spark.graft.sql.statsPruning", "true") != "false")
+      new StatsPruningScanBuilder(ident, version, schema, options)
+    else delegate.newScanBuilder(options)
+
   private final class GraftTable(ident: Identifier, version: Int)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
       with SupportsRowLevelOperations with GovernedPath with GraftMutableTable {
@@ -343,9 +460,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (hasMorDeletes(ident, version) || hasMapping(ident, version))
-        morScanBuilder(ident, version, schema())
-      else delegate.newScanBuilder(options)
+      readScanBuilder(ident, version, schema(), delegate, options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
         private var overwrite = false
@@ -637,9 +752,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (hasMorDeletes(ident, version) || hasMapping(ident, version))
-        morScanBuilder(ident, version, schema())
-      else delegate.newScanBuilder(options)
+      readScanBuilder(ident, version, schema(), delegate, options)
   }
 
   /** `VERSION AS OF n` (also accepts `vn`) — or a TAG NAME: `VERSION AS

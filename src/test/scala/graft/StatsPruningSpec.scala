@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftCatalog
+
+import graft.lake.{Lake, StatsSidecar}
+
+/** A35 — stats-backed FILE pruning for catalog SQL scans: every commit
+  * stamps a per-file min/max/null-count sidecar (`_filestats.json`,
+  * footer reads only), and the catalog's scan builder evaluates pushed
+  * data filters against it to shrink the file list before the parquet
+  * scan is built. Pins: pruning fires (and by how much), results stay
+  * EXACTLY equal to the unpruned scan, conservatism everywhere stats are
+  * missing, composition with COW carries / schema evolution / time
+  * travel, and the escape hatch.
+  */
+class StatsPruningSpec extends SparkSpec {
+
+  private lazy val (cat, root): (String, String) = {
+    val root = Files.createTempDirectory("graft_stats_spec_").toString
+    val c = "gstats"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.root", root)
+    (c, root)
+  }
+
+  private def clustered(n: Int, files: Int) = {
+    spark.range(0, n).select(
+      col("id").as("k"),
+      concat(lit("user_"), lpad(col("id").cast("string"), 6, "0")).as("name"),
+      (col("id") % 97).cast("double").as("score"),
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("c"), (col("id") % 5).cast("string"))).as("cat"),
+      date_add(to_date(lit("2026-01-01")), (col("id") % 300).cast("int")).as("d"))
+      .repartitionByRange(files, col("k")).sortWithinPartitions("k")
+  }
+
+  private def prune(): (Int, Int) = GraftCatalog.lastStatsPrune.get()
+
+  test("commit stamps a stats sidecar and range scans open only candidate files") {
+    Lake.writeTableSnapshot(clustered(4000, 8), root, "st")
+    val vdir = new java.io.File(s"$root/tables/st/version=v1")
+    assert(vdir.listFiles().exists(_.getName == StatsSidecar.sidecarName),
+      "commit must stamp _filestats.json")
+
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    val narrow = spark.sql(
+      s"SELECT count(*) AS c, sum(k) AS s FROM $cat.tables.st WHERE k BETWEEN 1000 AND 1099")
+      .head()
+    assert(narrow.getLong(0) === 100 && narrow.getLong(1) === (1000L to 1099L).sum)
+    val (kept, total) = prune()
+    assert(total === 8, s"8 files expected, saw $total")
+    assert(kept <= 2, s"a 100-key range over range-clustered files must " +
+      s"admit at most 2 of 8 files, admitted $kept")
+  }
+
+  test("string equality and prefix predicates prune on UTF-8 byte order") {
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE name = 'user_000042'")
+      .head().getLong(0) === 1)
+    val (k1, t1) = prune()
+    assert(t1 === 8 && k1 === 1, s"point string lookup admitted $k1/$t1")
+
+    // NOTE: a LIKE pattern would keep its `_` single-char wildcard and
+    // never simplify to StartsWith — use the function form
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE startswith(name, 'user_0039')")
+      .head().getLong(0) === 100)
+    val (k2, _) = prune()
+    assert(k2 <= 2, s"prefix predicate admitted $k2/8")
+  }
+
+  test("empty candidate set still yields a correct empty result") {
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE k = -5").head().getLong(0) === 0)
+    val (kept, _) = prune()
+    assert(kept === 0, "an out-of-domain point must admit zero files")
+    assert(spark.sql(s"SELECT * FROM $cat.tables.st WHERE k > 100000").count() === 0)
+  }
+
+  test("IS NULL / IS NOT NULL prune on footer null counts") {
+    // `cat` is null exactly when k % 10 == 0 — every file has nulls, so
+    // IS NULL prunes nothing; a column with NO nulls prunes IS NULL fully
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE cat IS NULL")
+      .head().getLong(0) === 400)
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE name IS NULL")
+      .head().getLong(0) === 0)
+    assert(prune()._1 === 0, "IS NULL on a null-free column must admit zero files")
+  }
+
+  test("pruned and unpruned scans agree exactly, incl. doubles and dates") {
+    val q = s"SELECT sum(k) AS s, count(*) AS c, min(name) AS mn " +
+      s"FROM $cat.tables.st WHERE k > 3100 AND score < 50.0 AND d >= DATE'2026-02-01'"
+    val on = spark.sql(q).collect().toSeq
+    spark.conf.set("spark.graft.sql.statsPruning", "false")
+    try {
+      GraftCatalog.lastStatsPrune.set((0, 0))
+      val off = spark.sql(q).collect().toSeq
+      assert(on === off, "pruning must be invisible in results")
+      assert(prune() === ((0, 0)), "escape hatch must bypass the pruning builder")
+    } finally spark.conf.set("spark.graft.sql.statsPruning", "true")
+  }
+
+  test("the physical scan's file index holds only the admitted files") {
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    val plan = spark.sql(s"SELECT * FROM $cat.tables.st WHERE k = 500")
+      .queryExecution.executedPlan.toString
+    // planning alone (no execution) must already have pruned: the scan's
+    // InMemoryFileIndex is built over the single admitted file, not the dir
+    assert(prune() === ((1, 8)), s"point scan admitted ${prune()}")
+    assert(plan.contains("InMemoryFileIndex(1 paths)"), plan)
+  }
+
+  test("COW-carried files keep their stats from the dir that holds them") {
+    // file-granular UPDATE: one file rewritten into v2, seven carried by
+    // manifest reference — the carried files' stats resolve from v1's
+    // sidecar, the rewritten file's from v2's
+    spark.sql(s"UPDATE $cat.tables.st SET score = 0.0 WHERE k = 17")
+    assert(Lake.hasManifest(spark, root, "st",
+      Lake.versions(spark, root, "st").max), "UPDATE must ride the COW route")
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE k BETWEEN 3900 AND 3999")
+      .head().getLong(0) === 100)
+    val (kept, total) = prune()
+    assert(total === 8, s"v2 resolves 8 files, saw $total")
+    assert(kept <= 2, s"carried-file stats must still prune: admitted $kept/8")
+    // and the rewritten file's own (fresh) stats admit the updated key
+    assert(spark.sql(
+      s"SELECT score FROM $cat.tables.st WHERE k = 17").head().getDouble(0) === 0.0)
+  }
+
+  test("time-traveled versions prune through the same path") {
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st VERSION AS OF 1 WHERE k BETWEEN 10 AND 19")
+      .head().getLong(0) === 10)
+    val (kept, total) = prune()
+    assert(total === 8 && kept <= 2, s"frozen scan admitted $kept/$total")
+  }
+
+  test("a version with no sidecar stays fully scanned (conservative)") {
+    Lake.writeTableSnapshot(clustered(1000, 4), root, "nostats")
+    val side = new java.io.File(
+      s"$root/tables/nostats/version=v1/${StatsSidecar.sidecarName}")
+    assert(side.delete(), "test setup: drop the sidecar")
+    StatsSidecar.clearCache()
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.nostats WHERE k = 7")
+      .head().getLong(0) === 1)
+    val (kept, total) = prune()
+    assert(kept === total, s"missing sidecar must admit every file ($kept/$total)")
+  }
+
+  test("metadata-only ADD COLUMN: old files stay candidates for the new column") {
+    spark.sql(s"ALTER TABLE $cat.tables.nostats ADD COLUMN note STRING")
+    // IS NULL on the evolved column matches every pre-evolution row; the
+    // old files carry no stats for it, so none may be pruned away
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.nostats WHERE note IS NULL")
+      .head().getLong(0) === 1000)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.nostats WHERE note IS NOT NULL")
+      .head().getLong(0) === 0)
+  }
+
+  test("mightMatch unit pins: conservative on unknowns, exact on bounds") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("x", DoubleType)))
+    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes
+    val st = StatsSidecar.FileStat(100, Map(
+      "k" -> StatsSidecar.ColStat('l', Some(10L), Some(20L), 0),
+      "s" -> StatsSidecar.ColStat('s', Some(utf8("banana")), Some(utf8("cherry")), 5),
+      "x" -> StatsSidecar.ColStat('u', None, None, -1)))
+    def m(f: Filter) = StatsSidecar.mightMatch(f, st, schema)
+    assert(!m(EqualTo("k", 9L)) && m(EqualTo("k", 10L)) && m(EqualTo("k", 20L)) && !m(EqualTo("k", 21L)))
+    assert(!m(GreaterThan("k", 20L)) && m(GreaterThanOrEqual("k", 20L)))
+    assert(!m(LessThan("k", 10L)) && m(LessThanOrEqual("k", 10L)))
+    assert(m(In("k", Array(1L, 15L))) && !m(In("k", Array(1L, 2L))))
+    assert(!m(And(EqualTo("k", 15L), EqualTo("k", 25L))))
+    assert(m(Or(EqualTo("k", 15L), EqualTo("k", 25L))))
+    assert(m(EqualTo("s", "car")) && !m(EqualTo("s", "apple")) && !m(EqualTo("s", "dog")))
+    assert(m(StringStartsWith("s", "ba")) && m(StringStartsWith("s", "ch")) && !m(StringStartsWith("s", "zz")))
+    assert(m(IsNull("s")) && !m(IsNull("k")) && m(IsNotNull("k")))
+    // unknown-domain column: everything stays a candidate
+    assert(m(EqualTo("x", 1.0)) && m(IsNull("x")) && m(IsNotNull("x")))
+    // unlisted column: candidate
+    assert(m(EqualTo("zz", 1L)))
+    // Not is not understood: candidate
+    assert(m(Not(EqualTo("k", 15L))))
+    // all-null column: value predicates miss, IS NULL keeps
+    val allNull = StatsSidecar.FileStat(10, Map(
+      "k" -> StatsSidecar.ColStat('l', None, None, 10)))
+    assert(!StatsSidecar.mightMatch(EqualTo("k", 1L), allNull, schema))
+    assert(StatsSidecar.mightMatch(IsNull("k"), allNull, schema))
+    assert(!StatsSidecar.mightMatch(IsNotNull("k"), allNull, schema))
+  }
+}
