@@ -73,15 +73,31 @@ object CopyOnWrite {
   }
 
   /** Distinct files (of `files`) holding at least one row where `pred` IS
-    * TRUE. Filter-pushed, column-pruned; collects file names only.
+    * TRUE. The scan itself is STATS-PRUNED first: translatable conjuncts
+    * of `pred` are evaluated against each file's min/max sidecar
+    * ([[StatsSidecar]]) so a selective mutation probes only candidate
+    * files — `UPDATE ... WHERE k = 5` on a 100 TB table opens the files
+    * whose key range covers 5, not the table. Sound on merge-on-read
+    * bases too: stats cover the RAW file contents, and a file the stats
+    * exclude holds no matching raw row, so carrying it (with its sidecar
+    * entries folded per the usual rules) is exactly what the unpruned
+    * probe would have done. Filter-pushed, column-pruned; collects file
+    * names only.
     */
   private def touchedFiles(
       spark: SparkSession, files: Seq[String], pred: Column,
-      declared: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
-    Lake.readFiles(spark, files, declared, withMeta = true)
+      declared: Option[org.apache.spark.sql.types.StructType]): Seq[String] = {
+    val candidates = {
+      val base = Lake.readFiles(spark, files, declared) // lazy: analysis only
+      val v1 = org.apache.spark.sql.graft.ExprFilters.toV1(base, pred)
+      StatsSidecar.candidateFiles(spark, files, base.schema, v1)
+    }
+    if (candidates.isEmpty) Nil
+    else Lake.readFiles(spark, candidates, declared, withMeta = true)
       .filter(pred)
       .select(col("_metadata.file_path").as("f"))
       .distinct().collect().map(_.getString(0)).toSeq
+  }
 
   /** Stage `rewritten` + a manifest carrying `carried` (+ the base's
     * position-delete entries for carried files, when mutating a

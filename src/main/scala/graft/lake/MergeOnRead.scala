@@ -200,8 +200,19 @@ object MergeOnRead {
       val declared = Lake.declaredSchema(spark, root, name, base)
       // positions to delete: filter-pushed scan emitting ONLY (file, pos) —
       // a row already in the base sidecar that re-matches pred duplicates
-      // an existing entry verbatim, so the union dedups structurally
-      val matched = Lake.readFiles(spark, files, declared, withMeta = true)
+      // an existing entry verbatim, so the union dedups structurally. The
+      // scan is STATS-PRUNED like the COW probe: files whose min/max
+      // sidecar excludes every translatable conjunct of `pred` hold no
+      // matching raw row and need not be opened
+      val probeFiles = {
+        val base0 = Lake.readFiles(spark, files, declared) // lazy: analysis only
+        val v1 = org.apache.spark.sql.graft.ExprFilters.toV1(base0, pred)
+        StatsSidecar.candidateFiles(spark, files, base0.schema, v1)
+      }
+      val matched =
+        (if (probeFiles.isEmpty)
+           Lake.readFiles(spark, Seq(files.head), declared, withMeta = true).limit(0)
+         else Lake.readFiles(spark, probeFiles, declared, withMeta = true))
         .filter(pred)
         .select(
           relFile(col("_metadata.file_path")).as("file"),

@@ -338,12 +338,19 @@ object StatsSidecar {
     * everywhere stats are missing. Returns the admitted subset (order
     * preserved).
     */
+  /** `(admitted, total)` of the most recent [[candidateFiles]] decision —
+    * observability for specs and gates (pruning is invisible in results,
+    * by the conservative contract).
+    */
+  val lastPrune =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
   def candidateFiles(
       spark: SparkSession, files: Seq[String], schema: StructType,
       filters: Seq[Filter]): Seq[String] = {
     if (filters.isEmpty) return files
     val byDir = scala.collection.mutable.HashMap.empty[String, Option[Map[String, FileStat]]]
-    files.filter { file =>
+    val admitted = files.filter { file =>
       val p = new Path(file)
       val dirStats = byDir.getOrElseUpdate(p.getParent.toString, {
         val f = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -354,6 +361,8 @@ object StatsSidecar {
         case Some(st) => filters.forall(mightMatch(_, st, schema))
       }
     }
+    lastPrune.set((admitted.size, files.size))
+    admitted
   }
 
   /** Convert an EXTERNAL v1-Filter literal into the column's stat

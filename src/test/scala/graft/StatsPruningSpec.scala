@@ -125,7 +125,12 @@ class StatsPruningSpec extends SparkSpec {
     // file-granular UPDATE: one file rewritten into v2, seven carried by
     // manifest reference — the carried files' stats resolve from v1's
     // sidecar, the rewritten file's from v2's
+    StatsSidecar.lastPrune.set((-1, -1))
     spark.sql(s"UPDATE $cat.tables.st SET score = 0.0 WHERE k = 17")
+    // the mutation PROBE is stats-pruned too: only the one candidate file
+    // was opened to find touched files
+    assert(StatsSidecar.lastPrune.get() === ((1, 8)),
+      s"COW probe admitted ${StatsSidecar.lastPrune.get()}")
     assert(Lake.hasManifest(spark, root, "st",
       Lake.versions(spark, root, "st").max), "UPDATE must ride the COW route")
     GraftCatalog.lastStatsPrune.set((0, 0))
@@ -138,6 +143,19 @@ class StatsPruningSpec extends SparkSpec {
     // and the rewritten file's own (fresh) stats admit the updated key
     assert(spark.sql(
       s"SELECT score FROM $cat.tables.st WHERE k = 17").head().getDouble(0) === 0.0)
+  }
+
+  test("merge-on-read positional delete probes only candidate files") {
+    Lake.writeTableSnapshot(clustered(2000, 4), root, "morp")
+    StatsSidecar.lastPrune.set((-1, -1))
+    graft.lake.MergeOnRead.deleteWhere(spark, root, "morp", col("k") === 100)
+    assert(StatsSidecar.lastPrune.get() === ((1, 4)),
+      s"MOR probe admitted ${StatsSidecar.lastPrune.get()}")
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.morp WHERE k = 100")
+      .head().getLong(0) === 0)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.morp")
+      .head().getLong(0) === 1999)
   }
 
   test("time-traveled versions prune through the same path") {
@@ -173,6 +191,24 @@ class StatsPruningSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS c FROM $cat.tables.nostats WHERE note IS NOT NULL")
       .head().getLong(0) === 0)
+  }
+
+  test("ExprFilters translates Column predicates to v1 filters") {
+    // a PARQUET-backed frame, like every real probe: a derived projection
+    // would let the optimizer rewrite the predicate in terms of the
+    // underlying expressions (dropping untranslatable leaves — still
+    // conservative, but not what this pin is about)
+    val p = Files.createTempDirectory("graft_ef_").toString
+    spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val v1 = org.apache.spark.sql.graft.ExprFilters.toV1(
+      df, col("k") === 5 && col("s").startsWith("1"))
+    // the literal 5 constant-folds into the bigint domain, and the
+    // optimizer adds IsNotNull guards — both real leaves must survive
+    import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
+    assert(v1.contains(EqualTo("k", 5L)) &&
+      v1.contains(StringStartsWith("s", "1")), s"got $v1")
   }
 
   test("mightMatch unit pins: conservative on unknowns, exact on bounds") {
