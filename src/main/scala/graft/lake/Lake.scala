@@ -679,6 +679,69 @@ object Lake {
       stageMetadataOnly(spark, root, name, base, evolved, retentionVersions)
     }
 
+  /** Is `from → to` a LOSSLESS widening the parquet reader can serve
+    * without rewriting files? (Spark 4's vectorized reader up-converts
+    * these at scan time: integral up-widenings, float→double,
+    * sub-long-integral→double, same-scale decimal precision growth, and
+    * date→timestamp_ntz.) Everything else — narrowing, scale changes,
+    * string/binary conversions — still requires a physical rewrite.
+    */
+  def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      // byte/short/int are exactly representable as double; long is NOT
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
+  /** METADATA-ONLY TYPE WIDENING — `ALTER TABLE ... ALTER COLUMN c TYPE t`
+    * for the losslessly-widenable pairs ([[isWidening]]): the commit is
+    * one `_schema` JSON + a full-carry manifest, zero data files read or
+    * written. Readers hand the widened declared schema to the parquet
+    * scan and Spark's vectorized reader up-converts old narrow files at
+    * scan time (the Delta/Iceberg type-promotion contract), so one
+    * snapshot transparently mixes int32 and int64 files. An EQUALITY
+    * sidecar keyed on the column widens its key values with the schema
+    * (value identity is preserved — 5:int and 5:long are the same key);
+    * position sidecars carry verbatim. Per-file STATS on old files keep
+    * their original domain: same-domain widenings (int→long,
+    * float→double) keep pruning, cross-domain ones (int→double,
+    * date→timestamp_ntz) conservatively stop pruning old files until a
+    * physical re-publish re-stamps them. Anything non-widening refuses.
+    */
+  def widenColumn(
+      spark: SparkSession, root: String, name: String, colName: String,
+      to: org.apache.spark.sql.types.DataType,
+      retentionVersions: Int = 7): Int =
+    CopyOnWrite.retryLoop(name, "widenColumn") { () =>
+      val (base, current) = rawSchemaOf(spark, root, name)
+      val idx = current.fields.indexWhere(f => !isDropped(f) && f.name == colName)
+      require(idx >= 0, s"widenColumn: $name has no column '$colName'")
+      val f = current.fields(idx)
+      require(isWidening(f.dataType, to),
+        s"widenColumn: ${f.dataType.simpleString} -> ${to.simpleString} is " +
+          "not a lossless widening (only integral up-widenings, " +
+          "float->double, sub-long-integral->double, same-scale decimal " +
+          "precision growth and date->timestamp_ntz commit without a rewrite)")
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields.updated(idx, f.copy(dataType = to)))
+      stageMetadataOnly(spark, root, name, base, evolved, retentionVersions,
+        eqTransform = e =>
+          if (e.columns.contains(colName))
+            e.withColumn(colName, col(colName).cast(to))
+          else e)
+    }
+
   /** (base version, RAW declared-or-physical schema) of the current
     * latest — the starting point of every metadata-only evolution.
     */

@@ -50,10 +50,16 @@ object StatsSidecar {
     */
   private val driverFooterThreshold = 256
 
-  /** One column's aggregated file-level stats. `typ`: 'l' long domain,
-    * 'd' double, 's' UTF-8 bytes, 'u' unknown (present but unprunable).
-    * `min`/`max` are None when the column holds no non-null value in the
-    * file. `nulls` is -1 when any row group left the null count unset.
+  /** One column's aggregated file-level stats. `typ`: 'l' integral long
+    * domain, 'D' date (days), 'T' timestamp (micros), 'd' double, 's'
+    * UTF-8 bytes, 'u' unknown (present but unprunable). Dates and
+    * timestamps are distinct domains on purpose: a `date → timestamp_ntz`
+    * WIDENING ([[Lake.widenColumn]]) leaves old files with day-valued
+    * stats under a micros-valued catalyst type — a shared numeric domain
+    * would compare days against micros and prune wrongly; distinct tags
+    * make the mismatch degrade to "no pruning" instead. `min`/`max` are
+    * None when the column holds no non-null value in the file. `nulls`
+    * is -1 when any row group left the null count unset.
     */
   final case class ColStat(
       typ: Char, min: Option[Any], max: Option[Any], nulls: Long)
@@ -142,14 +148,14 @@ object StatsSidecar {
     prim.getPrimitiveTypeName match {
       case PrimitiveTypeName.INT32 => logical match {
         case null => 'l'
-        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'l'
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'D'
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
           if (i.isSigned) 'l' else 'u'
         case _ => 'u'
       }
       case PrimitiveTypeName.INT64 => logical match {
         case null => 'l'
-        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => 'l'
+        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => 'T'
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
           if (i.isSigned) 'l' else 'u'
         case _ => 'u'
@@ -170,7 +176,7 @@ object StatsSidecar {
   private def chunkValue(
       prim: PrimitiveType, dom: Char, v: AnyRef,
       roundUp: Boolean): Option[Any] = dom match {
-    case 'l' =>
+    case 'l' | 'D' | 'T' =>
       val raw = v match {
         case i: java.lang.Integer => i.longValue
         case l: java.lang.Long => l.longValue
@@ -240,14 +246,14 @@ object StatsSidecar {
   // ----------------------------------------------------------- JSON codec
 
   private def encValue(t: Char, v: Any): String = t match {
-    case 'l' => v.asInstanceOf[Long].toString
+    case 'l' | 'D' | 'T' => v.asInstanceOf[Long].toString
     case 'd' => v.asInstanceOf[Double].toString // shortest round-trip
     case 's' => java.util.Base64.getEncoder
       .encodeToString(v.asInstanceOf[Array[Byte]])
   }
 
   private def decValue(t: Char, s: String): Any = t match {
-    case 'l' => s.toLong
+    case 'l' | 'D' | 'T' => s.toLong
     case 'd' => s.toDouble
     case 's' => java.util.Base64.getDecoder.decode(s)
   }
@@ -388,15 +394,17 @@ object StatsSidecar {
   }
 
   private def domainFor(dt: DataType): Char = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType | TimestampNTZType => 'l'
+    case ByteType | ShortType | IntegerType | LongType => 'l'
+    case DateType => 'D'
+    case TimestampType | TimestampNTZType => 'T'
     case FloatType | DoubleType => 'd'
     case StringType => 's'
     case _ => 'u'
   }
 
   private def cmp(t: Char, a: Any, b: Any): Int = t match {
-    case 'l' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'l' | 'D' | 'T' =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case 'd' =>
       val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
       if (x < y) -1 else if (x > y) 1 else 0 // primitive compare: -0.0 == 0.0

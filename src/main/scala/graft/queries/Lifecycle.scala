@@ -2565,7 +2565,75 @@ object Lifecycle {
       |SELECT 'str', o_orderkey, o_orderstatus, o_totalprice FROM t
       |WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 500""".stripMargin
 
+  /** A31c METADATA-ONLY TYPE WIDENING (round 12): `ALTER TABLE ... ALTER
+    * COLUMN c TYPE t` for losslessly-widenable pairs ([[Lake.isWidening]]:
+    * integral up-widenings, float→double, decimal precision growth, ...)
+    * commits ONE `_schema` JSON + a full-carry manifest — zero data files
+    * read or written; Spark 4's vectorized parquet reader up-converts the
+    * old narrow files at scan time (the Delta/Iceberg type-promotion
+    * contract). The gate widens int→bigint and float→double through
+    * catalog SQL, pins the zero-data-file commit shape and the narrowing
+    * refusal, INSERTs a row only the widened type can hold, runs a
+    * file-granular COW UPDATE over the mixed narrow+wide snapshot, and
+    * hash-verifies base + latest generations against DuckDB recomputing
+    * the same lineage with explicit casts.
+    */
+  def typeWidening(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a31c_")
+    val ord = Tables.orders(s, d).filter(col("o_orderkey").between(1, 600))
+      .select(col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").cast("float").as("price"),
+        col("o_orderstatus").as("status"))
+    Lake.writeTableSnapshot(
+      ord.repartitionByRange(4, col("k")), root, "ord_w")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"ALTER TABLE $cat.tables.ord_w ALTER COLUMN k TYPE BIGINT")
+    s.sql(s"ALTER TABLE $cat.tables.ord_w ALTER COLUMN price TYPE DOUBLE")
+    Seq(2, 3).foreach { v =>
+      require(Lake.snapshotFiles(s, root, "ord_w", v)
+        .forall(_.contains("version=v1")),
+        s"widening v$v must write zero data files — all carried from v1")
+    }
+    require(s.table(s"$cat.tables.ord_w").schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "double", "string"),
+      "the visible schema must show the widened types")
+    // a key only the widened type can hold
+    s.sql(s"INSERT INTO $cat.tables.ord_w VALUES " +
+      s"(${Int.MaxValue.toLong + 1000}, CAST(1.5 AS DOUBLE), 'W')")
+    // file-granular COW UPDATE over the mixed narrow+wide snapshot
+    s.sql(s"UPDATE $cat.tables.ord_w SET status = 'X' WHERE k = 7")
+    require(Lake.hasManifest(s, root, "ord_w",
+      Lake.versions(s, root, "ord_w").max),
+      "the UPDATE must ride the file-granular COW route")
+    require(scala.util.Try(s.sql(
+      s"ALTER TABLE $cat.tables.ord_w ALTER COLUMN k TYPE INT")).isFailure,
+      "narrowing must refuse")
+    s.sql(s"SELECT 'base' AS gen, CAST(k AS BIGINT) AS k, " +
+      s"CAST(price AS DOUBLE) AS price, status " +
+      s"FROM $cat.tables.ord_w VERSION AS OF 1")
+      .unionByName(s.sql(
+        s"SELECT 'latest' AS gen, k, price, status FROM $cat.tables.ord_w"))
+  }
+
+  val typeWideningOracle: String =
+    s"""WITH base AS (
+      |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+      |         CAST(o_totalprice AS REAL) AS price,
+      |         o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey BETWEEN 1 AND 600)
+      |SELECT 'base' AS gen, CAST(k AS BIGINT) AS k,
+      |       CAST(price AS DOUBLE) AS price, status FROM base
+      |UNION ALL
+      |SELECT 'latest', CAST(k AS BIGINT), CAST(price AS DOUBLE),
+      |       CASE WHEN k = 7 THEN 'X' ELSE status END FROM base
+      |UNION ALL
+      |SELECT 'latest', ${Int.MaxValue.toLong + 1000}, CAST(1.5 AS DOUBLE), 'W'""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a31c_type_widening" -> (typeWidening _),
     "a35_stats_pruning" -> (statsPruning _),
     "a12_feed_descriptor" -> (feedDescriptor _),
     "a7_version_diff" -> (versionDiffGate _),
@@ -2625,6 +2693,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a31c_type_widening" -> typeWideningOracle,
     "a35_stats_pruning" -> statsPruningOracle,
     "a12_feed_descriptor" -> feedDescriptorOracle,
     "a7_version_diff" -> versionDiffOracle,

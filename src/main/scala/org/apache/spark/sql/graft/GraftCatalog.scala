@@ -836,10 +836,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (its spellings stay reserved) and stripped from every read
         graft.lake.Lake.dropColumn(SparkSession.active, root, ident.name(),
           del.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType if ut.fieldNames().length == 1 =>
+        // metadata-only for LOSSLESS WIDENINGS (int->long, float->double,
+        // decimal precision growth, ...): the parquet reader up-converts
+        // old narrow files at scan time; anything else refuses inside
+        graft.lake.Lake.widenColumn(SparkSession.active, root, ident.name(),
+          ut.fieldNames()(0), ut.newDataType())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER ($other): only top-level nullable ADD COLUMN, " +
-          "RENAME COLUMN and DROP COLUMN are expressible without rewriting " +
-          "the snapshot (retype still requires a rewrite)")
+          "RENAME COLUMN, DROP COLUMN and widening ALTER COLUMN TYPE are " +
+          "expressible without rewriting the snapshot")
     }
     loadTable(ident)
   }

@@ -489,4 +489,73 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE $cat.tables.created (k BIGINT) ")
     }
   }
+
+  test("A31c: widening ALTER COLUMN TYPE is metadata-only; narrow files read widened") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val df = spark.range(1, 101).select(
+      col("id").cast("int").as("k"), (col("id") % 10).cast("float").as("v"))
+      .repartitionByRange(4, col("k"))
+    Lake.writeTableSnapshot(df, root, "widen_t")
+    spark.sql(s"ALTER TABLE $cat.tables.widen_t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.tables.widen_t ALTER COLUMN v TYPE DOUBLE")
+    // both commits are metadata-only: every data file carried from v1
+    Seq(2, 3).foreach { v =>
+      assert(Lake.snapshotFiles(spark, root, "widen_t", v)
+        .forall(_.contains("version=v1")), s"v$v must carry v1's files")
+    }
+    val sch = spark.table(s"$cat.tables.widen_t").schema
+    assert(sch("k").dataType === LongType && sch("v").dataType === DoubleType)
+    // the narrow (int32/float) files read through the widened schema
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $cat.tables.widen_t")
+      .head().getLong(0) === 5050)
+    // a value beyond int range is now insertable
+    spark.sql(s"INSERT INTO $cat.tables.widen_t VALUES " +
+      s"(${Int.MaxValue.toLong + 10}, CAST(0.5 AS DOUBLE))")
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.widen_t WHERE k > ${Int.MaxValue}")
+      .head().getLong(0) === 1)
+    // pre-widening time travel shows the narrow shape exactly
+    assert(spark.sql(s"SELECT * FROM $cat.tables.widen_t VERSION AS OF 1")
+      .schema("k").dataType === IntegerType)
+    // file-granular COW UPDATE keyed on the widened column: the rewritten
+    // file bakes the wide type, carried files stay narrow and still read
+    spark.sql(s"UPDATE $cat.tables.widen_t SET v = -1.0 WHERE k = 50")
+    assert(spark.sql(s"SELECT v FROM $cat.tables.widen_t WHERE k = 50")
+      .head().getDouble(0) === -1.0)
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $cat.tables.widen_t")
+      .head().getLong(0) === 5050L + Int.MaxValue.toLong + 10)
+    // narrowing (and non-widening) refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.tables.widen_t ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.tables.widen_t ALTER COLUMN v TYPE STRING")
+    }
+  }
+
+  test("A31c: an equality-delete sidecar keyed on a widened column widens its values") {
+    import spark.implicits._
+    val df = spark.range(1, 51).select(
+      col("id").cast("int").as("k"), lit("x").as("s"))
+      .repartitionByRange(2, col("k"))
+    Lake.writeTableSnapshot(df, root, "widen_eq")
+    graft.lake.MergeOnRead.deleteByKeys(spark, root, "widen_eq",
+      Seq(5, 6).toDF("k"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.widen_eq")
+      .head().getLong(0) === 48)
+    spark.sql(s"ALTER TABLE $cat.tables.widen_eq ALTER COLUMN k TYPE BIGINT")
+    // the int-valued sidecar keys were cast with the schema: the deleted
+    // keys stay deleted through the widened read
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.widen_eq WHERE k IN (5, 6)")
+      .head().getLong(0) === 0)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.widen_eq")
+      .head().getLong(0) === 48)
+    // compaction bakes the widened type physically and folds the sidecar
+    spark.sql(s"CALL $cat.system.compact('widen_eq')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.widen_eq")
+      .head().getLong(0) === 48)
+    assert(spark.table(s"$cat.tables.widen_eq").schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
 }

@@ -193,6 +193,26 @@ class StatsPruningSpec extends SparkSpec {
       .head().getLong(0) === 0)
   }
 
+  test("type widening keeps same-domain pruning, conservatively stops cross-domain") {
+    val df = spark.range(0, 400).select(
+      col("id").cast("int").as("k"), col("id").cast("int").as("j"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    Lake.writeTableSnapshot(df, root, "wst")
+    Lake.widenColumn(spark, root, "wst", "k", org.apache.spark.sql.types.LongType)
+    Lake.widenColumn(spark, root, "wst", "j", org.apache.spark.sql.types.DoubleType)
+    // int -> long stays in the 'l' stat domain: old files still prune
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.wst WHERE k = 7")
+      .head().getLong(0) === 1)
+    assert(prune() === ((1, 4)), s"int->long pruning admitted ${prune()}")
+    // int -> double crosses domains ('l' stats under a 'd' type): old
+    // files stop pruning — conservative, never wrong
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.wst WHERE j = 7.0")
+      .head().getLong(0) === 1)
+    assert(prune() === ((4, 4)), s"int->double must admit all: ${prune()}")
+  }
+
   test("ExprFilters translates Column predicates to v1 filters") {
     // a PARQUET-backed frame, like every real probe: a derived projection
     // would let the optimizer rewrite the predicate in terms of the
