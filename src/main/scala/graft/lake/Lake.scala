@@ -145,6 +145,12 @@ object Lake {
 
   private def commitStaged(spark: SparkSession, tdir: String, stage: Path): Int = {
     val f = fs(spark, tdir)
+    // per-file MIN/MAX stats sidecar over the staged files (footer reads
+    // only — O(new files), no data re-read), written INTO the stage so it
+    // appears atomically with the version; best-effort CACHE like the
+    // receipt: a missing sidecar costs scan IO, never correctness
+    try StatsSidecar.stamp(f, stage)
+    catch { case scala.util.control.NonFatal(_) => () }
     val (root, name) = {
       val p = new Path(tdir)
       (p.getParent.getParent.toString, p.getName)
@@ -187,11 +193,6 @@ object Lake {
     // keeps the ledger dir small as versions accumulate
     try writeLedgerEntry(f, live)
     catch { case _: java.io.IOException => () }
-    // per-file MIN/MAX stats sidecar over the version's OWN files (footer
-    // reads only — O(new files), no data re-read); best-effort CACHE like
-    // the receipt: a missing sidecar costs scan IO, never correctness
-    try StatsSidecar.stamp(f, live)
-    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Per-table VERSION LEDGER: `_versions/` next to the version dirs holds
@@ -422,6 +423,10 @@ object Lake {
       retentionVersions: Int = 7): Option[Int] = {
     val tdir = tablePath(root, name)
     val f = fs(spark, tdir)
+    // stats sidecar into the stage BEFORE the CAS — atomic with the commit
+    // (see commitStaged); a lost race wastes only the footer reads
+    try StatsSidecar.stamp(f, stage)
+    catch { case scala.util.control.NonFatal(_) => () }
     val n = expectedLatest + 1
     val claim = new Path(s"$tdir/.claim_v$n")
     val claimed = claimExclusive(f, claim)
@@ -834,17 +839,37 @@ object Lake {
     */
   def readTableFeed(
       spark: SparkSession, root: String, name: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    readTableFeedPruned(spark, root, name, version, keepOnly = None)
+
+  /** [[readTableFeed]] restricted to a STATS-ADMITTED file subset — the
+    * merge-on-read/mapping SQL fallback's file pruning: the caller has
+    * already proven (conservatively, via [[StatsSidecar]]) that files
+    * outside `keepOnly` hold no row matching its pushed filters, so
+    * reading fewer files changes nothing the filter would keep. Delete
+    * semantics are untouched: position sidecars key on (file, pos) of the
+    * files actually read, equality sidecars anti-join by value. An empty
+    * subset reads one file (the filters still apply above).
+    */
+  def readTableFeedPruned(
+      spark: SparkSession, root: String, name: String,
+      version: Option[Int], keepOnly: Option[Seq[String]]): DataFrame = {
     val v = version.orElse(latestVersion(spark, root, name))
       .getOrElse(throw new IllegalStateException(s"no versions for table feed $name"))
     val del = MergeOnRead.deletesOf(spark, root, name, v)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, v)
     val declared = declaredSchema(spark, root, name, v)
-    if (hasManifest(spark, root, name, v) || del.isDefined || eq.isDefined) {
+    if (hasManifest(spark, root, name, v) || del.isDefined || eq.isDefined ||
+        keepOnly.isDefined) {
       val files = snapshotFiles(spark, root, name, v)
       if (files.isEmpty)
         throw new IllegalStateException(s"$name v$v: manifest resolves to zero files")
-      MergeOnRead.readWithDeletes(spark, files, del, eq, declared)
+      val read = keepOnly match {
+        case Some(keep) if keep.nonEmpty => keep
+        case Some(_) => files.take(1) // stats excluded everything
+        case None => files
+      }
+      MergeOnRead.readWithDeletes(spark, read, del, eq, declared)
     } else spark.read.parquet(resolveSnapshotDir(spark, root, name, v))
   }
 

@@ -243,6 +243,32 @@ object StatsSidecar {
     writeSidecar(f, new Path(dir, sidecarName), stats)
   }
 
+  /** Backfill the stats sidecars covering a table's CURRENT snapshot:
+    * one stamp per distinct version dir in the resolved file list that
+    * lacks a sidecar (pre-feature dirs, failed best-effort stamps), or
+    * every dir with `force`. Returns `(dir, filesIndexed)` per stamped
+    * dir — `CALL system.collect_stats` surfaces them as rows.
+    */
+  def collectStats(
+      spark: SparkSession, root: String, name: String,
+      force: Boolean = false): Seq[(String, Int)] = {
+    val v = Lake.latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val dirs = Lake.snapshotFiles(spark, root, name, v)
+      .map(f => new Path(f).getParent).distinct
+    val stamped = dirs.flatMap { dir =>
+      val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!force && f.exists(new Path(dir, sidecarName))) None
+      else {
+        stamp(f, dir)
+        val n = readSidecarUncached(f, dir).map(_.size).getOrElse(0)
+        Some((dir.toString, n))
+      }
+    }
+    if (stamped.nonEmpty) clearCache() // drop any cached "no sidecar here"
+    stamped
+  }
+
   // ----------------------------------------------------------- JSON codec
 
   private def encValue(t: Char, v: Any): String = t match {

@@ -2526,9 +2526,9 @@ object Lifecycle {
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     val counter = org.apache.spark.sql.graft.GraftCatalog.lastStatsPrune
 
-    def slice(gen: String, where: String): DataFrame = s.sql(
-      s"SELECT '$gen' AS gen, o_orderkey, o_orderstatus, o_totalprice " +
-        s"FROM $cat.tables.ord_sp WHERE $where")
+    def slice(gen: String, where: String, suffix: String = " VERSION AS OF 1"): DataFrame =
+      s.sql(s"SELECT '$gen' AS gen, o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM $cat.tables.ord_sp$suffix WHERE $where")
     def prunePin(df: DataFrame, maxKept: Int, label: String): DataFrame = {
       counter.set((-1, -1))
       df.queryExecution.executedPlan // planning alone decides the file list
@@ -2547,7 +2547,22 @@ object Lifecycle {
     // this slice checks VALUE correctness through the pruning path, not a
     // prune count
     val str = slice("str", "o_orderpriority = '1-URGENT' AND o_orderkey < 500")
+    // merge-on-read composition: a positional DELETE leaves a sidecar, so
+    // SQL reads route through the V1 fallback — which prunes files against
+    // the SAME stats before applying the delete anti-join
+    s.sql(s"DELETE FROM $cat.tables.ord_sp " +
+      "WHERE o_orderkey >= 150 AND o_orderkey <= 155")
+    require(graft.lake.MergeOnRead.hasAnyDeletes(s, root, "ord_sp",
+      Lake.versions(s, root, "ord_sp").max),
+      "the range DELETE must commit a merge-on-read sidecar")
+    val mor = prunePin(
+      slice("mor", "o_orderkey BETWEEN 100 AND 199", suffix = ""),
+      maxKept = 2, "mor-fallback")
+    // every data-holding dir was stamped at commit: backfill has no work
+    require(s.sql(s"CALL $cat.system.collect_stats('ord_sp')").collect().isEmpty,
+      "collect_stats must find every snapshot dir already stamped")
     range.unionByName(point).unionByName(none).unionByName(str)
+      .unionByName(mor)
   }
 
   val statsPruningOracle: String =
@@ -2563,7 +2578,11 @@ object Lifecycle {
       |WHERE o_orderkey = -1
       |UNION ALL
       |SELECT 'str', o_orderkey, o_orderstatus, o_totalprice FROM t
-      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 500""".stripMargin
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 500
+      |UNION ALL
+      |SELECT 'mor', o_orderkey, o_orderstatus, o_totalprice FROM t
+      |WHERE o_orderkey BETWEEN 100 AND 199
+      |  AND o_orderkey NOT BETWEEN 150 AND 155""".stripMargin
 
   /** A31c METADATA-ONLY TYPE WIDENING (round 12): `ALTER TABLE ... ALTER
     * COLUMN c TYPE t` for losslessly-widenable pairs ([[Lake.isWidening]]:

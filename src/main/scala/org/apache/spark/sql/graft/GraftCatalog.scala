@@ -307,8 +307,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               override def needConversion: Boolean = false
               override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
                 val spark = SparkSession.active
-                val resolved = graft.lake.Lake
-                  .readTableFeed(spark, root, ident.name(), Some(version))
+                // stats-based FILE pruning survives the fallback too: the
+                // pushed filters are already v1 — evaluate them against
+                // the per-file sidecar and read only admitted files (the
+                // sidecar anti-joins key on value or on (file, pos) of
+                // files actually read, so fewer files changes nothing).
+                // Mapping versions degrade gracefully: visible-name
+                // filters miss old files' physical-name stats → candidate
+                val keepOnly =
+                  if (filters.isEmpty || spark.conf
+                      .get("spark.graft.sql.statsPruning", "true") == "false") None
+                  else {
+                    val all = graft.lake.Lake.snapshotFiles(
+                      spark, root, ident.name(), version)
+                    val admitted = graft.lake.StatsSidecar.candidateFiles(
+                      spark, all, tableSchema, filters.toIndexedSeq)
+                    GraftCatalog.lastStatsPrune.set((admitted.size, all.size))
+                    if (admitted.size < all.size) Some(admitted) else None
+                  }
+                val resolved = graft.lake.Lake.readTableFeedPruned(
+                  spark, root, ident.name(), Some(version), keepOnly)
                 val filtered = filters.foldLeft(resolved)((df, f) =>
                   df.filter(GraftCatalog.filterToColumn(f).get))
                 filtered
@@ -907,6 +925,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     org.apache.spark.sql.types.StructField("entry", StringType),
     org.apache.spark.sql.types.StructField("deleted", BooleanType)))
 
+  private val statsBackfillSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("dir", StringType),
+    org.apache.spark.sql.types.StructField("files_indexed", IntegerType)))
+
   private val historySchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("version", IntegerType),
     org.apache.spark.sql.types.StructField("committed_at_ms",
@@ -920,8 +942,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("clone", "cluster", "compact", "compact_files", "history",
-        "merge_branch", "restore", "prune_versions", "tag", "untag", "vacuum")
+      Array("clone", "cluster", "collect_stats", "compact", "compact_files",
+        "history", "merge_branch", "restore", "prune_versions", "tag",
+        "untag", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -962,6 +985,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"compact_files: small_mb must be >= 1, got ${row.getInt(1)}")
         versionRow(graft.lake.CopyOnWrite.compactSmallFiles(
           spark, root, str(row, 0), smallBytes = row.getInt(1).toLong << 20))
+      }
+      case "collect_stats" => procedure("collect_stats",
+        Array(in("table", StringType)),
+        statsBackfillSchema) { row =>
+        // backfill `_filestats.json` for current-snapshot version dirs
+        // that lack one (pre-feature dirs, failed best-effort stamps) —
+        // footer reads only, one stamp per dir; commits stamp their own
+        graft.lake.StatsSidecar.collectStats(spark, root, str(row, 0))
+          .toArray.map { case (dir, n) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(dir), n)): InternalRow
+          }
       }
       case "history" => procedure("history",
         Array(in("table", StringType)),
@@ -1025,9 +1060,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure: $other (have: clone, cluster, compact, " +
-          "compact_files, history, merge_branch, restore, prune_versions, " +
-          "tag, untag, vacuum)")
+        s"unknown procedure: $other (have: clone, cluster, collect_stats, " +
+          "compact, compact_files, history, merge_branch, restore, " +
+          "prune_versions, tag, untag, vacuum)")
     }
   }
 }

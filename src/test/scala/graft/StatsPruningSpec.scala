@@ -158,6 +158,22 @@ class StatsPruningSpec extends SparkSpec {
       .head().getLong(0) === 1999)
   }
 
+  test("the merge-on-read fallback read prunes files too") {
+    // `morp` carries a position sidecar, so SQL reads it through the
+    // V1Scan fallback — pushed filters are evaluated against the stats
+    // sidecar there as well, and the delete anti-join still applies
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.morp WHERE k BETWEEN 600 AND 649")
+      .head().getLong(0) === 50)
+    assert(prune() === ((1, 4)), s"MOR fallback admitted ${prune()}")
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.morp WHERE k IN (100, 101)")
+      .head().getLong(0) === 1, "the MOR-deleted row must stay deleted")
+    assert(prune() === ((1, 4)), s"MOR point lookup admitted ${prune()}")
+  }
+
   test("time-traveled versions prune through the same path") {
     GraftCatalog.lastStatsPrune.set((0, 0))
     assert(spark.sql(
@@ -211,6 +227,20 @@ class StatsPruningSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.wst WHERE j = 7.0")
       .head().getLong(0) === 1)
     assert(prune() === ((4, 4)), s"int->double must admit all: ${prune()}")
+  }
+
+  test("CALL system.collect_stats backfills missing sidecars") {
+    // `nostats` had its sidecar deleted above; the backfill re-stamps it
+    val rows = spark.sql(s"CALL $cat.system.collect_stats('nostats')").collect()
+    assert(rows.length === 1 && rows(0).getInt(1) === 4,
+      s"one dir with 4 files expected: ${rows.mkString(",")}")
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.nostats WHERE k = 7")
+      .head().getLong(0) === 1)
+    assert(prune()._1 === 1, s"backfilled stats must prune: ${prune()}")
+    // idempotent: a second call finds nothing to stamp
+    assert(spark.sql(s"CALL $cat.system.collect_stats('nostats')").collect().isEmpty)
   }
 
   test("ExprFilters translates Column predicates to v1 filters") {
