@@ -190,9 +190,11 @@ object StatsSidecar {
             case TimeUnit.MILLIS =>
               try Some(Math.multiplyExact(raw, 1000L))
               catch { case _: ArithmeticException => None }
-            case TimeUnit.NANOS =>
-              Some(if (roundUp) Math.floorDiv(raw + 999L, 1000L)
-                   else Math.floorDiv(raw, 1000L))
+            // NANOS: micros conversion cannot be exact in both directions
+            // (and a nanos-unit column reads as raw long under
+            // nanosAsLong anyway) — record unknown rather than a rounded
+            // bound the metadata-aggregate path could mistake for a value
+            case TimeUnit.NANOS => None
             case _ => None
           }
         case _ => Some(raw)
@@ -242,6 +244,34 @@ object StatsSidecar {
       }
     writeSidecar(f, new Path(dir, sidecarName), stats)
   }
+
+  /** Per-file stats for EVERY file of a snapshot, aligned with `files`,
+    * or None when any file lacks an entry (missing sidecar, unlisted
+    * file) — the metadata-aggregate path needs COMPLETE coverage to
+    * answer exactly, unlike pruning which degrades per-file.
+    */
+  def statsForFiles(
+      spark: SparkSession, files: Seq[String]): Option[Seq[FileStat]] = {
+    val byDir = scala.collection.mutable.HashMap.empty[String, Option[Map[String, FileStat]]]
+    val out = files.map { file =>
+      val p = new Path(file)
+      byDir.getOrElseUpdate(p.getParent.toString, {
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        readSidecar(f, p.getParent)
+      }).flatMap(_.get(p.getName))
+    }
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** Total order used by the stat domains — exposed for the
+    * metadata-aggregate fold over per-file mins/maxes.
+    */
+  def compare(t: Char, a: Any, b: Any): Int = cmp(t, a, b)
+
+  /** The stat domain a catalyst type reads from — exposed so the
+    * metadata-aggregate path applies the same usability rule as pruning.
+    */
+  def domainForType(dt: DataType): Char = domainFor(dt)
 
   /** Backfill the stats sidecars covering a table's CURRENT snapshot:
     * one stamp per distinct version dir in the resolved file list that

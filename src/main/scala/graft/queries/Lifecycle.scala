@@ -2561,8 +2561,19 @@ object Lifecycle {
     // every data-holding dir was stamped at commit: backfill has no work
     require(s.sql(s"CALL $cat.system.collect_stats('ord_sp')").collect().isEmpty,
       "collect_stats must find every snapshot dir already stamped")
+    // METADATA AGGREGATE: min/max/count answered from the sidecar alone —
+    // the plan is a LocalTableScan, zero jobs over table data
+    org.apache.spark.sql.graft.GraftCatalog.lastMetaAggregate.set(0)
+    val aggSlice = s.sql(
+      s"SELECT 'agg' AS gen, min(o_orderkey) AS o_orderkey, " +
+        "max(o_orderstatus) AS o_orderstatus, " +
+        "CAST(count(*) AS DOUBLE) AS o_totalprice " +
+        s"FROM $cat.tables.ord_sp VERSION AS OF 1")
+    aggSlice.queryExecution.executedPlan
+    require(org.apache.spark.sql.graft.GraftCatalog.lastMetaAggregate.get() == 3,
+      "min/max/count over the clean snapshot must answer from the sidecar")
     range.unionByName(point).unionByName(none).unionByName(str)
-      .unionByName(mor)
+      .unionByName(mor).unionByName(aggSlice)
   }
 
   val statsPruningOracle: String =
@@ -2582,7 +2593,10 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'mor', o_orderkey, o_orderstatus, o_totalprice FROM t
       |WHERE o_orderkey BETWEEN 100 AND 199
-      |  AND o_orderkey NOT BETWEEN 150 AND 155""".stripMargin
+      |  AND o_orderkey NOT BETWEEN 150 AND 155
+      |UNION ALL
+      |SELECT 'agg', min(o_orderkey), max(o_orderstatus),
+      |       CAST(count(*) AS DOUBLE) FROM t""".stripMargin
 
   /** A31c METADATA-ONLY TYPE WIDENING (round 12): `ALTER TABLE ... ALTER
     * COLUMN c TYPE t` for losslessly-widenable pairs ([[Lake.isWidening]]:

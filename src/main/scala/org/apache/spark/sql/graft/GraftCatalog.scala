@@ -86,6 +86,12 @@ object GraftCatalog {
   val lastStatsPrune =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
+  /** Number of aggregate expressions answered by the most recent
+    * METADATA AGGREGATE (zero-scan MIN/MAX/COUNT from the stats sidecar)
+    * — spec/gate observability.
+    */
+  val lastMetaAggregate = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Executor-side shim for the group-based row-level write: if a row
     * arrives one field WIDER than the data schema, its leading field is
     * the `__row_operation` routing column the exec did not project away
@@ -402,7 +408,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       required = Some(requiredSchema)
       inner.pruneColumns(requiredSchema)
     }
+    /** (result schema, the single final row) when the aggregation is
+      * answerable EXACTLY from the stats sidecar — zero jobs, zero file
+      * opens (Iceberg's metadata-aggregate shape).
+      */
+    private var metaAgg: Option[(StructType,
+      org.apache.spark.sql.catalyst.InternalRow)] = None
+
     override def pushAggregation(agg: Aggregation): Boolean = {
+      if (metaAgg.isDefined) { aggPushed = true; return true }
       val ok = inner match {
         case a: SupportsPushDownAggregates => a.pushAggregation(agg)
         case _ => false
@@ -410,13 +424,136 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (ok) aggPushed = true
       ok
     }
-    override def supportCompletePushDown(agg: Aggregation): Boolean =
-      inner match {
+    override def supportCompletePushDown(agg: Aggregation): Boolean = {
+      metaAgg = tryMetadataAggregate(agg)
+      metaAgg.isDefined || (inner match {
         case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
         case _ => false
+      })
+    }
+
+    /** MIN / MAX / COUNT / COUNT(*) with no grouping and no filters,
+      * answered from per-file stats when EVERY file has a usable entry:
+      * COUNT(*) = Σ rows, COUNT(c) = Σ (rows - nulls), MIN/MAX fold the
+      * per-file bounds (chunk statistics hold actual values, so the fold
+      * is exact, not a bound). Floating-point MIN/MAX are excluded — NaN
+      * never enters parquet stats, so a file's stat max understates a
+      * NaN-bearing column. A column absent from a file's stats is the
+      * pre-evolution null-filled case: contributes 0 to COUNT, nothing
+      * to MIN/MAX. Anything else — unknown domains, unset null counts,
+      * distinct, other functions — falls through to the normal path.
+      */
+    private def tryMetadataAggregate(agg: Aggregation):
+        Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      if (pushedData.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+      val spark = SparkSession.active
+      val files = graft.lake.Lake.snapshotFiles(spark, root, ident.name(), version)
+      val stats = graft.lake.StatsSidecar.statsForFiles(spark, files)
+        .getOrElse(return None)
+      def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression):
+          Option[StructField] = e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val n = nr.fieldNames()(0)
+          tableSchema.fields.find(_.name == n)
+            .orElse(tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
+        case _ => None
       }
+      def entryOf(st: graft.lake.StatsSidecar.FileStat, fd: StructField) =
+        st.cols.get(fd.name)
+          .orElse(st.cols.find(_._1.equalsIgnoreCase(fd.name)).map(_._2))
+      // fold MIN or MAX across files; None = infeasible, Some(null) = all null
+      def bound(fd: StructField, takeMin: Boolean): Option[Any] = {
+        val dom = graft.lake.StatsSidecar.domainForType(fd.dataType)
+        if (dom == 'u' || dom == 'd') return None // floats: NaN-poisoned stats
+        var acc: Option[Any] = None
+        for (st <- stats) entryOf(st, fd) match {
+          case None => () // file predates the column: all-null, no value
+          case Some(cs) =>
+            if (cs.typ == 'u') return None
+            if (cs.typ != dom) return None
+            val v = if (takeMin) cs.min else cs.max
+            v match {
+              case None => () // all-null file
+              case Some(x) => acc = acc match {
+                case None => Some(x)
+                case Some(a) =>
+                  val c = graft.lake.StatsSidecar.compare(dom, x, a)
+                  Some(if ((takeMin && c < 0) || (!takeMin && c > 0)) x else a)
+              }
+            }
+        }
+        Some(toInternal(fd.dataType, acc))
+      }
+      def toInternal(dt: DataType, v: Option[Any]): Any = v match {
+        case None => null
+        case Some(x) => dt match {
+          case ByteType => x.asInstanceOf[Long].toByte
+          case ShortType => x.asInstanceOf[Long].toShort
+          case IntegerType | DateType => x.asInstanceOf[Long].toInt
+          case LongType | TimestampType | TimestampNTZType => x.asInstanceOf[Long]
+          case StringType => UTF8String.fromBytes(x.asInstanceOf[Array[Byte]])
+          case _ => return null // unreachable under domain guard
+        }
+      }
+      def countOf(fd: StructField): Option[Long] = {
+        var total = 0L
+        for (st <- stats) {
+          if (st.rows < 0) return None
+          entryOf(st, fd) match {
+            case None => () // null-filled: contributes 0
+            case Some(cs) =>
+              if (cs.nulls < 0) return None
+              total += st.rows - cs.nulls
+          }
+        }
+        Some(total)
+      }
+      // (value, result field) per aggregate — the rule matches the scan's
+      // readSchema to the aggregate output POSITIONALLY, so arity and
+      // types must line up; names are descriptive only
+      val computed = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          if (stats.exists(_.rows < 0)) return None
+          (stats.map(_.rows).sum: Any,
+            StructField("count(*)", LongType, nullable = false))
+        case c: Count if !c.isDistinct =>
+          val fd = fieldOf(c.column).getOrElse(return None)
+          (countOf(fd).getOrElse(return None): Any,
+            StructField(s"count(${fd.name})", LongType, nullable = false))
+        case m: Min =>
+          val fd = fieldOf(m.column).getOrElse(return None)
+          (bound(fd, takeMin = true).getOrElse(return None),
+            StructField(s"min(${fd.name})", fd.dataType))
+        case m: Max =>
+          val fd = fieldOf(m.column).getOrElse(return None)
+          (bound(fd, takeMin = false).getOrElse(return None),
+            StructField(s"max(${fd.name})", fd.dataType))
+        case _ => return None
+      }
+      GraftCatalog.lastMetaAggregate.set(computed.size)
+      Some((StructType(computed.map(_._2)),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          computed.map(_._1).toArray)))
+    }
 
     override def build(): Scan = {
+      metaAgg match {
+        case Some((aggSchema, row)) if aggPushed =>
+          // the whole scan IS one precomputed row: planned as a
+          // LocalTableScanExec — zero jobs, zero file opens
+          return new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+              Array(row)
+            override def readSchema(): StructType = aggSchema
+            override def description(): String =
+              s"GraftMetadataAggregate(${ident.name()}@v$version)"
+          }
+        case _ => ()
+      }
       val dataFilters = pushedData
       // a pushed-down aggregate answers from footers of the listed files —
       // only safe to combine with pruning when no filters exist, and

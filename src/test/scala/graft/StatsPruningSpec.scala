@@ -145,6 +145,41 @@ class StatsPruningSpec extends SparkSpec {
       s"SELECT score FROM $cat.tables.st WHERE k = 17").head().getDouble(0) === 0.0)
   }
 
+  test("min/max/count answer from the sidecar with zero file reads") {
+    // `st` is at v2 after the COW update: 8 files, 4000 rows
+    GraftCatalog.lastMetaAggregate.set(0)
+    val q = s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx, " +
+      s"min(name) AS mnm, count(cat) AS cc, max(d) AS mxd FROM $cat.tables.st"
+    val r = spark.sql(q).head()
+    assert(r.getLong(0) === 4000 && r.getLong(1) === 0 && r.getLong(2) === 3999)
+    assert(r.getString(3) === "user_000000")
+    assert(r.getLong(4) === 3600, "count(cat) must subtract the nulls")
+    assert(r.getDate(5) === spark.sql(
+      "SELECT date_add(DATE'2026-01-01', 299)").head().getDate(0))
+    assert(GraftCatalog.lastMetaAggregate.get() === 6,
+      "all six aggregates must answer from the sidecar")
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"a metadata aggregate plans as LocalTableScan, got:\n$plan")
+
+    // floating-point MIN/MAX never answers from stats (NaN soundness)
+    GraftCatalog.lastMetaAggregate.set(0)
+    assert(spark.sql(s"SELECT min(score) AS m FROM $cat.tables.st")
+      .head().getDouble(0) === 0.0)
+    assert(GraftCatalog.lastMetaAggregate.get() === 0)
+    // an unsupported function in the mix sends the WHOLE query to the scan
+    GraftCatalog.lastMetaAggregate.set(0)
+    assert(spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $cat.tables.st")
+      .head().getLong(0) === 4000)
+    assert(GraftCatalog.lastMetaAggregate.get() === 0)
+    // a filter sends it to the (pruned) scan — still exact
+    GraftCatalog.lastMetaAggregate.set(0)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.st WHERE k >= 2000")
+      .head().getLong(0) === 2000)
+    assert(GraftCatalog.lastMetaAggregate.get() === 0)
+  }
+
   test("merge-on-read positional delete probes only candidate files") {
     Lake.writeTableSnapshot(clustered(2000, 4), root, "morp")
     StatsSidecar.lastPrune.set((-1, -1))
