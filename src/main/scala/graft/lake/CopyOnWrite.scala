@@ -230,7 +230,8 @@ object CopyOnWrite {
         case _ => Lake.latestVersion(spark, root, name) match {
           case None =>
             commitCow(spark, root, name, expectedLatest = 0,
-              rewritten = batch, carried = Seq.empty, retentionVersions,
+              rewritten = Lake.applyClusterPolicy(spark, root, name, batch),
+              carried = Seq.empty, retentionVersions,
               markers = Seq(s"_epoch_${sinkId}_$epochId"))
           case Some(base) =>
             val files = Lake.snapshotFiles(spark, root, name, base)
@@ -239,8 +240,11 @@ object CopyOnWrite {
             val declared = Lake.declaredSchema(spark, root, name, base)
             val visible = declared.map(Lake.visibleSchema)
               .getOrElse(spark.read.parquet(files.head).schema)
-            val aligned = batch.select(
-              visible.fieldNames.toIndexedSeq.map(col): _*)
+            // the cluster_by write policy applies per epoch: each
+            // appended file covers a narrow key slice, so stats pruning
+            // holds on streaming tables between compactions
+            val aligned = Lake.applyClusterPolicy(spark, root, name,
+              batch.select(visible.fieldNames.toIndexedSeq.map(col): _*))
             // the receipt FRONTIER carries forward: this commit re-stamps
             // every OTHER sink's newest receipt plus its own, so the
             // LATEST version always answers the replay probe in one

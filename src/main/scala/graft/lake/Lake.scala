@@ -33,6 +33,77 @@ object Lake {
   def streamPath(root: String, name: String): String = s"$root/streams/$name"
   def tablePath(root: String, name: String): String = s"$root/tables/$name"
 
+  /** TABLE PROPERTIES sidecar (`<table>/_props.json`, table-level — a
+    * WRITE POLICY, not snapshot content, so it is deliberately not
+    * versioned): currently the one policy consumers honor is
+    * `cluster_by` = comma-separated columns — INSERTs and streaming
+    * epoch appends range-cluster + sort their batch on these columns, so
+    * every file covers a narrow key slice and [[StatsSidecar]] pruning
+    * works without the user hand-repartitioning. Set via
+    * `CREATE TABLE ... TBLPROPERTIES` or `ALTER TABLE ... SET
+    * TBLPROPERTIES`; a malformed sidecar reads as empty (policy, never
+    * correctness).
+    */
+  private val tablePropsName = "_props.json"
+
+  val ClusterByProp = "cluster_by"
+
+  def tableProperties(
+      spark: SparkSession, root: String, name: String): Map[String, String] =
+    try {
+      val p = new Path(tablePath(root, name), tablePropsName)
+      val f = fs(spark, p.toString)
+      if (!f.exists(p)) Map.empty
+      else {
+        import org.json4s._
+        val in = f.open(p)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        org.json4s.jackson.JsonMethods.parse(txt) match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  def setTableProperties(
+      spark: SparkSession, root: String, name: String,
+      set: Map[String, String], remove: Set[String] = Set.empty): Unit = {
+    val merged = (tableProperties(spark, root, name) ++ set) -- remove
+    val p = new Path(tablePath(root, name), tablePropsName)
+    val f = fs(spark, p.toString)
+    if (merged.isEmpty) { f.delete(p, false); () }
+    else {
+      import org.json4s.JsonDSL._
+      val ast = org.json4s.JObject(
+        merged.toList.map { case (k, v) => k -> org.json4s.JString(v) })
+      val out = f.create(p, true)
+      try out.write(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(ast))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Apply the table's `cluster_by` write policy to a batch: range
+    * cluster + sort so each output file covers a narrow slice of the
+    * cluster key (what [[StatsSidecar]] pruning feeds on). No-op without
+    * the property or when a named column is absent (a mid-evolution
+    * writer must never fail on policy).
+    */
+  def applyClusterPolicy(
+      spark: SparkSession, root: String, name: String,
+      df: DataFrame): DataFrame = {
+    val cols = tableProperties(spark, root, name).get(ClusterByProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    if (cols.isEmpty || !cols.forall(df.columns.contains)) df
+    else df.repartitionByRange(cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -611,6 +611,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     private val delegate = parquetTable(ident, version)
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
+    override def properties(): util.Map[String, String] =
+      graft.lake.Lake.tableProperties(
+        SparkSession.active, root, ident.name()).asJava
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -628,10 +631,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 // align by position onto the table schema (the query's
                 // column names are not the table's)
                 val aligned = data.toDF(schema().fieldNames.toIndexedSeq: _*)
+                // the `cluster_by` write policy: range-cluster + sort so
+                // each committed file covers a narrow key slice — what
+                // stats pruning feeds on, without hand-repartitioning
+                def clustered(df: DataFrame): DataFrame =
+                  graft.lake.Lake.applyClusterPolicy(spark, root, ident.name(), df)
                 if (overwrite) {
                   // content independent of the current snapshot: the plain
                   // OCC commit is lost-update-safe
-                  graft.lake.Lake.writeTableSnapshot(aligned, root, ident.name())
+                  graft.lake.Lake.writeTableSnapshot(
+                    clustered(aligned), root, ident.name())
                   ()
                 } else {
                   // read-modify-write: fold current rows into the new
@@ -651,7 +660,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                       if (base == 0) aligned.limit(0)
                       else graft.lake.Lake.readTableFeed(spark, root, ident.name(), Some(base))
                     done = graft.lake.Lake.writeTableSnapshotIf(
-                      current.unionByName(aligned), root, ident.name(),
+                      clustered(current.unionByName(aligned)), root, ident.name(),
                       expectedLatest = base).isDefined
                   }
                 }
@@ -964,6 +973,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     graft.lake.Lake.writeTableSnapshot(empty, root, ident.name())
+    // persist USER properties (cluster_by is the write policy consumers
+    // honor); engine-injected keys are not policy
+    val userProps = properties.asScala.toMap -- Seq(
+      "provider", "location", "owner", "external", "comment")
+    if (userProps.nonEmpty)
+      graft.lake.Lake.setTableProperties(spark, root, ident.name(), userProps)
     new GraftTable(ident, snapshots(ident).last._1)
   }
 
@@ -991,6 +1006,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (its spellings stay reserved) and stripped from every read
         graft.lake.Lake.dropColumn(SparkSession.active, root, ident.name(),
           del.fieldNames()(0))
+      case sp: TableChange.SetProperty =>
+        graft.lake.Lake.setTableProperties(SparkSession.active, root,
+          ident.name(), Map(sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        graft.lake.Lake.setTableProperties(SparkSession.active, root,
+          ident.name(), Map.empty, remove = Set(rp.property()))
       case ut: TableChange.UpdateColumnType if ut.fieldNames().length == 1 =>
         // metadata-only for LOSSLESS WIDENINGS (int->long, float->double,
         // decimal precision growth, ...): the parquet reader up-converts

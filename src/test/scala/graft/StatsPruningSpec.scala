@@ -264,6 +264,50 @@ class StatsPruningSpec extends SparkSpec {
     assert(prune() === ((4, 4)), s"int->double must admit all: ${prune()}")
   }
 
+  test("cluster_by table property: unsorted inserts land range-clustered") {
+    spark.sql(s"CREATE TABLE $cat.tables.clust (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('cluster_by'='k')")
+    // at test scale AQE would coalesce the range shuffle to one file (the
+    // right sizing at real scale); keep the 8 range partitions so the
+    // clustering is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+    spark.range(0, 2000)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .orderBy(rand(42)) // deliberately shuffled: the policy must cluster
+      .createOrReplaceTempView("clust_src")
+    spark.sql(s"INSERT INTO $cat.tables.clust SELECT * FROM clust_src")
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.clust WHERE k BETWEEN 100 AND 149")
+      .head().getLong(0) === 50)
+    val (kept, total) = prune()
+    assert(total >= 4 && kept <= 2,
+      s"clustered insert must let a narrow range prune: admitted $kept/$total")
+    // the property surfaces through SHOW TBLPROPERTIES and can be unset
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.tables.clust").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("cluster_by") === Some("k"))
+    spark.sql(s"ALTER TABLE $cat.tables.clust UNSET TBLPROPERTIES ('cluster_by')")
+    assert(!spark.sql(s"SHOW TBLPROPERTIES $cat.tables.clust").collect()
+      .map(_.getString(0)).contains("cluster_by"))
+
+    // streaming epoch appends honor the policy too
+    Lake.setTableProperties(spark, root, "clust2",
+      Map(Lake.ClusterByProp -> "k"))
+    graft.lake.CopyOnWrite.appendEpoch(
+      spark.range(0, 2000)
+        .select(col("id").as("k"), lit("x").as("v")).orderBy(rand(7)),
+      root, "clust2", "s1", 0L)
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.clust2 WHERE k = 1500")
+      .head().getLong(0) === 1)
+    assert(prune()._1 === 1,
+      s"clustered epoch must admit one file: ${prune()}")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("CALL system.collect_stats backfills missing sidecars") {
     // `nostats` had its sidecar deleted above; the backfill re-stamps it
     val rows = spark.sql(s"CALL $cat.system.collect_stats('nostats')").collect()
