@@ -86,11 +86,19 @@ object CopyOnWrite {
     */
   private def touchedFiles(
       spark: SparkSession, files: Seq[String], pred: Column,
-      declared: Option[org.apache.spark.sql.types.StructType]): Seq[String] = {
+      declared: Option[org.apache.spark.sql.types.StructType],
+      rootName: Option[(String, String)] = None): Seq[String] = {
     val candidates = {
       val base = Lake.readFiles(spark, files, declared) // lazy: analysis only
       val v1 = org.apache.spark.sql.graft.ExprFilters.toV1(base, pred)
-      StatsSidecar.candidateFiles(spark, files, base.schema, v1)
+      val byStats = StatsSidecar.candidateFiles(spark, files, base.schema, v1)
+      // bloom file indexes narrow equality probes on unclustered columns
+      rootName.fold(byStats) { case (root, name) =>
+        val bloomCols = Lake.tableProperties(spark, root, name)
+          .get(BloomSidecar.ColumnsProp)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        BloomSidecar.filterCandidates(spark, byStats, base.schema, v1, bloomCols)
+      }
     }
     if (candidates.isEmpty) Nil
     else Lake.readFiles(spark, candidates, declared, withMeta = true)
@@ -296,7 +304,7 @@ object CopyOnWrite {
     val del = MergeOnRead.deletesOf(spark, root, name, base)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
     val declared = Lake.declaredSchema(spark, root, name, base)
-    val touched = touchedFiles(spark, files, pred, declared)
+    val touched = touchedFiles(spark, files, pred, declared, Some((root, name)))
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val survivors =
@@ -351,7 +359,7 @@ object CopyOnWrite {
     val del = MergeOnRead.deletesOf(spark, root, name, base)
     val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
     val declared = Lake.declaredSchema(spark, root, name, base)
-    val touched = touchedFiles(spark, files, pred, declared)
+    val touched = touchedFiles(spark, files, pred, declared, Some((root, name)))
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val assign = set.toMap

@@ -226,6 +226,10 @@ object Lake {
       val p = new Path(tdir)
       (p.getParent.getParent.toString, p.getName)
     }
+    // per-file blooms for the table's bloom_filter_columns (opt-in — one
+    // pass over the STAGED files only; nothing without the property)
+    try BloomSidecar.stamp(spark, root, name, stage)
+    catch { case scala.util.control.NonFatal(_) => () }
     var n = latestVersion(spark, root, name).getOrElse(0) + 1
     while (true) {
       val claim = new Path(s"$tdir/.claim_v$n")
@@ -497,6 +501,8 @@ object Lake {
     // stats sidecar into the stage BEFORE the CAS — atomic with the commit
     // (see commitStaged); a lost race wastes only the footer reads
     try StatsSidecar.stamp(f, stage)
+    catch { case scala.util.control.NonFatal(_) => () }
+    try BloomSidecar.stamp(spark, root, name, stage)
     catch { case scala.util.control.NonFatal(_) => () }
     val n = expectedLatest + 1
     val claim = new Path(s"$tdir/.claim_v$n")

@@ -2665,7 +2665,110 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'latest', ${Int.MaxValue.toLong + 1000}, CAST(1.5 AS DOUBLE), 'W'""".stripMargin
 
+  /** A36 BLOOM FILE INDEXES (round 12): `bloom_filter_columns` table
+    * property → each commit builds per-file blooms for the named columns
+    * over its OWN staged files (`_blooms.parquet`, atomic with the
+    * commit), and every scan/probe/fallback narrows equality and IN
+    * lookups with an executor-side probe — point lookups on columns the
+    * files are NOT clustered by (where min/max stats cannot prune) open
+    * ~1 + fpp·files files instead of all of them. Zero false negatives
+    * by construction; a false positive costs a footer read, never a row.
+    * The gate clusters lineitem by l_orderkey, blooms l_partkey (uniform
+    * across files — the adversarial case for min/max), pins the
+    * admitted-file counts on hit and miss lookups, then composes with
+    * the zero-scan equality DELETE and a COW UPDATE keyed on the bloomed
+    * column, hash-verifying three generations against DuckDB.
+    */
+  def bloomIndex(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a36_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE TABLE $cat.tables.li_bloom " +
+      "(l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE) " +
+      "TBLPROPERTIES ('cluster_by'='l_orderkey', 'bloom_filter_columns'='l_partkey')")
+    Tables.lineitem(s, d).filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .createOrReplaceTempView("a36_src")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try s.sql(s"INSERT INTO $cat.tables.li_bloom SELECT * FROM a36_src")
+    finally s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // MID-RANGE probe values: every file's [min, max] spans them (the
+    // partkeys are uniform across the orderkey clustering), so min/max
+    // stats admit everything and only the bloom can prune
+    val mids = s.sql(
+      """SELECT
+        |  (SELECT l_partkey FROM a36_src
+        |   ORDER BY abs(l_partkey - (SELECT avg(l_partkey) / 2 FROM a36_src)),
+        |            l_partkey LIMIT 1) AS a,
+        |  (SELECT l_partkey FROM a36_src
+        |   ORDER BY abs(l_partkey - (SELECT avg(l_partkey) FROM a36_src)),
+        |            l_partkey LIMIT 1) AS b""".stripMargin).head()
+    val (pk, pk2) = (mids.getLong(0), mids.getLong(1))
+    val counter = org.apache.spark.sql.graft.GraftCatalog.lastStatsPrune
+
+    // the bloomed point lookup admits a strict subset; a miss admits none
+    counter.set((-1, -1))
+    s.sql(s"SELECT * FROM $cat.tables.li_bloom WHERE l_partkey = $pk")
+      .queryExecution.executedPlan
+    val (kept, total) = counter.get()
+    // a bloom prunes only when files DON'T each contain every value: at
+    // toy scale (sf0.001) the partkey domain saturates every file, so
+    // enforce the pin only when distinct values far exceed rows per file
+    val Array(srcRows, distinctParts) = s.sql(
+      "SELECT count(*), count(DISTINCT l_partkey) FROM a36_src")
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val sparse = distinctParts > 3L * (srcRows / total.max(1))
+    require(total >= 4 && (kept < total || !sparse),
+      s"bloom lookup must prune ($kept/$total admitted; " +
+        s"$distinctParts distinct over $srcRows rows)")
+    counter.set((-1, -1))
+    s.sql(s"SELECT * FROM $cat.tables.li_bloom WHERE l_partkey = -42")
+      .queryExecution.executedPlan
+    require(counter.get()._1 == 0,
+      s"a value no file contains must admit zero files (${counter.get()})")
+
+    // zero-scan equality DELETE on the bloomed column, then a COW UPDATE
+    // keyed on it — the mutation probe rides the same bloom
+    s.sql(s"DELETE FROM $cat.tables.li_bloom WHERE l_partkey = $pk")
+    graft.lake.BloomSidecar.lastProbe.set((-1, -1))
+    s.sql(s"UPDATE $cat.tables.li_bloom SET l_quantity = 0 WHERE l_partkey = $pk2")
+    require(graft.lake.BloomSidecar.lastProbe.get()._1 > 0 || !sparse,
+      s"the UPDATE probe must exclude files via the bloom " +
+        s"(${graft.lake.BloomSidecar.lastProbe.get()})")
+
+    def slice(gen: String, where: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, l_orderkey, l_partkey, l_quantity " +
+        s"FROM $cat.tables.li_bloom WHERE $where")
+    slice("deleted", s"l_partkey = $pk")
+      .unionByName(slice("updated", s"l_partkey = $pk2"))
+      .unionByName(slice("rest", s"l_orderkey BETWEEN 500 AND 599"))
+  }
+
+  val bloomIndexOracle: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+      |  WHERE l_orderkey <= 2000),
+      |pk AS (SELECT l_partkey AS v FROM base
+      |       ORDER BY abs(l_partkey - (SELECT avg(l_partkey) / 2 FROM base)),
+      |                l_partkey LIMIT 1),
+      |pk2 AS (SELECT l_partkey AS v FROM base
+      |        ORDER BY abs(l_partkey - (SELECT avg(l_partkey) FROM base)),
+      |                 l_partkey LIMIT 1),
+      |cur AS (
+      |  SELECT l_orderkey, l_partkey,
+      |         CASE WHEN l_partkey = (SELECT v FROM pk2) THEN 0
+      |              ELSE l_quantity END AS l_quantity
+      |  FROM base WHERE l_partkey <> (SELECT v FROM pk))
+      |SELECT 'deleted' AS gen, * FROM cur WHERE l_partkey = (SELECT v FROM pk)
+      |UNION ALL
+      |SELECT 'updated', * FROM cur WHERE l_partkey = (SELECT v FROM pk2)
+      |UNION ALL
+      |SELECT 'rest', * FROM cur WHERE l_orderkey BETWEEN 500 AND 599""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a36_bloom_index" -> (bloomIndex _),
     "a31c_type_widening" -> (typeWidening _),
     "a35_stats_pruning" -> (statsPruning _),
     "a12_feed_descriptor" -> (feedDescriptor _),
@@ -2726,6 +2829,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a36_bloom_index" -> bloomIndexOracle,
     "a31c_type_widening" -> typeWideningOracle,
     "a35_stats_pruning" -> statsPruningOracle,
     "a12_feed_descriptor" -> feedDescriptorOracle,

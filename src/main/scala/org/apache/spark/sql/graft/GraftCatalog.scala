@@ -326,8 +326,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   else {
                     val all = graft.lake.Lake.snapshotFiles(
                       spark, root, ident.name(), version)
-                    val admitted = graft.lake.StatsSidecar.candidateFiles(
+                    val byStats = graft.lake.StatsSidecar.candidateFiles(
                       spark, all, tableSchema, filters.toIndexedSeq)
+                    val bloomCols = graft.lake.Lake
+                      .tableProperties(spark, root, ident.name())
+                      .get(graft.lake.BloomSidecar.ColumnsProp)
+                      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                      .getOrElse(Nil)
+                    val admitted = graft.lake.BloomSidecar.filterCandidates(
+                      spark, byStats, tableSchema, filters.toIndexedSeq, bloomCols)
                     GraftCatalog.lastStatsPrune.set((admitted.size, all.size))
                     if (admitted.size < all.size) Some(admitted) else None
                   }
@@ -564,8 +571,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .translateFilter(e, supportNestedPredicatePushdown = true))
       if (v1.isEmpty) return inner.build()
       val all = graft.lake.Lake.snapshotFiles(spark, root, ident.name(), version)
-      val admitted = graft.lake.StatsSidecar.candidateFiles(
+      val statsAdmitted = graft.lake.StatsSidecar.candidateFiles(
         spark, all, tableSchema, v1)
+      // bloom file indexes narrow equality/IN lookups on columns min/max
+      // stats can't prune (opt-in via bloom_filter_columns)
+      val bloomCols = graft.lake.Lake
+        .tableProperties(spark, root, ident.name())
+        .get(graft.lake.BloomSidecar.ColumnsProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val admitted = graft.lake.BloomSidecar.filterCandidates(
+        spark, statsAdmitted, tableSchema, v1, bloomCols)
       GraftCatalog.lastStatsPrune.set((admitted.size, all.size))
       if (admitted.size >= all.size) inner.build()
       else {

