@@ -1102,6 +1102,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     org.apache.spark.sql.types.StructField("dir", StringType),
     org.apache.spark.sql.types.StructField("files_indexed", IntegerType)))
 
+  private val tableStatsSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", IntegerType),
+    org.apache.spark.sql.types.StructField("data_files", IntegerType),
+    org.apache.spark.sql.types.StructField("carried_files", IntegerType),
+    org.apache.spark.sql.types.StructField("raw_rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bytes",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("position_deletes",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("equality_deletes",
+      org.apache.spark.sql.types.LongType)))
+
   private val historySchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("version", IntegerType),
     org.apache.spark.sql.types.StructField("committed_at_ms",
@@ -1116,8 +1129,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("clone", "cluster", "collect_stats", "compact", "compact_files",
-        "history", "merge_branch", "restore", "prune_versions", "tag",
-        "untag", "vacuum")
+        "history", "merge_branch", "restore", "prune_versions",
+        "table_stats", "tag", "untag", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1158,6 +1171,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"compact_files: small_mb must be >= 1, got ${row.getInt(1)}")
         versionRow(graft.lake.CopyOnWrite.compactSmallFiles(
           spark, root, str(row, 0), smallBytes = row.getInt(1).toLong << 20))
+      }
+      case "table_stats" => procedure("table_stats",
+        Array(in("table", StringType)),
+        tableStatsSchema) { row =>
+        // DESCRIBE DETAIL for the latest snapshot, answered from METADATA:
+        // file counts + bytes from the resolved listing, raw row counts
+        // from the stats sidecars (-1 when any file lacks one), sidecar
+        // delete counts from the sidecar parquet — no table-data job.
+        // raw_rows counts PHYSICAL rows; live rows = raw_rows minus the
+        // sidecar-deleted ones (applied at read / folded at compaction)
+        val name = str(row, 0)
+        val v = graft.lake.Lake.latestVersion(spark, root, name).getOrElse(
+          throw new NoSuchTableException(Identifier.of(Array("tables"), name)))
+        val files = graft.lake.Lake.snapshotFiles(spark, root, name, v)
+        val ownDir = new Path(graft.lake.Lake.resolveSnapshotDir(
+          spark, root, name, v))
+        val conf = spark.sessionState.newHadoopConf()
+        val own = files.count(f => new Path(f).getParent ==
+          ownDir.getFileSystem(conf).makeQualified(ownDir))
+        val bytes = files.map { f =>
+          val p = new Path(f); p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        val rawRows = graft.lake.StatsSidecar.statsForFiles(spark, files)
+          .map(_.map(_.rows).sum).getOrElse(-1L)
+        val posDel = graft.lake.MergeOnRead.deletesOf(spark, root, name, v)
+          .map(_.count()).getOrElse(0L)
+        val eqDel = graft.lake.MergeOnRead.eqDeletesOf(spark, root, name, v)
+          .map(_.count()).getOrElse(0L)
+        Array(new GenericInternalRow(Array[Any](
+          v, own, files.size - own, rawRows, bytes, posDel, eqDel)): InternalRow)
       }
       case "collect_stats" => procedure("collect_stats",
         Array(in("table", StringType)),
@@ -1235,7 +1278,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"unknown procedure: $other (have: clone, cluster, collect_stats, " +
           "compact, compact_files, history, merge_branch, restore, " +
-          "prune_versions, tag, untag, vacuum)")
+          "prune_versions, table_stats, tag, untag, vacuum)")
     }
   }
 }

@@ -768,4 +768,36 @@ class ConcurrencySpec extends SparkSpec {
     assert(f.exists(new org.apache.hadoop.fs.Path(vdir2, "_txn_heartbeat")))
     assert(spark.read.parquet(vdir2.toString).count() === 1)
   }
+
+  test("racing committers each stamp their own stats sidecar; pruning stays exact") {
+    import graft.lake.StatsSidecar
+    val root = scratch()
+    race(6) { i =>
+      Lake.writeTableSnapshot(
+        spark.range(i * 1000, i * 1000 + 1000).toDF("k")
+          .repartitionByRange(2, org.apache.spark.sql.functions.col("k")),
+        root, "st_race", retentionVersions = Int.MaxValue)
+    }.foreach(r => assert(r.isSuccess, r))
+    // every committed version dir carries its own sidecar, stamped into
+    // the stage BEFORE the rename (atomic with the commit)
+    for (v <- Lake.versions(spark, root, "st_race")) {
+      val dir = new org.apache.hadoop.fs.Path(
+        Lake.resolveSnapshotDir(spark, root, "st_race", v))
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(f.exists(new org.apache.hadoop.fs.Path(dir, StatsSidecar.sidecarName)),
+        s"v$v lost its stats sidecar under the race")
+      val stats = StatsSidecar.readSidecar(f, dir)
+      assert(stats.exists(_.values.map(_.rows).sum === 1000),
+        s"v$v sidecar rows wrong: $stats")
+    }
+    // the latest winner's sidecar prunes exactly like a serial commit's
+    val latest = Lake.versions(spark, root, "st_race").max
+    val files = Lake.snapshotFiles(spark, root, "st_race", latest)
+    val lo = spark.read.parquet(files.head).agg(
+      org.apache.spark.sql.functions.min("k")).head().getLong(0)
+    val admitted = StatsSidecar.candidateFiles(
+      spark, files, spark.read.parquet(files: _*).schema,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", lo)))
+    assert(admitted.size === 1, s"expected one admitted file, got $admitted")
+  }
 }

@@ -193,6 +193,17 @@ class StatsPruningSpec extends SparkSpec {
       .head().getLong(0) === 1999)
   }
 
+  test("CALL system.table_stats answers from metadata") {
+    // `morp`: 4 files, 2000 physical rows, one position-deleted row
+    val r = spark.sql(s"CALL $cat.system.table_stats('morp')").head()
+    assert(r.getInt(1) === 0 && r.getInt(2) === 4,
+      s"the MOR version carries all 4 base files by reference: $r")
+    assert(r.getLong(3) === 2000, s"raw_rows from sidecars: $r")
+    assert(r.getLong(4) > 0, "bytes from the listing")
+    assert(r.getLong(5) === 1 && r.getLong(6) === 0,
+      s"one position delete, no equality deletes: $r")
+  }
+
   test("the merge-on-read fallback read prunes files too") {
     // `morp` carries a position sidecar, so SQL reads it through the
     // V1Scan fallback — pushed filters are evaluated against the stats
