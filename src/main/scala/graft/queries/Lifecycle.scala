@@ -2767,7 +2767,89 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'rest', * FROM cur WHERE l_orderkey BETWEEN 500 AND 599""".stripMargin
 
+  /** A37 CHANGE FEED over the versioned catalog table (round 12): the
+    * `<table>__changes` relation serves CDF as FULL ROW IMAGES +
+    * `change`/`change_version` — batch between any two versions
+    * (`startingVersion`/`endingVersion` options, V1 bridge over the
+    * library's keyed per-version diff) and FIRST-CLASS STREAMING
+    * (`spark.readStream.table`, offsets ARE committed versions; each
+    * epoch's diff stages under the checkpoint and is served as file
+    * partitions through Spark's own parquet reader; committed epochs
+    * reclaim their scratch). This closes the lake loop: tables already
+    * sink streams exactly-once (A33); now streams consume tables back,
+    * incrementally, without foreachBatch cursor plumbing. The gate
+    * drives three committed generations, reads the incremental CDF and
+    * the initial-snapshot form, drains the STREAM through a real
+    * checkpointed file sink, and hash-verifies everything against DuckDB
+    * recomputing the diffs from the raw table.
+    */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a37_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val k = col("o_orderkey")
+    Lake.writeTableSnapshot(o.filter(k <= 1000), root, "cdf")
+    Lake.writeTableSnapshot(
+      o.filter(k <= 1200).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), root, "cdf")
+    Lake.writeTableSnapshot(
+      o.filter(k.between(201, 1200)).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), root, "cdf")
+
+    def sel(df: DataFrame, gen: String): DataFrame = df.select(
+      lit(gen).as("gen"), col("o_orderkey"), col("o_totalprice"),
+      col("change"), col("change_version"))
+    val incr = sel(s.read.option("keyColumns", "o_orderkey")
+      .option("startingVersion", "1").table(s"$cat.tables.cdf__changes"), "incr")
+    val init = sel(s.read.option("keyColumns", "o_orderkey")
+      .table(s"$cat.tables.cdf__changes"), "init")
+
+    // the STREAM, end-to-end: AvailableNow drain into a checkpointed file
+    // sink — one epoch covering (0, v3] (the initial snapshot as inserts)
+    val ck = scratch("graft_a37_ck_")
+    val out = scratch("graft_a37_out_")
+    val q = s.readStream.option("keyColumns", "o_orderkey")
+      .table(s"$cat.tables.cdf__changes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    require(!q.isActive, "the AvailableNow drain must terminate")
+    val streamed = sel(s.read.schema(
+      s.table(s"$cat.tables.cdf__changes").schema).parquet(out), "stream")
+    incr.unionByName(init).unionByName(streamed)
+  }
+
+  val changeFeedOracle: String =
+    """WITH g2 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 501 AND 1000
+      |              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey <= 1200),
+      |g3 AS (SELECT * FROM g2 WHERE o_orderkey BETWEEN 201 AND 1200),
+      |incr AS (
+      |  SELECT o_orderkey, o_totalprice, 'updated' AS change, 2 AS change_version
+      |  FROM g2 WHERE o_orderkey BETWEEN 501 AND 1000
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'inserted', 2
+      |  FROM g2 WHERE o_orderkey BETWEEN 1001 AND 1200
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'deleted', 3
+      |  FROM g2 WHERE o_orderkey <= 200),
+      |init AS (
+      |  SELECT o_orderkey, o_totalprice, 'inserted' AS change, 3 AS change_version
+      |  FROM g3)
+      |SELECT 'incr' AS gen, * FROM incr
+      |UNION ALL SELECT 'init', * FROM init
+      |UNION ALL SELECT 'stream', * FROM init""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a37_change_feed" -> (changeFeed _),
     "a36_bloom_index" -> (bloomIndex _),
     "a31c_type_widening" -> (typeWidening _),
     "a35_stats_pruning" -> (statsPruning _),
@@ -2829,6 +2911,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a37_change_feed" -> changeFeedOracle,
     "a36_bloom_index" -> bloomIndexOracle,
     "a31c_type_widening" -> typeWideningOracle,
     "a35_stats_pruning" -> statsPruningOracle,

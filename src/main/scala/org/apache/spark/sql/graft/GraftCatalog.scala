@@ -613,6 +613,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new StatsPruningScanBuilder(ident, version, schema, options)
     else delegate.newScanBuilder(options)
 
+  /** CHANGE-DATA-FEED table `<base>__changes` (A37): batch reads answer
+    * "what changed between versions" through the V1 bridge over
+    * [[graft.lake.Lake.tableChanges]]; `readStream.table` gets a
+    * first-class MicroBatchStream whose OFFSETS ARE VERSIONS
+    * ([[GraftChangeFeedStream]]). Options: `keyColumns` (required —
+    * diffs are keyed), `startingVersion` (0 = initial snapshot as
+    * inserts, `latest`, or a committed version), `endingVersion` (batch
+    * only, default latest). Schema = the base table's visible schema +
+    * `change` (inserted/updated/deleted) + `change_version`. Row-image
+    * consumers filter `change <> 'deleted'` and drop the two columns.
+    */
+  private final class ChangesTable(ident: Identifier, baseName: String)
+      extends Table with SupportsRead {
+    private val dataSchema: StructType = {
+      val spark = SparkSession.active
+      val v = graft.lake.Lake.latestVersion(spark, root, baseName).getOrElse(
+        throw new NoSuchTableException(ident))
+      graft.lake.Lake.readTableFeed(spark, root, baseName, Some(v)).schema
+    }
+    override def name(): String =
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
+    override def schema(): StructType = GraftChangeFeed.changeSchema(dataSchema)
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        private var required: StructType = schema()
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+        private def keyCols: Seq[String] = Option(options.get("keyColumns"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        private def startingVersion: String =
+          Option(options.get("startingVersion")).getOrElse("0")
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.V1Scan {
+            private val outSchema = required
+            override def readSchema(): StructType = outSchema
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: org.apache.spark.sql.SQLContext): T =
+              (new BaseRelation with TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = context
+                override val schema: StructType = outSchema
+                override def needConversion: Boolean = false
+                override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                  val spark = SparkSession.active
+                  val latest = graft.lake.Lake
+                    .latestVersion(spark, root, baseName).getOrElse(0)
+                  val from = startingVersion.toLowerCase match {
+                    case "latest" => latest
+                    case s => s.toInt
+                  }
+                  val to = Option(options.get("endingVersion"))
+                    .map(_.toInt).getOrElse(latest)
+                  GraftChangeFeed.changesBetween(
+                    spark, root, baseName, keyCols, from, to)
+                    .select(outSchema.fieldNames.toIndexedSeq.map(
+                      org.apache.spark.sql.functions.col): _*)
+                    .queryExecution.toRdd
+                    .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+                }
+              }).asInstanceOf[T]
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              new GraftChangeFeedStream(root, baseName, keyCols,
+                startingVersion,
+                ignoreDeletes = "true".equalsIgnoreCase(
+                  Option(options.get("ignoreDeletes")).getOrElse("false")),
+                emitChanges = true, required = outSchema,
+                checkpointLocation = checkpointLocation)
+          }
+      }
+  }
+
   private final class GraftTable(ident: Identifier, version: Int)
       extends Table with SupportsRead with SupportsWrite with SupportsDelete
       with SupportsRowLevelOperations with GovernedPath with GraftMutableTable {
@@ -910,6 +984,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `<base>__changes` resolves the CHANGE FEED over the base table
+    // (A37); a real table named that way would shadow it, so the suffix
+    // only fires when no such snapshot table exists
+    if (ident.name().endsWith(GraftChangeFeed.ChangesSuffix) &&
+        snapshots(ident).isEmpty) {
+      val base = ident.name().stripSuffix(GraftChangeFeed.ChangesSuffix)
+      if (snapshots(Identifier.of(ident.namespace(), base)).nonEmpty)
+        return new ChangesTable(ident, base)
+    }
     val snaps = snapshots(ident)
     if (snaps.isEmpty) throw new NoSuchTableException(ident)
     new GraftTable(ident, snaps.last._1)

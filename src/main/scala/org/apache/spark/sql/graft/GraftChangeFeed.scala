@@ -1,0 +1,216 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** CHANGE-DATA-FEED source over the versioned catalog table — the
+  * completion of the lake loop: tables already SINK streams
+  * (epoch-idempotent commits, A33); this lets a stream READ them back as
+  * versioned change batches, first-class:
+  *
+  * {{{
+  *   spark.readStream.option("keyColumns", "k")
+  *     .table("g.tables.t")            // row images: inserted + updated
+  *   spark.readStream.option("keyColumns", "k")
+  *     .table("g.tables.t__changes")   // CDF: + change, change_version
+  *   spark.read.option("keyColumns", "k").option("startingVersion", "3")
+  *     .table("g.tables.t__changes")   // batch CDF between versions
+  * }}}
+  *
+  * OFFSETS ARE VERSIONS: each micro-batch covers the committed versions
+  * `(start, end]`, computed by the library's own per-version diff
+  * ([[graft.lake.Lake.tableChanges]] — the single place change semantics
+  * live, so sidecars/manifests/evolution are all honored). `start = 0`
+  * (the default `startingVersion`) emits the whole snapshot at `end` as
+  * `inserted` first; `startingVersion=latest` starts from now;
+  * `startingVersion=<n>` diffs from that committed version. `keyColumns`
+  * is REQUIRED — version diffs are keyed (a keyless "diff" would be a
+  * bag subtraction with no update identity).
+  *
+  * Execution shape: the diff for `(start, end]` is computed ONCE at
+  * planning and STAGED as parquet under the stream's checkpoint
+  * (`<checkpoint>/graft_cdf/<start>_<end>`), then served as one input
+  * partition per staged file through Spark's own parquet reader — the
+  * diff job is distributed, the scratch is O(changed rows), replays of
+  * an uncommitted epoch re-serve the staged files byte-identically, and
+  * `commit(end)` deletes scratch for epochs the log has sealed. The
+  * plain-table stream REFUSES on deleted rows (a row-image stream cannot
+  * represent a delete) unless `ignoreDeletes=true`; the `__changes`
+  * stream emits them as rows.
+  */
+object GraftChangeFeed {
+  val ChangesSuffix = "__changes"
+  val KeyColumnsOption = "keycolumns"
+  val StartingVersionOption = "startingversion"
+  val IgnoreDeletesOption = "ignoredeletes"
+
+  def changeSchema(dataSchema: StructType): StructType = StructType(
+    dataSchema.fields ++ Seq(
+      StructField("change", StringType, nullable = false),
+      StructField("change_version", IntegerType, nullable = false)))
+
+  /** The `(start, end]` change set as FULL ROW IMAGES with
+    * `change`/`change_version` columns (the Delta-CDF shape):
+    * inserted/updated rows carry the NEW image (a keyed join of the
+    * step's diff against the committed snapshot), deleted rows carry the
+    * LAST image they had. `start == 0` is the initial full snapshot as
+    * `inserted`. Per covered version the cost is one keyed diff + one
+    * image join — the honest price of recomputing CDF from snapshots
+    * instead of storing change files at write time; consumers that only
+    * need keys use [[graft.lake.Lake.tableChanges]] directly.
+    */
+  def changesBetween(
+      spark: SparkSession, root: String, name: String,
+      keyCols: Seq[String], start: Int, end: Int): DataFrame = {
+    require(keyCols.nonEmpty,
+      s"change feed over $name: set option(\"keyColumns\", \"k1,k2\") — " +
+        "version diffs are keyed")
+    import graft.lake.Lake
+    if (start == 0)
+      return Lake.readTableFeed(spark, root, name, Some(end))
+        .withColumn("change", lit("inserted"))
+        .withColumn("change_version", lit(end))
+    val vs = Lake.versions(spark, root, name)
+    require(vs.contains(start),
+      s"change feed over $name: base version v$start is not present " +
+        s"(have ${vs.mkString(",")} — retention may have pruned it)")
+    val range = vs.filter(v => v > start && v <= end).sorted
+    val steps = (start +: range).sliding(2).collect { case Seq(a, b) =>
+      val ch = Lake.versionDiff(spark, root, name, a, b, keyCols)
+        .filter(col("change") =!= "unchanged")
+      val live = Lake.readTableFeed(spark, root, name, Some(b))
+        .join(ch.filter(col("change") =!= "deleted"), keyCols, "inner")
+      val dead = Lake.readTableFeed(spark, root, name, Some(a))
+        .join(ch.filter(col("change") === "deleted"), keyCols, "inner")
+      live.unionByName(dead).withColumn("change_version", lit(b))
+    }.toSeq
+    steps.reduceOption(_ unionByName _).getOrElse(
+      Lake.readTableFeed(spark, root, name, Some(end)).limit(0)
+        .withColumn("change", lit(""))
+        .withColumn("change_version", lit(0)))
+  }
+
+  private[graft] case class VersionOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  private[graft] case class ScratchFilePartition(path: String, length: Long)
+      extends InputPartition
+
+  /** Serve staged parquet through Spark's own reader (row mode forced —
+    * the streaming exec consumes `InternalRow`s).
+    */
+  private[graft] class ScratchReaderFactory(
+      readFunc: PartitionedFile => Iterator[InternalRow])
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val sp = p.asInstanceOf[ScratchFilePartition]
+      val it = readFunc(PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(sp.path),
+        0L, sp.length, Array.empty[String]))
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = it.hasNext
+        override def get(): InternalRow = it.next()
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  private[graft] def readFuncFor(
+      spark: SparkSession, schema: StructType):
+      PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, schema, StructType(Nil), schema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+}
+
+/** The MicroBatchStream: offsets are committed VERSIONS; each epoch's
+  * change set is staged under the checkpoint and served as file
+  * partitions. `emitChanges=false` (the plain table) projects row images
+  * and refuses deletes unless `ignoreDeletes`.
+  */
+class GraftChangeFeedStream(
+    root: String, name: String, keyCols: Seq[String],
+    startingVersion: String, ignoreDeletes: Boolean,
+    emitChanges: Boolean, required: StructType,
+    checkpointLocation: String) extends MicroBatchStream {
+  import GraftChangeFeed._
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = VersionOffset(
+    startingVersion.toLowerCase match {
+      case "latest" =>
+        graft.lake.Lake.latestVersion(spark, root, name).getOrElse(0)
+      case s => s.toInt
+    })
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toInt)
+  override def latestOffset(): Offset = VersionOffset(
+    graft.lake.Lake.latestVersion(spark, root, name).getOrElse(0))
+
+  private def scratchDir(s: Int, e: Int): Path =
+    new Path(s"$checkpointLocation/graft_cdf/${s}_$e")
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    if (e <= s) return Array.empty
+    val dir = scratchDir(s, e)
+    val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(new Path(dir, "_SUCCESS"))) {
+      val changes = changesBetween(spark, root, name, keyCols, s, e)
+      val projected =
+        if (emitChanges) changes
+        else {
+          // a row-image stream cannot represent a delete
+          if (!ignoreDeletes) {
+            val deleted = changes.filter(col("change") === "deleted").limit(1)
+            require(deleted.isEmpty,
+              s"stream over $name hit DELETED rows between v$s and v$e — " +
+                s"read ${name}${ChangesSuffix} for full CDF, or set " +
+                "option(\"ignoreDeletes\", \"true\") to stream surviving row images")
+          }
+          changes.filter(col("change") =!= "deleted")
+        }
+      projected.select(required.fieldNames.toIndexedSeq.map(col): _*)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => ScratchFilePartition(
+        st.getPath.toString, st.getLen): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ScratchReaderFactory(readFuncFor(spark, required))
+
+  override def commit(end: Offset): Unit = {
+    // the log has sealed every epoch ending at or before `end`: replays
+    // can no longer ask for them, so their scratch is reclaimable
+    val e = end.asInstanceOf[VersionOffset].v
+    try {
+      val base = new Path(s"$checkpointLocation/graft_cdf")
+      val f = base.getFileSystem(spark.sessionState.newHadoopConf())
+      if (f.exists(base)) f.listStatus(base).foreach { st =>
+        st.getPath.getName.split("_") match {
+          case Array(_, hi) if hi.forall(_.isDigit) && hi.toInt <= e =>
+            f.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+  override def stop(): Unit = ()
+}

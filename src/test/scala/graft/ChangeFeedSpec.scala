@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.lake.Lake
+
+/** A37 — the `<table>__changes` CHANGE FEED: batch CDF between versions
+  * through the V1 bridge, and a first-class `readStream.table` source
+  * whose offsets are committed versions. Pins: change classification,
+  * initial-snapshot semantics, incremental offsets across restarts,
+  * scratch cleanup after commit, and the keyColumns requirement.
+  */
+class ChangeFeedSpec extends SparkSpec {
+
+  private lazy val (cat, root): (String, String) = {
+    val root = Files.createTempDirectory("graft_cf_spec_").toString
+    val c = "gcf"
+    spark.conf.set(s"spark.sql.catalog.$c",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.root", root)
+    (c, root)
+  }
+
+  import spark.implicits._
+
+  test("batch CDF classifies inserts, updates and deletes between versions") {
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")).toDF("k", "v"), root, "cf")
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (6L, "f")).toDF("k", "v"), root, "cf")
+
+    val changes = spark.read
+      .option("keyColumns", "k").option("startingVersion", "1")
+      .table(s"$cat.tables.cf__changes")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3))).sortBy(_._1)
+    assert(changes.toSeq === Seq(
+      (2L, "updated", 2), (5L, "deleted", 2), (6L, "inserted", 2)))
+
+    // default startingVersion=0: the whole latest snapshot as inserts
+    val full = spark.read.option("keyColumns", "k")
+      .table(s"$cat.tables.cf__changes")
+    assert(full.count() === 4)
+    assert(full.select("change").distinct().head().getString(0) === "inserted")
+
+    // endingVersion pins the upper bound
+    assert(spark.read.option("keyColumns", "k")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .table(s"$cat.tables.cf__changes").count() === 0)
+
+    // a real table with the suffix name would shadow the feed; without a
+    // base the suffix is just a missing table
+    intercept[Exception] {
+      spark.read.option("keyColumns", "k")
+        .table(s"$cat.tables.nope__changes").collect()
+    }
+    // the feed needs keys
+    intercept[Exception] {
+      spark.read.option("startingVersion", "1")
+        .table(s"$cat.tables.cf__changes").collect()
+    }
+  }
+
+  test("streaming CDF: version offsets, incremental restarts, scratch cleanup") {
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cfs")
+    val ck = Files.createTempDirectory("graft_cf_ck_").toString
+    val out = Files.createTempDirectory("graft_cf_out_").toString
+
+    // the memory sink refuses checkpoint recovery — the file sink is the
+    // restartable one
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("keyColumns", "k")
+        .table(s"$cat.tables.cfs__changes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def sink() = spark.read.schema(
+      spark.table(s"$cat.tables.cfs__changes").schema).parquet(out)
+
+    drain() // batch 1: the v1 snapshot as inserts
+    val b1 = sink().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(b1.toSeq.sortBy(_._1) === Seq(
+      (1L, "a", "inserted", 1), (2L, "b", "inserted", 1)))
+
+    // two more commits: an update+insert, then a delete
+    Lake.writeTableSnapshot(
+      Seq((1L, "A"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "cfs")
+    Lake.writeTableSnapshot(
+      Seq((1L, "A"), (3L, "c")).toDF("k", "v"), root, "cfs")
+
+    drain() // batch 2: changes over (v1, v3] in ONE epoch
+    val b2 = sink().collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getInt(3)))
+      .filter(_._4 > 1)
+    assert(b2.toSeq.sortBy(r => (r._4, r._1)) === Seq(
+      (1L, Some("A"), "updated", 2), (3L, Some("c"), "inserted", 2),
+      (2L, Some("b"), "deleted", 3)))
+
+    // nothing new: a third drain emits nothing and leaves no scratch
+    drain()
+    assert(sink().count() === b1.length + b2.length)
+    val scratch = new java.io.File(s"$ck/graft_cdf")
+    assert(!scratch.exists() || scratch.listFiles().isEmpty,
+      s"committed epochs must reclaim their scratch: ${Option(scratch.listFiles()).map(_.toSeq)}")
+  }
+
+  test("startingVersion=latest streams only future commits") {
+    Lake.writeTableSnapshot(Seq((1L, "a")).toDF("k", "v"), root, "cfl")
+    val ck = Files.createTempDirectory("graft_cfl_ck_").toString
+    val out = Files.createTempDirectory("graft_cfl_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("keyColumns", "k").option("startingVersion", "latest")
+        .table(s"$cat.tables.cfl__changes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def sink() = spark.read.schema(
+      spark.table(s"$cat.tables.cfl__changes").schema).parquet(out)
+    drain()
+    assert(sink().count() === 0,
+      "latest start must skip the existing snapshot")
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cfl")
+    drain()
+    assert(sink().collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((2L, "inserted")))
+  }
+}
