@@ -678,10 +678,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new GraftChangeFeedStream(root, baseName, keyCols,
-                startingVersion,
-                ignoreDeletes = "true".equalsIgnoreCase(
-                  Option(options.get("ignoreDeletes")).getOrElse("false")),
-                emitChanges = true, required = outSchema,
+                startingVersion, required = outSchema,
                 checkpointLocation = checkpointLocation)
           }
       }

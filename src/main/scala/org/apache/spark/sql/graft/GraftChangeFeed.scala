@@ -17,9 +17,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *
   * {{{
   *   spark.readStream.option("keyColumns", "k")
-  *     .table("g.tables.t")            // row images: inserted + updated
-  *   spark.readStream.option("keyColumns", "k")
-  *     .table("g.tables.t__changes")   // CDF: + change, change_version
+  *     .table("g.tables.t__changes")   // CDF: images + change, change_version
   *   spark.read.option("keyColumns", "k").option("startingVersion", "3")
   *     .table("g.tables.t__changes")   // batch CDF between versions
   * }}}
@@ -40,16 +38,12 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * partition per staged file through Spark's own parquet reader — the
   * diff job is distributed, the scratch is O(changed rows), replays of
   * an uncommitted epoch re-serve the staged files byte-identically, and
-  * `commit(end)` deletes scratch for epochs the log has sealed. The
-  * plain-table stream REFUSES on deleted rows (a row-image stream cannot
-  * represent a delete) unless `ignoreDeletes=true`; the `__changes`
-  * stream emits them as rows.
+  * `commit(end)` deletes scratch for epochs the log has sealed.
+  * Row-image consumers filter `change <> 'deleted'` and drop the change
+  * columns in their query.
   */
 object GraftChangeFeed {
   val ChangesSuffix = "__changes"
-  val KeyColumnsOption = "keycolumns"
-  val StartingVersionOption = "startingversion"
-  val IgnoreDeletesOption = "ignoredeletes"
 
   def changeSchema(dataSchema: StructType): StructType = StructType(
     dataSchema.fields ++ Seq(
@@ -135,13 +129,12 @@ object GraftChangeFeed {
 
 /** The MicroBatchStream: offsets are committed VERSIONS; each epoch's
   * change set is staged under the checkpoint and served as file
-  * partitions. `emitChanges=false` (the plain table) projects row images
-  * and refuses deletes unless `ignoreDeletes`.
+  * partitions. Row-image consumers filter `change <> 'deleted'` and drop
+  * the change columns in their query — the stream always emits full CDF.
   */
 class GraftChangeFeedStream(
     root: String, name: String, keyCols: Seq[String],
-    startingVersion: String, ignoreDeletes: Boolean,
-    emitChanges: Boolean, required: StructType,
+    startingVersion: String, required: StructType,
     checkpointLocation: String) extends MicroBatchStream {
   import GraftChangeFeed._
 
@@ -169,21 +162,8 @@ class GraftChangeFeedStream(
     val dir = scratchDir(s, e)
     val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(new Path(dir, "_SUCCESS"))) {
-      val changes = changesBetween(spark, root, name, keyCols, s, e)
-      val projected =
-        if (emitChanges) changes
-        else {
-          // a row-image stream cannot represent a delete
-          if (!ignoreDeletes) {
-            val deleted = changes.filter(col("change") === "deleted").limit(1)
-            require(deleted.isEmpty,
-              s"stream over $name hit DELETED rows between v$s and v$e — " +
-                s"read ${name}${ChangesSuffix} for full CDF, or set " +
-                "option(\"ignoreDeletes\", \"true\") to stream surviving row images")
-          }
-          changes.filter(col("change") =!= "deleted")
-        }
-      projected.select(required.fieldNames.toIndexedSeq.map(col): _*)
+      changesBetween(spark, root, name, keyCols, s, e)
+        .select(required.fieldNames.toIndexedSeq.map(col): _*)
         .write.mode("overwrite").parquet(dir.toString)
     }
     f.listStatus(dir).toSeq
