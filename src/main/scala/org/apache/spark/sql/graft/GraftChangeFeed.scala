@@ -63,14 +63,16 @@ object GraftChangeFeed {
   def changesBetween(
       spark: SparkSession, root: String, name: String,
       keyCols: Seq[String], start: Int, end: Int): DataFrame = {
-    require(keyCols.nonEmpty,
-      s"change feed over $name: set option(\"keyColumns\", \"k1,k2\") — " +
-        "version diffs are keyed")
     import graft.lake.Lake
+    // the initial-snapshot form needs no keys — so a bare SQL
+    // `SELECT * FROM t__changes` (no options reachable) works
     if (start == 0)
       return Lake.readTableFeed(spark, root, name, Some(end))
         .withColumn("change", lit("inserted"))
         .withColumn("change_version", lit(end))
+    require(keyCols.nonEmpty,
+      s"change feed over $name: set option(\"keyColumns\", \"k1,k2\") — " +
+        "version diffs are keyed")
     val vs = Lake.versions(spark, root, name)
     require(vs.contains(start),
       s"change feed over $name: base version v$start is not present " +

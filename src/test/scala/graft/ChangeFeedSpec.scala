@@ -56,11 +56,13 @@ class ChangeFeedSpec extends SparkSpec {
       spark.read.option("keyColumns", "k")
         .table(s"$cat.tables.nope__changes").collect()
     }
-    // the feed needs keys
+    // incremental reads need keys; the initial-snapshot form does not,
+    // so bare SQL works
     intercept[Exception] {
       spark.read.option("startingVersion", "1")
         .table(s"$cat.tables.cf__changes").collect()
     }
+    assert(spark.sql(s"SELECT * FROM $cat.tables.cf__changes").count() === 4)
   }
 
   test("streaming CDF: version offsets, incremental restarts, scratch cleanup") {
