@@ -196,15 +196,14 @@ object CopyOnWrite {
         math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
       val rewritten = MergeOnRead
         .readWithDeletes(spark, small.map(_._1), del, eq, declared).coalesce(parts)
-      // the epoch-receipt frontier survives maintenance: without the
-      // carry, pruning the last receipt-bearing dir after a compact would
-      // let a late replay re-append an already-committed epoch
+      // the epoch-receipt frontier survives maintenance via the commit
+      // tail's central carry ([[Lake.carryEpochFrontier]]) — no explicit
+      // markers here
       commitCow(spark, root, name, base, rewritten, big.map(_._1),
         retentionVersions,
         carriedDeletes(spark, root, del, eq, small.map(_._1), big.map(_._1),
           declared),
-        declared = if (big.nonEmpty) declared else None,
-        markers = epochMarkersOf(spark, root, name, base))
+        declared = if (big.nonEmpty) declared else None)
     }
   }
 
@@ -253,39 +252,63 @@ object CopyOnWrite {
             // holds on streaming tables between compactions
             val aligned = Lake.applyClusterPolicy(spark, root, name,
               batch.select(visible.fieldNames.toIndexedSeq.map(col): _*))
-            // the receipt FRONTIER carries forward: this commit re-stamps
-            // every OTHER sink's newest receipt plus its own, so the
-            // LATEST version always answers the replay probe in one
-            // listing and receipts survive pruning of older dirs
+            // only OUR receipt is stamped explicitly — every other sink's
+            // newest receipt is carried by the commit tail itself
+            // ([[Lake.carryEpochFrontier]], which EVERY commit path runs),
+            // so the latest version always answers the replay probe and
+            // receipts survive pruning of older dirs no matter which
+            // operation committed last
             commitCow(spark, root, name, base, aligned, files, retentionVersions,
               carriedDeletes(spark, root, del, eq, Nil, files, declared),
               declared = declared,
-              markers = epochMarkersOf(spark, root, name, base)
-                .filterNot(_.startsWith(s"_epoch_${sinkId}_")) :+
-                s"_epoch_${sinkId}_$epochId")
+              markers = Seq(s"_epoch_${sinkId}_$epochId"))
         }
       }
     }
   }
 
-  /** The newest committed `(version, epoch)` receipt of `sinkId`, scanning
-    * versions newest-first. Because every appendEpoch commit re-stamps the
-    * full receipt frontier, the newest APPENDED version answers for every
-    * sink — the scan past it only covers interleaved non-append commits.
+  /** Receipt marker grammar: `_epoch_<sinkId>_<epochId>`. `sinkId` may
+    * itself contain `_`, so parsing splits at the LAST underscore (the
+    * regex's greedy group backtracks until the suffix is all digits) —
+    * sink `a` never matches sink `a_b`'s marker, and a digit-suffixed
+    * sink (`s1`) round-trips unambiguously because writer and reader
+    * agree on the last-underscore convention.
+    */
+  private val EpochMarkerRe = "_epoch_(.+)_([0-9]+)".r
+
+  private[lake] def parseEpochMarker(n: String): Option[(String, Long)] =
+    n match {
+      case EpochMarkerRe(sink, e) =>
+        scala.util.Try(e.toLong).toOption.map(sink -> _)
+      case _ => None
+    }
+
+  /** The newest committed `(version, epoch)` receipt of `sinkId` — the
+    * MAX across ALL live version dirs, not the first match newest-first:
+    * an unconditional snapshot writer racing an epoch commit can stamp a
+    * momentarily-stale frontier into a newer dir, and taking the first
+    * hit there would un-commit the raced epoch. The live set is bounded
+    * by retention (~`retentionVersions` dirs), so the full scan is a
+    * handful of listings; [[Lake.carryEpochFrontier]] (which also takes
+    * the cross-dir max) guarantees the true newest receipt is re-stamped
+    * into later versions before its own dir can age out.
     */
   private def latestEpochOf(
       spark: SparkSession, root: String, name: String,
       sinkId: String): Option[(Int, Long)] = {
-    val prefix = s"_epoch_${sinkId}_"
-    Lake.versions(spark, root, name).reverseIterator.flatMap { v =>
-      epochMarkersOf(spark, root, name, v)
-        .collectFirst { case n if n.startsWith(prefix) =>
-          (v, n.stripPrefix(prefix).toLong) }
-    }.nextOption()
+    val hits = for {
+      v <- Lake.versions(spark, root, name)
+      n <- epochMarkersOf(spark, root, name, v)
+      (sink, e) <- parseEpochMarker(n) if sink == sinkId
+    } yield (v, e)
+    // max epoch wins; ties (the same receipt carried through several
+    // dirs) resolve to the NEWEST version — the replay short-circuit
+    // returns it as "the version already covering this epoch"
+    if (hits.isEmpty) None else Some(hits.maxBy(h => (h._2, h._1)))
   }
 
   /** All `_epoch_*` receipt marker names of a version dir. */
-  private def epochMarkersOf(
+  private[lake] def epochMarkersOf(
       spark: SparkSession, root: String, name: String, version: Int): Seq[String] = {
     val dir = new Path(s"${Lake.tablePath(root, name)}/version=v$version")
     fs(spark, Lake.tablePath(root, name)).listStatus(dir).toSeq

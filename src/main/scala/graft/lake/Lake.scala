@@ -71,6 +71,29 @@ object Lake {
   def setTableProperties(
       spark: SparkSession, root: String, name: String,
       set: Map[String, String], remove: Set[String] = Set.empty): Unit = {
+    val tdir = tablePath(root, name)
+    val f = fs(spark, tdir)
+    f.mkdirs(new Path(tdir))
+    // the read-modify-write is guarded by the same exclusive-create claim
+    // the version commits use, so two concurrent ALTER TABLE SET/UNSET
+    // TBLPROPERTIES serialize instead of silently losing one writer's
+    // merge. Holders release in a finally; a crashed holder's stale lock
+    // is broken after ~1s of retries (property writes are sub-millisecond,
+    // so a second-old lock is a corpse, not a writer).
+    val lock = new Path(tdir, ".props_lock")
+    var attempts = 0
+    while (!claimExclusive(f, lock)) {
+      attempts += 1
+      if (attempts > 50) { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+      else Thread.sleep(20)
+    }
+    try writePropsLocked(spark, root, name, set, remove)
+    finally { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+  }
+
+  private def writePropsLocked(
+      spark: SparkSession, root: String, name: String,
+      set: Map[String, String], remove: Set[String]): Unit = {
     val merged = (tableProperties(spark, root, name) ++ set) -- remove
     val p = new Path(tablePath(root, name), tablePropsName)
     val f = fs(spark, p.toString)
@@ -214,6 +237,36 @@ object Lake {
       } else { f.create(claim, false).close(); true }
     } catch { case _: java.io.IOException => false }
 
+  /** Carry the streaming sinks' epoch-receipt FRONTIER into a staged
+    * commit: every sink's newest `_epoch_<sink>_<n>` receipt across ALL
+    * live version dirs is re-stamped into the stage (unless the stage
+    * already stamps that sink — an appendEpoch committing its own new
+    * receipt), so the receipt a replay probe needs can never age out of
+    * the live set no matter which operation commits next. Run by BOTH
+    * commit tails — [[commitStaged]] and [[promoteStagedIf]] — which is
+    * every path that publishes a version (COW rewrites, merge-on-read
+    * sidecars, metadata-only evolutions, plain snapshot writes); taking
+    * the max across all live dirs (not just the latest) makes a
+    * momentarily-stale frontier stamped by a racing writer self-heal
+    * instead of propagate.
+    */
+  private def carryEpochFrontier(
+      spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String, stage: Path): Unit =
+    try {
+      val stagedSinks = f.listStatus(stage).toSeq.map(_.getPath.getName)
+        .flatMap(CopyOnWrite.parseEpochMarker).map(_._1).toSet
+      val frontier = (for {
+        v <- versions(spark, root, name)
+        n <- CopyOnWrite.epochMarkersOf(spark, root, name, v)
+        parsed <- CopyOnWrite.parseEpochMarker(n)
+      } yield parsed)
+        .groupBy(_._1).map { case (sink, es) => sink -> es.map(_._2).max }
+      frontier.filterNot { case (sink, _) => stagedSinks.contains(sink) }
+        .foreach { case (sink, e) =>
+          f.create(new Path(stage, s"_epoch_${sink}_$e"), true).close() }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def commitStaged(spark: SparkSession, tdir: String, stage: Path): Int = {
     val f = fs(spark, tdir)
     // per-file MIN/MAX stats sidecar over the staged files (footer reads
@@ -230,6 +283,7 @@ object Lake {
     // pass over the STAGED files only; nothing without the property)
     try BloomSidecar.stamp(spark, root, name, stage)
     catch { case scala.util.control.NonFatal(_) => () }
+    carryEpochFrontier(spark, f, root, name, stage)
     var n = latestVersion(spark, root, name).getOrElse(0) + 1
     while (true) {
       val claim = new Path(s"$tdir/.claim_v$n")
@@ -504,6 +558,7 @@ object Lake {
     catch { case scala.util.control.NonFatal(_) => () }
     try BloomSidecar.stamp(spark, root, name, stage)
     catch { case scala.util.control.NonFatal(_) => () }
+    carryEpochFrontier(spark, f, root, name, stage)
     val n = expectedLatest + 1
     val claim = new Path(s"$tdir/.claim_v$n")
     val claimed = claimExclusive(f, claim)
@@ -1360,6 +1415,203 @@ object Lake {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** One version step's change set as FULL ROW IMAGES + a `change` column
+    * (`inserted` / `deleted` / `updated` — `unchanged` keys are simply
+    * absent), computed MANIFEST-AWARE: the commit protocol already records
+    * what a step changed (COW manifests name rewritten vs carried files,
+    * MOR sidecars name deleted rows, appends own their new files), so the
+    * step diff reads only
+    *
+    *  - files DROPPED between the snapshots (`filesOf(a) \ filesOf(b)` —
+    *    a COW commit's rewritten files) → the old side,
+    *  - files ADDED (`filesOf(b) \ filesOf(a)` — rewritten + appended
+    *    files) → the new side,
+    *  - rows of SHARED files whose merge-on-read liveness differs (the
+    *    position/equality sidecar symmetric difference names them; only
+    *    files those entries touch — stats/bloom-pruned for equality
+    *    deletes — are opened),
+    *
+    * then classifies by key with one full-outer join over the two REDUCED
+    * sides: a key on both sides with an identical payload was physically
+    * moved but logically unchanged (the COW survivor case) and drops out;
+    * differing payloads are `updated` (new image); one-sided keys are
+    * `inserted` / `deleted` (deleted rows carry their last image). Cost is
+    * O(changed + rewritten), never O(snapshot) — a 100-row UPDATE on a
+    * 100 TB table diffs one file against its replacement. A step with no
+    * shared files (plain snapshot republish, compaction) degenerates to
+    * exactly the full two-snapshot diff — the correct price, since
+    * everything MAY have changed; a step whose declared schemas differ
+    * (metadata evolution) falls back the same way.
+    */
+  def versionChanges(
+      spark: SparkSession, root: String, name: String,
+      vOld: Int, vNew: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "versionChanges: keys must be non-empty")
+    def norm(p: String) = new Path(p).toUri.getPath
+    val filesA = snapshotFiles(spark, root, name, vOld)
+    val filesB = snapshotFiles(spark, root, name, vNew)
+    val byNormB = filesB.map(p => norm(p) -> p).toMap
+    val normA = filesA.map(norm).toSet
+    val shared = filesB.filter(p => normA.contains(norm(p)))
+    val declA = declaredSchema(spark, root, name, vOld)
+    val declB = declaredSchema(spark, root, name, vNew)
+    val (oldAll, newAll) =
+      if (shared.isEmpty || declA != declB) {
+        // nothing carried (or schemas moved): the full diff IS the answer
+        (readTableFeed(spark, root, name, Some(vOld)),
+         readTableFeed(spark, root, name, Some(vNew)))
+      } else {
+        val sharedNorm = shared.map(norm).toSet
+        val dropped = filesA.filterNot(p => sharedNorm.contains(norm(p)))
+        val added = filesB.filterNot(p => sharedNorm.contains(norm(p)))
+        val posA = MergeOnRead.deletesOf(spark, root, name, vOld)
+        val posB = MergeOnRead.deletesOf(spark, root, name, vNew)
+        val eqA = MergeOnRead.eqDeletesOf(spark, root, name, vOld)
+        val eqB = MergeOnRead.eqDeletesOf(spark, root, name, vNew)
+        def side(files: Seq[String], pos: Option[DataFrame],
+            eq: Option[DataFrame], decl: Option[org.apache.spark.sql.types.StructType]) =
+          if (files.isEmpty)
+            MergeOnRead.readWithDeletes(spark, Seq(shared.head), None, None, decl)
+              .limit(0)
+          else MergeOnRead.readWithDeletes(spark, files, pos, eq, decl)
+        val (oldExtra, newExtra) = sharedLivenessDelta(
+          spark, root, name, shared, sharedNorm, byNormB,
+          posA, posB, eqA, eqB, declB)
+        (Seq(Some(side(dropped, posA, eqA, declA)), oldExtra)
+          .flatten.reduce(_ unionByName _),
+         Seq(Some(side(added, posB, eqB, declB)), newExtra)
+          .flatten.reduce(_ unionByName _))
+      }
+    val valueCols = oldAll.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, sideName: String) = df.select(
+      keys.map(col) ++ Seq(
+        to_json(struct(valueCols.map(col): _*)).as(s"_p_$sideName"),
+        struct((keys ++ valueCols).map(col): _*).as(s"_r_$sideName")): _*)
+    val j = tagged(oldAll, "o").join(tagged(newAll, "n"), keys.toSeq, "full_outer")
+    val change = when(col("_p_o").isNull, "inserted")
+      .when(col("_p_n").isNull, "deleted")
+      .when(col("_p_o") =!= col("_p_n"), "updated")
+      .otherwise("unchanged")
+    val img = when(change === "deleted", col("_r_o")).otherwise(col("_r_n"))
+    j.withColumn("_chg", change)
+      .filter(col("_chg") =!= "unchanged")
+      .select((keys ++ valueCols).map(c => img.getField(c).as(c)) :+
+        col("_chg").as("change"): _*)
+  }
+
+  /** Rows of SHARED (carried) files whose merge-on-read liveness differs
+    * between two snapshots — the sidecar-delta leg of [[versionChanges]].
+    * Candidates come from the position-sidecar symmetric difference (only
+    * the files its entries name are opened) and the equality-sidecar
+    * symmetric difference (shared files stats/bloom-pruned on the delta
+    * key values when collectable); each candidate's liveness is then
+    * decided against the FULL sidecars of both sides, because a row can be
+    * dead on both sides through different mechanisms (position-deleted in
+    * one, value-deleted in the other — the eq→pos folding every mutation
+    * applies). Returns `(aliveOnlyInOld, aliveOnlyInNew)` image rows; both
+    * None when the sidecars agree (the common case — zero jobs).
+    */
+  private def sharedLivenessDelta(
+      spark: SparkSession, root: String, name: String,
+      shared: Seq[String], sharedNorm: Set[String],
+      byNormB: Map[String, String],
+      posA: Option[DataFrame], posB: Option[DataFrame],
+      eqA: Option[DataFrame], eqB: Option[DataFrame],
+      decl: Option[org.apache.spark.sql.types.StructType])
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val sharedRels = shared.map(CopyOnWrite.relToRoot(root, _))
+    def restrict(d: Option[DataFrame]): Option[DataFrame] =
+      d.map(_.filter(col("file").isin(sharedRels: _*)))
+    val pA = restrict(posA); val pB = restrict(posB)
+    // position delta: (A Δ B) restricted to shared files; one small job
+    // collects the file names its entries touch (None/None → no job)
+    val posSym = (pA, pB) match {
+      case (None, None) => None
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(b)
+      case (Some(a), Some(b)) => Some(a.exceptAll(b).union(b.exceptAll(a)))
+    }
+    val posFiles: Seq[String] = posSym
+      .map(_.select("file").distinct().collect().map(_.getString(0)).toSeq)
+      .getOrElse(Nil)
+      .flatMap(rel => byNormB.get(new Path(s"$root/$rel").toUri.getPath))
+    // equality delta: symmetric difference when key columns agree; when
+    // the shapes differ (a fold changed the sidecar's key columns) each
+    // side probes separately under its own columns
+    val eqProbeSets: Seq[DataFrame] = ((eqA, eqB) match {
+      case (None, None) => Nil
+      case (Some(a), None) => Seq(a)
+      case (None, Some(b)) => Seq(b)
+      case (Some(a), Some(b)) if a.columns.sorted.sameElements(b.columns.sorted) =>
+        Seq(a.except(b.select(a.columns.toIndexedSeq.map(col): _*))
+          .union(b.select(a.columns.toIndexedSeq.map(col): _*).except(a)))
+      case (Some(a), Some(b)) => Seq(a, b)
+    }).filter(!_.isEmpty)
+    if (posFiles.isEmpty && eqProbeSets.isEmpty) return (None, None)
+    // candidate rows: positions named by the pos delta + shared-file rows
+    // matching the eq delta values (file set pruned via stats/blooms when
+    // the delta is small enough to collect — the deleteWhere probe shape)
+    def metaRead(files: Seq[String]) =
+      readFiles(spark, files, decl, withMeta = true)
+        .withColumn("_g_file", MergeOnRead.relFile(col("_metadata.file_path")))
+        .withColumn("_g_pos", col("_metadata.row_index"))
+    val posCand = posSym.filter(_ => posFiles.nonEmpty).map { sym =>
+      metaRead(posFiles).join(
+        sym.select(col("file").as("_g_file"), col("pos").as("_g_pos")),
+        Seq("_g_file", "_g_pos"), "left_semi")
+    }
+    val eqCands = eqProbeSets.map { delta =>
+      val keyCols = delta.columns.toSeq
+      val probe = {
+        val sample = delta.limit(1001).collect()
+        if (sample.length > 1000) shared
+        else {
+          val filters = keyCols.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.sources.In(
+              c, sample.map(_.get(i)).distinct.toArray)
+          }
+          val schema = visibleSchema(decl.getOrElse(
+            spark.read.parquet(shared.head).schema))
+          val byStats = StatsSidecar.candidateFiles(spark, shared, schema, filters)
+          val bloomCols = tableProperties(spark, root, name)
+            .get(BloomSidecar.ColumnsProp)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          BloomSidecar.filterCandidates(spark, byStats, schema, filters, bloomCols)
+        }
+      }
+      if (probe.isEmpty) metaRead(Seq(shared.head)).limit(0)
+      else metaRead(probe).join(delta.distinct(), keyCols, "left_semi")
+    }
+    val cands = (posCand.toSeq ++ eqCands)
+      .reduce(_ unionByName _).dropDuplicates("_g_file", "_g_pos")
+    // liveness per side against the FULL sidecars
+    def aliveFlag(df: DataFrame, pos: Option[DataFrame], eq: Option[DataFrame],
+        tag: String): DataFrame = {
+      val withPos = pos match {
+        case None => df.withColumn(s"_dp$tag", lit(null).cast("int"))
+        case Some(p) => df.join(
+          p.select(col("file").as("_g_file"), col("pos").as("_g_pos"),
+            lit(1).as(s"_dp$tag")),
+          Seq("_g_file", "_g_pos"), "left")
+      }
+      eq match {
+        case None => withPos.withColumn(s"_de$tag", lit(null).cast("int"))
+        case Some(e) => withPos.join(
+          e.distinct().withColumn(s"_de$tag", lit(1)),
+          e.columns.toIndexedSeq, "left")
+      }
+    }
+    val flagged = aliveFlag(aliveFlag(cands, pA, eqA, "a"), pB, eqB, "b")
+      .withColumn("_aliveA", col("_dpa").isNull && col("_dea").isNull)
+      .withColumn("_aliveB", col("_dpb").isNull && col("_deb").isNull)
+    val visible = cands.columns
+      .filterNot(c => c == "_metadata" || c.startsWith("_g_")).toIndexedSeq
+    (Some(flagged.filter(col("_aliveA") && !col("_aliveB"))
+       .select(visible.map(col): _*)),
+     Some(flagged.filter(!col("_aliveA") && col("_aliveB"))
+       .select(visible.map(col): _*)))
+  }
+
   /** CHANGE-DATA FEED over a versioned table — the consumable history of
     * what each snapshot commit DID, per key (the Delta CDF shape on the
     * snapshot-directory layout). For every committed version in
@@ -1371,8 +1623,9 @@ object Lake {
     * ever re-reading a full snapshot it already has. Feeding the changes
     * from a checkpointed "last version seen" watermark makes this the
     * pull-based streaming form (the same consume-from-cursor contract as
-    * the incremental LSH index); each poll costs two snapshot scans per
-    * NEW version, zero when idle.
+    * the incremental LSH index); each poll costs one MANIFEST-AWARE step
+    * diff per NEW version ([[versionChanges]] — O(changed), not
+    * O(snapshot)), zero when idle.
     */
   def tableChanges(
       spark: SparkSession, root: String, name: String,
@@ -1385,8 +1638,8 @@ object Lake {
       s"tableChanges: base version v$fromVersion is not present (have ${vs.mkString(",")})")
     val steps = (fromVersion +: range).sliding(2).collect {
       case Seq(a, b) =>
-        versionDiff(spark, root, name, a, b, keys)
-          .filter(col("change") =!= "unchanged")
+        versionChanges(spark, root, name, a, b, keys)
+          .select((keys :+ "change").map(col): _*)
           .withColumn("change_version", lit(b))
     }.toSeq
     steps.reduceOption(_.unionByName(_)).getOrElse {

@@ -44,6 +44,21 @@ object StatsSidecar {
 
   val sidecarName = "_filestats.json"
 
+  /** TWO-LEVEL pruning: next to the per-file sidecar each stamp writes a
+    * GROUP ENVELOPE — the fold of every file's stats in the dir, i.e. the
+    * stats the dir would have "as one big file" (the Iceberg
+    * manifest-list idea on the version-dir layout). Plan-time pruning
+    * tests the envelope FIRST: a version dir whose envelope excludes the
+    * filters is skipped whole — its per-file sidecar is never read or
+    * parsed — so planning over a snapshot whose COW chain spans 10⁴
+    * commit dirs costs 10⁴ tiny envelope reads plus per-file parsing only
+    * for ADMITTED dirs, keeping the driver's critical path O(groups), not
+    * O(files). The envelope is the same best-effort cache contract as the
+    * sidecar: missing → the dir simply falls through to per-file
+    * evaluation (or full admission).
+    */
+  val groupName = "_filestats_group.json"
+
   /** Past this many files a commit computes footer stats as a Spark job
     * (executors read footers in parallel, the driver collects O(files)
     * tiny rows); below it a driver-side loop is cheaper than a job.
@@ -62,14 +77,31 @@ object StatsSidecar {
     * is -1 when any row group left the null count unset.
     */
   final case class ColStat(
-      typ: Char, min: Option[Any], max: Option[Any], nulls: Long)
+      typ: Char, min: Option[Any], max: Option[Any], nulls: Long,
+      inexact: Boolean = false)
 
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   // ---------------------------------------------------------------- stamp
 
+  /** Parquet binary chunk statistics may be TRUNCATED by the writer
+    * (`parquet.statistics.truncate.length`): the stored min is a prefix of
+    * the true min and the stored max an incremented prefix — sound as
+    * BOUNDS (truncation is outward), but not guaranteed to be VALUES
+    * present in the file, so the metadata-aggregate path must not serve
+    * them as an exact MIN/MAX(string). A string bound whose byte length
+    * reaches `sTruncLimit` is flagged `inexact` (with parquet's default
+    * limit of Int.MaxValue nothing is flagged — Spark's own writes are
+    * exact); a backfill over files of UNKNOWN writer provenance passes 0,
+    * flagging every string bound. Pruning ignores the flag (bounds stay
+    * sound); only exact aggregates refuse inexact stats.
+    */
+  val statisticsTruncateLengthKey = "parquet.statistics.truncate.length"
+
   /** Read one parquet footer into a FileStat (no data pages touched). */
-  private[lake] def footerStat(conf: Configuration, file: Path): FileStat = {
+  private[lake] def footerStat(
+      conf: Configuration, file: Path,
+      sTruncLimit: Int = Int.MaxValue): FileStat = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     val footer = try reader.getFooter finally reader.close()
     val blocks = {
@@ -88,7 +120,7 @@ object StatsSidecar {
         val prev = byCol.get(name)
         val next =
           if (nested) ColStat('u', None, None, -1L)
-          else mergeChunk(prev, chunk, block.getRowCount)
+          else mergeChunk(prev, chunk, block.getRowCount, sTruncLimit)
         byCol.update(name, prev match {
           case Some(p) if p.typ == 'u' => p
           case _ => next
@@ -105,7 +137,7 @@ object StatsSidecar {
   private def mergeChunk(
       prev: Option[ColStat],
       chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-      blockRows: Long): ColStat = {
+      blockRows: Long, sTruncLimit: Int): ColStat = {
     val stats = chunk.getStatistics
     val prim = chunk.getPrimitiveType
     val dom = domainOf(prim)
@@ -121,13 +153,19 @@ object StatsSidecar {
         }
       else if (nulls == blockRows) (None, None) // all-null block: sound
       else return ColStat('u', None, None, -1L) // values exist, stats don't
+    // a string bound at or past the writer's truncate length may be a
+    // truncated BOUND rather than a present VALUE — see the scaladoc on
+    // [[statisticsTruncateLengthKey]]
+    val inex = dom == 's' && Seq(mn, mx).flatten.exists(
+      _.asInstanceOf[Array[Byte]].length >= sTruncLimit)
     prev match {
-      case None => ColStat(dom, mn, mx, nulls)
+      case None => ColStat(dom, mn, mx, nulls, inex)
       case Some(p) if p.typ != dom => ColStat('u', None, None, -1L)
       case Some(p) =>
         val nn = if (p.nulls < 0 || nulls < 0) -1L else p.nulls + nulls
         ColStat(dom,
-          minOf(dom, p.min, mn), maxOf(dom, p.max, mx), nn)
+          minOf(dom, p.min, mn), maxOf(dom, p.max, mx), nn,
+          p.inexact || inex)
     }
   }
 
@@ -220,16 +258,23 @@ object StatsSidecar {
     * through one thread. Best-effort: callers swallow failures (a missing
     * sidecar only costs IO on later scans).
     */
-  def stamp(f: FileSystem, dir: Path): Unit = {
+  def stamp(f: FileSystem, dir: Path, trusted: Boolean = true): Unit = {
     val files = f.listStatus(dir).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     }.map(st => st.getPath)
     if (files.isEmpty) return
     val conf = f.getConf
+    // a commit stamps files ITS OWN writer just produced, so the active
+    // conf's truncate length governs string-bound exactness; a backfill
+    // over files of unknown provenance trusts nothing (limit 0 → every
+    // string bound flagged inexact — bounds still prune, aggregates skip)
+    val sTrunc =
+      if (trusted) conf.getInt(statisticsTruncateLengthKey, Int.MaxValue)
+      else 0
     val stats: Seq[(String, FileStat)] =
       if (files.size <= driverFooterThreshold || SparkSession.getActiveSession.isEmpty)
-        files.map(p => p.getName -> footerStat(conf, p))
+        files.map(p => p.getName -> footerStat(conf, p, sTrunc))
       else {
         val spark = SparkSession.active
         val confB = spark.sparkContext.broadcast(
@@ -238,11 +283,48 @@ object StatsSidecar {
           .parallelize(files.map(_.toString), math.min(files.size, 32))
           .map { p =>
             val path = new Path(p)
-            path.getName -> footerStat(confB.value.value, path)
+            path.getName -> footerStat(confB.value.value, path, sTrunc)
           }
           .collect().toSeq
       }
     writeSidecar(f, new Path(dir, sidecarName), stats)
+    writeSidecar(f, new Path(dir, groupName),
+      Seq("__group__" -> foldGroup(stats.map(_._2))))
+  }
+
+  /** Fold per-file stats into the dir's GROUP ENVELOPE — the stats the
+    * dir would carry as one file. Per column: min of mins / max of maxes
+    * (a file lacking a value leaves the bound alone), domain conflicts or
+    * any 'u' degrade to 'u', inexactness ORs, null counts sum with a file
+    * MISSING the column entirely poisoning the count to -1 (its rows are
+    * all-null for that column but pre-evolution files don't record it).
+    * Every rule keeps the envelope CONSERVATIVE: a dir is skipped only
+    * when no file in it could match.
+    */
+  private[lake] def foldGroup(stats: Seq[FileStat]): FileStat = {
+    val rows =
+      if (stats.exists(_.rows < 0)) -1L else stats.map(_.rows).sum
+    val allCols = stats.flatMap(_.cols.keys).distinct
+    val cols = allCols.map { c =>
+      val per = stats.map(_.cols.get(c))
+      val present = per.flatten
+      val anyMissing = per.exists(_.isEmpty)
+      val folded =
+        if (present.exists(_.typ == 'u') || present.map(_.typ).distinct.size > 1)
+          ColStat('u', None, None, -1L)
+        else {
+          val t = present.head.typ
+          val nulls =
+            if (anyMissing || present.exists(_.nulls < 0)) -1L
+            else present.map(_.nulls).sum
+          ColStat(t,
+            present.flatMap(_.min).reduceOption((a, b) => if (cmp(t, a, b) <= 0) a else b),
+            present.flatMap(_.max).reduceOption((a, b) => if (cmp(t, a, b) >= 0) a else b),
+            nulls, present.exists(_.inexact))
+        }
+      c -> folded
+    }.toMap
+    FileStat(rows, cols)
   }
 
   /** Per-file stats for EVERY file of a snapshot, aligned with `files`,
@@ -290,7 +372,9 @@ object StatsSidecar {
       val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
       if (!force && f.exists(new Path(dir, sidecarName))) None
       else {
-        stamp(f, dir)
+        // backfilled files may come from ANY writer — string bounds are
+        // recorded as inexact (prunable, not aggregate-servable)
+        stamp(f, dir, trusted = false)
         val n = readSidecarUncached(f, dir).map(_.size).getOrElse(0)
         Some((dir.toString, n))
       }
@@ -327,7 +411,8 @@ object StatsSidecar {
             Some("t" -> JString(cs.typ.toString)),
             cs.min.map(v => "min" -> JString(encValue(cs.typ, v))),
             cs.max.map(v => "max" -> JString(encValue(cs.typ, v))),
-            Some("n" -> JString(cs.nulls.toString))).flatten
+            Some("n" -> JString(cs.nulls.toString)),
+            if (cs.inexact) Some("x" -> JString("1")) else None).flatten
           c -> JObject(fields)
         }.toList)))
     }.toList)
@@ -343,8 +428,10 @@ object StatsSidecar {
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, FileStat]]]()
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[FileStat]]()
 
-  private[graft] def clearCache(): Unit = cache.clear()
+  private[graft] def clearCache(): Unit = { cache.clear(); groupCache.clear() }
 
   /** The sidecar of one version dir, or None when absent/unreadable. */
   def readSidecar(
@@ -354,12 +441,25 @@ object StatsSidecar {
     cache.computeIfAbsent(key, _ => readSidecarUncached(f, dir))
   }
 
+  /** The dir's GROUP ENVELOPE, or None when absent/unreadable (pre-feature
+    * dirs fall through to per-file evaluation).
+    */
+  def readGroup(f: FileSystem, dir: Path): Option[FileStat] = {
+    val key = f.makeQualified(dir).toString
+    if (groupCache.size > 4096) groupCache.clear()
+    groupCache.computeIfAbsent(key,
+      _ => readStatsFile(f, new Path(dir, groupName)).flatMap(_.get("__group__")))
+  }
+
   private def readSidecarUncached(
       f: FileSystem, dir: Path): Option[Map[String, FileStat]] =
+    readStatsFile(f, new Path(dir, sidecarName))
+
+  private def readStatsFile(
+      f: FileSystem, p: Path): Option[Map[String, FileStat]] =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
-      val p = new Path(dir, sidecarName)
       if (!f.exists(p)) return None
       val in = f.open(p)
       val txt = try new String(in.readAllBytes(),
@@ -385,7 +485,10 @@ object StatsSidecar {
             val n = (cbody \ "n") match {
               case JString(s) => s.toLong; case _ => -1L
             }
-            c -> ColStat(t, opt("min"), opt("max"), n)
+            val inex = (cbody \ "x") match {
+              case JString("1") => true; case _ => false
+            }
+            c -> ColStat(t, opt("min"), opt("max"), n, inex)
           }.toMap
           case _ => Map.empty[String, ColStat]
         }
@@ -407,22 +510,46 @@ object StatsSidecar {
   val lastPrune =
     new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
+  /** `(dirsSkippedWhole, dirsTotal)` of the most recent [[candidateFiles]]
+    * decision — observability for the TWO-LEVEL contract: a skipped dir's
+    * per-file sidecar was never read.
+    */
+  val lastGroupPrune =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
   def candidateFiles(
       spark: SparkSession, files: Seq[String], schema: StructType,
       filters: Seq[Filter]): Seq[String] = {
     if (filters.isEmpty) return files
+    // LEVEL 1: one tiny envelope read per distinct dir — a dir whose
+    // envelope excludes the filters drops ALL its files without its
+    // per-file sidecar ever being read or parsed (O(groups) planning)
+    val dirAdmitted = scala.collection.mutable.HashMap.empty[String, Boolean]
     val byDir = scala.collection.mutable.HashMap.empty[String, Option[Map[String, FileStat]]]
     val admitted = files.filter { file =>
       val p = new Path(file)
-      val dirStats = byDir.getOrElseUpdate(p.getParent.toString, {
+      val dir = p.getParent
+      val dirOk = dirAdmitted.getOrElseUpdate(dir.toString, {
         val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-        readSidecar(f, p.getParent)
+        readGroup(f, dir) match {
+          case Some(g) => filters.forall(mightMatch(_, g, schema))
+          case None => true // no envelope: fall through to per-file
+        }
       })
-      dirStats.flatMap(_.get(p.getName)) match {
-        case None => true // no stats recorded: always a candidate
-        case Some(st) => filters.forall(mightMatch(_, st, schema))
+      dirOk && {
+        // LEVEL 2: per-file evaluation, admitted dirs only
+        val dirStats = byDir.getOrElseUpdate(dir.toString, {
+          val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+          readSidecar(f, dir)
+        })
+        dirStats.flatMap(_.get(p.getName)) match {
+          case None => true // no stats recorded: always a candidate
+          case Some(st) => filters.forall(mightMatch(_, st, schema))
+        }
       }
     }
+    lastGroupPrune.set(
+      (dirAdmitted.valuesIterator.count(_ == false), dirAdmitted.size))
     lastPrune.set((admitted.size, files.size))
     admitted
   }

@@ -2848,7 +2848,83 @@ object Lifecycle {
       |UNION ALL SELECT 'init', * FROM init
       |UNION ALL SELECT 'stream', * FROM init""".stripMargin
 
+  /** A38 — the lake loop COMPOSED, end-to-end: a catalog table mutates
+    * (file-granular UPDATE, DELETE, INSERT), its change feed streams out
+    * under admission control (`maxVersionsPerTrigger=2`, so the backlog
+    * drains in bounded epochs), and each epoch MERGE-applies into a
+    * SECOND catalog table — the reference's CDC-to-warehouse topology
+    * (sync_to_mysql.py:326: consume changes, upsert into the mirror) with
+    * every leg native: per-key last-change-wins collapse inside the
+    * epoch, upserts through the file-granular MERGE, deletions through
+    * zero-scan equality deletes. DuckDB recomputes the mirror from the
+    * raw table; any mis-stepped epoch boundary, diff or merge diverges
+    * the hash.
+    */
+  def cdfMirror(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a38_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val k = col("o_orderkey")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Lake.writeTableSnapshot(
+      o.filter(k <= 1000).repartitionByRange(4, k)
+        .sortWithinPartitions("o_orderkey"),
+      root, "msrc")
+    s.sql(s"UPDATE $cat.tables.msrc SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderkey BETWEEN 101 AND 200")
+    s.sql(s"DELETE FROM $cat.tables.msrc WHERE o_orderkey <= 100")
+    o.filter(k.between(1001, 1100)).createOrReplaceTempView("a38_ins_src")
+    s.sql(s"INSERT INTO $cat.tables.msrc SELECT * FROM a38_ins_src")
+
+    val ck = scratch("graft_a38_ck_")
+    val q = s.readStream.option("keyColumns", "o_orderkey")
+      .option("maxVersionsPerTrigger", "2")
+      .table(s"$cat.tables.msrc__changes")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per key, the LAST change in the epoch decides its final state
+        val latest = batch.groupBy("o_orderkey")
+          .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*),
+            col("change_version")).as("r"))
+          .select("r.*")
+        val ups = latest.filter(col("change") =!= "deleted")
+          .drop("change", "change_version")
+        val dels = latest.filter(col("change") === "deleted")
+          .select("o_orderkey")
+        if (Lake.latestVersion(s, root, "a38_mirror").isEmpty)
+          Lake.writeTableSnapshot(ups, root, "a38_mirror")
+        else if (!ups.isEmpty)
+          graft.lake.CopyOnWrite.mergeInto(s, root, "a38_mirror", ups,
+            Seq("o_orderkey"),
+            matchedSet = Seq("o_totalprice" -> col("s.o_totalprice")),
+            insertNotMatched = true)
+        if (Lake.versions(s, root, "a38_mirror").nonEmpty && !dels.isEmpty) {
+          graft.lake.MergeOnRead.deleteByKeys(s, root, "a38_mirror", dels)
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    require(!q.isActive, "the AvailableNow mirror sync must terminate")
+    val epochs = new java.io.File(s"$ck/offsets").listFiles()
+      .count(_.getName.forall(_.isDigit))
+    require(epochs >= 2,
+      s"admission control must split the 4-version backlog, got $epochs epochs")
+    Lake.readTableFeed(s, root, "a38_mirror")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val cdfMirrorOracle: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey BETWEEN 101 AND 200
+      |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 101 AND 1100""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a38_cdf_mirror" -> (cdfMirror _),
     "a37_change_feed" -> (changeFeed _),
     "a36_bloom_index" -> (bloomIndex _),
     "a31c_type_widening" -> (typeWidening _),
@@ -2911,6 +2987,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a38_cdf_mirror" -> cdfMirrorOracle,
     "a37_change_feed" -> changeFeedOracle,
     "a36_bloom_index" -> bloomIndexOracle,
     "a31c_type_widening" -> typeWideningOracle,

@@ -482,6 +482,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Some(cs) =>
             if (cs.typ == 'u') return None
             if (cs.typ != dom) return None
+            // a truncated string bound is sound for pruning but is not a
+            // VALUE present in the file — never serve it as an exact MIN/MAX
+            if (cs.inexact) return None
             val v = if (takeMin) cs.min else cs.max
             v match {
               case None => () // all-null file
@@ -679,7 +682,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new GraftChangeFeedStream(root, baseName, keyCols,
                 startingVersion, required = outSchema,
-                checkpointLocation = checkpointLocation)
+                checkpointLocation = checkpointLocation,
+                maxVersionsPerTrigger =
+                  Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
           }
       }
   }

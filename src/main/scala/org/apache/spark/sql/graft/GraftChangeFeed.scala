@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit}
@@ -52,13 +52,15 @@ object GraftChangeFeed {
 
   /** The `(start, end]` change set as FULL ROW IMAGES with
     * `change`/`change_version` columns (the Delta-CDF shape):
-    * inserted/updated rows carry the NEW image (a keyed join of the
-    * step's diff against the committed snapshot), deleted rows carry the
+    * inserted/updated rows carry the NEW image, deleted rows carry the
     * LAST image they had. `start == 0` is the initial full snapshot as
-    * `inserted`. Per covered version the cost is one keyed diff + one
-    * image join — the honest price of recomputing CDF from snapshots
-    * instead of storing change files at write time; consumers that only
-    * need keys use [[graft.lake.Lake.tableChanges]] directly.
+    * `inserted`. Per covered version the cost is ONE manifest-aware step
+    * diff ([[graft.lake.Lake.versionChanges]]): the commit's own
+    * manifests/sidecars name what changed, so only dropped + added files
+    * (and sidecar-delta rows of carried ones) are ever read — O(changed),
+    * not O(snapshot) — and the images come straight from that read, no
+    * snapshot-wide join. Consumers that only need keys use
+    * [[graft.lake.Lake.tableChanges]] directly.
     */
   def changesBetween(
       spark: SparkSession, root: String, name: String,
@@ -79,13 +81,8 @@ object GraftChangeFeed {
         s"(have ${vs.mkString(",")} — retention may have pruned it)")
     val range = vs.filter(v => v > start && v <= end).sorted
     val steps = (start +: range).sliding(2).collect { case Seq(a, b) =>
-      val ch = Lake.versionDiff(spark, root, name, a, b, keyCols)
-        .filter(col("change") =!= "unchanged")
-      val live = Lake.readTableFeed(spark, root, name, Some(b))
-        .join(ch.filter(col("change") =!= "deleted"), keyCols, "inner")
-      val dead = Lake.readTableFeed(spark, root, name, Some(a))
-        .join(ch.filter(col("change") === "deleted"), keyCols, "inner")
-      live.unionByName(dead).withColumn("change_version", lit(b))
+      Lake.versionChanges(spark, root, name, a, b, keyCols)
+        .withColumn("change_version", lit(b))
     }.toSeq
     steps.reduceOption(_ unionByName _).getOrElse(
       Lake.readTableFeed(spark, root, name, Some(end)).limit(0)
@@ -133,14 +130,42 @@ object GraftChangeFeed {
   * change set is staged under the checkpoint and served as file
   * partitions. Row-image consumers filter `change <> 'deleted'` and drop
   * the change columns in their query — the stream always emits full CDF.
+  *
+  * ADMISSION CONTROL: `option("maxVersionsPerTrigger", n)` bounds how
+  * many committed versions one epoch may cover (the unit of work here is
+  * a version's diff, so it is the right throttle — the analogue of the
+  * file sources' `maxFilesPerTrigger`). A consumer resuming against a
+  * long backlog then catches up in bounded epochs instead of computing
+  * every pending version's diff in one giant batch. The stream implements
+  * `SupportsTriggerAvailableNow` DIRECTLY (Spark's generic AvailableNow
+  * wrapper discards a delegate's read limit), capturing the target
+  * version at query start and draining to it epoch by epoch. Without the
+  * option an epoch covers everything pending (`ReadLimit.allAvailable`).
   */
 class GraftChangeFeedStream(
     root: String, name: String, keyCols: Seq[String],
     startingVersion: String, required: StructType,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   import GraftChangeFeed._
 
   private def spark = SparkSession.active
+
+  /** Under Trigger.AvailableNow: the version frontier captured at query
+    * start — epochs drain up to it and the query stops there, even if
+    * later commits land mid-drain (the AvailableNow contract).
+    */
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(graft.lake.Lake.latestVersion(spark, root, name).getOrElse(0))
+
+  private def frontier: Int = {
+    val live = graft.lake.Lake.latestVersion(spark, root, name).getOrElse(0)
+    availableNowTarget.fold(live)(math.min(live, _))
+  }
 
   override def initialOffset(): Offset = VersionOffset(
     startingVersion.toLowerCase match {
@@ -150,8 +175,31 @@ class GraftChangeFeedStream(
     })
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toInt)
-  override def latestOffset(): Offset = VersionOffset(
-    graft.lake.Lake.latestVersion(spark, root, name).getOrElse(0))
+  override def latestOffset(): Offset = VersionOffset(frontier)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** The admission-controlled epoch end: at most N COMMITTED versions past
+    * `start` (the live version list, not `start + N` — version numbers may
+    * have gaps from burned OCC claims). The initial-snapshot epoch
+    * (`start = 0`) counts as covering its end version's whole history, so
+    * it too advances at most N committed versions.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val end = frontier
+    limit match {
+      case mf: ReadMaxFiles =>
+        val pending = graft.lake.Lake.versions(spark, root, name)
+          .filter(v => v > s && v <= end).sorted
+        VersionOffset(pending.take(mf.maxFiles).lastOption.getOrElse(s))
+      case _ => VersionOffset(end)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(frontier)
 
   private def scratchDir(s: Int, e: Int): Path =
     new Path(s"$checkpointLocation/graft_cdf/${s}_$e")

@@ -114,6 +114,57 @@ class ChangeFeedSpec extends SparkSpec {
       s"committed epochs must reclaim their scratch: ${Option(scratch.listFiles()).map(_.toSeq)}")
   }
 
+  test("maxVersionsPerTrigger: a backlog drains in bounded epochs and resumes") {
+    // ten committed versions; version N holds keys 1..N (each step inserts
+    // exactly one key, so per-epoch output is easy to account for)
+    (1 to 10).foreach { n =>
+      Lake.writeTableSnapshot(
+        (1 to n).map(i => (i.toLong, "v")).toDF("k", "x"), root, "cfa",
+        retentionVersions = 100)
+    }
+    val ck = Files.createTempDirectory("graft_cfa_ck_").toString
+    val out = Files.createTempDirectory("graft_cfa_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("keyColumns", "k").option("maxVersionsPerTrigger", "3")
+        .table(s"$cat.tables.cfa__changes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def offsets(): Seq[(Int, Int)] = {
+      val dir = new java.io.File(s"$ck/offsets")
+      dir.listFiles().filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+        .map(f => f.getName.toInt ->
+          scala.io.Source.fromFile(f).getLines().toSeq.last.trim.toInt).toSeq
+    }
+    drain()
+    // 10 pending versions at 3 per epoch: (0,3] (3,6] (6,9] (9,10]
+    assert(offsets() === Seq(0 -> 3, 1 -> 6, 2 -> 9, 3 -> 10),
+      s"a 10-version backlog at 3/trigger must drain in 4 bounded epochs: ${offsets()}")
+    val sink = spark.read.schema(
+      spark.table(s"$cat.tables.cfa__changes").schema).parquet(out)
+    assert(sink.count() === 10, "each version inserted exactly one key")
+    assert(sink.select("change").distinct().head().getString(0) === "inserted")
+    val byVersion = sink.groupBy("change_version").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byVersion === Map(3 -> 3L, 4 -> 1L, 5 -> 1L, 6 -> 1L, 7 -> 1L,
+      8 -> 1L, 9 -> 1L, 10 -> 1L),
+      s"per-epoch version stamps must follow the admission boundaries: $byVersion")
+
+    // new commits resume from the checkpointed version cursor
+    (11 to 12).foreach { n =>
+      Lake.writeTableSnapshot(
+        (1 to n).map(i => (i.toLong, "v")).toDF("k", "x"), root, "cfa",
+        retentionVersions = 100)
+    }
+    drain()
+    assert(offsets().last === (4 -> 12), s"resume must cover (10,12]: ${offsets()}")
+    assert(spark.read.schema(sink.schema).parquet(out).count() === 12)
+  }
+
   test("startingVersion=latest streams only future commits") {
     Lake.writeTableSnapshot(Seq((1L, "a")).toDF("k", "v"), root, "cfl")
     val ck = Files.createTempDirectory("graft_cfl_ck_").toString

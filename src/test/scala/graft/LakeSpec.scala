@@ -331,6 +331,40 @@ class LakeSpec extends SparkSpec {
       Seq((42L, "dup")).toDF("k", "x"), root, "ep_t", "sinkA", 3) === packed,
       "the receipt frontier must carry through compaction — replays stay no-ops")
     assert(Lake.readTableFeed(spark, root, "ep_t").count() === 300)
+    // receipts survive EVERY commit path, not just appends/compaction:
+    // churn through COW update/delete, a metadata-only ADD COLUMN and
+    // enough plain snapshot republishes to age the receipt-bearing dirs
+    // past retention — the carried frontier must still answer the replay
+    CopyOnWrite.updateWhere(spark, root, "ep_t",
+      col("k") === 7L, Seq("x" -> lit("seven")))
+    CopyOnWrite.deleteWhere(spark, root, "ep_t", col("k") === 8L)
+    Lake.addColumn(spark, root, "ep_t",
+      org.apache.spark.sql.types.StructField(
+        "extra", org.apache.spark.sql.types.StringType))
+    (1 to 7).foreach { _ =>
+      Lake.writeTableSnapshot(
+        Lake.readTableFeed(spark, root, "ep_t"), root, "ep_t")
+    }
+    val vs = Lake.versions(spark, root, "ep_t")
+    assert(!vs.contains(packed), "retention should have pruned the packed dir")
+    val cur = Lake.latestVersion(spark, root, "ep_t").get
+    assert(CopyOnWrite.appendEpoch(
+      Seq((42L, "dup2"), (43L, "x"), (44L, "y")).toDF("k", "x")
+        .withColumn("extra", lit(null).cast("string")),
+      root, "ep_t", "sinkA", 3) === cur,
+      "a replay after non-append commits aged out the receipt dir must " +
+        "still be a no-op — the frontier carries through every commit path")
+    // a sink whose id is a PREFIX of another (underscores included) must
+    // never read the longer sink's receipts as its own
+    assert(CopyOnWrite.appendEpoch(
+      Seq((900L, "u")).toDF("k", "x").withColumn("extra", lit(null).cast("string")),
+      root, "ep_t", "sinkA_b", 7) === cur + 1)
+    assert(CopyOnWrite.appendEpoch(
+      Seq((901L, "v")).toDF("k", "x").withColumn("extra", lit(null).cast("string")),
+      root, "ep_t", "sinkA", 4) === cur + 2,
+      "sinkA epoch 4 is NEW — sinkA_b's epoch-7 receipt must not answer for sinkA")
+    assert(Lake.readTableFeed(spark, root, "ep_t")
+      .filter(col("k") >= 900L).count() === 2)
   }
 
   test("metadata-only RENAME/DROP: mapping reads, reservations, sidecar interplay") {
@@ -924,5 +958,94 @@ class LakeSpec extends SparkSpec {
     assert(Txn.read(spark, root, "a", Some(2)).count() === 2)  // t2 pins a@v1
     assert(Txn.read(spark, root, "a", Some(3)).count() === 3)
     intercept[IllegalArgumentException] { Txn.read(spark, root, "a", Some(1)) }
+  }
+
+  test("versionChanges is manifest-aware: each step scans only changed files") {
+    import graft.lake.{CopyOnWrite, MergeOnRead}
+    val root = scratch()
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.filterNot(f =>
+        f.contains("/_deletes/") || f.contains("/_eq_deletes/"))
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    def snapFiles(v: Int): Set[String] =
+      Lake.snapshotFiles(spark, root, "vc_t", v)
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    def changes(a: Int, b: Int) =
+      Lake.versionChanges(spark, root, "vc_t", a, b, Seq("k"))
+
+    // v1: 300 rows over 3 range-clustered files
+    Lake.writeTableSnapshot(
+      (1 to 300).map(i => (i.toLong, s"r$i")).toDF("k", "x")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"),
+      root, "vc_t")
+    assert(snapFiles(1).size === 3)
+
+    // v2: COW update touching ONE file — the step must read only the
+    // dropped file and its replacement, never the two carried ones
+    CopyOnWrite.updateWhere(spark, root, "vc_t",
+      col("k") === 5L, Seq("x" -> lit("five")))
+    val ch12 = changes(1, 2)
+    assert(ch12.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq((5L, "five", "updated")))
+    val expected12 = (snapFiles(1) -- snapFiles(2)) ++ (snapFiles(2) -- snapFiles(1))
+    assert(dataFiles(ch12) === expected12,
+      s"a COW step must scan only dropped+own files: ${dataFiles(ch12)} vs $expected12")
+    assert((snapFiles(1) & snapFiles(2)).nonEmpty &&
+      (dataFiles(ch12) & (snapFiles(1) & snapFiles(2))).isEmpty,
+      "carried files must never be opened by the step diff")
+
+    // v3: MOR position delete — the step must open only the file the new
+    // sidecar entry names
+    MergeOnRead.deleteWhere(spark, root, "vc_t", col("k") === 250L)
+    val ch23 = changes(2, 3)
+    assert(ch23.collect().map(r => (r.getLong(0), r.getString(2)))
+      .toSeq === Seq((250L, "deleted")))
+    assert(dataFiles(ch23).size === 1 &&
+      dataFiles(ch23).subsetOf(snapFiles(2) & snapFiles(3)),
+      s"a MOR step must open only the sidecar-named file: ${dataFiles(ch23)}")
+
+    // v4: equality delete — stats-pruned to the files whose range covers
+    // the deleted key
+    MergeOnRead.deleteByKeys(spark, root, "vc_t", Seq(7L).toDF("k"))
+    val ch34 = changes(3, 4)
+    assert(ch34.collect().map(r => (r.getLong(0), r.getString(2)))
+      .toSeq === Seq((7L, "deleted")))
+    assert(dataFiles(ch34).size <= 1,
+      s"an eq-delete step must stats-prune to the covering file: ${dataFiles(ch34)}")
+
+    // v5: epoch append — the step reads ONLY the appended file
+    CopyOnWrite.appendEpoch(
+      Seq((400L, "new")).toDF("k", "x"), root, "vc_t", "s", 0)
+    val v5 = Lake.latestVersion(spark, root, "vc_t").get
+    val ch45 = changes(4, v5)
+    assert(ch45.collect().map(r => (r.getLong(0), r.getString(2)))
+      .toSeq === Seq((400L, "inserted")))
+    val appended = Lake.snapshotFiles(spark, root, "vc_t", v5)
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet -- snapFiles(4)
+    // the append folds the base's eq sidecar to positions, so the step is
+    // allowed ONE extra probe of the file covering the folded key (to
+    // verify those rows were already dead — the fold's amortized cost);
+    // everything else carried must stay unopened
+    val extra45 = dataFiles(ch45) -- appended
+    assert(appended.subsetOf(dataFiles(ch45)) && extra45.size <= 1 &&
+      extra45.subsetOf(snapFiles(4) & snapFiles(v5)),
+      s"an append step must scan the appended file plus at most the " +
+        s"fold-probe: ${dataFiles(ch45)} vs appended $appended")
+
+    // full republish: no shared files — degenerates to the full diff
+    Lake.writeTableSnapshot(
+      Lake.readTableFeed(spark, root, "vc_t")
+        .withColumn("x", when(col("k") === 1L, lit("one")).otherwise(col("x"))),
+      root, "vc_t")
+    val v6 = Lake.latestVersion(spark, root, "vc_t").get
+    assert(changes(v5, v6).collect().map(r => (r.getLong(0), r.getString(2)))
+      .toSeq === Seq((1L, "updated")))
+
+    // and the cumulative feed agrees with what the mutations did
+    val all = Lake.tableChanges(spark, root, "vc_t", 1, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(r => (r._3, r._1))
+    assert(all.toSeq === Seq(
+      (5L, "updated", 2), (250L, "deleted", 3), (7L, "deleted", 4),
+      (400L, "inserted", v5), (1L, "updated", v6)))
   }
 }

@@ -375,6 +375,43 @@ class StatsPruningSpec extends SparkSpec {
     finally spark.conf.set("spark.graft.sql.statsPruning", "true")
   }
 
+  test("two-level: group envelopes skip whole version dirs before per-file stats") {
+    import graft.lake.CopyOnWrite
+    import spark.implicits._
+    def slice(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"n$i"))
+      .toDF("k", "name").repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    Lake.writeTableSnapshot(slice(0, 999), root, "st2")
+    CopyOnWrite.appendEpoch(slice(1000, 1999), root, "st2", "g", 0)
+    CopyOnWrite.appendEpoch(slice(2000, 2999), root, "st2", "g", 1)
+
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    StatsSidecar.lastGroupPrune.set((0, 0))
+    val q = s"SELECT count(*) AS c FROM $cat.tables.st2 WHERE k BETWEEN 2400 AND 2599"
+    assert(spark.sql(q).head().getLong(0) === 200)
+    val (kept, total) = prune()
+    assert(total === 6 && kept <= 2, s"admitted $kept/$total")
+    val (skipped, dirs) = StatsSidecar.lastGroupPrune.get()
+    assert(dirs === 3 && skipped === 2,
+      s"two of three commit dirs lie outside [2400,2599] and must be " +
+        s"skipped at the GROUP level (per-file sidecars unread): $skipped/$dirs")
+
+    // removing the envelopes must not change admission — only the skip
+    (1 to 3).foreach { v =>
+      val p = new java.io.File(
+        s"$root/tables/st2/version=v$v/${StatsSidecar.groupName}")
+      assert(p.exists(), s"commit v$v must stamp a group envelope")
+      p.delete()
+    }
+    StatsSidecar.clearCache()
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    StatsSidecar.lastGroupPrune.set((0, 0))
+    assert(spark.sql(q).head().getLong(0) === 200)
+    assert(prune() === ((kept, total)),
+      "per-file admission must be identical without envelopes")
+    assert(StatsSidecar.lastGroupPrune.get() === ((0, 3)),
+      "no envelope, no group skip — conservative fall-through")
+  }
+
   test("CALL system.collect_stats backfills missing sidecars") {
     // `nostats` had its sidecar deleted above; the backfill re-stamps it
     val rows = spark.sql(s"CALL $cat.system.collect_stats('nostats')").collect()
