@@ -115,16 +115,89 @@ object Lake {
     * cluster key (what [[StatsSidecar]] pruning feeds on). No-op without
     * the property or when a named column is absent (a mid-evolution
     * writer must never fail on policy).
+    *
+    * Two forms:
+    *  - `cluster_by = 'a,b'` — lexicographic range clustering: prunes the
+    *    LEADING column's predicates fully, later columns only within ties;
+    *  - `cluster_by = 'zorder(a,b)'` — MULTI-DIMENSIONAL clustering: rows
+    *    sort by the Morton interleave of per-column range-bucket ids, so
+    *    every file covers a narrow slice of EVERY named dimension and
+    *    range predicates on any one of them prune files (the public
+    *    OPTIMIZE ... ZORDER BY design, expressed as a write policy — a
+    *    range predicate covering fraction f of one of k dimensions admits
+    *    ~f^(1/k) of the files instead of all of them). Bucket ids
+    *    normalize each column linearly between the BATCH's min and max
+    *    (one extra agg job over the batch — the policy's price);
+    *    numeric/date/timestamp columns only, anything else falls back to
+    *    the lexicographic form.
     */
   def applyClusterPolicy(
       spark: SparkSession, root: String, name: String,
       df: DataFrame): DataFrame = {
-    val cols = tableProperties(spark, root, name).get(ClusterByProp)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
-    if (cols.isEmpty || !cols.forall(df.columns.contains)) df
-    else df.repartitionByRange(cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
+    val spec = tableProperties(spark, root, name).get(ClusterByProp)
+      .map(_.trim).filter(_.nonEmpty)
+    val ZOrder = raw"(?i)zorder\((.+)\)".r
+    spec match {
+      case None => df
+      case Some(ZOrder(inner)) =>
+        val cols = inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (!cols.forall(df.columns.contains)) df
+        else zorderKey(df, cols) match {
+          case Some(z) =>
+            df.repartitionByRange(z).sortWithinPartitions(z)
+          case None => // unsupported type in the batch: lexicographic
+            df.repartitionByRange(cols.map(col): _*)
+              .sortWithinPartitions(cols.map(col): _*)
+        }
+      case Some(s) =>
+        val cols = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (cols.isEmpty || !cols.forall(df.columns.contains)) df
+        else df.repartitionByRange(cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+    }
+  }
+
+  /** The Morton (Z-order) sort key over `cols`: each column maps to a
+    * range-bucket id in `[0, 2^bits)` — a linear normalization between
+    * the batch's observed min and max — and the ids' bits interleave into
+    * one long (bit `j` of column `i` lands at position `j*k + i`), built
+    * entirely from codegen'd bit functions. NULLs bucket to 0 (sort
+    * first, like NULLS FIRST). None when any column's type has no
+    * monotone numeric form, or the batch is empty/constant-degenerate
+    * enough that normalization is meaningless.
+    */
+  private def zorderKey(df: DataFrame, cols: Seq[String]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    def numeric(c: String): Option[org.apache.spark.sql.Column] =
+      df.schema.find(_.name == c).map(_.dataType).flatMap {
+        case DateType => Some(unix_date(col(c)).cast("double"))
+        case TimestampType | TimestampNTZType => Some(col(c).cast("double"))
+        case _: NumericType => Some(col(c).cast("double"))
+        case _ => None
+      }
+    val nums = cols.map(numeric)
+    if (nums.exists(_.isEmpty)) return None
+    val exprs = nums.flatten
+    val bits = math.min(16, 62 / cols.size)
+    val buckets = 1L << bits
+    // one agg job over the batch for the normalization bounds
+    val aggs = exprs.flatMap(e => Seq(min(e), max(e)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = cols.indices.map(i => (row.get(2 * i), row.get(2 * i + 1)))
+    if (bounds.exists { case (lo, hi) => lo == null || hi == null }) return None
+    val ids = exprs.zip(bounds).map { case (e, (lo, hi)) =>
+      val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+      val span = math.max(h - l, java.lang.Double.MIN_NORMAL)
+      when(e.isNull, 0L).otherwise(
+        least(floor((e - lit(l)) / lit(span) * lit(buckets.toDouble)), lit(buckets - 1))
+          .cast("long"))
+    }
+    var z = lit(0L)
+    val k = cols.size
+    for (j <- 0 until bits; i <- 0 until k)
+      z = z.bitwiseOR(shiftleft(
+        shiftright(ids(i), j).bitwiseAND(lit(1L)), j * k + i))
+    Some(z)
   }
 
   private def fs(spark: SparkSession, path: String) =

@@ -2923,7 +2923,73 @@ object Lifecycle {
       |FROM orders
       |WHERE o_orderkey BETWEEN 101 AND 1100""".stripMargin
 
+  /** A39 — MULTI-DIMENSIONAL clustering (`cluster_by = 'zorder(k,u)'`):
+    * inserts sort by the Morton interleave of per-column range buckets,
+    * so every file covers a narrow slice of BOTH dimensions and a range
+    * predicate on EITHER one prunes files — the case lexicographic
+    * clustering cannot serve (its second column prunes only within
+    * leading-key ties). The gate REQUIRES admitted-file counts for a
+    * k-only and a u-only predicate separately (each must drop at least
+    * half the files), then hash-verifies both result sets against DuckDB.
+    */
+  def zorderCluster(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a39_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE TABLE $cat.tables.zt (k BIGINT, u BIGINT) " +
+      "TBLPROPERTIES ('cluster_by'='zorder(k,u)')")
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      (col("o_orderkey") * 2654435761L % 100000L).as("u"))
+    src.createOrReplaceTempView("a39_src")
+    // AQE would coalesce the tiny range shuffle into one file and leave
+    // nothing to prune — the multi-file layout IS the subject here; pin
+    // the layout width too (the session may run with few shuffle
+    // partitions) so the admitted-count REQUIREs measure tiling, not conf
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    try s.sql(s"INSERT INTO $cat.tables.zt SELECT * FROM a39_src")
+    finally {
+      s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
+
+    val counter = org.apache.spark.sql.graft.GraftCatalog.lastStatsPrune
+    val kmax = src.agg(max("k")).head().getLong(0)
+    val klo = kmax / 2
+    val khi = klo + kmax / 16
+    counter.set((-1, -1))
+    val qk = s.sql(s"SELECT k, u FROM $cat.tables.zt WHERE k BETWEEN $klo AND $khi")
+    qk.queryExecution.executedPlan
+    val (ka, kt) = counter.get()
+    require(kt >= 8 && ka * 2 <= kt,
+      s"zorder must prune a 1/16 range on k: admitted $ka of $kt files")
+    counter.set((-1, -1))
+    val qu = s.sql(s"SELECT k, u FROM $cat.tables.zt WHERE u BETWEEN 40000 AND 42000")
+    qu.queryExecution.executedPlan
+    val (ua, ut) = counter.get()
+    require(ut >= 8 && ua * 2 <= ut,
+      s"zorder must prune on u ALONE — the dimension lexicographic " +
+        s"clustering cannot serve: admitted $ua of $ut files")
+    qk.select(lit("k").as("gen"), col("k"), col("u"))
+      .unionByName(qu.select(lit("u").as("gen"), col("k"), col("u")))
+  }
+
+  val zorderClusterOracle: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, (o_orderkey * 2654435761) % 100000 AS u
+      |  FROM orders),
+      |b AS (SELECT max(k) AS kmax FROM src)
+      |SELECT 'k' AS gen, k, u FROM src, b
+      |WHERE k BETWEEN kmax // 2 AND kmax // 2 + kmax // 16
+      |UNION ALL
+      |SELECT 'u', k, u FROM src WHERE u BETWEEN 40000 AND 42000""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a39_zorder_cluster" -> (zorderCluster _),
     "a38_cdf_mirror" -> (cdfMirror _),
     "a37_change_feed" -> (changeFeed _),
     "a36_bloom_index" -> (bloomIndex _),
@@ -2987,6 +3053,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a39_zorder_cluster" -> zorderClusterOracle,
     "a38_cdf_mirror" -> cdfMirrorOracle,
     "a37_change_feed" -> changeFeedOracle,
     "a36_bloom_index" -> bloomIndexOracle,
