@@ -134,7 +134,15 @@ object Lake {
   def applyClusterPolicy(
       spark: SparkSession, root: String, name: String,
       df: DataFrame): DataFrame = {
-    val spec = tableProperties(spark, root, name).get(ClusterByProp)
+    val props = tableProperties(spark, root, name)
+    // `bucket_by` takes precedence: hash-bucket the batch so every file
+    // holds one bucket (the exchange-free-diff layout, [[BucketLayout]]);
+    // in-bucket sort keeps per-file min/max narrow for stats pruning
+    BucketLayout.spec(props).foreach { case (c, n) =>
+      if (df.columns.contains(c))
+        return df.repartition(n, col(c)).sortWithinPartitions(col(c))
+    }
+    val spec = props.get(ClusterByProp)
       .map(_.trim).filter(_.nonEmpty)
     val ZOrder = raw"(?i)zorder\((.+)\)".r
     spec match {
@@ -355,6 +363,9 @@ object Lake {
     // per-file blooms for the table's bloom_filter_columns (opt-in — one
     // pass over the STAGED files only; nothing without the property)
     try BloomSidecar.stamp(spark, root, name, stage)
+    catch { case scala.util.control.NonFatal(_) => () }
+    // bucket mapping, verified from the staged data (opt-in via bucket_by)
+    try BucketLayout.stamp(spark, root, name, stage)
     catch { case scala.util.control.NonFatal(_) => () }
     carryEpochFrontier(spark, f, root, name, stage)
     var n = latestVersion(spark, root, name).getOrElse(0) + 1
@@ -630,6 +641,8 @@ object Lake {
     try StatsSidecar.stamp(f, stage)
     catch { case scala.util.control.NonFatal(_) => () }
     try BloomSidecar.stamp(spark, root, name, stage)
+    catch { case scala.util.control.NonFatal(_) => () }
+    try BucketLayout.stamp(spark, root, name, stage)
     catch { case scala.util.control.NonFatal(_) => () }
     carryEpochFrontier(spark, f, root, name, stage)
     val n = expectedLatest + 1
@@ -1469,9 +1482,54 @@ object Lake {
     * both snapshots once on the key; with bucketed snapshot writes it would
     * be exchange-free.
     */
+  /** The two snapshots' bucket-aligned file lists, when the EXCHANGE-FREE
+    * diff applies: both versions fully bucket-mapped under one `(col, N)`
+    * ([[BucketLayout.layoutOf]] — verified-from-data, so a policy-bypassing
+    * writer can never fake it), the bucket column among the diff keys, no
+    * merge-on-read sidecars, identical declared schemas and no field
+    * mapping. Returns `(oldByBucket, newByBucket, readSchema)` aligned by
+    * bucket id, or None → the caller shuffles as before.
+    */
+  private def bucketedSides(
+      spark: SparkSession, root: String, name: String,
+      vOld: Int, vNew: Int, keys: Seq[String])
+      : Option[(IndexedSeq[Seq[(String, Long)]],
+                IndexedSeq[Seq[(String, Long)]],
+                org.apache.spark.sql.types.StructType)] = {
+    if (MergeOnRead.hasAnyDeletes(spark, root, name, vOld) ||
+        MergeOnRead.hasAnyDeletes(spark, root, name, vNew)) return None
+    val dA = declaredSchema(spark, root, name, vOld)
+    val dB = declaredSchema(spark, root, name, vNew)
+    if (dA != dB || dA.exists(hasFieldMapping)) return None
+    for {
+      (cA, nA, mapA) <- BucketLayout.layoutOf(spark, root, name, vOld)
+      (cB, nB, mapB) <- BucketLayout.layoutOf(spark, root, name, vNew)
+      if cA == cB && nA == nB && keys.contains(cA)
+    } yield {
+      def grouped(mapping: Map[String, Int]): IndexedSeq[Seq[(String, Long)]] = {
+        val sized = mapping.toSeq.map { case (p, b) =>
+          val f = fs(spark, p)
+          (p, f.getFileStatus(new Path(p)).getLen, b)
+        }
+        (0 until nA).map(b => sized.collect { case (p, len, `b`) => (p, len) })
+      }
+      val schema = dA.map(visibleSchema).getOrElse(
+        spark.read.parquet(mapA.keys.head).schema)
+      (grouped(mapA), grouped(mapB), schema)
+    }
+  }
+
   def versionDiff(
       spark: SparkSession, root: String, name: String,
       vOld: Int, vNew: Int, keys: Seq[String]): DataFrame = {
+    // bucketed snapshots diff EXCHANGE-FREE: per-bucket zipped sort-merge
+    // instead of the two snapshot-wide shuffles of a keyed full-outer join
+    bucketedSides(spark, root, name, vOld, vNew, keys).foreach {
+      case (ob, nb, schema) =>
+        return org.apache.spark.sql.graft.BucketedMerge
+          .diff(spark, ob, nb, schema, keys, emitUnchanged = true)
+          .select(keys.map(col) :+ col("change"): _*)
+    }
     val o = readTableFeed(spark, root, name, Some(vOld))
     val n = readTableFeed(spark, root, name, Some(vNew))
     val valueCols = o.columns.filterNot(keys.contains).toSeq
@@ -1528,6 +1586,15 @@ object Lake {
     val shared = filesB.filter(p => normA.contains(norm(p)))
     val declA = declaredSchema(spark, root, name, vOld)
     val declB = declaredSchema(spark, root, name, vNew)
+    // full-republish steps between BUCKETED snapshots skip the keyed join
+    // entirely — the per-bucket zipped merge is exchange-free AND yields
+    // the images directly
+    if (shared.isEmpty)
+      bucketedSides(spark, root, name, vOld, vNew, keys).foreach {
+        case (ob, nb, schema) =>
+          return org.apache.spark.sql.graft.BucketedMerge
+            .diff(spark, ob, nb, schema, keys, emitUnchanged = false)
+      }
     val (oldAll, newAll) =
       if (shared.isEmpty || declA != declB) {
         // nothing carried (or schemas moved): the full diff IS the answer

@@ -2988,7 +2988,66 @@ object Lifecycle {
       |UNION ALL
       |SELECT 'u', k, u FROM src WHERE u BETWEEN 40000 AND 42000""".stripMargin
 
+  /** A40 — hash-bucketed snapshots (`bucket_by = 'k:8'`) diff
+    * EXCHANGE-FREE: both versions were written `repartition(N, k)`, the
+    * commit verified each file holds one bucket
+    * ([[graft.lake.BucketLayout]]), so [[Lake.versionDiff]] pairs bucket
+    * files and streams a per-bucket sorted merge instead of shuffling two
+    * snapshots into a keyed join — at 100 TB the diff's two largest
+    * exchanges simply do not exist. The gate REQUIREs zero
+    * ShuffleDependency in the diff's lineage and hash-verifies the
+    * classification against DuckDB's full-outer recompute.
+    */
+  def bucketedDiff(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a40_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE TABLE $cat.tables.bt (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('bucket_by'='k:8')")
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_totalprice").cast("double").as("v"))
+    o.filter(col("k") <= 1000).createOrReplaceTempView("a40_v1")
+    s.sql(s"INSERT INTO $cat.tables.bt SELECT * FROM a40_v1")
+    o.filter(col("k").between(201, 1200))
+      .withColumn("v", when(col("k").between(501, 1000), col("v") * 2)
+        .otherwise(col("v")))
+      .createOrReplaceTempView("a40_v2")
+    s.sql(s"INSERT OVERWRITE $cat.tables.bt SELECT * FROM a40_v2")
+
+    // CREATE wrote an empty v1; the two data generations are v2 and v3
+    require(graft.lake.BucketLayout.layoutOf(s, root, "bt", 2).isDefined &&
+      graft.lake.BucketLayout.layoutOf(s, root, "bt", 3).isDefined,
+      "both snapshots must carry a verified bucket mapping")
+    val diff = Lake.versionDiff(s, root, "bt", 2, 3, Seq("k"))
+      .filter(col("change") =!= "unchanged")
+    require(!org.apache.spark.sql.graft.BucketedMerge
+      .hasShuffle(diff.queryExecution.toRdd),
+      "a bucketed versionDiff must carry NO ShuffleDependency")
+    diff.select(col("k"), col("change"))
+  }
+
+  val bucketedDiffOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+      |  FROM orders WHERE o_orderkey <= 1000),
+      |v2 AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey BETWEEN 501 AND 1000
+      |              THEN CAST(o_totalprice AS DOUBLE) * 2
+      |              ELSE CAST(o_totalprice AS DOUBLE) END AS v
+      |  FROM orders WHERE o_orderkey BETWEEN 201 AND 1200)
+      |SELECT coalesce(v1.k, v2.k) AS k,
+      |       CASE WHEN v1.k IS NULL THEN 'inserted'
+      |            WHEN v2.k IS NULL THEN 'deleted'
+      |            ELSE 'updated' END AS change
+      |FROM v1 FULL JOIN v2 ON v1.k = v2.k
+      |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.v <> v2.v""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
     "a38_cdf_mirror" -> (cdfMirror _),
     "a37_change_feed" -> (changeFeed _),
@@ -3053,6 +3112,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,
     "a38_cdf_mirror" -> cdfMirrorOracle,
     "a37_change_feed" -> changeFeedOracle,

@@ -960,6 +960,51 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Txn.read(spark, root, "a", Some(1)) }
   }
 
+  test("bucket_by: versionDiff and versionChanges run exchange-free over bucketed snapshots") {
+    import graft.lake.BucketLayout
+    import org.apache.spark.sql.graft.BucketedMerge
+    val root = scratch()
+    Lake.setTableProperties(spark, root, "bk_t", Map(BucketLayout.Prop -> "k:8"))
+    def snap(df: org.apache.spark.sql.DataFrame) = Lake.writeTableSnapshot(
+      Lake.applyClusterPolicy(spark, root, "bk_t", df), root, "bk_t")
+    snap((1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "x"))
+    snap(((3 to 1000).map(i =>
+      (i.toLong, if (i % 100 == 0) "CHG" else s"r$i")) :+ ((2000L, "new")))
+      .toDF("k", "x"))
+
+    // the mapping is stamped from the data and covers every file
+    val layout = BucketLayout.layoutOf(spark, root, "bk_t", 2)
+    assert(layout.isDefined && layout.get._1 === "k" && layout.get._2 === 8)
+
+    val d = Lake.versionDiff(spark, root, "bk_t", 1, 2, Seq("k"))
+    assert(!BucketedMerge.hasShuffle(d.queryExecution.toRdd),
+      "a bucketed versionDiff must have NO ShuffleDependency in its lineage")
+    val byChange = d.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange === Map(
+      "deleted" -> 2L, "inserted" -> 1L, "updated" -> 10L, "unchanged" -> 988L),
+      s"bucketed diff classification: $byChange")
+
+    val ch = Lake.versionChanges(spark, root, "bk_t", 1, 2, Seq("k"))
+    assert(!BucketedMerge.hasShuffle(ch.queryExecution.toRdd))
+    val rows = ch.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.count(_._3 == "updated") === 10 &&
+      rows.filter(_._3 == "updated").forall(_._2 == "CHG"),
+      "updated rows must carry the NEW image")
+    assert(rows.filter(_._3 == "deleted").map(_._1).sorted.toSeq === Seq(1L, 2L))
+    assert(rows.filter(_._3 == "inserted").toSeq === Seq((2000L, "new", "inserted")))
+
+    // a policy-bypassing write self-reports: no mapping, shuffle fallback,
+    // same answers
+    Lake.writeTableSnapshot(
+      (1 to 1000).map(i => (i.toLong, s"z$i")).toDF("k", "x")
+        .repartition(4), root, "bk_t")
+    assert(BucketLayout.layoutOf(spark, root, "bk_t", 3).isEmpty,
+      "a non-bucketed write must not be stamped as bucketed")
+    val fb = Lake.versionDiff(spark, root, "bk_t", 2, 3, Seq("k"))
+    assert(fb.filter(col("change") === "updated").count() === 998)
+  }
+
   test("versionChanges is manifest-aware: each step scans only changed files") {
     import graft.lake.{CopyOnWrite, MergeOnRead}
     val root = scratch()
