@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.lake.{CopyOnWrite, Lake}
+
+/** SCALE evidence for the round-13 claims, run at two table sizes:
+  *
+  *  1. CDF step cost tracks CHANGED bytes, not table bytes — a one-file
+  *     COW update's `tableChanges` step should cost ~the same on a 10×
+  *     bigger table (the manifest-aware diff reads dropped+own files
+  *     only; the old full-snapshot diff scaled with the table).
+  *  2. The bucketed full-republish diff stays exchange-free and scales
+  *     ~linearly in table bytes (one streaming pass, no shuffle) vs the
+  *     join-based diff's shuffle of both snapshots.
+  *
+  * Usage: runMain graft.tools.CdfScaleBench <rows> — prints one JSON line.
+  */
+object CdfScaleBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = graft.GraftSession.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("cdfscale_").toString
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- 1. manifest-aware CDF step: one-file COW update on a wide table
+    val df = spark.range(0, rows).select(
+      col("id").as("k"), (col("id") % 9973).as("u"),
+      concat(lit("payload_"), col("id")).as("x"))
+      .repartitionByRange(64, col("k")).sortWithinPartitions("k")
+    Lake.writeTableSnapshot(df, root, "big")
+    CopyOnWrite.updateWhere(spark, root, "big",
+      col("k") === (rows / 2), Seq("x" -> lit("CHANGED")))
+    val (n1, tStep) = timed {
+      Lake.tableChanges(spark, root, "big", 1, Seq("k")).count()
+    }
+
+    // --- 2. bucketed exchange-free diff vs the shuffle fallback
+    Lake.setTableProperties(spark, root, "bk", Map("bucket_by" -> "k:64"))
+    def gen(salt: String) = spark.range(0, rows).select(
+      col("id").as("k"),
+      when(col("id") % 1000 === 0, lit(salt)).otherwise(lit("base")).as("x"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "bk", gen("a")), root, "bk")
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "bk", gen("b")), root, "bk")
+    val bd = Lake.versionDiff(spark, root, "bk", 1, 2, Seq("k"))
+      .filter(col("change") === "updated")
+    val shuffleFree = !org.apache.spark.sql.graft.BucketedMerge
+      .hasShuffle(bd.queryExecution.toRdd)
+    val (n2, tBucketed) = timed(bd.count())
+    // shuffle fallback on identical data (an unbucketed copy)
+    Lake.writeTableSnapshot(gen("a"), root, "nb")
+    Lake.writeTableSnapshot(gen("b"), root, "nb")
+    val (n3, tShuffle) = timed {
+      Lake.versionDiff(spark, root, "nb", 1, 2, Seq("k"))
+        .filter(col("change") === "updated").count()
+    }
+    require(n2 == n3, s"bucketed and shuffle diffs must agree: $n2 vs $n3")
+
+    println(s"""{"rows":$rows,"cdf_step_changes":$n1,"cdf_step_sec":${f"$tStep%.2f"},""" +
+      s""""bucketed_diff_sec":${f"$tBucketed%.2f"},"shuffle_diff_sec":${f"$tShuffle%.2f"},""" +
+      s""""bucketed_shuffle_free":$shuffleFree,"diff_rows":$n2}""")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    spark.stop()
+  }
+}
