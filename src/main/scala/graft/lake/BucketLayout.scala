@@ -62,6 +62,22 @@ object BucketLayout {
   def bucketId(c: String, n: Int): org.apache.spark.sql.Column =
     pmod(hash(col(c)), lit(n))
 
+  /** Apply the bucket write policy to a batch, if the table has one and
+    * the batch carries the key: `repartition(N, col)` + in-bucket sort.
+    * Empty buckets write no file, so a small COW rewrite stays small
+    * (K touched buckets → K files) while every staged file comes out
+    * bucket-PURE and the commit's verified stamp keeps the layout alive
+    * across mutations instead of losing it until the next full rewrite.
+    */
+  def applyPolicy(
+      spark: SparkSession, root: String, name: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spec(Lake.tableProperties(spark, root, name)) match {
+      case Some((c, n)) if df.columns.contains(c) =>
+        df.repartition(n, col(c)).sortWithinPartitions(col(c))
+      case _ => df
+    }
+
   /** Stamp `_buckets.json` into a staged commit dir — FROM the staged
     * files' contents (see scaladoc above). Best-effort: callers swallow
     * failures; a mixed-bucket file list writes nothing.
@@ -81,8 +97,22 @@ object BucketLayout {
         .groupBy("f").agg(min("b").as("mn"), max("b").as("mx"))
         .collect()
       if (perFile.exists(r => r.isNullAt(1) || r.getInt(1) != r.getInt(2))) return
-      val mapping = perFile.map(r =>
+      val mapped = perFile.map(r =>
         new Path(r.getString(0)).getName -> r.getInt(1)).toMap
+      // files the scan produced no row for are EMPTY (Spark's writer can
+      // emit one rowless file per job): map them to bucket -1 — they hold
+      // nothing, so every consumer soundly skips them. A NON-empty file
+      // the scan somehow missed aborts the stamp instead of lying.
+      val conf = f.getConf
+      val empties = files.map(new Path(_)).filterNot(p => mapped.contains(p.getName))
+        .map { p =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          val rows = try reader.getRecordCount finally reader.close()
+          if (rows > 0) return
+          p.getName -> -1
+        }
+      val mapping = mapped ++ empties
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       val ast = ("col" -> c) ~ ("n" -> n) ~
@@ -100,8 +130,16 @@ object BucketLayout {
     */
   def layoutOf(
       spark: SparkSession, root: String, name: String,
-      version: Int): Option[(String, Int, Map[String, Int])] = try {
-    val files = Lake.snapshotFiles(spark, root, name, version)
+      version: Int): Option[(String, Int, Map[String, Int])] =
+    layoutForFiles(spark, Lake.snapshotFiles(spark, root, name, version))
+
+  /** [[layoutOf]] for an explicit file list (the probe paths hold the
+    * resolved list already): every file mapped by its own dir's sidecar,
+    * one `(col, N)` across dirs.
+    */
+  def layoutForFiles(
+      spark: SparkSession,
+      files: Seq[String]): Option[(String, Int, Map[String, Int])] = try {
     if (files.isEmpty) return None
     val byDir = files.groupBy(p => new Path(p).getParent)
     val perDir = byDir.toSeq.map { case (dir, dirFiles) =>
@@ -119,6 +157,83 @@ object BucketLayout {
     val (c, n) = specs.head
     Some((c, n, all.flatMap(_._3).toMap))
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Driver-side bucket of one EXTERNAL literal under the column's type —
+    * the same murmur3-seed-42 + pmod the write used. None when the value
+    * cannot be represented as the column's type (never guess a hash).
+    */
+  private def bucketOfValue(v: Any, dt: org.apache.spark.sql.types.DataType,
+      n: Int): Option[Int] =
+    try {
+      if (v == null) return None
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(lit))
+        .eval(null).asInstanceOf[Int]
+      Some(((h % n) + n) % n)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** BUCKET PRUNING for point predicates: equality/IN conjuncts on the
+    * bucket column admit only the named buckets' files — the hash-layout
+    * complement of stats ranges and blooms (a bucketed 100 TB table
+    * answers `k = x` by opening bucket `pmod(hash(x),N)`'s files, nothing
+    * else — no per-file index needed, the LAYOUT is the index).
+    * Conservative: no layout, no prunable conjunct, or a type mismatch
+    * admits everything.
+    */
+  def filterCandidates(
+      spark: SparkSession, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    layoutForFiles(spark, files) match {
+      case None => files
+      case Some((c, n, mapping)) =>
+        val dt = schema.fields.find(_.name == c)
+          .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(_.dataType).getOrElse(return files)
+        def bucketsOf(f: Filter): Option[Set[Int]] = f match {
+          case EqualTo(a, v) if a == c || a.equalsIgnoreCase(c) =>
+            bucketOfValue(v, dt, n).map(Set(_))
+          case EqualNullSafe(a, v) if v != null && (a == c || a.equalsIgnoreCase(c)) =>
+            bucketOfValue(v, dt, n).map(Set(_))
+          case In(a, vs) if a == c || a.equalsIgnoreCase(c) =>
+            val bs = vs.toSeq.filter(_ != null).map(bucketOfValue(_, dt, n))
+            if (bs.isEmpty || bs.exists(_.isEmpty)) None
+            else Some(bs.flatten.toSet)
+          case And(l, r) => (bucketsOf(l), bucketsOf(r)) match {
+            case (Some(a), Some(b)) => Some(a & b)
+            case (a, b) => a.orElse(b)
+          }
+          case _ => None
+        }
+        // conjuncts AND together: intersect every prunable one
+        val admitted = filters.flatMap(bucketsOf).reduceOption(_ & _)
+        admitted match {
+          case None => files
+          case Some(bs) => files.filter(p => mapping.get(p).exists(bs.contains))
+        }
+    }
+  }
+
+  /** Files that can hold any of `keys`' rows — the MERGE-probe form:
+    * one tiny agg computes the DISTINCT buckets of the source's keys
+    * (≤ N ints on the driver, however large the source), and only those
+    * buckets' files are probed. None of it reads the target.
+    */
+  def filesForKeys(
+      spark: SparkSession, files: Seq[String],
+      keys: org.apache.spark.sql.DataFrame, keyCol: String): Seq[String] =
+    layoutForFiles(spark, files) match {
+      case Some((c, n, mapping)) if c.equalsIgnoreCase(keyCol) ||
+          keys.columns.exists(_.equalsIgnoreCase(c)) =>
+        val kc = keys.columns.find(_.equalsIgnoreCase(c)).getOrElse(keyCol)
+        val buckets =
+          try keys.select(pmod(hash(col(kc)), lit(n)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          catch { case scala.util.control.NonFatal(_) => return files }
+        files.filter(p => mapping.get(p).exists(buckets.contains))
+      case _ => files
+    }
 
   private def readSidecar(
       spark: SparkSession, dir: Path): Option[(String, Int, Map[String, Int])] =

@@ -92,12 +92,14 @@ object CopyOnWrite {
       val base = Lake.readFiles(spark, files, declared) // lazy: analysis only
       val v1 = org.apache.spark.sql.graft.ExprFilters.toV1(base, pred)
       val byStats = StatsSidecar.candidateFiles(spark, files, base.schema, v1)
-      // bloom file indexes narrow equality probes on unclustered columns
-      rootName.fold(byStats) { case (root, name) =>
+      // bloom file indexes narrow equality probes on unclustered columns;
+      // a bucketed layout answers bucket-column equality by hash alone
+      val byBucket = BucketLayout.filterCandidates(spark, byStats, base.schema, v1)
+      rootName.fold(byBucket) { case (root, name) =>
         val bloomCols = Lake.tableProperties(spark, root, name)
           .get(BloomSidecar.ColumnsProp)
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        BloomSidecar.filterCandidates(spark, byStats, base.schema, v1, bloomCols)
+        BloomSidecar.filterCandidates(spark, byBucket, base.schema, v1, bloomCols)
       }
     }
     if (candidates.isEmpty) Nil
@@ -124,7 +126,15 @@ object CopyOnWrite {
     val tdir = Lake.tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    rewritten.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // bucketed tables keep their layout through mutations: the rewritten
+    // rows re-bucket (K touched buckets → K files; empty buckets write
+    // nothing), the stamp re-verifies from the data, and the carried
+    // files keep their mappings — so the exchange-free diff/probe paths
+    // survive COW instead of degrading until the next full rewrite.
+    // CollapseRepartition folds this into an already-bucketed input
+    // (appendEpoch's policy application), so no double exchange.
+    BucketLayout.applyPolicy(spark, root, name, rewritten)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     carriedDeletes.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(stage, MergeOnRead.deletesName).toString))
     val f = fs(spark, tdir)
@@ -435,11 +445,17 @@ object CopyOnWrite {
     // key-column-pruned scan, semi-join (AQE broadcasts a small source);
     // the declared (evolved) schema applies like every other mutation
     // probe, so a MERGE keyed on a metadata-only-added/renamed column
-    // resolves
-    val touched = Lake.readFiles(spark, files, declared, withMeta = true)
-      .select((col("_metadata.file_path").as("_gf") +: keys.map(col)).toIndexedSeq: _*)
-      .join(srcKeys, keys.toIndexedSeq, "left_semi")
-      .select("_gf").distinct().collect().map(_.getString(0)).toSeq
+    // resolves. A bucketed target narrows the probe FIRST: one tiny agg
+    // yields the source keys' distinct buckets (≤ N ints, whatever the
+    // source size) and only those buckets' files are scanned — a small
+    // MERGE into a 100 TB bucketed table probes its buckets, not the table
+    val probeFiles = BucketLayout.filesForKeys(spark, files, srcKeys, keys.head)
+    val touched =
+      if (probeFiles.isEmpty) Nil
+      else Lake.readFiles(spark, probeFiles, declared, withMeta = true)
+        .select((col("_metadata.file_path").as("_gf") +: keys.map(col)).toIndexedSeq: _*)
+        .join(srcKeys, keys.toIndexedSeq, "left_semi")
+        .select("_gf").distinct().collect().map(_.getString(0)).toSeq
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
     val targetSchema = declared.map(Lake.visibleSchema)

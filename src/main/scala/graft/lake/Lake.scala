@@ -1123,10 +1123,15 @@ object Lake {
       // prunes whole files for key-range queries (the OPTIMIZE ... ZORDER
       // trade: rewrite cost now, scan cost forever after)
       val shaped =
-        if (clusterBy.isEmpty) resolved.coalesce(parts)
-        else resolved
+        if (clusterBy.nonEmpty) resolved
           .repartitionByRange(parts, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
+        else if (BucketLayout.spec(tableProperties(spark, root, name)).isDefined)
+          // a bucketed table compacts INTO its layout (one file per
+          // bucket) — folding MOR chains must not cost the exchange-free
+          // diff/probe paths their mapping
+          BucketLayout.applyPolicy(spark, root, name, resolved)
+        else resolved.coalesce(parts)
       writeTableSnapshotIf(shaped, root, name, expectedLatest = base, retentionVersions)
     }
 
@@ -1713,10 +1718,11 @@ object Lake {
           val schema = visibleSchema(decl.getOrElse(
             spark.read.parquet(shared.head).schema))
           val byStats = StatsSidecar.candidateFiles(spark, shared, schema, filters)
+          val byBucket = BucketLayout.filterCandidates(spark, byStats, schema, filters)
           val bloomCols = tableProperties(spark, root, name)
             .get(BloomSidecar.ColumnsProp)
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-          BloomSidecar.filterCandidates(spark, byStats, schema, filters, bloomCols)
+          BloomSidecar.filterCandidates(spark, byBucket, schema, filters, bloomCols)
         }
       }
       if (probe.isEmpty) metaRead(Seq(shared.head)).limit(0)

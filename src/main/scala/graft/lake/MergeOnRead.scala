@@ -208,10 +208,11 @@ object MergeOnRead {
         val base0 = Lake.readFiles(spark, files, declared) // lazy: analysis only
         val v1 = org.apache.spark.sql.graft.ExprFilters.toV1(base0, pred)
         val byStats = StatsSidecar.candidateFiles(spark, files, base0.schema, v1)
+        val byBucket = BucketLayout.filterCandidates(spark, byStats, base0.schema, v1)
         val bloomCols = Lake.tableProperties(spark, root, name)
           .get(BloomSidecar.ColumnsProp)
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        BloomSidecar.filterCandidates(spark, byStats, base0.schema, v1, bloomCols)
+        BloomSidecar.filterCandidates(spark, byBucket, base0.schema, v1, bloomCols)
       }
       val matched =
         (if (probeFiles.isEmpty)

@@ -333,8 +333,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                       .get(graft.lake.BloomSidecar.ColumnsProp)
                       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
                       .getOrElse(Nil)
-                    val admitted = graft.lake.BloomSidecar.filterCandidates(
+                    val byBloom = graft.lake.BloomSidecar.filterCandidates(
                       spark, byStats, tableSchema, filters.toIndexedSeq, bloomCols)
+                    val admitted = graft.lake.BucketLayout.filterCandidates(
+                      spark, byBloom, tableSchema, filters.toIndexedSeq)
                     GraftCatalog.lastStatsPrune.set((admitted.size, all.size))
                     if (admitted.size < all.size) Some(admitted) else None
                   }
@@ -582,8 +584,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .tableProperties(spark, root, ident.name())
         .get(graft.lake.BloomSidecar.ColumnsProp)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      val admitted = graft.lake.BloomSidecar.filterCandidates(
+      val bloomAdmitted = graft.lake.BloomSidecar.filterCandidates(
         spark, statsAdmitted, tableSchema, v1, bloomCols)
+      // a bucketed layout answers equality probes on the bucket column by
+      // hash alone — the layout IS the index
+      val admitted = graft.lake.BucketLayout.filterCandidates(
+        spark, bloomAdmitted, tableSchema, v1)
       GraftCatalog.lastStatsPrune.set((admitted.size, all.size))
       if (admitted.size >= all.size) inner.build()
       else {

@@ -1005,6 +1005,60 @@ class LakeSpec extends SparkSpec {
     assert(fb.filter(col("change") === "updated").count() === 998)
   }
 
+  test("bucket_by: layout survives COW mutations; probes and scans prune by bucket") {
+    import graft.lake.{BucketLayout, CopyOnWrite}
+    import org.apache.spark.sql.sources.EqualTo
+    val root = scratch()
+    Lake.setTableProperties(spark, root, "bk2", Map(BucketLayout.Prop -> "k:8"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "bk2",
+      (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "x")), root, "bk2")
+
+    // a COW update rewrites its bucket's file re-bucketed: the mapping
+    // survives the mutation instead of degrading to the shuffle path
+    CopyOnWrite.updateWhere(spark, root, "bk2",
+      col("k") === 500L, Seq("x" -> lit("up")))
+    val layout = BucketLayout.layoutOf(spark, root, "bk2", 2)
+    assert(layout.isDefined, "COW must re-bucket its rewrite and keep the layout")
+    val (_, n, mapping) = layout.get
+
+    // equality scans prune to ONE bucket's files — the layout is the index
+    val files = Lake.snapshotFiles(spark, root, "bk2", 2)
+    val schema = spark.read.parquet(files.head).schema
+    val adm = BucketLayout.filterCandidates(
+      spark, files, schema, Seq(EqualTo("k", 500L)))
+    assert(adm.nonEmpty && adm.size < files.size,
+      s"k=500 must admit one bucket's files: ${adm.size}/${files.size}")
+    assert(adm.map(mapping).distinct.size === 1,
+      "all admitted files must share the probed bucket")
+    assert(spark.read.parquet(adm: _*)
+      .filter(col("k") === 500L).select("x").head().getString(0) === "up")
+
+    // a MERGE source's keys name their buckets: the probe opens only those
+    val srcKeys = Seq(500L, 777L).toDF("k")
+    val ff = BucketLayout.filesForKeys(spark, files, srcKeys, "k")
+    assert(ff.nonEmpty && ff.size < files.size &&
+      ff.map(mapping).distinct.size <= 2,
+      s"two keys must probe at most two buckets: ${ff.size}/${files.size}")
+
+    // end-to-end MERGE on the bucketed base (restricted probe) stays right
+    CopyOnWrite.mergeInto(spark, root, "bk2",
+      Seq((500L, "m"), (2000L, "new")).toDF("k", "x"), Seq("k"),
+      matchedSet = Seq("x" -> col("s.x")), insertNotMatched = true)
+    val back = Lake.readTableFeed(spark, root, "bk2")
+    assert(back.count() === 1001)
+    assert(back.filter(col("k") === 500L).head().getString(1) === "m")
+    assert(back.filter(col("k") === 2000L).count() === 1)
+    assert(BucketLayout.layoutOf(spark, root, "bk2",
+      Lake.latestVersion(spark, root, "bk2").get).isDefined,
+      "the MERGE commit must keep the layout too")
+
+    // compaction folds INTO the layout instead of costing it
+    val packed = Lake.compactTable(spark, root, "bk2")
+    assert(BucketLayout.layoutOf(spark, root, "bk2", packed).isDefined,
+      "compaction on a bucketed table must preserve the bucket mapping")
+    assert(Lake.readTableFeed(spark, root, "bk2").count() === 1001)
+  }
+
   test("versionChanges is manifest-aware: each step scans only changed files") {
     import graft.lake.{CopyOnWrite, MergeOnRead}
     val root = scratch()
