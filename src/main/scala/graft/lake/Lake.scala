@@ -1292,6 +1292,15 @@ object Lake {
     ptr.write(s"""{"src":"$physTable","version":$physVersion}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ptr.close()
+    // a branch inherits the source's WRITE POLICIES (cluster_by,
+    // bucket_by, blooms — the Delta-clone convention): without the copy a
+    // branch write silently drops the layout the source paid for, and a
+    // bucketed branch could never merge back exchange-free. Only when the
+    // branch has no properties of its own yet.
+    if (tableProperties(spark, root, dst).isEmpty) {
+      val srcProps = tableProperties(spark, root, src)
+      if (srcProps.nonEmpty) setTableProperties(spark, root, dst, srcProps)
+    }
     commitStaged(spark, tdir, stage)
   }
 
@@ -1410,6 +1419,12 @@ object Lake {
       s"mergeBranch: $branch was cut from $psrc, not $src")
     val srcLatest = latestVersion(spark, root, src).getOrElse(
       throw new IllegalStateException(s"no versions for table feed $src"))
+    // EXCHANGE-FREE path: when all three snapshots (branch point, branch
+    // head, source head) are bucket-aligned under one (col, N), the merge
+    // is a per-bucket 3-way sorted zip — zero shuffles, and the merged
+    // output lands already bucketed (the commit re-stamps the layout)
+    mergeBranchBucketed(spark, root, src, branch, keys, srcLatest,
+      retentionVersions).foreach(v => return v)
     val base = readTableFeed(spark, root, branch, Some(1))
     val b = readTableFeed(spark, root, branch)
     val s = readTableFeed(spark, root, src, Some(srcLatest))
@@ -1442,6 +1457,49 @@ object Lake {
       retentionVersions = retentionVersions).getOrElse(
       throw new java.util.ConcurrentModificationException(
         s"mergeBranch: $src moved past v$srcLatest during the merge — re-run"))
+  }
+
+  /** The exchange-free branch merge: all three snapshots bucket-aligned →
+    * one per-bucket 3-way sorted zip ([[org.apache.spark.sql.graft
+    * .BucketedMerge.merge3]]), conflicts surfaced exactly like the join
+    * path, the merged content committed ALREADY BUCKETED (its partitions
+    * are the buckets, so the commit's verified stamp keeps the layout).
+    * None → preconditions unmet, caller runs the join form.
+    */
+  private def mergeBranchBucketed(
+      spark: SparkSession, root: String, src: String, branch: String,
+      keys: Seq[String], srcLatest: Int,
+      retentionVersions: Int): Option[Int] = {
+    val branchLatest = latestVersion(spark, root, branch).getOrElse(return None)
+    val trio = Seq((branch, 1), (branch, branchLatest), (src, srcLatest))
+    if (trio.exists { case (t, v) =>
+        MergeOnRead.hasAnyDeletes(spark, root, t, v) }) return None
+    val decls = trio.map { case (t, v) => declaredSchema(spark, root, t, v) }
+    if (decls.distinct.size != 1 || decls.head.exists(hasFieldMapping)) return None
+    val layouts = trio.map { case (t, v) =>
+      BucketLayout.layoutOf(spark, root, t, v) }
+    if (layouts.exists(_.isEmpty)) return None
+    val specs = layouts.flatten.map(l => (l._1, l._2)).distinct
+    if (specs.size != 1 || !keys.contains(specs.head._1)) return None
+    val n = specs.head._2
+    val schema = decls.head.map(visibleSchema).getOrElse(
+      spark.read.parquet(layouts.head.get._3.keys.head).schema)
+    val sides = layouts.flatten.map(l => groupedByBucket(spark, l._3, n))
+    val out = org.apache.spark.sql.graft.BucketedMerge
+      .merge3(spark, sides(0), sides(1), sides(2), schema, keys)
+      .localCheckpoint() // conflict probe + commit read it once
+    val sample = out.filter(col("_m") === "conflict")
+      .select(keys.map(col): _*).limit(5).collect()
+    if (sample.nonEmpty) throw new IllegalStateException(
+      s"mergeBranch: $branch and $src both changed key(s) " +
+        sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
+        " (and possibly more) since the branch point — resolve by rebasing")
+    val merged = out.filter(col("_m") === "merged")
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    Some(writeTableSnapshotIf(merged, root, src, expectedLatest = srcLatest,
+      retentionVersions = retentionVersions).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"mergeBranch: $src moved past v$srcLatest during the merge — re-run")))
   }
 
   /** The PHYSICAL directory behind a snapshot: follows `_clone` pointers
@@ -1511,17 +1569,23 @@ object Lake {
       (cB, nB, mapB) <- BucketLayout.layoutOf(spark, root, name, vNew)
       if cA == cB && nA == nB && keys.contains(cA)
     } yield {
-      def grouped(mapping: Map[String, Int]): IndexedSeq[Seq[(String, Long)]] = {
-        val sized = mapping.toSeq.map { case (p, b) =>
-          val f = fs(spark, p)
-          (p, f.getFileStatus(new Path(p)).getLen, b)
-        }
-        (0 until nA).map(b => sized.collect { case (p, len, `b`) => (p, len) })
-      }
       val schema = dA.map(visibleSchema).getOrElse(
         spark.read.parquet(mapA.keys.head).schema)
-      (grouped(mapA), grouped(mapB), schema)
+      (groupedByBucket(spark, mapA, nA), groupedByBucket(spark, mapB, nA), schema)
     }
+  }
+
+  /** `(path, length)` lists aligned by bucket id (empty-file `-1` entries
+    * hold no rows and are soundly dropped).
+    */
+  private def groupedByBucket(
+      spark: SparkSession, mapping: Map[String, Int],
+      n: Int): IndexedSeq[Seq[(String, Long)]] = {
+    val sized = mapping.toSeq.map { case (p, b) =>
+      val f = fs(spark, p)
+      (p, f.getFileStatus(new Path(p)).getLen, b)
+    }
+    (0 until n).map(b => sized.collect { case (p, len, `b`) => (p, len) })
   }
 
   def versionDiff(

@@ -187,6 +187,7 @@ object StatsSidecar {
       case PrimitiveTypeName.INT32 => logical match {
         case null => 'l'
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'D'
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => 'e'
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
           if (i.isSigned) 'l' else 'u'
         case _ => 'u'
@@ -194,6 +195,7 @@ object StatsSidecar {
       case PrimitiveTypeName.INT64 => logical match {
         case null => 'l'
         case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => 'T'
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => 'e'
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
           if (i.isSigned) 'l' else 'u'
         case _ => 'u'
@@ -248,6 +250,20 @@ object StatsSidecar {
       case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
       case _ => None
     }
+    // decimal: value = unscaled int/long + the annotation's scale,
+    // normalized to BigDecimal — compareTo is scale-independent, so files
+    // written at different scales (type widening) still order soundly
+    case 'e' =>
+      val unscaled = v match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long => l.longValue
+        case _ => return None
+      }
+      prim.getLogicalTypeAnnotation match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(java.math.BigDecimal.valueOf(unscaled, d.getScale))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -390,12 +406,14 @@ object StatsSidecar {
     case 'd' => v.asInstanceOf[Double].toString // shortest round-trip
     case 's' => java.util.Base64.getEncoder
       .encodeToString(v.asInstanceOf[Array[Byte]])
+    case 'e' => v.asInstanceOf[java.math.BigDecimal].toPlainString
   }
 
   private def decValue(t: Char, s: String): Any = t match {
     case 'l' | 'D' | 'T' => s.toLong
     case 'd' => s.toDouble
     case 's' => java.util.Base64.getDecoder.decode(s)
+    case 'e' => new java.math.BigDecimal(s)
   }
 
   private def writeSidecar(
@@ -573,6 +591,8 @@ object StatsSidecar {
     case (FloatType | DoubleType, n: Number) =>
       val d = n.doubleValue; if (d.isNaN) None else Some(d)
     case (StringType, s: String) => Some(UTF8String.fromString(s).getBytes)
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(d)
+    case (_: DecimalType, d: BigDecimal) => Some(d.bigDecimal)
     case _ => None
   }
 
@@ -582,6 +602,7 @@ object StatsSidecar {
     case TimestampType | TimestampNTZType => 'T'
     case FloatType | DoubleType => 'd'
     case StringType => 's'
+    case d: DecimalType if d.precision <= 18 => 'e' // int32/int64-backed
     case _ => 'u'
   }
 
@@ -592,6 +613,8 @@ object StatsSidecar {
       val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
       if (x < y) -1 else if (x > y) 1 else 0 // primitive compare: -0.0 == 0.0
     case 's' => cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case 'e' => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal]) // scale-independent
   }
 
   /** Unsigned lexicographic byte order — parquet's binary stat order AND

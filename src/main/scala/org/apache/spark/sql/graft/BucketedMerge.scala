@@ -100,6 +100,134 @@ object BucketedMerge {
     classicOf(spark).internalCreateDataFrame(out, outSchema)
   }
 
+  /** THREE-WAY sorted merge over bucket-aligned snapshots — the
+    * exchange-free form of the branch merge ([[graft.lake.Lake
+    * .mergeBranch]]'s own cost note): per key across (base, branch,
+    * source), branch-only changes win, source-only changes stand,
+    * identical changes coincide, and a genuine divergence emits a
+    * `conflict` row instead of silently picking a side. Output =
+    * `keys ++ values ++ _m` with `_m ∈ merged | conflict`; deletions
+    * simply emit nothing. Same zero-shuffle shape as [[diff]].
+    */
+  /** Bucket count of the most recent [[merge3]] plan, -1 when the last
+    * branch merge took the join path — spec observability (the two paths
+    * are result-identical by contract, so only a counter can tell).
+    */
+  val lastMerge3Buckets =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  def merge3(
+      spark: SparkSession,
+      baseByBucket: IndexedSeq[Seq[(String, Long)]],
+      branchByBucket: IndexedSeq[Seq[(String, Long)]],
+      sourceByBucket: IndexedSeq[Seq[(String, Long)]],
+      fileSchema: StructType, keys: Seq[String]): DataFrame = {
+    require(baseByBucket.size == branchByBucket.size &&
+      baseByBucket.size == sourceByBucket.size,
+      "bucketed 3-way merge: all snapshots must share the bucket count")
+    lastMerge3Buckets.set(baseByBucket.size)
+    val ordered = keys ++ fileSchema.fieldNames.filterNot(keys.contains)
+    val types: IndexedSeq[DataType] =
+      ordered.map(n => fileSchema(fileSchema.fieldIndex(n)).dataType).toIndexedSeq
+    def sortedSide(byBucket: IndexedSeq[Seq[(String, Long)]]): RDD[InternalRow] =
+      bucketSide(spark, byBucket, fileSchema)
+        .select(ordered.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .queryExecution.toRdd
+    val nKeys = keys.size
+    val out = sortedSide(baseByBucket).zipPartitions(
+      sortedSide(branchByBucket), sortedSide(sourceByBucket)) {
+      (basei, bi, si) => merge3Sorted(basei, bi, si, types, nKeys)
+    }
+    val outSchema = StructType(
+      ordered.map(n => fileSchema(fileSchema.fieldIndex(n))
+        .copy(nullable = true)) :+
+        StructField("_m", StringType, nullable = false))
+    classicOf(spark).internalCreateDataFrame(out, outSchema)
+  }
+
+  private def merge3Sorted(
+      basei: Iterator[InternalRow], bi: Iterator[InternalRow],
+      si: Iterator[InternalRow],
+      types: IndexedSeq[DataType], nKeys: Int): Iterator[InternalRow] = {
+    val keyOrd = RowOrdering.createNaturalAscendingOrdering(types.take(nKeys))
+    def proj(from: Int, until: Int) = UnsafeProjection.create(
+      (from until until).map(i => BoundReference(i, types(i), nullable = true)))
+    // one key/value projection PER SIDE — a single comparison may touch
+    // all three, and projections reuse their buffers
+    val keyP = IndexedSeq(proj(0, nKeys), proj(0, nKeys), proj(0, nKeys))
+    val valP = IndexedSeq(
+      proj(nKeys, types.size), proj(nKeys, types.size), proj(nKeys, types.size))
+    val merged = UTF8String.fromString("merged")
+    val conflict = UTF8String.fromString("conflict")
+
+    new Iterator[InternalRow] {
+      private val its = IndexedSeq(basei, bi, si)
+      private val heads = Array.tabulate[InternalRow](3)(i =>
+        if (its(i).hasNext) its(i).next().copy() else null)
+      private var pendingRow: InternalRow = _
+      private def advance(i: Int): Unit =
+        heads(i) = if (its(i).hasNext) its(i).next().copy() else null
+      private def emit(row: InternalRow, m: UTF8String): InternalRow = {
+        val fields = new Array[Any](types.size + 1)
+        var i = 0
+        while (i < types.size) { fields(i) = row.get(i, types(i)); i += 1 }
+        fields(types.size) = m
+        new GenericInternalRow(fields)
+      }
+      /** Process the smallest key across the three heads; may or may not
+        * produce an output row.
+        */
+      private def step(): Unit = {
+        // find the minimum key among present heads
+        var minI = -1
+        var i = 0
+        while (i < 3) {
+          if (heads(i) != null && (minI < 0 ||
+              keyOrd.compare(keyP(i)(heads(i)), keyP(minI)(heads(minI))) < 0))
+            minI = i
+          i += 1
+        }
+        if (minI < 0) return
+        val minKey = keyP(minI)(heads(minI)).copy()
+        // gather this key's row (or null) per side and advance those heads
+        val rows = new Array[InternalRow](3)
+        val vals = new Array[AnyRef](3)
+        i = 0
+        while (i < 3) {
+          if (heads(i) != null && keyOrd.compare(keyP(i)(heads(i)), minKey) == 0) {
+            rows(i) = heads(i)
+            vals(i) = valP(i)(heads(i)).copy()
+            advance(i)
+          }
+          i += 1
+        }
+        def same(a: AnyRef, b: AnyRef): Boolean =
+          (a == null && b == null) || (a != null && a == b)
+        val bChanged = !same(vals(1), vals(0))
+        val sChanged = !same(vals(2), vals(0))
+        if (bChanged && sChanged && !same(vals(1), vals(2))) {
+          // a conflict row needs a sample image for the error message —
+          // any present side carries the key
+          val img = if (rows(1) != null) rows(1)
+            else if (rows(2) != null) rows(2) else rows(0)
+          pendingRow = emit(img, conflict)
+        } else if (bChanged) {
+          if (rows(1) != null) pendingRow = emit(rows(1), merged)
+        } else if (rows(2) != null) pendingRow = emit(rows(2), merged)
+      }
+      override def hasNext: Boolean = {
+        while (pendingRow == null &&
+            (heads(0) != null || heads(1) != null || heads(2) != null)) step()
+        pendingRow != null
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pendingRow; pendingRow = null; r
+      }
+    }
+  }
+
   /** Two-iterator sorted merge — the per-partition kernel. Rows coming
     * off a sort may reuse buffers, so the held row of each side is a
     * copy; projections are per-side instances so a single comparison

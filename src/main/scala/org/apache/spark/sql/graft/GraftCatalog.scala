@@ -508,6 +508,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case IntegerType | DateType => x.asInstanceOf[Long].toInt
           case LongType | TimestampType | TimestampNTZType => x.asInstanceOf[Long]
           case StringType => UTF8String.fromBytes(x.asInstanceOf[Array[Byte]])
+          case dt: DecimalType => org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(x.asInstanceOf[java.math.BigDecimal]),
+            dt.precision, dt.scale)
           case _ => return null // unreachable under domain guard
         }
       }

@@ -1059,6 +1059,52 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readTableFeed(spark, root, "bk2").count() === 1001)
   }
 
+  test("bucket_by: mergeBranch takes the exchange-free 3-way path, conflicts intact") {
+    import graft.lake.BucketLayout
+    import org.apache.spark.sql.graft.BucketedMerge
+    val root = scratch()
+    Lake.setTableProperties(spark, root, "m_src", Map(BucketLayout.Prop -> "k:8"))
+    def bucketed(name: String, df: org.apache.spark.sql.DataFrame) =
+      Lake.writeTableSnapshot(
+        Lake.applyClusterPolicy(spark, root, name, df), root, name)
+    def gen(f: Long => String) =
+      (1L to 600L).map(i => (i, f(i))).toDF("k", "v")
+    bucketed("m_src", gen(_ => "base"))
+    Lake.cloneTable(spark, root, "m_src", "m_br")
+    assert(Lake.tableProperties(spark, root, "m_br")
+      .get(BucketLayout.Prop).contains("k:8"),
+      "a branch must inherit the source's write policies")
+    // diverge on DISJOINT key ranges
+    bucketed("m_br", gen(i => if (i <= 100) "branch" else "base"))
+    bucketed("m_src", gen(i => if (i > 500) "src" else "base"))
+
+    BucketedMerge.lastMerge3Buckets.set(-1)
+    val v = Lake.mergeBranch(spark, root, "m_src", "m_br", Seq("k"))
+    assert(BucketedMerge.lastMerge3Buckets.get() === 8,
+      "three bucket-aligned snapshots must merge through the 3-way zip")
+    val merged = Lake.readTableFeed(spark, root, "m_src", Some(v))
+    assert(merged.count() === 600)
+    val byV = merged.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byV === Map("branch" -> 100L, "base" -> 400L, "src" -> 100L),
+      s"merge result: $byV")
+    assert(BucketLayout.layoutOf(spark, root, "m_src", v).isDefined,
+      "the merged commit must come out bucketed again")
+
+    // conflicting divergence still throws with a key sample
+    Lake.cloneTable(spark, root, "m_src", "m_br2")
+    bucketed("m_br2", Lake.readTableFeed(spark, root, "m_br2")
+      .withColumn("v", when(col("k") === 42L, lit("B")).otherwise(col("v"))))
+    bucketed("m_src", Lake.readTableFeed(spark, root, "m_src")
+      .withColumn("v", when(col("k") === 42L, lit("S")).otherwise(col("v"))))
+    BucketedMerge.lastMerge3Buckets.set(-1)
+    val e = intercept[IllegalStateException] {
+      Lake.mergeBranch(spark, root, "m_src", "m_br2", Seq("k"))
+    }
+    assert(e.getMessage.contains("(42)") && BucketedMerge.lastMerge3Buckets.get() === 8,
+      s"the bucketed path must surface the conflicting key: ${e.getMessage}")
+  }
+
   test("versionChanges is manifest-aware: each step scans only changed files") {
     import graft.lake.{CopyOnWrite, MergeOnRead}
     val root = scratch()

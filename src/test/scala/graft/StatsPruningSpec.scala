@@ -75,6 +75,29 @@ class StatsPruningSpec extends SparkSpec {
     assert(k2 <= 2, s"prefix predicate admitted $k2/8")
   }
 
+  test("decimal columns prune and answer metadata MIN/MAX (the money domain)") {
+    import org.apache.spark.sql.functions.col
+    Lake.writeTableSnapshot(
+      spark.range(0, 4000).select(col("id").as("k"),
+        (col("id") * 1.5).cast("decimal(12,2)").as("price"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, "st_dec")
+    GraftCatalog.lastStatsPrune.set((0, 0))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tables.st_dec " +
+      "WHERE price BETWEEN 1500.00 AND 1648.50").head().getLong(0) === 100)
+    val (kept, total) = prune()
+    assert(total === 8 && kept <= 2,
+      s"a narrow decimal range over price-clustered files admitted $kept/$total")
+    GraftCatalog.lastMetaAggregate.set(0)
+    val r = spark.sql(
+      s"SELECT min(price) AS mn, max(price) AS mx FROM $cat.tables.st_dec").head()
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.00")) === 0 &&
+      r.getDecimal(1).compareTo(new java.math.BigDecimal("5998.50")) === 0)
+    assert(GraftCatalog.lastMetaAggregate.get() === 2,
+      "decimal MIN/MAX must answer from the sidecar (stats are exact — " +
+        "fixed-width, never truncated)")
+  }
+
   test("empty candidate set still yields a correct empty result") {
     GraftCatalog.lastStatsPrune.set((0, 0))
     assert(spark.sql(
