@@ -1122,15 +1122,24 @@ object Lake {
       // disjoint slice of the cluster key — parquet footer min/max then
       // prunes whole files for key-range queries (the OPTIMIZE ... ZORDER
       // trade: rewrite cost now, scan cost forever after)
+      val props = tableProperties(spark, root, name)
+      val zOrdered = props.get(ClusterByProp).exists(
+        _.trim.toLowerCase.startsWith("zorder("))
       val shaped =
         if (clusterBy.nonEmpty) resolved
           .repartitionByRange(parts, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
-        else if (BucketLayout.spec(tableProperties(spark, root, name)).isDefined)
+        else if (BucketLayout.spec(props).isDefined)
           // a bucketed table compacts INTO its layout (one file per
           // bucket) — folding MOR chains must not cost the exchange-free
           // diff/probe paths their mapping
           BucketLayout.applyPolicy(spark, root, name, resolved)
+        else if (zOrdered)
+          // a zorder table compacts by RE-INTERLEAVING the whole snapshot
+          // (the OPTIMIZE ... ZORDER maintenance shape): per-epoch writes
+          // z-cluster only their own batch, so periodic compaction is
+          // what restores global multi-dimensional pruning
+          applyClusterPolicy(spark, root, name, resolved)
         else resolved.coalesce(parts)
       writeTableSnapshotIf(shaped, root, name, expectedLatest = base, retentionVersions)
     }

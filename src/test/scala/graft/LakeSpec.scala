@@ -1057,6 +1057,21 @@ class LakeSpec extends SparkSpec {
     assert(BucketLayout.layoutOf(spark, root, "bk2", packed).isDefined,
       "compaction on a bucketed table must preserve the bucket mapping")
     assert(Lake.readTableFeed(spark, root, "bk2").count() === 1001)
+
+    // MULTI-FILE buckets: an epoch append carries the base per bucket, so
+    // a bucket now holds two sorted runs — the kernel must merge them
+    // (the in-partition sort), still without a shuffle
+    CopyOnWrite.appendEpoch(
+      Seq((3000L, "e1"), (3001L, "e2")).toDF("k", "x"), root, "bk2", "s", 0)
+    val v6 = Lake.latestVersion(spark, root, "bk2").get
+    assert(BucketLayout.layoutOf(spark, root, "bk2", v6).isDefined)
+    val d2 = Lake.versionDiff(spark, root, "bk2", packed, v6, Seq("k"))
+    assert(!org.apache.spark.sql.graft.BucketedMerge
+      .hasShuffle(d2.queryExecution.toRdd))
+    val counts2 = d2.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts2 === Map("inserted" -> 2L, "unchanged" -> 1001L),
+      s"append step over multi-file buckets: $counts2")
   }
 
   test("bucket_by: mergeBranch takes the exchange-free 3-way path, conflicts intact") {
@@ -1103,6 +1118,32 @@ class LakeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("(42)") && BucketedMerge.lastMerge3Buckets.get() === 8,
       s"the bucketed path must surface the conflicting key: ${e.getMessage}")
+  }
+
+  test("compaction re-interleaves zorder tables (OPTIMIZE-ZORDER shape)") {
+    import graft.lake.{CopyOnWrite, StatsSidecar}
+    val root = scratch()
+    Lake.setTableProperties(spark, root, "zc",
+      Map(Lake.ClusterByProp -> "zorder(k,u)"))
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, i * 2654435761L % 100000L)).toDF("k", "u")
+    Lake.writeTableSnapshot(
+      Lake.applyClusterPolicy(spark, root, "zc", batch(0, 3999)), root, "zc")
+    CopyOnWrite.appendEpoch(batch(4000, 7999), root, "zc", "s", 0)
+    val packed = Lake.compactTable(spark, root, "zc")
+    val back = Lake.readTableFeed(spark, root, "zc", Some(packed))
+    assert(back.count() === 8000)
+    // the re-interleave restores GLOBAL tiling: a narrow u-range over the
+    // compacted files admits a strict subset (per-epoch z-clustering
+    // alone cannot promise that across epochs)
+    val files = Lake.snapshotFiles(spark, root, "zc", packed)
+    if (files.size >= 4) {
+      val admitted = StatsSidecar.candidateFiles(spark, files, back.schema,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("u", 40000L),
+          org.apache.spark.sql.sources.LessThanOrEqual("u", 44999L)))
+      assert(admitted.size < files.size,
+        s"compacted zorder files must tile u: ${admitted.size}/${files.size}")
+    }
   }
 
   test("versionChanges is manifest-aware: each step scans only changed files") {
