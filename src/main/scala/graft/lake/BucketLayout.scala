@@ -219,14 +219,23 @@ object BucketLayout {
     * one tiny agg computes the DISTINCT buckets of the source's keys
     * (≤ N ints on the driver, however large the source), and only those
     * buckets' files are probed. None of it reads the target.
+    *
+    * `targetKeyType` guards soundness: murmur3 hashes the PHYSICAL type,
+    * so a source whose key column differs from the target's (an Int
+    * source against a Long target — the join itself would coerce and
+    * match) must not prune by the source-typed hash; such calls admit
+    * everything.
     */
   def filesForKeys(
       spark: SparkSession, files: Seq[String],
-      keys: org.apache.spark.sql.DataFrame, keyCol: String): Seq[String] =
+      keys: org.apache.spark.sql.DataFrame,
+      targetSchema: org.apache.spark.sql.types.StructType): Seq[String] =
     layoutForFiles(spark, files) match {
-      case Some((c, n, mapping)) if c.equalsIgnoreCase(keyCol) ||
-          keys.columns.exists(_.equalsIgnoreCase(c)) =>
-        val kc = keys.columns.find(_.equalsIgnoreCase(c)).getOrElse(keyCol)
+      case Some((c, n, mapping)) if keys.columns.exists(_.equalsIgnoreCase(c)) =>
+        val kc = keys.columns.find(_.equalsIgnoreCase(c)).get
+        val targetType = targetSchema.fields
+          .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        if (!targetType.contains(keys.schema(kc).dataType)) return files
         val buckets =
           try keys.select(pmod(hash(col(kc)), lit(n)).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet

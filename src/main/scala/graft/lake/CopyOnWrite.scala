@@ -449,7 +449,9 @@ object CopyOnWrite {
     // yields the source keys' distinct buckets (≤ N ints, whatever the
     // source size) and only those buckets' files are scanned — a small
     // MERGE into a 100 TB bucketed table probes its buckets, not the table
-    val probeFiles = BucketLayout.filesForKeys(spark, files, srcKeys, keys.head)
+    val targetSchema = declared.map(Lake.visibleSchema)
+      .getOrElse(spark.read.parquet(files.head).schema)
+    val probeFiles = BucketLayout.filesForKeys(spark, files, srcKeys, targetSchema)
     val touched =
       if (probeFiles.isEmpty) Nil
       else Lake.readFiles(spark, probeFiles, declared, withMeta = true)
@@ -458,8 +460,6 @@ object CopyOnWrite {
         .select("_gf").distinct().collect().map(_.getString(0)).toSeq
     val touchedSet = touched.map(norm).toSet
     val carried = files.filterNot(p => touchedSet.contains(norm(p)))
-    val targetSchema = declared.map(Lake.visibleSchema)
-      .getOrElse(spark.read.parquet(files.head).schema)
     val matched = col("s._s_matched").isNotNull
     val deleteCond = matchedDeleteCond
       .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
@@ -492,9 +492,15 @@ object CopyOnWrite {
         // NOT MATCHED inserts: a matched source key necessarily lives in a
         // touched file, so anti-joining against the full target key set
         // equals anti-joining against the touched files' keys — the scan
-        // is key-column-pruned either way. Deletes applied: a key whose
+        // is key-column-pruned either way, and on a BUCKETED target it
+        // shrinks further to the source keys' buckets (a key's rows can
+        // only live in its bucket's files). Deletes applied: a key whose
         // only target rows are MOR-deleted is NOT MATCHED and must insert.
-        val targetKeys = MergeOnRead.readWithDeletes(spark, files, del, eq, declared)
+        val targetKeys =
+          (if (probeFiles.isEmpty)
+             MergeOnRead.readWithDeletes(spark, Seq(files.head), None, None, declared)
+               .limit(0)
+           else MergeOnRead.readWithDeletes(spark, probeFiles, del, eq, declared))
           .select(keys.map(col).toIndexedSeq: _*).distinct()
         val inserts = source.join(targetKeys, keys.toIndexedSeq, "left_anti")
           .select(targetSchema.fieldNames.map(col).toIndexedSeq: _*)

@@ -1035,10 +1035,15 @@ class LakeSpec extends SparkSpec {
 
     // a MERGE source's keys name their buckets: the probe opens only those
     val srcKeys = Seq(500L, 777L).toDF("k")
-    val ff = BucketLayout.filesForKeys(spark, files, srcKeys, "k")
+    val ff = BucketLayout.filesForKeys(spark, files, srcKeys, schema)
     assert(ff.nonEmpty && ff.size < files.size &&
       ff.map(mapping).distinct.size <= 2,
       s"two keys must probe at most two buckets: ${ff.size}/${files.size}")
+    // murmur3 hashes the PHYSICAL type: a source keyed Int against the
+    // Long target must NOT prune (the join itself would coerce and match)
+    assert(BucketLayout.filesForKeys(
+      spark, files, Seq(500).toDF("k"), schema) === files,
+      "a type-mismatched source must admit every file")
 
     // end-to-end MERGE on the bucketed base (restricted probe) stays right
     CopyOnWrite.mergeInto(spark, root, "bk2",
