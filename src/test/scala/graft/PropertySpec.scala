@@ -177,4 +177,100 @@ class PropertySpec extends SparkSpec {
     assert(flags(scala.util.Random.javaRandomToRandom(
       new java.util.Random(3)).shuffle(ev), 7) === base)
   }
+
+  test("versionChanges ≡ the full-snapshot diff on random mutation histories") {
+    // the manifest-aware step diff (and, bucketed, the zipped kernel) must
+    // agree with an INDEPENDENT full-two-snapshot recompute for every
+    // adjacent version pair of an arbitrary op sequence — rewrites, COW
+    // updates/deletes, MOR position + equality deletes, epoch appends
+    import graft.lake.{BucketLayout, CopyOnWrite, Lake, MergeOnRead}
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+
+    def fullDiffReference(root: String, name: String, a: Int, b: Int)
+        : Set[(Long, String, String)] = {
+      val o = Lake.readTableFeed(spark, root, name, Some(a))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val n = Lake.readTableFeed(spark, root, name, Some(b))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val keys = o.keySet ++ n.keySet
+      keys.flatMap { k =>
+        (o.get(k), n.get(k)) match {
+          case (None, Some(v)) => Some((k, v, "inserted"))
+          case (Some(v), None) => Some((k, v, "deleted"))
+          case (Some(x), Some(y)) if x != y => Some((k, y, "updated"))
+          case _ => None
+        }
+      }
+    }
+
+    def run(seed: Int, bucketed: Boolean): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_vc_prop_$seed").toString
+      val name = "t"
+      if (bucketed)
+        Lake.setTableProperties(spark, root, name, Map(BucketLayout.Prop -> "k:4"))
+      val rng = new scala.util.Random(seed)
+      var epoch = 0L // appendEpoch ids must be monotone per sink
+      def df(rows: Seq[(Long, String)]) = rows.toDF("k", "x")
+      var model = (1L to 120L).map(i => i -> s"v$i").toMap
+      Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, name,
+        df(model.toSeq)), root, name, retentionVersions = 100)
+      (1 to 7).foreach { _ =>
+        rng.nextInt(5) match {
+          case 0 => // full rewrite: drop a random slice, touch another
+            val lo = rng.nextInt(100).toLong
+            model = model.filter(_._1 != lo) ++
+              model.keys.filter(_ % 17 == 0).map(k => k -> s"rw$k")
+            Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, name,
+              df(model.toSeq)), root, name, retentionVersions = 100)
+          case 1 => // COW update of one key
+            val k = model.keys.toSeq(rng.nextInt(model.size))
+            model = model.updated(k, s"up$k")
+            CopyOnWrite.updateWhere(spark, root, name,
+              col("k") === k, Seq("x" -> concat(lit("up"), lit(k))),
+              retentionVersions = 100)
+          case 2 => // MOR position delete
+            val k = model.keys.toSeq(rng.nextInt(model.size))
+            model = model - k
+            MergeOnRead.deleteWhere(spark, root, name, col("k") === k,
+              retentionVersions = 100)
+          case 3 => // equality delete of up to 3 keys
+            val ks = rng.shuffle(model.keys.toSeq).take(1 + rng.nextInt(3))
+            model = model -- ks
+            MergeOnRead.deleteByKeys(spark, root, name, ks.toDF("k"),
+              retentionVersions = 100)
+          case 4 => // epoch append of fresh keys
+            val base = 1000L + rng.nextInt(10000)
+            val fresh = (base to base + 4).filterNot(model.contains)
+              .map(i => i -> s"new$i")
+            if (fresh.nonEmpty) {
+              model = model ++ fresh
+              epoch += 1
+              CopyOnWrite.appendEpoch(df(fresh), root, name,
+                "p", epoch, retentionVersions = 100)
+            }
+        }
+      }
+      val vs = Lake.versions(spark, root, name)
+      vs.sliding(2).foreach { case Seq(a, b) =>
+        val actual = Lake.versionChanges(spark, root, name, a, b, Seq("k"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        val expected = fullDiffReference(root, name, a, b)
+        assert(actual === expected,
+          s"seed=$seed bucketed=$bucketed step v$a->v$b diverged:\n" +
+            s"  only-actual: ${(actual -- expected).take(5)}\n" +
+            s"  only-expected: ${(expected -- actual).take(5)}")
+      case _ => ()
+      }
+      // the cumulative feed composes the same steps
+      val total = Lake.tableChanges(spark, root, name, vs.head, Seq("k")).count()
+      val perStep = vs.sliding(2).map { case Seq(a, b) =>
+        fullDiffReference(root, name, a, b).size
+      case _ => 0 }.sum
+      assert(total === perStep)
+    }
+
+    Seq(11, 23).foreach(run(_, bucketed = false))
+    run(37, bucketed = true)
+  }
 }
