@@ -244,7 +244,25 @@ object BucketLayout {
       case _ => files
     }
 
+  /** Version dirs are immutable after commit: parsed bucket sidecars
+    * cache by dir (the [[StatsSidecar]] pattern — cleared wholesale past
+    * a bound, a leak stop not an LRU). Pruning consults the layout on
+    * every scan, so the cache keeps that at zero filesystem calls after
+    * first touch.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(String, Int, Map[String, Int])]]()
+
+  private[graft] def clearCache(): Unit = cache.clear()
+
   private def readSidecar(
+      spark: SparkSession, dir: Path): Option[(String, Int, Map[String, Int])] = {
+    val key = fs(spark, dir.toString).makeQualified(dir).toString
+    if (cache.size > 4096) cache.clear()
+    cache.computeIfAbsent(key, _ => readSidecarUncached(spark, dir))
+  }
+
+  private def readSidecarUncached(
       spark: SparkSession, dir: Path): Option[(String, Int, Map[String, Int])] =
     try {
       import org.json4s._

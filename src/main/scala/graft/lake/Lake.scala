@@ -1585,15 +1585,25 @@ object Lake {
   }
 
   /** `(path, length)` lists aligned by bucket id (empty-file `-1` entries
-    * hold no rows and are soundly dropped).
+    * hold no rows and are soundly dropped). File lengths come from ONE
+    * listing per distinct version dir, not a per-file status RPC — the
+    * cost class that matters on object stores with 10⁶-file snapshots.
     */
   private def groupedByBucket(
       spark: SparkSession, mapping: Map[String, Int],
       n: Int): IndexedSeq[Seq[(String, Long)]] = {
-    val sized = mapping.toSeq.map { case (p, b) =>
-      val f = fs(spark, p)
-      (p, f.getFileStatus(new Path(p)).getLen, b)
+    val lens: Map[String, Long] = mapping.keys
+      .groupBy(p => new Path(p).getParent).flatMap { case (dir, _) =>
+        val f = fs(spark, dir.toString)
+        f.listStatus(dir).filter(_.isFile)
+          .map(st => f.makeQualified(st.getPath).toString -> st.getLen)
+      }
+    val sized = mapping.toSeq.flatMap { case (p, b) =>
+      lens.get(p).map(len => (p, len, b))
     }
+    require(sized.size == mapping.size,
+      s"bucketed read: ${mapping.size - sized.size} mapped files missing " +
+        "from their dirs (concurrent prune?) — re-run against the current latest")
     (0 until n).map(b => sized.collect { case (p, len, `b`) => (p, len) })
   }
 
