@@ -109,5 +109,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // generator; the typed API takes the caller's matrix
         HyperplaneSignature(children.head, graft.ext.Similarity.planeMatrix(8))
       }))
+    // TABLE-VALUED FUNCTION `table_changes(...)` — the pure-SQL CDF
+    // surface (the Delta TVF shape): `spark.read` options cannot be
+    // expressed in SQL text, so incremental CDF would otherwise be
+    // API-only. Foldable-literal arguments; the returned plan is the
+    // change feed's own resolved plan, so ReadGuard/ReadAudit see every
+    // underlying scan — the TVF cannot launder a denied read.
+    //   table_changes('<catalog>.<ns>.<table>', start)                -- start=0: snapshot
+    //   table_changes('<cat>.<ns>.<t>', start, 'k1,k2')               -- incremental
+    //   table_changes('<cat>.<ns>.<t>', start, end, 'k1,k2')          -- bounded
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.GraftExtensions", "table_changes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def lit(i: Int): Any = children(i) match {
+          case l: Literal => l.value
+          case e => throw new IllegalArgumentException(
+            s"table_changes: argument ${i + 1} must be a literal, got $e")
+        }
+        def str(i: Int): String = lit(i) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes: argument ${i + 1} must be a string, got $other")
+        }
+        def int(i: Int): Int = lit(i) match {
+          case n: Int => n
+          case n: Long => n.toInt
+          case other => throw new IllegalArgumentException(
+            s"table_changes: argument ${i + 1} must be an integer version, got $other")
+        }
+        require(children.size >= 2 && children.size <= 4,
+          "table_changes('<cat>.<ns>.<table>', start [, end] [, 'k1,k2'])")
+        val parts = str(0).split('.')
+        require(parts.length >= 2,
+          s"table_changes: '${str(0)}' must be '<catalog>.[<ns>.]<table>'")
+        val (cat, table) = (parts.head, parts.last)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_changes: '$cat' is not a configured graft catalog"))
+        val start = int(1)
+        // 3rd argument disambiguates by type: integer = endingVersion,
+        // string = keyColumns
+        var end: Option[Int] = None
+        var keys: Seq[String] = Nil
+        children.drop(2).zipWithIndex.foreach { case (_, j) =>
+          lit(j + 2) match {
+            case n: Int => end = Some(n)
+            case n: Long => end = Some(n.toInt)
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              keys = s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            case other => throw new IllegalArgumentException(
+              s"table_changes: unexpected argument $other")
+          }
+        }
+        val upper = end.getOrElse(
+          graft.lake.Lake.latestVersion(spark, root, table).getOrElse(0))
+        org.apache.spark.sql.graft.GraftChangeFeed
+          .changesBetween(spark, root, table, keys, start, upper)
+          .queryExecution.logical
+      }))
   }
 }

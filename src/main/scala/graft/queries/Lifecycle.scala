@@ -3046,7 +3046,42 @@ object Lifecycle {
       |FROM v1 FULL JOIN v2 ON v1.k = v2.k
       |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.v <> v2.v""".stripMargin
 
+  /** A41 — `table_changes(...)` as a pure-SQL table-valued function (the
+    * Delta TVF shape): read options cannot be spelled in SQL text, so
+    * without it incremental CDF is API-only. Same diff machinery, same
+    * oracle discipline.
+    */
+  def tableChangesSql(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a41_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val k = col("o_orderkey")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Lake.writeTableSnapshot(o.filter(k <= 1000), root, "cdfq")
+    Lake.writeTableSnapshot(
+      o.filter(k <= 1200).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), root, "cdfq")
+    s.sql(s"SELECT o_orderkey, o_totalprice, change, change_version " +
+      s"FROM table_changes('$cat.tables.cdfq', 1, 'o_orderkey')")
+  }
+
+  val tableChangesSqlOracle: String =
+    """WITH g2 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 501 AND 1000
+      |              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey <= 1200)
+      |SELECT o_orderkey, o_totalprice, 'updated' AS change, 2 AS change_version
+      |FROM g2 WHERE o_orderkey BETWEEN 501 AND 1000
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'inserted', 2
+      |FROM g2 WHERE o_orderkey BETWEEN 1001 AND 1200""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "a41_table_changes_sql" -> (tableChangesSql _),
     "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
     "a38_cdf_mirror" -> (cdfMirror _),
@@ -3112,6 +3147,7 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "a41_table_changes_sql" -> tableChangesSqlOracle,
     "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,
     "a38_cdf_mirror" -> cdfMirrorOracle,

@@ -165,6 +165,32 @@ class ChangeFeedSpec extends SparkSpec {
     assert(spark.read.schema(sink.schema).parquet(out).count() === 12)
   }
 
+  test("table_changes TVF: pure-SQL incremental CDF") {
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cft")
+    Lake.writeTableSnapshot(
+      Seq((1L, "A"), (3L, "c")).toDF("k", "v"), root, "cft")
+    val rows = spark.sql(
+      s"SELECT k, v, change, change_version " +
+        s"FROM table_changes('$cat.tables.cft', 1, 'k') ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows.toSeq === Seq(
+      (1L, "A", "updated", 2), (2L, "b", "deleted", 2), (3L, "c", "inserted", 2)))
+    // start=0 is the keyless snapshot form; an explicit end bounds the range
+    assert(spark.sql(
+      s"SELECT * FROM table_changes('$cat.tables.cft', 0)").count() === 2)
+    assert(spark.sql(
+      s"SELECT * FROM table_changes('$cat.tables.cft', 1, 1, 'k')").count() === 0)
+    // it composes like any relation — joins, aggregates, CTEs
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM table_changes('$cat.tables.cft', 1, 'k') " +
+        "WHERE change <> 'deleted'").head().getLong(0) === 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nocat.tables.x', 1, 'k')").collect()
+    }
+    assert(e.getMessage.contains("not a configured graft catalog"))
+  }
+
   test("startingVersion=latest streams only future commits") {
     Lake.writeTableSnapshot(Seq((1L, "a")).toDF("k", "v"), root, "cfl")
     val ck = Files.createTempDirectory("graft_cfl_ck_").toString
