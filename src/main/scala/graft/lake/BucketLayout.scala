@@ -180,6 +180,21 @@ object BucketLayout {
     * Conservative: no layout, no prunable conjunct, or a type mismatch
     * admits everything.
     */
+  /** Whether filter/source attribute `a` names the bucket column `c`,
+    * honoring the session's `spark.sql.caseSensitive` AND refusing the
+    * case-insensitive match when the schema carries a case-colliding
+    * sibling (columns `k` and `K`): matching ignore-case there would
+    * treat a predicate on the NON-bucket sibling as a bucket predicate
+    * and prune files by a hash of the wrong column's values.
+    */
+  private def namesBucketCol(
+      spark: SparkSession, a: String, c: String,
+      columns: Seq[String]): Boolean =
+    if (a == c) true
+    else if (spark.sessionState.conf.caseSensitiveAnalysis) false
+    else a.equalsIgnoreCase(c) &&
+      columns.count(_.equalsIgnoreCase(c)) <= 1
+
   def filterCandidates(
       spark: SparkSession, files: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
@@ -188,15 +203,17 @@ object BucketLayout {
     layoutForFiles(spark, files) match {
       case None => files
       case Some((c, n, mapping)) =>
+        val names = schema.fields.map(_.name).toSeq
+        def binds(a: String): Boolean = namesBucketCol(spark, a, c, names)
         val dt = schema.fields.find(_.name == c)
-          .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
+          .orElse(schema.fields.find(f => binds(f.name)))
           .map(_.dataType).getOrElse(return files)
         def bucketsOf(f: Filter): Option[Set[Int]] = f match {
-          case EqualTo(a, v) if a == c || a.equalsIgnoreCase(c) =>
+          case EqualTo(a, v) if binds(a) =>
             bucketOfValue(v, dt, n).map(Set(_))
-          case EqualNullSafe(a, v) if v != null && (a == c || a.equalsIgnoreCase(c)) =>
+          case EqualNullSafe(a, v) if v != null && binds(a) =>
             bucketOfValue(v, dt, n).map(Set(_))
-          case In(a, vs) if a == c || a.equalsIgnoreCase(c) =>
+          case In(a, vs) if binds(a) =>
             val bs = vs.toSeq.filter(_ != null).map(bucketOfValue(_, dt, n))
             if (bs.isEmpty || bs.exists(_.isEmpty)) None
             else Some(bs.flatten.toSet)
@@ -231,10 +248,14 @@ object BucketLayout {
       keys: org.apache.spark.sql.DataFrame,
       targetSchema: org.apache.spark.sql.types.StructType): Seq[String] =
     layoutForFiles(spark, files) match {
-      case Some((c, n, mapping)) if keys.columns.exists(_.equalsIgnoreCase(c)) =>
-        val kc = keys.columns.find(_.equalsIgnoreCase(c)).get
+      case Some((c, n, mapping)) if keys.columns.exists(a =>
+          namesBucketCol(spark, a, c, keys.columns.toSeq)) =>
+        val kc = keys.columns.find(a =>
+          namesBucketCol(spark, a, c, keys.columns.toSeq)).get
+        val targetNames = targetSchema.fields.map(_.name).toSeq
         val targetType = targetSchema.fields
-          .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .find(f => namesBucketCol(spark, f.name, c, targetNames))
+          .map(_.dataType)
         if (!targetType.contains(keys.schema(kc).dataType)) return files
         val buckets =
           try keys.select(pmod(hash(col(kc)), lit(n)).as("b"))

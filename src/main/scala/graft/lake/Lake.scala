@@ -78,14 +78,19 @@ object Lake {
     // the version commits use, so two concurrent ALTER TABLE SET/UNSET
     // TBLPROPERTIES serialize instead of silently losing one writer's
     // merge. Holders release in a finally; a crashed holder's stale lock
-    // is broken after ~1s of retries (property writes are sub-millisecond,
-    // so a second-old lock is a corpse, not a writer).
+    // is broken only once its modification time ages past a threshold —
+    // a cumulative-failure counter alone would let a waiter shoot a LIVE
+    // holder under sustained contention (each new holder resets the age,
+    // not the counter). Property writes are sub-millisecond, so a lock
+    // 2s old is a corpse, not a writer.
     val lock = new Path(tdir, ".props_lock")
-    var attempts = 0
+    val staleMs = 2000L
     while (!claimExclusive(f, lock)) {
-      attempts += 1
-      if (attempts > 50) { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
-      else Thread.sleep(20)
+      val stale =
+        try f.getFileStatus(lock).getModificationTime < System.currentTimeMillis() - staleMs
+        catch { case _: java.io.IOException => false } // vanished: holder released; re-claim
+      if (stale) { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
+      Thread.sleep(20)
     }
     try writePropsLocked(spark, root, name, set, remove)
     finally { try f.delete(lock, false) catch { case _: java.io.IOException => () } }
@@ -1577,10 +1582,30 @@ object Lake {
       (cA, nA, mapA) <- BucketLayout.layoutOf(spark, root, name, vOld)
       (cB, nB, mapB) <- BucketLayout.layoutOf(spark, root, name, vNew)
       if cA == cB && nA == nB && keys.contains(cA)
-    } yield {
-      val schema = dA.map(visibleSchema).getOrElse(
+      schema = dA.map(visibleSchema).getOrElse(
         spark.read.parquet(mapA.keys.head).schema)
+      // the bucketed kernel classifies `updated` by UnsafeRow BYTE equality
+      // of the value projection; MapType's binary encoding is not canonical
+      // per logical value (a rewrite may reorder entries), so a map-bearing
+      // payload must take the join path — both CDF callers then classify a
+      // reordered-map row the same way, instead of the bucketed path alone
+      // surfacing spurious `updated` rows after a compaction
+      if !schema.fields.filterNot(f => keys.contains(f.name))
+        .exists(f => hasMapType(f.dataType))
+    } yield
       (groupedByBucket(spark, mapA, nA), groupedByBucket(spark, mapB, nA), schema)
+  }
+
+  /** True when a type transitively contains a MapType — the one Catalyst
+    * type whose Unsafe encoding is not canonical per logical value.
+    */
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMapType(et)
+      case StructType(fields) => fields.exists(f => hasMapType(f.dataType))
+      case _ => false
     }
   }
 
@@ -1664,7 +1689,8 @@ object Lake {
     */
   def versionChanges(
       spark: SparkSession, root: String, name: String,
-      vOld: Int, vNew: Int, keys: Seq[String]): DataFrame = {
+      vOld: Int, vNew: Int, keys: Seq[String],
+      preimages: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "versionChanges: keys must be non-empty")
     def norm(p: String) = new Path(p).toUri.getPath
     val filesA = snapshotFiles(spark, root, name, vOld)
@@ -1677,7 +1703,7 @@ object Lake {
     // full-republish steps between BUCKETED snapshots skip the keyed join
     // entirely — the per-bucket zipped merge is exchange-free AND yields
     // the images directly
-    if (shared.isEmpty)
+    if (shared.isEmpty && !preimages)
       bucketedSides(spark, root, name, vOld, vNew, keys).foreach {
         case (ob, nb, schema) =>
           return org.apache.spark.sql.graft.BucketedMerge
@@ -1721,10 +1747,29 @@ object Lake {
       .when(col("_p_o") =!= col("_p_n"), "updated")
       .otherwise("unchanged")
     val img = when(change === "deleted", col("_r_o")).otherwise(col("_r_n"))
-    j.withColumn("_chg", change)
-      .filter(col("_chg") =!= "unchanged")
-      .select((keys ++ valueCols).map(c => img.getField(c).as(c)) :+
+    val chset = j.withColumn("_chg", change).filter(col("_chg") =!= "unchanged")
+    if (!preimages)
+      chset.select((keys ++ valueCols).map(c => img.getField(c).as(c)) :+
         col("_chg").as("change"): _*)
+    else {
+      // Delta-CDF-shaped emission: an update yields BOTH images —
+      // `update_preimage` (old) and `update_postimage` (new) — in one pass
+      // over the joined change set (array + explode, no second join).
+      // Consumers that maintain derived state under key-moving updates
+      // (summary refresh: a row whose GROUP key changed must debit the old
+      // group) need the preimage; plain image consumers keep the default.
+      def one(r: org.apache.spark.sql.Column, c: String) =
+        array(struct(r.as("r"), lit(c).as("c")))
+      val rows = when(col("_chg") === "updated",
+          array(struct(col("_r_o").as("r"), lit("update_preimage").as("c")),
+            struct(col("_r_n").as("r"), lit("update_postimage").as("c"))))
+        .when(col("_chg") === "deleted", one(col("_r_o"), "deleted"))
+        .otherwise(one(col("_r_n"), "inserted"))
+      chset.select(explode(rows).as("_e"))
+        .select((keys ++ valueCols).map(c =>
+          col("_e").getField("r").getField(c).as(c)) :+
+          col("_e").getField("c").as("change"): _*)
+    }
   }
 
   /** Rows of SHARED (carried) files whose merge-on-read liveness differs

@@ -3080,7 +3080,149 @@ object Lifecycle {
       |SELECT o_orderkey, o_totalprice, 'inserted', 2
       |FROM g2 WHERE o_orderkey BETWEEN 1001 AND 1200""".stripMargin
 
+  /** A42 — STORAGE-PARTITIONED JOIN: two `bucket_by='…:8'` tables joined
+    * on the bucket key plan with ZERO exchanges on either side — the scan
+    * reports its verified `_buckets.json` layout as a
+    * `KeyGroupedPartitioning(bucket(8, key))` and Spark's SPJ machinery
+    * (`spark.sql.sources.v2.bucketing.enabled`) elides both shuffles AND
+    * the group-by's. The gate requires the exchange-free plan, then
+    * materializes UNDER those confs so the hashed rows are the rows that
+    * plan produced; the oracle recomputes the join+agg in DuckDB.
+    */
+  def spjJoin(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a42_")
+    import graft.lake.BucketLayout
+    def bucketed(name: String, keyCol: String, df: DataFrame): Unit = {
+      Lake.setTableProperties(s, root, name, Map(BucketLayout.Prop -> s"$keyCol:8"))
+      Lake.writeTableSnapshot(
+        Lake.applyClusterPolicy(s, root, name, df), root, name)
+    }
+    bucketed("spj_cust", "c_custkey",
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .filter(col("c_custkey") <= 3000))
+    bucketed("spj_ord", "o_custkey",
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_custkey") <= 3000))
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = s.sql(
+        s"""SELECT o.o_custkey, max(c.c_name) AS c_name, COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $cat.tables.spj_ord o JOIN $cat.tables.spj_cust c
+           |  ON o.o_custkey = c.c_custkey
+           |GROUP BY o.o_custkey""".stripMargin)
+      require(q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, "storage-partitioned join must plan with zero exchanges")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 4), q.schema)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  val spjJoinOracle: String =
+    """SELECT o_custkey, MAX(c_name) AS c_name, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_custkey <= 3000
+      |GROUP BY o_custkey""".stripMargin
+
+  /** W — CDF-DRIVEN summary maintenance: the materialized view stays
+    * correct under file-granular UPDATE / DELETE / MERGE on its base (the
+    * reference's aggregate tables are ksqlDB tables — continuously
+    * maintained under upserts, data_lake_config.py:82-115 /
+    * sync_to_mysql.py:41-83), not just under appends. The flow the gate
+    * pins: create summary over a catalog table → mutate the base three
+    * ways through SQL → the rewrite DECLINES while stale (hard require —
+    * freshness is fail-closed) → [[graft.warehouse.SummaryRewrite
+    * .refreshFromChanges]] folds the change feed in O(changed groups) →
+    * the rewrite fires again and the served aggregates hash-match a full
+    * recompute in DuckDB.
+    */
+  def mvCdfRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = scratch("graft_mvc_")
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+    Lake.writeTableSnapshot(o.filter(col("o_orderkey") <= 2000), root, "mvbase")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      SummaryRewrite.createForTable(s, "mv_cdf_prio", root, "mvbase", s"$root/mv",
+        keys = Seq("o_orderpriority"), rowKeys = Seq("o_orderkey"),
+        sums = Seq("o_totalprice" -> Some("decimal(18,2)")),
+        mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"))
+      // money arithmetic normalizes through decimal(18,2) (the a26 MERGE
+      // convention) so the double and decimal money profiles agree
+      s.sql(s"UPDATE $cat.tables.mvbase " +
+        "SET o_totalprice = CAST(o_totalprice * 2 AS DECIMAL(18,2)) " +
+        "WHERE o_orderkey BETWEEN 101 AND 200")
+      s.sql(s"DELETE FROM $cat.tables.mvbase WHERE o_orderkey BETWEEN 301 AND 400")
+      // the MERGE moves rows BETWEEN groups (priority change) and inserts
+      // new ones — the mutations MIN/MAX-bearing summaries cannot absorb
+      // by folding alone
+      o.filter(col("o_orderkey").between(1901, 2100))
+        .withColumn("o_orderpriority", lit("X-MOVED"))
+        .createOrReplaceTempView("mvc_src")
+      s.sql(s"""MERGE INTO $cat.tables.mvbase t USING mvc_src src
+        |ON t.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET t.o_orderpriority = src.o_orderpriority
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      def agg(): DataFrame = s.sql(
+        s"""SELECT o_orderpriority,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |       MIN(o_orderdate) AS first_order,
+           |       MAX(o_orderdate) AS last_order,
+           |       COUNT(*) AS n
+           |FROM $cat.tables.mvbase GROUP BY o_orderpriority""".stripMargin)
+      val stale = agg()
+      require(!SummaryRewrite.scannedPaths(stale.queryExecution.optimizedPlan)
+        .exists(_.contains("/mv")),
+        "a mutated-but-unrefreshed base must NOT be served from the summary")
+      SummaryRewrite.refreshFromChanges(s, "mv_cdf_prio")
+      val q = agg()
+      val paths = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      require(paths.exists(_.contains("/mv")),
+        s"rewrite onto the CDF-refreshed summary did not fire; scanned $paths")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally SummaryRewrite.drop("mv_cdf_prio")
+  }
+
+  val mvCdfRefreshOracle: String =
+    """WITH final AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 1901 AND 2100
+      |              THEN 'X-MOVED' ELSE o_orderpriority END AS o_orderpriority,
+      |         CASE WHEN o_orderkey BETWEEN 101 AND 200
+      |              THEN CAST(CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         o_orderdate
+      |  FROM orders
+      |  WHERE o_orderkey <= 2100 AND o_orderkey NOT BETWEEN 301 AND 400)
+      |SELECT o_orderpriority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       MIN(o_orderdate) AS first_order,
+      |       MAX(o_orderdate) AS last_order,
+      |       COUNT(*) AS n
+      |FROM final GROUP BY o_orderpriority""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "w_mv_cdf_refresh" -> (mvCdfRefresh _),
+    "a42_spj_join" -> (spjJoin _),
     "a41_table_changes_sql" -> (tableChangesSql _),
     "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
@@ -3147,6 +3289,8 @@ object Lifecycle {
     "c5_feed_catalog" -> (feedCatalog _))
 
   val oracles: Map[String, String] = Map(
+    "w_mv_cdf_refresh" -> mvCdfRefreshOracle,
+    "a42_spj_join" -> spjJoinOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,
     "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,

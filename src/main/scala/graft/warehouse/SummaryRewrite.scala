@@ -59,14 +59,27 @@ object SummaryRewrite {
     */
   final case class Measure(kind: String, baseCol: String, castTo: Option[DataType], mvCol: String)
 
-  /** A registered summary: `basePath`/`mvPath` are normalized URI paths. */
+  /** A registered summary: `basePath`/`mvPath` are normalized URI paths.
+    *
+    * A summary over a VERSIONED CATALOG TABLE additionally carries
+    * `tableRef = (lakeRoot, tableName)`, the base's logical `rowKeys`
+    * (what its change feed diffs on), and `asOfVersion` — the snapshot the
+    * summary currently reflects. The rewrite serves a table-backed summary
+    * ONLY to scans resolved at exactly `asOfVersion`: a mutated-but-not-
+    * yet-refreshed base declines the rewrite instead of serving stale
+    * aggregates (freshness is fail-closed, unlike the path-backed form
+    * where refresh discipline is the owner's contract).
+    */
   final case class MvDef(
       name: String,
       basePath: String,
       mvPath: String,
       keys: Seq[String],
       measures: Seq[Measure],
-      countCol: String)
+      countCol: String,
+      tableRef: Option[(String, String)] = None,
+      rowKeys: Seq[String] = Nil,
+      asOfVersion: Int = -1)
 
   @volatile private var registered: List[MvDef] = Nil
 
@@ -98,6 +111,163 @@ object SummaryRewrite {
     registered = mv :: registered.filterNot(_.name == name)
     mv
   }
+
+  /** [[create]] for a versioned catalog table base: materializes the
+    * rollup of the table's LATEST snapshot and registers it with a
+    * freshness watermark, so the rewrite serves it only while the base is
+    * still at that version and [[refreshFromChanges]] can advance it by
+    * consuming the table's change feed instead of rescanning the base.
+    * `rowKeys` is the table's logical key — what its version diffs key on.
+    */
+  def createForTable(
+      spark: SparkSession,
+      name: String,
+      lakeRoot: String,
+      table: String,
+      mvPath: String,
+      keys: Seq[String],
+      rowKeys: Seq[String],
+      sums: Seq[(String, Option[String])] = Nil,
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): MvDef = {
+    val version = graft.lake.Lake.latestVersion(spark, lakeRoot, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"createForTable: $table has no committed versions"))
+    val base = graft.lake.Lake.readTableFeed(spark, lakeRoot, table, Some(version))
+    val measures =
+      sums.map { case (c, ct) =>
+        Measure("sum", c, ct.map(DataType.fromDDL), s"mv_sum_$c")
+      } ++
+        mins.map(c => Measure("min", c, None, s"mv_min_$c")) ++
+        maxs.map(c => Measure("max", c, None, s"mv_max_$c"))
+    val mv = MvDef(name, norm(graft.lake.Lake.tablePath(lakeRoot, table)),
+      norm(mvPath), keys, measures, "mv_cnt",
+      tableRef = Some((lakeRoot, table)), rowKeys = rowKeys,
+      asOfVersion = version)
+    rollup(base, mv).write.mode("overwrite").parquet(mvPath)
+    registered = mv :: registered.filterNot(_.name == name)
+    mv
+  }
+
+  /** Groups a summary may re-aggregate by pushed literal IN-lists before
+    * falling back to a full rebuild — large enough for any plausible
+    * incremental mutation, small enough that the literal lists stay
+    * driver-cheap.
+    */
+  private val RefreshAffectedKeysMax = 10000
+
+  /** Advance a table-backed summary across UPDATE / DELETE / MERGE — the
+    * CDF-driven refresh the append-only [[refreshIncremental]] cannot do
+    * (MIN/MAX do not decrement). The table's change feed names what moved,
+    * manifest-aware and O(changed bytes); this folds it in O(changed
+    * groups):
+    *
+    *  1. the AFFECTED GROUP KEYS are the distinct `keys`-projections of
+    *     the change rows (every change row carries a full image — inserts
+    *     and updates the new one, deletes their last);
+    *  2. those groups re-aggregate from the base's LATEST snapshot,
+    *     filtered by per-key-column literal IN-lists — pushed filters the
+    *     stats/bucket sidecars prune FILES with, so a mutation clustered
+    *     on the group key re-reads only its own files (for composite keys
+    *     the per-column lists admit a Cartesian superset of the affected
+    *     groups: sound, because any group fully inside the filter
+    *     re-aggregates exactly and is dropped from the carried side);
+    *  3. every other group is carried from the current summary unchanged
+    *     (an anti-filter on the same lists).
+    *
+    * A change set touching more than [[RefreshAffectedKeysMax]] groups
+    * rebuilds the rollup outright — at that point most of the base moved
+    * and a full recompute IS the O(changed) price. Either way the result
+    * is bit-identical to `create` over the latest snapshot (the gate's
+    * oracle and [[refreshIncremental]]'s schema-alignment discipline),
+    * and the new summary commits as a fresh directory with the watermark
+    * advanced, so the rewrite resumes serving it atomically.
+    */
+  def refreshFromChanges(spark: SparkSession, name: String): MvDef = {
+    val mv = registered.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no registered view named $name"))
+    val (lakeRoot, table) = mv.tableRef.getOrElse(throw new IllegalArgumentException(
+      s"$name is a path-backed summary — refreshFromChanges needs a table base " +
+        "(createForTable); use refreshIncremental for append batches"))
+    val to = graft.lake.Lake.latestVersion(spark, lakeRoot, table)
+      .getOrElse(throw new IllegalStateException(s"$table has no versions"))
+    if (to == mv.asOfVersion) return mv
+    require(to > mv.asOfVersion,
+      s"$table moved backwards (v${mv.asOfVersion} -> v$to): restore/retention " +
+        "rewrote history under the summary — re-create it")
+    // preimages matter: a row whose GROUP key changed must also name its
+    // OLD group as affected, or that group's carried summary row keeps
+    // counting it
+    val changes = org.apache.spark.sql.graft.GraftChangeFeed.changesBetween(
+      spark, lakeRoot, table, mv.rowKeys, start = mv.asOfVersion, end = to,
+      preimages = true)
+    val base = graft.lake.Lake.readTableFeed(spark, lakeRoot, table, Some(to))
+    val current = spark.read.parquet(mv.mvPath)
+    // the distinct group keys the change set touches, bounded: one extra
+    // row tells "too many" apart from "exactly the bound"
+    val affected = changes.select(mv.keys.map(col): _*).distinct()
+      .limit(RefreshAffectedKeysMax + 1).collect()
+    lastRefreshPrune = (-1, -1)
+    val refreshed =
+      if (affected.length > RefreshAffectedKeysMax) rollup(base, mv)
+      else if (affected.isEmpty) current
+      else {
+        // per-column literal IN-lists (null-safe: <=> against an explicit
+        // null literal when a group key is null in some affected group)
+        val lists: Seq[(String, Seq[Any])] = mv.keys.zipWithIndex.map {
+          case (k, i) => k -> affected.map(_.get(i)).distinct.toSeq
+        }
+        def inList(k: String, vs: Seq[Any]): org.apache.spark.sql.Column =
+          vs.map(v => col(k) <=> lit(v)).reduce(_ || _)
+        val touched = lists.map { case (k, vs) => inList(k, vs) }.reduce(_ && _)
+        // prune the re-aggregation read to files that can hold an affected
+        // group — the sidecar stats/bucket layout make the refresh
+        // O(changed groups' files) when writes cluster on the group key
+        val keepOnly = refreshCandidateFiles(spark, lakeRoot, table, to, base, lists)
+        lastRefreshPrune = keepOnly match {
+          case Some(keep) => (keep.size,
+            graft.lake.Lake.snapshotFiles(spark, lakeRoot, table, to).size)
+          case None => (-1, -1)
+        }
+        val reaggBase = graft.lake.Lake.readTableFeedPruned(
+          spark, lakeRoot, table, Some(to), keepOnly).filter(touched)
+        rollup(reaggBase, mv).unionByName(current.filter(!touched))
+      }
+    val aligned = refreshed.select(current.columns.map { c =>
+      col(c).cast(current.schema(c).dataType).as(c)
+    }: _*)
+    val next = nextVersionPath(mv.mvPath)
+    aligned.write.mode("overwrite").parquet(next)
+    val updated = mv.copy(mvPath = norm(next), asOfVersion = to)
+    registered = updated :: registered.filterNot(_.name == name)
+    updated
+  }
+
+  /** (admitted, total) files of the last [[refreshFromChanges]] re-read —
+    * the spec's proof that refresh cost is O(changed groups' files), not
+    * O(base). (-1, -1) when the last refresh took the rebuild/empty path.
+    */
+  @volatile private[graft] var lastRefreshPrune: (Int, Int) = (-1, -1)
+
+  /** Stats/bucket-admitted files for the refresh's per-column IN filters;
+    * None (read everything) when a list is null-bearing or untranslatable —
+    * pruning is an IO optimization, never a row filter.
+    */
+  private def refreshCandidateFiles(
+      spark: SparkSession, lakeRoot: String, table: String, version: Int,
+      base: org.apache.spark.sql.DataFrame,
+      lists: Seq[(String, Seq[Any])]): Option[Seq[String]] = try {
+    if (lists.exists(_._2.contains(null))) return None
+    val v1 = lists.map { case (k, vs) =>
+      org.apache.spark.sql.sources.In(k, vs.toArray)
+    }
+    val all = graft.lake.Lake.snapshotFiles(spark, lakeRoot, table, version)
+    val byStats = graft.lake.StatsSidecar.candidateFiles(
+      spark, all, base.schema, v1)
+    val admitted = graft.lake.BucketLayout.filterCandidates(
+      spark, byStats, base.schema, v1)
+    if (admitted.size < all.size) Some(admitted) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The view's defining rollup of `df` — shared by [[create]] and
     * [[refreshIncremental]] so the two can never aggregate differently.
@@ -199,6 +369,19 @@ object SummaryRewrite {
         Some(Nil)
       case _ => None
     }
+    // a catalog-table scan (the DSv2 relation, pre-scan-planning) matches a
+    // table-backed summary ONLY at the summary's refreshed version — a scan
+    // resolved against a newer snapshot declines, so file-granular
+    // UPDATE/DELETE/MERGE can never be served stale pre-aggregates; the
+    // owner runs refreshFromChanges and the rewrite resumes
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: org.apache.spark.sql.graft.GraftMutableTable
+            if mv.tableRef.contains((t.lakeRoot, t.lakeTableName)) &&
+              t.lakeVersion == mv.asOfVersion =>
+          Some(Nil)
+        case _ => None
+      }
     case Filter(cond, child) if cond.deterministic =>
       matchBase(mv, child).map(cond +: _)
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
@@ -214,9 +397,16 @@ object SummaryRewrite {
     candidates.view.flatMap { case (mv, filters) =>
       // a mask- or row-filter-protected base must never be served from its
       // (unmasked, unfiltered) summary: governance wins over the rewrite,
-      // fail closed
-      if (graft.governance.ColumnMask.protects(mv.basePath) ||
-          graft.governance.RowFilter.protects(mv.basePath)) None
+      // fail closed. A table-backed summary also checks the PHYSICAL
+      // snapshot dir it reflects — the path the scan itself would be
+      // governed by (GraftTable.governedPath), so a policy pinned to one
+      // version dir is not laundered through the rollup.
+      val governed = Seq(mv.basePath) ++ mv.tableRef.toSeq.map { case (r, t) =>
+        new org.apache.hadoop.fs.Path(graft.lake.Lake.resolveSnapshotDir(
+          session, r, t, mv.asOfVersion)).toUri.getPath
+      }
+      if (governed.exists(p => graft.governance.ColumnMask.protects(p) ||
+          graft.governance.RowFilter.protects(p))) None
       else tryRewrite(session, agg, mv, filters)
     }.headOption
   }

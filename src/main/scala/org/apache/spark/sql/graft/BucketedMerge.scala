@@ -190,12 +190,19 @@ object BucketedMerge {
         }
         if (minI < 0) return
         val minKey = keyP(minI)(heads(minI)).copy()
+        // NULL keys compare equal under the sort ordering but never match
+        // under the join contract (mirrors mergeSorted's anyNull leg): a
+        // NULL-keyed row is processed ALONE — gathering it with same-key
+        // rows from other sides would pair rows the join-path mergeBranch
+        // keeps independent, manufacturing conflicts that don't exist.
+        val nullKeyed = minKey.anyNull
         // gather this key's row (or null) per side and advance those heads
         val rows = new Array[InternalRow](3)
         val vals = new Array[AnyRef](3)
         i = 0
         while (i < 3) {
-          if (heads(i) != null && keyOrd.compare(keyP(i)(heads(i)), minKey) == 0) {
+          if (heads(i) != null && (if (nullKeyed) i == minI
+              else keyOrd.compare(keyP(i)(heads(i)), minKey) == 0)) {
             rows(i) = heads(i)
             vals(i) = valP(i)(heads(i)).copy()
             advance(i)

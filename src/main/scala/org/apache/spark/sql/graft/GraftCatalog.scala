@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
@@ -76,7 +77,14 @@ trait GovernedPath { def governedPath: String }
   * supported UPDATE / MERGE shapes through [[graft.lake.CopyOnWrite]]
   * instead of the whole-snapshot group-based replace.
   */
-trait GraftMutableTable { def lakeRoot: String; def lakeTableName: String }
+trait GraftMutableTable {
+  def lakeRoot: String; def lakeTableName: String
+  /** The snapshot version this table handle was resolved to at load time —
+    * what a freshness-sensitive rewrite (the summary-table rule) compares
+    * against its own refresh watermark.
+    */
+  def lakeVersion: Int
+}
 
 object GraftCatalog {
   /** `(admitted, total)` of the most recent stats-pruned catalog scan
@@ -157,7 +165,8 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -196,6 +205,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("graft namespaces are fixed by the lake layout")
+
+  // -- functions: the one V2 function the catalog serves is `bucket`, the
+  // identity Spark's storage-partitioned-join machinery resolves a
+  // scan-reported KeyGroupedPartitioning(bucket(N, k)) against (the
+  // planner looks it up in the EMPTY namespace of the scan's catalog) --
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // -- tables --
 
@@ -569,6 +592,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         case _ => ()
       }
+      val scan = buildDataScan()
+      // a verified bucket layout is REPORTED to the planner (storage-
+      // partitioned joins: two co-bucketed tables joined on the bucket key
+      // skip both exchanges) — only under the V2 bucketing conf, and never
+      // for a pushed aggregate (its scan isn't row-shaped)
+      if (aggPushed) scan
+      else BucketReportingScan.maybeWrap(SparkSession.active, scan,
+        graft.lake.BucketLayout.layoutForFiles(SparkSession.active,
+          graft.lake.Lake.snapshotFiles(
+            SparkSession.active, root, ident.name(), version)))
+    }
+
+    private def buildDataScan(): Scan = {
       val dataFilters = pushedData
       // a pushed-down aggregate answers from footers of the listed files —
       // only safe to combine with pruning when no filters exist, and
@@ -703,6 +739,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       with SupportsRowLevelOperations with GovernedPath with GraftMutableTable {
     override def lakeRoot: String = root
     override def lakeTableName: String = ident.name()
+    override def lakeVersion: Int = version
     override def governedPath: String =
       // PHYSICAL path: a clone read is governed by the snapshot it actually
       // scans, so a deny on the source is not laundered by cloning

@@ -64,7 +64,8 @@ object GraftChangeFeed {
     */
   def changesBetween(
       spark: SparkSession, root: String, name: String,
-      keyCols: Seq[String], start: Int, end: Int): DataFrame = {
+      keyCols: Seq[String], start: Int, end: Int,
+      preimages: Boolean = false): DataFrame = {
     import graft.lake.Lake
     // the initial-snapshot form needs no keys — so a bare SQL
     // `SELECT * FROM t__changes` (no options reachable) works
@@ -81,14 +82,40 @@ object GraftChangeFeed {
         s"(have ${vs.mkString(",")} — retention may have pruned it)")
     val range = vs.filter(v => v > start && v <= end).sorted
     val steps = (start +: range).sliding(2).collect { case Seq(a, b) =>
-      Lake.versionChanges(spark, root, name, a, b, keyCols)
+      Lake.versionChanges(spark, root, name, a, b, keyCols, preimages)
         .withColumn("change_version", lit(b))
     }.toSeq
-    steps.reduceOption(_ unionByName _).getOrElse(
+    if (steps.isEmpty)
       Lake.readTableFeed(spark, root, name, Some(end)).limit(0)
         .withColumn("change", lit(""))
-        .withColumn("change_version", lit(0)))
+        .withColumn("change_version", lit(0))
+    else if (steps.size <= BatchPlanSteps) steps.reduce(_ unionByName _)
+    else {
+      // LONG HISTORIES: a per-minute streaming-append table accumulates
+      // 10⁴ versions — a 10⁴-branch union is a driver-side plan bomb
+      // (analysis/optimization cost superlinear in plan size). Past
+      // BatchPlanSteps the steps are evaluated in bounded-plan chunks and
+      // STAGED to a Spark-managed scratch dir (deleted on JVM exit — the
+      // streaming source's per-epoch discipline applied to batch), and the
+      // caller gets ONE scan over the staged files: plan size is O(1) in
+      // the version count, each chunk's work is still the manifest-aware
+      // O(changed) diff.
+      val dir = org.apache.spark.util.Utils.createTempDir(
+        namePrefix = "graft-cdf-batch")
+      val parts = steps.grouped(BatchPlanSteps).zipWithIndex.map {
+        case (chunk, i) =>
+          val p = new java.io.File(dir, s"c$i").getAbsolutePath
+          chunk.reduce(_ unionByName _).write.parquet(p)
+          p
+      }.toSeq
+      spark.read.parquet(parts: _*)
+    }
   }
+
+  /** Max per-step union branches a batch CDF plan may carry before the
+    * staged-chunk path takes over.
+    */
+  private[graft] val BatchPlanSteps = 16
 
   private[graft] case class VersionOffset(v: Int) extends Offset {
     override def json(): String = v.toString

@@ -114,6 +114,37 @@ class ChangeFeedSpec extends SparkSpec {
       s"committed epochs must reclaim their scratch: ${Option(scratch.listFiles()).map(_.toSeq)}")
   }
 
+  test("batch CDF over a long history: bounded plan, identical results") {
+    import org.apache.spark.sql.graft.GraftChangeFeed
+    // 100 committed versions: version N inserts key N and updates key N-1
+    // (so every step has both an insert and an update to classify)
+    def snap(n: Int) = (1 to n).map(i =>
+      (i.toLong, if (i == n - 1) s"u$n" else s"v$i")).toDF("k", "x")
+    (1 to 100).foreach(n =>
+      Lake.writeTableSnapshot(snap(n), root, "cfl100", retentionVersions = 200))
+    val ch = GraftChangeFeed.changesBetween(
+      spark, root, "cfl100", Seq("k"), start = 1, end = 100)
+    // the staged path: no O(versions)-branch union survives in the plan
+    val unionArity = ch.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unionArity.forall(_ <= 16), s"plan carries a union of $unionArity branches")
+    val got = ch.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).sorted
+    // ground truth: per-step manifest-aware diffs, accumulated directly
+    val want = (1 until 100).flatMap { a =>
+      Lake.versionChanges(spark, root, "cfl100", a, a + 1, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), a + 1))
+    }.sorted
+    assert(got.toSeq === want)
+    // short ranges keep the direct (no-staging) lazy plan
+    val short = GraftChangeFeed.changesBetween(
+      spark, root, "cfl100", Seq("k"), start = 95, end = 100)
+    // 5 steps, each: one insert (key n), key n-1 gains u-marker, key n-2
+    // loses the previous one — 3 changes per step
+    assert(short.count() === 15)
+  }
+
   test("maxVersionsPerTrigger: a backlog drains in bounded epochs and resumes") {
     // ten committed versions; version N holds keys 1..N (each step inserts
     // exactly one key, so per-epoch output is easy to account for)

@@ -1005,6 +1005,64 @@ class LakeSpec extends SparkSpec {
     assert(fb.filter(col("change") === "updated").count() === 998)
   }
 
+  test("bucket_by: co-bucketed catalog tables join with ZERO exchanges (storage-partitioned join)") {
+    import graft.lake.BucketLayout
+    val root = scratch()
+    def bucketed(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      Lake.setTableProperties(spark, root, name, Map(BucketLayout.Prop -> "k:8"))
+      Lake.writeTableSnapshot(
+        Lake.applyClusterPolicy(spark, root, name, df), root, name)
+    }
+    bucketed("spj_a", (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va"))
+    bucketed("spj_b", (500 to 1500).map(i => (i.toLong, s"b$i")).toDF("k", "vb"))
+    spark.conf.set("spark.sql.catalog.spjcat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.root", root)
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = spark.sql(
+        """SELECT a.k, a.va, b.vb
+          |FROM spjcat.tables.spj_a a JOIN spjcat.tables.spj_b b ON a.k = b.k
+          |""".stripMargin)
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"a co-bucketed join must plan WITHOUT exchanges, got:\n" +
+          q.queryExecution.executedPlan)
+      assert(q.count() === 501)
+      assert(q.filter(col("k") === 750L).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+        Seq((750L, "a750", "b750")))
+
+      // a keyed AGGREGATE over one bucketed table also skips its exchange:
+      // KeyGroupedPartitioning satisfies the groupBy's ClusteredDistribution
+      val agg = spark.sql(
+        "SELECT k, count(*) AS n FROM spjcat.tables.spj_a GROUP BY k")
+      assert(agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, "a bucket-key aggregate must not shuffle")
+      assert(agg.count() === 1000)
+
+      // conf OFF → the default plan (shuffled join), byte-identical behavior
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = spark.sql(
+        "SELECT a.k FROM spjcat.tables.spj_a a JOIN spjcat.tables.spj_b b ON a.k = b.k")
+      assert(off.count() === 501)
+      assert(off.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.nonEmpty, "with V2 bucketing off the join shuffles as before")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucket_by: layout survives COW mutations; probes and scans prune by bucket") {
     import graft.lake.{BucketLayout, CopyOnWrite}
     import org.apache.spark.sql.sources.EqualTo

@@ -266,4 +266,86 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.assignSurrogateKeys(g2, Seq(20L, 5L).toDF("nk"), "nk")
       .count() === 5)
   }
+
+  test("refreshFromChanges: UPDATE/DELETE/MERGE fold in O(changed groups' files); freshness fail-closed") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.Lake
+    import graft.warehouse.SummaryRewrite
+    val root = java.nio.file.Files.createTempDirectory("mv_cdf_spec_").toString
+    // range-clustered by the GROUP key + enough shuffle partitions that the
+    // snapshot is multi-file per key range (AQE coalescing would fold tiny
+    // range shuffles to one file — the r12 trap)
+    Lake.setTableProperties(spark, root, "b", Map("cluster_by" -> "g"))
+    val oldCoalesce = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val df = spark.range(0, 8000).select(
+        (col("id") / lit(100)).cast("long").as("g"), col("id").as("k"),
+        (col("id") % 7).cast("double").as("v"))
+      Lake.writeTableSnapshot(
+        Lake.applyClusterPolicy(spark, root, "b", df), root, "b")
+    } finally oldCoalesce.fold(
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled"))(
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", _))
+    spark.conf.set("spark.sql.catalog.mvcdfcat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mvcdfcat.root", root)
+    try {
+      SummaryRewrite.createForTable(spark, "mv_cdf_spec", root, "b", s"$root/mv",
+        keys = Seq("g"), rowKeys = Seq("k"),
+        sums = Seq("v" -> None), mins = Seq("v"), maxs = Seq("v"))
+      def agg() = spark.sql(
+        """SELECT g, sum(v) AS sv, min(v) AS mn, max(v) AS mx, count(*) AS n
+          |FROM mvcdfcat.tables.b GROUP BY g""".stripMargin)
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        SummaryRewrite.scannedPaths(df.queryExecution.optimizedPlan)
+      assert(scans(agg()).exists(_.contains("/mv")),
+        "fresh summary must serve the catalog-table aggregate")
+
+      // three file-granular mutations: an in-group update, a delete that
+      // REMOVES group 2's maxima (un-foldable without re-probe), and a
+      // MERGE that moves rows across groups + inserts a new group
+      spark.sql("UPDATE mvcdfcat.tables.b SET v = v + 100 WHERE k BETWEEN 100 AND 149")
+      spark.sql("DELETE FROM mvcdfcat.tables.b WHERE k BETWEEN 250 AND 299")
+      spark.range(7990, 8100).select(lit(999L).as("g"), col("id").as("k"),
+        lit(3.5).as("v")).createOrReplaceTempView("mv_cdf_src")
+      spark.sql(
+        """MERGE INTO mvcdfcat.tables.b t USING mv_cdf_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.g = s.g, t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+      // stale ⇒ the rewrite declines (answers come from the base, correct)
+      val stale = agg()
+      assert(!scans(stale).exists(_.contains("/mv")),
+        "a mutated base must not be served from the unrefreshed summary")
+
+      val refreshed = SummaryRewrite.refreshFromChanges(spark, "mv_cdf_spec")
+      // O(changed groups' files): affected groups g ∈ {1, 2, 79, 999} —
+      // the range-clustered layout admits a strict subset of the snapshot
+      val (adm, tot) = SummaryRewrite.lastRefreshPrune
+      assert(tot > 4 && adm > 0 && adm < tot,
+        s"refresh must re-read only affected groups' files, got $adm/$tot")
+
+      // refreshed summary ≡ full recompute, and the rewrite serves it
+      val q = agg()
+      assert(scans(q).exists(_.contains("/mv")), scans(q))
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+      SummaryRewrite.drop("mv_cdf_spec")
+      val want = agg().collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+      assert(got.toSeq === want.toSeq)
+
+      // re-register at the CURRENT version: no-op refresh keeps the mvPath
+      val again = SummaryRewrite.createForTable(spark, "mv_cdf_spec", root,
+        "b", s"$root/mv_b", keys = Seq("g"), rowKeys = Seq("k"),
+        sums = Seq("v" -> None))
+      assert(SummaryRewrite.refreshFromChanges(spark, "mv_cdf_spec") === again)
+      assert(refreshed.asOfVersion === Lake.latestVersion(spark, root, "b").get)
+    } finally {
+      SummaryRewrite.drop("mv_cdf_spec")
+      spark.conf.unset("spark.sql.catalog.mvcdfcat")
+      spark.conf.unset("spark.sql.catalog.mvcdfcat.root")
+    }
+  }
 }
