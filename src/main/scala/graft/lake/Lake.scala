@@ -1632,6 +1632,32 @@ object Lake {
     (0 until n).map(b => sized.collect { case (p, len, `b`) => (p, len) })
   }
 
+  /** Project rows read under an OLDER declared schema into a newer raw
+    * schema's VISIBLE shape: each visible field takes the first of its
+    * spellings (current name, then prior physical names — the rename
+    * lineage [[renameColumn]] records) present in `df`, cast to the
+    * field's possibly-widened type, or NULL when the column postdates the
+    * rows entirely; fields marked dropped are excluded (dropping a column
+    * changes no row identity or surviving value, so it must emit no
+    * change rows). A `df` column the new schema's lineage cannot reach
+    * (a republished schema with no recorded mapping) makes the step
+    * unmappable → None, and callers pay the full two-snapshot diff —
+    * conservative, never wrong.
+    */
+  private def alignToRaw(
+      df: DataFrame,
+      raw: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val have = df.columns.toSet
+    val reachable = raw.fields.flatMap(f => f.name +: priorNames(f)).toSet
+    if (!df.columns.forall(reachable.contains)) None
+    else Some(df.select(raw.fields.filterNot(isDropped).map { f =>
+      (f.name +: priorNames(f)).find(have.contains) match {
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*))
+  }
+
   def versionDiff(
       spark: SparkSession, root: String, name: String,
       vOld: Int, vNew: Int, keys: Seq[String]): DataFrame = {
@@ -1643,8 +1669,14 @@ object Lake {
           .diff(spark, ob, nb, schema, keys, emitUnchanged = true)
           .select(keys.map(col) :+ col("change"): _*)
     }
-    val o = readTableFeed(spark, root, name, Some(vOld))
+    val o0 = readTableFeed(spark, root, name, Some(vOld))
     val n = readTableFeed(spark, root, name, Some(vNew))
+    // schema evolution between the versions: align the old side forward
+    // through the new schema's recorded mapping (rename/null-fill/cast)
+    // so the payload compare runs column-by-column in one shape
+    val o = if (o0.columns.sameElements(n.columns)) o0
+      else declaredSchema(spark, root, name, vNew)
+        .flatMap(alignToRaw(o0, _)).getOrElse(o0)
     val valueCols = o.columns.filterNot(keys.contains).toSeq
     def tagged(df: DataFrame, side: String) =
       df.select(
@@ -1684,8 +1716,11 @@ object Lake {
     * 100 TB table diffs one file against its replacement. A step with no
     * shared files (plain snapshot republish, compaction) degenerates to
     * exactly the full two-snapshot diff — the correct price, since
-    * everything MAY have changed; a step whose declared schemas differ
-    * (metadata evolution) falls back the same way.
+    * everything MAY have changed. A step whose declared schemas differ
+    * stays manifest-aware: the old side aligns forward through the new
+    * schema's recorded mapping ([[alignToRaw]]), so a METADATA-ONLY
+    * evolution commit (add/rename/widen/drop) emits an EMPTY change set
+    * without opening one carried data file.
     */
   def versionChanges(
       spark: SparkSession, root: String, name: String,
@@ -1709,12 +1744,22 @@ object Lake {
           return org.apache.spark.sql.graft.BucketedMerge
             .diff(spark, ob, nb, schema, keys, emitUnchanged = false)
       }
-    val (oldAll, newAll) =
-      if (shared.isEmpty || declA != declB) {
-        // nothing carried (or schemas moved): the full diff IS the answer
-        (readTableFeed(spark, root, name, Some(vOld)),
-         readTableFeed(spark, root, name, Some(vNew)))
-      } else {
+    def fullSides() =
+      (readTableFeed(spark, root, name, Some(vOld)),
+       readTableFeed(spark, root, name, Some(vNew)))
+    // Schema evolution between carried snapshots (add / rename / widen /
+    // drop — declA != declB) reconciles THROUGH the mapping the new raw
+    // schema records instead of forcing a full two-snapshot diff: the old
+    // side reads under ITS schema and aligns to the new visible shape
+    // ([[alignToRaw]] — prior spellings renamed forward, added columns
+    // null-filled, widened columns cast, dropped columns excluded), so a
+    // METADATA-ONLY evolution step emits an EMPTY change set without
+    // opening a single carried data file — the Delta/Iceberg CDF contract
+    // for ALTER commits. Only an old column unreachable through the new
+    // schema's recorded lineage (a republish) still pays the full diff.
+    val manifestSides: Option[(DataFrame, DataFrame)] =
+      if (shared.isEmpty) None
+      else {
         val sharedNorm = shared.map(norm).toSet
         val dropped = filesA.filterNot(p => sharedNorm.contains(norm(p)))
         val added = filesB.filterNot(p => sharedNorm.contains(norm(p)))
@@ -1723,19 +1768,55 @@ object Lake {
         val eqA = MergeOnRead.eqDeletesOf(spark, root, name, vOld)
         val eqB = MergeOnRead.eqDeletesOf(spark, root, name, vNew)
         def side(files: Seq[String], pos: Option[DataFrame],
-            eq: Option[DataFrame], decl: Option[org.apache.spark.sql.types.StructType]) =
-          if (files.isEmpty)
-            MergeOnRead.readWithDeletes(spark, Seq(shared.head), None, None, decl)
-              .limit(0)
+            eq: Option[DataFrame], decl: Option[org.apache.spark.sql.types.StructType],
+            emptyShape: Option[org.apache.spark.sql.types.StructType]) =
+          if (files.isEmpty) emptyShape match {
+            // a declared schema names the empty side's shape directly —
+            // no probe read of a carried file, so an ALTER-only step
+            // builds both sides without touching table data at all (the
+            // old side of a first-evolution step borrows the NEW declared
+            // shape; alignToRaw maps current names through identically)
+            case Some(raw) => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visibleSchema(raw))
+            case None =>
+              MergeOnRead.readWithDeletes(spark, Seq(shared.head), None, None, None)
+                .limit(0)
+          }
           else MergeOnRead.readWithDeletes(spark, files, pos, eq, decl)
-        val (oldExtra, newExtra) = sharedLivenessDelta(
-          spark, root, name, shared, sharedNorm, byNormB,
-          posA, posB, eqA, eqB, declB)
-        (Seq(Some(side(dropped, posA, eqA, declA)), oldExtra)
-          .flatten.reduce(_ unionByName _),
-         Seq(Some(side(added, posB, eqB, declB)), newExtra)
-          .flatten.reduce(_ unionByName _))
+        val oldAligned: Option[DataFrame] =
+          if (declA == declB) Some(side(dropped, posA, eqA, declA, declA))
+          else declB.flatMap(rb =>
+            alignToRaw(side(dropped, posA, eqA, declA, declA.orElse(declB)), rb))
+        oldAligned.map { oldSide =>
+          // equality sidecars written pre-evolution carry OLD spellings
+          // and types; remap + cast them forward so the sidecar delta
+          // compare and the liveness probes run in the new schema's terms
+          // (renameColumn/widenColumn transform the NEW side's sidecar at
+          // commit, so a carried-verbatim step comes out identical and
+          // the delta stays empty)
+          val eqA2 =
+            if (declA == declB) eqA
+            else eqA.map { e =>
+              val rb = declB.get
+              val fields = rb.fields.filterNot(isDropped)
+              val bySpelling = fields.flatMap(f =>
+                (f.name +: priorNames(f)).map(_ -> f)).toMap
+              e.select(e.columns.map { c =>
+                bySpelling.get(c) match {
+                  case Some(f) => col(c).cast(f.dataType).as(f.name)
+                  case None => col(c)
+                }
+              }.toIndexedSeq: _*)
+            }
+          val (oldExtra, newExtra) = sharedLivenessDelta(
+            spark, root, name, shared, sharedNorm, byNormB,
+            posA, posB, eqA2, eqB, declB)
+          (Seq(Some(oldSide), oldExtra).flatten.reduce(_ unionByName _),
+           Seq(Some(side(added, posB, eqB, declB, declB)), newExtra)
+            .flatten.reduce(_ unionByName _))
+        }
       }
+    val (oldAll, newAll) = manifestSides.getOrElse(fullSides())
     val valueCols = oldAll.columns.filterNot(keys.contains).toSeq
     def tagged(df: DataFrame, sideName: String) = df.select(
       keys.map(col) ++ Seq(

@@ -246,4 +246,41 @@ class ChangeFeedSpec extends SparkSpec {
     assert(sink().collect()
       .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((2L, "inserted")))
   }
+
+  test("metadata-only evolution steps emit EMPTY change sets, zero data files opened") {
+    import org.apache.spark.sql.types._
+    Lake.writeTableSnapshot(
+      spark.range(1, 101)
+        .select(col("id").as("k"), (col("id") % 7).cast("int").as("v"))
+        .repartition(4), root, "cfalter")
+    val v2 = Lake.addColumn(spark, root, "cfalter",
+      StructField("note", StringType, nullable = true))
+    val v3 = Lake.renameColumn(spark, root, "cfalter", "v", "val")
+    val v4 = Lake.widenColumn(spark, root, "cfalter", "val", LongType)
+    for ((a, b) <- Seq((1, v2), (v2, v3), (v3, v4), (1, v4))) {
+      val ch = Lake.versionChanges(spark, root, "cfalter", a, b, Seq("k"))
+      // the ALTER-only step's change set is built WITHOUT a single
+      // file-backed relation in its plan: no carried data file is opened
+      assert(ch.inputFiles.isEmpty,
+        s"step $a->$b read files: ${ch.inputFiles.mkString(",")}")
+      assert(ch.count() === 0, s"step $a->$b must emit no change rows")
+    }
+    // a data change AFTER the evolution still flows manifest-aware
+    // through the mapping: the v1->latest range classifies in the NEW
+    // shape (renamed column, null-filled note, widened type), touching
+    // only the rewritten file and its replacement
+    val v5 = graft.lake.CopyOnWrite.updateWhere(spark, root, "cfalter",
+      col("k") === 5, Seq("val" -> lit(99L)))
+    val ch = Lake.versionChanges(spark, root, "cfalter", 1, v5, Seq("k"))
+    assert(ch.columns.toSeq === Seq("k", "val", "note", "change"))
+    val rows = ch.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("k") === 5L)
+    assert(rows.head.getAs[Long]("val") === 99L)
+    assert(rows.head.getAs[String]("change") === "updated")
+    // ... and reads only the dropped file + its replacement, not the
+    // three carried ones: 4 original files, 1 rewritten
+    val opened = ch.inputFiles.length
+    assert(opened === 2, s"expected dropped+added only, opened $opened")
+  }
 }
