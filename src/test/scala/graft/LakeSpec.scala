@@ -960,6 +960,48 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Txn.read(spark, root, "a", Some(1)) }
   }
 
+  test("eq-delete delta probe: 1000 keys prune, 1001 widen to all shared files") {
+    val root = scratch()
+    import graft.lake.MergeOnRead
+    // 8 range-clustered files over k=1..4000 so the stats sidecar can
+    // prune candidate files for a collectable (<=1000-key) eq delta
+    Lake.writeTableSnapshot(
+      spark.range(1, 4001)
+        .select(col("id").as("k"), (col("id") % 13).as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      root, "eqb")
+    // count DATA files in a plan's input set (the eq sidecar's own
+    // parquet files appear in inputFiles too — they are metadata)
+    val dataFiles = Lake.snapshotFiles(spark, root, "eqb", 1)
+      .map(p => new java.net.URI(p).getPath).toSet
+    def openedData(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(f => dataFiles.contains(new java.net.URI(f).getPath))
+    val all = dataFiles.size
+    assert(all === 8)
+    // exactly AT the collect bound: the contiguous 1000-key delta is
+    // collected and stats-pruned to the files that can hold it
+    val v2 = MergeOnRead.deleteByKeys(spark, root, "eqb",
+      spark.range(1, 1001).select(col("id").as("k")))
+    val ch12 = Lake.versionChanges(spark, root, "eqb", 1, v2, Seq("k"))
+    val opened12 = openedData(ch12)
+    assert(opened12 < all, s"1000-key delta must stats-prune, opened $opened12/$all")
+    val got12 = ch12.collect()
+    assert(got12.length === 1000 && got12.forall(_.getAs[String]("change") === "deleted"))
+    assert(got12.map(_.getAs[Long]("k")).sorted === (1L to 1000L).toArray)
+    // one PAST the bound: the probe refuses to collect 1001 keys and
+    // conservatively opens every shared file — bounded degradation whose
+    // RESULT stays exact (the pin that keeps the fallback from regressing
+    // to wrong-answer or to silently-unbounded)
+    val v3 = MergeOnRead.deleteByKeys(spark, root, "eqb",
+      spark.range(3000, 4001).select(col("id").as("k")))
+    val ch23 = Lake.versionChanges(spark, root, "eqb", v2, v3, Seq("k"))
+    assert(openedData(ch23) === all,
+      s"a 1001-key delta widens to every shared file, saw ${openedData(ch23)}/$all")
+    val got23 = ch23.collect()
+    assert(got23.length === 1001 && got23.forall(_.getAs[String]("change") === "deleted"))
+    assert(got23.map(_.getAs[Long]("k")).sorted === (3000L to 4000L).toArray)
+  }
+
   test("bucket_by: versionDiff and versionChanges run exchange-free over bucketed snapshots") {
     import graft.lake.BucketLayout
     import org.apache.spark.sql.graft.BucketedMerge
