@@ -68,15 +68,33 @@ object BucketLayout {
     * (K touched buckets → K files) while every staged file comes out
     * bucket-PURE and the commit's verified stamp keeps the layout alive
     * across mutations instead of losing it until the next full rewrite.
+    *
+    * A `cluster_by = 'zorder(a,b)'` policy COMPOSES instead of being
+    * silenced: placement stays by the bucket hash (so the mapping and
+    * every exchange-free path survive), but the IN-BUCKET sort key is the
+    * Morton interleave of the z dimensions — with `file_max_records` set
+    * each bucket splits into several z-contiguous files whose stats
+    * envelopes then prune range predicates on the secondary dimensions
+    * too. Key-equality pruning never needed the in-bucket sort: it comes
+    * from the verified `_buckets.json` hash mapping.
     */
   def applyPolicy(
       spark: SparkSession, root: String, name: String,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    spec(Lake.tableProperties(spark, root, name)) match {
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val props = Lake.tableProperties(spark, root, name)
+    spec(props) match {
       case Some((c, n)) if df.columns.contains(c) =>
-        df.repartition(n, col(c)).sortWithinPartitions(col(c))
+        val bucketed = df.repartition(n, col(c))
+        val zKey = Lake.zorderSpec(props)
+          .filter(_.forall(df.columns.contains))
+          .flatMap(Lake.zorderKey(df, _))
+        zKey match {
+          case Some(z) => bucketed.sortWithinPartitions(z)
+          case None => bucketed.sortWithinPartitions(col(c))
+        }
       case _ => df
     }
+  }
 
   /** Stamp `_buckets.json` into a staged commit dir — FROM the staged
     * files' contents (see scaladoc above). Best-effort: callers swallow

@@ -133,8 +133,9 @@ object CopyOnWrite {
     // survive COW instead of degrading until the next full rewrite.
     // CollapseRepartition folds this into an already-bucketed input
     // (appendEpoch's policy application), so no double exchange.
-    BucketLayout.applyPolicy(spark, root, name, rewritten)
-      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    Lake.policyWriter(spark, root, name,
+      BucketLayout.applyPolicy(spark, root, name, rewritten))
+      .parquet(stage.toString)
     carriedDeletes.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(new Path(stage, MergeOnRead.deletesName).toString))
     val f = fs(spark, tdir)

@@ -48,6 +48,29 @@ object Lake {
 
   val ClusterByProp = "cluster_by"
 
+  /** `file_max_records` write policy: cap rows per output file, so one
+    * SORTED write partition (a hash bucket, a z-ordered range slice)
+    * splits into several files with narrow, disjoint stats envelopes
+    * instead of one file whose min/max spans the whole partition —
+    * the knob that makes `bucket_by` + in-bucket `zorder` prune files on
+    * secondary dimensions. Plumbed as Spark's own per-write
+    * `maxRecordsPerFile` option, so the split respects the sort order.
+    */
+  val FileMaxRecordsProp = "file_max_records"
+
+  /** The staged-snapshot writer honoring the table's write policies
+    * (today: [[FileMaxRecordsProp]]) — every path that stages table data
+    * files goes through this so policies hold across plain publishes,
+    * compactions and COW rewrites alike.
+    */
+  private[lake] def policyWriter(
+      spark: SparkSession, root: String, name: String, df: DataFrame) = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    tableProperties(spark, root, name).get(FileMaxRecordsProp)
+      .filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .fold(w)(v => w.option("maxRecordsPerFile", v.toLong))
+  }
+
   def tableProperties(
       spark: SparkSession, root: String, name: String): Map[String, String] =
     try {
@@ -140,12 +163,13 @@ object Lake {
       spark: SparkSession, root: String, name: String,
       df: DataFrame): DataFrame = {
     val props = tableProperties(spark, root, name)
-    // `bucket_by` takes precedence: hash-bucket the batch so every file
-    // holds one bucket (the exchange-free-diff layout, [[BucketLayout]]);
-    // in-bucket sort keeps per-file min/max narrow for stats pruning
-    BucketLayout.spec(props).foreach { case (c, n) =>
+    // `bucket_by` drives PLACEMENT: hash-bucket the batch so every file
+    // holds one bucket (the exchange-free-diff layout, [[BucketLayout]]).
+    // A zorder `cluster_by` COMPOSES as the in-bucket sort instead of
+    // being silenced — see [[BucketLayout.applyPolicy]]
+    BucketLayout.spec(props).foreach { case (c, _) =>
       if (df.columns.contains(c))
-        return df.repartition(n, col(c)).sortWithinPartitions(col(c))
+        return BucketLayout.applyPolicy(spark, root, name, df)
     }
     val spec = props.get(ClusterByProp)
       .map(_.trim).filter(_.nonEmpty)
@@ -179,7 +203,18 @@ object Lake {
     * monotone numeric form, or the batch is empty/constant-degenerate
     * enough that normalization is meaningless.
     */
-  private def zorderKey(df: DataFrame, cols: Seq[String]): Option[org.apache.spark.sql.Column] = {
+  /** The z-dimension columns of a `cluster_by = 'zorder(a,b)'` policy,
+    * None for the lexicographic form or no policy.
+    */
+  private[lake] def zorderSpec(props: Map[String, String]): Option[Seq[String]] = {
+    val ZOrder = raw"(?i)zorder\((.+)\)".r
+    props.get(ClusterByProp).map(_.trim).collect {
+      case ZOrder(inner) =>
+        inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty)
+  }
+
+  private[lake] def zorderKey(df: DataFrame, cols: Seq[String]): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types._
     def numeric(c: String): Option[org.apache.spark.sql.Column] =
       df.schema.find(_.name == c).map(_.dataType).flatMap {
@@ -285,7 +320,7 @@ object Lake {
     val tdir = tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    policyWriter(spark, root, name, df).parquet(stage.toString)
     val n = commitStaged(spark, tdir, stage)
     Retention.pruneTableVersions(spark, root, name, keep = retentionVersions, dryRun = false)
     n
@@ -624,7 +659,7 @@ object Lake {
     val tdir = tablePath(root, name)
     val stage = new Path(
       s"$tdir/.stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    policyWriter(spark, root, name, df).parquet(stage.toString)
     promoteStagedIf(spark, root, name, stage, expectedLatest, retentionVersions)
   }
 
@@ -2128,7 +2163,7 @@ object Lake {
     val staged = new Path(
       s"${tablePath(root, name)}/.wap_${java.util.UUID.randomUUID().toString.take(12)}")
     val f = fs(spark, tablePath(root, name))
-    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    policyWriter(spark, root, name, df).parquet(staged.toString)
     val audit = graft.governance.Quality
       .evaluate(spark.read.parquet(staged.toString), checks)
       .collect()

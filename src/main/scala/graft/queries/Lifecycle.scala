@@ -3138,6 +3138,65 @@ object Lifecycle {
       |WHERE o_custkey <= 3000
       |GROUP BY o_custkey""".stripMargin
 
+  /** A43 — IN-BUCKET SECONDARY CLUSTERING: `bucket_by` (placement) and a
+    * zorder `cluster_by` (in-bucket order) COMPOSE on one table instead
+    * of bucket_by silencing the z policy. Every staged file stays
+    * bucket-PURE — the verified `_buckets.json` still commits, so the
+    * exchange-free diff/merge/SPJ paths keep their layout — while
+    * `file_max_records` splits each bucket into z-contiguous files whose
+    * stats envelopes prune range predicates on BOTH secondary dimensions
+    * (a bucketed 100 TB table then skips files for time- or key-range
+    * slices inside every bucket, not just whole buckets by key). The gate
+    * hard-requires the mapping AND per-dimension file pruning, then
+    * serves a range aggregate the oracle recomputes.
+    */
+  def zorderBucket(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a43_")
+    import graft.lake.{BucketLayout, StatsSidecar}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    Lake.setTableProperties(s, root, "zb", Map(
+      BucketLayout.Prop -> "o_custkey:4",
+      Lake.ClusterByProp -> "zorder(o_orderkey,o_datekey)",
+      Lake.FileMaxRecordsProp -> "1000"))
+    val o = Tables.orders(s, d)
+      .withColumn("o_datekey",
+        unix_date(col("o_orderdate").cast("date")).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("o_datekey"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(s, root, "zb", o), root, "zb")
+    val files = Lake.snapshotFiles(s, root, "zb", 1)
+    require(BucketLayout.layoutOf(s, root, "zb", 1).isDefined,
+      "bucket mapping must survive the z-sorted write")
+    val schema = Lake.readTableFeed(s, root, "zb", Some(1)).schema
+    def admits(c: String, lo: Long, hi: Long): Int =
+      StatsSidecar.candidateFiles(s, files, schema,
+        Seq(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))).length
+    val b = o.agg(max("o_orderkey"), min("o_datekey"), max("o_datekey")).head()
+    val (okHi, dLo, dHi) = (b.getLong(0) / 5, b.getLong(1), b.getLong(2))
+    require(admits("o_orderkey", 1L, okHi) < files.length,
+      s"an o_orderkey range must prune files inside buckets (${files.length} total)")
+    require(admits("o_datekey", dLo, dLo + (dHi - dLo) / 5) < files.length,
+      s"an o_datekey range must prune files inside buckets (${files.length} total)")
+    Lake.readTableFeed(s, root, "zb", Some(1))
+      .filter(col("o_orderkey") <= okHi)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"),
+        min(col("o_datekey")).as("d_lo"), max(col("o_datekey")).as("d_hi"))
+  }
+
+  val zorderBucketOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_datekey
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       MIN(o_datekey) AS d_lo, MAX(o_datekey) AS d_hi
+      |FROM o
+      |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 5 FROM orders)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** W — CDF-DRIVEN summary maintenance: the materialized view stays
     * correct under file-granular UPDATE / DELETE / MERGE on its base (the
     * reference's aggregate tables are ksqlDB tables — continuously
@@ -3223,6 +3282,7 @@ object Lifecycle {
   val defs: Map[String, QueryFn] = Map(
     "w_mv_cdf_refresh" -> (mvCdfRefresh _),
     "a42_spj_join" -> (spjJoin _),
+    "a43_zorder_bucket" -> (zorderBucket _),
     "a41_table_changes_sql" -> (tableChangesSql _),
     "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
@@ -3291,6 +3351,7 @@ object Lifecycle {
   val oracles: Map[String, String] = Map(
     "w_mv_cdf_refresh" -> mvCdfRefreshOracle,
     "a42_spj_join" -> spjJoinOracle,
+    "a43_zorder_bucket" -> zorderBucketOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,
     "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,

@@ -960,6 +960,48 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Txn.read(spark, root, "a", Some(1)) }
   }
 
+  test("bucket_by composes with zorder cluster_by: in-bucket files prune secondary dims") {
+    val root = scratch()
+    import graft.lake.{BucketLayout, StatsSidecar}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    Lake.setTableProperties(spark, root, "bz", Map(
+      BucketLayout.Prop -> "k:4",
+      Lake.ClusterByProp -> "zorder(a,b)",
+      Lake.FileMaxRecordsProp -> "1000"))
+    val df = spark.range(0, 16000).select(
+      col("id").as("k"),
+      (col("id") * 2654435761L % 1024).as("a"),
+      (col("id") * 40503 % 1024).as("b"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "bz", df), root, "bz")
+    val files = Lake.snapshotFiles(spark, root, "bz", 1)
+    // placement by bucket hash, in-bucket z-sort, file_max_records splits
+    // each bucket into several z-contiguous files
+    assert(files.length >= 12, s"buckets must split into several files, got ${files.length}")
+    // every file is still bucket-PURE: the verified mapping committed
+    val layout = BucketLayout.layoutOf(spark, root, "bz", 1)
+    assert(layout.isDefined, "bucket mapping must survive the z-sorted write")
+    assert(layout.get._3.size === files.length)
+    val schema = Lake.readTableFeed(spark, root, "bz", Some(1)).schema
+    // a range predicate on EITHER z dimension prunes files INSIDE buckets
+    // (single-key in-bucket sort would leave both dimensions unprunable)
+    def admitted(colName: String): Seq[String] =
+      StatsSidecar.candidateFiles(spark, files, schema,
+        Seq(GreaterThanOrEqual(colName, 0L), LessThanOrEqual(colName, 127L)))
+    assert(admitted("a").length <= files.length * 3 / 4,
+      s"a admitted ${admitted("a").length}/${files.length}")
+    assert(admitted("b").length <= files.length * 3 / 4,
+      s"b admitted ${admitted("b").length}/${files.length}")
+    // bucket-key equality keeps pruning via the hash mapping, untouched
+    // by the z-sort (it never needed file stats)
+    val byKey = BucketLayout.filterCandidates(spark, files, schema, Seq(EqualTo("k", 7L)))
+    assert(byKey.length <= files.length / 2, s"key pruned to ${byKey.length}/${files.length}")
+    // the pruned read stays exact
+    val full = Lake.readTableFeed(spark, root, "bz", Some(1))
+      .filter(col("a").between(0, 127))
+    val pruned = spark.read.parquet(admitted("a"): _*).filter(col("a").between(0, 127))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("eq-delete delta probe: 1000 keys prune, 1001 widen to all shared files") {
     val root = scratch()
     import graft.lake.MergeOnRead
