@@ -1143,6 +1143,128 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** BPE APPLY — tokenize the corpus with an ORDERED merge list (the
+    * production inference step; [[bpeMerges]] pins the training counter).
+    * The merge list is learned from the corpus's iteration-1 pair counts
+    * (top-5 by weighted count DESC, pair ASC — engine-deterministic) and
+    * applied IN ORDER, each merge as one LEFT-TO-RIGHT GREEDY fold over
+    * the token array (`aggregate`: a freshly-merged token never re-merges
+    * with the element that follows it — the textbook single-scan
+    * semantics, so `aaaa` + merge `(a,a)` → `aa aa`, never `aaa a`).
+    * Everything runs at WORD level: the corpus collapses to its unique
+    * words first (distinct-then-broadcast), so apply cost is
+    * O(unique words × merges), not O(corpus tokens × merges) — at 100 TB
+    * the vocabulary is bounded while the token stream is not, and the
+    * per-word tokenization joins back to documents with one broadcast.
+    * Emits the full vocab mapping: word, corpus weight, final token
+    * SEQUENCE, token count — the tokenizer artifact itself, hash-verified
+    * against DuckDB replaying the same learn + 5 sequential folds.
+    */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // the ordered merge list: 5 rows, collected — O(1) driver data
+    val merges: Seq[(String, String)] = words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(5).collect()
+      .map { r => val p = r.getString(0); (p.substring(0, 1), p.substring(1, 2)) }
+      .toSeq
+    val init = words.withColumn("toks", expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val folded = bpeFoldToks(init, merges)
+    folded.select(col("w"), col("wc"),
+      concat_ws(" ", col("toks")).as("toks_str"),
+      size(col("toks")).cast("long").as("n_toks"))
+  }
+
+  /** One greedy LEFT-TO-RIGHT fold per merge, applied in merge order,
+    * over a `toks` array<string> column (see [[bpeApply]]): if the
+    * accumulator's last token is `a` and the current is `b` they fuse to
+    * `ab`, else the token appends — a fused token never re-merges with
+    * the element that follows it in the same pass. Pairs come from the
+    * `[a-z0-9]+` vocab regex, so literal splicing is quote-safe.
+    */
+  private[graft] def bpeFoldToks(
+      df: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(df) { case (d, (a, b)) =>
+      d.withColumn("toks", expr(
+        s"""aggregate(toks, cast(array() as array<string>),
+           |  (acc, t) -> CASE WHEN size(acc) > 0
+           |                    AND try_element_at(acc, -1) = '$a' AND t = '$b'
+           |              THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+           |              ELSE concat(acc, array(t)) END)""".stripMargin))
+    }
+
+  val bpeApplyOracle: String =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT w, count(*) AS wc
+      |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT substr(w, i, 2) AS pair, SUM(wc) AS n
+      |  FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM w WHERE len(w) >= 2)
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+      |         row_number() OVER (ORDER BY n DESC, pair) AS rk
+      |  FROM (SELECT pair, n FROM p ORDER BY n DESC, pair LIMIT 5)),
+      |r0 AS (SELECT w, wc, regexp_extract_all(w, '.') AS toks FROM w),
+      |f1 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r0
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f1 f JOIN m ON m.rk = 1 WHERE f.i <= len(f.toks)),
+      |r1 AS (SELECT w, wc, acc AS toks FROM f1 WHERE i = len(toks) + 1),
+      |f2 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r1
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f2 f JOIN m ON m.rk = 2 WHERE f.i <= len(f.toks)),
+      |r2 AS (SELECT w, wc, acc AS toks FROM f2 WHERE i = len(toks) + 1),
+      |f3 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r2
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f3 f JOIN m ON m.rk = 3 WHERE f.i <= len(f.toks)),
+      |r3 AS (SELECT w, wc, acc AS toks FROM f3 WHERE i = len(toks) + 1),
+      |f4 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r3
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f4 f JOIN m ON m.rk = 4 WHERE f.i <= len(f.toks)),
+      |r4 AS (SELECT w, wc, acc AS toks FROM f4 WHERE i = len(toks) + 1),
+      |f5 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r4
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f5 f JOIN m ON m.rk = 5 WHERE f.i <= len(f.toks)),
+      |r5 AS (SELECT w, wc, acc AS toks FROM f5 WHERE i = len(toks) + 1)
+      |SELECT w, wc, array_to_string(toks, ' ') AS toks_str,
+      |       len(toks) AS n_toks
+      |FROM r5""".stripMargin
+
   val bpeMergesOracle: String =
     """WITH w AS (SELECT w, count(*) AS wc FROM (
       |             SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
@@ -1158,6 +1280,7 @@ object TextAnalysis {
 
   val defs: Map[String, QueryFn] = Map(
     "x_bpe_merges" -> (bpeMerges _),
+    "x_bpe_apply" -> (bpeApply _),
     "x_bigram_lm" -> (bigramLm _),
     "x_chunk_docs" -> (chunkDocs _),
     "x_pack_sequences" -> (packSequences _),
@@ -1185,6 +1308,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "x_bpe_merges" -> bpeMergesOracle,
+    "x_bpe_apply" -> bpeApplyOracle,
     "x_bigram_lm" -> bigramLmOracle,
     "x_chunk_docs" -> chunkDocsOracle,
     "x_pack_sequences" -> packSequencesOracle,

@@ -136,6 +136,36 @@ class PropertySpec extends SparkSpec {
     assert(got === spec)
   }
 
+  test("BPE apply fold equals a sequential reference applier on random merges") {
+    // reference: the textbook single-scan greedy merge, one pass per
+    // merge in order (a fused token never re-merges with what follows)
+    def ref(word: String, merges: Seq[(String, String)]): List[String] =
+      merges.foldLeft(word.map(_.toString).toList) { case (toks, (a, b)) =>
+        toks.foldLeft(List.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+          else acc :+ t
+        }
+      }
+    val alpha = Seq("a", "b", "c")
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    val mergeGen = Gen.listOfN(5,
+      Gen.zip(Gen.oneOf(alpha), Gen.oneOf(alpha))) // includes (x,x) runs
+    for (seed <- Seq(7L, 19L)) {
+      val words = sample(wordGen, 120, seed).distinct
+      val merges = sample(mergeGen, 1, seed + 1).head
+      val init = words.toDF("w").withColumn("toks", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      val got = graft.ext.TextAnalysis.bpeFoldToks(init, merges)
+        .select(col("w"), concat_ws(" ", col("toks")).as("t"))
+        .as[(String, String)].collect().toMap
+      words.foreach { w =>
+        assert(got(w) === ref(w, merges).mkString(" "),
+          s"word=$w merges=$merges")
+      }
+    }
+  }
+
   test("surrogate keys: any random batch sequence yields a dense stable bijection") {
     val batchesGen = Gen.listOfN(4, Gen.listOfN(6, Gen.chooseNum(1L, 30L)))
     val batches = sample(batchesGen, 5, seed = 41L)
