@@ -1181,6 +1181,93 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("n_toks"))
   }
 
+  /** BPE TOKENIZE, corpus-wide — the second half of the
+    * distinct-then-broadcast contract [[bpeApply]] sets up: the vocab
+    * mapping (|vocab| rows, bounded at any corpus size) BROADCASTS back
+    * onto the document token stream, so tokenizing 100 TB costs one
+    * map-side join over the corpus words plus the vocab-sized apply —
+    * the merge folds never run per occurrence. Emits per-document word
+    * and BPE-token counts (the sequence-length accounting a training
+    * pipeline's packing/budget stages consume).
+    */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeApply(s, d).select(col("w"), col("n_toks"))
+    val docWords = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+    docWords.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_bpe_tokens"))
+  }
+
+  val bpeTokensOracle: String =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT w, count(*) AS wc
+      |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT substr(w, i, 2) AS pair, SUM(wc) AS n
+      |  FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM w WHERE len(w) >= 2)
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+      |         row_number() OVER (ORDER BY n DESC, pair) AS rk
+      |  FROM (SELECT pair, n FROM p ORDER BY n DESC, pair LIMIT 5)),
+      |r0 AS (SELECT w, regexp_extract_all(w, '.') AS toks FROM w),
+      |f1 AS (
+      |  SELECT w, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r0
+      |  UNION ALL
+      |  SELECT f.w, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f1 f JOIN m ON m.rk = 1 WHERE f.i <= len(f.toks)),
+      |r1 AS (SELECT w, acc AS toks FROM f1 WHERE i = len(toks) + 1),
+      |f2 AS (
+      |  SELECT w, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r1
+      |  UNION ALL
+      |  SELECT f.w, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f2 f JOIN m ON m.rk = 2 WHERE f.i <= len(f.toks)),
+      |r2 AS (SELECT w, acc AS toks FROM f2 WHERE i = len(toks) + 1),
+      |f3 AS (
+      |  SELECT w, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r2
+      |  UNION ALL
+      |  SELECT f.w, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f3 f JOIN m ON m.rk = 3 WHERE f.i <= len(f.toks)),
+      |r3 AS (SELECT w, acc AS toks FROM f3 WHERE i = len(toks) + 1),
+      |f4 AS (
+      |  SELECT w, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r3
+      |  UNION ALL
+      |  SELECT f.w, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f4 f JOIN m ON m.rk = 4 WHERE f.i <= len(f.toks)),
+      |r4 AS (SELECT w, acc AS toks FROM f4 WHERE i = len(toks) + 1),
+      |f5 AS (
+      |  SELECT w, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r4
+      |  UNION ALL
+      |  SELECT f.w, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m.a AND f.toks[f.i] = m.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m.a || m.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f5 f JOIN m ON m.rk = 5 WHERE f.i <= len(f.toks)),
+      |v AS (SELECT w, len(acc) AS n_toks FROM f5 WHERE i = len(toks) + 1),
+      |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+      |       FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |       CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens
+      |FROM dw JOIN v USING (w)
+      |GROUP BY doc_id""".stripMargin
+
   /** One greedy LEFT-TO-RIGHT fold per merge, applied in merge order,
     * over a `toks` array<string> column (see [[bpeApply]]): if the
     * accumulator's last token is `a` and the current is `b` they fuse to
@@ -1281,6 +1368,7 @@ object TextAnalysis {
   val defs: Map[String, QueryFn] = Map(
     "x_bpe_merges" -> (bpeMerges _),
     "x_bpe_apply" -> (bpeApply _),
+    "x_bpe_tokens" -> (bpeTokens _),
     "x_bigram_lm" -> (bigramLm _),
     "x_chunk_docs" -> (chunkDocs _),
     "x_pack_sequences" -> (packSequences _),
@@ -1309,6 +1397,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "x_bpe_merges" -> bpeMergesOracle,
     "x_bpe_apply" -> bpeApplyOracle,
+    "x_bpe_tokens" -> bpeTokensOracle,
     "x_bigram_lm" -> bigramLmOracle,
     "x_chunk_docs" -> chunkDocsOracle,
     "x_pack_sequences" -> packSequencesOracle,

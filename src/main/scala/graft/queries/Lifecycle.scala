@@ -3197,6 +3197,45 @@ object Lifecycle {
       |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 5 FROM orders)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** W — AVG and COUNT(col) THROUGH THE SUMMARY: a registered rollup
+    * carrying `cnt` measures (per-group non-null counts) now serves
+    * `avg(x)` over non-decimal numerics as SUM(sums)/SUM(cnts) — the
+    * exact arithmetic of Average's own evaluate expression — and
+    * `count(x)` as SUM(cnts), alongside the existing sum/min/max/count(*)
+    * decompositions. The gate hard-requires the rewrite fired (summary
+    * scanned, base NOT scanned) and hash-verifies the served averages;
+    * l_quantity is integral-valued, so the double sums are order-exact
+    * and the comparison is bit-strict, not tolerance-based.
+    */
+  def mvAvg(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = scratch("graft_mva_")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$root/li")
+    SummaryRewrite.create(s, "mv_avg_li", s"$root/li", s"$root/mv",
+      keys = Seq("l_returnflag", "l_linestatus"),
+      sums = Seq("l_quantity" -> None),
+      counts = Seq("l_quantity"))
+    val q = s.read.parquet(s"$root/li")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("avg_qty"),
+        count(col("l_quantity")).as("n_qty"),
+        count(lit(1)).as("n"))
+    val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+    require(scanned.exists(_.endsWith("/mv")),
+      "avg/count(col) must be served by the summary")
+    require(!scanned.exists(_.endsWith("/li")),
+      "the base table must not be scanned once the rewrite fires")
+    q
+  }
+
+  val mvAvgOracle: String =
+    """SELECT l_returnflag, AVG(l_quantity) AS avg_qty,
+      |       COUNT(l_quantity) AS n_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   /** W — CDF-DRIVEN summary maintenance: the materialized view stays
     * correct under file-granular UPDATE / DELETE / MERGE on its base (the
     * reference's aggregate tables are ksqlDB tables — continuously
@@ -3281,6 +3320,7 @@ object Lifecycle {
 
   val defs: Map[String, QueryFn] = Map(
     "w_mv_cdf_refresh" -> (mvCdfRefresh _),
+    "w_mv_avg" -> (mvAvg _),
     "a42_spj_join" -> (spjJoin _),
     "a43_zorder_bucket" -> (zorderBucket _),
     "a41_table_changes_sql" -> (tableChangesSql _),
@@ -3350,6 +3390,7 @@ object Lifecycle {
 
   val oracles: Map[String, String] = Map(
     "w_mv_cdf_refresh" -> mvCdfRefreshOracle,
+    "w_mv_avg" -> mvAvgOracle,
     "a42_spj_join" -> spjJoinOracle,
     "a43_zorder_bucket" -> zorderBucketOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,

@@ -1,8 +1,8 @@
 package graft.warehouse
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -29,13 +29,18 @@ import org.apache.spark.sql.types.DataType
   *    the pre-aggregation);
   *  - every aggregate call decomposes over the view: SUM(x) = SUM of the
   *    per-group sums, COUNT(*)/COUNT(1) = SUM of the per-group counts,
-  *    MIN/MAX(x) = MIN/MAX of the per-group minima/maxima — with no
-  *    DISTINCT and no FILTER clause. Re-aggregated results are cast back
-  *    to the original aggregate's result type, so downstream operators
-  *    (and the driver's hash compare) see bit-identical schema and values.
+  *    MIN/MAX(x) = MIN/MAX of the per-group minima/maxima, COUNT(x) = SUM
+  *    of the per-group non-null counts (a declared `cnt` measure), and
+  *    AVG(x) over non-decimal numerics = SUM(sums)/SUM(cnts), the exact
+  *    arithmetic of Average's own evaluate expression — with no DISTINCT
+  *    and no FILTER clause. Re-aggregated results are cast back to the
+  *    original aggregate's result type, so downstream operators (and the
+  *    driver's hash compare) see bit-identical schema and values.
   *
-  * Anything else — a non-key filter, AVG written as `avg` rather than
-  * sum/count, COUNT(col), a UDAF — leaves the plan untouched; the rule is
+  * Anything else — a non-key filter, a DECIMAL `avg` (its internal
+  * precision promotion is not re-derived here; the money convention's
+  * sum/count spelling rewrites instead), a UDAF — leaves the plan
+  * untouched; the rule is
   * allowed to decline, never to approximate. Output attribute `exprId`s are
   * preserved through the rewrite (exprId-keyed aliases), so operators above
   * the aggregate re-bind without a fixup pass. The rule runs inside the
@@ -53,9 +58,11 @@ import org.apache.spark.sql.types.DataType
   */
 object SummaryRewrite {
 
-  /** One decomposable measure: `kind` ∈ sum|min|max, over base column
-    * `baseCol` (optionally pre-cast to `castTo` — the repo's decimal(18,2)
-    * money convention), materialized as view column `mvCol`.
+  /** One decomposable measure: `kind` ∈ sum|min|max|cnt (cnt = COUNT of
+    * the column's non-null values — what COUNT(col) and the AVG
+    * denominator re-aggregate from), over base column `baseCol`
+    * (optionally pre-cast to `castTo` — the repo's decimal(18,2) money
+    * convention), materialized as view column `mvCol`.
     */
   final case class Measure(kind: String, baseCol: String, castTo: Option[DataType], mvCol: String)
 
@@ -98,14 +105,16 @@ object SummaryRewrite {
       keys: Seq[String],
       sums: Seq[(String, Option[String])] = Nil,
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil): MvDef = {
+      maxs: Seq[String] = Nil,
+      counts: Seq[String] = Nil): MvDef = {
     val base = spark.read.parquet(basePath)
     val measures =
       sums.map { case (c, ct) =>
         Measure("sum", c, ct.map(DataType.fromDDL), s"mv_sum_$c")
       } ++
         mins.map(c => Measure("min", c, None, s"mv_min_$c")) ++
-        maxs.map(c => Measure("max", c, None, s"mv_max_$c"))
+        maxs.map(c => Measure("max", c, None, s"mv_max_$c")) ++
+        counts.map(c => Measure("cnt", c, None, s"mv_cnt_$c"))
     val mv = MvDef(name, norm(basePath), norm(mvPath), keys, measures, "mv_cnt")
     rollup(base, mv).write.mode("overwrite").parquet(mvPath)
     registered = mv :: registered.filterNot(_.name == name)
@@ -129,7 +138,8 @@ object SummaryRewrite {
       rowKeys: Seq[String],
       sums: Seq[(String, Option[String])] = Nil,
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil): MvDef = {
+      maxs: Seq[String] = Nil,
+      counts: Seq[String] = Nil): MvDef = {
     val version = graft.lake.Lake.latestVersion(spark, lakeRoot, table)
       .getOrElse(throw new IllegalArgumentException(
         s"createForTable: $table has no committed versions"))
@@ -139,7 +149,8 @@ object SummaryRewrite {
         Measure("sum", c, ct.map(DataType.fromDDL), s"mv_sum_$c")
       } ++
         mins.map(c => Measure("min", c, None, s"mv_min_$c")) ++
-        maxs.map(c => Measure("max", c, None, s"mv_max_$c"))
+        maxs.map(c => Measure("max", c, None, s"mv_max_$c")) ++
+        counts.map(c => Measure("cnt", c, None, s"mv_cnt_$c"))
     val mv = MvDef(name, norm(graft.lake.Lake.tablePath(lakeRoot, table)),
       norm(mvPath), keys, measures, "mv_cnt",
       tableRef = Some((lakeRoot, table)), rowKeys = rowKeys,
@@ -279,6 +290,7 @@ object SummaryRewrite {
         case "sum" => sum(in)
         case "min" => min(in)
         case "max" => max(in)
+        case "cnt" => count(in)
       }).as(m.mvCol)
     } :+ count(lit(1)).as(mv.countCol)
     df.groupBy(mv.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -315,7 +327,7 @@ object SummaryRewrite {
       val current = spark.read.parquet(mv.mvPath)
       val mergeCols = mv.measures.map { m =>
         (m.kind match {
-          case "sum" => sum(col(m.mvCol))
+          case "sum" | "cnt" => sum(col(m.mvCol))
           case "min" => min(col(m.mvCol))
           case "max" => max(col(m.mvCol))
         }).as(m.mvCol)
@@ -453,6 +465,33 @@ object SummaryRewrite {
             case m0 @ Max(a: AttributeReference) =>
               mv.measures.find(m => m.kind == "max" && m.baseCol == a.name)
                 .map(m => reAgg(Max(byName(m.mvCol)), m0.dataType))
+            case c @ Count(Seq(a: AttributeReference)) =>
+              // COUNT(col) = SUM of the per-group non-null counts; same
+              // empty-input coalesce as COUNT(*)
+              mv.measures.find(m => m.kind == "cnt" && m.baseCol == a.name)
+                .map(m => org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+                  reAgg(Sum(byName(m.mvCol)), c.dataType),
+                  Literal(0L))))
+            case av @ Average(a: AttributeReference, _)
+                if !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+              // AVG(x) over non-decimal numerics = SUM(per-group sums) /
+              // SUM(per-group non-null counts), both cast to Average's own
+              // result type (double) — exactly Average.evaluateExpression's
+              // `Divide(sum.cast(resultType), count.cast(resultType))`, so
+              // the rewrite reproduces the built-in's arithmetic, not an
+              // approximation of it. DECIMAL averages decline: their
+              // division carries Average-internal precision/scale promotion
+              // this rule will not re-derive (the repo's money convention
+              // writes decimal averages as sum/count, which already
+              // rewrites through the sum + cnt measures).
+              for {
+                sm <- mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name &&
+                  (m.castTo.isEmpty || m.castTo.contains(a.dataType)))
+                cm <- mv.measures.find(m => m.kind == "cnt" && m.baseCol == a.name)
+              } yield Divide(
+                reAgg(Sum(byName(sm.mvCol)), av.dataType),
+                reAgg(Sum(byName(cm.mvCol)), av.dataType),
+                EvalMode.LEGACY)
             case c @ Count(Seq(Literal(_, _))) =>
               // COUNT(*) = 0 over an empty input, but SUM over an empty
               // summary is NULL — coalesce so the global-aggregate

@@ -348,4 +348,51 @@ class WarehouseSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.mvcdfcat.root")
     }
   }
+
+  test("mv rewrite serves AVG and COUNT(col) via cnt measures; decimal avg declines") {
+    import org.apache.spark.sql.functions._
+    import graft.warehouse.SummaryRewrite
+    val dir = java.nio.file.Files.createTempDirectory("avgspec_").toString
+    // null-bearing measure column: COUNT(col) and AVG must skip nulls,
+    // so cnt (non-null count) and n (row count) genuinely differ
+    def gen(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") % 5).as("g"),
+      when(col("id") % 7 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 11).cast("double")).as("v"))
+    gen(0, 5000).write.mode("overwrite").parquet(s"$dir/base")
+    def agg() = spark.read.parquet(s"$dir/base").groupBy("g")
+      .agg(avg(col("v")).as("a"), count(col("v")).as("c"), count(lit(1)).as("n"))
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      SummaryRewrite.scannedPaths(df.queryExecution.optimizedPlan)
+    try {
+      SummaryRewrite.create(spark, "mv_avg_spec", s"$dir/base", s"$dir/mv",
+        keys = Seq("g"), sums = Seq("v" -> None), counts = Seq("v"))
+      val q = agg()
+      assert(scans(q).exists(_.endsWith("/mv")), s"rewrite must fire: ${scans(q)}")
+      val got = collect(q)
+      // a DECIMAL avg declines (Average's internal precision promotion is
+      // not re-derived) — the base is scanned, never an approximation
+      val qd = spark.read.parquet(s"$dir/base").groupBy("g")
+        .agg(avg(col("v").cast("decimal(18,2)")).as("a"))
+      assert(!scans(qd).exists(s => s.endsWith("/mv") || s.endsWith("/mv2")),
+        "decimal avg must decline the summary")
+      // rewritten ≡ unrewritten, bit-exact (v is integral-valued)
+      SummaryRewrite.drop("mv_avg_spec")
+      assert(got === collect(agg()))
+      // cnt measures fold through an incremental append refresh
+      SummaryRewrite.create(spark, "mv_avg_spec", s"$dir/base", s"$dir/mv2",
+        keys = Seq("g"), sums = Seq("v" -> None), counts = Seq("v"))
+      val batch = gen(5000, 6100)
+      batch.write.mode("append").parquet(s"$dir/base")
+      SummaryRewrite.refreshIncremental(spark, "mv_avg_spec", batch)
+      val q2 = agg()
+      assert(scans(q2).exists(_.contains("/mv2")), s"refreshed summary must serve: ${scans(q2)}")
+      val got2 = collect(q2)
+      SummaryRewrite.drop("mv_avg_spec")
+      assert(got2 === collect(agg()))
+    } finally SummaryRewrite.drop("mv_avg_spec")
+  }
 }
