@@ -118,6 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   table_changes('<catalog>.<ns>.<table>', start)                -- start=0: snapshot
     //   table_changes('<cat>.<ns>.<t>', start, 'k1,k2')               -- incremental
     //   table_changes('<cat>.<ns>.<t>', start, end, 'k1,k2')          -- bounded
+    //   table_changes('<cat>.<ns>.<t>', start, 'k1,k2', true)          -- preimages
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       new ExpressionInfo("graft.GraftExtensions", "table_changes"),
@@ -139,8 +140,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"table_changes: argument ${i + 1} must be an integer version, got $other")
         }
-        require(children.size >= 2 && children.size <= 4,
-          "table_changes('<cat>.<ns>.<table>', start [, end] [, 'k1,k2'])")
+        require(children.size >= 2 && children.size <= 5,
+          "table_changes('<cat>.<ns>.<table>', start [, end] [, 'k1,k2'] [, preimages])")
         val parts = str(0).split('.')
         require(parts.length >= 2,
           s"table_changes: '${str(0)}' must be '<catalog>.[<ns>.]<table>'")
@@ -150,14 +151,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(throw new IllegalArgumentException(
             s"table_changes: '$cat' is not a configured graft catalog"))
         val start = int(1)
-        // 3rd argument disambiguates by type: integer = endingVersion,
-        // string = keyColumns
+        // trailing arguments disambiguate by type: integer =
+        // endingVersion, string = keyColumns, boolean = preimages
+        // (Delta-CDF-shaped update_preimage/update_postimage emission)
         var end: Option[Int] = None
         var keys: Seq[String] = Nil
+        var preimages = false
         children.drop(2).zipWithIndex.foreach { case (_, j) =>
           lit(j + 2) match {
             case n: Int => end = Some(n)
             case n: Long => end = Some(n.toInt)
+            case b: Boolean => preimages = b
             case s: org.apache.spark.unsafe.types.UTF8String =>
               keys = s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             case other => throw new IllegalArgumentException(
@@ -167,7 +171,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val upper = end.getOrElse(
           graft.lake.Lake.latestVersion(spark, root, table).getOrElse(0))
         org.apache.spark.sql.graft.GraftChangeFeed
-          .changesBetween(spark, root, table, keys, start, upper)
+          .changesBetween(spark, root, table, keys, start, upper, preimages)
           .queryExecution.logical
       }))
   }

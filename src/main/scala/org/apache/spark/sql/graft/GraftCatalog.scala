@@ -668,7 +668,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[GraftChangeFeedStream]]). Options: `keyColumns` (required —
     * diffs are keyed), `startingVersion` (0 = initial snapshot as
     * inserts, `latest`, or a committed version), `endingVersion` (batch
-    * only, default latest). Schema = the base table's visible schema +
+    * only, default latest), `preimages` (updates emit BOTH images as
+    * `update_preimage`/`update_postimage` — the Delta CDF shape derived-
+    * state consumers need). Schema = the base table's visible schema +
     * `change` (inserted/updated/deleted) + `change_version`. Row-image
     * consumers filter `change <> 'deleted'` and drop the two columns.
     */
@@ -695,6 +697,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         private def startingVersion: String =
           Option(options.get("startingVersion")).getOrElse("0")
+        // Delta-CDF-shaped update emission: an update yields BOTH images
+        // (update_preimage/update_postimage) instead of one `updated` row
+        // — derived-state consumers (summary refresh) need the old group
+        private def preimages: Boolean =
+          Option(options.get("preimages")).exists(_.toBoolean)
         override def build(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.V1Scan {
             private val outSchema = required
@@ -716,7 +723,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   val to = Option(options.get("endingVersion"))
                     .map(_.toInt).getOrElse(latest)
                   GraftChangeFeed.changesBetween(
-                    spark, root, baseName, keyCols, from, to)
+                    spark, root, baseName, keyCols, from, to, preimages)
                     .select(outSchema.fieldNames.toIndexedSeq.map(
                       org.apache.spark.sql.functions.col): _*)
                     .queryExecution.toRdd
@@ -729,7 +736,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 startingVersion, required = outSchema,
                 checkpointLocation = checkpointLocation,
                 maxVersionsPerTrigger =
-                  Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+                  Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+                preimages = preimages)
           }
       }
   }

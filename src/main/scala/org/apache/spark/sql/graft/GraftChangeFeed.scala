@@ -173,7 +173,8 @@ class GraftChangeFeedStream(
     root: String, name: String, keyCols: Seq[String],
     startingVersion: String, required: StructType,
     checkpointLocation: String,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    preimages: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import GraftChangeFeed._
 
@@ -239,7 +240,7 @@ class GraftChangeFeedStream(
     val dir = scratchDir(s, e)
     val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(new Path(dir, "_SUCCESS"))) {
-      changesBetween(spark, root, name, keyCols, s, e)
+      changesBetween(spark, root, name, keyCols, s, e, preimages)
         .select(required.fieldNames.toIndexedSeq.map(col): _*)
         .write.mode("overwrite").parquet(dir.toString)
     }

@@ -247,6 +247,43 @@ class ChangeFeedSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((2L, "inserted")))
   }
 
+  test("preimages option: updates emit both images through read option, stream and TVF") {
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "cfpre")
+    Lake.writeTableSnapshot(
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), root, "cfpre")
+    def shape(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, String, String)] =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val want = Seq(
+      (2L, "B", "update_postimage"), (2L, "b", "update_preimage"),
+      (3L, "c", "deleted"), (4L, "d", "inserted"))
+    // batch read option
+    val batch = spark.read.option("keyColumns", "k")
+      .option("startingVersion", "1").option("preimages", "true")
+      .table(s"$cat.tables.cfpre__changes")
+      .select("k", "v", "change")
+    assert(shape(batch.collect()) === want)
+    // pure-SQL TVF, boolean trailing argument
+    val tvf = spark.sql(
+      s"SELECT k, v, change FROM table_changes('$cat.tables.cfpre', 1, 'k', true)")
+    assert(shape(tvf.collect()) === want)
+    // streaming form stages the same shape per epoch
+    val ck = Files.createTempDirectory("graft_cfpre_ck_").toString
+    val out = Files.createTempDirectory("graft_cfpre_out_").toString
+    val q = spark.readStream
+      .option("keyColumns", "k").option("startingVersion", "1")
+      .option("preimages", "true")
+      .table(s"$cat.tables.cfpre__changes")
+      .select("k", "v", "change")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sunk = spark.read.schema(batch.schema).parquet(out)
+    assert(shape(sunk.collect()) === want)
+  }
+
   test("metadata-only evolution steps emit EMPTY change sets, zero data files opened") {
     import org.apache.spark.sql.types._
     Lake.writeTableSnapshot(
