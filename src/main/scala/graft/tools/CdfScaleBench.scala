@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import graft.lake.{CopyOnWrite, Lake}
 
-/** SCALE evidence for the round-13 claims, run at two table sizes:
+/** SCALE evidence for the round-13/14 claims, run at two table sizes:
   *
   *  1. CDF step cost tracks CHANGED bytes, not table bytes — a one-file
   *     COW update's `tableChanges` step should cost ~the same on a 10×
@@ -12,6 +12,13 @@ import graft.lake.{CopyOnWrite, Lake}
   *  2. The bucketed full-republish diff stays exchange-free and scales
   *     ~linearly in table bytes (one streaming pass, no shuffle) vs the
   *     join-based diff's shuffle of both snapshots.
+  *  3. (r14) A METADATA-ONLY evolution step's CDF is O(0): zero change
+  *     rows, zero data files in the plan, wall time independent of table
+  *     size — the mapping-aware diff, not a full-table compare.
+  *  4. (r14) In-bucket z-order: `bucket_by` + `cluster_by='zorder(a,b)'`
+  *     + `file_max_records` splits buckets into z-contiguous files; a
+  *     1/8 range on EITHER secondary dimension admits a strict subset of
+  *     the files inside every bucket.
   *
   * Usage: runMain graft.tools.CdfScaleBench <rows> — prints one JSON line.
   */
@@ -40,6 +47,18 @@ object CdfScaleBench {
       Lake.tableChanges(spark, root, "big", 1, Seq("k")).count()
     }
 
+    // --- 3. metadata-only step: CDF must be O(0) regardless of table size
+    val vPre = Lake.latestVersion(spark, root, "big").get
+    val vAlter = Lake.addColumn(spark, root, "big",
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val (alterRows, tAlter) = timed {
+      val ch = Lake.versionChanges(spark, root, "big", vPre, vAlter, Seq("k"))
+      require(ch.inputFiles.isEmpty,
+        "ALTER-only step must not open one carried data file")
+      ch.count()
+    }
+
     // --- 2. bucketed exchange-free diff vs the shuffle fallback
     Lake.setTableProperties(spark, root, "bk", Map("bucket_by" -> "k:64"))
     def gen(salt: String) = spark.range(0, rows).select(
@@ -61,9 +80,29 @@ object CdfScaleBench {
     }
     require(n2 == n3, s"bucketed and shuffle diffs must agree: $n2 vs $n3")
 
+    // --- 4. in-bucket z-order: secondary-dimension pruning inside buckets
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import graft.lake.StatsSidecar
+    Lake.setTableProperties(spark, root, "zb", Map(
+      "bucket_by" -> "k:16", "cluster_by" -> "zorder(a,b)",
+      Lake.FileMaxRecordsProp -> (rows / 64).max(1L).toString))
+    val dom = 1048576L
+    val zdf = spark.range(0, rows).select(col("id").as("k"),
+      (col("id") * 2654435761L % dom).as("a"), (col("id") * 40503 % dom).as("b"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "zb", zdf), root, "zb")
+    val zfiles = Lake.snapshotFiles(spark, root, "zb", 1)
+    require(graft.lake.BucketLayout.layoutOf(spark, root, "zb", 1).isDefined,
+      "bucket mapping must survive the z-sorted split write")
+    val zschema = Lake.readTableFeed(spark, root, "zb", Some(1)).schema
+    def adm(c: String): Int = StatsSidecar.candidateFiles(spark, zfiles, zschema,
+      Seq(GreaterThanOrEqual(c, 0L), LessThanOrEqual(c, dom / 8 - 1))).size
+    val (admA, admB) = (adm("a"), adm("b"))
+
     println(s"""{"rows":$rows,"cdf_step_changes":$n1,"cdf_step_sec":${f"$tStep%.2f"},""" +
+      s""""alter_step_changes":$alterRows,"alter_step_sec":${f"$tAlter%.2f"},""" +
       s""""bucketed_diff_sec":${f"$tBucketed%.2f"},"shuffle_diff_sec":${f"$tShuffle%.2f"},""" +
-      s""""bucketed_shuffle_free":$shuffleFree,"diff_rows":$n2}""")
+      s""""bucketed_shuffle_free":$shuffleFree,"diff_rows":$n2,""" +
+      s""""zb_files":${zfiles.size},"zb_admitted_a":$admA,"zb_admitted_b":$admB}""")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
     spark.stop()
   }
