@@ -1002,6 +1002,37 @@ class LakeSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("compaction preserves the composed bucket+zorder layout and its pruning") {
+    val root = scratch()
+    import graft.lake.{BucketLayout, StatsSidecar}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    Lake.setTableProperties(spark, root, "bzc", Map(
+      BucketLayout.Prop -> "k:4",
+      Lake.ClusterByProp -> "zorder(a,b)",
+      Lake.FileMaxRecordsProp -> "1000"))
+    val df = spark.range(0, 16000).select(
+      col("id").as("k"),
+      (col("id") * 2654435761L % 1024).as("a"),
+      (col("id") * 40503 % 1024).as("b"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "bzc", df), root, "bzc")
+    // fragment the layout: a COW update rewrites a few buckets' files
+    graft.lake.CopyOnWrite.updateWhere(spark, root, "bzc",
+      col("k") < 100, Seq("b" -> lit(7L)))
+    // compaction folds back INTO the composed layout: bucket placement,
+    // in-bucket z-interleave, file_max_records splits — all re-verified
+    // from the data it writes
+    val v = Lake.compactTable(spark, root, "bzc", targetFileBytes = 1L << 20)
+    val files = Lake.snapshotFiles(spark, root, "bzc", v)
+    assert(BucketLayout.layoutOf(spark, root, "bzc", v).isDefined,
+      "compaction must recommit the verified bucket mapping")
+    assert(files.length >= 12, s"z-splits must survive compaction, got ${files.length}")
+    val schema = Lake.readTableFeed(spark, root, "bzc", Some(v)).schema
+    def adm(c: String): Int = StatsSidecar.candidateFiles(spark, files, schema,
+      Seq(GreaterThanOrEqual(c, 0L), LessThanOrEqual(c, 127L))).length
+    assert(adm("a") <= files.length * 3 / 4, s"a admitted ${adm("a")}/${files.length}")
+    assert(Lake.readTableFeed(spark, root, "bzc", Some(v)).count() === 16000)
+  }
+
   test("eq-delete delta probe: 1000 keys prune, 1001 widen to all shared files") {
     val root = scratch()
     import graft.lake.MergeOnRead
