@@ -218,6 +218,53 @@ object CopyOnWrite {
     }
   }
 
+  /** PREDICATE-SCOPED compaction + re-clustering — the `OPTIMIZE … WHERE`
+    * shape that stays viable at 100 TB: a full-table rewrite is off the
+    * table, but the slice a predicate names (yesterday's partitions, one
+    * tenant's key range) can be folded back into the table's declared
+    * layout (`cluster_by` / zorder / `bucket_by` + `file_max_records`)
+    * while everything else carries by reference. Scope = files the
+    * stats/bucket/bloom sidecars ADMIT for the predicate that actually
+    * hold a matching row ([[touchedFiles]] — the same probe every COW
+    * mutation uses), read WHOLE with their sidecar deletes applied
+    * physically (their entries fold away; carried files keep theirs —
+    * the usual mutation rule). Commit cost ∝ scope bytes, never table
+    * bytes. Returns the current version unchanged when the scope holds
+    * fewer than two files (no layout gain to buy).
+    */
+  def compactWhere(
+      spark: SparkSession, root: String, name: String, pred: Column,
+      targetFileBytes: Long = 128L << 20,
+      retentionVersions: Int = 7): Int = retryLoop(name, "compactWhere") { () =>
+    val base = Lake.latestVersion(spark, root, name).getOrElse(
+      throw new IllegalStateException(s"no versions for table feed $name"))
+    val files = Lake.snapshotFiles(spark, root, name, base)
+    val declared = Lake.declaredSchema(spark, root, name, base)
+    val scope = touchedFiles(spark, files, pred, declared, Some((root, name)))
+    if (scope.size < 2) Some(base)
+    else {
+      val scopeSet = scope.map(norm).toSet
+      val carried = files.filterNot(p => scopeSet.contains(norm(p)))
+      val del = MergeOnRead.deletesOf(spark, root, name, base)
+      val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
+      val f = fs(spark, Lake.tablePath(root, name))
+      val bytes = scope.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val slice = MergeOnRead.readWithDeletes(spark, scope, del, eq, declared)
+      // fold the slice back into the declared layout; without a policy it
+      // bin-packs toward the target size (commitCow re-applies the bucket
+      // policy on top — CollapseRepartition folds the double exchange)
+      val props = Lake.tableProperties(spark, root, name)
+      val shaped =
+        if (props.contains(Lake.ClusterByProp) || BucketLayout.spec(props).isDefined)
+          Lake.applyClusterPolicy(spark, root, name, slice)
+        else slice.coalesce(parts)
+      commitCow(spark, root, name, base, shaped, carried, retentionVersions,
+        carriedDeletes(spark, root, del, eq, scope, carried, declared),
+        declared = if (carried.nonEmpty) declared else None)
+    }
+  }
+
   /** EPOCH-IDEMPOTENT snapshot APPEND — the streaming sink's commit into a
     * VERSIONED catalog table. Each micro-batch commits its rows as the
     * next version's own physical files plus a manifest carrying every

@@ -3197,6 +3197,68 @@ object Lifecycle {
       |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 5 FROM orders)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** C26 — PREDICATE-SCOPED COMPACTION (`CALL system.compact_where`, the
+    * OPTIMIZE…WHERE shape): streaming/INSERT fragmentation in one key
+    * range folds back into the table's `cluster_by` layout while every
+    * file outside the scope CARRIES BY REFERENCE — at 100 TB a full
+    * rewrite is not viable, the fragmented slice is. Hard-requires: the
+    * commit bumped one version, a strict subset of files was rewritten,
+    * and every out-of-scope file survived untouched (path-identical).
+    * The served aggregate hash-matches DuckDB recomputing the content.
+    */
+  def compactWhereGate(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_c26_")
+    Lake.setTableProperties(s, root, "cw", Map(Lake.ClusterByProp -> "o_orderkey"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Lake.writeTableSnapshot(
+      Lake.applyClusterPolicy(s, root, "cw", o.filter(col("o_orderkey") <= 6000)),
+      root, "cw")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // fragment ONE key range with three streaming epochs — each commits
+    // its own small files and carries the base by manifest reference
+    // (exactly the 100 TB fragmentation source this operator exists for)
+    for ((lo, i) <- Seq(1, 201, 401).zipWithIndex)
+      graft.lake.CopyOnWrite.appendEpoch(
+        o.filter(col("o_orderkey").between(lo, lo + 199))
+          .select((col("o_orderkey") + 100000).as("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+        root, "cw", "c26sink", i.toLong)
+    val vBefore = Lake.latestVersion(s, root, "cw").get
+    val before = Lake.snapshotFiles(s, root, "cw", vBefore)
+    val v = s.sql(s"CALL $cat.system.compact_where('cw', 'o_orderkey > 100000')")
+      .head().getInt(0)
+    require(v == vBefore + 1, s"compact_where must commit one version, got $v")
+    def norm(p: String) = new java.net.URI(p).getPath
+    val after = Lake.snapshotFiles(s, root, "cw", v).map(norm).toSet
+    val dropped = before.map(norm).filterNot(after.contains)
+    require(dropped.nonEmpty && dropped.size < before.size,
+      s"scope must rewrite a strict subset (${dropped.size}/${before.size})")
+    // every out-of-scope file carried by reference, byte-identical path
+    val scoped = before.map(norm).toSet -- dropped.toSet
+    require(scoped.subsetOf(after), "out-of-scope files must carry untouched")
+    s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       MIN(o_orderkey) AS k_lo, MAX(o_orderkey) AS k_hi
+         |FROM $cat.tables.cw GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val compactWhereOracle: String =
+    """WITH cw AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey <= 6000
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey BETWEEN 1 AND 600)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       MIN(o_orderkey) AS k_lo, MAX(o_orderkey) AS k_hi
+      |FROM cw GROUP BY o_orderpriority""".stripMargin
+
   /** W — AVG and COUNT(col) THROUGH THE SUMMARY: a registered rollup
     * carrying `cnt` measures (per-group non-null counts) now serves
     * `avg(x)` over non-decimal numerics as SUM(sums)/SUM(cnts) — the
@@ -3321,6 +3383,7 @@ object Lifecycle {
   val defs: Map[String, QueryFn] = Map(
     "w_mv_cdf_refresh" -> (mvCdfRefresh _),
     "w_mv_avg" -> (mvAvg _),
+    "c26_compact_where" -> (compactWhereGate _),
     "a42_spj_join" -> (spjJoin _),
     "a43_zorder_bucket" -> (zorderBucket _),
     "a41_table_changes_sql" -> (tableChangesSql _),
@@ -3391,6 +3454,7 @@ object Lifecycle {
   val oracles: Map[String, String] = Map(
     "w_mv_cdf_refresh" -> mvCdfRefreshOracle,
     "w_mv_avg" -> mvAvgOracle,
+    "c26_compact_where" -> compactWhereOracle,
     "a42_spj_join" -> spjJoinOracle,
     "a43_zorder_bucket" -> zorderBucketOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,

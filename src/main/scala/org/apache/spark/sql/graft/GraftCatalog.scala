@@ -702,6 +702,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // — derived-state consumers (summary refresh) need the old group
         private def preimages: Boolean =
           Option(options.get("preimages")).exists(_.toBoolean)
+        /** `startingTimestamp` (the Delta option): emit every change a
+          * commit at-or-after the instant made — resolved to the NEWEST
+          * version committed strictly before it (one ledger read,
+          * [[graft.lake.Lake.commitInstants]]), which becomes the diff
+          * base. Accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`, or ISO
+          * instants. A timestamp predating the first commit refuses with
+          * a pointer to `startingVersion=0` (the initial-snapshot form) —
+          * per-version replay of v1 does not exist, so silently mapping
+          * to it would change semantics.
+          */
+        private def effectiveStartingVersion(spark: SparkSession): String =
+          Option(options.get("startingTimestamp")) match {
+            case None => startingVersion
+            case Some(ts) =>
+              require(options.get("startingVersion") == null,
+                "set either startingVersion or startingTimestamp, not both")
+              val millis = GraftChangeFeed.parseInstantMillis(ts)
+              val instants = graft.lake.Lake.commitInstants(
+                spark, root, baseName)
+              val before = instants.collect {
+                case (v, at) if at < millis => v
+              }
+              require(before.nonEmpty,
+                s"startingTimestamp $ts predates $baseName's first commit — " +
+                  "use startingVersion=0 for the initial snapshot")
+              before.max.toString
+          }
         override def build(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.V1Scan {
             private val outSchema = required
@@ -716,7 +743,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   val spark = SparkSession.active
                   val latest = graft.lake.Lake
                     .latestVersion(spark, root, baseName).getOrElse(0)
-                  val from = startingVersion.toLowerCase match {
+                  val from = effectiveStartingVersion(spark).toLowerCase match {
                     case "latest" => latest
                     case s => s.toInt
                   }
@@ -733,7 +760,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new GraftChangeFeedStream(root, baseName, keyCols,
-                startingVersion, required = outSchema,
+                effectiveStartingVersion(SparkSession.active), required = outSchema,
                 checkpointLocation = checkpointLocation,
                 maxVersionsPerTrigger =
                   Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
@@ -1268,6 +1295,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("clone", "cluster", "collect_stats", "compact", "compact_files",
+        "compact_where",
         "history", "merge_branch", "restore", "prune_versions",
         "table_stats", "tag", "untag", "vacuum")
         .map(Identifier.of(Array("system"), _))
@@ -1299,6 +1327,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // sidecars applied) as plain size-targeted physical files — restores
         // full pushdown and unchains COW/MOR versions for retention
         versionRow(graft.lake.Lake.compactTable(spark, root, str(row, 0)))
+      }
+      case "compact_where" => procedure("compact_where",
+        Array(in("table", StringType), in("predicate", StringType)),
+        versionSchema) { row =>
+        // OPTIMIZE ... WHERE: fold ONLY the predicate's files back into
+        // the table's declared layout (cluster_by / zorder / bucket_by +
+        // file_max_records); everything else carries by reference —
+        // commit cost tracks the slice, never the table
+        versionRow(graft.lake.CopyOnWrite.compactWhere(
+          spark, root, str(row, 0),
+          org.apache.spark.sql.functions.expr(str(row, 1))))
       }
       case "compact_files" => procedure("compact_files",
         Array(in("table", StringType), in("small_mb", IntegerType)),
@@ -1416,7 +1455,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure: $other (have: clone, cluster, collect_stats, " +
-          "compact, compact_files, history, merge_branch, restore, " +
+          "compact, compact_files, compact_where, history, merge_branch, restore, " +
           "prune_versions, table_stats, tag, untag, vacuum)")
     }
   }

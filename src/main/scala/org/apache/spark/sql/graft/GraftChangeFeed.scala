@@ -117,6 +117,21 @@ object GraftChangeFeed {
     */
   private[graft] val BatchPlanSteps = 16
 
+  /** Parse a user-facing instant: epoch millis digits,
+    * `yyyy-MM-dd HH:mm:ss[.f]` (JVM zone — the SQL literal convention),
+    * or an ISO-8601 instant (`2026-01-01T00:00:00Z`).
+    */
+  private[graft] def parseInstantMillis(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else
+      try java.sql.Timestamp.valueOf(t).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          java.time.Instant.parse(t).toEpochMilli
+      }
+  }
+
   private[graft] case class VersionOffset(v: Int) extends Offset {
     override def json(): String = v.toString
   }

@@ -284,6 +284,40 @@ class ChangeFeedSpec extends SparkSpec {
     assert(shape(sunk.collect()) === want)
   }
 
+  test("startingTimestamp resolves to the newest commit strictly before it") {
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cfts")
+    Thread.sleep(30) // distinct commit instants at ms resolution
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), root, "cfts")
+    val instants = Lake.commitInstants(spark, root, "cfts")
+    assume(instants(1) < instants(2), "commit instants must differ for this pin")
+    // a timestamp between the commits: only v2's changes are emitted —
+    // every accepted spelling resolves identically
+    val mid = (instants(1) + instants(2) + 1) / 2
+    val iso = java.time.Instant.ofEpochMilli(mid).toString
+    for (ts <- Seq(mid.toString, iso)) {
+      val rows = spark.read.option("keyColumns", "k")
+        .option("startingTimestamp", ts)
+        .table(s"$cat.tables.cfts__changes")
+        .select("k", "change").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(rows === Seq((2L, "updated"), (3L, "inserted")), s"ts spelling $ts")
+    }
+    // both options together refuse; a pre-history timestamp refuses with
+    // the startingVersion=0 pointer instead of silently replaying nothing
+    val both = intercept[Exception] {
+      spark.read.option("keyColumns", "k")
+        .option("startingVersion", "1").option("startingTimestamp", mid.toString)
+        .table(s"$cat.tables.cfts__changes").collect()
+    }
+    assert(both.getMessage.contains("not both"))
+    val early = intercept[Exception] {
+      spark.read.option("keyColumns", "k")
+        .option("startingTimestamp", (instants(1) - 10000).toString)
+        .table(s"$cat.tables.cfts__changes").collect()
+    }
+    assert(early.getMessage.contains("startingVersion=0"))
+  }
+
   test("metadata-only evolution steps emit EMPTY change sets, zero data files opened") {
     import org.apache.spark.sql.types._
     Lake.writeTableSnapshot(

@@ -1002,6 +1002,40 @@ class LakeSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("compactWhere rewrites only the predicate's files; sidecar deletes split correctly") {
+    val root = scratch()
+    import graft.lake.{CopyOnWrite, MergeOnRead}
+    def norm(p: String) = new java.net.URI(p).getPath
+    Lake.setTableProperties(spark, root, "cwu", Map(Lake.ClusterByProp -> "k"))
+    Lake.writeTableSnapshot(
+      Lake.applyClusterPolicy(spark, root, "cwu",
+        spark.range(0, 8000).select(col("id").as("k"), (col("id") % 7).as("v"))),
+      root, "cwu")
+    // fragment the high range with two epoch appends, then a zero-scan
+    // eq-delete naming one key INSIDE the scope and one OUTSIDE it
+    for (i <- 0 until 2)
+      CopyOnWrite.appendEpoch(
+        spark.range(10000 + i * 100, 10100 + i * 100)
+          .select(col("id").as("k"), lit(1L).as("v")),
+        root, "cwu", "s", i.toLong)
+    MergeOnRead.deleteByKeys(spark, root, "cwu", Seq(10005L, 5L).toDF("k"))
+    val vB = Lake.latestVersion(spark, root, "cwu").get
+    val before = Lake.snapshotFiles(spark, root, "cwu", vB).map(norm)
+    val v = CopyOnWrite.compactWhere(spark, root, "cwu", col("k") >= 10000)
+    assert(v === vB + 1)
+    val after = Lake.snapshotFiles(spark, root, "cwu", v).map(norm).toSet
+    val dropped = before.filterNot(after.contains)
+    assert(dropped.nonEmpty && dropped.size < before.size,
+      s"scope must be a strict subset (${dropped.size}/${before.size})")
+    // content exact: the in-scope delete applied PHYSICALLY, the
+    // out-of-scope one still masked by the carried (folded) sidecar
+    val got = Lake.readTableFeed(spark, root, "cwu", Some(v))
+    assert(got.count() === 8000 + 200 - 2)
+    assert(got.filter(col("k").isin(5L, 10005L)).count() === 0)
+    // a scope under two files is a layout no-op: no version churn
+    assert(CopyOnWrite.compactWhere(spark, root, "cwu", col("k") === 42) === v)
+  }
+
   test("compaction preserves the composed bucket+zorder layout and its pruning") {
     val root = scratch()
     import graft.lake.{BucketLayout, StatsSidecar}
