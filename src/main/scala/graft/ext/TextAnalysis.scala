@@ -1181,6 +1181,97 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("n_toks"))
   }
 
+  /** BPE TRAIN — the full iterative loop: each round recounts adjacent
+    * TOKEN pairs over the CURRENT tokenization of the (weighted, unique)
+    * vocabulary, picks the argmax (count DESC, pair ASC — total order),
+    * and applies that single merge before the next round counts again —
+    * so round 2 can select a pair involving round 1's fused token, which
+    * the one-shot candidate list ([[bpeMerges]]) structurally cannot.
+    * Cost per round: one vocabulary-bounded pair aggregation + one
+    * per-unique-word fold — O(vocab) per round regardless of corpus
+    * size, the property that makes tokenizer training feasible at 100 TB
+    * (the corpus is touched once, to build the word-frequency table).
+    * Emits the learned ordered merge table (round, left, right, weighted
+    * count at selection time), hash-verified against DuckDB replaying
+    * the same three count→select→fold rounds.
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    import s.implicits._
+    bpeTrainRounds(words, rounds = 3).toDF("rk", "a", "b", "n")
+  }
+
+  /** The trainer loop over a `(w, wc)` weighted vocabulary — one
+    * count→argmax→fold cycle per round (see [[bpeTrain]]).
+    */
+  private[graft] def bpeTrainRounds(
+      words: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    var toks = words.withColumn("toks", expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val best = toks.filter(size(col("toks")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect().head
+      val (a, b) = (best.getString(0), best.getString(1))
+      out += ((round, a, b, best.getLong(2)))
+      toks = bpeFoldToks(toks, Seq((a, b)))
+    }
+    out.toSeq
+  }
+
+  val bpeTrainOracle: String =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT w, count(*) AS wc
+      |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1),
+      |r0 AS (SELECT w, wc, regexp_extract_all(w, '.') AS toks FROM w),
+      |m1 AS (
+      |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
+      |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM r0 WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+      |f1 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r0
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m1.a AND f.toks[f.i] = m1.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m1.a || m1.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f1 f, m1 WHERE f.i <= len(f.toks)),
+      |r1 AS (SELECT w, wc, acc AS toks FROM f1 WHERE i = len(toks) + 1),
+      |m2 AS (
+      |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
+      |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM r1 WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+      |f2 AS (
+      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r1
+      |  UNION ALL
+      |  SELECT f.w, f.wc, f.toks, f.i + 1,
+      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m2.a AND f.toks[f.i] = m2.b
+      |              THEN f.acc[1:len(f.acc) - 1] || [m2.a || m2.b]
+      |              ELSE f.acc || [f.toks[f.i]] END
+      |  FROM f2 f, m2 WHERE f.i <= len(f.toks)),
+      |r2 AS (SELECT w, wc, acc AS toks FROM f2 WHERE i = len(toks) + 1),
+      |m3 AS (
+      |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
+      |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM r2 WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)
+      |SELECT 1 AS rk, a, b, n FROM m1
+      |UNION ALL SELECT 2, a, b, n FROM m2
+      |UNION ALL SELECT 3, a, b, n FROM m3""".stripMargin
+
   /** BPE TOKENIZE, corpus-wide — the second half of the
     * distinct-then-broadcast contract [[bpeApply]] sets up: the vocab
     * mapping (|vocab| rows, bounded at any corpus size) BROADCASTS back
@@ -1369,6 +1460,7 @@ object TextAnalysis {
     "x_bpe_merges" -> (bpeMerges _),
     "x_bpe_apply" -> (bpeApply _),
     "x_bpe_tokens" -> (bpeTokens _),
+    "x_bpe_train" -> (bpeTrain _),
     "x_bigram_lm" -> (bigramLm _),
     "x_chunk_docs" -> (chunkDocs _),
     "x_pack_sequences" -> (packSequences _),
@@ -1398,6 +1490,7 @@ object TextAnalysis {
     "x_bpe_merges" -> bpeMergesOracle,
     "x_bpe_apply" -> bpeApplyOracle,
     "x_bpe_tokens" -> bpeTokensOracle,
+    "x_bpe_train" -> bpeTrainOracle,
     "x_bigram_lm" -> bigramLmOracle,
     "x_chunk_docs" -> chunkDocsOracle,
     "x_pack_sequences" -> packSequencesOracle,

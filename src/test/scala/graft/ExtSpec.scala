@@ -925,4 +925,16 @@ class ExtSpec extends SparkSpec {
     for ((a, b) <- cases; d <- 0 to 3)
       assert(k(a, b, d) === math.min(osa(a, b), d + 1), s"osa('$a','$b',$d)")
   }
+
+  test("BPE trainer recounts between rounds: a later round selects a FUSED token") {
+    import org.apache.spark.sql.functions._
+    // a corpus dominated by "the": round 1 fuses (h,e) — the tie with
+    // (t,h) breaks pair-ASC — and round 2 must then see and select the
+    // pair (t, he), whose right side is round 1's fused token. A one-shot
+    // candidate list over char pairs structurally cannot contain it.
+    val words = Seq(("the", 100L), ("ox", 3L)).toDF("w", "wc")
+    val merges = graft.ext.TextAnalysis.bpeTrainRounds(words, rounds = 2)
+    assert(merges(0) === ((1, "h", "e", 100L)), merges.toString)
+    assert(merges(1) === ((2, "t", "he", 100L)), merges.toString)
+  }
 }
