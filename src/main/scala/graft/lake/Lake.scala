@@ -156,8 +156,9 @@ object Lake {
     *    ~f^(1/k) of the files instead of all of them). Bucket ids
     *    normalize each column linearly between the BATCH's min and max
     *    (one extra agg job over the batch — the policy's price);
-    *    numeric/date/timestamp columns only, anything else falls back to
-    *    the lexicographic form.
+    *    numeric/date/timestamp columns, plus STRING via an
+    *    order-preserving 7-byte-prefix numeric form; anything else falls
+    *    back to the lexicographic form.
     */
   def applyClusterPolicy(
       spark: SparkSession, root: String, name: String,
@@ -221,6 +222,22 @@ object Lake {
         case DateType => Some(unix_date(col(c)).cast("double"))
         case TimestampType | TimestampNTZType => Some(col(c).cast("double"))
         case _: NumericType => Some(col(c).cast("double"))
+        case StringType =>
+          // order-preserving numeric form of a string's first 8 UTF-8
+          // BYTES: right-pad the truncated binary to fixed width with
+          // 0x00 (so "b" stays above "aa" — variable-width magnitudes
+          // would invert them), read as a 64-bit big-endian unsigned
+          // (conv's unsigned decimal string, exact through double's
+          // range). UTF-8 byte order IS binary-collation string order,
+          // so range-bucket ids built from this are monotone in the
+          // column. Strings sharing an 8-byte prefix collapse to one
+          // value — that dimension then buckets coarsely (a key space
+          // like `tenant_<n>` clusters on nothing past the prefix),
+          // which costs clustering sharpness ONLY: the policy shapes
+          // files, stats pruning stays exact either way
+          Some(conv(hex(rpad(
+            substring(encode(col(c), "UTF-8"), 1, 8),
+            8, Array[Byte](0))), 16, 10).cast("double"))
         case _ => None
       }
     val nums = cols.map(numeric)

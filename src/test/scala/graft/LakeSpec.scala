@@ -1002,6 +1002,38 @@ class LakeSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("zorder accepts STRING dimensions: prefix ranges prune alongside numerics") {
+    val root = scratch()
+    import graft.lake.StatsSidecar
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    Lake.setTableProperties(spark, root, "zs", Map(
+      Lake.ClusterByProp -> "zorder(t,v)", Lake.FileMaxRecordsProp -> "1000"))
+    // 16 tenants spread uniformly and independently of v
+    val df = spark.range(0, 16000).select(
+      concat(lit("t"), lpad(((col("id") * 2654435761L) % 16).cast("string"), 2, "0")).as("t"),
+      (col("id") * 40503 % 1024).as("v"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "zs", df), root, "zs")
+    val files = Lake.snapshotFiles(spark, root, "zs", 1)
+    assert(files.length >= 12, s"expected z-split files, got ${files.length}")
+    val schema = Lake.readTableFeed(spark, root, "zs", Some(1)).schema
+    // a 2-of-16 tenant slice must prune files; so must a v range —
+    // single-dimension string clustering would leave v unprunable and
+    // vice versa
+    val onT = StatsSidecar.candidateFiles(spark, files, schema, Seq(
+      GreaterThanOrEqual("t", "t00"), LessThan("t", "t02"))).length
+    val onV = StatsSidecar.candidateFiles(spark, files, schema, Seq(
+      GreaterThanOrEqual("v", 0L), LessThanOrEqual("v", 127L))).length
+    assert(onT <= files.length * 3 / 4, s"t admitted $onT/${files.length}")
+    assert(onV <= files.length * 3 / 4, s"v admitted $onV/${files.length}")
+    // pruned read stays exact
+    val admitted = StatsSidecar.candidateFiles(spark, files, schema, Seq(
+      GreaterThanOrEqual("t", "t00"), LessThan("t", "t02")))
+    val full = Lake.readTableFeed(spark, root, "zs", Some(1))
+      .filter(col("t") < "t02")
+    val pruned = spark.read.parquet(admitted: _*).filter(col("t") < "t02")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("compactWhere rewrites only the predicate's files; sidecar deletes split correctly") {
     val root = scratch()
     import graft.lake.{CopyOnWrite, MergeOnRead}
