@@ -174,5 +174,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .changesBetween(spark, root, table, keys, start, upper, preimages)
           .queryExecution.logical
       }))
+    // TABLE-VALUED FUNCTION `table_diff(...)` — the NET two-version diff
+    // in pure SQL: `table_changes` replays every commit in a range (one
+    // change set per version — a key updated five times appears five
+    // times), while `table_diff` collapses the endpoints into one keyed
+    // change set (the same manifest-aware [[graft.lake.Lake
+    // .versionChanges]] step: only dropped+added files and sidecar-delta
+    // rows of carried ones open; bucketed endpoint pairs diff
+    // exchange-free). Same plan-transparency property: the builder
+    // returns the diff's own resolved plan, so ReadGuard/ReadAudit see
+    // every underlying scan.
+    //   table_diff('<cat>.<ns>.<table>', vOld, vNew, 'k1,k2')
+    ext.injectTableFunction((
+      FunctionIdentifier("table_diff"),
+      new ExpressionInfo("graft.GraftExtensions", "table_diff"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def lit(i: Int): Any = children(i) match {
+          case l: Literal => l.value
+          case e => throw new IllegalArgumentException(
+            s"table_diff: argument ${i + 1} must be a literal, got $e")
+        }
+        def str(i: Int): String = lit(i) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_diff: argument ${i + 1} must be a string, got $other")
+        }
+        def int(i: Int): Int = lit(i) match {
+          case n: Int => n
+          case n: Long => n.toInt
+          case other => throw new IllegalArgumentException(
+            s"table_diff: argument ${i + 1} must be an integer version, got $other")
+        }
+        require(children.size == 4,
+          "table_diff('<cat>.<ns>.<table>', vOld, vNew, 'k1,k2')")
+        val parts = str(0).split('.')
+        require(parts.length >= 2,
+          s"table_diff: '${str(0)}' must be '<catalog>.[<ns>.]<table>'")
+        val (cat, table) = (parts.head, parts.last)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+          .getOrElse(throw new IllegalArgumentException(
+            s"table_diff: '$cat' is not a configured graft catalog"))
+        val keys = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.lake.Lake
+          .versionChanges(spark, root, table, int(1), int(2), keys)
+          .queryExecution.logical
+      }))
   }
 }

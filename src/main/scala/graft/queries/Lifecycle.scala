@@ -3138,6 +3138,59 @@ object Lifecycle {
       |WHERE o_custkey <= 3000
       |GROUP BY o_custkey""".stripMargin
 
+  /** A44 — `table_diff(...)` TVF: the NET two-version diff in pure SQL.
+    * `table_changes` replays every commit in a range (a key updated in
+    * three commits appears three times); `table_diff` collapses the
+    * endpoints into ONE keyed change set — what a reconciliation or
+    * backfill job wants — through the same manifest-aware step diff, so
+    * intermediate churn costs nothing and a key that ends where it
+    * started drops out entirely. The gate commits three generations with
+    * deliberate intermediate churn (rows updated in v2 then reverted in
+    * v3) and hash-verifies the NET v1→v3 change set.
+    */
+  def tableDiffSql(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a44_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val k = col("o_orderkey")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Lake.writeTableSnapshot(o.filter(k <= 1000), root, "diffq")
+    // v2: everything doubled (churn) + extra keys that will vanish again
+    Lake.writeTableSnapshot(
+      o.filter(k <= 1300).withColumn("o_totalprice", col("o_totalprice") * 2),
+      root, "diffq")
+    // v3: 201..500 revert to v1 values (v2's churn nets out), 501..1000
+    // stay doubled (net updated), <=200 dropped (net deleted), 1001..1100
+    // survive from v2's extras (net inserted), 1101..1300 appear and
+    // vanish inside the range (net nothing)
+    Lake.writeTableSnapshot(
+      o.filter(k.between(201, 1100)).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), root, "diffq")
+    s.sql(s"SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+      s"change FROM table_diff('$cat.tables.diffq', 1, 3, 'o_orderkey')")
+  }
+
+  val tableDiffSqlOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000),
+      |v3 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 501 AND 1000
+      |              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey BETWEEN 201 AND 1100)
+      |SELECT coalesce(v1.o_orderkey, v3.o_orderkey) AS o_orderkey,
+      |       CAST(CASE WHEN v3.o_orderkey IS NULL THEN v1.o_totalprice
+      |                 ELSE v3.o_totalprice END AS DOUBLE) AS o_totalprice,
+      |       CASE WHEN v1.o_orderkey IS NULL THEN 'inserted'
+      |            WHEN v3.o_orderkey IS NULL THEN 'deleted'
+      |            ELSE 'updated' END AS change
+      |FROM v1 FULL JOIN v3 ON v1.o_orderkey = v3.o_orderkey
+      |WHERE v1.o_orderkey IS NULL OR v3.o_orderkey IS NULL
+      |   OR v1.o_totalprice <> v3.o_totalprice""".stripMargin
+
   /** A43 — IN-BUCKET SECONDARY CLUSTERING: `bucket_by` (placement) and a
     * zorder `cluster_by` (in-bucket order) COMPOSE on one table instead
     * of bucket_by silencing the z policy. Every staged file stays
@@ -3386,6 +3439,7 @@ object Lifecycle {
     "c26_compact_where" -> (compactWhereGate _),
     "a42_spj_join" -> (spjJoin _),
     "a43_zorder_bucket" -> (zorderBucket _),
+    "a44_table_diff" -> (tableDiffSql _),
     "a41_table_changes_sql" -> (tableChangesSql _),
     "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
@@ -3457,6 +3511,7 @@ object Lifecycle {
     "c26_compact_where" -> compactWhereOracle,
     "a42_spj_join" -> spjJoinOracle,
     "a43_zorder_bucket" -> zorderBucketOracle,
+    "a44_table_diff" -> tableDiffSqlOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,
     "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,

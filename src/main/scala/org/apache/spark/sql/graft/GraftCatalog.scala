@@ -747,8 +747,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     case "latest" => latest
                     case s => s.toInt
                   }
-                  val to = Option(options.get("endingVersion"))
-                    .map(_.toInt).getOrElse(latest)
+                  // endingTimestamp: newest version committed AT or
+                  // before the instant (inclusive upper bound — the
+                  // symmetric batch analog of startingTimestamp)
+                  val to = Option(options.get("endingTimestamp")).map { ts =>
+                    require(options.get("endingVersion") == null,
+                      "set either endingVersion or endingTimestamp, not both")
+                    val millis = GraftChangeFeed.parseInstantMillis(ts)
+                    val instants = graft.lake.Lake.commitInstants(
+                      spark, root, baseName)
+                    val atOrBefore = instants.collect {
+                      case (v, at) if at <= millis => v
+                    }
+                    require(atOrBefore.nonEmpty,
+                      s"endingTimestamp $ts predates $baseName's first commit")
+                    atOrBefore.max
+                  }.orElse(Option(options.get("endingVersion")).map(_.toInt))
+                    .getOrElse(latest)
                   GraftChangeFeed.changesBetween(
                     spark, root, baseName, keyCols, from, to, preimages)
                     .select(outSchema.fieldNames.toIndexedSeq.map(

@@ -247,6 +247,25 @@ class ChangeFeedSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((2L, "inserted")))
   }
 
+  test("table_diff TVF nets out intermediate churn that table_changes replays") {
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cfdiff")
+    Lake.writeTableSnapshot(Seq((1L, "A"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "cfdiff")
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "v"), root, "cfdiff")
+    // replay: k=1 churns twice, k=3 appears then vanishes — five rows
+    assert(spark.sql(
+      s"SELECT * FROM table_changes('$cat.tables.cfdiff', 1, 'k')").count() === 5)
+    // net v1→v3: k=1 reverted, k=2 untouched, k=3 in-and-out — only k=4
+    val net = spark.sql(
+      s"SELECT k, v, change FROM table_diff('$cat.tables.cfdiff', 1, 3, 'k')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(net === Seq((4L, "d", "inserted")))
+    // arity and literal checks refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_diff('$cat.tables.cfdiff', 1, 3)").collect()
+    }
+    assert(e.getMessage.contains("table_diff("))
+  }
+
   test("preimages option: updates emit both images through read option, stream and TVF") {
     Lake.writeTableSnapshot(
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "cfpre")
@@ -316,6 +335,16 @@ class ChangeFeedSpec extends SparkSpec {
         .table(s"$cat.tables.cfts__changes").collect()
     }
     assert(early.getMessage.contains("startingVersion=0"))
+    // endingTimestamp bounds inclusively at the commit instant: cutting
+    // at v1's instant excludes v2's changes entirely
+    assert(spark.read.option("keyColumns", "k")
+      .option("startingVersion", "1")
+      .option("endingTimestamp", instants(1).toString)
+      .table(s"$cat.tables.cfts__changes").count() === 0)
+    assert(spark.read.option("keyColumns", "k")
+      .option("startingVersion", "1")
+      .option("endingTimestamp", instants(2).toString)
+      .table(s"$cat.tables.cfts__changes").count() === 2)
   }
 
   test("metadata-only evolution steps emit EMPTY change sets, zero data files opened") {
