@@ -1231,6 +1231,23 @@ class LakeSpec extends SparkSpec {
       }.isEmpty, "a bucket-key aggregate must not shuffle")
       assert(agg.count() === 1000)
 
+      // the SPJ layout SURVIVES the table lifecycle: a streaming epoch
+      // appends bucket-pure files (policy + per-commit verified stamp)
+      // and a predicate-scoped compaction folds them back — the join
+      // stays exchange-free after BOTH
+      graft.lake.CopyOnWrite.appendEpoch(
+        (2001 to 2100).map(i => (i.toLong, s"a$i")).toDF("k", "va"),
+        root, "spj_a", "spjsink", 0L)
+      graft.lake.CopyOnWrite.compactWhere(spark, root, "spj_a", col("k") >= 2001)
+      val q2 = spark.sql(
+        "SELECT a.k FROM spjcat.tables.spj_a a JOIN spjcat.tables.spj_b b ON a.k = b.k")
+      assert(q2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty,
+        "SPJ must survive epoch append + compact_where:\n" +
+          q2.queryExecution.executedPlan)
+      assert(q2.count() === 501)
+
       // conf OFF → the default plan (shuffled join), byte-identical behavior
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val off = spark.sql(
