@@ -470,7 +470,7 @@ class CatalogSpec extends SparkSpec {
     // vacuum on a clean table reports nothing; unknown procedure refuses
     assert(spark.sql(s"CALL $cat.system.vacuum('pr_t')").count() === 0)
     intercept[Exception] { spark.sql(s"CALL $cat.system.nope('x')").collect() }
-    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 13)
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat.system").count() === 14)
     // the version ledger: one row per version, kind classified, no jobs
     val hist = spark.sql(s"CALL $cat.system.history('pr_t')").collect()
     assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
