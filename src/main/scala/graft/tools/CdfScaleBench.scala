@@ -80,6 +80,20 @@ object CdfScaleBench {
     }
     require(n2 == n3, s"bucketed and shuffle diffs must agree: $n2 vs $n3")
 
+    // --- 3b. predicate-scoped compaction: two streaming epochs fragment
+    // a key range BEYOND the base; compactWhere folds them back — wall
+    // time must track the fragmented slice, not the table
+    def epochBatch(i: Int) = spark.range(rows + i * 10000, rows + (i + 1) * 10000)
+      .select(col("id").as("k"), (col("id") % 9973).as("u"),
+        concat(lit("payload_"), col("id")).as("x"),
+        lit(null).cast("string").as("note"))
+    CopyOnWrite.appendEpoch(epochBatch(0), root, "big", "scale", 0L)
+    CopyOnWrite.appendEpoch(epochBatch(1), root, "big", "scale", 1L)
+    val (vCw, tCw) = timed {
+      CopyOnWrite.compactWhere(spark, root, "big", col("k") >= rows)
+    }
+    val cwFiles = Lake.snapshotFiles(spark, root, "big", vCw).size
+
     // --- 4. in-bucket z-order: secondary-dimension pruning inside buckets
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     import graft.lake.StatsSidecar
@@ -100,6 +114,7 @@ object CdfScaleBench {
 
     println(s"""{"rows":$rows,"cdf_step_changes":$n1,"cdf_step_sec":${f"$tStep%.2f"},""" +
       s""""alter_step_changes":$alterRows,"alter_step_sec":${f"$tAlter%.2f"},""" +
+      s""""compact_where_sec":${f"$tCw%.2f"},"compact_where_files":$cwFiles,""" +
       s""""bucketed_diff_sec":${f"$tBucketed%.2f"},"shuffle_diff_sec":${f"$tShuffle%.2f"},""" +
       s""""bucketed_shuffle_free":$shuffleFree,"diff_rows":$n2,""" +
       s""""zb_files":${zfiles.size},"zb_admitted_a":$admA,"zb_admitted_b":$admB}""")
