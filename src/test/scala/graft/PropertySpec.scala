@@ -298,6 +298,23 @@ class PropertySpec extends SparkSpec {
         fullDiffReference(root, name, a, b).size
       case _ => 0 }.sum
       assert(total === perStep)
+
+      // predicate-scoped compaction on the accumulated mess must be
+      // CONTENT-INVARIANT (it may never change a row) and CDF-INVISIBLE
+      // (the manifest-aware step diff across it is EMPTY — rewritten rows
+      // are physically moved but logically unchanged, so they drop out)
+      val lo = rng.nextInt(100).toLong
+      val vPre = Lake.latestVersion(spark, root, name).get
+      val vPost = CopyOnWrite.compactWhere(spark, root, name,
+        col("k") >= lo, retentionVersions = 100)
+      val content = Lake.readTableFeed(spark, root, name, Some(vPost))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(content === model,
+        s"seed=$seed bucketed=$bucketed compactWhere changed table content")
+      if (vPost != vPre)
+        assert(Lake.versionChanges(
+            spark, root, name, vPre, vPost, Seq("k")).count() === 0,
+          s"seed=$seed bucketed=$bucketed compactWhere must be CDF-invisible")
     }
 
     Seq(11, 23).foreach(run(_, bucketed = false))
