@@ -1187,31 +1187,178 @@ object TextAnalysis {
     * and applies that single merge before the next round counts again —
     * so round 2 can select a pair involving round 1's fused token, which
     * the one-shot candidate list ([[bpeMerges]]) structurally cannot.
-    * Cost per round: one vocabulary-bounded pair aggregation + one
-    * per-unique-word fold — O(vocab) per round regardless of corpus
-    * size, the property that makes tokenizer training feasible at 100 TB
-    * (the corpus is touched once, to build the word-frequency table).
+    * The corpus is touched exactly ONCE, to build the weighted unique-word
+    * vocabulary; every later round works over that vocab alone (see
+    * [[bpeTrainRounds]] for the two execution strategies), so per-round
+    * cost is independent of both corpus size and the round index — the
+    * property that makes tokenizer training feasible at 100 TB.
     * Emits the learned ordered merge table (round, left, right, weighted
     * count at selection time), hash-verified against DuckDB replaying
-    * the same three count→select→fold rounds.
+    * the same ten count→select→fold rounds.
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
     import s.implicits._
-    bpeTrainRounds(words, rounds = 3).toDF("rk", "a", "b", "n")
+    bpeTrainRounds(words, rounds = BpeTrainGateRounds).toDF("rk", "a", "b", "n")
   }
+
+  /** Rounds the `x_bpe_train` gate trains (and its oracle replays). */
+  private[graft] val BpeTrainGateRounds = 10
+
+  /** Vocabularies at or under this size train driver-side (the fast path);
+    * larger ones use the distributed per-round loop. HuggingFace/SentencePiece
+    * trainers hold the weighted word vocab in memory the same way — a 4M-word
+    * vocab of short strings is tens of MB, far below driver heap.
+    */
+  private[graft] val BpeDriverVocabMax: Long =
+    sys.env.get("SPARK_GRAFT_BPE_VOCAB_MAX").map(_.toLong).getOrElse(4000000L)
 
   /** The trainer loop over a `(w, wc)` weighted vocabulary — one
     * count→argmax→fold cycle per round (see [[bpeTrain]]).
+    *
+    * Lineage safety: the naive formulation (re-derive round R's
+    * tokenization as R folds stacked on the raw vocab DataFrame) makes
+    * round R recompute all R−1 prior folds AND rescan the corpus — O(R)
+    * corpus scans, O(R²) fold work for an R-round train. Here the vocab
+    * is materialized ONCE (`persist` + count = the single corpus scan),
+    * then:
+    *   - vocab ≤ [[BpeDriverVocabMax]] (every realistic corpus — the
+    *     vocab is unique WORDS, bounded at any corpus size): collect the
+    *     weighted vocab and train in memory with incremental pair-count
+    *     maintenance — each round updates only the words that actually
+    *     contain the merged pair, so per-round cost is O(affected words
+    *     + heap ops), flat in the round index. This is the standard
+    *     single-machine BPE trainer (the count table is vocab-bounded),
+    *     fed by a distributed corpus aggregation.
+    *   - larger vocabs: distributed count→argmax→fold per round, with
+    *     `localCheckpoint` after every fold so round R's plan is one
+    *     vocab-bounded scan of round R−1's materialized tokenization —
+    *     never a replay of rounds 1..R−1, never the corpus.
+    * `onRound` receives (round, nanos) per completed round — scale probes
+    * use it to pin per-round wall-time flat in the round index.
     */
   private[graft] def bpeTrainRounds(
-      words: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+      words: DataFrame, rounds: Int,
+      onRound: (Int, Long) => Unit = (_, _) => ()): Seq[(Int, String, String, Long)] = {
+    val w2 = words.select(col("w").cast("string").as("w"), col("wc").cast("long").as("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocabSize = w2.count() // materializes the cache: the one corpus scan
+      if (vocabSize <= BpeDriverVocabMax) {
+        val vocab = w2.collect().map(r => (r.getString(0), r.getLong(1))) // cache hit
+        bpeTrainInMemory(vocab, rounds, onRound)
+      } else bpeTrainDistributed(w2, rounds, onRound)
+    } finally { w2.unpersist(); () }
+  }
+
+  /** In-memory trainer: incremental pair counts + a lazy-deletion max-heap.
+    * `pairCounts` holds the current weighted count of every adjacent token
+    * pair; `occ` inverts pair → word indices containing it, so applying a
+    * merge touches ONLY the affected words (subtract their old pair
+    * contributions, greedy-fold, add the new ones). The heap gets a fresh
+    * entry on every count change and entries are validated against
+    * `pairCounts` on pop (stale ones discarded), giving O(log P) argmax
+    * with the exact total order of the distributed path and the oracle:
+    * count DESC, then (a, b) ASC — tokens are `[a-z0-9]+`-derived ASCII,
+    * where Java string order ≡ UTF-8 binary order.
+    */
+  private[graft] def bpeTrainInMemory(
+      vocab: Array[(String, Long)], rounds: Int,
+      onRound: (Int, Long) => Unit): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val wc = vocab.map(_._2)
+    val toks: Array[Array[String]] =
+      vocab.map(_._1.toCharArray.map(_.toString))
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val heap = new java.util.PriorityQueue[(String, String, Long)](
+      11, new java.util.Comparator[(String, String, Long)] {
+        def compare(x: (String, String, Long), y: (String, String, Long)): Int = {
+          val c = java.lang.Long.compare(y._3, x._3) // count DESC
+          if (c != 0) c
+          else { val ca = x._1.compareTo(y._1); if (ca != 0) ca else x._2.compareTo(y._2) }
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + delta
+      if (n <= 0L) { pairCounts.remove(p); () }
+      else { pairCounts(p) = n; heap.add((p._1, p._2, n)); () }
+    }
+    def register(i: Int, sign: Long): Unit = {
+      val ts = toks(i)
+      var k = 0
+      while (k < ts.length - 1) {
+        val p = (ts(k), ts(k + 1))
+        bump(p, sign * wc(i))
+        if (sign > 0) { occ.getOrElseUpdate(p, mutable.Set.empty[Int]) += i; () }
+        else occ.get(p).foreach { s => s -= i; if (s.isEmpty) { occ.remove(p); () } }
+        k += 1
+      }
+    }
+    var i = 0
+    while (i < toks.length) { register(i, 1L); i += 1 }
+    def foldOnce(ts: Array[String], a: String, b: String): Array[String] = {
+      // same greedy left-to-right single-scan semantics as [[bpeFoldToks]]
+      val buf = mutable.ArrayBuffer.empty[String]
+      var k = 0
+      while (k < ts.length) {
+        if (buf.nonEmpty && buf.last == a && ts(k) == b) buf(buf.length - 1) = a + b
+        else { buf += ts(k); () }
+        k += 1
+      }
+      buf.toArray
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val t0 = System.nanoTime()
+      var best: (String, String, Long) = null
+      while (best == null && !heap.isEmpty) {
+        val cand = heap.poll()
+        if (pairCounts.get((cand._1, cand._2)).contains(cand._3)) best = cand
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b, n) = best
+        heap.add(best) // argmax is a peek: the count only changes via the folds below
+        out += ((round, a, b, n))
+        val affected = occ.get((a, b)).map(_.toArray).getOrElse(Array.empty[Int])
+        var j = 0
+        while (j < affected.length) {
+          val w = affected(j)
+          register(w, -1L)
+          toks(w) = foldOnce(toks(w), a, b)
+          register(w, 1L)
+          j += 1
+        }
+        onRound(round, System.nanoTime() - t0)
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed per-round trainer for vocabularies too large to collect:
+    * each round is one vocab-bounded pair aggregation (partial-agg'd, two
+    * narrow columns) + one per-word fold, `localCheckpoint`ed so the next
+    * round scans the MATERIALIZED tokenization instead of replaying the
+    * fold lineage — per-round cost is flat in the round index and the
+    * corpus is never rescanned (callers pass an already-persisted vocab).
+    */
+  private[graft] def bpeTrainDistributed(
+      words: DataFrame, rounds: Int,
+      onRound: (Int, Long) => Unit): Seq[(Int, String, String, Long)] = {
     var toks = words.withColumn("toks", expr(
       "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to rounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val t0 = System.nanoTime()
       val best = toks.filter(size(col("toks")) >= 2)
         .select(col("wc"), explode(expr(
           "transform(sequence(1, size(toks) - 1), i -> " +
@@ -1219,58 +1366,73 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect().head
-      val (a, b) = (best.getString(0), best.getString(1))
-      out += ((round, a, b, best.getLong(2)))
-      toks = bpeFoldToks(toks, Seq((a, b)))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        out += ((round, a, b, best.head.getLong(2)))
+        val prev = toks
+        toks = bpeFoldToks(toks, Seq((a, b))).localCheckpoint()
+        prev.unpersist()
+        onRound(round, System.nanoTime() - t0)
+        round += 1
+      }
     }
+    toks.unpersist()
     out.toSeq
   }
 
-  val bpeTrainOracle: String =
-    """WITH RECURSIVE
-      |w AS (
-      |  SELECT w, count(*) AS wc
-      |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
-      |        FROM documents)
-      |  GROUP BY 1),
-      |r0 AS (SELECT w, wc, regexp_extract_all(w, '.') AS toks FROM w),
-      |m1 AS (
-      |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
-      |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-      |        FROM r0 WHERE len(toks) >= 2)
-      |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
-      |f1 AS (
-      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r0
-      |  UNION ALL
-      |  SELECT f.w, f.wc, f.toks, f.i + 1,
-      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m1.a AND f.toks[f.i] = m1.b
-      |              THEN f.acc[1:len(f.acc) - 1] || [m1.a || m1.b]
-      |              ELSE f.acc || [f.toks[f.i]] END
-      |  FROM f1 f, m1 WHERE f.i <= len(f.toks)),
-      |r1 AS (SELECT w, wc, acc AS toks FROM f1 WHERE i = len(toks) + 1),
-      |m2 AS (
-      |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
-      |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-      |        FROM r1 WHERE len(toks) >= 2)
-      |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
-      |f2 AS (
-      |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r1
-      |  UNION ALL
-      |  SELECT f.w, f.wc, f.toks, f.i + 1,
-      |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m2.a AND f.toks[f.i] = m2.b
-      |              THEN f.acc[1:len(f.acc) - 1] || [m2.a || m2.b]
-      |              ELSE f.acc || [f.toks[f.i]] END
-      |  FROM f2 f, m2 WHERE f.i <= len(f.toks)),
-      |r2 AS (SELECT w, wc, acc AS toks FROM f2 WHERE i = len(toks) + 1),
-      |m3 AS (
-      |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
-      |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-      |        FROM r2 WHERE len(toks) >= 2)
-      |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)
-      |SELECT 1 AS rk, a, b, n FROM m1
-      |UNION ALL SELECT 2, a, b, n FROM m2
-      |UNION ALL SELECT 3, a, b, n FROM m3""".stripMargin
+  /** DuckDB replay of [[bpeTrain]] for an arbitrary round count: round r's
+    * argmax CTE (m_r) counts adjacent token pairs over round r−1's
+    * tokenization (r_{r-1}), and f_r replays the same greedy left-to-right
+    * fold as a recursive CTE. Generated, not hand-unrolled, so the gate's
+    * round count ([[BpeTrainGateRounds]]) can grow without transcription
+    * errors; the last round needs only its argmax, not its fold.
+    *
+    * Every chained CTE is `AS MATERIALIZED`: DuckDB inlines (re-executes)
+    * plain CTEs per reference, and r_{r-1} is referenced from both m_r and
+    * f_r — with f_r's recursion re-evaluating its join input per iteration
+    * that compounds ~10× PER ROUND (measured: 3 rounds 3 s, 5 rounds
+    * 240 s without MATERIALIZED; 10 rounds 0.1 s with).
+    */
+  private[graft] def bpeTrainOracleSql(rounds: Int): String = {
+    val head =
+      """WITH RECURSIVE
+        |w AS MATERIALIZED (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT w, wc, regexp_extract_all(w, '.') AS toks FROM w)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      val m =
+        s""",
+           |m$r AS MATERIALIZED (
+           |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
+           |  FROM (SELECT wc, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           |        FROM r${r - 1} WHERE len(toks) >= 2)
+           |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      val f = if (r == rounds) "" else
+        s""",
+           |f$r AS (
+           |  SELECT w, wc, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM r${r - 1}
+           |  UNION ALL
+           |  SELECT f.w, f.wc, f.toks, f.i + 1,
+           |         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = m$r.a AND f.toks[f.i] = m$r.b
+           |              THEN f.acc[1:len(f.acc) - 1] || [m$r.a || m$r.b]
+           |              ELSE f.acc || [f.toks[f.i]] END
+           |  FROM f$r f, m$r WHERE f.i <= len(f.toks)),
+           |r$r AS MATERIALIZED (SELECT w, wc, acc AS toks FROM f$r WHERE i = len(toks) + 1)""".stripMargin
+      m + f
+    }.mkString
+    val tail = (1 to rounds).map { r =>
+      if (r == 1) s"\nSELECT 1 AS rk, a, b, n FROM m1"
+      else s"\nUNION ALL SELECT $r, a, b, n FROM m$r"
+    }.mkString
+    head + blocks + tail
+  }
+
+  val bpeTrainOracle: String = bpeTrainOracleSql(BpeTrainGateRounds)
 
   /** BPE TOKENIZE, corpus-wide — the second half of the
     * distinct-then-broadcast contract [[bpeApply]] sets up: the vocab

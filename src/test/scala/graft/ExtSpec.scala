@@ -937,4 +937,27 @@ class ExtSpec extends SparkSpec {
     assert(merges(0) === ((1, "h", "e", 100L)), merges.toString)
     assert(merges(1) === ((2, "t", "he", 100L)), merges.toString)
   }
+
+  test("BPE in-memory trainer ≡ distributed trainer on a random vocab, deep rounds") {
+    // the round-15 lineage-safe trainer has two strategies (driver-side
+    // incremental counts vs per-round distributed recount); they must pick
+    // the SAME merge sequence under the same total order, including ties
+    // and early exhaustion
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    val vocab = (1 to 120).map { _ =>
+      Seq.fill(2 + rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(50).toLong)).toArray
+    val df = vocab.toSeq.toDF("w", "wc")
+    val rounds = 25
+    val mem = graft.ext.TextAnalysis.bpeTrainInMemory(vocab, rounds, (_, _) => ())
+    val dist = graft.ext.TextAnalysis.bpeTrainDistributed(
+      df.persist(), rounds, (_, _) => ())
+    assert(mem === dist, s"\nmem=$mem\ndist=$dist")
+    df.unpersist()
+    // exhaustion: a vocab with 2 possible merges stops after 2 rounds
+    val tiny = Array(("ab", 5L))
+    val exhausted = graft.ext.TextAnalysis.bpeTrainInMemory(tiny, 10, (_, _) => ())
+    assert(exhausted === Seq((1, "a", "b", 5L)), exhausted.toString)
+  }
 }
