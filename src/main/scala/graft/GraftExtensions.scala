@@ -153,17 +153,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val start = int(1)
         // trailing arguments disambiguate by type: integer =
         // endingVersion, string = keyColumns, boolean = preimages
-        // (Delta-CDF-shaped update_preimage/update_postimage emission)
+        // (Delta-CDF-shaped update_preimage/update_postimage emission).
+        // Each slot may be filled ONCE — a second argument of the same
+        // type is a malformed call (e.g. table_changes(t, 1, 2, 3)), not
+        // a silent last-wins overwrite
         var end: Option[Int] = None
-        var keys: Seq[String] = Nil
-        var preimages = false
+        var keys: Option[Seq[String]] = None
+        var preimages: Option[Boolean] = None
+        def once[T](slot: Option[T], what: String, v: T): Option[T] = {
+          require(slot.isEmpty,
+            s"table_changes: duplicate $what argument (already ${slot.get}, got $v)")
+          Some(v)
+        }
         children.drop(2).zipWithIndex.foreach { case (_, j) =>
           lit(j + 2) match {
-            case n: Int => end = Some(n)
-            case n: Long => end = Some(n.toInt)
-            case b: Boolean => preimages = b
+            case n: Int => end = once(end, "endingVersion", n)
+            case n: Long => end = once(end, "endingVersion", n.toInt)
+            case b: Boolean => preimages = once(preimages, "preimages", b)
             case s: org.apache.spark.unsafe.types.UTF8String =>
-              keys = s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              keys = once(keys, "keyColumns",
+                s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             case other => throw new IllegalArgumentException(
               s"table_changes: unexpected argument $other")
           }
@@ -171,7 +180,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val upper = end.getOrElse(
           graft.lake.Lake.latestVersion(spark, root, table).getOrElse(0))
         org.apache.spark.sql.graft.GraftChangeFeed
-          .changesBetween(spark, root, table, keys, start, upper, preimages)
+          .changesBetween(spark, root, table, keys.getOrElse(Nil), start, upper,
+            preimages.getOrElse(false))
           .queryExecution.logical
       }))
     // TABLE-VALUED FUNCTION `table_diff(...)` — the NET two-version diff

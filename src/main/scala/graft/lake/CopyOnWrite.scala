@@ -247,9 +247,6 @@ object CopyOnWrite {
       val carried = files.filterNot(p => scopeSet.contains(norm(p)))
       val del = MergeOnRead.deletesOf(spark, root, name, base)
       val eq = MergeOnRead.eqDeletesOf(spark, root, name, base)
-      val f = fs(spark, Lake.tablePath(root, name))
-      val bytes = scope.map(p => f.getFileStatus(new Path(p)).getLen).sum
-      val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val slice = MergeOnRead.readWithDeletes(spark, scope, del, eq, declared)
       // fold the slice back into the declared layout; without a policy it
       // bin-packs toward the target size (commitCow re-applies the bucket
@@ -258,7 +255,14 @@ object CopyOnWrite {
       val shaped =
         if (props.contains(Lake.ClusterByProp) || BucketLayout.spec(props).isDefined)
           Lake.applyClusterPolicy(spark, root, name, slice)
-        else slice.coalesce(parts)
+        else {
+          // per-file getFileStatus round-trips only on this (no-policy)
+          // branch — the policied path never needs scope bytes
+          val f = fs(spark, Lake.tablePath(root, name))
+          val bytes = scope.map(p => f.getFileStatus(new Path(p)).getLen).sum
+          val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          slice.coalesce(parts)
+        }
       commitCow(spark, root, name, base, shaped, carried, retentionVersions,
         carriedDeletes(spark, root, del, eq, scope, carried, declared),
         declared = if (carried.nonEmpty) declared else None)

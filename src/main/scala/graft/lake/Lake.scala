@@ -157,7 +157,8 @@ object Lake {
     *    normalize each column linearly between the BATCH's min and max
     *    (one extra agg job over the batch — the policy's price);
     *    numeric/date/timestamp columns, plus STRING via an
-    *    order-preserving 7-byte-prefix numeric form; anything else falls
+    *    order-preserving 6-byte-prefix numeric form (exact in double's
+    *    53-bit mantissa); anything else falls
     *    back to the lexicographic form.
     */
   def applyClusterPolicy(
@@ -215,7 +216,7 @@ object Lake {
     }.filter(_.nonEmpty)
   }
 
-  private[lake] def zorderKey(df: DataFrame, cols: Seq[String]): Option[org.apache.spark.sql.Column] = {
+  private[graft] def zorderKey(df: DataFrame, cols: Seq[String]): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types._
     def numeric(c: String): Option[org.apache.spark.sql.Column] =
       df.schema.find(_.name == c).map(_.dataType).flatMap {
@@ -223,21 +224,23 @@ object Lake {
         case TimestampType | TimestampNTZType => Some(col(c).cast("double"))
         case _: NumericType => Some(col(c).cast("double"))
         case StringType =>
-          // order-preserving numeric form of a string's first 8 UTF-8
+          // order-preserving numeric form of a string's first 6 UTF-8
           // BYTES: right-pad the truncated binary to fixed width with
           // 0x00 (so "b" stays above "aa" — variable-width magnitudes
-          // would invert them), read as a 64-bit big-endian unsigned
-          // (conv's unsigned decimal string, exact through double's
-          // range). UTF-8 byte order IS binary-collation string order,
-          // so range-bucket ids built from this are monotone in the
-          // column. Strings sharing an 8-byte prefix collapse to one
-          // value — that dimension then buckets coarsely (a key space
-          // like `tenant_<n>` clusters on nothing past the prefix),
-          // which costs clustering sharpness ONLY: the policy shapes
-          // files, stats pruning stays exact either way
+          // would invert them), read as a 48-bit big-endian unsigned
+          // (conv's unsigned decimal string). 48 bits sit under double's
+          // 53-bit mantissa, so the value is EXACT — every 6-byte-prefix
+          // difference is a distinct key (an 8-byte form would round away
+          // its low ~11 bits). UTF-8 byte order IS binary-collation
+          // string order, so range-bucket ids built from this are
+          // monotone in the column. Strings sharing a 6-byte prefix
+          // collapse to one value — that dimension then buckets coarsely
+          // (a key space like `tenant_<n>` clusters on nothing past the
+          // prefix), which costs clustering sharpness ONLY: the policy
+          // shapes files, stats pruning stays exact either way
           Some(conv(hex(rpad(
-            substring(encode(col(c), "UTF-8"), 1, 8),
-            8, Array[Byte](0))), 16, 10).cast("double"))
+            substring(encode(col(c), "UTF-8"), 1, 6),
+            6, Array[Byte](0))), 16, 10).cast("double"))
         case _ => None
       }
     val nums = cols.map(numeric)

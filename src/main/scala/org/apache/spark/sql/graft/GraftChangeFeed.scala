@@ -244,8 +244,20 @@ class GraftChangeFeedStream(
 
   override def reportLatestOffset(): Offset = VersionOffset(frontier)
 
+  /** Shape-affecting read options, folded into the scratch dir name: a
+    * restart against the same checkpoint with `preimages`/`keyColumns`/
+    * required schema changed must NOT reuse epochs staged in the old
+    * shape (the `_SUCCESS` guard would otherwise serve wrong-shaped
+    * change rows silently).
+    */
+  private val shapeHash: String = {
+    val desc = s"pre=$preimages;keys=${keyCols.mkString(",")};" +
+      s"req=${required.fields.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")}"
+    f"${scala.util.hashing.MurmurHash3.stringHash(desc)}%08x"
+  }
+
   private def scratchDir(s: Int, e: Int): Path =
-    new Path(s"$checkpointLocation/graft_cdf/${s}_$e")
+    new Path(s"$checkpointLocation/graft_cdf/${s}_${e}_$shapeHash")
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
@@ -277,8 +289,9 @@ class GraftChangeFeedStream(
       val base = new Path(s"$checkpointLocation/graft_cdf")
       val f = base.getFileSystem(spark.sessionState.newHadoopConf())
       if (f.exists(base)) f.listStatus(base).foreach { st =>
+        // dir names: <start>_<end>_<shapeHash> (pre-r15 dirs: <start>_<end>)
         st.getPath.getName.split("_") match {
-          case Array(_, hi) if hi.forall(_.isDigit) && hi.toInt <= e =>
+          case Array(_, hi, _*) if hi.nonEmpty && hi.forall(_.isDigit) && hi.toInt <= e =>
             f.delete(st.getPath, true)
           case _ => ()
         }

@@ -220,6 +220,54 @@ class ChangeFeedSpec extends SparkSpec {
       spark.sql("SELECT * FROM table_changes('nocat.tables.x', 1, 'k')").collect()
     }
     assert(e.getMessage.contains("not a configured graft catalog"))
+    // duplicate trailing arguments are malformed calls, not last-wins
+    for ((tail, what) <- Seq(
+        ("1, 2, 3", "endingVersion"),
+        ("1, 'k', 'v'", "keyColumns"),
+        ("1, 'k', true, false", "preimages"))) {
+      val dup = intercept[Exception] {
+        spark.sql(s"SELECT * FROM table_changes('$cat.tables.cft', $tail)").collect()
+      }
+      assert(dup.getMessage.contains(s"duplicate $what"), s"tail ($tail): ${dup.getMessage}")
+    }
+  }
+
+  test("checkpointed stream restarted with a different shape restages, not reuses") {
+    // the staged-epoch cache is keyed by (range, SHAPE): a restart against
+    // the same checkpoint with `preimages` flipped must not serve rows
+    // staged in the old shape (ADVICE r15). Poison the legacy
+    // range-only-named dir for the upcoming epoch — the shape-unaware
+    // naming would find its _SUCCESS and serve it verbatim
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cfshape")
+    Lake.writeTableSnapshot(Seq((1L, "A"), (2L, "b")).toDF("k", "v"), root, "cfshape")
+    val ck = Files.createTempDirectory("graft_cfshape_ck_").toString
+    val out = Files.createTempDirectory("graft_cfshape_out_").toString
+    def drain(preimages: Boolean): Unit = {
+      val q = spark.readStream
+        .option("keyColumns", "k").option("startingVersion", "1")
+        .option("preimages", preimages.toString)
+        .table(s"$cat.tables.cfshape__changes")
+        .select("k", "v", "change")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain(preimages = false)
+    def sunk() = spark.read.parquet(out).select("v", "change").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(t => (t._2, t._1)).toSeq
+    assert(sunk() === Seq(("A", "updated")))
+    // next epoch will cover versions 2→3; stage a WRONG-SHAPED result
+    // under every legacy/foreign-shape name a stale run could have left
+    Lake.writeTableSnapshot(Seq((1L, "A"), (2L, "B")).toDF("k", "v"), root, "cfshape")
+    for (dir <- Seq(s"$ck/graft_cdf/2_3", s"$ck/graft_cdf/2_3_deadbeef"))
+      Seq((99L, "POISON", "updated", 3))
+        .toDF("k", "v", "change", "change_version")
+        .write.mode("overwrite").parquet(dir)
+    drain(preimages = true)
+    assert(sunk() === Seq(
+      ("B", "update_postimage"), ("b", "update_preimage"),
+      ("A", "updated")), sunk().toString)
   }
 
   test("startingVersion=latest streams only future commits") {

@@ -320,4 +320,28 @@ class PropertySpec extends SparkSpec {
     Seq(11, 23).foreach(run(_, bucketed = false))
     run(37, bucketed = true)
   }
+
+  test("zorderKey string form: exact 6-byte prefix, collapse past it, monotone") {
+    import graft.lake.Lake
+    def keys(vals: Seq[String]): Seq[Long] = {
+      val df = vals.toDF("t")
+      val k = Lake.zorderKey(df, Seq("t")).get
+      // preserve input order so monotonicity is checkable positionally
+      df.withColumn("i", monotonically_increasing_id())
+        .select(col("i"), k.as("z")).orderBy("i")
+        .collect().map(_.getLong(1)).toSeq
+    }
+    // differ in byte 6 ONLY (lowest-order represented byte): must be
+    // distinct — the 48-bit form is exact in double's 53-bit mantissa
+    val in6 = keys(Seq("aaaaa0zzz", "aaaaa1zzz"))
+    assert(in6.distinct.size === 2, s"byte-6 difference must survive: $in6")
+    assert(in6(0) < in6(1), s"byte-6 keys must be ordered: $in6")
+    // differ ONLY past byte 6: documented collapse (sharpness-only cost)
+    val past6 = keys(Seq("aaaaaa0", "aaaaaa1", "aaaaaaZZZZ"))
+    assert(past6.distinct.size === 1, s"post-prefix bytes must collapse: $past6")
+    // monotone across mixed lengths and prefix relations
+    val sorted = Seq("", "a", "aa", "ab", "b", "ba0", "zz")
+    val ks = keys(sorted)
+    assert(ks === ks.sorted, s"string keys must be monotone: $ks")
+  }
 }
