@@ -3351,6 +3351,56 @@ object Lifecycle {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** W — DECIMAL AVG THROUGH THE SUMMARY (the round-15 leg): the base
+    * money column is pinned to DECIMAL(18,2) in the gate itself, so the
+    * aggregate is a true decimal `Average` under BOTH money profiles and
+    * the rewrite must reproduce Spark's decimal decomposition exactly —
+    * re-aggregated sums cast back to the p+10 buffer type, divided under
+    * the operator's own precision promotion, cast to DECIMAL(p+4, s+4),
+    * then (for the oracle compare) to DOUBLE. Hard-requires the rewrite
+    * fired (summary scanned, base not); the oracle replays the same
+    * HALF_UP rounding at scale 6 with exact HUGEINT arithmetic.
+    */
+  def mvAvgMoney(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = scratch("graft_mvm_")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").parquet(s"$root/base")
+    SummaryRewrite.create(s, "mv_avg_money", s"$root/base", s"$root/mv",
+      keys = Seq("o_orderpriority"),
+      sums = Seq("price" -> None),
+      counts = Seq("price"))
+    val q = s.read.parquet(s"$root/base")
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(col("price")).cast("double").as("avg_price"),
+        sum(col("price")).cast("double").as("total"),
+        count(col("price")).as("n_price"))
+    val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+    require(scanned.exists(_.endsWith("/mv")),
+      "decimal avg must be served by the summary")
+    require(!scanned.exists(_.endsWith("/base")),
+      "the base table must not be scanned once the rewrite fires")
+    q
+  }
+
+  val mvAvgMoneyOracle: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+      |         COUNT(o_totalprice) AS n
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT o_orderpriority, s2, n,
+      |         (2 * CAST(s2 * 100 AS HUGEINT) * 10000 + n) // (2 * n) AS micro
+      |  FROM g)
+      |SELECT o_orderpriority,
+      |       CAST(micro AS DOUBLE) / 1000000.0 AS avg_price,
+      |       CAST(s2 AS DOUBLE) AS total,
+      |       n AS n_price
+      |FROM m""".stripMargin
+
   /** W — CDF-DRIVEN summary maintenance: the materialized view stays
     * correct under file-granular UPDATE / DELETE / MERGE on its base (the
     * reference's aggregate tables are ksqlDB tables — continuously
@@ -3436,6 +3486,7 @@ object Lifecycle {
   val defs: Map[String, QueryFn] = Map(
     "w_mv_cdf_refresh" -> (mvCdfRefresh _),
     "w_mv_avg" -> (mvAvg _),
+    "w_mv_avg_money" -> (mvAvgMoney _),
     "c26_compact_where" -> (compactWhereGate _),
     "a42_spj_join" -> (spjJoin _),
     "a43_zorder_bucket" -> (zorderBucket _),
@@ -3508,6 +3559,7 @@ object Lifecycle {
   val oracles: Map[String, String] = Map(
     "w_mv_cdf_refresh" -> mvCdfRefreshOracle,
     "w_mv_avg" -> mvAvgOracle,
+    "w_mv_avg_money" -> mvAvgMoneyOracle,
     "c26_compact_where" -> compactWhereOracle,
     "a42_spj_join" -> spjJoinOracle,
     "a43_zorder_bucket" -> zorderBucketOracle,

@@ -31,15 +31,16 @@ import org.apache.spark.sql.types.DataType
   *    per-group sums, COUNT(*)/COUNT(1) = SUM of the per-group counts,
   *    MIN/MAX(x) = MIN/MAX of the per-group minima/maxima, COUNT(x) = SUM
   *    of the per-group non-null counts (a declared `cnt` measure), and
-  *    AVG(x) over non-decimal numerics = SUM(sums)/SUM(cnts), the exact
-  *    arithmetic of Average's own evaluate expression — with no DISTINCT
-  *    and no FILTER clause. Re-aggregated results are cast back to the
-  *    original aggregate's result type, so downstream operators (and the
-  *    driver's hash compare) see bit-identical schema and values.
+  *    AVG(x) = SUM(sums)/SUM(cnts), the exact arithmetic of Average's own
+  *    evaluate expression (double division for non-decimal numerics; the
+  *    DECIMAL leg re-derives the p+10 sum buffer type and divides under
+  *    the operator's own precision promotion, then casts to Average's
+  *    DECIMAL(p+4, s+4) result — HALF_UP rounding included) — with no
+  *    DISTINCT and no FILTER clause. Re-aggregated results are cast back
+  *    to the original aggregate's result type, so downstream operators
+  *    (and the driver's hash compare) see bit-identical schema and values.
   *
-  * Anything else — a non-key filter, a DECIMAL `avg` (its internal
-  * precision promotion is not re-derived here; the money convention's
-  * sum/count spelling rewrites instead), a UDAF — leaves the plan
+  * Anything else — a non-key filter, a UDAF — leaves the plan
   * untouched; the rule is
   * allowed to decline, never to approximate. Output attribute `exprId`s are
   * preserved through the rewrite (exprId-keyed aliases), so operators above
@@ -176,15 +177,15 @@ object SummaryRewrite {
     *  1. the AFFECTED GROUP KEYS are the distinct `keys`-projections of
     *     the change rows (every change row carries a full image — inserts
     *     and updates the new one, deletes their last);
-    *  2. those groups re-aggregate from the base's LATEST snapshot,
-    *     filtered by per-key-column literal IN-lists — pushed filters the
-    *     stats/bucket sidecars prune FILES with, so a mutation clustered
-    *     on the group key re-reads only its own files (for composite keys
-    *     the per-column lists admit a Cartesian superset of the affected
-    *     groups: sound, because any group fully inside the filter
-    *     re-aggregates exactly and is dropped from the carried side);
+    *  2. those groups re-aggregate from the base's LATEST snapshot: FILES
+    *     prune by per-key-column literal IN-lists (the predicate shape the
+    *     stats/bucket sidecars translate), while ROWS filter by an exact
+    *     tuple-membership test — a broadcast null-safe semi-join against
+    *     the affected key set — so composite keys with k distinct values
+    *     per column re-aggregate exactly the affected groups, never the
+    *     up-to-k² per-column Cartesian superset;
     *  3. every other group is carried from the current summary unchanged
-    *     (an anti-filter on the same lists).
+    *     (the anti-join against the same key set).
     *
     * A change set touching more than [[RefreshAffectedKeysMax]] groups
     * rebuilds the rollup outright — at that point most of the base moved
@@ -219,18 +220,18 @@ object SummaryRewrite {
     val affected = changes.select(mv.keys.map(col): _*).distinct()
       .limit(RefreshAffectedKeysMax + 1).collect()
     lastRefreshPrune = (-1, -1)
+    lastRefreshReaggGroups = -1L
+    var reaggHandle: Option[org.apache.spark.sql.DataFrame] = None
     val refreshed =
       if (affected.length > RefreshAffectedKeysMax) rollup(base, mv)
       else if (affected.isEmpty) current
       else {
-        // per-column literal IN-lists (null-safe: <=> against an explicit
-        // null literal when a group key is null in some affected group)
+        // per-column literal IN-lists — used for FILE pruning only (the
+        // stats/bucket sidecars translate per-column predicates, not
+        // tuple sets); ROW membership below is exact per tuple
         val lists: Seq[(String, Seq[Any])] = mv.keys.zipWithIndex.map {
           case (k, i) => k -> affected.map(_.get(i)).distinct.toSeq
         }
-        def inList(k: String, vs: Seq[Any]): org.apache.spark.sql.Column =
-          vs.map(v => col(k) <=> lit(v)).reduce(_ || _)
-        val touched = lists.map { case (k, vs) => inList(k, vs) }.reduce(_ && _)
         // prune the re-aggregation read to files that can hold an affected
         // group — the sidecar stats/bucket layout make the refresh
         // O(changed groups' files) when writes cluster on the group key
@@ -240,15 +241,35 @@ object SummaryRewrite {
             graft.lake.Lake.snapshotFiles(spark, lakeRoot, table, to).size)
           case None => (-1, -1)
         }
-        val reaggBase = graft.lake.Lake.readTableFeedPruned(
-          spark, lakeRoot, table, Some(to), keepOnly).filter(touched)
-        rollup(reaggBase, mv).unionByName(current.filter(!touched))
+        // exact TUPLE membership via a broadcast null-safe semi/anti join
+        // against the affected key set (≤ RefreshAffectedKeysMax rows):
+        // composite keys with k distinct values per column re-aggregate
+        // exactly the affected groups, not the per-column Cartesian
+        // superset (up to k² groups) the IN-lists would admit
+        val aff = spark.createDataFrame(
+          java.util.Arrays.asList(affected: _*),
+          changes.select(mv.keys.map(col): _*).schema).alias("ga")
+        def tupleCond(side: org.apache.spark.sql.DataFrame) =
+          mv.keys.map(k => side(k) <=> aff(k)).reduce(_ && _)
+        val pruned = graft.lake.Lake.readTableFeedPruned(
+          spark, lakeRoot, table, Some(to), keepOnly).alias("gb")
+        val reaggBase = pruned.join(
+          org.apache.spark.sql.functions.broadcast(aff), tupleCond(pruned), "left_semi")
+        val curAliased = current.alias("gc")
+        val carried = curAliased.join(
+          org.apache.spark.sql.functions.broadcast(aff), tupleCond(curAliased), "left_anti")
+        val reagg = rollup(reaggBase, mv)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        reaggHandle = Some(reagg)
+        lastRefreshReaggGroups = reagg.count()
+        reagg.unionByName(carried)
       }
     val aligned = refreshed.select(current.columns.map { c =>
       col(c).cast(current.schema(c).dataType).as(c)
     }: _*)
     val next = nextVersionPath(mv.mvPath)
-    aligned.write.mode("overwrite").parquet(next)
+    try aligned.write.mode("overwrite").parquet(next)
+    finally reaggHandle.foreach { h => h.unpersist(); () }
     val updated = mv.copy(mvPath = norm(next), asOfVersion = to)
     registered = updated :: registered.filterNot(_.name == name)
     updated
@@ -259,6 +280,12 @@ object SummaryRewrite {
     * O(base). (-1, -1) when the last refresh took the rebuild/empty path.
     */
   @volatile private[graft] var lastRefreshPrune: (Int, Int) = (-1, -1)
+
+  /** Groups re-aggregated by the last [[refreshFromChanges]] — the spec's
+    * proof that composite-key refresh touches exactly the affected tuples,
+    * not the per-column Cartesian superset. -1 on the rebuild/empty path.
+    */
+  @volatile private[graft] var lastRefreshReaggGroups: Long = -1L
 
   /** Stats/bucket-admitted files for the refresh's per-column IN filters;
     * None (read everything) when a list is null-bearing or untranslatable —
@@ -479,11 +506,7 @@ object SummaryRewrite {
               // result type (double) — exactly Average.evaluateExpression's
               // `Divide(sum.cast(resultType), count.cast(resultType))`, so
               // the rewrite reproduces the built-in's arithmetic, not an
-              // approximation of it. DECIMAL averages decline: their
-              // division carries Average-internal precision/scale promotion
-              // this rule will not re-derive (the repo's money convention
-              // writes decimal averages as sum/count, which already
-              // rewrites through the sum + cnt measures).
+              // approximation of it.
               for {
                 sm <- mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name &&
                   (m.castTo.isEmpty || m.castTo.contains(a.dataType)))
@@ -492,6 +515,35 @@ object SummaryRewrite {
                 reAgg(Sum(byName(sm.mvCol)), av.dataType),
                 reAgg(Sum(byName(cm.mvCol)), av.dataType),
                 EvalMode.LEGACY)
+            case av @ Average(a: AttributeReference, _) =>
+              // DECIMAL AVG(x): mirror Average.evaluateExpression's decimal
+              // leg exactly — the aggregation buffer sums at
+              // DECIMAL(p+10, s) and the final value is
+              // `Divide(sum, count.cast(DECIMAL(20,0)))` evaluated under
+              // the operator's own decimal-precision promotion, then cast
+              // to Average's result type DECIMAL(p+4, s+4). Re-aggregating
+              // the per-group sums and casting back to the p+10 buffer type
+              // reproduces the same dividend (same value, same scale; an
+              // overflow of p+10 digits nulls here exactly where
+              // CheckOverflowInSum nulls in the built-in), so the division
+              // is bit-identical, rounding included (HALF_UP at scale s+4).
+              for {
+                sm <- mv.measures.find(m => m.kind == "sum" && m.baseCol == a.name &&
+                  (m.castTo.isEmpty || m.castTo.contains(a.dataType)))
+                cm <- mv.measures.find(m => m.kind == "cnt" && m.baseCol == a.name)
+                dt = a.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+              } yield Cast(
+                Divide(
+                  reAgg(Sum(byName(sm.mvCol)),
+                    // DecimalType.bounded(p + 10, s) — private[sql], inlined
+                    org.apache.spark.sql.types.DecimalType(
+                      math.min(dt.precision + 10, 38), math.min(dt.scale, 38))),
+                  reAgg(Sum(byName(cm.mvCol)),
+                    org.apache.spark.sql.types.DecimalType(20, 0)),
+                  EvalMode.LEGACY),
+                av.dataType, Some(confTz(session)),
+                org.apache.spark.sql.catalyst.expressions.EvalMode.fromSQLConf(
+                  org.apache.spark.sql.internal.SQLConf.get))
             case c @ Count(Seq(Literal(_, _))) =>
               // COUNT(*) = 0 over an empty input, but SUM over an empty
               // summary is NULL — coalesce so the global-aggregate

@@ -349,7 +349,71 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
-  test("mv rewrite serves AVG and COUNT(col) via cnt measures; decimal avg declines") {
+  test("refreshFromChanges composite keys: exactly the affected TUPLES re-aggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.Lake
+    import graft.warehouse.SummaryRewrite
+    val root = java.nio.file.Files.createTempDirectory("mv_tuple_spec_").toString
+    // composite group key (g1, g2) on a 2x2 grid plus a NULL-keyed group:
+    // mutating (0,0) and (1,1) has DISJOINT per-column values, so the
+    // per-column IN-lists admit 4 grid groups while the exact tuple set is 2
+    val df = spark.range(0, 4000).select(
+      when(col("id") % 5 === 4, lit(null).cast("long"))
+        .otherwise(col("id") % 2).as("g1"),
+      (col("id") % 4 / 2).cast("long").as("g2"),
+      col("id").as("k"), (col("id") % 9).cast("double").as("v"))
+    Lake.writeTableSnapshot(df, root, "tb")
+    spark.conf.set("spark.sql.catalog.mvtupcat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mvtupcat.root", root)
+    try {
+      SummaryRewrite.createForTable(spark, "mv_tuple_spec", root, "tb", s"$root/mv",
+        keys = Seq("g1", "g2"), rowKeys = Seq("k"),
+        sums = Seq("v" -> None), mins = Seq("v"), maxs = Seq("v"))
+      // touch rows of exactly (g1,g2) = (0,0) and (1,1): id%20==0 hits
+      // g1=0,g2=0; id%20==3 hits g1=1,g2=1
+      spark.sql("UPDATE mvtupcat.tables.tb SET v = v + 50 WHERE k % 20 = 0")
+      spark.sql("UPDATE mvtupcat.tables.tb SET v = v - 10 WHERE k % 20 = 3")
+      SummaryRewrite.refreshFromChanges(spark, "mv_tuple_spec")
+      assert(SummaryRewrite.lastRefreshReaggGroups === 2L,
+        s"disjoint-column mutations must re-aggregate exactly 2 groups, " +
+          s"got ${SummaryRewrite.lastRefreshReaggGroups}")
+      def agg() = spark.sql(
+        """SELECT g1, g2, sum(v) AS sv, min(v) AS mn, max(v) AS mx, count(*) AS n
+          |FROM mvtupcat.tables.tb GROUP BY g1, g2""".stripMargin)
+      val q = agg()
+      assert(SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+        .exists(_.contains("/mv")), "refreshed summary must serve")
+      def shape(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (Option(r.get(0)), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5))).sortBy(t => (t._1.map(_.toString), t._2)).toSeq
+      val got = shape(q.collect())
+      // the NULL-keyed group survives the carried-side anti-join
+      assert(got.exists(_._1.isEmpty), "null-keyed group must be carried")
+      SummaryRewrite.drop("mv_tuple_spec")
+      assert(got === shape(agg().collect()), "refresh must equal full recompute")
+      // NULL-keyed group mutations refresh exactly too (null-safe semi-join)
+      SummaryRewrite.createForTable(spark, "mv_tuple_spec", root, "tb", s"$root/mv2",
+        keys = Seq("g1", "g2"), rowKeys = Seq("k"),
+        sums = Seq("v" -> None), mins = Seq("v"), maxs = Seq("v"))
+      spark.sql("UPDATE mvtupcat.tables.tb SET v = v + 7 WHERE k % 20 = 4")
+      SummaryRewrite.refreshFromChanges(spark, "mv_tuple_spec")
+      assert(SummaryRewrite.lastRefreshReaggGroups >= 1L)
+      val q2 = agg()
+      assert(SummaryRewrite.scannedPaths(q2.queryExecution.optimizedPlan)
+        .exists(_.contains("/mv2")), "refreshed summary must serve after null-group update")
+      val got2 = shape(q2.collect())
+      SummaryRewrite.drop("mv_tuple_spec")
+      assert(got2 === shape(agg().collect()),
+        "null-keyed refresh must equal full recompute")
+    } finally {
+      SummaryRewrite.drop("mv_tuple_spec")
+      spark.conf.unset("spark.sql.catalog.mvtupcat")
+      spark.conf.unset("spark.sql.catalog.mvtupcat.root")
+    }
+  }
+
+  test("mv rewrite serves AVG and COUNT(col) via cnt measures; cast-wrapped decimal avg declines") {
     import org.apache.spark.sql.functions._
     import graft.warehouse.SummaryRewrite
     val dir = java.nio.file.Files.createTempDirectory("avgspec_").toString
@@ -373,12 +437,13 @@ class WarehouseSpec extends SparkSpec {
       val q = agg()
       assert(scans(q).exists(_.endsWith("/mv")), s"rewrite must fire: ${scans(q)}")
       val got = collect(q)
-      // a DECIMAL avg declines (Average's internal precision promotion is
-      // not re-derived) — the base is scanned, never an approximation
+      // a CAST-wrapped decimal avg declines: a legacy-mode overflow in the
+      // cast nulls values the cnt measure counted, so the decomposition
+      // is not provably exact — the base is scanned, never an approximation
       val qd = spark.read.parquet(s"$dir/base").groupBy("g")
         .agg(avg(col("v").cast("decimal(18,2)")).as("a"))
       assert(!scans(qd).exists(s => s.endsWith("/mv") || s.endsWith("/mv2")),
-        "decimal avg must decline the summary")
+        "cast-wrapped decimal avg must decline the summary")
       // rewritten ≡ unrewritten, bit-exact (v is integral-valued)
       SummaryRewrite.drop("mv_avg_spec")
       assert(got === collect(agg()))
@@ -394,5 +459,38 @@ class WarehouseSpec extends SparkSpec {
       SummaryRewrite.drop("mv_avg_spec")
       assert(got2 === collect(agg()))
     } finally SummaryRewrite.drop("mv_avg_spec")
+  }
+
+  test("mv rewrite serves AVG over a true DECIMAL column, bit-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.warehouse.SummaryRewrite
+    val dir = java.nio.file.Files.createTempDirectory("avgdec_").toString
+    // a genuine DECIMAL(18,2) base column (the money-decimal profile's
+    // shape): AVG is a decimal Average end-to-end, result DECIMAL(22,6)
+    spark.range(0, 4000).select(
+      (col("id") % 7).as("g"),
+      when(col("id") % 13 === 0, lit(null))
+        .otherwise((col("id") % 997).cast("double") / 10.0)
+        .cast("decimal(18,2)").as("m"))
+      .write.mode("overwrite").parquet(s"$dir/base")
+    def agg() = spark.read.parquet(s"$dir/base").groupBy("g")
+      .agg(avg(col("m")).as("a"), sum(col("m")).as("s"), count(col("m")).as("c"))
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    try {
+      SummaryRewrite.create(spark, "mv_avg_dec", s"$dir/base", s"$dir/mv",
+        keys = Seq("g"), sums = Seq("m" -> None), counts = Seq("m"))
+      val q = agg()
+      assert(q.schema("a").dataType ===
+        org.apache.spark.sql.types.DecimalType(22, 6),
+        "rewritten decimal avg must keep Average's DECIMAL(p+4, s+4) type")
+      val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      assert(scanned.exists(_.endsWith("/mv")), s"decimal avg must fire: $scanned")
+      assert(!scanned.exists(_.endsWith("/base")), s"base must not scan: $scanned")
+      val got = collect(q)
+      SummaryRewrite.drop("mv_avg_dec")
+      assert(got === collect(agg()), "rewritten must be bit-identical to base")
+    } finally SummaryRewrite.drop("mv_avg_dec")
   }
 }
