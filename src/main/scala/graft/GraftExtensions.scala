@@ -194,7 +194,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exchange-free). Same plan-transparency property: the builder
     // returns the diff's own resolved plan, so ReadGuard/ReadAudit see
     // every underlying scan.
+    // Endpoints take versions OR timestamp strings, resolved through the
+    // commit-instant ledger with the CDF options' own rules: the OLD
+    // endpoint like `startingTimestamp` (newest commit STRICTLY BEFORE the
+    // instant — the diff then covers every change made at-or-after it) and
+    // the NEW endpoint like `endingTimestamp` (newest commit AT-OR-BEFORE,
+    // the TIMESTAMP-AS-OF rule), with the same predates-first-commit
+    // refusals.
     //   table_diff('<cat>.<ns>.<table>', vOld, vNew, 'k1,k2')
+    //   table_diff('<cat>.<ns>.<t>', '2026-01-01 00:00:00', '2026-02-01 00:00:00', 'k')
     ext.injectTableFunction((
       FunctionIdentifier("table_diff"),
       new ExpressionInfo("graft.GraftExtensions", "table_diff"),
@@ -227,8 +235,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(throw new IllegalArgumentException(
             s"table_diff: '$cat' is not a configured graft catalog"))
         val keys = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def endpoint(i: Int, old: Boolean): Int = lit(i) match {
+          case _: org.apache.spark.unsafe.types.UTF8String =>
+            if (old) org.apache.spark.sql.graft.GraftChangeFeed
+              .versionStrictlyBefore(spark, root, table, str(i))
+            else org.apache.spark.sql.graft.GraftChangeFeed
+              .versionAtOrBefore(spark, root, table, str(i))
+          case _ => int(i)
+        }
         graft.lake.Lake
-          .versionChanges(spark, root, table, int(1), int(2), keys)
+          .versionChanges(spark, root, table,
+            endpoint(1, old = true), endpoint(2, old = false), keys)
           .queryExecution.logical
       }))
   }

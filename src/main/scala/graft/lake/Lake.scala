@@ -408,6 +408,39 @@ object Lake {
           f.create(new Path(stage, s"_epoch_${sink}_$e"), true).close() }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Post-commit hooks, invoked (spark, root, name, newVersion) after every
+    * successful snapshot commit — the single place downstream maintenance
+    * (e.g. `mv_refresh='on_commit'` summary refresh,
+    * [[graft.warehouse.SummaryRewrite]]) can observe table mutations
+    * without polling. Hooks run ON the committing thread AFTER the version
+    * is live (the commit itself can no longer fail), are re-entrancy
+    * guarded (a hook that commits does not re-trigger hooks on that
+    * thread), and a hook failure is logged, never propagated — maintenance
+    * must not fail a committed write.
+    */
+  private val commitHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[(SparkSession, String, String, Int) => Unit]()
+
+  def addCommitHook(h: (SparkSession, String, String, Int) => Unit): Unit = {
+    commitHooks.add(h); ()
+  }
+
+  private val inCommitHook = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def runCommitHooks(
+      spark: SparkSession, root: String, name: String, version: Int): Unit = {
+    if (inCommitHook.get()) return
+    inCommitHook.set(java.lang.Boolean.TRUE)
+    try commitHooks.forEach { h =>
+      try h(spark, root, name, version)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[lake] commit hook failed for $name v$version: ${e.getMessage}")
+      }
+    } finally inCommitHook.set(java.lang.Boolean.FALSE)
+  }
+
   private def commitStaged(spark: SparkSession, tdir: String, stage: Path): Int = {
     val f = fs(spark, tdir)
     // per-file MIN/MAX stats sidecar over the staged files (footer reads
@@ -443,6 +476,7 @@ object Lake {
             throw new java.io.IOException(s"commit: could not promote $stage to $live")
           stampCommit(f, live)
           f.delete(claim, false)
+          runCommitHooks(spark, root, name, n)
           return n
         }
       }
@@ -723,6 +757,7 @@ object Lake {
       stampCommit(f, live)
       f.delete(claim, false)
       Retention.pruneTableVersions(spark, root, name, keep = retentionVersions, dryRun = false)
+      runCommitHooks(spark, root, name, n)
       Some(n)
     }
   }

@@ -3191,6 +3191,42 @@ object Lifecycle {
       |WHERE v1.o_orderkey IS NULL OR v3.o_orderkey IS NULL
       |   OR v1.o_totalprice <> v3.o_totalprice""".stripMargin
 
+  /** A44b — `table_diff` with TIMESTAMP endpoints: the same net
+    * two-version diff, endpoints resolved through the commit-instant
+    * ledger instead of version ints — OLD endpoint by the
+    * `startingTimestamp` rule (newest commit strictly before), NEW by the
+    * `endingTimestamp` / TIMESTAMP-AS-OF rule (newest at-or-before) — so
+    * a consumer can ask "what changed between these two instants" without
+    * knowing version numbers. Same history as A44; the sleeps separate
+    * commit instants at the ledger's millisecond resolution.
+    */
+  def tableDiffTs(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a44b_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val k = col("o_orderkey")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Lake.writeTableSnapshot(o.filter(k <= 1000), root, "diffts")
+    Thread.sleep(30)
+    Lake.writeTableSnapshot(
+      o.filter(k <= 1300).withColumn("o_totalprice", col("o_totalprice") * 2),
+      root, "diffts")
+    Thread.sleep(30)
+    Lake.writeTableSnapshot(
+      o.filter(k.between(201, 1100)).withColumn("o_totalprice",
+        when(k.between(501, 1000), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))), root, "diffts")
+    val instants = Lake.commitInstants(s, root, "diffts")
+    require(instants(1) < instants(2) && instants(2) < instants(3),
+      s"commit instants must be distinct for the timestamp gate: $instants")
+    val oldTs = (instants(1) + instants(2) + 1) / 2 // strictly after v1, before v2
+    val newTs = instants(3) // at-or-before rule is inclusive
+    s.sql(s"SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+      s"change FROM table_diff('$cat.tables.diffts', '$oldTs', '$newTs', 'o_orderkey')")
+  }
+
   /** A43 — IN-BUCKET SECONDARY CLUSTERING: `bucket_by` (placement) and a
     * zorder `cluster_by` (in-bucket order) COMPOSE on one table instead
     * of bucket_by silencing the z policy. Every staged file stays
@@ -3483,7 +3519,73 @@ object Lifecycle {
       |       COUNT(*) AS n
       |FROM final GROUP BY o_orderpriority""".stripMargin
 
+  /** W — AUTO-REFRESH (`mv_refresh='on_commit'`): the reference's ksqlDB
+    * aggregate tables are CONTINUOUSLY maintained (data_lake_config.py:
+    * 82-115) — a consumer never refreshes anything by hand. With the
+    * base-table property set, every SQL mutation's commit runs the same
+    * O(changed groups) CDF fold [[graft.warehouse.SummaryRewrite
+    * .refreshFromChanges]] performs, so the NEXT aggregate query is served
+    * from the summary with NO explicit refresh call (hard require), and
+    * the served numbers hash-match a full recompute in DuckDB.
+    */
+  def mvAutoRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.warehouse.SummaryRewrite
+    val root = scratch("graft_mvr_")
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice"))
+    Lake.setTableProperties(s, root, "arbase",
+      Map(SummaryRewrite.MvRefreshProp -> "on_commit"))
+    Lake.writeTableSnapshot(o.filter(col("o_orderkey") <= 1500), root, "arbase")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      SummaryRewrite.createForTable(s, "mv_auto_prio", root, "arbase", s"$root/mv",
+        keys = Seq("o_orderpriority"), rowKeys = Seq("o_orderkey"),
+        sums = Seq("o_totalprice" -> Some("decimal(18,2)")))
+      s.sql(s"UPDATE $cat.tables.arbase " +
+        "SET o_totalprice = CAST(o_totalprice * 3 AS DECIMAL(18,2)) " +
+        "WHERE o_orderkey BETWEEN 10 AND 60")
+      o.filter(col("o_orderkey").between(1451, 1600))
+        .withColumn("o_orderpriority", lit("A-AUTO"))
+        .createOrReplaceTempView("mvr_src")
+      s.sql(s"""MERGE INTO $cat.tables.arbase t USING mvr_src src
+        |ON t.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET t.o_orderpriority = src.o_orderpriority
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // NO refreshFromChanges call — the commits maintained the summary
+      val q = s.sql(
+        s"""SELECT o_orderpriority,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |       COUNT(*) AS n
+           |FROM $cat.tables.arbase GROUP BY o_orderpriority""".stripMargin)
+      val paths = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      require(paths.exists(_.contains("/mv")),
+        s"on_commit summary must serve WITHOUT a manual refresh; scanned $paths")
+      require(!paths.exists(_.contains("arbase")),
+        s"the base must not be scanned under on_commit maintenance; scanned $paths")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally SummaryRewrite.drop("mv_auto_prio")
+  }
+
+  val mvAutoRefreshOracle: String =
+    """WITH final AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey BETWEEN 1451 AND 1600
+      |              THEN 'A-AUTO' ELSE o_orderpriority END AS o_orderpriority,
+      |         CASE WHEN o_orderkey BETWEEN 10 AND 60
+      |              THEN CAST(CAST(o_totalprice * 3 AS DECIMAL(18,2)) AS DOUBLE)
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey <= 1600)
+      |SELECT o_orderpriority,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       COUNT(*) AS n
+      |FROM final GROUP BY o_orderpriority""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
+    "w_mv_auto_refresh" -> (mvAutoRefresh _),
     "w_mv_cdf_refresh" -> (mvCdfRefresh _),
     "w_mv_avg" -> (mvAvg _),
     "w_mv_avg_money" -> (mvAvgMoney _),
@@ -3491,6 +3593,7 @@ object Lifecycle {
     "a42_spj_join" -> (spjJoin _),
     "a43_zorder_bucket" -> (zorderBucket _),
     "a44_table_diff" -> (tableDiffSql _),
+    "a44b_table_diff_ts" -> (tableDiffTs _),
     "a41_table_changes_sql" -> (tableChangesSql _),
     "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
@@ -3558,12 +3661,14 @@ object Lifecycle {
 
   val oracles: Map[String, String] = Map(
     "w_mv_cdf_refresh" -> mvCdfRefreshOracle,
+    "w_mv_auto_refresh" -> mvAutoRefreshOracle,
     "w_mv_avg" -> mvAvgOracle,
     "w_mv_avg_money" -> mvAvgMoneyOracle,
     "c26_compact_where" -> compactWhereOracle,
     "a42_spj_join" -> spjJoinOracle,
     "a43_zorder_bucket" -> zorderBucketOracle,
     "a44_table_diff" -> tableDiffSqlOracle,
+    "a44b_table_diff_ts" -> tableDiffSqlOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,
     "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,

@@ -158,8 +158,32 @@ object SummaryRewrite {
       asOfVersion = version)
     rollup(base, mv).write.mode("overwrite").parquet(mvPath)
     registered = mv :: registered.filterNot(_.name == name)
+    onCommitHook // install the auto-refresh hook once (lazy val)
     mv
   }
+
+  /** Base-table property opting its summaries into CONTINUOUS maintenance:
+    * `mv_refresh='on_commit'` refreshes every registered table-backed
+    * summary of the table from its change feed as part of each commit —
+    * the reference's ksqlDB aggregate tables are continuously maintained
+    * (data_lake_config.py:82-115); without the property, freshness stays
+    * fail-closed-until-manual-`refreshFromChanges`. The refresh runs on
+    * the committing thread (synchronous maintenance, like a ksqlDB table's
+    * changelog consumer being caught up at publish time) and costs
+    * O(changed groups' files) per commit — the same incremental fold the
+    * manual path runs.
+    */
+  val MvRefreshProp = "mv_refresh"
+
+  private lazy val onCommitHook: Unit =
+    graft.lake.Lake.addCommitHook { (spark, root, table, _) =>
+      val basePath = norm(graft.lake.Lake.tablePath(root, table))
+      val views = registered.filter(_.basePath == basePath)
+      if (views.nonEmpty &&
+          graft.lake.Lake.tableProperties(spark, root, table)
+            .get(MvRefreshProp).exists(_.equalsIgnoreCase("on_commit")))
+        views.foreach(mv => refreshFromChanges(spark, mv.name))
+    }
 
   /** Groups a summary may re-aggregate by pushed literal IN-lists before
     * falling back to a full rebuild — large enough for any plausible

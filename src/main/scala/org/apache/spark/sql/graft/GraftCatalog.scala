@@ -718,16 +718,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             case Some(ts) =>
               require(options.get("startingVersion") == null,
                 "set either startingVersion or startingTimestamp, not both")
-              val millis = GraftChangeFeed.parseInstantMillis(ts)
-              val instants = graft.lake.Lake.commitInstants(
-                spark, root, baseName)
-              val before = instants.collect {
-                case (v, at) if at < millis => v
-              }
-              require(before.nonEmpty,
-                s"startingTimestamp $ts predates $baseName's first commit — " +
-                  "use startingVersion=0 for the initial snapshot")
-              before.max.toString
+              GraftChangeFeed.versionStrictlyBefore(spark, root, baseName, ts).toString
           }
         override def build(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.V1Scan {
@@ -753,15 +744,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   val to = Option(options.get("endingTimestamp")).map { ts =>
                     require(options.get("endingVersion") == null,
                       "set either endingVersion or endingTimestamp, not both")
-                    val millis = GraftChangeFeed.parseInstantMillis(ts)
-                    val instants = graft.lake.Lake.commitInstants(
-                      spark, root, baseName)
-                    val atOrBefore = instants.collect {
-                      case (v, at) if at <= millis => v
-                    }
-                    require(atOrBefore.nonEmpty,
-                      s"endingTimestamp $ts predates $baseName's first commit")
-                    atOrBefore.max
+                    GraftChangeFeed.versionAtOrBefore(spark, root, baseName, ts)
                   }.orElse(Option(options.get("endingVersion")).map(_.toInt))
                     .getOrElse(latest)
                   GraftChangeFeed.changesBetween(

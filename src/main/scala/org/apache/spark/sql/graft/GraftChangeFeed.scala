@@ -132,6 +132,36 @@ object GraftChangeFeed {
       }
   }
 
+  /** Newest version committed STRICTLY BEFORE the instant — the
+    * `startingTimestamp` rule: a CDF starting there replays every change a
+    * commit at-or-after the instant made. One ledger read
+    * ([[graft.lake.Lake.commitInstants]]); refuses a timestamp predating
+    * the first commit (per-version replay of v1 does not exist — silently
+    * mapping to the initial snapshot would change semantics).
+    */
+  def versionStrictlyBefore(
+      spark: SparkSession, root: String, name: String, ts: String): Int = {
+    val millis = parseInstantMillis(ts)
+    val before = graft.lake.Lake.commitInstants(spark, root, name)
+      .collect { case (v, at) if at < millis => v }
+    require(before.nonEmpty,
+      s"timestamp $ts predates $name's first commit — " +
+        "use startingVersion=0 for the initial snapshot")
+    before.max
+  }
+
+  /** Newest version committed AT OR BEFORE the instant — the
+    * `endingTimestamp` / `TIMESTAMP AS OF` rule (inclusive upper bound).
+    */
+  def versionAtOrBefore(
+      spark: SparkSession, root: String, name: String, ts: String): Int = {
+    val millis = parseInstantMillis(ts)
+    val atOrBefore = graft.lake.Lake.commitInstants(spark, root, name)
+      .collect { case (v, at) if at <= millis => v }
+    require(atOrBefore.nonEmpty, s"timestamp $ts predates $name's first commit")
+    atOrBefore.max
+  }
+
   private[graft] case class VersionOffset(v: Int) extends Offset {
     override def json(): String = v.toString
   }

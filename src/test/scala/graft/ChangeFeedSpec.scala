@@ -270,6 +270,37 @@ class ChangeFeedSpec extends SparkSpec {
       ("A", "updated")), sunk().toString)
   }
 
+  test("table_diff timestamp endpoints: ledger resolution and error cases") {
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "dts")
+    Thread.sleep(30)
+    Lake.writeTableSnapshot(Seq((1L, "A"), (3L, "c")).toDF("k", "v"), root, "dts")
+    val instants = Lake.commitInstants(spark, root, "dts")
+    assume(instants(1) < instants(2), "distinct commit instants required")
+    val mid = (instants(1) + instants(2) + 1) / 2
+    def rows(q: String) = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    // timestamp form ≡ version form (old: strictly-before mid → v1;
+    // new: at-or-before v2's instant → v2); ISO spelling accepted too
+    val want = rows(s"SELECT k, v, change FROM table_diff('$cat.tables.dts', 1, 2, 'k')")
+    assert(rows("SELECT k, v, change FROM " +
+      s"table_diff('$cat.tables.dts', '$mid', '${instants(2)}', 'k')") === want)
+    val iso = java.time.Instant.ofEpochMilli(mid).toString
+    assert(rows("SELECT k, v, change FROM " +
+      s"table_diff('$cat.tables.dts', '$iso', '${instants(2)}', 'k')") === want)
+    // an OLD endpoint predating the first commit refuses with the
+    // startingVersion=0 pointer; a NEW endpoint predating it refuses too
+    val early = intercept[Exception] {
+      spark.sql("SELECT * FROM " +
+        s"table_diff('$cat.tables.dts', '${instants(1) - 10000}', 2, 'k')").collect()
+    }
+    assert(early.getMessage.contains("startingVersion=0"), early.getMessage)
+    val earlyEnd = intercept[Exception] {
+      spark.sql("SELECT * FROM " +
+        s"table_diff('$cat.tables.dts', 1, '${instants(1) - 10000}', 'k')").collect()
+    }
+    assert(earlyEnd.getMessage.contains("predates"), earlyEnd.getMessage)
+  }
+
   test("startingVersion=latest streams only future commits") {
     Lake.writeTableSnapshot(Seq((1L, "a")).toDF("k", "v"), root, "cfl")
     val ck = Files.createTempDirectory("graft_cfl_ck_").toString
