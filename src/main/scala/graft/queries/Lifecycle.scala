@@ -3114,21 +3114,43 @@ object Lifecycle {
     try {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // AQE ON — the production default; the zero-exchange require runs
+      // against the FINAL adaptive plan, so the SPJ shape is pinned to
+      // survive runtime re-planning, not just static planning
+      s.conf.set("spark.sql.adaptive.enabled", "true")
       val q = s.sql(
         s"""SELECT o.o_custkey, max(c.c_name) AS c_name, COUNT(*) AS n_orders,
            |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM $cat.tables.spj_ord o JOIN $cat.tables.spj_cust c
            |  ON o.o_custkey = c.c_custkey
            |GROUP BY o.o_custkey""".stripMargin)
-      require(q.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.Exchange => e
-      }.isEmpty, "storage-partitioned join must plan with zero exchanges")
       val rows = q.collect().toIndexedSeq
+      requireNoExchange(q, "storage-partitioned join must run with zero exchanges")
       s.createDataFrame(s.sparkContext.parallelize(rows, 4), q.schema)
     } finally saved.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }
+  }
+
+  /** Zero-exchange hard require against the FINAL executed plan: under AQE
+    * the physical exchanges live inside query stages (leaf
+    * `QueryStageExec` nodes a naive `collect` never descends into), so
+    * this recurses through adaptive and stage boundaries explicitly.
+    */
+  private def requireNoExchange(q: DataFrame, msg: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def exchanges(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case st: QueryStageExec => exchanges(st.plan)
+        case e: org.apache.spark.sql.execution.exchange.Exchange => Seq(e.nodeName)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(exchanges)
+    }
+    val found = exchanges(q.queryExecution.executedPlan)
+    require(found.isEmpty, s"$msg; found $found")
   }
 
   val spjJoinOracle: String =
@@ -3137,6 +3159,62 @@ object Lifecycle {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_custkey <= 3000
       |GROUP BY o_custkey""".stripMargin
+
+  /** A45 — SPJ ACROSS MISMATCHED BUCKET COUNTS: `k:16` joins `k:8`
+    * exchange-free because the catalog's bucket function is a
+    * [[org.apache.spark.sql.connector.catalog.functions.ReducibleFunction]]
+    * (`pmod(h,16) % 8 == pmod(h,8)` — the finer side's partition values
+    * REDUCE onto the coarser layout instead of both sides shuffling over a
+    * count mismatch), under
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`
+    * with AQE ON. At 100 TB this is the difference between re-bucketing a
+    * petabyte fact table to match a re-sharded dimension and joining the
+    * layouts as they are.
+    */
+  def spjMixed(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a45_")
+    import graft.lake.BucketLayout
+    def bucketed(name: String, keyCol: String, n: Int, df: DataFrame): Unit = {
+      Lake.setTableProperties(s, root, name, Map(BucketLayout.Prop -> s"$keyCol:$n"))
+      Lake.writeTableSnapshot(
+        Lake.applyClusterPolicy(s, root, name, df), root, name)
+    }
+    bucketed("spjm_cust", "c_custkey", 8,
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .filter(col("c_custkey") <= 3000))
+    bucketed("spjm_ord", "o_custkey", 16,
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_custkey") <= 3000))
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      val q = s.sql(
+        s"""SELECT o.o_custkey, max(c.c_name) AS c_name, COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $cat.tables.spjm_ord o JOIN $cat.tables.spjm_cust c
+           |  ON o.o_custkey = c.c_custkey
+           |GROUP BY o.o_custkey""".stripMargin)
+      val rows = q.collect().toIndexedSeq
+      requireNoExchange(q,
+        "mismatched-bucket-count SPJ must reduce 16 onto 8, zero exchanges")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 4), q.schema)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 
   /** A44 — `table_diff(...)` TVF: the NET two-version diff in pure SQL.
     * `table_changes` replays every commit in a range (a key updated in
@@ -3591,6 +3669,7 @@ object Lifecycle {
     "w_mv_avg_money" -> (mvAvgMoney _),
     "c26_compact_where" -> (compactWhereGate _),
     "a42_spj_join" -> (spjJoin _),
+    "a45_spj_mixed" -> (spjMixed _),
     "a43_zorder_bucket" -> (zorderBucket _),
     "a44_table_diff" -> (tableDiffSql _),
     "a44b_table_diff_ts" -> (tableDiffTs _),
@@ -3666,6 +3745,7 @@ object Lifecycle {
     "w_mv_avg_money" -> mvAvgMoneyOracle,
     "c26_compact_where" -> compactWhereOracle,
     "a42_spj_join" -> spjJoinOracle,
+    "a45_spj_mixed" -> spjJoinOracle,
     "a43_zorder_bucket" -> zorderBucketOracle,
     "a44_table_diff" -> tableDiffSqlOracle,
     "a44b_table_diff_ts" -> tableDiffSqlOracle,

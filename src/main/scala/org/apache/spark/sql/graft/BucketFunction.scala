@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Murmur3HashFunction}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -49,8 +49,17 @@ object GraftBucketFunction extends UnboundFunction {
   * keys still only co-partition when the JOIN key types line up, which
   * Spark's own `TransformExpression.isSameFunction` + key-type checks
   * enforce; the name identifies the HASH, murmur3-seed-42 + pmod.
+  *
+  * Also a [[ReducibleFunction]]: `bucket(16, k)` REDUCES to `bucket(8, k)`
+  * because `pmod(h, 16) % 8 == pmod(h, 8)` whenever the coarser count
+  * divides the finer — so a `k:16` table joins a `k:8` table exchange-free
+  * (under `spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+  * .enabled`): the planner maps every fine bucket id down with the
+  * [[BucketReducer]] and co-locates the halved groups, instead of
+  * shuffling both snapshots because the counts differ.
   */
-final case class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
+final case class BoundBucket(keyType: DataType)
+    extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -64,6 +73,23 @@ final case class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] 
       else Murmur3HashFunction.hash(input.get(1, keyType), keyType, 42L).toInt
     ((h % n) + n) % n
   }
+  override def reducer(
+      thisNumBuckets: Int,
+      otherFunction: ReducibleFunction[_, _],
+      otherNumBuckets: Int): Reducer[Integer, Integer] = otherFunction match {
+    case b: BoundBucket if b.canonicalName() == canonicalName() &&
+        thisNumBuckets != otherNumBuckets &&
+        thisNumBuckets % otherNumBuckets == 0 =>
+      BucketReducer(otherNumBuckets)
+    case _ => null // not reducible: same count, non-divisor, foreign hash
+  }
+}
+
+/** Maps a finer bucket id to its coarser bucket: sound for the pmod hash
+  * exactly when `coarse` divides the finer count (see [[BoundBucket]]).
+  */
+final case class BucketReducer(coarse: Int) extends Reducer[Integer, Integer] {
+  override def reduce(v: Integer): Integer = v % coarse
 }
 
 /** A [[FilePartition]] that knows which bucket it is — the
