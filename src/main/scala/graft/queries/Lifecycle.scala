@@ -3442,21 +3442,26 @@ object Lifecycle {
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
       .write.mode("overwrite").parquet(s"$root/li")
-    SummaryRewrite.create(s, "mv_avg_li", s"$root/li", s"$root/mv",
-      keys = Seq("l_returnflag", "l_linestatus"),
-      sums = Seq("l_quantity" -> None),
-      counts = Seq("l_quantity"))
-    val q = s.read.parquet(s"$root/li")
-      .groupBy(col("l_returnflag"))
-      .agg(avg(col("l_quantity")).as("avg_qty"),
-        count(col("l_quantity")).as("n_qty"),
-        count(lit(1)).as("n"))
-    val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
-    require(scanned.exists(_.endsWith("/mv")),
-      "avg/count(col) must be served by the summary")
-    require(!scanned.exists(_.endsWith("/li")),
-      "the base table must not be scanned once the rewrite fires")
-    q
+    try {
+      SummaryRewrite.create(s, "mv_avg_li", s"$root/li", s"$root/mv",
+        keys = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq("l_quantity" -> None),
+        counts = Seq("l_quantity"))
+      val q = s.read.parquet(s"$root/li")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("avg_qty"),
+          count(col("l_quantity")).as("n_qty"),
+          count(lit(1)).as("n"))
+      val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      require(scanned.exists(_.endsWith("/mv")),
+        "avg/count(col) must be served by the summary")
+      require(!scanned.exists(_.endsWith("/li")),
+        "the base table must not be scanned once the rewrite fires")
+      // materialize before the registration drops (leaking a registration
+      // would show up in SHOW GRAFT VIEWS gates)
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally SummaryRewrite.drop("mv_avg_li")
   }
 
   val mvAvgOracle: String =
@@ -3482,21 +3487,26 @@ object Lifecycle {
       .select(col("o_orderpriority"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
       .write.mode("overwrite").parquet(s"$root/base")
-    SummaryRewrite.create(s, "mv_avg_money", s"$root/base", s"$root/mv",
-      keys = Seq("o_orderpriority"),
-      sums = Seq("price" -> None),
-      counts = Seq("price"))
-    val q = s.read.parquet(s"$root/base")
-      .groupBy(col("o_orderpriority"))
-      .agg(avg(col("price")).cast("double").as("avg_price"),
-        sum(col("price")).cast("double").as("total"),
-        count(col("price")).as("n_price"))
-    val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
-    require(scanned.exists(_.endsWith("/mv")),
-      "decimal avg must be served by the summary")
-    require(!scanned.exists(_.endsWith("/base")),
-      "the base table must not be scanned once the rewrite fires")
-    q
+    try {
+      SummaryRewrite.create(s, "mv_avg_money", s"$root/base", s"$root/mv",
+        keys = Seq("o_orderpriority"),
+        sums = Seq("price" -> None),
+        counts = Seq("price"))
+      val q = s.read.parquet(s"$root/base")
+        .groupBy(col("o_orderpriority"))
+        .agg(avg(col("price")).cast("double").as("avg_price"),
+          sum(col("price")).cast("double").as("total"),
+          count(col("price")).as("n_price"))
+      val scanned = SummaryRewrite.scannedPaths(q.queryExecution.optimizedPlan)
+      require(scanned.exists(_.endsWith("/mv")),
+        "decimal avg must be served by the summary")
+      require(!scanned.exists(_.endsWith("/base")),
+        "the base table must not be scanned once the rewrite fires")
+      // materialize before the registration drops (a leaked registration
+      // would show up in SHOW GRAFT VIEWS gates)
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+    } finally SummaryRewrite.drop("mv_avg_money")
   }
 
   val mvAvgMoneyOracle: String =
