@@ -91,6 +91,23 @@ object SummaryRewrite {
 
   @volatile private var registered: List[MvDef] = Nil
 
+  /** `registered` updates are read-modify-write cycles; with
+    * `mv_refresh='on_commit'` they can now run from concurrent committing
+    * threads, so every mutation goes through one lock (reads stay
+    * lock-free on the volatile snapshot).
+    */
+  private val registryLock = new Object
+  private def mutateRegistry(f: List[MvDef] => List[MvDef]): Unit =
+    registryLock.synchronized { registered = f(registered) }
+
+  /** Per-view refresh serialization: two commits racing into
+    * [[refreshFromChanges]] for the same view must fold sequentially —
+    * unserialized, the earlier-range refresh could finish LAST and regress
+    * the watermark (fail-closed, but needlessly stale).
+    */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Materialize + register a summary of `basePath` grouped by `keys`.
@@ -118,7 +135,7 @@ object SummaryRewrite {
         counts.map(c => Measure("cnt", c, None, s"mv_cnt_$c"))
     val mv = MvDef(name, norm(basePath), norm(mvPath), keys, measures, "mv_cnt")
     rollup(base, mv).write.mode("overwrite").parquet(mvPath)
-    registered = mv :: registered.filterNot(_.name == name)
+    mutateRegistry(r => mv :: r.filterNot(_.name == name))
     mv
   }
 
@@ -157,7 +174,7 @@ object SummaryRewrite {
       tableRef = Some((lakeRoot, table)), rowKeys = rowKeys,
       asOfVersion = version)
     rollup(base, mv).write.mode("overwrite").parquet(mvPath)
-    registered = mv :: registered.filterNot(_.name == name)
+    mutateRegistry(r => mv :: r.filterNot(_.name == name))
     onCommitHook // install the auto-refresh hook once (lazy val)
     mv
   }
@@ -219,7 +236,12 @@ object SummaryRewrite {
     * and the new summary commits as a fresh directory with the watermark
     * advanced, so the rewrite resumes serving it atomically.
     */
-  def refreshFromChanges(spark: SparkSession, name: String): MvDef = {
+  def refreshFromChanges(spark: SparkSession, name: String): MvDef =
+    refreshLocks.computeIfAbsent(name, _ => new Object).synchronized {
+      refreshFromChangesSerialized(spark, name)
+    }
+
+  private def refreshFromChangesSerialized(spark: SparkSession, name: String): MvDef = {
     val mv = registered.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no registered view named $name"))
     val (lakeRoot, table) = mv.tableRef.getOrElse(throw new IllegalArgumentException(
@@ -295,7 +317,7 @@ object SummaryRewrite {
     try aligned.write.mode("overwrite").parquet(next)
     finally reaggHandle.foreach { h => h.unpersist(); () }
     val updated = mv.copy(mvPath = norm(next), asOfVersion = to)
-    registered = updated :: registered.filterNot(_.name == name)
+    mutateRegistry(r => updated :: r.filterNot(_.name == name))
     updated
   }
 
@@ -347,8 +369,8 @@ object SummaryRewrite {
     df.groupBy(mv.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  def drop(name: String): Unit = registered = registered.filterNot(_.name == name)
-  def clear(): Unit = registered = Nil
+  def drop(name: String): Unit = mutateRegistry(_.filterNot(_.name == name))
+  def clear(): Unit = mutateRegistry(_ => Nil)
 
   /** Registered views, for the `SHOW GRAFT VIEWS` command and specs. */
   def list: Seq[MvDef] = registered
@@ -372,8 +394,11 @@ object SummaryRewrite {
     // batch argument is a key-filtered scan of the base table, and the
     // rewrite rule would otherwise re-point the batch rollup at the STALE
     // summary — folding the old summary into itself instead of the new rows.
-    val sameBase = registered.filter(_.basePath == mv.basePath)
-    registered = registered.filterNot(_.basePath == mv.basePath)
+    val sameBase = registryLock.synchronized {
+      val sb = registered.filter(_.basePath == mv.basePath)
+      registered = registered.filterNot(_.basePath == mv.basePath)
+      sb
+    }
     try {
       val current = spark.read.parquet(mv.mvPath)
       val mergeCols = mv.measures.map { m =>
@@ -395,12 +420,12 @@ object SummaryRewrite {
       val next = nextVersionPath(mv.mvPath)
       aligned.write.mode("overwrite").parquet(next)
       val updated = mv.copy(mvPath = norm(next))
-      registered = updated :: sameBase.filterNot(_.name == name) ::: registered
+      mutateRegistry(r => updated :: sameBase.filterNot(_.name == name) ::: r)
       updated
     } catch {
       case t: Throwable =>
         // restore the suppressed registrations on failure
-        registered = sameBase ::: registered
+        mutateRegistry(r => sameBase ::: r)
         throw t
     }
   }

@@ -800,4 +800,54 @@ class ConcurrencySpec extends SparkSpec {
       Seq(org.apache.spark.sql.sources.EqualTo("k", lo)))
     assert(admitted.size === 1, s"expected one admitted file, got $admitted")
   }
+
+  test("racing commits on an mv_refresh=on_commit base keep the summary exact (round 15)") {
+    import org.apache.spark.sql.functions._
+    import graft.warehouse.SummaryRewrite
+    val root = scratch()
+    Lake.setTableProperties(spark, root, "mvt",
+      Map(SummaryRewrite.MvRefreshProp -> "on_commit"))
+    Lake.writeTableSnapshot(
+      spark.range(0, 2000).select((col("id") % 4).as("g"), col("id").as("k"),
+        (col("id") % 9).cast("double").as("v")), root, "mvt")
+    try {
+      SummaryRewrite.createForTable(spark, "mv_conc", root, "mvt", s"$root/mv",
+        keys = Seq("g"), rowKeys = Seq("k"),
+        sums = Seq("v" -> None), mins = Seq("v"), maxs = Seq("v"))
+      // 4 racing one-group mutations: every commit carries a synchronous
+      // refresh; the per-view lock serializes the folds, the registry lock
+      // keeps the watermark read-modify-writes atomic
+      import graft.lake.CopyOnWrite
+      val results = race(4) { i =>
+        CopyOnWrite.updateWhere(spark, root, "mvt",
+          col("g") === i.toLong && col("k") < 400,
+          Seq("v" -> (col("v") + lit(100.0 * (i + 1)))))
+      }
+      assert(results.forall(_.isSuccess), results.filter(_.isFailure).toString)
+      // the summary reflects the final state: served AND equal to recompute
+      // (read through the manifest-aware feed, not a raw version dir)
+      val base = Lake.readTableFeed(spark, root, "mvt")
+        .groupBy("g").agg(sum("v").as("sv"), min("v").as("mn"),
+          max("v").as("mx"), count(lit(1)).as("n"))
+      val want = base.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+      // serve check: rewrite fires on a catalog scan at the latest version
+      spark.conf.set("spark.sql.catalog.mvconc",
+        classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.mvconc.root", root)
+      val served = spark.sql(
+        """SELECT g, sum(v) AS sv, min(v) AS mn, max(v) AS mx, count(*) AS n
+          |FROM mvconc.tables.mvt GROUP BY g""".stripMargin)
+      assert(SummaryRewrite.scannedPaths(served.queryExecution.optimizedPlan)
+        .exists(_.contains("/mv")),
+        "after racing on_commit refreshes the summary must be fresh and serve")
+      val got = served.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got === want, s"summary diverged from base after racing refreshes")
+    } finally {
+      SummaryRewrite.drop("mv_conc")
+      spark.conf.unset("spark.sql.catalog.mvconc")
+      spark.conf.unset("spark.sql.catalog.mvconc.root")
+    }
+  }
 }
