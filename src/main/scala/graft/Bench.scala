@@ -3,17 +3,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main: one JSON line with per-query wall-clock at
+/** Benchmark main: one JSON line with per-query wall-clock AND CPU time at
   * SPARK_GRAFT_SF_DIR (driver contract).
   *
   * A warmup pass (parquet footer reads + one small agg + one small join)
   * precedes timing so JVM/codegen/parquet-reader initialization lands on
   * the warmup, not on whichever query happens to run first.
+  *
+  * CPU accounting (the load-invariant contract): the shared box's EXTERNAL
+  * load has swung same-binary wall totals 105→222 s, so every gate records
+  * two CPU readings beside its wall time —
+  *  - `cpu` — process CPU delta (OperatingSystemMXBean.getProcessCpuTime):
+  *    all CPU this JVM burned during the gate, driver planning included.
+  *    Co-tenant load stretches WALL (our threads wait for cores) but barely
+  *    moves the CPU our own work consumes, so the CPU composite is the
+  *    signal that survives a burst;
+  *  - `task_cpu` — executorCpuTime + executorDeserializeCpuTime summed from
+  *    a SparkListener over the gate's completed tasks (listener bus drained
+  *    after each gate so attribution is exact).
+  *
+  * Output: the full per-query JSON line first (also self-written to
+  * BENCH_SELF.json), then a SECOND compact summary line — the driver tails
+  * the last ~2000 chars of stdout, which the 290+-key full line overflows,
+  * so the trailer is what its parser actually sees.
   */
 object Bench {
   /** 1-minute load average (−1.0 where the JMX bean has no value). */
   private def osLoad1(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative CPU consumed by THIS process, seconds (−1.0 if unavailable). */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
   def main(args: Array[String]): Unit = {
     val loadBefore = osLoad1()
@@ -21,6 +45,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // task CPU accumulator: local[n] runs executors in-process, but task CPU
+    // still isolates EXECUTION cost from driver-side planning/IO wait
+    val taskCpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskCpuNanos.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime); ()
+        }
+      }
+    })
 
     // warmup: touch every table + exercise agg/join/window codegen paths
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).schema)
@@ -37,13 +73,24 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** (wall_s, proc_cpu_s, task_cpu_s); wall −1.0 marks failure. */
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val cpu0 = processCpuSec()
+      val task0 = taskCpuNanos.get()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      // drain the listener bus so this gate's straggler onTaskEnd events
+      // aren't credited to the next gate
+      try org.apache.spark.graft.ListenerBusSync.drain(spark.sparkContext)
+      catch { case scala.util.control.NonFatal(_) => () }
+      val cpu = { val c1 = processCpuSec(); if (cpu0 < 0 || c1 < 0) -1.0 else c1 - cpu0 }
+      val task = (taskCpuNanos.get() - task0) / 1e9
       // a failed query must not masquerade as a fast success
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) (wall, cpu, task) else (-1.0, cpu, task)
     }
     // Per-query best recorded times on an idle box (committed artifact).
     // The shared box's EXTERNAL load has swung same-binary totals 105→222 s
@@ -76,37 +123,47 @@ object Bench {
     val first = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn))
     }
-    val results = first.map { case (name, fn, t1) =>
+    val results = first.map { case (name, fn, r1 @ (t1, _, _)) =>
       // no recorded best (new query, missing artifact): fall back to an
       // absolute guard so the newest queries aren't the unprotected ones
       val retry = t1 >= 0 &&
         baseline.get(name).fold(t1 > 3.0)(b => t1 > 1.3 * b + 0.2)
-      if (!retry) name -> (t1, false)
+      if (!retry) name -> (r1, false)
       else {
-        val t2 = timeOne(name, fn)
-        name -> (if (t2 >= 0) math.min(t1, t2) else t1, true)
+        val r2 @ (t2, _, _) = timeOne(name, fn)
+        // CPU travels with the min-WALL pass: the pair stays one run's
+        // coherent reading, never a min-of-each-column chimera
+        name -> (if (t2 >= 0 && t2 < t1) r2 else r1, true)
       }
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, (r, _)) => "\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._1)
+    val cpuJson = jmap(_._2)
+    val taskCpuJson = jmap(_._3)
     val retriedJson = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // -1.0 marks a failed query; it must not distort the aggregate, so the
     // total sums successes only and failures are listed explicitly
-    val failed = results.collect { case (k, (v, _)) if v < 0 => k }
-    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, ((w, _, _), _)) if w < 0 => k }
+    val ok = results.collect { case (_, (r @ (w, _, _), _)) if w >= 0 => r }
+    val total = ok.map(_._1).sum
+    val cpuTotal = ok.map(_._2).filter(_ >= 0).sum
+    val taskCpuTotal = ok.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // record box load around the run: the shared box's external load has
-    // swung same-binary totals 105→222 s (BASELINE.md), so a bench number
-    // is only interpretable next to the load it ran under. load1_before is
-    // sampled at JVM start (before warmup), load1_after here.
+    // record box load around the run: a bench number is only interpretable
+    // next to the load it ran under. load1_before is sampled at JVM start
+    // (before warmup), load1_after here.
     val loadAfter = osLoad1()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu":$cpuJson,"task_cpu":$taskCpuJson,""" +
+      s""""cpu_total":$cpuTotal,"task_cpu_total":$taskCpuTotal,""" +
       s""""failed":$failedJson,"failed_count":${failed.size},"retried":$retriedJson,""" +
       s""""load1_before":$loadBefore,"load1_after":$loadAfter,"sf":"$sfDir"}"""
     println(line)
     // self-recorded copy with every per-query number: the driver's captured
-    // stdout tail can truncate the (200+ key) queries map, losing per-name
+    // stdout tail can truncate the (290+ key) queries map, losing per-name
     // history; BENCH_SELF.json survives in the repo for BASELINE.md updates
     try {
       val out = java.nio.file.Paths.get(
@@ -115,6 +172,12 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_SELF.json: ${e.getMessage}")
     }
+    // compact trailer LAST: the driver's 2000-char stdout tail cannot hold
+    // the full line above, so the summary it parses is this one
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""failed_count":${failed.size},"retried_count":${results.count(_._2._2)},""" +
+      s""""cpu_total":$cpuTotal,"task_cpu_total":$taskCpuTotal,""" +
+      s""""load1_before":$loadBefore,"load1_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

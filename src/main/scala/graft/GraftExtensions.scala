@@ -237,7 +237,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val keys = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         def endpoint(i: Int, old: Boolean): Int = lit(i) match {
           case _: org.apache.spark.unsafe.types.UTF8String =>
-            if (old) org.apache.spark.sql.graft.GraftChangeFeed
+            // an all-digit STRING would silently parse as epoch millis
+            // ('2' → 1970-01-01T00:00:00.002Z) and fail with a confusing
+            // "predates first commit" — the user almost certainly meant a
+            // version number, so say exactly that
+            if (str(i).forall(_.isDigit)) throw new IllegalArgumentException(
+              s"table_diff: endpoint '${str(i)}' is all digits — pass it as an " +
+                "integer VERSION (unquoted), or as a real timestamp string " +
+                "(e.g. '2024-01-01T00:00:00Z'); quoted digit strings are not " +
+                "interpreted to avoid the version/epoch-millis ambiguity")
+            else if (old) org.apache.spark.sql.graft.GraftChangeFeed
               .versionStrictlyBefore(spark, root, table, str(i))
             else org.apache.spark.sql.graft.GraftChangeFeed
               .versionAtOrBefore(spark, root, table, str(i))

@@ -429,6 +429,16 @@ object Lake {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  /** Commit-hook failures since JVM start — a persistently failing
+    * on_commit summary refresh stays CORRECT (the rewrite fail-closes at
+    * the old asOfVersion) but silently degrades to never-serving; this
+    * counter plus the ERROR log below make that observable instead of a
+    * one-line stderr whisper.
+    */
+  private[graft] val commitHookFailures = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private lazy val hookLog = org.slf4j.LoggerFactory.getLogger("graft.lake.Lake")
+
   private def runCommitHooks(
       spark: SparkSession, root: String, name: String, version: Int): Unit = {
     if (inCommitHook.get()) return
@@ -436,7 +446,9 @@ object Lake {
     try commitHooks.forEach { h =>
       try h(spark, root, name, version)
       catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[lake] commit hook failed for $name v$version: ${e.getMessage}")
+        val n = commitHookFailures.incrementAndGet()
+        hookLog.error(
+          s"commit hook failed for $name v$version (failure #$n since start)", e)
       }
     } finally inCommitHook.set(java.lang.Boolean.FALSE)
   }

@@ -3299,8 +3299,12 @@ object Lifecycle {
     val instants = Lake.commitInstants(s, root, "diffts")
     require(instants(1) < instants(2) && instants(2) < instants(3),
       s"commit instants must be distinct for the timestamp gate: $instants")
-    val oldTs = (instants(1) + instants(2) + 1) / 2 // strictly after v1, before v2
-    val newTs = instants(3) // at-or-before rule is inclusive
+    // ISO-instant spellings (the TVF REJECTS all-digit strings: a quoted
+    // '1786895286032' is ambiguous between a version and epoch millis)
+    val oldTs = java.time.Instant
+      .ofEpochMilli((instants(1) + instants(2) + 1) / 2) // strictly after v1, before v2
+      .toString
+    val newTs = java.time.Instant.ofEpochMilli(instants(3)).toString // inclusive
     s.sql(s"SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
       s"change FROM table_diff('$cat.tables.diffts', '$oldTs', '$newTs', 'o_orderkey')")
   }

@@ -9,8 +9,8 @@ import graft.warehouse.SummaryRewrite
   * synchronous summary refresh) costs O(changed groups' files), not
   * O(table) — the wall time of the same one-group mutation should be ~flat
   * from 1M to 10M rows, and the refresh must re-read a strict subset of
-  * the snapshot's files (lastRefreshPrune) while re-aggregating exactly
-  * one group (lastRefreshReaggGroups).
+  * the snapshot's files (refreshStats) while re-aggregating exactly
+  * one group (refreshStats).
   *
   * Usage: runMain graft.tools.MvRefreshBench <rows> — one JSON line.
   */
@@ -54,8 +54,7 @@ object MvRefreshBench {
     val (_, tUpdate) = timed {
       spark.sql("UPDATE mvscale.tables.b SET v = v + 100 WHERE k BETWEEN 100 AND 199")
     }
-    val (adm, tot) = SummaryRewrite.lastRefreshPrune
-    val groups = SummaryRewrite.lastRefreshReaggGroups
+    val (adm, tot, groups) = SummaryRewrite.refreshStats("mv_scale")
 
     // the refreshed summary serves with no manual refresh
     val q = spark.sql("SELECT g, sum(v) s FROM mvscale.tables.b GROUP BY g")

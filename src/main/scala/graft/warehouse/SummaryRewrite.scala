@@ -265,8 +265,8 @@ object SummaryRewrite {
     // row tells "too many" apart from "exactly the bound"
     val affected = changes.select(mv.keys.map(col): _*).distinct()
       .limit(RefreshAffectedKeysMax + 1).collect()
-    lastRefreshPrune = (-1, -1)
-    lastRefreshReaggGroups = -1L
+    var pruneStat: (Int, Int) = (-1, -1)
+    var reaggGroupsStat: Long = -1L
     var reaggHandle: Option[org.apache.spark.sql.DataFrame] = None
     val refreshed =
       if (affected.length > RefreshAffectedKeysMax) rollup(base, mv)
@@ -282,7 +282,7 @@ object SummaryRewrite {
         // group — the sidecar stats/bucket layout make the refresh
         // O(changed groups' files) when writes cluster on the group key
         val keepOnly = refreshCandidateFiles(spark, lakeRoot, table, to, base, lists)
-        lastRefreshPrune = keepOnly match {
+        pruneStat = keepOnly match {
           case Some(keep) => (keep.size,
             graft.lake.Lake.snapshotFiles(spark, lakeRoot, table, to).size)
           case None => (-1, -1)
@@ -307,9 +307,10 @@ object SummaryRewrite {
         val reagg = rollup(reaggBase, mv)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         reaggHandle = Some(reagg)
-        lastRefreshReaggGroups = reagg.count()
+        reaggGroupsStat = reagg.count()
         reagg.unionByName(carried)
       }
+    refreshStatsByView.put(name, (pruneStat._1, pruneStat._2, reaggGroupsStat))
     val aligned = refreshed.select(current.columns.map { c =>
       col(c).cast(current.schema(c).dataType).as(c)
     }: _*)
@@ -317,21 +318,29 @@ object SummaryRewrite {
     try aligned.write.mode("overwrite").parquet(next)
     finally reaggHandle.foreach { h => h.unpersist(); () }
     val updated = mv.copy(mvPath = norm(next), asOfVersion = to)
-    mutateRegistry(r => updated :: r.filterNot(_.name == name))
+    // re-register only if the view is STILL registered: an on_commit-hook
+    // refresh can race a concurrent drop(name) (drop takes registryLock,
+    // not this view's refresh lock), and unconditionally re-adding here
+    // would resurrect the just-dropped view and keep rewriting through it
+    mutateRegistry(r =>
+      r.find(_.name == name).fold(r)(_ => updated :: r.filterNot(_.name == name)))
     updated
   }
 
-  /** (admitted, total) files of the last [[refreshFromChanges]] re-read —
-    * the spec's proof that refresh cost is O(changed groups' files), not
-    * O(base). (-1, -1) when the last refresh took the rebuild/empty path.
+  /** Per-VIEW diagnostics of the last [[refreshFromChanges]]: (admitted
+    * files, total files, re-aggregated groups) — the spec's proof that
+    * refresh cost is O(changed groups' files) and that composite-key
+    * refresh touches exactly the affected tuples. (-1, -1, -1) marks the
+    * rebuild/empty path (or a never-refreshed view). Keyed by view name so
+    * concurrent hook-driven refreshes of DIFFERENT views never clobber
+    * each other's readings (the old shared globals did).
     */
-  @volatile private[graft] var lastRefreshPrune: (Int, Int) = (-1, -1)
+  private val refreshStatsByView =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long)]()
 
-  /** Groups re-aggregated by the last [[refreshFromChanges]] — the spec's
-    * proof that composite-key refresh touches exactly the affected tuples,
-    * not the per-column Cartesian superset. -1 on the rebuild/empty path.
-    */
-  @volatile private[graft] var lastRefreshReaggGroups: Long = -1L
+  /** (admittedFiles, totalFiles, reaggGroups) of `name`'s last refresh. */
+  private[graft] def refreshStats(name: String): (Int, Int, Long) =
+    refreshStatsByView.getOrDefault(name, (-1, -1, -1L))
 
   /** Stats/bucket-admitted files for the refresh's per-column IN filters;
     * None (read everything) when a list is null-bearing or untranslatable —

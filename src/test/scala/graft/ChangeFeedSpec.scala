@@ -280,23 +280,27 @@ class ChangeFeedSpec extends SparkSpec {
     def rows(q: String) = spark.sql(q).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
     // timestamp form ≡ version form (old: strictly-before mid → v1;
-    // new: at-or-before v2's instant → v2); ISO spelling accepted too
+    // new: at-or-before v2's instant → v2) — ISO spellings; all-digit
+    // STRINGS are rejected outright (version/epoch-millis ambiguity)
+    def isoOf(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
     val want = rows(s"SELECT k, v, change FROM table_diff('$cat.tables.dts', 1, 2, 'k')")
     assert(rows("SELECT k, v, change FROM " +
-      s"table_diff('$cat.tables.dts', '$mid', '${instants(2)}', 'k')") === want)
-    val iso = java.time.Instant.ofEpochMilli(mid).toString
-    assert(rows("SELECT k, v, change FROM " +
-      s"table_diff('$cat.tables.dts', '$iso', '${instants(2)}', 'k')") === want)
+      s"table_diff('$cat.tables.dts', '${isoOf(mid)}', '${isoOf(instants(2))}', 'k')") === want)
+    val digits = intercept[Exception] {
+      spark.sql("SELECT * FROM " +
+        s"table_diff('$cat.tables.dts', '$mid', '${instants(2)}', 'k')").collect()
+    }
+    assert(digits.getMessage.contains("all digits"), digits.getMessage)
     // an OLD endpoint predating the first commit refuses with the
     // startingVersion=0 pointer; a NEW endpoint predating it refuses too
     val early = intercept[Exception] {
       spark.sql("SELECT * FROM " +
-        s"table_diff('$cat.tables.dts', '${instants(1) - 10000}', 2, 'k')").collect()
+        s"table_diff('$cat.tables.dts', '${isoOf(instants(1) - 10000)}', 2, 'k')").collect()
     }
     assert(early.getMessage.contains("startingVersion=0"), early.getMessage)
     val earlyEnd = intercept[Exception] {
       spark.sql("SELECT * FROM " +
-        s"table_diff('$cat.tables.dts', 1, '${instants(1) - 10000}', 'k')").collect()
+        s"table_diff('$cat.tables.dts', 1, '${isoOf(instants(1) - 10000)}', 'k')").collect()
     }
     assert(earlyEnd.getMessage.contains("predates"), earlyEnd.getMessage)
   }

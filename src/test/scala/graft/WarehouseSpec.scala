@@ -322,7 +322,7 @@ class WarehouseSpec extends SparkSpec {
       val refreshed = SummaryRewrite.refreshFromChanges(spark, "mv_cdf_spec")
       // O(changed groups' files): affected groups g ∈ {1, 2, 79, 999} —
       // the range-clustered layout admits a strict subset of the snapshot
-      val (adm, tot) = SummaryRewrite.lastRefreshPrune
+      val (adm, tot, _) = SummaryRewrite.refreshStats("mv_cdf_spec")
       assert(tot > 4 && adm > 0 && adm < tot,
         s"refresh must re-read only affected groups' files, got $adm/$tot")
 
@@ -375,9 +375,9 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("UPDATE mvtupcat.tables.tb SET v = v + 50 WHERE k % 20 = 0")
       spark.sql("UPDATE mvtupcat.tables.tb SET v = v - 10 WHERE k % 20 = 3")
       SummaryRewrite.refreshFromChanges(spark, "mv_tuple_spec")
-      assert(SummaryRewrite.lastRefreshReaggGroups === 2L,
+      assert(SummaryRewrite.refreshStats("mv_tuple_spec")._3 === 2L,
         s"disjoint-column mutations must re-aggregate exactly 2 groups, " +
-          s"got ${SummaryRewrite.lastRefreshReaggGroups}")
+          s"got ${SummaryRewrite.refreshStats("mv_tuple_spec")._3}")
       def agg() = spark.sql(
         """SELECT g1, g2, sum(v) AS sv, min(v) AS mn, max(v) AS mx, count(*) AS n
           |FROM mvtupcat.tables.tb GROUP BY g1, g2""".stripMargin)
@@ -398,7 +398,7 @@ class WarehouseSpec extends SparkSpec {
         sums = Seq("v" -> None), mins = Seq("v"), maxs = Seq("v"))
       spark.sql("UPDATE mvtupcat.tables.tb SET v = v + 7 WHERE k % 20 = 4")
       SummaryRewrite.refreshFromChanges(spark, "mv_tuple_spec")
-      assert(SummaryRewrite.lastRefreshReaggGroups >= 1L)
+      assert(SummaryRewrite.refreshStats("mv_tuple_spec")._3 >= 1L)
       val q2 = agg()
       assert(SummaryRewrite.scannedPaths(q2.queryExecution.optimizedPlan)
         .exists(_.contains("/mv2")), "refreshed summary must serve after null-group update")

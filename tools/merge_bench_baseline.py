@@ -38,6 +38,7 @@ def main():
     runs = sys.argv[1:] or ["BENCH_SELF.json"]
     base = json.loads(BASELINE.read_text())
     queries = base["queries"]
+    cpu = base.get("cpu", {})
     base_sf = base.get("sf")
     if not base_sf:
         # same poison-guard as the run side: a baseline of unknown scale
@@ -67,6 +68,7 @@ def main():
             raise SystemExit(
                 f"{run_path}: covers only {len(run_queries)}/{len(queries)} "
                 "queries — refusing to merge a subset run")
+        run_cpu = run.get("cpu", {})
         for name, secs in run_queries.items():
             if secs is None or secs < 0:
                 continue
@@ -76,12 +78,25 @@ def main():
             elif secs < queries[name]:
                 queries[name] = round(secs, 4)
                 updated += 1
+        # CPU bests are min-merged independently of wall: CPU is the
+        # load-invariant contract (co-tenant bursts stretch wall, not the
+        # CPU our own work burns), so its best is meaningful on its own.
+        # Runs predating the cpu field simply contribute nothing here.
+        for name, csecs in run_cpu.items():
+            if csecs is None or csecs < 0 or run_queries.get(name, -1) < 0:
+                continue
+            if name not in cpu or csecs < cpu[name]:
+                cpu[name] = round(csecs, 4)
     base["sf"] = base_sf
     base["queries"] = dict(sorted(queries.items()))
+    if cpu:
+        base["cpu"] = dict(sorted(cpu.items()))
     BASELINE.write_text(json.dumps(base, indent=1) + "\n")
     total = sum(queries.values())
+    cpu_total = sum(cpu.values())
     print(f"{updated} bests updated, {added} queries added, "
-          f"{len(queries)} total, sum {total:.1f}s")
+          f"{len(queries)} total, sum {total:.1f}s"
+          + (f", cpu sum {cpu_total:.1f}s over {len(cpu)}" if cpu else ""))
 
 
 if __name__ == "__main__":
