@@ -1063,6 +1063,183 @@ object Dedup {
       |FROM post p JOIN own o USING (shingle)
       |GROUP BY 1""".stripMargin
 
+  /** Content-defined chunk list for `textCol`, appended as `outCol` —
+    * byte-resolution dedup units that survive INSERTIONS, which fixed-k
+    * shingles and fixed-size blocks do not (one inserted byte shifts every
+    * downstream fixed boundary; [[substrDedup]]'s fixed-k shingle
+    * resolution has exactly this blind spot for long repeats with edits
+    * between the copies).
+    *
+    * Boundary rule (Rabin-style): a rolling polynomial hash over the last
+    * W=8 characters — H(i) = Σ_{j=0..7} code(i−j)·31^j, exact in 64-bit
+    * (max char code 0x10FFFF × 31^7 × 8 < 2^58) — cuts after position i
+    * whenever H(i) % 32 == 0, giving ~32-char mean chunks whose boundaries
+    * depend ONLY on the local 8-char window: an edit perturbs at most the
+    * W−1 boundaries overlapping it, and every later chunk re-aligns.
+    * Document end is always a boundary; texts shorter than W are one
+    * chunk. No min/max chunk clamps — they would couple a boundary to its
+    * predecessor and break the locality guarantee the gate measures.
+    *
+    * Scale shape: a pure per-row projection (higher-order functions,
+    * O(len·W) per document, no shuffle); downstream dedup shuffles chunk
+    * HASHES, never text. Integer-only arithmetic keeps both engines
+    * bit-identical.
+    */
+  private[ext] def withCdcChunks(
+      df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val p31 = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)"
+    // one expression with each intermediate bound ONCE as a lambda
+    // variable (element_at(transform(array(X), v -> ...), 1)) — separate
+    // withColumns would let CollapseProject inline the codes array into
+    // the rolling-hash lambda, re-evaluating an O(len) transform per
+    // element_at and turning an O(len·W) projection into O(len²·W)
+    val codes = s"transform(sequence(1, length($textCol)), i -> " +
+      s"CAST(ascii(substring($textCol, i, 1)) AS BIGINT))"
+    val cuts =
+      s"""CASE WHEN length($textCol) < 8 THEN CAST(array() AS ARRAY<INT>)
+         |ELSE filter(sequence(8, length($textCol)), i ->
+         |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+         |    acc + element_at(cs, i - j) * element_at($p31, j + 1)) % 32 = 0)
+         |END""".stripMargin
+    val bnds = s"concat(array(0), cu, " +
+      s"filter(array(length($textCol)), x -> NOT array_contains(cu, x)))"
+    val chunks = s"transform(sequence(1, size(bn) - 1), k -> substring($textCol, " +
+      "element_at(bn, k) + 1, element_at(bn, k + 1) - element_at(bn, k)))"
+    df.withColumn(outCol, expr(
+      s"""element_at(transform(array($codes), cs ->
+         |  element_at(transform(array($cuts), cu ->
+         |    element_at(transform(array($bnds), bn -> $chunks), 1)), 1)), 1)""".stripMargin))
+  }
+
+  /** Shared SQL spelling of [[withCdcChunks]] for the DuckDB oracles:
+    * given a relation exposing (doc_id, t), yields (doc_id, chunks).
+    */
+  private def cdcChunksSql(src: String): String =
+    s"""(SELECT doc_id,
+       |  [substr(t, bnds[k] + 1, bnds[k + 1] - bnds[k])
+       |   for k in range(1, len(bnds))] AS chunks
+       | FROM (SELECT doc_id, t,
+       |         [0] || cuts || [x for x in [length(t)]
+       |                         if NOT list_contains(cuts, x)] AS bnds
+       |       FROM (SELECT doc_id, t,
+       |               [i for i in range(8, length(t) + 1) if
+       |                  CAST(list_sum([codes[i - j] *
+       |                    [1,31,961,29791,923521,28629151,887503681,27512614111][j + 1]
+       |                    for j in range(0, 8)]) AS BIGINT) % 32 = 0] AS cuts
+       |             FROM (SELECT doc_id, t,
+       |                     [ascii(substr(t, i, 1))
+       |                      for i in range(1, length(t) + 1)] AS codes
+       |                   FROM $src))))""".stripMargin
+
+  /** Content-defined-chunking dedup over the corpus — [[substrDedup]]'s
+    * posting/owner shape with CDC chunks as the dedup unit: per document,
+    * the distinct-chunk count, how many of its chunks appear in other
+    * documents, how many belong to an earlier owner, and the majority
+    * drop flag. Shuffle carries md5(chunk), never chunk text.
+    */
+  def cdcDedup(s: SparkSession, d: String): DataFrame = {
+    val post = withCdcChunks(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(col("text").isNotNull && length(col("text")) >= 1)
+          .select(col("doc_id"), col("text")),
+        "text", "chunks")
+      .select(col("doc_id"), explode(array_distinct(col("chunks"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val owners = post.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("ndocs"))
+    post.join(owners, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1).otherwise(0)).as("dup_chunks"),
+        sum(when(col("ndocs") > 1 && col("owner") =!= col("doc_id"), 1).otherwise(0))
+          .as("trim_chunks"))
+      .withColumn("drop_doc", col("dup_chunks") * 2 > col("n_chunks"))
+  }
+
+  val cdcDedupOracle: String =
+    s"""WITH ch AS (SELECT * FROM ${cdcChunksSql(
+         "(SELECT doc_id, text AS t FROM documents " +
+           "WHERE text IS NOT NULL AND length(text) >= 1)")}),
+       |post AS (SELECT doc_id, md5(c) AS h FROM
+       |           (SELECT doc_id, unnest(list_distinct(chunks)) AS c FROM ch)),
+       |own AS (SELECT h, MIN(doc_id) AS owner, COUNT(*) AS ndocs
+       |        FROM post GROUP BY 1)
+       |SELECT p.doc_id,
+       |       COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS dup_chunks,
+       |       CAST(SUM(CASE WHEN o.ndocs > 1 AND o.owner <> p.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS trim_chunks,
+       |       SUM(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) * 2 > COUNT(*) AS drop_doc
+       |FROM post p JOIN own o USING (h)
+       |GROUP BY 1""".stripMargin
+
+  /** The insertion-stability CONTRAST that justifies CDC: every document
+    * ≥400 chars gets a planted near-copy with ONE character inserted near
+    * the front (position 8 + doc_id % 16 — upstream of almost all
+    * content), and both chunkings measure how much of the original they
+    * still recognize in the mutant. Fixed 64-char blocks shift wholesale
+    * after the insertion (shared blocks ≈ the ≤1 block fully before the
+    * edit); CDC boundaries re-align within one window, so almost all
+    * chunks survive. Exact integers, recomputed from first principles by
+    * the oracle; the ExtSpec pins the aggregate gap strictly.
+    */
+  def cdcPlanted(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 400)
+      .select(col("doc_id"), col("text"))
+      .withColumn("mut", expr(
+        "concat(substring(text, 1, CAST(8 + doc_id % 16 AS INT)), 'Z', " +
+          "substring(text, CAST(8 + doc_id % 16 AS INT) + 1))"))
+    val withA = withCdcChunks(base, "text", "ca")
+    val withB = withCdcChunks(withA, "mut", "cb")
+    withB
+      .withColumn("fa", expr(
+        "transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1), " +
+          "k -> substring(text, k * 64 + 1, 64))"))
+      .withColumn("fb", expr(
+        "transform(sequence(0, CAST(ceil(length(mut) / 64.0) AS INT) - 1), " +
+          "k -> substring(mut, k * 64 + 1, 64))"))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("ca"))).as("n_cdc"),
+        size(array_intersect(array_distinct(col("ca")), array_distinct(col("cb"))))
+          .as("shared_cdc"),
+        size(array_distinct(col("fa"))).as("n_fix"),
+        size(array_intersect(array_distinct(col("fa")), array_distinct(col("fb"))))
+          .as("shared_fix"))
+  }
+
+  val cdcPlantedOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text AS t,
+       |         substr(text, 1, CAST(8 + doc_id % 16 AS INT)) || 'Z' ||
+       |           substr(text, CAST(8 + doc_id % 16 AS INT) + 1) AS mut
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= 400),
+       |ca AS (SELECT doc_id, chunks AS ca FROM ${cdcChunksSql(
+          "(SELECT doc_id, t FROM base)")}),
+       |cb AS (SELECT doc_id, chunks AS cb FROM ${cdcChunksSql(
+          "(SELECT doc_id, mut AS t FROM base)")}),
+       |fx AS (
+       |  SELECT doc_id,
+       |         [substr(t, k * 64 + 1, 64)
+       |          for k in range(0, CAST(ceil(length(t) / 64.0) AS INT))] AS fa,
+       |         [substr(mut, k * 64 + 1, 64)
+       |          for k in range(0, CAST(ceil(length(mut) / 64.0) AS INT))] AS fb
+       |  FROM base)
+       |SELECT b.doc_id,
+       |       len(list_distinct(ca.ca)) AS n_cdc,
+       |       len(list_intersect(list_distinct(ca.ca), list_distinct(cb.cb)))
+       |         AS shared_cdc,
+       |       len(list_distinct(fx.fa)) AS n_fix,
+       |       len(list_intersect(list_distinct(fx.fa), list_distinct(fx.fb)))
+       |         AS shared_fix
+       |FROM base b JOIN ca ON ca.doc_id = b.doc_id
+       |JOIN cb ON cb.doc_id = b.doc_id
+       |JOIN fx ON fx.doc_id = b.doc_id""".stripMargin
+
   /** Shared oracle prelude: exact-dup collapse (grp/mem mirror
     * [[collapseExact]] — texts within a sha256 group are identical, so
     * MIN(text) equals Spark's `first(text)`) and the capped member table
@@ -1178,6 +1355,8 @@ object Dedup {
 
   val defs: Map[String, QueryFn] = Map(
     "x_substr_dedup" -> (substrDedup _),
+    "x_cdc_dedup" -> (cdcDedup _),
+    "x_cdc_planted" -> (cdcPlanted _),
     "x_dedup_clusters" -> (dedupClusters _),
     "x_dedup_cc_star" -> (dedupClustersStar _),
     "x_dedup_quality_survivors" -> (qualitySurvivors _),
@@ -1203,6 +1382,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "x_substr_dedup" -> substrDedupOracle,
+    "x_cdc_dedup" -> cdcDedupOracle,
+    "x_cdc_planted" -> cdcPlantedOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_cc_star" -> dedupClustersOracle,
     "x_dedup_quality_survivors" -> qualitySurvivorsOracle,

@@ -874,6 +874,228 @@ object Similarity {
       |                          ORDER BY d0 + d1 + d2 + d3, vec_id) AS rk
       |FROM adc QUALIFY rk <= 5""".stripMargin
 
+  /** Composed IVF-PQ — the FAISS IVFPQ shape (coarse quantizer + PQ over
+    * RESIDUALS + ADC within probed lists), returning the per-query ADC
+    * top-5 with each neighbor's cell. Shared core of [[annIvfPq]] and
+    * [[annIvfPqRecall]].
+    *
+    * Why the composition matters at 100 TB: IVF alone prunes the search to
+    * nprobe/K of the corpus but stores FULL vectors (memory ∝ N·dim·8 B);
+    * PQ alone compresses 64×8 B → 4 codes but scans EVERYTHING. Composed,
+    * the index is nprobe/K of the scan over 4-byte codes — both axes cut.
+    * Quantizing the RESIDUAL v − c(cell) instead of v is what makes the
+    * codebook spend its 16 entries on the within-cell spread rather than
+    * re-describing the coarse structure the centroid already removed.
+    *
+    * Scale shape: every stage is a broadcast join against an O(1) table —
+    * the 64-row centroid codebook, the 64-row residual codebook, the
+    * Q·nprobe·M·K (= 5120-row) LUT — so the corpus never shuffles except
+    * the two narrow encode aggregates (`min(struct)` with partial
+    * aggregation, rows pre-narrowed to ids+dist: the [[annIvf]] lesson).
+    * Query-time ADC is per-PROBED-CELL: each probed cell gets its own LUT
+    * from the query's residual to THAT centroid (the textbook IVFPQ ADC),
+    * and a candidate appears exactly once because a vector lives in one
+    * cell. Codebooks are deterministic samples (residual subvectors of the
+    * PqK lowest vec_ids — the same convention as [[annIvf]]/[[annPq]]) so
+    * the oracle rebuilds them in SQL; distances use [[l2sq]]'s fixed IEEE
+    * order, making codes, ADC sums, and ranks engine-exact.
+    */
+  private[ext] def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.orderBy(col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = ivfAssigned(e, cents)
+    // residuals to the ASSIGNED centroid, sliced into PqM subvectors
+    val rsubs = assigned.join(broadcast(cents), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+      .select(col("vec_id"), col("cent_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(r, j * $PqSub + 1, $PqSub))")))
+      .select(col("vec_id"), col("cent_id"), col("pos").as("j"), col("col").as("rsub"))
+    // residual codebook: deterministic sample, PqK entries per subspace
+    val cb = rsubs.filter(col("vec_id") < PqK)
+      .select(col("j").as("cj"), col("vec_id").as("cid"), col("rsub").as("csub"))
+    // encode: nearest residual-codebook entry per (vector, subspace) —
+    // narrow rows through the aggregate, vectors never ride the shuffle
+    val codes = rsubs.join(broadcast(cb), col("j") === col("cj"))
+      .withColumn("dist", l2sq(col("rsub"), col("csub")))
+      .select(col("vec_id"), col("cent_id"), col("j"), col("dist"), col("cid"))
+      .groupBy(col("vec_id"), col("cent_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("cent_id"), col("j"), col("m.cid").as("code"))
+    // per-(query, probed cell) LUT over the QUERY's residual to that cell
+    val probes = queryProbes(e, cents, nprobe = 4).drop("prk")
+    val lut = probes
+      .join(e.filter(isQuery(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(broadcast(cents), col("probe_cell") === col("cent_id"))
+      .select(col("q_id"), col("probe_cell"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
+      .select(col("q_id"), col("probe_cell"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(qr, j * $PqSub + 1, $PqSub))")))
+      .select(col("q_id"), col("probe_cell"), col("pos").as("lj"), col("col").as("qsub"))
+      .join(broadcast(cb), col("lj") === col("cj"))
+      .select(col("q_id"), col("probe_cell"), col("lj"), col("cid"),
+        l2sq(col("qsub"), col("csub")).as("qdist"))
+    // ADC: candidates are the probed cells' code rows; the j-pivoted sum
+    // runs in a fixed column order so the float total is engine-exact
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    codes
+      .join(broadcast(lut),
+        col("cent_id") === col("probe_cell") && col("j") === col("lj") &&
+          col("code") === col("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("cent_id"))
+      .agg(
+        max(when(col("j") === 0, col("qdist"))).as("d0"),
+        max(when(col("j") === 1, col("qdist"))).as("d1"),
+        max(when(col("j") === 2, col("qdist"))).as("d2"),
+        max(when(col("j") === 3, col("qdist"))).as("d3"))
+      .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("cent_id").as("cell"), col("adc"), col("rk"))
+  }
+
+  def annIvfPq(s: SparkSession, d: String): DataFrame = ivfPqTopK(s, d)
+
+  /** The shared oracle prefix rebuilding the IVFPQ index + search in SQL —
+    * every CTE MATERIALIZED (DuckDB re-inlines plain CTEs per reference;
+    * this chain is deep enough to compound).
+    */
+  private val ivfPqSqlPrefix: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |cents AS MATERIALIZED (
+      |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e ORDER BY vec_id LIMIT 64),
+      |cscored AS MATERIALIZED (
+      |  SELECT e.vec_id, c.cent_id,
+      |         list_dot_product(c.cv, e.v) / (c.cn * e.nrm) AS ccos
+      |  FROM e JOIN cents c ON TRUE),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, cent_id FROM cscored
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY ccos DESC, cent_id) = 1),
+      |rsubs AS MATERIALIZED (
+      |  SELECT e.vec_id, a.cent_id, t.j,
+      |         (list_transform(generate_series(1, 64), i -> e.v[i] - c.cv[i]))
+      |           [t.j * 16 + 1 : t.j * 16 + 16] AS rsub
+      |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+      |  JOIN cents c ON c.cent_id = a.cent_id,
+      |       (SELECT unnest(generate_series(0, 3)) AS j) t),
+      |cb AS MATERIALIZED (
+      |  SELECT j AS cj, vec_id AS cid, rsub AS csub FROM rsubs WHERE vec_id < 16),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, cent_id, j, cid AS code FROM (
+      |    SELECT s.vec_id, s.cent_id, s.j, c.cid,
+      |           list_dot_product(s.rsub, s.rsub)
+      |             - 2.0 * list_dot_product(s.rsub, c.csub)
+      |             + list_dot_product(c.csub, c.csub) AS dist
+      |    FROM rsubs s JOIN cb c ON s.j = c.cj)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) = 1),
+      |probes AS MATERIALIZED (
+      |  SELECT vec_id AS q_id, cent_id AS probe_cell FROM cscored
+      |  WHERE vec_id % 100 = 0 AND vec_id < 2000
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY ccos DESC, cent_id) <= 4),
+      |lut AS MATERIALIZED (
+      |  SELECT s.q_id, s.probe_cell, s.j, c.cid,
+      |         list_dot_product(s.qsub, s.qsub)
+      |           - 2.0 * list_dot_product(s.qsub, c.csub)
+      |           + list_dot_product(c.csub, c.csub) AS qdist
+      |  FROM (SELECT p.q_id, p.probe_cell, t.j,
+      |               (list_transform(generate_series(1, 64), i -> q.v[i] - c.cv[i]))
+      |                 [t.j * 16 + 1 : t.j * 16 + 16] AS qsub
+      |        FROM probes p JOIN e q ON q.vec_id = p.q_id
+      |        JOIN cents c ON c.cent_id = p.probe_cell,
+      |             (SELECT unnest(generate_series(0, 3)) AS j) t) s
+      |  JOIN cb c ON s.j = c.cj),
+      |topk AS MATERIALIZED (
+      |  SELECT q_id, vec_id AS neighbor_id, cell, d0 + d1 + d2 + d3 AS adc,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY d0 + d1 + d2 + d3, vec_id) AS rk
+      |  FROM (
+      |    SELECT l.q_id, k.vec_id, k.cent_id AS cell,
+      |           MAX(CASE WHEN k.j = 0 THEN l.qdist END) AS d0,
+      |           MAX(CASE WHEN k.j = 1 THEN l.qdist END) AS d1,
+      |           MAX(CASE WHEN k.j = 2 THEN l.qdist END) AS d2,
+      |           MAX(CASE WHEN k.j = 3 THEN l.qdist END) AS d3
+      |    FROM codes k
+      |    JOIN lut l ON l.probe_cell = k.cent_id AND l.j = k.j AND l.cid = k.code
+      |    WHERE k.vec_id <> l.q_id
+      |    GROUP BY 1, 2, 3)
+      |  QUALIFY rk <= 5)""".stripMargin
+
+  val annIvfPqOracle: String =
+    ivfPqSqlPrefix + "\nSELECT q_id, neighbor_id, cell, adc, rk FROM topk"
+
+  /** The recall CONTRACT for the composed index, splitting the two loss
+    * sources: per query, of the brute-force cosine top-3 (truth) —
+    *  - `hits_cells`: truth neighbors living in a probed cell (what the
+    *    COARSE stage admits — IVF loss alone, the [[annIvfRecall]] bound);
+    *  - `hits_adc`: truth neighbors the composed index actually RETURNS in
+    *    its ADC top-5 (coarse loss + quantization loss together).
+    * hits_adc ≤ hits_cells ≤ truth_k by construction; the gap between the
+    * two IS the PQ approximation cost, measured rather than asserted.
+    */
+  def annIvfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.orderBy(col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = ivfAssigned(e, cents).select(col("vec_id"), col("cent_id"))
+    val probes = queryProbes(e, cents, nprobe = 4).drop("prk")
+      .withColumnRenamed("q_id", "pq_id")
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val retrieved = ivfPqTopK(s, d)
+      .select(col("q_id").as("rq_id"), col("neighbor_id"))
+    truth.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes),
+        col("pq_id") === col("q_id") && col("probe_cell") === col("cent_id"), "left")
+      .join(broadcast(retrieved),
+        col("rq_id") === col("q_id") && col("neighbor_id") === col("vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("truth_k"),
+        coalesce(sum(when(col("probe_cell").isNotNull, 1)), lit(0))
+          .cast("long").as("hits_cells"),
+        coalesce(sum(when(col("neighbor_id").isNotNull, 1)), lit(0))
+          .cast("long").as("hits_adc"))
+  }
+
+  val annIvfPqRecallOracle: String =
+    ivfPqSqlPrefix +
+      """,
+        |truth AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0 AND vec_id < 2000) q
+        |  JOIN e ON e.vec_id <> q.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC,
+        |             e.vec_id) <= 3),
+        |tc AS MATERIALIZED (
+        |  SELECT t.q_id, t.neighbor_id, a.cent_id
+        |  FROM truth t JOIN assigned a ON a.vec_id = t.neighbor_id)
+        |SELECT tc.q_id, COUNT(*) AS truth_k,
+        |       CAST(COALESCE(SUM(CASE WHEN p.probe_cell IS NOT NULL THEN 1 END), 0)
+        |            AS BIGINT) AS hits_cells,
+        |       CAST(COALESCE(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 END), 0)
+        |            AS BIGINT) AS hits_adc
+        |FROM tc
+        |LEFT JOIN probes p ON p.q_id = tc.q_id AND p.probe_cell = tc.cent_id
+        |LEFT JOIN topk r ON r.q_id = tc.q_id AND r.neighbor_id = tc.neighbor_id
+        |GROUP BY 1""".stripMargin
+
   /** Hard-negative mining for contrastive training: for each anchor in
     * the fixed query batch, emit a TRIPLET SET — the single most-similar
     * SAME-label vector (the positive) joined with the 3 most-similar
@@ -942,7 +1164,9 @@ object Similarity {
     "x_catalyst_dot" -> (catalystDot _),
     "x_ann_ivf" -> (annIvf _),
     "x_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
-    "x_ann_ivf_recall" -> (annIvfRecall _))
+    "x_ann_ivf_recall" -> (annIvfRecall _),
+    "x_ann_ivfpq" -> (annIvfPq _),
+    "x_ann_ivfpq_recall" -> (annIvfPqRecall _))
 
   val oracles: Map[String, String] = Map(
     "x_hard_negatives" -> hardNegativesOracle,
@@ -957,5 +1181,7 @@ object Similarity {
     "x_catalyst_dot" -> catalystDotOracle,
     "x_ann_ivf" -> annIvfOracle,
     "x_ann_ivf_multiprobe" -> annIvfMultiprobeOracle,
-    "x_ann_ivf_recall" -> annIvfRecallOracle)
+    "x_ann_ivf_recall" -> annIvfRecallOracle,
+    "x_ann_ivfpq" -> annIvfPqOracle,
+    "x_ann_ivfpq_recall" -> annIvfPqRecallOracle)
 }

@@ -1,0 +1,167 @@
+package graft.governance
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Differentially-private aggregate release — the rung above the
+  * k-anonymity / l-diversity audits (`c21`/`c22`) on the governance
+  * ladder. The reference publishes an anonymized transaction feed as a
+  * first-class product (data_lake_config.py:63-70); DP is what makes such
+  * a release carry a QUANTIFIED privacy guarantee instead of a heuristic
+  * one: each released aggregate perturbs the truth with Laplace noise
+  * scaled to `sensitivity / epsilon`, and a per-dataset accountant caps
+  * the total epsilon any sequence of releases may spend.
+  *
+  * Mechanism: Laplace inverse-CDF over a SEEDED uniform — the seed is an
+  * md5 of (releaseId, group key), so a given release is a deterministic
+  * function of its id. That determinism is deliberate: re-publishing the
+  * same release leaks nothing new (same noise, same output — the
+  * accountant charges it once), results are reproducible for audit, and
+  * the whole mechanism stays expressible in portable SQL (the DuckDB
+  * oracle replays it formula-for-formula). A deployment wanting
+  * unpredictable noise swaps [[seededUniform]] for a CSPRNG draw;
+  * sensitivity bounds, budget accounting, and post-processing are
+  * unchanged.
+  *
+  * Scale shape: noise is a per-GROUP scalar expression appended after the
+  * aggregation — cost is O(groups), the corpus-side plan is exactly the
+  * underlying groupBy (partial aggregation, one shuffle on the keys), and
+  * nothing collects to the driver.
+  *
+  * Float discipline: the noise value is quantized to a 1e-6 grid with
+  * `floor(x * 1e6 + 0.5) / 1e6` — post-processing (DP survives any
+  * data-independent transform), and it makes the released double
+  * engine-exact: both engines floor the same product, so a last-ulp
+  * disagreement in `ln` between the JVM and libm cannot surface in the
+  * output. True aggregates ride decimal before the noise add (the
+  * repo-wide order-independent-sum rule).
+  */
+object DifferentialPrivacy {
+
+  private val TwoPow60 = 1152921504606846976.0
+
+  /** Deterministic uniform in (−0.5, 0.5) from (releaseId, key): the top
+    * 60 bits of md5("releaseId:key") as an integer h, mapped by
+    * (h + 0.5) / 2^60 − 0.5 — the +0.5 keeps the value strictly inside
+    * the open interval (|u| = 0.5 would send the inverse CDF to ±∞).
+    */
+  def seededUniform(releaseId: String, key: Column): Column = {
+    val h = conv(substring(md5(concat(lit(releaseId + ":"), key)), 1, 15), 16, 10)
+      .cast("double")
+    (h + lit(0.5)) / lit(TwoPow60) - lit(0.5)
+  }
+
+  /** Laplace(b = sensitivity / epsilon) noise via the inverse CDF
+    * −b·sgn(u)·ln(1 − 2|u|), quantized to the 1e-6 grid (see object doc).
+    */
+  def laplaceNoise(
+      releaseId: String, key: Column, sensitivity: Double, epsilon: Double): Column = {
+    require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val b = sensitivity / epsilon
+    val u = seededUniform(releaseId, key)
+    val raw = -lit(b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    floor(raw * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+  }
+
+  // ---- epsilon accounting -------------------------------------------------
+
+  private val budgets = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val ledger =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
+  /** Declare (or re-declare, idempotently) `dataset`'s total epsilon
+    * budget. Tightening below what is already spent is refused — a budget
+    * is a promise to the data subjects, not a dial.
+    */
+  def setBudget(dataset: String, epsilonTotal: Double): Unit = {
+    require(epsilonTotal > 0, s"budget must be positive, got $epsilonTotal")
+    ledger.synchronized {
+      require(spent(dataset) <= epsilonTotal + 1e-12,
+        s"dataset '$dataset' has already spent ${spent(dataset)} — cannot set " +
+          s"budget $epsilonTotal below it")
+      budgets.put(dataset, epsilonTotal); ()
+    }
+  }
+
+  /** Total epsilon `dataset`'s releases have spent so far. */
+  def spent(dataset: String): Double =
+    ledger.getOrDefault(dataset, Map.empty).values.sum
+
+  /** Charge `epsilon` for `releaseId` against `dataset`'s budget.
+    * Re-registering the SAME release at the same epsilon is free — the
+    * mechanism is deterministic, so re-publishing reveals nothing new
+    * (and gates/benches re-run idempotently). The same id at a DIFFERENT
+    * epsilon is a different mechanism and is refused outright.
+    */
+  private def charge(dataset: String, releaseId: String, epsilon: Double): Unit = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    ledger.synchronized {
+      val m = ledger.getOrDefault(dataset, Map.empty)
+      m.get(releaseId) match {
+        case Some(e) if e == epsilon => () // idempotent re-release
+        case Some(e) => throw new IllegalStateException(
+          s"release '$releaseId' of '$dataset' already registered at epsilon=$e; " +
+            s"re-registering at $epsilon would be a different mechanism under the " +
+            "same name — use a new releaseId")
+        case None =>
+          val total = budgets.getOrDefault(dataset, Double.PositiveInfinity)
+          val used = m.values.sum
+          if (used + epsilon > total + 1e-12) throw new IllegalStateException(
+            s"epsilon budget exhausted for '$dataset': spent $used of $total, " +
+              s"release '$releaseId' wants $epsilon more")
+          ledger.put(dataset, m + (releaseId -> epsilon)); ()
+      }
+    }
+  }
+
+  /** Test hook: forget a dataset's budget and ledger. */
+  private[graft] def reset(dataset: String): Unit = ledger.synchronized {
+    budgets.remove(dataset); ledger.remove(dataset); ()
+  }
+
+  // ---- release mechanisms -------------------------------------------------
+
+  /** DP grouped COUNT release: sensitivity 1 (one person adds or removes
+    * one row per group under the unbounded-neighbor model). The true count
+    * never leaves the method.
+    */
+  def releaseCount(
+      df: DataFrame, keys: Seq[String], dataset: String, releaseId: String,
+      epsilon: Double): DataFrame = {
+    charge(dataset, releaseId, epsilon)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("dp_count",
+        col("n_true").cast("double") +
+          laplaceNoise(releaseId, concat_ws("|", keys.map(col): _*),
+            sensitivity = 1.0, epsilon = epsilon))
+      .drop("n_true")
+  }
+
+  /** DP grouped SUM release with a BOUNDED per-row contribution: every
+    * value is clamped to [lo, hi] before summing, so one row's influence —
+    * and hence the mechanism's sensitivity — is max(|lo|, |hi|) no matter
+    * what the data holds. An unclamped sum has unbounded sensitivity and
+    * admits NO finite noise scale; the clamp is what makes the guarantee a
+    * theorem instead of a hope. The clamped sum rides decimal(18,2) so the
+    * true value is order-independent before the noise add.
+    */
+  def releaseBoundedSum(
+      df: DataFrame, keys: Seq[String], valueCol: String, lo: Double, hi: Double,
+      dataset: String, releaseId: String, epsilon: Double): DataFrame = {
+    require(lo <= hi, s"contribution bounds inverted: [$lo, $hi]")
+    require(math.max(math.abs(lo), math.abs(hi)) > 0,
+      "bounds [0, 0] admit only the constant 0 — nothing to release")
+    charge(dataset, releaseId, epsilon)
+    val sens = math.max(math.abs(lo), math.abs(hi))
+    val clamped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(clamped.cast("decimal(18,2)")).as("s_true"))
+      .withColumn("dp_sum",
+        col("s_true").cast("double") +
+          laplaceNoise(releaseId, concat_ws("|", keys.map(col): _*),
+            sensitivity = sens, epsilon = epsilon))
+      .drop("s_true")
+  }
+}

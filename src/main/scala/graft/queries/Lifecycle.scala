@@ -7,7 +7,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.governance.{FeedCatalog, Permissions}
+import graft.governance.{DifferentialPrivacy, FeedCatalog, Permissions}
 import graft.lake.{Lake, Retention}
 import graft.warehouse.Warehouse
 import Q.QueryFn
@@ -2354,6 +2354,51 @@ object Lifecycle {
       |       MIN(div), SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) = 0
       |FROM l1""".stripMargin
 
+  /** C27 differentially-private aggregate release — the governance
+    * ladder's next rung after the k-anonymity/l-diversity audits: per
+    * market segment, a DP COUNT (sensitivity 1, ε=0.5) and a DP
+    * bounded-contribution SUM of account balance clamped to [0, 10000]
+    * (sensitivity 10000, ε=0.5), charged against a total budget of ε=1.0
+    * for the customer dataset. Noise is seeded Laplace inverse-CDF
+    * (md5-derived uniform, 1e-6 grid quantization) so the release is a
+    * deterministic, auditable function of its id — which is also what
+    * lets DuckDB replay the mechanism formula-for-formula. Re-running the
+    * gate re-registers the same releases idempotently (no double-spend).
+    */
+  def dpAgg(s: SparkSession, d: String): DataFrame = {
+    DifferentialPrivacy.setBudget("c27_customer", 1.0)
+    val c = Tables.customer(s, d)
+    val cnt = DifferentialPrivacy.releaseCount(
+      c, Seq("c_mktsegment"), "c27_customer", "c27_seg_count", epsilon = 0.5)
+    val sm = DifferentialPrivacy.releaseBoundedSum(
+      c, Seq("c_mktsegment"), "c_acctbal", lo = 0.0, hi = 10000.0,
+      "c27_customer", "c27_seg_sum", epsilon = 0.5)
+    cnt.join(sm, Seq("c_mktsegment"))
+  }
+
+  val dpAggOracle: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment,
+      |         COUNT(*) AS n,
+      |         SUM(CAST(LEAST(GREATEST(CAST(c_acctbal AS DOUBLE), 0.0), 10000.0)
+      |                  AS DECIMAL(18,2))) AS s
+      |  FROM customer GROUP BY 1),
+      |u AS (
+      |  SELECT c_mktsegment, n, s,
+      |         (('0x' || substr(md5('c27_seg_count:' || c_mktsegment), 1, 15))::BIGINT
+      |            + 0.5) / 1152921504606846976.0 - 0.5 AS uc,
+      |         (('0x' || substr(md5('c27_seg_sum:' || c_mktsegment), 1, 15))::BIGINT
+      |            + 0.5) / 1152921504606846976.0 - 0.5 AS us
+      |  FROM base)
+      |SELECT c_mktsegment,
+      |       CAST(n AS DOUBLE)
+      |         + floor((-(2.0) * sign(uc) * ln(1 - 2 * abs(uc))) * 1e6 + 0.5) / 1e6
+      |         AS dp_count,
+      |       CAST(s AS DOUBLE)
+      |         + floor((-(20000.0) * sign(us) * ln(1 - 2 * abs(us))) * 1e6 + 0.5) / 1e6
+      |         AS dp_sum
+      |FROM u""".stripMargin
+
   /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a
     * VALUES oracle.
     */
@@ -3735,6 +3780,7 @@ object Lifecycle {
     "c20_schema_contract" -> (schemaContract _),
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
+    "c27_dp_agg" -> (dpAgg _),
     "a21_table_changes" -> (tableChangesGate _),
     "a22_txn_commit" -> (txnCommit _),
     "c14_column_lineage" -> (columnLineage _),
@@ -3811,6 +3857,7 @@ object Lifecycle {
     "c20_schema_contract" -> schemaContractOracle,
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,
+    "c27_dp_agg" -> dpAggOracle,
     "a21_table_changes" -> tableChangesOracle,
     "a22_txn_commit" -> txnCommitOracle,
     "c14_column_lineage" -> columnLineageOracle,

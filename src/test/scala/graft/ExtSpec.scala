@@ -515,6 +515,68 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("CDC dedup: insertion-stable where fixed-size chunking loses everything") {
+    val rows = Dedup.cdcPlanted(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, sc, nf, sf) = (r.getAs[Int]("n_cdc"), r.getAs[Int]("shared_cdc"),
+        r.getAs[Int]("n_fix"), r.getAs[Int]("shared_fix"))
+      assert(nc > 0 && nf > 0)
+      assert(sc <= nc && sf <= nf)
+      // the insertion sits at char 8-23, inside the FIRST 64-char block;
+      // every later block shifts by one char — fixed-size chunking
+      // recognizes NOTHING of the original in the mutant
+      assert(sf === 0, s"fixed chunking should share no block across the edit: $r")
+      // CDC boundaries re-align within one window of the edit — a strict
+      // majority (measured: ≥75% per doc, 93% aggregate) of chunks survive
+      assert(sc * 2 > nc, s"CDC must keep a majority of chunks across the edit: $r")
+    }
+    val (snc, ssc) = (rows.map(_.getAs[Int]("n_cdc").toLong).sum,
+      rows.map(_.getAs[Int]("shared_cdc").toLong).sum)
+    assert(ssc * 10 >= snc * 9,
+      s"aggregate CDC survival should be ≥90%, got $ssc/$snc")
+  }
+
+  test("IVFPQ: coarse loss equals IVF recall@4, ADC loss bounded, ranks sound") {
+    val d = "/root/testdata/sf0.01"
+    // search output: dense ranks, ADC non-decreasing, never self
+    val top = Similarity.annIvfPq(spark, d).collect()
+    assert(top.nonEmpty)
+    top.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq === (1 to rs.length),
+        s"ranks not dense for query $q")
+      val adcs = byRank.map(_.getAs[Double]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        s"ADC not non-decreasing with rank for query $q")
+      assert(rs.length <= 5)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), "self in neighbors")
+    }
+    // recall split: hits_adc ≤ hits_cells ≤ truth_k per query, and the
+    // COARSE component must equal plain IVF recall@4 exactly — same
+    // centroids, same assignment, same probes, so any difference is a bug
+    // in the composition, not a data property
+    val rec = Similarity.annIvfPqRecall(spark, d).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("truth_k"), r.getAs[Long]("hits_cells"),
+          r.getAs[Long]("hits_adc"))).toMap
+    assert(rec.nonEmpty)
+    rec.foreach { case (q, (tk, hc, ha)) =>
+      assert(tk === 3L, s"truth should be top-3 for $q")
+      assert(ha >= 0L && ha <= hc && hc <= tk,
+        s"recall split out of order for $q: adc=$ha cells=$hc truth=$tk")
+    }
+    val ivf4 = Similarity.annIvfRecall(spark, d).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("hits_np4")).toMap
+    rec.foreach { case (q, (_, hc, _)) =>
+      assert(ivf4.get(q).contains(hc),
+        s"IVFPQ coarse hits ($hc) != IVF recall@4 (${ivf4.get(q)}) for $q")
+    }
+    // the composed index must actually retrieve truth on this corpus —
+    // a recall gate that can pass at zero measures nothing
+    assert(rec.values.map(_._3).sum > 0L, "IVFPQ never retrieved a truth neighbor")
+  }
+
   test("IVF multi-probe: recall@4 ≥ recall@1 per query, strictly better in aggregate") {
     // sf0.01: 500 vectors, 5 queries — dense enough that single-probe IVF
     // provably misses near-boundary truth neighbors on this corpus, so the

@@ -159,6 +159,65 @@ class GovernanceSpec extends SparkSpec {
     assert(edges(lits) === Set(("id", "left", "id"), ("answer", null, null)))
   }
 
+  test("DP release: epsilon accounting — budget cap, idempotent re-release, id reuse refused") {
+    import graft.governance.DifferentialPrivacy
+    import org.apache.spark.sql.functions.col
+    DifferentialPrivacy.reset("dp_spec")
+    DifferentialPrivacy.setBudget("dp_spec", 1.0)
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("a", 7.0), ("b", 3.0)).toDF("g", "v")
+    val r1 = DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.5).collect()
+    assert(DifferentialPrivacy.spent("dp_spec") === 0.5)
+    // idempotent re-release: same id + same epsilon charges nothing new
+    // and (seeded mechanism) returns bit-identical values
+    val r1again = DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.5).collect()
+    assert(DifferentialPrivacy.spent("dp_spec") === 0.5)
+    assert(r1.map(_.toSeq.toList).toSet === r1again.map(_.toSeq.toList).toSet)
+    // same id at a different epsilon is a different mechanism — refused
+    val e1 = intercept[IllegalStateException] {
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.25)
+    }
+    assert(e1.getMessage.contains("different mechanism"), e1.getMessage)
+    // second release fits exactly; a third exceeds the budget
+    DifferentialPrivacy.releaseBoundedSum(df, Seq("g"), "v", 0.0, 10.0,
+      "dp_spec", "r2", 0.5)
+    assert(DifferentialPrivacy.spent("dp_spec") === 1.0)
+    val e2 = intercept[IllegalStateException] {
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r3", 0.5)
+    }
+    assert(e2.getMessage.contains("budget exhausted"), e2.getMessage)
+    // a budget can never tighten below what is already spent
+    val e3 = intercept[IllegalArgumentException] {
+      DifferentialPrivacy.setBudget("dp_spec", 0.5)
+    }
+    assert(e3.getMessage.contains("already spent"), e3.getMessage)
+    DifferentialPrivacy.reset("dp_spec")
+  }
+
+  test("DP release: sensitivity bound — out-of-range contributions are clamped") {
+    import graft.governance.DifferentialPrivacy
+    DifferentialPrivacy.reset("dp_sens")
+    import spark.implicits._
+    // same rows except one outlier blown up 1e6× — after clamping to
+    // [0, 10] both datasets release IDENTICAL values, which is exactly the
+    // sensitivity claim: no single row can move the mechanism by more than
+    // the declared bound, whatever the data holds
+    val clean = Seq(("a", 5.0), ("a", 10.0), ("b", 3.0)).toDF("g", "v")
+    val wild = Seq(("a", 5.0), ("a", 1.0e7), ("b", 3.0)).toDF("g", "v")
+    val rc = DifferentialPrivacy.releaseBoundedSum(clean, Seq("g"), "v", 0.0, 10.0,
+      "dp_sens", "s1", 1.0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    DifferentialPrivacy.reset("dp_sens")
+    val rw = DifferentialPrivacy.releaseBoundedSum(wild, Seq("g"), "v", 0.0, 10.0,
+      "dp_sens", "s1", 1.0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rc === rw, s"clamping must bound the outlier's influence: $rc vs $rw")
+    // inverted bounds refused
+    intercept[IllegalArgumentException] {
+      DifferentialPrivacy.releaseBoundedSum(clean, Seq("g"), "v", 10.0, 0.0,
+        "dp_sens", "s2", 1.0)
+    }
+    DifferentialPrivacy.reset("dp_sens")
+  }
+
   test("audit flush windows are never retention-pruned: the trail survives many flushes") {
     import graft.governance.ReadAudit
     val root = java.nio.file.Files.createTempDirectory("graft_audit_keep_").toString
