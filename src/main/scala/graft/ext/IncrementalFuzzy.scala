@@ -256,14 +256,16 @@ object IncrementalFuzzy {
       .join(s.read.parquet(s"$root/members").select(col("s")).distinct(),
         Seq("s"), "left_anti")
       .localCheckpoint()
-    swapIn("strs",
-      s.read.parquet(s"$root/strs").join(orphans, Seq("s"), "left_anti"))
-    swapIn("keys",
-      s.read.parquet(s"$root/keys").join(orphans, Seq("s"), "left_anti"))
+    // the three remaining rewrites are INDEPENDENT once `orphans` is
+    // checkpointed (each reads and swaps only its own table) — concurrent,
+    // so the erasure pays the max of the three job latencies, not the sum
     val sp = s.read.parquet(s"$root/pairs_str")
-    swapIn("pairs_str", sp
-      .join(orphans.select(col("s").as("s_a")), Seq("s_a"), "left_anti")
-      .join(orphans.select(col("s").as("s_b")), Seq("s_b"), "left_anti"))
+    IndexMaintenance.swapInConcurrently(s, root, Seq(
+      "strs" -> s.read.parquet(s"$root/strs").join(orphans, Seq("s"), "left_anti"),
+      "keys" -> s.read.parquet(s"$root/keys").join(orphans, Seq("s"), "left_anti"),
+      "pairs_str" -> sp
+        .join(orphans.select(col("s").as("s_a")), Seq("s_a"), "left_anti")
+        .join(orphans.select(col("s").as("s_b")), Seq("s_b"), "left_anti")))
   }
 
   /** Gate (c23): incremental build, then erasure of every id divisible by

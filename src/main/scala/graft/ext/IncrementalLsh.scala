@@ -144,13 +144,15 @@ object IncrementalLsh {
     * bucket-cap stability the whole append contract rests on.
     */
   def erase(s: SparkSession, root: String, ids: DataFrame): Unit = {
-    val gone = ids.select(col("doc_id")).distinct()
-    IndexMaintenance.swapIn(s, root, "sigs",
-      s.read.parquet(s"$root/sigs").join(gone, Seq("doc_id"), "left_anti"))
+    // both rewrites depend only on the (tiny, deterministic) erased-id
+    // set — independent, so concurrent (see IndexMaintenance)
+    val gone = ids.select(col("doc_id")).distinct().localCheckpoint()
     val p = s.read.parquet(s"$root/pairs")
-    IndexMaintenance.swapIn(s, root, "pairs", p
-      .join(gone.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-      .join(gone.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti"))
+    IndexMaintenance.swapInConcurrently(s, root, Seq(
+      "sigs" -> s.read.parquet(s"$root/sigs").join(gone, Seq("doc_id"), "left_anti"),
+      "pairs" -> p
+        .join(gone.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(gone.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")))
   }
 
   /** Compact the index state (see [[IndexMaintenance]]): sigs and pairs

@@ -138,14 +138,17 @@ object IncrementalSimhash {
       .join(s.read.parquet(s"$root/members").select(col("simhash")).distinct(),
         Seq("simhash"), "left_anti")
       .localCheckpoint()
-    IndexMaintenance.swapIn(s, root, "sks",
-      s.read.parquet(s"$root/sks").join(orphans, Seq("simhash"), "left_anti"))
-    IndexMaintenance.swapIn(s, root, "chunks",
-      s.read.parquet(s"$root/chunks").join(orphans, Seq("simhash"), "left_anti"))
+    // independent once `orphans` is checkpointed — concurrent rewrites
+    // (max of the job latencies, not the sum; see IndexMaintenance)
     val sp = s.read.parquet(s"$root/pairs_sk")
-    IndexMaintenance.swapIn(s, root, "pairs_sk", sp
-      .join(orphans.select(col("simhash").as("sk_a")), Seq("sk_a"), "left_anti")
-      .join(orphans.select(col("simhash").as("sk_b")), Seq("sk_b"), "left_anti"))
+    IndexMaintenance.swapInConcurrently(s, root, Seq(
+      "sks" -> s.read.parquet(s"$root/sks")
+        .join(orphans, Seq("simhash"), "left_anti"),
+      "chunks" -> s.read.parquet(s"$root/chunks")
+        .join(orphans, Seq("simhash"), "left_anti"),
+      "pairs_sk" -> sp
+        .join(orphans.select(col("simhash").as("sk_a")), Seq("sk_a"), "left_anti")
+        .join(orphans.select(col("simhash").as("sk_b")), Seq("sk_b"), "left_anti")))
   }
 
   /** The maintained member-level pair set (doc_a, doc_b, hamming),

@@ -33,6 +33,34 @@ object IndexMaintenance {
     require(fs.rename(tmp, dir), s"swapIn: rename failed for $table")
   }
 
+  /** Run several INDEPENDENT single-table [[swapIn]] rewrites
+    * concurrently — each must read and replace only its own table (any
+    * shared input checkpointed by the caller first), so the batch pays
+    * the max of the job latencies instead of the sum. Concurrency is
+    * across TABLES inside one maintenance op; the index's single-writer
+    * contract (ops serialize with each other) is untouched.
+    */
+  def swapInConcurrently(
+      s: SparkSession, root: String, rewrites: Seq[(String, DataFrame)]): Unit = {
+    require(rewrites.map(_._1).distinct.size == rewrites.size,
+      "swapInConcurrently: one rewrite per table")
+    if (rewrites.size <= 1) {
+      rewrites.foreach { case (t, df) => swapIn(s, root, t, df) }
+      return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(rewrites.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(rewrites.map { case (t, df) =>
+          scala.concurrent.Future(swapIn(s, root, t, df))
+        }),
+        scala.concurrent.duration.Duration.Inf)
+      ()
+    } finally { pool.shutdown() }
+  }
+
   /** Compact `tables` under `root`: deduplicate and rewrite each as
     * `filesPerTable` files. Correct exactly when every table has set
     * semantics with deterministic rows — the incremental-index contract.

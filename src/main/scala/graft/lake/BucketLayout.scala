@@ -171,9 +171,24 @@ object BucketLayout {
     if (perDir.exists(_.isEmpty)) return None
     val all = perDir.flatten
     val specs = all.map { case (c, n, _) => (c, n) }.distinct
-    if (specs.size != 1) return None
-    val (c, n) = specs.head
-    Some((c, n, all.flatMap(_._3).toMap))
+    if (specs.map(_._1).distinct.size != 1) return None
+    val c = specs.head._1
+    // BUCKET-COUNT EVOLUTION: dirs stamped at different counts (the table
+    // was ALTERed from k:N to k:M and a COW commit carried old files) are
+    // still ONE consistent layout at g = gcd of the counts — for g | n,
+    // pmod(h, n) % g == pmod(h, g), so a file pure at its own count is
+    // pure at g with bucket b % g. Reporting the COARSER granularity
+    // keeps every exchange-free path (SPJ, diff, merge, key pruning)
+    // alive across the evolution boundary instead of falling back to a
+    // shuffle; g == 1 on unrelated counts degrades to None (no layout) —
+    // policy, never an error. Empty files (bucket −1) stay −1.
+    val counts = specs.map(_._2)
+    val g = counts.reduce((a, b) => BigInt(a).gcd(BigInt(b)).toInt)
+    if (counts.size > 1 && g < 2) return None
+    Some((c, g, all.flatMap { case (_, n, fs) =>
+      if (n == g) fs
+      else fs.map { case (p, b) => p -> (if (b < 0) b else b % g) }
+    }.toMap))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Driver-side bucket of one EXTERNAL literal under the column's type —

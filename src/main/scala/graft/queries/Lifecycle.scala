@@ -3261,6 +3261,93 @@ object Lifecycle {
     }
   }
 
+  /** A47 — BUCKET-COUNT EVOLUTION: `bucket_by k:8 → k:16` is one property
+    * commit (zero data files); afterwards COW rewrites land at 16 while
+    * untouched files CARRY at 8, and the mixed snapshot still exposes ONE
+    * verified layout at gcd(8, 16) = 8 (for g | n, `pmod(h,n) % g ==
+    * pmod(h,g)` — a file pure at its own count is pure at the coarser
+    * one). The pre-evolution snapshot therefore joins the post-evolution
+    * snapshot EXCHANGE-FREE (asserted; Plans pins the same shape), so
+    * re-bucketing a 100 TB table costs nothing up front and nothing to
+    * its exchange-free paths — the finer count simply phases in as
+    * rewrites touch files.
+    */
+  def bucketEvolve(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a47_")
+    import graft.lake.BucketLayout
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Lake.setTableProperties(s, root, "bev", Map(BucketLayout.Prop -> "o_custkey:8"))
+    Lake.writeTableSnapshot(
+      Lake.applyClusterPolicy(s, root, "bev",
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+          .filter(col("o_custkey") <= 1500)), root, "bev")
+    val v1 = Lake.latestVersion(s, root, "bev").get
+    require(BucketLayout.layoutOf(s, root, "bev", v1).exists(_._2 == 8),
+      "pre-evolution snapshot must carry a verified k:8 layout")
+    // the EVOLUTION: double the count — a property commit, no data files
+    Lake.setTableProperties(s, root, "bev", Map(BucketLayout.Prop -> "o_custkey:16"))
+    // a COW mutation after the ALTER: the rewritten slice lands at 16,
+    // every untouched file carries at 8 — the mixed boundary
+    // POINT keys: a hash-spread predicate would touch every bucket and
+    // rewrite the whole snapshot at 16 — three keys touch ≤3 of 8 buckets,
+    // so at least five pre-evolution files must carry
+    graft.lake.CopyOnWrite.updateWhere(s, root, "bev",
+      col("o_custkey").isin(42, 43, 44),
+      Seq("o_totalprice" -> (col("o_totalprice") * 2)))
+    val vN = Lake.latestVersion(s, root, "bev").get
+    val layout = BucketLayout.layoutOf(s, root, "bev", vN)
+    require(layout.exists(_._2 == 8),
+      s"mixed 8/16 snapshot must reduce to one layout at gcd 8, got " +
+        layout.map(l => (l._1, l._2)))
+    val dirs = Lake.snapshotFiles(s, root, "bev", vN)
+      .map(p => new org.apache.hadoop.fs.Path(p).getParent.getName).distinct
+    require(dirs.size > 1,
+      s"snapshot must MIX pre- and post-evolution files, got dirs $dirs")
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      val q = s.sql(
+        s"""SELECT a.o_custkey, COUNT(*) AS n_pairs,
+           |       CAST(SUM(CAST(a.o_totalprice + b.o_totalprice
+           |                     AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $cat.tables.bev VERSION AS OF $v1 a
+           |JOIN $cat.tables.bev b ON a.o_custkey = b.o_custkey
+           |GROUP BY a.o_custkey""".stripMargin)
+      val rows = q.collect().toIndexedSeq
+      requireNoExchange(q,
+        "pre- and post-evolution snapshots must join exchange-free at gcd 8")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 4), q.schema)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  val bucketEvolveOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey <= 1500),
+      |latest AS (
+      |  SELECT o_custkey,
+      |         CASE WHEN o_custkey IN (42, 43, 44) THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM v1)
+      |SELECT a.o_custkey, COUNT(*) AS n_pairs,
+      |       CAST(SUM(CAST(a.o_totalprice + b.o_totalprice
+      |                     AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM v1 a JOIN latest b ON a.o_custkey = b.o_custkey
+      |GROUP BY 1""".stripMargin
+
   /** A44 — `table_diff(...)` TVF: the NET two-version diff in pure SQL.
     * `table_changes` replays every commit in a range (a key updated in
     * three commits appears three times); `table_diff` collapses the
@@ -3313,6 +3400,85 @@ object Lifecycle {
       |FROM v1 FULL JOIN v3 ON v1.o_orderkey = v3.o_orderkey
       |WHERE v1.o_orderkey IS NULL OR v3.o_orderkey IS NULL
       |   OR v1.o_totalprice <> v3.o_totalprice""".stripMargin
+
+  /** A46 — MERGE INTO with SCHEMA EVOLUTION: a source carrying a column
+    * the target lacks merges in one statement — the analyzer routes the
+    * new column through the catalog's alterTable (the metadata-only
+    * [[Lake.addColumn]]: ONE `_schema` JSON commit, every base file
+    * carried by reference, zero data files — asserted below), then the
+    * file-granular COW merge runs against the evolved schema. History
+    * stays honest: v1 time-travel-reads with the OLD schema (asserted),
+    * pre-evolution files null-fill the new column, and the matched/insert
+    * rows land it physically. o_totalprice doubles (×2 is IEEE-exact in
+    * every money profile) so the update is visible.
+    */
+  def mergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val root = scratch("graft_a46_")
+    val cat = s"gcat${catalogN.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ord = Tables.orders(s, d)
+    Lake.writeTableSnapshot(
+      ord.select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey").between(1, 400))
+        .repartitionByRange(4, col("o_orderkey")), root, "mev")
+    // source keys 201-600: 201-400 match (update), 401-600 insert; o_orderpriority
+    // is the SOURCE-ONLY column; the ×2 price is cast back to the profile
+    // type so INSERT * stays exactly-typed
+    ord.filter(col("o_orderkey").between(201, 600))
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 2).cast(ord.schema("o_totalprice").dataType)
+          .as("o_totalprice"),
+        col("o_orderpriority"))
+      .createOrReplaceTempView("a46_src")
+    // star actions: Spark's schema evolution considers exactly the
+    // columns UPDATE SET * / INSERT * feed from the source
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.tables.mev t
+         |USING a46_src s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // v2 is the evolution commit: declared schema gains o_orderpriority, zero data
+    // files (every file carried from v1); v3 is the merge
+    require(Lake.declaredSchema(s, root, "mev", 2).exists(
+      _.fieldNames.sameElements(Array("o_orderkey", "o_totalprice", "o_orderpriority"))),
+      "evolution must commit the evolved declared schema as v2")
+    require(Lake.snapshotFiles(s, root, "mev", 2).forall(_.contains("version=v1")),
+      "the evolution commit must write zero data files — all carried from v1")
+    require(!s.sql(s"SELECT * FROM $cat.tables.mev VERSION AS OF 1")
+      .columns.contains("o_orderpriority"),
+      "v1 must time-travel-read with the pre-evolution schema")
+    def q(gen: String, suffix: String, cols: String): DataFrame = s.sql(
+      s"SELECT '$gen' AS gen, $cols FROM $cat.tables.mev$suffix")
+    q("base", " VERSION AS OF 1",
+      "o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+        "CAST(NULL AS STRING) AS o_orderpriority")
+      .unionByName(q("latest", "",
+        "o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority"))
+  }
+
+  val mergeEvolveOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 400),
+      |src AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey BETWEEN 201 AND 600),
+      |latest AS (
+      |  SELECT v1.o_orderkey,
+      |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+      |              ELSE v1.o_totalprice END AS o_totalprice,
+      |         s.o_orderpriority
+      |  FROM v1 LEFT JOIN src s ON s.o_orderkey = v1.o_orderkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM src WHERE o_orderkey > 400)
+      |SELECT 'base' AS gen, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |       CAST(NULL AS VARCHAR) AS o_orderpriority
+      |FROM v1
+      |UNION ALL
+      |SELECT 'latest', o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+      |FROM latest""".stripMargin
 
   /** A44b — `table_diff` with TIMESTAMP endpoints: the same net
     * two-version diff, endpoints resolved through the commit-instant
@@ -3732,6 +3898,8 @@ object Lifecycle {
     "a43_zorder_bucket" -> (zorderBucket _),
     "a44_table_diff" -> (tableDiffSql _),
     "a44b_table_diff_ts" -> (tableDiffTs _),
+    "a46_merge_evolve" -> (mergeEvolve _),
+    "a47_bucket_evolve" -> (bucketEvolve _),
     "a41_table_changes_sql" -> (tableChangesSql _),
     "a40_bucketed_diff" -> (bucketedDiff _),
     "a39_zorder_cluster" -> (zorderCluster _),
@@ -3809,6 +3977,8 @@ object Lifecycle {
     "a43_zorder_bucket" -> zorderBucketOracle,
     "a44_table_diff" -> tableDiffSqlOracle,
     "a44b_table_diff_ts" -> tableDiffSqlOracle,
+    "a46_merge_evolve" -> mergeEvolveOracle,
+    "a47_bucket_evolve" -> bucketEvolveOracle,
     "a41_table_changes_sql" -> tableChangesSqlOracle,
     "a40_bucketed_diff" -> bucketedDiffOracle,
     "a39_zorder_cluster" -> zorderClusterOracle,

@@ -259,7 +259,12 @@ case class CowRowLevelRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
-    if (m.withSchemaEvolution || m.notMatchedBySourceActions.nonEmpty) return None
+    // withSchemaEvolution is fine to route: by the time this MERGE is
+    // RESOLVED, ResolveMergeIntoSchemaEvolution has already pushed the
+    // source-only columns through catalog.alterTable (metadata-only
+    // Lake.addColumn commits) and reloaded the target relation — the
+    // shapes below see the evolved schema like any other merge
+    if (m.notMatchedBySourceActions.nonEmpty) return None
     graftTarget(m.targetTable).flatMap { case (rel, g) =>
       val tSet = AttributeSet(rel.output)
       val sSet = AttributeSet(m.sourceTable.output)

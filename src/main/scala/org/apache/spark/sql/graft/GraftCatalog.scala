@@ -785,8 +785,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       graft.lake.Lake.tableProperties(
         SparkSession.active, root, ident.name()).asJava
     override def capabilities(): util.Set[TableCapability] =
+      // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE WITH SCHEMA EVOLUTION` lets the
+      // analyzer route source-only columns through alterTable (our
+      // metadata-only Lake.addColumn — one `_schema` JSON, zero data
+      // files) before the row-level rewrite runs against the evolved
+      // schema
       util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       readScanBuilder(ident, version, schema(), delegate, options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -270,6 +270,35 @@ class ChangeFeedSpec extends SparkSpec {
       ("A", "updated")), sunk().toString)
   }
 
+  test("CDF across a MERGE schema-evolution boundary stays mapping-aware") {
+    import org.apache.spark.sql.graft.GraftChangeFeed
+    Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "cfev")
+    Seq((2L, "B", "w2"), (3L, "c", "w3")).toDF("k", "v", "w")
+      .createOrReplaceTempView("cfev_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.tables.cfev t
+         |USING cfev_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // v2 is the evolution commit: metadata-only — zero data files, so the
+    // CDF step across it is EMPTY; v3 is the merge
+    assert(Lake.snapshotFiles(spark, root, "cfev", 2)
+      .forall(_.contains("version=v1")), "evolution step must carry all files")
+    val ch = GraftChangeFeed.changesBetween(
+      spark, root, "cfev", Seq("k"), start = 1, end = 3, preimages = true)
+    assert(ch.columns.contains("w"),
+      "post-boundary CDF must expose the evolved column")
+    val rows = ch.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)), r.getString(3))).sortBy(t => (t._1, t._4))
+    // preimages read PRE-evolution files through the mapping: w null-fills
+    assert(rows.contains((2L, "b", None, "update_preimage")),
+      s"preimage must null-fill the evolved column: ${rows.mkString(", ")}")
+    assert(rows.contains((2L, "B", Some("w2"), "update_postimage")))
+    assert(rows.contains((3L, "c", Some("w3"), "inserted")))
+    // and the whole range replays without a schema clash at the boundary
+    assert(rows.length === 3, rows.mkString(", "))
+  }
+
   test("table_diff timestamp endpoints: ledger resolution and error cases") {
     Lake.writeTableSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "dts")
     Thread.sleep(30)
