@@ -1096,6 +1096,49 @@ object Similarity {
         |LEFT JOIN topk r ON r.q_id = tc.q_id AND r.neighbor_id = tc.neighbor_id
         |GROUP BY 1""".stripMargin
 
+  /** Two-stage retrieval — ADC shortlist, EXACT re-rank: the composed
+    * IVFPQ index ([[ivfPqTopK]]) produces a cheap top-5 shortlist from
+    * 4-byte codes; this gate re-scores exactly those candidates with the
+    * TRUE cosine against the raw vectors and returns the top-3. The
+    * standard production shape: quantized distances order the haystack,
+    * exact math orders the needle — total exact work is O(Q·shortlist),
+    * independent of the corpus, and the raw-vector fetch is a plain
+    * N-row join on vec_id (at 100 TB: a key-pruned point lookup per
+    * candidate, not a scan). Re-ranking repairs ADC's quantization-order
+    * errors inside the shortlist for free; what it cannot repair —
+    * truth missing from the shortlist entirely — is exactly what
+    * [[annIvfPqRecall]]'s hits_adc measures.
+    */
+  def annIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val shortlist = ivfPqTopK(s, d).select(col("q_id"), col("neighbor_id"))
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  val annIvfPqRerankOracle: String =
+    ivfPqSqlPrefix +
+      """
+        |SELECT q_id, neighbor_id, cos, rrk AS rk FROM (
+        |  -- distinct rank alias: a bare `rk` in QUALIFY would resolve to
+        |  -- topk's OWN rk column (the ADC rank), not this rerank rank
+        |  SELECT t.q_id, t.neighbor_id,
+        |         list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos,
+        |         row_number() OVER (PARTITION BY t.q_id
+        |           ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC,
+        |                    t.neighbor_id) AS rrk
+        |  FROM topk t
+        |  JOIN e q ON q.vec_id = t.q_id
+        |  JOIN e ON e.vec_id = t.neighbor_id)
+        |WHERE rrk <= 3""".stripMargin
+
   /** Hard-negative mining for contrastive training: for each anchor in
     * the fixed query batch, emit a TRIPLET SET — the single most-similar
     * SAME-label vector (the positive) joined with the 3 most-similar
@@ -1166,7 +1209,8 @@ object Similarity {
     "x_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "x_ann_ivf_recall" -> (annIvfRecall _),
     "x_ann_ivfpq" -> (annIvfPq _),
-    "x_ann_ivfpq_recall" -> (annIvfPqRecall _))
+    "x_ann_ivfpq_recall" -> (annIvfPqRecall _),
+    "x_ann_ivfpq_rerank" -> (annIvfPqRerank _))
 
   val oracles: Map[String, String] = Map(
     "x_hard_negatives" -> hardNegativesOracle,
@@ -1183,5 +1227,6 @@ object Similarity {
     "x_ann_ivf_multiprobe" -> annIvfMultiprobeOracle,
     "x_ann_ivf_recall" -> annIvfRecallOracle,
     "x_ann_ivfpq" -> annIvfPqOracle,
-    "x_ann_ivfpq_recall" -> annIvfPqRecallOracle)
+    "x_ann_ivfpq_recall" -> annIvfPqRecallOracle,
+    "x_ann_ivfpq_rerank" -> annIvfPqRerankOracle)
 }

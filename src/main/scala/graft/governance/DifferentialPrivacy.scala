@@ -139,6 +139,39 @@ object DifferentialPrivacy {
       .drop("n_true")
   }
 
+  /** USER-LEVEL DP grouped user-count release — the neighboring relation
+    * that matters for training-data governance: two datasets differ by
+    * ALL of one user's rows (a person's data spans many documents), not
+    * by one row. Contribution bounding makes the sensitivity a theorem:
+    *  (a) each (user, group) pair counts ONCE (distinct), and
+    *  (b) each user counts in at most `maxGroupsPerUser` groups — their
+    *      first L groups under a deterministic rank (ordered by the group
+    *      key), so the bound is data-independent and reproducible.
+    * Removing one user then changes at most L of the released counts by
+    * at most 1 each — total sensitivity L, the Laplace scale used here.
+    * Without the cap a single prolific user inflates sensitivity to the
+    * group-domain size and the noise swamps the signal.
+    */
+  def releaseUserCount(
+      df: DataFrame, userCol: String, keys: Seq[String], maxGroupsPerUser: Int,
+      dataset: String, releaseId: String, epsilon: Double): DataFrame = {
+    require(maxGroupsPerUser > 0,
+      s"maxGroupsPerUser must be positive, got $maxGroupsPerUser")
+    charge(dataset, releaseId, epsilon)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(keys.map(col): _*)
+    df.select((userCol +: keys).map(col): _*).distinct()
+      .withColumn("_grk", row_number().over(w))
+      .filter(col("_grk") <= maxGroupsPerUser)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("dp_users",
+        col("n_true").cast("double") +
+          laplaceNoise(releaseId, concat_ws("|", keys.map(col): _*),
+            sensitivity = maxGroupsPerUser.toDouble, epsilon = epsilon))
+      .drop("n_true")
+  }
+
   /** DP grouped SUM release with a BOUNDED per-row contribution: every
     * value is clamped to [lo, hi] before summing, so one row's influence —
     * and hence the mechanism's sensitivity — is max(|lo|, |hi|) no matter

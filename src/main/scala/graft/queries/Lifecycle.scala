@@ -2399,6 +2399,43 @@ object Lifecycle {
       |         AS dp_sum
       |FROM u""".stripMargin
 
+  /** C28 USER-LEVEL DP release — [[dpAgg]]'s neighboring relation
+    * upgraded to the one training-data governance needs: removing a USER
+    * removes ALL their rows (their orders span many groups). Contribution
+    * bounding (one count per (user, group), each user's first L=2 groups
+    * by deterministic rank) caps user-level sensitivity at exactly L, and
+    * the per-priority distinct-customer counts release with Laplace
+    * noise at that scale. Same seeded mechanism and accountant as C27,
+    * its own dataset budget.
+    */
+  def dpUserLevel(s: SparkSession, d: String): DataFrame = {
+    DifferentialPrivacy.setBudget("c28_orders", 1.0)
+    DifferentialPrivacy.releaseUserCount(
+      Tables.orders(s, d), "o_custkey", Seq("o_orderpriority"),
+      maxGroupsPerUser = 2, "c28_orders", "c28_prio_users", epsilon = 1.0)
+  }
+
+  val dpUserLevelOracle: String =
+    """WITH contrib AS (
+      |  SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+      |capped AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderpriority) AS grk
+      |  FROM contrib),
+      |base AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n FROM capped
+      |  WHERE grk <= 2 GROUP BY 1)
+      |SELECT o_orderpriority,
+      |       CAST(n AS DOUBLE)
+      |         + floor((-(2.0) * sign(u) * ln(1 - 2 * abs(u))) * 1e6 + 0.5) / 1e6
+      |         AS dp_users
+      |FROM (SELECT o_orderpriority, n,
+      |             (('0x' || substr(md5('c28_prio_users:' || o_orderpriority),
+      |                              1, 15))::BIGINT + 0.5)
+      |                / 1152921504606846976.0 - 0.5 AS u
+      |      FROM base)""".stripMargin
+
   /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a
     * VALUES oracle.
     */
@@ -3949,6 +3986,7 @@ object Lifecycle {
     "c21_k_anonymity" -> (kAnonymity _),
     "c22_l_diversity" -> (lDiversity _),
     "c27_dp_agg" -> (dpAgg _),
+    "c28_dp_user_level" -> (dpUserLevel _),
     "a21_table_changes" -> (tableChangesGate _),
     "a22_txn_commit" -> (txnCommit _),
     "c14_column_lineage" -> (columnLineage _),
@@ -4028,6 +4066,7 @@ object Lifecycle {
     "c21_k_anonymity" -> kAnonymityOracle,
     "c22_l_diversity" -> lDiversityOracle,
     "c27_dp_agg" -> dpAggOracle,
+    "c28_dp_user_level" -> dpUserLevelOracle,
     "a21_table_changes" -> tableChangesOracle,
     "a22_txn_commit" -> txnCommitOracle,
     "c14_column_lineage" -> columnLineageOracle,

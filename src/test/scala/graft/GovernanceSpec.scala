@@ -218,6 +218,40 @@ class GovernanceSpec extends SparkSpec {
     DifferentialPrivacy.reset("dp_sens")
   }
 
+  test("user-level DP: removing one whole user moves the release by at most L") {
+    import graft.governance.DifferentialPrivacy
+    DifferentialPrivacy.reset("dp_user")
+    import spark.implicits._
+    // user 7 is prolific: present in EVERY group; the cap (L=2) bounds
+    // their influence no matter how many groups they touch
+    val rows = Seq(
+      (1L, "g1"), (1L, "g2"),
+      (2L, "g2"), (3L, "g3"),
+      (7L, "g1"), (7L, "g2"), (7L, "g3"), (7L, "g4"), (7L, "g4"))
+      .toDF("user", "g")
+    def release(df: org.apache.spark.sql.DataFrame, id: String) = {
+      val out = DifferentialPrivacy.releaseUserCount(
+        df, "user", Seq("g"), maxGroupsPerUser = 2, "dp_user", id, 1.0)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      DifferentialPrivacy.reset("dp_user"); out
+    }
+    val full = release(rows, "u1")
+    val without7 = release(rows.filter($"user" =!= 7L), "u1")
+    // same releaseId ⇒ identical per-group noise, so released-value
+    // deltas ARE true-count deltas: user 7 may move at most L=2 groups
+    // by at most 1 each — the user-level sensitivity bound, observed
+    val deltas = (full.keySet ++ without7.keySet).toSeq.map { g =>
+      math.abs(full.getOrElse(g, 0.0) - without7.getOrElse(g, 0.0))
+    }
+    assert(deltas.forall(d => d == 0.0 || math.abs(d - 1.0) < 1e-9),
+      s"per-group delta must be 0 or 1: $deltas")
+    assert(deltas.sum <= 2.0 + 1e-9,
+      s"total influence of one user must be ≤ L=2, got ${deltas.sum}")
+    // and the cap actually bit: user 7 touches 4 groups but counts in 2
+    assert(math.abs(deltas.sum - 2.0) < 1e-9,
+      s"the prolific user should hit the cap: $deltas")
+  }
+
   test("audit flush windows are never retention-pruned: the trail survives many flushes") {
     import graft.governance.ReadAudit
     val root = java.nio.file.Files.createTempDirectory("graft_audit_keep_").toString
