@@ -1111,10 +1111,40 @@ object Dedup {
          |    element_at(transform(array($bnds), bn -> $chunks), 1)), 1)), 1)""".stripMargin))
   }
 
+  /** (doc_id, h) chunk-hash postings — one row per DISTINCT chunk per
+    * document; the shuffle unit of CDC dedup and the state table of the
+    * maintained index ([[IncrementalCdc]]). Deterministic per document,
+    * so replayed appends deduplicate away at read time.
+    */
+  private[ext] def cdcPostings(docs: DataFrame): DataFrame =
+    withCdcChunks(
+      docs.filter(col("text").isNotNull && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text")),
+      "text", "chunks")
+      .select(col("doc_id"), explode(array_distinct(col("chunks"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+
+  /** [[cdcDedup]]'s per-document aggregation over a posting set: distinct
+    * chunk counts, cross-document duplication, earlier-owner trims, the
+    * majority drop flag. Shared with the maintained index's read path.
+    */
+  private[ext] def cdcStats(post: DataFrame): DataFrame = {
+    val owners = post.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("ndocs"))
+    post.join(owners, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1).otherwise(0)).as("dup_chunks"),
+        sum(when(col("ndocs") > 1 && col("owner") =!= col("doc_id"), 1).otherwise(0))
+          .as("trim_chunks"))
+      .withColumn("drop_doc", col("dup_chunks") * 2 > col("n_chunks"))
+  }
+
   /** Shared SQL spelling of [[withCdcChunks]] for the DuckDB oracles:
     * given a relation exposing (doc_id, t), yields (doc_id, chunks).
     */
-  private def cdcChunksSql(src: String): String =
+  private[ext] def cdcChunksSql(src: String): String =
     s"""(SELECT doc_id,
        |  [substr(t, bnds[k] + 1, bnds[k + 1] - bnds[k])
        |   for k in range(1, len(bnds))] AS chunks
@@ -1137,26 +1167,9 @@ object Dedup {
     * documents, how many belong to an earlier owner, and the majority
     * drop flag. Shuffle carries md5(chunk), never chunk text.
     */
-  def cdcDedup(s: SparkSession, d: String): DataFrame = {
-    val post = withCdcChunks(
-        Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .filter(col("text").isNotNull && length(col("text")) >= 1)
-          .select(col("doc_id"), col("text")),
-        "text", "chunks")
-      .select(col("doc_id"), explode(array_distinct(col("chunks"))).as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("h"))
-    val owners = post.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("ndocs"))
-    post.join(owners, "h")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("ndocs") > 1, 1).otherwise(0)).as("dup_chunks"),
-        sum(when(col("ndocs") > 1 && col("owner") =!= col("doc_id"), 1).otherwise(0))
-          .as("trim_chunks"))
-      .withColumn("drop_doc", col("dup_chunks") * 2 > col("n_chunks"))
-  }
+  def cdcDedup(s: SparkSession, d: String): DataFrame =
+    cdcStats(cdcPostings(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)))
 
   val cdcDedupOracle: String =
     s"""WITH ch AS (SELECT * FROM ${cdcChunksSql(

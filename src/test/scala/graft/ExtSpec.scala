@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, FuzzyJoin, Multimodal, Similarity}
+import graft.ext.{Dedup, FuzzyJoin, IncrementalCdc, Multimodal, Similarity}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -513,6 +513,32 @@ class ExtSpec extends SparkSpec {
       // query equals the query's LUT distance — spot check self-coding
       assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), "self in neighbors")
     }
+  }
+
+  test("CDC index: erasure purges state, replayed appends are structurally invisible") {
+    val d = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("graft_icdc_spec_").toString
+    val docs = Tables.documents(spark, d)
+    IncrementalCdc.init(docs.filter(col("doc_id") < 300), root)
+    IncrementalCdc.append(docs.filter(col("doc_id") >= 300), root)
+    val before = IncrementalCdc.stats(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at-least-once tolerance is STRUCTURAL: re-delivering a whole batch
+    // writes verbatim duplicate posting rows, which the read-time
+    // distinct erases — stats identical, no marker machinery involved
+    IncrementalCdc.append(docs.filter(col("doc_id") >= 300), root)
+    val replayed = IncrementalCdc.stats(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed === before, "a replayed append must be invisible")
+    // state-level forgetting: the erased doc's rows leave the posting
+    // table itself, not merely the derived stats
+    IncrementalCdc.erase(spark, root, docs.filter(col("doc_id") === 7)
+      .select(col("doc_id")))
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id") === 7).count() === 0,
+      "erased doc's chunk hashes must leave the state table")
+    assert(!IncrementalCdc.stats(spark, root).collect()
+      .exists(_.getLong(0) == 7L))
   }
 
   test("CDC dedup: insertion-stable where fixed-size chunking loses everything") {
