@@ -960,6 +960,42 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Txn.read(spark, root, "a", Some(1)) }
   }
 
+  test("bucket-count evolution: mixed snapshot reduces to gcd; compaction converges to the new count") {
+    val root = scratch()
+    import graft.lake.BucketLayout
+    Lake.setTableProperties(spark, root, "be", Map(BucketLayout.Prop -> "k:4"))
+    val df = spark.range(0, 4000).select(col("id").as("k"), (col("id") % 13).as("v"))
+    Lake.writeTableSnapshot(Lake.applyClusterPolicy(spark, root, "be", df), root, "be")
+    val v1 = Lake.latestVersion(spark, root, "be").get
+    assert(BucketLayout.layoutOf(spark, root, "be", v1).exists(_._2 == 4))
+    // evolve the count; a point-key COW update leaves a MIXED snapshot
+    Lake.setTableProperties(spark, root, "be", Map(BucketLayout.Prop -> "k:8"))
+    graft.lake.CopyOnWrite.updateWhere(spark, root, "be",
+      col("k") === 42, Seq("v" -> lit(99L)))
+    val vMixed = Lake.latestVersion(spark, root, "be").get
+    val mixed = BucketLayout.layoutOf(spark, root, "be", vMixed)
+    assert(mixed.exists(_._2 == 4),
+      s"mixed 4/8 snapshot must reduce to gcd 4, got ${mixed.map(l => (l._1, l._2))}")
+    // unrelated counts (gcd 1) must degrade to NO layout, never a wrong one
+    Lake.setTableProperties(spark, root, "be", Map(BucketLayout.Prop -> "k:3"))
+    graft.lake.CopyOnWrite.updateWhere(spark, root, "be",
+      col("k") === 43, Seq("v" -> lit(98L)))
+    val vOdd = Lake.latestVersion(spark, root, "be").get
+    assert(BucketLayout.layoutOf(spark, root, "be", vOdd).isEmpty,
+      "co-prime bucket counts have no common granularity — layout must vanish")
+    // compaction applies the CURRENT policy to the whole snapshot: the
+    // migration CONVERGES — one full-count layout again, values intact
+    Lake.setTableProperties(spark, root, "be", Map(BucketLayout.Prop -> "k:8"))
+    Lake.compactTable(spark, root, "be")
+    val vC = Lake.latestVersion(spark, root, "be").get
+    assert(BucketLayout.layoutOf(spark, root, "be", vC).exists(_._2 == 8),
+      "post-compaction snapshot must carry the evolved count's verified layout")
+    val got = Lake.readTableFeed(spark, root, "be", Some(vC))
+      .filter(col("k").isin(42, 43)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(42L -> 99L, 43L -> 98L), s"values must survive: $got")
+  }
+
   test("bucket_by composes with zorder cluster_by: in-bucket files prune secondary dims") {
     val root = scratch()
     import graft.lake.{BucketLayout, StatsSidecar}
