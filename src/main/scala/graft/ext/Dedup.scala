@@ -1085,7 +1085,7 @@ object Dedup {
     * HASHES, never text. Integer-only arithmetic keeps both engines
     * bit-identical.
     */
-  private[ext] def withCdcChunks(
+  private[graft] def withCdcChunks(
       df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val p31 = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)"
     // one expression with each intermediate bound ONCE as a lambda

@@ -23,6 +23,47 @@ class PropertySpec extends SparkSpec {
   private val textGen = Gen.chooseNum(0, 9)
     .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
 
+  test("CDC chunking: chunks reassemble the text; an insertion moves only window-local cuts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val alphabet = "abcdefg hij"
+    val cases = (0 until 40).map { i =>
+      val len = 50 + rnd.nextInt(400)
+      val text = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val p = 8 + rnd.nextInt(len - 16)
+      (i.toLong, text, p)
+    }
+    val df = cases.toDF("doc_id", "text", "p")
+      .withColumn("mut", expr("concat(substring(text, 1, p), 'Z', substring(text, p + 1))"))
+    val out = graft.ext.Dedup.withCdcChunks(
+      graft.ext.Dedup.withCdcChunks(df, "text", "ca"), "mut", "cb")
+      .select(col("doc_id"), col("text"), col("mut"), col("p"), col("ca"), col("cb"))
+      .collect()
+    assert(out.length === cases.length)
+    out.foreach { r =>
+      val (text, mut, p) = (r.getString(1), r.getString(2), r.getInt(3))
+      val ca = r.getSeq[String](4)
+      val cb = r.getSeq[String](5)
+      // chunks PARTITION the text: non-empty, ordered, lossless
+      assert(ca.mkString("") === text, "chunks must reassemble the original")
+      assert(cb.mkString("") === mut, "chunks must reassemble the mutant")
+      assert(ca.forall(_.nonEmpty) && cb.forall(_.nonEmpty))
+      // the locality THEOREM of window-W rolling-hash cuts, exactly:
+      // cuts at positions ≤ p see only unchanged chars — identical;
+      // cuts ≥ p+W+1 in the mutant see only shifted chars — they are the
+      // original's cuts ≥ p+W moved by exactly the one inserted byte;
+      // only the W-wide window straddling the edit may change at all
+      def interiorCuts(ch: Seq[String]) =
+        ch.scanLeft(0)(_ + _.length).drop(1).dropRight(1)
+      val co = interiorCuts(ca)
+      val cm = interiorCuts(cb)
+      assert(co.filter(_ <= p) === cm.filter(_ <= p),
+        s"cuts at or before the insertion must be untouched (p=$p)")
+      assert(co.filter(_ >= p + 8).map(_ + 1) === cm.filter(_ >= p + 9),
+        s"cuts a full window past the insertion must shift by exactly 1 (p=$p)")
+    }
+  }
+
   test("shingles UDF matches the naive sliding-window spec on generated texts") {
     def spec(text: String): Seq[String] = {
       val words = text.split(" ", -1)
