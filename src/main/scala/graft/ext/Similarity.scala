@@ -962,9 +962,17 @@ object Similarity {
 
   /** The shared oracle prefix rebuilding the IVFPQ index + search in SQL —
     * every CTE MATERIALIZED (DuckDB re-inlines plain CTEs per reference;
-    * this chain is deep enough to compound).
+    * this chain is deep enough to compound). `candFilter` restricts the
+    * ADC candidate set (erasure oracles exclude erased ids; `TRUE`
+    * everywhere else — centroids and the residual codebook stay trained
+    * on the FULL corpus either way, matching the frozen-model contract).
     */
-  private val ivfPqSqlPrefix: String =
+  private[ext] def ivfPqSql(candFilter: String): String =
+    ivfPqSqlPrefixRaw.replace("__CAND_FILTER__", candFilter)
+
+  private[ext] lazy val ivfPqSqlPrefix: String = ivfPqSql("TRUE")
+
+  private val ivfPqSqlPrefixRaw: String =
     """WITH e AS MATERIALIZED (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -1026,7 +1034,7 @@ object Similarity {
       |           MAX(CASE WHEN k.j = 3 THEN l.qdist END) AS d3
       |    FROM codes k
       |    JOIN lut l ON l.probe_cell = k.cent_id AND l.j = k.j AND l.cid = k.code
-      |    WHERE k.vec_id <> l.q_id
+      |    WHERE k.vec_id <> l.q_id AND (__CAND_FILTER__)
       |    GROUP BY 1, 2, 3)
       |  QUALIFY rk <= 5)""".stripMargin
 
