@@ -515,6 +515,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ index: erasure purges codes AND cold vectors; codebooks stay frozen") {
+    import graft.ext.IncrementalIvfPq
+    val d = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("graft_iivfpq_spec_").toString
+    val vecs = Tables.embeddings(spark, d)
+    IncrementalIvfPq.init(vecs.filter(col("vec_id") < 250), root)
+    IncrementalIvfPq.append(vecs.filter(col("vec_id") >= 250), root)
+    val cbBefore = spark.read.parquet(s"$root/cb").count()
+    IncrementalIvfPq.erase(spark, root,
+      vecs.filter(col("vec_id") % 100 === 50).select(col("vec_id")))
+    // state-level forgetting: codes AND the raw-vector cold store
+    Seq("codes", "vecs").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("vec_id") % 100 === 50).count() === 0,
+        s"erased ids must leave $t")
+    }
+    // the frozen models are aggregate state and survive (re-deriving them
+    // would re-key every stored code)
+    assert(spark.read.parquet(s"$root/cb").count() === cbBefore)
+    // and no erased id can reach a shortlist
+    assert(!IncrementalIvfPq.query(spark, root).collect()
+      .exists(_.getAs[Long]("neighbor_id") % 100 == 50))
+  }
+
   test("CDC index: erasure purges state, replayed appends are structurally invisible") {
     val d = "/root/testdata/sf0.01"
     val root = java.nio.file.Files.createTempDirectory("graft_icdc_spec_").toString
