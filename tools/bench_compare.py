@@ -20,8 +20,15 @@ recorded best is classified by its CPU reading:
 Exit code: 1 if any REGRESSION, else 0. Prints composites first.
 """
 import json
+import signal
 import sys
 from pathlib import Path
+
+# tolerate `| head` consumers
+try:
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+except (AttributeError, ValueError):
+    pass
 
 BASELINE = Path(__file__).resolve().parent.parent / "BENCH_BASELINE.json"
 
@@ -51,6 +58,19 @@ def main():
     common = [k for k, w in walls.items() if w is not None and w >= 0 and k in bests]
     if not common:
         raise SystemExit("no overlapping successful gates to compare")
+    # the CPU contract's validity regime: under MODERATE external load CPU
+    # holds while wall stretches (SCALE.md round 16 probe), but once the
+    # box SATURATES (runnable threads well past the cores — observed at
+    # load1 ~9 with our own 32 threads) context-switch/cache thrash
+    # inflates CPU too (run 4 of round 16: untouched gates at 1.8-5.8x CPU
+    # that reproduced their bests on the same binary in calmer runs).
+    # Flag that regime instead of emitting confident REGRESSION verdicts.
+    run_load = max(run.get("load1_before", 0.0), run.get("load1_after", 0.0))
+    saturated = run_load > 4.0
+    if saturated:
+        print(f"WARNING: run saw load1 up to {run_load:.1f} — burst-saturated; "
+              "CPU inflates under saturation, so REGRESSION flags below are "
+              "tentative (re-run on a calmer box before acting)")
     wall_comp = sum(walls[k] / bests[k] for k in common) / len(common)
     cpu_common = [k for k in common
                   if cpus.get(k, -1) >= 0 and cpu_bests.get(k, -1) > 0]
@@ -65,8 +85,9 @@ def main():
         cb, c = cpu_bests.get(k, -1), cpus.get(k, -1)
         if cb > 0 and c >= 0:
             if c > cpu_x * cb:
-                cls = "REGRESSION"
-                regressions.append(k)
+                cls = "REGRESSION?" if saturated else "REGRESSION"
+                if not saturated:
+                    regressions.append(k)
             else:
                 cls = "LOAD"
             print(f"{cls:10s} {k}: wall {walls[k]:.2f}s vs best {bests[k]:.2f}s "
