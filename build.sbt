@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route forked `run` output straight to stdout (no `[info] ` decoration)
+// and drop the `[success] Total time ...` epilogue so graft.Bench's
+// compact JSON trailer is the LAST bare line on stdout — the bench
+// driver parses the stdout tail and sbt's logger was defeating it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

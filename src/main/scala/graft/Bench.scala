@@ -101,20 +101,25 @@ object Bench {
     // inflated subset instead of doubling the whole bench. Min-reporting
     // cannot hide a real regression: a genuinely slower query reproduces
     // its time in the retry.
-    val baseline: Map[String, Double] = try {
+    val (baseline, cpuBaseline): (Map[String, Double], Map[String, Double]) = try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readAllBytes(p)).get("queries")
-      val m = scala.collection.mutable.Map.empty[String, Double]
-      node.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble())
-      m.toMap
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(p))
+      def asMap(key: String): Map[String, Double] = {
+        val node = root.get(key)
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        if (node != null)
+          node.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asDouble())
+        m.toMap
+      }
+      (asMap("queries"), asMap("cpu"))
     } catch { case e: Exception =>
       // a silently-empty baseline would disable every retry while emitting
       // output indistinguishable from a clean idle run — say so
       System.err.println(s"[bench] no per-query baseline (${e.getMessage}): " +
         "load-retry protection limited to the absolute threshold")
-      Map.empty
+      (Map.empty, Map.empty)
     }
     val unbaselined = selected.keySet -- baseline.keySet
     if (baseline.nonEmpty && unbaselined.nonEmpty)
@@ -123,11 +128,22 @@ object Bench {
     val first = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn))
     }
-    val results = first.map { case (name, fn, r1 @ (t1, _, _)) =>
+    val results = first.map { case (name, fn, r1 @ (t1, c1, _)) =>
       // no recorded best (new query, missing artifact): fall back to an
-      // absolute guard so the newest queries aren't the unprotected ones
-      val retry = t1 >= 0 &&
+      // absolute guard so the newest queries aren't the unprotected ones.
+      // CPU gate (round-16 lesson: 207/312 gates retried under co-tenant
+      // load, nearly doubling the bench): a wall overrun whose CPU is
+      // still at its recorded best is LOAD, and a retry under the same
+      // load just doubles the cost without improving the reading — so
+      // retry only when CPU ALSO exceeds its best by >1.3× (or when no
+      // CPU best exists yet, where wall is the only signal we have).
+      val wallOver = t1 >= 0 &&
         baseline.get(name).fold(t1 > 3.0)(b => t1 > 1.3 * b + 0.2)
+      val cpuAlsoOver = cpuBaseline.get(name) match {
+        case Some(cb) if cb > 0 && c1 >= 0 => c1 > 1.3 * cb + 0.05
+        case _ => true // no CPU reference: keep the wall-only behavior
+      }
+      val retry = wallOver && cpuAlsoOver
       if (!retry) name -> (r1, false)
       else {
         val r2 @ (t2, _, _) = timeOne(name, fn)

@@ -52,11 +52,21 @@ object IndexMaintenance {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(rewrites.map { case (t, df) =>
+      // Await EVERY rewrite (Try-wrapped, so one failure doesn't
+      // short-circuit the wait) before propagating the first failure —
+      // Future.sequence rethrows on the first failed future while sibling
+      // swap-ins may still be mid-delete/rename, and a caller reacting to
+      // the exception (read, retry) would race those in-flight swaps.
+      val outcomes = scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(rewrites) { case (t, df) =>
           scala.concurrent.Future(swapIn(s, root, t, df))
-        }),
+            .transform(r => scala.util.Success(t -> r))
+        },
         scala.concurrent.duration.Duration.Inf)
+      outcomes.collectFirst { case (t, scala.util.Failure(e)) =>
+        throw new RuntimeException(s"swapInConcurrently: rewrite of '$t' failed " +
+          "(all sibling rewrites have completed or failed — none in flight)", e)
+      }
       ()
     } finally { pool.shutdown() }
   }

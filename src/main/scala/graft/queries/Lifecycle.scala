@@ -2369,10 +2369,12 @@ object Lifecycle {
     DifferentialPrivacy.setBudget("c27_customer", 1.0)
     val c = Tables.customer(s, d)
     val cnt = DifferentialPrivacy.releaseCount(
-      c, Seq("c_mktsegment"), "c27_customer", "c27_seg_count", epsilon = 0.5)
+      c, Seq("c_mktsegment"), "c27_customer", "c27_seg_count", epsilon = 0.5,
+      insecureDeterministicNoise = true)
     val sm = DifferentialPrivacy.releaseBoundedSum(
       c, Seq("c_mktsegment"), "c_acctbal", lo = 0.0, hi = 10000.0,
-      "c27_customer", "c27_seg_sum", epsilon = 0.5)
+      "c27_customer", "c27_seg_sum", epsilon = 0.5,
+      insecureDeterministicNoise = true)
     cnt.join(sm, Seq("c_mktsegment"))
   }
 
@@ -2385,10 +2387,10 @@ object Lifecycle {
       |  FROM customer GROUP BY 1),
       |u AS (
       |  SELECT c_mktsegment, n, s,
-      |         (('0x' || substr(md5('c27_seg_count:' || c_mktsegment), 1, 15))::BIGINT
-      |            + 0.5) / 1152921504606846976.0 - 0.5 AS uc,
-      |         (('0x' || substr(md5('c27_seg_sum:' || c_mktsegment), 1, 15))::BIGINT
-      |            + 0.5) / 1152921504606846976.0 - 0.5 AS us
+      |         (('0x' || substr(md5('c27_seg_count:' || c_mktsegment), 1, 13))::BIGINT
+      |            + 0.5) / 4503599627370496.0 - 0.5 AS uc,
+      |         (('0x' || substr(md5('c27_seg_sum:' || c_mktsegment), 1, 13))::BIGINT
+      |            + 0.5) / 4503599627370496.0 - 0.5 AS us
       |  FROM base)
       |SELECT c_mktsegment,
       |       CAST(n AS DOUBLE)
@@ -2412,7 +2414,8 @@ object Lifecycle {
     DifferentialPrivacy.setBudget("c28_orders", 1.0)
     DifferentialPrivacy.releaseUserCount(
       Tables.orders(s, d), "o_custkey", Seq("o_orderpriority"),
-      maxGroupsPerUser = 2, "c28_orders", "c28_prio_users", epsilon = 1.0)
+      maxGroupsPerUser = 2, "c28_orders", "c28_prio_users", epsilon = 1.0,
+      insecureDeterministicNoise = true)
   }
 
   val dpUserLevelOracle: String =
@@ -2432,8 +2435,8 @@ object Lifecycle {
       |         AS dp_users
       |FROM (SELECT o_orderpriority, n,
       |             (('0x' || substr(md5('c28_prio_users:' || o_orderpriority),
-      |                              1, 15))::BIGINT + 0.5)
-      |                / 1152921504606846976.0 - 0.5 AS u
+      |                              1, 13))::BIGINT + 0.5)
+      |                / 4503599627370496.0 - 0.5 AS u
       |      FROM base)""".stripMargin
 
   /** C5 feed catalog: built-in sync + a CRUD sequence; final state against a

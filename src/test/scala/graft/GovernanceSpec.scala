@@ -166,24 +166,28 @@ class GovernanceSpec extends SparkSpec {
     DifferentialPrivacy.setBudget("dp_spec", 1.0)
     import spark.implicits._
     val df = Seq(("a", 5.0), ("a", 7.0), ("b", 3.0)).toDF("g", "v")
-    val r1 = DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.5).collect()
+    val r1 = DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.5,
+      insecureDeterministicNoise = true).collect()
     assert(DifferentialPrivacy.spent("dp_spec") === 0.5)
     // idempotent re-release: same id + same epsilon charges nothing new
     // and (seeded mechanism) returns bit-identical values
-    val r1again = DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.5).collect()
+    val r1again = DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.5,
+      insecureDeterministicNoise = true).collect()
     assert(DifferentialPrivacy.spent("dp_spec") === 0.5)
     assert(r1.map(_.toSeq.toList).toSet === r1again.map(_.toSeq.toList).toSet)
     // same id at a different epsilon is a different mechanism — refused
     val e1 = intercept[IllegalStateException] {
-      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.25)
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r1", 0.25,
+        insecureDeterministicNoise = true)
     }
     assert(e1.getMessage.contains("different mechanism"), e1.getMessage)
     // second release fits exactly; a third exceeds the budget
     DifferentialPrivacy.releaseBoundedSum(df, Seq("g"), "v", 0.0, 10.0,
-      "dp_spec", "r2", 0.5)
+      "dp_spec", "r2", 0.5, insecureDeterministicNoise = true)
     assert(DifferentialPrivacy.spent("dp_spec") === 1.0)
     val e2 = intercept[IllegalStateException] {
-      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r3", 0.5)
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_spec", "r3", 0.5,
+        insecureDeterministicNoise = true)
     }
     assert(e2.getMessage.contains("budget exhausted"), e2.getMessage)
     // a budget can never tighten below what is already spent
@@ -192,6 +196,58 @@ class GovernanceSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("already spent"), e3.getMessage)
     DifferentialPrivacy.reset("dp_spec")
+  }
+
+  test("DP release: seeded noise demands the explicit insecure acknowledgement") {
+    import graft.governance.DifferentialPrivacy
+    DifferentialPrivacy.reset("dp_ack")
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_ack", "r1", 0.5,
+        insecureDeterministicNoise = false)
+    }
+    assert(e.getMessage.contains("NO differential-privacy guarantee"), e.getMessage)
+    // refused BEFORE charging: the budget is untouched
+    assert(DifferentialPrivacy.spent("dp_ack") === 0.0)
+    DifferentialPrivacy.reset("dp_ack")
+  }
+
+  test("DP accountant: spend survives a process restart via the JSON sidecar") {
+    import graft.governance.DifferentialPrivacy
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dp_ledger")
+    val sidecar = dir.resolve("dp_ledger.json")
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    try {
+      DifferentialPrivacy.reset("dp_durable")
+      DifferentialPrivacy.persistTo(sidecar)
+      DifferentialPrivacy.setBudget("dp_durable", 1.0)
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_durable", "r1", 0.6,
+        insecureDeterministicNoise = true)
+      assert(DifferentialPrivacy.spent("dp_durable") === 0.6)
+      // simulate a restart: detach the sidecar, wipe memory, re-attach
+      DifferentialPrivacy.stopPersisting()
+      DifferentialPrivacy.reset("dp_durable")
+      assert(DifferentialPrivacy.spent("dp_durable") === 0.0)
+      DifferentialPrivacy.persistTo(sidecar)
+      assert(DifferentialPrivacy.spent("dp_durable") === 0.6,
+        "sidecar must restore spend across restarts")
+      // the restored ledger still enforces the restored budget
+      val e = intercept[IllegalStateException] {
+        DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_durable", "r2", 0.5,
+          insecureDeterministicNoise = true)
+      }
+      assert(e.getMessage.contains("budget exhausted"), e.getMessage)
+      // and the idempotent path still charges nothing new
+      DifferentialPrivacy.releaseCount(df, Seq("g"), "dp_durable", "r1", 0.6,
+        insecureDeterministicNoise = true)
+      assert(DifferentialPrivacy.spent("dp_durable") === 0.6)
+    } finally {
+      DifferentialPrivacy.stopPersisting()
+      DifferentialPrivacy.reset("dp_durable")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile); ()
+    }
   }
 
   test("DP release: sensitivity bound — out-of-range contributions are clamped") {
@@ -205,15 +261,15 @@ class GovernanceSpec extends SparkSpec {
     val clean = Seq(("a", 5.0), ("a", 10.0), ("b", 3.0)).toDF("g", "v")
     val wild = Seq(("a", 5.0), ("a", 1.0e7), ("b", 3.0)).toDF("g", "v")
     val rc = DifferentialPrivacy.releaseBoundedSum(clean, Seq("g"), "v", 0.0, 10.0,
-      "dp_sens", "s1", 1.0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      "dp_sens", "s1", 1.0, insecureDeterministicNoise = true).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     DifferentialPrivacy.reset("dp_sens")
     val rw = DifferentialPrivacy.releaseBoundedSum(wild, Seq("g"), "v", 0.0, 10.0,
-      "dp_sens", "s1", 1.0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      "dp_sens", "s1", 1.0, insecureDeterministicNoise = true).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rc === rw, s"clamping must bound the outlier's influence: $rc vs $rw")
     // inverted bounds refused
     intercept[IllegalArgumentException] {
       DifferentialPrivacy.releaseBoundedSum(clean, Seq("g"), "v", 10.0, 0.0,
-        "dp_sens", "s2", 1.0)
+        "dp_sens", "s2", 1.0, insecureDeterministicNoise = true)
     }
     DifferentialPrivacy.reset("dp_sens")
   }
@@ -231,7 +287,8 @@ class GovernanceSpec extends SparkSpec {
       .toDF("user", "g")
     def release(df: org.apache.spark.sql.DataFrame, id: String) = {
       val out = DifferentialPrivacy.releaseUserCount(
-        df, "user", Seq("g"), maxGroupsPerUser = 2, "dp_user", id, 1.0)
+        df, "user", Seq("g"), maxGroupsPerUser = 2, "dp_user", id, 1.0,
+        insecureDeterministicNoise = true)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       DifferentialPrivacy.reset("dp_user"); out
     }

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Classify a bench run's drift vs BENCH_BASELINE.json using the CPU contract.
 
-Usage: python3 tools/bench_compare.py [BENCH_SELF.json] [--wall-x 2.0] [--cpu-x 1.3]
+Usage: python3 tools/bench_compare.py [BENCH_SELF.json] [--wall-x=2.0] [--cpu-x=1.3]
+       (the two-token form `--wall-x 2.0` is also accepted)
 
 The shared box's co-tenant bursts stretch WALL while leaving (or slightly
 shrinking) the CPU our own work burns (SCALE.md §round 16: wall 2.01x under
@@ -43,12 +44,25 @@ def load_run(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both --name=value and the two-token --name value form
+    argv, flags, args = sys.argv[1:], {}, []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                name, val = a[2:].split("=", 1)
+            elif i + 1 < len(argv):
+                name, val = a[2:], argv[i + 1]
+                i += 1
+            else:
+                raise SystemExit(f"{a}: missing value")
+            flags[name] = float(val)
+        else:
+            args.append(a)
+        i += 1
     def flag(name, default):
-        for a in sys.argv[1:]:
-            if a.startswith(f"--{name}="):
-                return float(a.split("=", 1)[1])
-        return default
+        return flags.get(name, default)
     wall_x = flag("wall-x", 2.0)
     cpu_x = flag("cpu-x", 1.3)
     run = load_run(args[0] if args else "BENCH_SELF.json")
