@@ -195,5 +195,7 @@ object Bench {
       s""""cpu_total":$cpuTotal,"task_cpu_total":$taskCpuTotal,""" +
       s""""load1_before":$loadBefore,"load1_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
+    // outputs are written; reclaim every scratch dir this session created
+    Tmp.purge()
   }
 }

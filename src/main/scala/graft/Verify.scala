@@ -29,5 +29,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // outputs are written; reclaim every scratch dir this session created
+    Tmp.purge()
   }
 }

@@ -69,7 +69,7 @@ object IncrementalCdc {
     * oracle over the whole corpus (batch boundaries invisible).
     */
   def cdcIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_icdc_").toString
+    val root = graft.Tmp.dir("graft_icdc_").toString
     val docs = Tables.documents(s, d)
     init(docs.filter(col("doc_id") < 200), root)
     append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350), root)
@@ -83,7 +83,7 @@ object IncrementalCdc {
     * the erased docs' chunks).
     */
   def cdcErasure(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_ecdc_").toString
+    val root = graft.Tmp.dir("graft_ecdc_").toString
     val docs = Tables.documents(s, d)
     init(docs.filter(col("doc_id") < 250), root)
     append(docs.filter(col("doc_id") >= 250), root)
@@ -116,10 +116,10 @@ object IncrementalCdc {
     * at-least-once tolerance is structural here, not bolted on).
     */
   def streamCdcIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_scdc_").toString
+    val root = graft.Tmp.dir("graft_scdc_").toString
     val docs = Tables.documents(s, d).persist()
     init(docs.filter(col("doc_id") < 200), root)
-    val staged = Files.createTempDirectory("graft_scdc_src_")
+    val staged = graft.Tmp.dir("graft_scdc_src_")
     docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
     docs.filter(col("doc_id") >= 350)
@@ -133,7 +133,7 @@ object IncrementalCdc {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_scdc_ckpt_").toString)
+        graft.Tmp.dir("graft_scdc_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         append(batch, root)

@@ -139,7 +139,7 @@ object IncrementalFuzzy {
     * order-independent).
     */
   def fuzzyIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_ifuzzy_").toString
+    val root = graft.Tmp.dir("graft_ifuzzy_").toString
     val rows = customerRows(s, d)
     init(rows.filter(col("id") < 500), root, maxDist = 1)
     append(rows.filter(col("id") >= 500 && col("id") < 1000), root, maxDist = 1)
@@ -154,10 +154,10 @@ object IncrementalFuzzy {
     * boundaries must be invisible in the final pair set.
     */
   def streamFuzzyIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_sfuzzy_").toString
+    val root = graft.Tmp.dir("graft_sfuzzy_").toString
     val rows = customerRows(s, d).persist()
     init(rows.filter(col("id") < 500), root, maxDist = 1)
-    val staged = Files.createTempDirectory("graft_sfuzzy_src_")
+    val staged = graft.Tmp.dir("graft_sfuzzy_src_")
     rows.filter(col("id") >= 500 && col("id") < 1000)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
     rows.filter(col("id") >= 1000)
@@ -170,7 +170,7 @@ object IncrementalFuzzy {
       .parquet(s"$staged/chunk=*")
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("graft_sfuzzy_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_sfuzzy_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // At-least-once guard: a batch whose append fully committed but
@@ -218,7 +218,7 @@ object IncrementalFuzzy {
     * the ExtSpec pin proves it actually collapsed the file counts.
     */
   def fuzzyCompact(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_cfuzzy_").toString
+    val root = graft.Tmp.dir("graft_cfuzzy_").toString
     val rows = customerRows(s, d)
     init(rows.filter(col("id") < 1000), root, maxDist = 1)
     append(rows.filter(col("id") >= 1000), root, maxDist = 1)
@@ -275,7 +275,7 @@ object IncrementalFuzzy {
     * table, not merely from results.
     */
   def fuzzyIndexErasure(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_efuzzy_").toString
+    val root = graft.Tmp.dir("graft_efuzzy_").toString
     val rows = customerRows(s, d)
     init(rows.filter(col("id") < 1000), root, maxDist = 1)
     append(rows.filter(col("id") >= 1000), root, maxDist = 1)
@@ -309,8 +309,8 @@ object IncrementalFuzzy {
     * rewrote history.
     */
   def fuzzyIndexSql(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_ifuzzy_cat_").toString
-    val lakeRoot = Files.createTempDirectory("graft_ifuzzy_lakecat_").toString
+    val root = graft.Tmp.dir("graft_ifuzzy_cat_").toString
+    val lakeRoot = graft.Tmp.dir("graft_ifuzzy_lakecat_").toString
     val rows = customerRows(s, d)
     init(rows.filter(col("id") < 1000), root, maxDist = 1)
     graft.lake.Lake.writeTableSnapshot(

@@ -86,7 +86,7 @@ object IncrementalIvf {
     * append-then-incremental ≡ full recompute.
     */
   def ivfIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_iivf_").toString
+    val root = graft.Tmp.dir("graft_iivf_").toString
     val vecs = Tables.embeddings(s, d)
     init(vecs.filter(col("vec_id") < 250), root)
     append(vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375), root)
@@ -99,10 +99,10 @@ object IncrementalIvf {
     * query results.
     */
   def streamIvfIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_sivf_").toString
+    val root = graft.Tmp.dir("graft_sivf_").toString
     val vecs = Tables.embeddings(s, d).persist()
     init(vecs.filter(col("vec_id") < 250), root)
-    val staged = Files.createTempDirectory("graft_sivf_src_")
+    val staged = graft.Tmp.dir("graft_sivf_src_")
     vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
     vecs.filter(col("vec_id") >= 375)
@@ -115,7 +115,7 @@ object IncrementalIvf {
       .parquet(s"$staged/chunk=*")
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("graft_sivf_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_sivf_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new java.io.File(s"$root/_applied_batch_$batchId")

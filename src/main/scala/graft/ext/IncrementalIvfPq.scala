@@ -164,7 +164,7 @@ object IncrementalIvfPq {
     * [[Similarity.annIvfPq]] oracle.
     */
   def ivfPqIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_iivfpq_").toString
+    val root = graft.Tmp.dir("graft_iivfpq_").toString
     val vecs = Tables.embeddings(s, d)
     init(vecs.filter(col("vec_id") < 250), root)
     append(vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375), root)
@@ -176,10 +176,10 @@ object IncrementalIvfPq {
     * at-least-once replay guard.
     */
   def streamIvfPqIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_sivfpq_").toString
+    val root = graft.Tmp.dir("graft_sivfpq_").toString
     val vecs = Tables.embeddings(s, d).persist()
     init(vecs.filter(col("vec_id") < 250), root)
-    val staged = Files.createTempDirectory("graft_sivfpq_src_")
+    val staged = graft.Tmp.dir("graft_sivfpq_src_")
     vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
     vecs.filter(col("vec_id") >= 375)
@@ -193,7 +193,7 @@ object IncrementalIvfPq {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_sivfpq_ckpt_").toString)
+        graft.Tmp.dir("graft_sivfpq_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new java.io.File(s"$root/_applied_batch_$batchId")
@@ -216,7 +216,7 @@ object IncrementalIvfPq {
     * set, so the shortlists re-rank over exactly the survivors.
     */
   def ivfPqErasure(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_eivfpq_").toString
+    val root = graft.Tmp.dir("graft_eivfpq_").toString
     val vecs = Tables.embeddings(s, d)
     init(vecs.filter(col("vec_id") < 250), root)
     append(vecs.filter(col("vec_id") >= 250), root)

@@ -180,7 +180,7 @@ object IncrementalLsh {
     * full recompute with no duplicated or lost pairs across appends.
     */
   def lshIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_ilsh_").toString
+    val root = graft.Tmp.dir("graft_ilsh_").toString
     val docs = Dedup.plantedDocs(s)
     init(docs.filter(col("doc_id") < 100), root)
     append(docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1010), root)
@@ -197,10 +197,10 @@ object IncrementalLsh {
     * everything ingested — batch boundaries invisible.
     */
   def streamLshIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_slsh_").toString
+    val root = graft.Tmp.dir("graft_slsh_").toString
     val docs = Dedup.plantedDocs(s).persist()
     init(docs.filter(col("doc_id") < 100), root)
-    val staged = Files.createTempDirectory("graft_slsh_src_")
+    val staged = graft.Tmp.dir("graft_slsh_src_")
     // two arrival files in id order (ids grow with arrival time in a crawl)
     docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1010)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
@@ -214,7 +214,7 @@ object IncrementalLsh {
       .parquet(s"$staged/chunk=*")
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("graft_slsh_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_slsh_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // at-least-once guard (same contract as IncrementalFuzzy's gate):
@@ -243,7 +243,7 @@ object IncrementalLsh {
     * ids stay spent.
     */
   def lshErasure(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_elsh_").toString
+    val root = graft.Tmp.dir("graft_elsh_").toString
     val docs = Dedup.plantedDocs(s)
     init(docs.filter(col("doc_id") < 100), root)
     append(docs.filter(col("doc_id") >= 1000), root)

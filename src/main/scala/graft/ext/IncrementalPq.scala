@@ -125,7 +125,7 @@ object IncrementalPq {
     * hash-match the one-shot [[Similarity.annPq]] oracle.
     */
   def pqIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_ipq_").toString
+    val root = graft.Tmp.dir("graft_ipq_").toString
     val vecs = Tables.embeddings(s, d)
     init(vecs.filter(col("vec_id") < 250), root)
     append(vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375), root)
@@ -138,10 +138,10 @@ object IncrementalPq {
     * boundaries invisible in the query results.
     */
   def streamPqIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_spq_").toString
+    val root = graft.Tmp.dir("graft_spq_").toString
     val vecs = Tables.embeddings(s, d).persist()
     init(vecs.filter(col("vec_id") < 250), root)
-    val staged = Files.createTempDirectory("graft_spq_src_")
+    val staged = graft.Tmp.dir("graft_spq_src_")
     vecs.filter(col("vec_id") >= 250 && col("vec_id") < 375)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
     vecs.filter(col("vec_id") >= 375)
@@ -153,7 +153,7 @@ object IncrementalPq {
       .parquet(s"$staged/chunk=*")
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("graft_spq_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_spq_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new java.io.File(s"$root/_applied_batch_$batchId")

@@ -181,7 +181,7 @@ object IncrementalSimhash {
     * full recompute.
     */
   def simhashIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_isim_").toString
+    val root = graft.Tmp.dir("graft_isim_").toString
     val docs = Dedup.plantedDocs(s)
     init(docs.filter(col("doc_id") < 50), root)
     append(docs.filter(col("doc_id") >= 50 && col("doc_id") < 1010), root)
@@ -194,10 +194,10 @@ object IncrementalSimhash {
     * must be invisible in the final pair set.
     */
   def streamSimhashIndex(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_ssim_").toString
+    val root = graft.Tmp.dir("graft_ssim_").toString
     val docs = Dedup.plantedDocs(s).persist()
     init(docs.filter(col("doc_id") < 50), root)
-    val staged = Files.createTempDirectory("graft_ssim_src_")
+    val staged = graft.Tmp.dir("graft_ssim_src_")
     docs.filter(col("doc_id") >= 50 && col("doc_id") < 1010)
       .coalesce(1).write.parquet(s"$staged/chunk=0")
     docs.filter(col("doc_id") >= 1010)
@@ -210,7 +210,7 @@ object IncrementalSimhash {
       .parquet(s"$staged/chunk=*")
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("graft_ssim_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_ssim_ckpt_").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // re-delivered fully-committed batches are no-ops; a mid-append
@@ -237,7 +237,7 @@ object IncrementalSimhash {
     * level; here the oracle checks the output level exactly.
     */
   def simhashErasure(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_esim_").toString
+    val root = graft.Tmp.dir("graft_esim_").toString
     val docs = Dedup.plantedDocs(s)
     init(docs.filter(col("doc_id") < 50), root)
     append(docs.filter(col("doc_id") >= 50), root)

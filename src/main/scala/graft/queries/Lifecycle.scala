@@ -21,7 +21,7 @@ import Q.QueryFn
 object Lifecycle {
 
   private def scratch(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.Tmp.dir(prefix).toString
 
   /** A6/A8 round-trip: events → event-date partitions → read back → per-day
     * counts. Oracle recomputes the same from the raw table, so partition

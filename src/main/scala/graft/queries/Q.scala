@@ -36,7 +36,7 @@ object Q {
     * caller gets a plain scan of the snapshot, driver memory O(1).
     */
   def snapshot(q: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+    val dir = graft.Tmp.dir("graft_snap_").toString
     q.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
     q.sparkSession.read.parquet(dir)
   }

@@ -585,7 +585,7 @@ object Scale {
     * invisible in the result.
     */
   def dppJoin(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_dpp_").toString
+    val root = graft.Tmp.dir("graft_dpp_").toString
     Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_extendedprice"),
         pmod(col("l_suppkey"), lit(64)).as("sup_bucket"))
@@ -670,7 +670,7 @@ object Scale {
     */
   def mvRewrite(s: SparkSession, d: String): DataFrame = {
     import graft.warehouse.SummaryRewrite
-    val root = Files.createTempDirectory("graft_mv_").toString
+    val root = graft.Tmp.dir("graft_mv_").toString
     val basePath = Tables.path(d, "lineitem")
     try {
       SummaryRewrite.create(s, "mv_li_rfls", basePath, s"$root/mv",
@@ -780,7 +780,7 @@ object Scale {
     */
   def customParser(s: SparkSession, d: String): DataFrame = {
     import graft.warehouse.SummaryRewrite
-    val root = Files.createTempDirectory("graft_parser_").toString
+    val root = graft.Tmp.dir("graft_parser_").toString
     try {
       SummaryRewrite.create(s, "mv_orders_by_prio", Tables.path(d, "orders"), s"$root/mv1",
         keys = Seq("o_orderpriority"),
@@ -808,7 +808,7 @@ object Scale {
     */
   def orchestratorRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val root = Files.createTempDirectory("graft_orch_").toString
+    val root = graft.Tmp.dir("graft_orch_").toString
     val first = Orchestrator.runOnce(s, d, root)
     val second = Orchestrator.runOnce(s, d, root) // re-run: versions advance
     (first.map(r => (r.task, r.status, 1)) ++ second.map(r => (r.task, r.status, 2)))
@@ -832,7 +832,7 @@ object Scale {
     */
   def orchestratorSchedule(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val root = Files.createTempDirectory("graft_orch_sched_").toString
+    val root = graft.Tmp.dir("graft_orch_sched_").toString
     val ticks = Orchestrator.runScheduled(s, d, root, ticks = 3, intervalMs = 100)
     ticks.flatMap(t => t.results.map(r =>
       (t.tick, r.task, r.status,

@@ -44,7 +44,7 @@ object Streams {
     // source may be a single parquet file (driver testdata) or a directory
     // of part files (ScaleUp output); stage every data file either way.
     val path = stagedDirs.computeIfAbsent(dir, { d =>
-      val staged = Files.createTempDirectory("graft_src_")
+      val staged = graft.Tmp.dir("graft_src_")
       val src = java.nio.file.Paths.get(graft.Tables.path(d, "events"))
       if (Files.isDirectory(src)) {
         val listing = Files.list(src)
@@ -73,7 +73,7 @@ object Streams {
   private def stageChunks(
       df: DataFrame, keyCol: String,
       nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
-    val staged = Files.createTempDirectory("graft_chunks_")
+    val staged = graft.Tmp.dir("graft_chunks_")
     writeChunksOrdered(df, pmod(col(keyCol), lit(nChunks)), staged.toString)
     (s"$staged/chunk=*", df.schema)
   }
@@ -135,7 +135,7 @@ object Streams {
       .queryName(name)
       .outputMode(mode)
       .option("checkpointLocation",
-        checkpoint.getOrElse(Files.createTempDirectory("graft_ckpt_").toString))
+        checkpoint.getOrElse(graft.Tmp.dir("graft_ckpt_").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -187,7 +187,7 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).as("value_mass"),
         max(col("ts_us")).as("max_ts_us"))
       .writeStream.format("noop")
-      .option("checkpointLocation", Files.createTempDirectory("graft_obs_ck_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_obs_ck_").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -229,7 +229,7 @@ object Streams {
     */
   def streamLateCapture(s: SparkSession, d: String): DataFrame = {
     val (glob, schema) = stageInterleavedEventChunks(s, d, 4)
-    val root = Files.createTempDirectory("graft_late_").toString
+    val root = graft.Tmp.dir("graft_late_").toString
     val latenessUs = 7L * 24 * 3600 * 1000000 // 7 event-time days
     val hwmPath = s"$root/hwm"
     val q = s.readStream.schema(schema)
@@ -270,7 +270,7 @@ object Streams {
         ()
       }
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_late_ck_").toString)
+        graft.Tmp.dir("graft_late_ck_").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -307,7 +307,7 @@ object Streams {
     * batch truth exactly.
     */
   def stateReader(s: SparkSession, d: String): DataFrame = {
-    val ckpt = Files.createTempDirectory("graft_state_ck_").toString
+    val ckpt = graft.Tmp.dir("graft_state_ck_").toString
     drain(
       eventsStream(s, d)
         .groupBy(col("user_id"))
@@ -559,7 +559,7 @@ object Streams {
     * kafka_consumer_datalake.py pipeline, Spark-native).
     */
   def streamIngestLake(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_slake_").toString
+    val root = graft.Tmp.dir("graft_slake_").toString
     val q = eventsStream(s, d)
       .withColumn("year", year(col("event_ts")))
       .withColumn("month", month(col("event_ts")))
@@ -569,7 +569,7 @@ object Streams {
       .format("parquet")
       .partitionBy("year", "month", "day")
       .option("path", s"$root/streams/events")
-      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_ckpt_").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -612,12 +612,12 @@ object Streams {
     * raw events.
     */
   def streamCatalogSink(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_scat_").toString
+    val root = graft.Tmp.dir("graft_scat_").toString
     val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
     val q = streamToCatalogTable(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(glob),
       root, "ev_cat", "sinkA",
-      Files.createTempDirectory("graft_ckpt_").toString)
+      graft.Tmp.dir("graft_ckpt_").toString)
     q.awaitTermination()
     val vs = graft.lake.Lake.versions(s, root, "ev_cat")
     require(vs.size >= 4, s"one version per micro-batch epoch (got ${vs.size})")
@@ -664,7 +664,7 @@ object Streams {
     * which is exactly what the oracle asserts.
     */
   def streamUpsertWarehouse(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_supsert_").toString
+    val root = graft.Tmp.dir("graft_supsert_").toString
     val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
     val q = s.readStream
       .schema(schema)
@@ -672,7 +672,7 @@ object Streams {
       .parquet(glob)
       .writeStream
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_ckpt_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // merge resolves within-batch duplicates itself (latest by
@@ -707,8 +707,8 @@ object Streams {
     * too.)
     */
   def streamFanout(s: SparkSession, d: String): DataFrame = {
-    val lakeRoot = Files.createTempDirectory("graft_fan_lake_").toString
-    val whRoot = Files.createTempDirectory("graft_fan_wh_").toString
+    val lakeRoot = graft.Tmp.dir("graft_fan_lake_").toString
+    val whRoot = graft.Tmp.dir("graft_fan_wh_").toString
     val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
     val q = s.readStream
       .schema(schema)
@@ -716,7 +716,7 @@ object Streams {
       .parquet(glob)
       .writeStream
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_ckpt_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
@@ -770,7 +770,7 @@ object Streams {
     */
   def streamTableChanges(s: SparkSession, d: String): DataFrame = {
     import graft.lake.Lake
-    val root = Files.createTempDirectory("graft_cdc_").toString
+    val root = graft.Tmp.dir("graft_cdc_").toString
     val o = graft.Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
     val k = col("o_orderkey")
     def gen(i: Long): DataFrame = i match {
@@ -783,13 +783,13 @@ object Streams {
     // 4 tick files drive 4 micro-batches (content irrelevant — the ticks
     // pace the generations; a deployed pipeline is driven by a notify
     // topic or a timer the same way)
-    val ticks = Files.createTempDirectory("graft_cdc_ticks_")
+    val ticks = graft.Tmp.dir("graft_cdc_ticks_")
     writeChunksOrdered(s.range(4).toDF("id"), col("id").cast("int"), ticks.toString)
     val schema = s.read.parquet(s"$ticks/chunk=0").schema
     val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(s"$ticks/chunk=*")
       .writeStream
-      .option("checkpointLocation", Files.createTempDirectory("graft_cdc_ck_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_cdc_ck_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (_: DataFrame, id: Long) =>
         val newV = Lake.writeTableSnapshot(gen(id), root, "cdc_src")
@@ -885,7 +885,7 @@ object Streams {
     */
   def streamMvRefresh(s: SparkSession, d: String): DataFrame = {
     import graft.warehouse.SummaryRewrite
-    val root = Files.createTempDirectory("graft_smv_").toString
+    val root = graft.Tmp.dir("graft_smv_").toString
     val base = s"$root/events_base"
     val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 4)
     // seed: the first chunk becomes the initial base + summary
@@ -903,7 +903,7 @@ object Streams {
         .filter(pmod(col("event_id"), lit(4)) =!= 0) // seed already applied
         .writeStream
         .outputMode(OutputMode.Append())
-        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .option("checkpointLocation", graft.Tmp.dir("graft_ckpt_").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
@@ -947,13 +947,13 @@ object Streams {
     * idempotent and batch-composable by construction).
     */
   def streamErasure(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_serase_").toString
+    val root = graft.Tmp.dir("graft_serase_").toString
     val ev = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("value"),
         timestamp_micros(col("ts_us")).as("ts"))
     graft.lake.Lake.appendStream(ev, root, "events", eventTimeCol = Some("ts"))
     // deletion requests: user_id % 13 == 0, split into 3 request files
-    val reqDir = Files.createTempDirectory("graft_serase_req_").toString
+    val reqDir = graft.Tmp.dir("graft_serase_req_").toString
     val subjects = graft.Tables.events(s, d).select(col("user_id"))
       .filter(col("user_id") % 13 === 0).distinct()
     writeChunksOrdered(subjects, pmod(col("user_id"), lit(3)).cast("int"), reqDir)
@@ -964,7 +964,7 @@ object Streams {
       .parquet(s"$reqDir/chunk=*")
       .writeStream
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation", graft.Tmp.dir("graft_ckpt_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.lake.Lake.eraseKeys(
@@ -1223,7 +1223,7 @@ object Streams {
     val delayUs = delayMs * 1000
     val midTs = minTs + (maxTs - minTs) / 2
     val day = 86400L * 1000000L
-    val staged = Files.createTempDirectory("graft_sess_")
+    val staged = graft.Tmp.dir("graft_sess_")
     writeChunksOrdered(ev, pmod(col("user_id"), lit(nChunks)).cast("int"),
       staged.toString)
     val sentinels = s.range(3).select(
@@ -1429,7 +1429,7 @@ object Streams {
     val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
     val delayMs = (maxTs - minTs) / 1000 + 1
     val day = 86400L * 1000000L
-    val staged = Files.createTempDirectory("graft_ssj_")
+    val staged = graft.Tmp.dir("graft_ssj_")
     Seq(("left", 0), ("right", 1)).foreach { case (side, parity) =>
       // real chunks in one ordered write, both sentinels in a second (the
       // re-touch inside the second call re-ladders ALL chunk dirs, so the
@@ -1553,7 +1553,7 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("value"))
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
     val delayMs = (bounds.getLong(1) - bounds.getLong(0)) / 1000 + 1
-    val staged = Files.createTempDirectory("graft_ddw_")
+    val staged = graft.Tmp.dir("graft_ddw_")
     writeChunksOrdered(ev, pmod(col("event_id"), lit(2)).cast("int"),
       staged.toString)
     // identical full-row duplicates, arriving two micro-batches later (the
@@ -1586,8 +1586,8 @@ object Streams {
     */
   def streamExactlyOnce(s: SparkSession, d: String): DataFrame = {
     val (glob, schema) = stageInterleavedEventChunks(s, d, nChunks = 2)
-    val ckpt = Files.createTempDirectory("graft_eo_ckpt_").toString
-    val out = Files.createTempDirectory("graft_eo_out_").toString + "/sink"
+    val ckpt = graft.Tmp.dir("graft_eo_ckpt_").toString
+    val out = graft.Tmp.dir("graft_eo_out_").toString + "/sink"
     def runPass(): Unit = {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1623,7 +1623,7 @@ object Streams {
     * streaming, one correctness contract.
     */
   def streamDsv2(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_dsv2_stream_").toString
+    val root = graft.Tmp.dir("graft_dsv2_stream_").toString
     val ev = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     graft.sources.StatsCsvFormat.write(ev, root, "user_id", numFiles = 8)
@@ -1650,9 +1650,9 @@ object Streams {
     * and the oracle proves the loop is value-exact end to end.
     */
   def streamDsv2Sink(s: SparkSession, d: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_dsv2_loop_in_").toString
-    val out = Files.createTempDirectory("graft_dsv2_loop_out_").toString + "/sink"
-    val ckpt = Files.createTempDirectory("graft_dsv2_loop_ck_").toString
+    val root = graft.Tmp.dir("graft_dsv2_loop_in_").toString
+    val out = graft.Tmp.dir("graft_dsv2_loop_out_").toString + "/sink"
+    val ckpt = graft.Tmp.dir("graft_dsv2_loop_ck_").toString
     val ev = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     graft.sources.StatsCsvFormat.write(ev, root, "user_id", numFiles = 8)

@@ -27,7 +27,7 @@ object CdfScaleBench {
     val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = graft.GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val root = java.nio.file.Files.createTempDirectory("cdfscale_").toString
+    val root = graft.Tmp.dir("cdfscale_").toString
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()

@@ -22,7 +22,7 @@ object LedgerBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_ledbench_").toString
+    val root = graft.Tmp.dir("graft_ledbench_").toString
     val df = Seq((1L, "x")).toDF("k", "x")
     val t0 = System.nanoTime()
     (1 to n).foreach { _ =>

@@ -19,7 +19,7 @@ object MvRefreshBench {
     val rows = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = graft.GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val root = java.nio.file.Files.createTempDirectory("mvscale_").toString
+    val root = graft.Tmp.dir("mvscale_").toString
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()

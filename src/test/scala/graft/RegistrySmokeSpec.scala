@@ -37,6 +37,14 @@ class RegistrySmokeSpec extends SparkSpec {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // temp-dir lifecycle pin (round-16 audit: 13k+ leaked /tmp/graft_*
+    // dirs): running the FULL registry must create scratch dirs only
+    // under the session root Tmp.root, never as top-level /tmp litter
+    def topLevelGraftDirs(): Set[String] = {
+      val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      Option(tmp.list()).fold(Set.empty[String])(_.filter(_.startsWith("graft")).toSet)
+    }
+    val tmpBefore = topLevelGraftDirs()
     try {
       val s = SparkSession.builder()
         .master("local[8]")
@@ -58,6 +66,13 @@ class RegistrySmokeSpec extends SparkSpec {
       }
       assert(failures.isEmpty,
         s"${failures.size} registry entries failed:\n${failures.mkString("\n")}")
+      val leaked = topLevelGraftDirs() -- tmpBefore - Tmp.root.getFileName.toString
+      assert(leaked.isEmpty,
+        s"registry run leaked top-level temp dirs outside Tmp.root: $leaked")
+      // and the session root itself is reclaimable
+      val rootFile = Tmp.root.toFile
+      Tmp.purge()
+      assert(!rootFile.exists(), s"Tmp.purge() must delete $rootFile")
     } finally {
       prior match {
         case Some(p) =>
