@@ -190,8 +190,12 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), col("ccos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cent_id"))
+    // label rides along: index structures built from this assignment can
+    // store the metadata attribute beside the codes, which is what makes
+    // PRE-filtered search possible ([[annIvfPqFiltered]]) — the filter
+    // applies to the index scan itself, not to the search output
     e.join(assignedIds, "vec_id")
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cent_id"))
   }
 
   /** The `nprobe` nearest centroids per QUERY vector, ranked by centroid
@@ -900,29 +904,56 @@ object Similarity {
     * the oracle rebuilds them in SQL; distances use [[l2sq]]'s fixed IEEE
     * order, making codes, ADC sums, and ranks engine-exact.
     */
-  private[ext] def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+  private[ext] def ivfPqTopK(s: SparkSession, d: String): DataFrame =
+    ivfPqTopKImpl(s, d, candLabels = None)
+
+  /** [[ivfPqTopK]] with an optional metadata PRE-filter: when `candLabels`
+    * is set, the codes (index) table — which stores each vector's `label`
+    * attribute beside its PQ codes, exactly so this is possible — is
+    * filtered to qualifying labels BEFORE the LUT join and ADC aggregate.
+    * The top-5 window then ranks qualifying candidates only, so every
+    * query still gets its full k (the post-filter trap — rank first,
+    * filter after — silently returns < k and loses recall; see
+    * [[annIvfPqFilteredRecall]] for the measured contract). Models
+    * (centroids, residual codebook) stay trained on the FULL corpus: the
+    * filter is a query-time predicate, not a different index.
+    */
+  private[ext] def ivfPqTopKImpl(
+      s: SparkSession, d: String, candLabels: Option[Seq[Int]]): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cents = e.orderBy(col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     val assigned = ivfAssigned(e, cents)
     // residuals to the ASSIGNED centroid, sliced into PqM subvectors
     val rsubs = assigned.join(broadcast(cents), "cent_id")
-      .select(col("vec_id"), col("cent_id"),
+      .select(col("vec_id"), col("label"), col("cent_id"),
         zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
-      .select(col("vec_id"), col("cent_id"), posexplode(expr(
+      .select(col("vec_id"), col("label"), col("cent_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), j -> slice(r, j * $PqSub + 1, $PqSub))")))
-      .select(col("vec_id"), col("cent_id"), col("pos").as("j"), col("col").as("rsub"))
+      .select(col("vec_id"), col("label"), col("cent_id"),
+        col("pos").as("j"), col("col").as("rsub"))
     // residual codebook: deterministic sample, PqK entries per subspace
     val cb = rsubs.filter(col("vec_id") < PqK)
       .select(col("j").as("cj"), col("vec_id").as("cid"), col("rsub").as("csub"))
     // encode: nearest residual-codebook entry per (vector, subspace) —
-    // narrow rows through the aggregate, vectors never ride the shuffle
-    val codes = rsubs.join(broadcast(cb), col("j") === col("cj"))
+    // narrow rows through the aggregate, vectors never ride the shuffle.
+    // `label` rides the group key (functionally dependent on vec_id, so
+    // it costs nothing) into the stored codes: the index carries its
+    // filterable attributes, the production filtered-ANN layout.
+    val codesAll = rsubs.join(broadcast(cb), col("j") === col("cj"))
       .withColumn("dist", l2sq(col("rsub"), col("csub")))
-      .select(col("vec_id"), col("cent_id"), col("j"), col("dist"), col("cid"))
-      .groupBy(col("vec_id"), col("cent_id"), col("j"))
+      .select(col("vec_id"), col("label"), col("cent_id"), col("j"),
+        col("dist"), col("cid"))
+      .groupBy(col("vec_id"), col("label"), col("cent_id"), col("j"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("cent_id"), col("j"), col("m.cid").as("code"))
+      .select(col("vec_id"), col("label"), col("cent_id"), col("j"),
+        col("m.cid").as("code"))
+    // metadata PRE-filter: prune the candidate codes before any ADC work —
+    // at 100 TB this predicate reaches the codes-table scan (parquet
+    // pushdown on the label column), so a 10%-selective filter does 10%
+    // of the ADC arithmetic instead of ranking and then discarding
+    val codes = candLabels.fold(codesAll)(ls =>
+      codesAll.filter(col("label").isin(ls: _*)))
     // per-(query, probed cell) LUT over the QUERY's residual to that cell
     val probes = queryProbes(e, cents, nprobe = 4).drop("prk")
     val lut = probes
@@ -959,6 +990,99 @@ object Similarity {
   }
 
   def annIvfPq(s: SparkSession, d: String): DataFrame = ivfPqTopK(s, d)
+
+  /** The label set for the filtered-ANN gates: ~20% of the corpus
+    * (labels are 0-9, near-uniform), so the filter genuinely prunes.
+    */
+  private[ext] val FilteredAnnLabels = Seq(2, 5)
+
+  /** Filtered ANN — vector search under a metadata predicate, the
+    * dominant production vector-search pattern: "nearest neighbors of q
+    * AMONG vectors with label ∈ {2, 5}". Pre-filtering semantics: the
+    * predicate prunes the codes table BEFORE ADC scoring (the index
+    * stores the label beside the codes for exactly this), so the top-5
+    * ranks qualifying vectors only and each query receives its full k.
+    * The alternative — rank the unfiltered corpus, filter the top-k
+    * after — returns however many qualifying rows happened to land in
+    * the global top-k (usually fewer than k, sometimes zero): the
+    * post-filter recall trap this gate's shape avoids by construction.
+    */
+  def annIvfPqFiltered(s: SparkSession, d: String): DataFrame =
+    ivfPqTopKImpl(s, d, candLabels = Some(FilteredAnnLabels))
+
+  lazy val annIvfPqFilteredOracle: String =
+    ivfPqSql(
+      s"k.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))") +
+      "\nSELECT q_id, neighbor_id, cell, adc, rk FROM topk"
+
+  /** Recall contract for FILTERED search, against filtered brute force:
+    * truth is each query's exact cosine top-3 AMONG label-qualifying
+    * vectors; `hits_cells` counts truth neighbors in a probed cell (the
+    * coarse stage's ceiling — unchanged by the filter, since probing is
+    * query-side), `hits_adc` counts truth neighbors the filtered index
+    * actually returns. Pre-filtering keeps hits_adc close to the
+    * unfiltered gate's recall; a post-filtered implementation would show
+    * hits_adc collapsing toward zero here (qualifying vectors rarely
+    * survive an unfiltered top-5), which is why the contract is measured
+    * against FILTERED truth rather than asserted.
+    */
+  def annIvfPqFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cents = e.orderBy(col("vec_id")).limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = ivfAssigned(e, cents).select(col("vec_id"), col("cent_id"))
+    val probes = queryProbes(e, cents, nprobe = 4).drop("prk")
+      .withColumnRenamed("q_id", "pq_id")
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    // FILTERED ground truth: brute-force cosine over qualifying vectors
+    val truth = e.filter(col("label").isin(FilteredAnnLabels: _*))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val retrieved = annIvfPqFiltered(s, d)
+      .select(col("q_id").as("rq_id"), col("neighbor_id"))
+    truth.join(assigned, Seq("vec_id"))
+      .join(broadcast(probes),
+        col("pq_id") === col("q_id") && col("probe_cell") === col("cent_id"), "left")
+      .join(broadcast(retrieved),
+        col("rq_id") === col("q_id") && col("neighbor_id") === col("vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("truth_k"),
+        coalesce(sum(when(col("probe_cell").isNotNull, 1)), lit(0))
+          .cast("long").as("hits_cells"),
+        coalesce(sum(when(col("neighbor_id").isNotNull, 1)), lit(0))
+          .cast("long").as("hits_adc"))
+  }
+
+  lazy val annIvfPqFilteredRecallOracle: String =
+    ivfPqSql(
+      s"k.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))") +
+      """,
+        |truth AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM e WHERE vec_id % 100 = 0 AND vec_id < 2000) q
+        |  JOIN e ON e.vec_id <> q.vec_id
+        |  WHERE e.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 5))
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.v, e.v) / (q.nrm * e.nrm) DESC,
+        |             e.vec_id) <= 3),
+        |tc AS MATERIALIZED (
+        |  SELECT t.q_id, t.neighbor_id, a.cent_id
+        |  FROM truth t JOIN assigned a ON a.vec_id = t.neighbor_id)
+        |SELECT tc.q_id, COUNT(*) AS truth_k,
+        |       CAST(COALESCE(SUM(CASE WHEN p.probe_cell IS NOT NULL THEN 1 END), 0)
+        |            AS BIGINT) AS hits_cells,
+        |       CAST(COALESCE(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 END), 0)
+        |            AS BIGINT) AS hits_adc
+        |FROM tc
+        |LEFT JOIN probes p ON p.q_id = tc.q_id AND p.probe_cell = tc.cent_id
+        |LEFT JOIN topk r ON r.q_id = tc.q_id AND r.neighbor_id = tc.neighbor_id
+        |GROUP BY 1""".stripMargin
 
   /** The shared oracle prefix rebuilding the IVFPQ index + search in SQL —
     * every CTE MATERIALIZED (DuckDB re-inlines plain CTEs per reference;
@@ -1218,7 +1342,9 @@ object Similarity {
     "x_ann_ivf_recall" -> (annIvfRecall _),
     "x_ann_ivfpq" -> (annIvfPq _),
     "x_ann_ivfpq_recall" -> (annIvfPqRecall _),
-    "x_ann_ivfpq_rerank" -> (annIvfPqRerank _))
+    "x_ann_ivfpq_rerank" -> (annIvfPqRerank _),
+    "x_ann_filtered" -> (annIvfPqFiltered _),
+    "x_ann_filtered_recall" -> (annIvfPqFilteredRecall _))
 
   val oracles: Map[String, String] = Map(
     "x_hard_negatives" -> hardNegativesOracle,
@@ -1236,5 +1362,7 @@ object Similarity {
     "x_ann_ivf_recall" -> annIvfRecallOracle,
     "x_ann_ivfpq" -> annIvfPqOracle,
     "x_ann_ivfpq_recall" -> annIvfPqRecallOracle,
-    "x_ann_ivfpq_rerank" -> annIvfPqRerankOracle)
+    "x_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
+    "x_ann_filtered" -> annIvfPqFilteredOracle,
+    "x_ann_filtered_recall" -> annIvfPqFilteredRecallOracle)
 }
