@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Lifecycle, Reference, Relational, Scale, Tpch}
-import graft.ext.{Dedup, FuzzyJoin, IncrementalCdc, IncrementalFuzzy, IncrementalIvf, IncrementalIvfPq, IncrementalLsh, IncrementalPq, IncrementalSimhash, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FuzzyJoin, IncrementalCdc, IncrementalFuzzy, IncrementalIvf, IncrementalIvfPq, IncrementalLsh, IncrementalPq, IncrementalSimhash, Multimodal, Similarity, SuffixDedup, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,13 @@ object SparkEntry {
       Scale.defs ++ Analytics.defs ++ Tpch.defs ++
       TextAnalysis.defs ++ Dedup.defs ++ FuzzyJoin.defs ++
       IncrementalCdc.defs ++ IncrementalFuzzy.defs ++ IncrementalIvf.defs ++ IncrementalIvfPq.defs ++ IncrementalLsh.defs ++ IncrementalPq.defs ++ IncrementalSimhash.defs ++
-      Similarity.defs ++ Multimodal.defs
+      Similarity.defs ++ Multimodal.defs ++ SuffixDedup.defs
 
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Lifecycle.oracles ++ Streams.oracles ++
       Scale.oracles ++ Analytics.oracles ++ Tpch.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ FuzzyJoin.oracles ++
       IncrementalCdc.oracles ++ IncrementalFuzzy.oracles ++ IncrementalIvf.oracles ++ IncrementalIvfPq.oracles ++ IncrementalLsh.oracles ++
-      IncrementalPq.oracles ++ IncrementalSimhash.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      IncrementalPq.oracles ++ IncrementalSimhash.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      SuffixDedup.oracles
 }

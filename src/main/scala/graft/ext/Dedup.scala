@@ -1013,6 +1013,9 @@ object Dedup {
     * 2022, "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, does this with a suffix array; an inverted shingle
     * index expresses the same duplicated-span accounting as two shuffles).
+    * Shingle resolution means span boundaries are quantized to the
+    * shingle grid; [[SuffixDedup]] is the character-resolution member of
+    * the ladder — it reports the exact maximal duplicated spans.
     * A shingle is DUPLICATED if it occurs in ≥2 documents; its canonical
     * owner is the smallest doc_id holding it (the copy that keeps the
     * span). Per document: total distinct shingles, duplicated shingles,

@@ -1072,4 +1072,74 @@ class ExtSpec extends SparkSpec {
     val exhausted = graft.ext.TextAnalysis.bpeTrainInMemory(tiny, 10, (_, _) => ())
     assert(exhausted === Seq((1, "a", "b", 5L)), exhausted.toString)
   }
+
+  test("suffix dedup: byte-exact span boundaries survive a 1-char insertion where shingle sets shift") {
+    import graft.ext.SuffixDedup
+    // aperiodic base string: hash-mixed alphabet so no 40-gram repeats
+    // WITHIN it (asserted below — the test's own precondition)
+    val base = (1 to 300).map { i =>
+      ('a' + (((i * 2654435761L) >> 7) % 26).toInt).toChar
+    }.mkString
+    val grams = (0 to base.length - 40).map(i => base.substring(i, i + 40))
+    assert(grams.distinct.size === grams.size, "base must have no repeated 40-gram")
+    // docB = docA with ONE char inserted at position 137 (after char 137)
+    val insertAt = 137
+    val docA = base
+    val docB = base.substring(0, insertAt) + "Z" + base.substring(insertAt)
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val spans = SuffixDedup.suffixSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // byte-resolution claim: in A, the shared prefix [1,137] and the
+    // shared (shifted) tail [138,300] touch, so coverage merges into one
+    // full-document duplicated span. In B, the inserted char itself —
+    // position 138, the ONE byte with no duplicate anywhere — splits the
+    // coverage into [1,137] and [139,301]: the reported boundary is the
+    // edit, to the character.
+    assert(spans === Set(
+      (1L, 1L, 300L),
+      (2L, 1L, 137L), (2L, 139L, 301L)), spans.toString)
+    // the contrast that justifies the rung: fixed-k shingles lose the
+    // boundary — every 40-gram crossing the insertion point differs
+    // between A and B, so shingle overlap understates the shared tail
+    // by k-1 positions and cannot name the split point at all
+    val aGrams = (0 to docA.length - 40).map(i => docA.substring(i, i + 40)).toSet
+    val bGrams = (0 to docB.length - 40).map(i => docB.substring(i, i + 40)).toSet
+    val sharedGramPositions = (0 to docA.length - 40)
+      .count(i => bGrams.contains(docA.substring(i, i + 40)))
+    // suffix spans cover all 300 chars of A; shingles only vouch for
+    // positions whose whole 40-gram survives — strictly fewer
+    assert(sharedGramPositions < 300 - 40 + 1, s"got $sharedGramPositions")
+    assert(aGrams !== bGrams)
+  }
+
+  test("suffix dedup: self-repeat within one doc, cap-exceeding span recovered exactly") {
+    import graft.ext.SuffixDedup
+    // one doc containing the same 90-char block twice (longer than the
+    // 65-char match cap), with aperiodic filler between and around —
+    // the interval union must recover BOTH copies' full 90-char extent
+    // even though every single position's match length caps at 65
+    def mix(seed: Int, n: Int): String = (1 to n).map { i =>
+      // golden-ratio avalanche on the HIGH bits — a low-bit LCG cycles
+      // mod 26 within a few chars and fabricates corpus-wide repeats
+      val h = (i.toLong + seed.toLong * 7919L) * 0x9E3779B97F4A7C15L
+      ('a' + (((h >>> 33) % 26).toInt)).toChar
+    }.mkString
+    val block = mix(7, 90)
+    // seed 12 (not 2) for the middle filler: with seed 2 its last two
+    // chars coincide with the first filler's, genuinely extending the
+    // duplicated region 2 chars before the block — the operator reports
+    // that correctly, but the test wants the planted boundaries clean
+    val doc = mix(1, 60) + block + mix(12, 55) + block + mix(3, 40)
+    // precondition: the ONLY duplicated 40-grams are the block pair's
+    val gramCounts = (0 to doc.length - 40).map(i => doc.substring(i, i + 40))
+      .groupBy(identity).view.mapValues(_.size)
+    assert(gramCounts.values.count(_ >= 2) === 51, // 90 - 40 + 1 per copy
+      "filler must not fabricate duplicated 40-grams")
+    val s1 = 61L; val e1 = 150L           // first copy: chars 61..150
+    val s2 = (60 + 90 + 55 + 1).toLong    // second copy starts at 206
+    val e2 = s2 + 89
+    val spans = SuffixDedup.suffixSpans(Seq((9L, doc)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((s1, e1), (s2, e2)), spans.toString)
+  }
 }

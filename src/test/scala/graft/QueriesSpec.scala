@@ -137,13 +137,14 @@ class QueriesSpec extends SparkSpec {
 
   test("no query-name collisions across modules (Map ++ drops silently)") {
     import graft.queries.{Analytics, Lifecycle, Reference, Relational, Scale, Tpch}
-    import graft.ext.{Dedup, FuzzyJoin, IncrementalCdc, IncrementalFuzzy, IncrementalIvf, IncrementalIvfPq, IncrementalLsh, IncrementalPq, IncrementalSimhash, Multimodal, Similarity, TextAnalysis}
+    import graft.ext.{Dedup, FuzzyJoin, IncrementalCdc, IncrementalFuzzy, IncrementalIvf, IncrementalIvfPq, IncrementalLsh, IncrementalPq, IncrementalSimhash, Multimodal, Similarity, SuffixDedup, TextAnalysis}
     import graft.streaming.Streams
     val parts = Seq(
       Reference.defs, Relational.defs, Lifecycle.defs, Streams.defs,
       Scale.defs, Analytics.defs, Tpch.defs,
       TextAnalysis.defs, Dedup.defs, FuzzyJoin.defs, IncrementalCdc.defs, IncrementalFuzzy.defs, IncrementalIvf.defs, IncrementalIvfPq.defs,
-      IncrementalLsh.defs, IncrementalPq.defs, IncrementalSimhash.defs, Similarity.defs, Multimodal.defs)
+      IncrementalLsh.defs, IncrementalPq.defs, IncrementalSimhash.defs, Similarity.defs, Multimodal.defs,
+      SuffixDedup.defs)
     val totalKeys = parts.map(_.size).sum
     assert(SparkEntry.queries.size === totalKeys,
       s"combined map has ${SparkEntry.queries.size} entries but modules define $totalKeys — duplicate names")
