@@ -1089,30 +1089,15 @@ object Dedup {
     * bit-identical.
     */
   private[graft] def withCdcChunks(
-      df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val p31 = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)"
-    // one expression with each intermediate bound ONCE as a lambda
-    // variable (element_at(transform(array(X), v -> ...), 1)) — separate
-    // withColumns would let CollapseProject inline the codes array into
-    // the rolling-hash lambda, re-evaluating an O(len) transform per
-    // element_at and turning an O(len·W) projection into O(len²·W)
-    val codes = s"transform(sequence(1, length($textCol)), i -> " +
-      s"CAST(ascii(substring($textCol, i, 1)) AS BIGINT))"
-    val cuts =
-      s"""CASE WHEN length($textCol) < 8 THEN CAST(array() AS ARRAY<INT>)
-         |ELSE filter(sequence(8, length($textCol)), i ->
-         |  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-         |    acc + element_at(cs, i - j) * element_at($p31, j + 1)) % 32 = 0)
-         |END""".stripMargin
-    val bnds = s"concat(array(0), cu, " +
-      s"filter(array(length($textCol)), x -> NOT array_contains(cu, x)))"
-    val chunks = s"transform(sequence(1, size(bn) - 1), k -> substring($textCol, " +
-      "element_at(bn, k) + 1, element_at(bn, k + 1) - element_at(bn, k)))"
-    df.withColumn(outCol, expr(
-      s"""element_at(transform(array($codes), cs ->
-         |  element_at(transform(array($cuts), cu ->
-         |    element_at(transform(array($bnds), bn -> $chunks), 1)), 1)), 1)""".stripMargin))
-  }
+      df: DataFrame, textCol: String, outCol: String): DataFrame =
+    // the native codegen'd kernel (TextKernels.cdcChunks) — identical
+    // values to the previous interpreted HOF chain (same rolling
+    // polynomial, cuts, boundary and substring rules, including the
+    // short-text and empty-text edges), in one flat pass per document
+    // instead of an O(W) interpreted lambda aggregate per character
+    // (guide §1.2 step 2 / §4; measured the cdc family's hot spot)
+    df.withColumn(outCol,
+      org.apache.spark.sql.graft.TextExpressions.cdcChunks(col(textCol)))
 
   /** (doc_id, h) chunk-hash postings — one row per DISTINCT chunk per
     * document; the shuffle unit of CDC dedup and the state table of the

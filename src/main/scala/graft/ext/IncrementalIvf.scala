@@ -41,12 +41,17 @@ object IncrementalIvf {
     */
   def init(vecs: DataFrame, root: String): Unit = {
     val s = vecs.sparkSession
-    val e = Similarity.withNorm(vecs)
+    // e feeds the codebook write and both halves of the assignment —
+    // persist across the eager writes so the scan + normalization runs
+    // once (guide §2.4); released before returning
+    val e = Similarity.withNorm(vecs).persist()
     e.orderBy(col("vec_id")).limit(Similarity.IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
       .write.mode("overwrite").parquet(s"$root/cents")
     Similarity.ivfAssigned(e, centsOf(s, root))
       .write.mode("overwrite").parquet(s"$root/assigned")
+    e.unpersist()
+    ()
   }
 
   /** Assign an append batch against the FROZEN codebook and append — one
@@ -54,16 +59,32 @@ object IncrementalIvf {
     */
   def append(vecs: DataFrame, root: String): Unit = {
     val s = vecs.sparkSession
-    Similarity.ivfAssigned(Similarity.withNorm(vecs), centsOf(s, root))
+    // ivfAssigned reads its input twice (scoring + re-attach) — persist
+    // the normalized batch across the one write, then release
+    val e = Similarity.withNorm(vecs).persist()
+    Similarity.ivfAssigned(e, centsOf(s, root))
       .write.mode("append").parquet(s"$root/assigned")
+    e.unpersist()
+    ()
   }
 
   /** Multi-probe top-3 for the standard query batch over the maintained
     * index — identical plan shape to [[Similarity.annIvfMultiprobe]]:
     * probe table broadcast, candidates one equi-join on cell id.
     */
-  def query(s: SparkSession, root: String, nprobe: Int = 4): DataFrame = {
-    val assigned = s.read.parquet(s"$root/assigned").dropDuplicates("vec_id")
+  def query(s: SparkSession, root: String, nprobe: Int = 4): DataFrame =
+    query(s, root, nprobe, reuse = true)
+
+  /** `reuse = false` (the plan-audit path) exposes the live read plan; the
+    * gate path persists the deduped index read — it feeds the probe table,
+    * the query batch AND the candidate join, and each reference otherwise
+    * replays the parquet read + the dedup shuffle of N 64-dim vectors
+    * (guide §2.4).
+    */
+  private[graft] def query(
+      s: SparkSession, root: String, nprobe: Int, reuse: Boolean): DataFrame = {
+    val assigned = Similarity.persistIf(
+      s.read.parquet(s"$root/assigned").dropDuplicates("vec_id"), reuse)
     val cents = centsOf(s, root)
     val e = assigned.select(col("vec_id"), col("v"), col("nrm"))
     val qp = Similarity.queryProbes(e, cents, nprobe).drop("prk")
@@ -71,12 +92,12 @@ object IncrementalIvf {
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), Seq("q_id"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(qp),
+    Similarity.finishGate(reuse, Seq(assigned))(assigned.join(broadcast(qp),
         col("cent_id") === col("probe_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("qn"), col("v"), col("nrm")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk")))
   }
 
   /** Gate: init on vec_id < 250 (which contains all 64 codebook ids, so

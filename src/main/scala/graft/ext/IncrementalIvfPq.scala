@@ -76,12 +76,15 @@ object IncrementalIvfPq {
     */
   def init(vecs: DataFrame, root: String): Unit = {
     val s = vecs.sparkSession
-    val e = Similarity.withNorm(vecs)
+    // e feeds the codebook write + both halves of the assignment, and
+    // assigned feeds the vecs write + the residual pass — persist both
+    // across the eager writes (guide §2.4), release before returning
+    val e = Similarity.withNorm(vecs).persist()
     e.orderBy(col("vec_id")).limit(Similarity.IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
       .write.mode("overwrite").parquet(s"$root/cents")
     val cents = centsOf(s, root)
-    val assigned = Similarity.ivfAssigned(e, cents)
+    val assigned = Similarity.ivfAssigned(e, cents).persist()
     assigned.select(col("vec_id"), col("v"), col("nrm"))
       .write.mode("overwrite").parquet(s"$root/vecs")
     val rsubs = rsubsOf(assigned, cents)
@@ -91,6 +94,8 @@ object IncrementalIvfPq {
       .write.mode("overwrite").parquet(s"$root/cb")
     encode(rsubs, cbOf(s, root)).write.mode("overwrite").parquet(s"$root/codes")
     rsubs.unpersist()
+    assigned.unpersist()
+    e.unpersist()
     ()
   }
 
@@ -100,11 +105,18 @@ object IncrementalIvfPq {
   def append(vecs: DataFrame, root: String): Unit = {
     val s = vecs.sparkSession
     val cents = centsOf(s, root)
-    val assigned = Similarity.ivfAssigned(Similarity.withNorm(vecs), cents)
+    // the normalized batch is read twice inside ivfAssigned and the
+    // assignment twice more (vecs write + encode) — persist both across
+    // the two eager writes (guide §2.4), release before returning
+    val e = Similarity.withNorm(vecs).persist()
+    val assigned = Similarity.ivfAssigned(e, cents).persist()
     assigned.select(col("vec_id"), col("v"), col("nrm"))
       .write.mode("append").parquet(s"$root/vecs")
     encode(rsubsOf(assigned, cents), cbOf(s, root))
       .write.mode("append").parquet(s"$root/codes")
+    assigned.unpersist()
+    e.unpersist()
+    ()
   }
 
   /** Per-probed-cell ADC top-5 over the maintained codes — identical
@@ -114,11 +126,16 @@ object IncrementalIvfPq {
     val cents = centsOf(s, root)
     val cb = cbOf(s, root)
     val codes = s.read.parquet(s"$root/codes").dropDuplicates("vec_id", "j")
-    val vecs = s.read.parquet(s"$root/vecs").dropDuplicates("vec_id")
+    // the cold vector store is read ONLY for the fixed query batch (probe
+    // ranking + query residuals) — filter to it BEFORE the dedup, which
+    // commutes with dropDuplicates on the filter key: the dedup then
+    // shuffles Q rows of 64-dim vectors instead of the whole store (§2.3)
+    val vecs = s.read.parquet(s"$root/vecs")
+      .filter(Similarity.isQuery(col("vec_id")))
+      .dropDuplicates("vec_id")
     val probes = Similarity.queryProbes(vecs, cents, nprobe = 4).drop("prk")
     val lut = probes
-      .join(vecs.filter(Similarity.isQuery(col("vec_id")))
-        .select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
       .join(broadcast(cents), col("probe_cell") === col("cent_id"))
       .select(col("q_id"), col("probe_cell"),
         zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))

@@ -22,6 +22,31 @@ import graft.queries.Q.QueryFn
   */
 object Similarity {
 
+  /** Persist-and-release for gate paths (optimization guide §1.2/§2.4:
+    * compute shared subtrees once instead of replaying them per reference
+    * — the DataFrame API does not share common subplans, so an `e` used by
+    * the codebook, the assignment, the query batch and the candidate join
+    * is otherwise scanned and re-normalized once PER REFERENCE). `res` is
+    * materialized eagerly (localCheckpoint, the [[graft.queries.Analytics]]
+    * pattern), then every per-gate cache is released: gates run in one
+    * long-lived session, so a leaked cache entry would both accumulate
+    * storage and let an identical plan fragment of a LATER gate silently
+    * read cached data, corrupting that gate's measurement. `reuse = false`
+    * (the plan-audit path) does neither — callers see the live pipeline
+    * plan, exactly like `Analytics.graphPagerank(checkpoint = false)`.
+    */
+  private[ext] def finishGate(reuse: Boolean, cached: Seq[DataFrame])(
+      res: DataFrame): DataFrame =
+    if (!reuse) res
+    else {
+      val out = res.localCheckpoint()
+      cached.foreach(_.unpersist())
+      out
+    }
+
+  private[ext] def persistIf(df: DataFrame, reuse: Boolean): DataFrame =
+    if (reuse) df.persist() else df
+
   /** Strict sequential dot product of two double arrays — the codegen'd
     * native expression (see graft.functions.DotProductD). Numerically
     * identical to the higher-order fold below.
@@ -67,6 +92,10 @@ object Similarity {
     * ([[isQuery]]), ties broken by neighbor id.
     */
   def annTopK(s: SparkSession, d: String): DataFrame = {
+    // single-action gate: e's duplicate subtrees dedupe at runtime via
+    // exchange/broadcast reuse — a persist here was MEASURED slower
+    // (cache build/scan beats nothing when the frame is cheap codegen;
+    // see OPTIMIZATION_r17.md "persist lesson")
     val e = withNorm(Tables.embeddings(s, d))
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -360,20 +389,24 @@ object Similarity {
     */
   val KmeansK = 8
 
-  /** Squared L2 via the dot identity in a FIXED expression order (see
-    * [[annPq]]'s `l2sq`) — bit-exact across engines.
-    */
-  private def kmL2(a: Column, c: Column): Column =
-    dot(a, a) - lit(2.0) * dot(a, c) + dot(c, c)
-
   /** One Lloyd assignment pass: nearest centroid per vector (ties to the
     * lowest cid), as a `min(struct)` AGGREGATE over the broadcast N×K score
     * — partial aggregation folds to N rows before the only shuffle, the
     * same shape as [[annIvf]]'s assignment.
+    *
+    * Distance is the dot identity `|a|² − 2a·c + |c|²` with BOTH squared
+    * norms hoisted out of the N×K product: `_daa` is a column of `e`
+    * (computed once per vector instead of once per vector PER CENTROID —
+    * the un-hoisted form redid K−1 identical dot products per vector) and
+    * `_dcc` a column of `cents`. The summation order is unchanged —
+    * `(_daa − 2·a·c) + _dcc` — and each hoisted value is the same IEEE
+    * expression over the same input, so distances (hence assignments and
+    * the trained codebook) are bit-identical to the inline form.
     */
   private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
-      .withColumn("dist", kmL2(col("v"), col("cv")))
+      .withColumn("dist",
+        col("_daa") - lit(2.0) * dot(col("v"), col("cv")) + col("_dcc"))
       .select(col("vec_id"), col("cid"), col("dist"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
@@ -415,16 +448,26 @@ object Similarity {
     * Output: the final codebook posexploded to scalar (cid, n, dim, val)
     * rows (the value matrix hash needs scalar columns).
     */
-  def kmeansTrain(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def kmeansTrain(s: SparkSession, d: String): DataFrame =
+    kmeansTrain(s, d, reuse = true)
+
+  private[graft] def kmeansTrain(
+      s: SparkSession, d: String, reuse: Boolean): DataFrame = {
+    // e feeds five passes (init codebook, 2× assign, 2× update-join):
+    // persist so the scan + double-cast + |v|² run once (§2.4)
+    val e = persistIf(Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val c0 = e.orderBy(col("vec_id")).limit(KmeansK)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("_daa", dot(col("v"), col("v"))), reuse)
+    def withDcc(c: DataFrame): DataFrame =
+      c.withColumn("_dcc", dot(col("cv"), col("cv")))
+    val c0 = withDcc(e.orderBy(col("vec_id")).limit(KmeansK)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
     val c1 = kmUpdate(e, kmAssign(e, c0))
-    val c2 = kmUpdate(e, kmAssign(e, c1.select(col("cid"), col("cv"))))
-    c2.select(col("cid"), col("n"), posexplode(col("cv")))
-      .select(col("cid"), col("n"), col("pos").as("dim"), col("col").as("val"))
+    val c2 = kmUpdate(e, kmAssign(e, withDcc(c1.select(col("cid"), col("cv")))))
+    finishGate(reuse, Seq(e))(
+      c2.select(col("cid"), col("n"), posexplode(col("cv")))
+        .select(col("cid"), col("n"), col("pos").as("dim"), col("col").as("val")))
   }
 
   val kmeansTrainOracle: String =
@@ -907,6 +950,16 @@ object Similarity {
   private[ext] def ivfPqTopK(s: SparkSession, d: String): DataFrame =
     ivfPqTopKImpl(s, d, candLabels = None)
 
+  /** The shared frames of one IVF-PQ index build + search, so consumer
+    * gates (recall, rerank) express their bookkeeping against the same
+    * logical subtrees as the retrieved set — duplicate exchange subtrees
+    * dedupe at runtime (ReusedExchange), and sharing the frames keeps the
+    * duplicates bit-identical by construction.
+    */
+  private[ext] case class IvfPqBuild(
+      e: DataFrame, cents: DataFrame, assigned: DataFrame,
+      probes: DataFrame, topk: DataFrame)
+
   /** [[ivfPqTopK]] with an optional metadata PRE-filter: when `candLabels`
     * is set, the codes (index) table — which stores each vector's `label`
     * attribute beside its PQ codes, exactly so this is possible — is
@@ -919,7 +972,11 @@ object Similarity {
     * filter is a query-time predicate, not a different index.
     */
   private[ext] def ivfPqTopKImpl(
-      s: SparkSession, d: String, candLabels: Option[Seq[Int]]): DataFrame = {
+      s: SparkSession, d: String, candLabels: Option[Seq[Int]]): DataFrame =
+    ivfPqBuild(s, d, candLabels).topk
+
+  private[ext] def ivfPqBuild(
+      s: SparkSession, d: String, candLabels: Option[Seq[Int]]): IvfPqBuild = {
     val e = withNorm(Tables.embeddings(s, d))
     val cents = e.orderBy(col("vec_id")).limit(IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -971,7 +1028,7 @@ object Similarity {
     // ADC: candidates are the probed cells' code rows; the j-pivoted sum
     // runs in a fixed column order so the float total is engine-exact
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    codes
+    val topk = codes
       .join(broadcast(lut),
         col("cent_id") === col("probe_cell") && col("j") === col("lj") &&
           col("code") === col("cid"))
@@ -987,6 +1044,7 @@ object Similarity {
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("cent_id").as("cell"), col("adc"), col("rk"))
+    IvfPqBuild(e, cents, assigned, probes, topk)
   }
 
   def annIvfPq(s: SparkSession, d: String): DataFrame = ivfPqTopK(s, d)
@@ -1027,12 +1085,13 @@ object Similarity {
     * against FILTERED truth rather than asserted.
     */
   def annIvfPqFilteredRecall(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val cents = e.orderBy(col("vec_id")).limit(IvfK)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = ivfAssigned(e, cents).select(col("vec_id"), col("cent_id"))
-    val probes = queryProbes(e, cents, nprobe = 4).drop("prk")
-      .withColumnRenamed("q_id", "pq_id")
+    // one shared build: the retrieved set and the recall bookkeeping
+    // reference the same logical subtrees (duplicates dedupe at runtime
+    // via exchange reuse; sharing keeps them bit-identical by construction)
+    val b = ivfPqBuild(s, d, candLabels = Some(FilteredAnnLabels))
+    val e = b.e
+    val assigned = b.assigned.select(col("vec_id"), col("cent_id"))
+    val probes = b.probes.withColumnRenamed("q_id", "pq_id")
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -1043,7 +1102,7 @@ object Similarity {
       .withColumn("trk", row_number().over(wT))
       .filter(col("trk") <= 3)
       .select(col("q_id"), col("vec_id"))
-    val retrieved = annIvfPqFiltered(s, d)
+    val retrieved = b.topk
       .select(col("q_id").as("rq_id"), col("neighbor_id"))
     truth.join(assigned, Seq("vec_id"))
       .join(broadcast(probes),
@@ -1175,12 +1234,11 @@ object Similarity {
     * two IS the PQ approximation cost, measured rather than asserted.
     */
   def annIvfPqRecall(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val cents = e.orderBy(col("vec_id")).limit(IvfK)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = ivfAssigned(e, cents).select(col("vec_id"), col("cent_id"))
-    val probes = queryProbes(e, cents, nprobe = 4).drop("prk")
-      .withColumnRenamed("q_id", "pq_id")
+    // one shared build (see annIvfPqFilteredRecall's note)
+    val b = ivfPqBuild(s, d, candLabels = None)
+    val e = b.e
+    val assigned = b.assigned.select(col("vec_id"), col("cent_id"))
+    val probes = b.probes.withColumnRenamed("q_id", "pq_id")
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -1189,7 +1247,7 @@ object Similarity {
       .withColumn("trk", row_number().over(wT))
       .filter(col("trk") <= 3)
       .select(col("q_id"), col("vec_id"))
-    val retrieved = ivfPqTopK(s, d)
+    val retrieved = b.topk
       .select(col("q_id").as("rq_id"), col("neighbor_id"))
     truth.join(assigned, Seq("vec_id"))
       .join(broadcast(probes),
@@ -1242,8 +1300,10 @@ object Similarity {
     * [[annIvfPqRecall]]'s hits_adc measures.
     */
   def annIvfPqRerank(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val shortlist = ivfPqTopK(s, d).select(col("q_id"), col("neighbor_id"))
+    // one shared build (see annIvfPqFilteredRecall's note)
+    val b = ivfPqBuild(s, d, candLabels = None)
+    val e = b.e
+    val shortlist = b.topk.select(col("q_id"), col("neighbor_id"))
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -1289,8 +1349,12 @@ object Similarity {
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn"))
+    // the O(Q·N) scoring pass is narrowed to the 5 columns the windows
+    // need — the 64-dim vectors would otherwise ride both window sorts
+    // for nothing (guide §2.3)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"), col("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     val negs = scored.filter(col("label") =!= col("q_label"))
       .withColumn("rk", row_number().over(w))

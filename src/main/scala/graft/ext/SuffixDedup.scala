@@ -71,23 +71,19 @@ object SuffixDedup {
     */
   val BucketWidth = 2
 
-  /** Common-prefix length of two strings, as a codegen'd expression:
-    * the first mismatching index minus one (array_min skips the NULLs
-    * the matching positions produce), or min(len) when one is a prefix
-    * of the other. A NULL side (missing window neighbor) is EXPLICITLY
-    * 0 — it must not fall through to the formula, because `least`
-    * IGNORES NULLs (in Spark AND DuckDB), so min-length would collapse
-    * to the non-null side's length and every in-lambda comparison would
-    * be NULL ≠ anything → no mismatch found → a spurious full-length
-    * "match" against a neighbor that does not exist.
+  /** Common-prefix length of two strings via the native codegen'd kernel
+    * ([[org.apache.spark.sql.graft.TextExpressions.commonPrefixLength]]):
+    * identical value to the interpreted `transform(sequence(...))` fold
+    * it replaces — the count of leading equal code points, bounded by
+    * min(len) — but allocation-free (guide §1.2 step 2 / §4: the HOF
+    * form allocated a cap-sized sequence array plus ~2·cap one-char
+    * substrings PER NEIGHBOR PER POSITION, and was this operator's
+    * measured hot spot). A NULL side (missing window neighbor) is
+    * EXPLICITLY 0, exactly as before.
     */
-  private def lcpCol(a: Column, b: Column): Column = {
-    val m = least(length(a), length(b))
-    val firstMismatch = array_min(transform(sequence(lit(1), m),
-      i => when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), i)))
+  private def lcpCol(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(0))
-      .otherwise(coalesce(firstMismatch, m + lit(1)) - lit(1))
-  }
+      .otherwise(org.apache.spark.sql.graft.TextExpressions.commonPrefixLength(a, b))
 
   /** Per-document maximal duplicated spans over `docs` (doc_id, text):
     * every character range of length ≥ `minSpan` that also occurs

@@ -26,6 +26,66 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** Number of leading CODE POINTS shared by `a` and `b` — exactly the
+    * value of the interpreted `substr(i,1)`-comparison fold it replaces
+    * (SuffixDedup.lcpCol), computed allocation-free on the UTF-8 bytes:
+    * find the byte-level common prefix, then count the COMPLETE code
+    * points inside it (a byte mismatch mid-code-point means that code
+    * point differs, so the partial code point is correctly not counted;
+    * UTF-8 prefix-codes code points, so equal byte prefixes and equal
+    * char prefixes coincide).
+    */
+  def commonPrefixLength(a: UTF8String, b: UTF8String): Int = {
+    val n = math.min(a.numBytes, b.numBytes)
+    var i = 0
+    while (i < n && a.getByte(i) == b.getByte(i)) i += 1
+    var chars = 0
+    var j = 0
+    while (j < i) {
+      val step = UTF8String.numBytesForFirstByte(a.getByte(j))
+      if (j + step <= i) { chars += 1; j += step } else j = i
+    }
+    chars
+  }
+
+  /** Content-defined chunks of `text` — the exact value of the interpreted
+    * HOF chain it replaces (graft.ext.Dedup.withCdcChunks), computed in one
+    * allocation-light pass: codes[i] is the code point at 1-based position
+    * i; a cut lands after position i (8 ≤ i ≤ len) when the 8-char rolling
+    * polynomial Σ_{j=0..7} codes[i−j]·31^j is ≡ 0 (mod 32); boundaries are
+    * [0] ++ cuts ++ [len unless already a cut]; chunk k is the code-point
+    * substring (bnds[k], bnds[k+1]]. Matches the HOF on every edge: text
+    * shorter than 8 chars is one chunk, empty text yields one empty chunk.
+    */
+  def cdcChunks(text: UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val p31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    val bnds = scala.collection.mutable.ArrayBuffer(0)
+    if (n >= 8) {
+      var i = 8
+      while (i <= n) {
+        var acc = 0L
+        var j = 0
+        while (j < 8) { acc += cps(i - 1 - j).toLong * p31(j); j += 1 }
+        if (acc % 32 == 0) bnds += i
+        i += 1
+      }
+    }
+    // the HOF appends len iff it is not already a cut (cuts = bnds minus
+    // the leading 0) — for empty text this yields [0, 0], one "" chunk
+    if (!(bnds.length > 1 && bnds.last == n)) bnds += n
+    val out = new Array[Any](bnds.length - 1)
+    var k = 0
+    while (k < out.length) {
+      out(k) = UTF8String.fromString(
+        new String(cps, bnds(k), bnds(k + 1) - bnds(k)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word 3-gram distinct shingles in first-occurrence order — the exact
     * contract of the former `shinglesUdf`: Java `split(" ", -1)` (keep
     * trailing empties, same tokens as DuckDB `string_split`), fewer than 3
@@ -379,6 +439,55 @@ case class OsaDistanceCapped(left: Expression, right: Expression, maxDist: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cdcChunks(text)` as a codegen'd unary expression: the content-defined
+  * chunk array of [[graft.ext.Dedup.withCdcChunks]]'s rolling-hash rule —
+  * the interpreted HOF chain it replaces evaluated an O(W) lambda
+  * aggregate per character with per-element `element_at` lookups.
+  */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.cdcChunks(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.TextKernels.cdcChunks($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+/** `commonPrefixLength(a, b)` as a codegen'd binary expression: the number
+  * of leading code points the two strings share (the capped-suffix LCP
+  * kernel of [[graft.ext.SuffixDedup]] — the interpreted
+  * `transform(sequence(...))` fold it replaces allocated ~2·cap one-char
+  * substrings per comparison).
+  */
+case class CommonPrefixLength(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_common_prefix"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.commonPrefixLength(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.TextKernels.commonPrefixLength($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixLength =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `jaroWinkler(a, b)` as a codegen'd binary expression. */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -416,4 +525,9 @@ object TextExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinkler(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def commonPrefixLength(a: Column, b: Column): Column =
+    ExpressionUtils.column(CommonPrefixLength(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def cdcChunks(text: Column): Column =
+    ExpressionUtils.column(CdcChunks(ExpressionUtils.expression(text)))
 }
